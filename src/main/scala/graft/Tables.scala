@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated testdata tables (TESTDATA.md).
+  * One parquet file per table under `$dir/` — mirrors the reference's
+  * schema-on-read parquet source (`/root/reference/dags/gold_data_aggregation.py:47`).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized reader
+    // rejects; read it as epoch-nanos long and convert with [[eventTime]].
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** events.ts (epoch nanos, long) -> microsecond timestamp.
+    * DuckDB equivalent: `CAST(ts AS TIMESTAMP)` (ns->us truncation). */
+  def eventTime(tsNanos: Column): Column =
+    timestamp_micros((tsNanos / 1000).cast("long"))
+}
