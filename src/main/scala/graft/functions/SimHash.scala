@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** `simhash(tokens)`: 64-bit SimHash fingerprint of an `array<string>` of
+  * tokens, as a native Catalyst expression.
+  *
+  * Classic Charikar scheme: each token is hashed (xxhash64, seed 42 — the
+  * same family as Spark's built-in `xxhash64`), each of the 64 hash bits
+  * votes +1/-1, the sign of each counter becomes the output bit. Documents
+  * with small edit distance get small Hamming distance, enabling
+  * shuffle-light near-dup grouping: split the 64-bit fingerprint into k
+  * bands and hash-join on band equality (see [[graft.ops.Dedup]]) — no
+  * cartesian product at any scale.
+  *
+  * Null tokens are skipped; a null array yields null.
+  */
+case class SimHash(child: Expression)
+    extends UnaryExpression {
+
+  // input must be array<string> (tokens); built via [[SimHash.simhash]]
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    SimHash.ofTokens(arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.SimHash.ofTokens($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash =
+    copy(child = newChild)
+}
+
+object SimHash {
+
+  val Seed = 42L
+
+  /** Single-pass SimHash over an ArrayData of UTF8Strings (shared by
+    * interpreted eval and generated code). */
+  def ofTokens(arr: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, Seed)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= 1L << b; b += 1 }
+    out
+  }
+
+  def simhash(tokens: Column): Column =
+    ColumnBridge.column(SimHash(ColumnBridge.expression(tokens)))
+}

@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.SimHash
+
+/** Deduplication operators for large-scale corpus curation (builder
+  * prompt north-star; beyond the reference's surface, which only needs
+  * `dropDuplicates`). Every variant is shuffle-bounded: candidates come
+  * from equality joins on hash buckets/bands — no cartesian product at
+  * any scale.
+  */
+object Dedup {
+
+  /** whitespace tokens, lowercased (matches DuckDB
+    * `string_split_regex(lower(text), '\s+')` for oracles). */
+  def words(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Word n-grams as strings; empty array when fewer than n words.
+    * 1-based `slice`; `sequence(0, size-n)` enumerates starts. */
+  def wordNGrams(w: Column, n: Int): Column =
+    when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + lit(1), lit(n)))))
+      .otherwise(array())
+
+  /** Set Jaccard of two string arrays (distinct-element semantics, same
+    * as DuckDB `list_intersect` / distinct-union cardinalities). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_distinct(concat(a, b)))
+
+  /** k-permutation MinHash signature over a string-array column: for each
+    * of k hash functions, the min xxhash64(k, shingle). O(k·|shingles|)
+    * per row, map-side only. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      kk => array_min(transform(shingles, s => xxhash64(kk, s))))
+
+  /** LSH banding: candidate pairs (id_a < id_b) whose MinHash signatures
+    * collide in at least one of `bands` bands of `k/bands` rows.
+    * The only shuffles are (a) the explode+groupless band join keyed on
+    * (band, bandHash) and (b) the final distinct — both scale linearly
+    * with corpus size for bounded bucket sizes (near-dup clusters). */
+  def minhashCandidates(docs: DataFrame, idCol: String, shingleCol: String,
+                        k: Int = 16, bands: Int = 4): DataFrame = {
+    val r = k / bands
+    require(bands * r == k, s"bands ($bands) must divide k ($k)")
+    val sig = minhashSignature(col(shingleCol), k)
+    val bandStructs = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(lit(b), slice(sig, b * r + 1, r)).as("bkey"))
+    }: _*)
+    val banded = docs
+      .select(col(idCol), explode(bandStructs).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val a = banded.select(col(idCol).as("id_a"), col("band"), col("bkey"))
+    val b = banded.select(col(idCol).as("id_b"), col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** MinHash+LSH near-dup pairs verified with exact shingle Jaccard ≥
+    * `threshold`. `docs` must have (idCol: numeric, textCol: string). */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, k: Int = 16, bands: Int = 4,
+                      threshold: Double = 0.7): DataFrame = {
+    val grams = docs.select(
+      col(idCol).as("gid"),
+      array_distinct(wordNGrams(words(col(textCol)), n)).as("grams"))
+    val cands = minhashCandidates(
+      grams.withColumnRenamed("gid", "did").withColumnRenamed("grams", "g"),
+      "did", "g", k, bands)
+    cands
+      .join(grams.select(col("gid").as("id_a"), col("grams").as("grams_a")), "id_a")
+      .join(grams.select(col("gid").as("id_b"), col("grams").as("grams_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("grams_a"), col("grams_b")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash fingerprints + banded near-dup pairs with Hamming distance ≤
+    * `maxHamming`. Banding: the 64-bit fingerprint splits into `bands`
+    * equal bit-bands; by pigeonhole any pair within Hamming distance
+    * `bands - 1` collides on at least one band — an equality-join
+    * candidate generation, no cartesian. */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < bands, "pigeonhole needs maxHamming < bands")
+    val width = 64 / bands
+    val fp = docs.select(col(idCol).as("sid"),
+      SimHash.simhash(words(col(textCol))).as("fp"))
+    val bandStructs = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        // unsigned slice of `width` bits
+        shiftrightunsigned(col("fp"), b * width)
+          .bitwiseAND(lit((1L << width) - 1)).as("bits"))
+    }: _*)
+    val banded = fp.select(col("sid"), col("fp"), explode(bandStructs).as("bk"))
+      .select(col("sid"), col("fp"), col("bk.band").as("band"), col("bk.bits").as("bits"))
+    val a = banded.select(col("sid").as("id_a"), col("fp").as("fp_a"), col("band"), col("bits"))
+    val b = banded.select(col("sid").as("id_b"), col("fp").as("fp_b"), col("band"), col("bits"))
+    a.join(b, Seq("band", "bits"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,225 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** North-star operator inventory: dedup family, similarity search, text
+  * analysis, JSON extraction, rollup (builder prompt; SURVEY.md §0/§7.2
+  * step 5). Naming: d* dedup, s* similarity, t* text, q19+ extra
+  * relational. Oracle-expressible queries carry DuckDB SQL; MinHash /
+  * SimHash / IVF are hash-seed-dependent and covered by ScalaTest
+  * invariants instead (driver records rows-only).
+  */
+object NorthStarQueries {
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // ---- JSON extraction over events.props --------------------------------
+    ("q19_json_extract",
+      (s: SparkSession, d: String) => {
+        Tables.load(s, d, "events")
+          .groupBy(col("event_type"))
+          .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+            count(lit(1)).as("n"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+             |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             |  COUNT(*) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- rollup (multi-level aggregate) -----------------------------------
+    ("q20_rollup",
+      (s: SparkSession, d: String) => {
+        Tables.load(s, d, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+             |FROM lineitem
+             |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    // ---- dedup: exact (hash groupBy on content) ---------------------------
+    ("d01_dedup_exact",
+      (s: SparkSession, d: String) => {
+        Tables.load(s, d, "documents")
+          .groupBy(col("text"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+          .select(col("keep_id"), col("n_copies"))
+          .orderBy(col("keep_id"))
+      },
+      Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+             |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
+
+    // ---- dedup: word-bigram Jaccard on prefix-blocked pairs ---------------
+    ("d02_ngram_jaccard",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.load(s, d, "documents")
+        val grams = docs.select(
+          col("doc_id"),
+          substring(col("text"), 1, 50).as("pfx"),
+          array_distinct(Dedup.wordNGrams(Dedup.words(col("text")), 2)).as("g"))
+        val a = grams.select(col("doc_id").as("id_a"), col("pfx"), col("g").as("g_a"))
+        val b = grams.select(col("doc_id").as("id_b"), col("pfx"), col("g").as("g_b"))
+        a.join(b, "pfx").filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            Dedup.jaccard(col("g_a"), col("g_b")).as("jaccard"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH grams AS (
+             |  SELECT doc_id, substr(text, 1, 50) AS pfx,
+             |    list_distinct(list_transform(range(1, greatest(len(w), 2)),
+             |                  i -> w[i] || ' ' || w[i+1])) AS g
+             |  FROM (SELECT doc_id, text,
+             |          string_split_regex(lower(text), '\s+') AS w FROM documents))
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+             |    / len(list_distinct(a.g || b.g)) AS jaccard
+             |FROM grams a JOIN grams b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- dedup: MinHash + LSH banding (hash-dependent → ScalaTest-gated) --
+    ("d03_minhash_lsh",
+      (s: SparkSession, d: String) => {
+        Dedup.minhashNearDups(Tables.load(s, d, "documents"), "doc_id", "text",
+            n = 3, k = 16, bands = 4, threshold = 0.5)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      None),
+
+    // ---- dedup: SimHash banded near-dups (custom Catalyst expression) -----
+    ("d04_simhash_neardup",
+      (s: SparkSession, d: String) => {
+        Dedup.simhashNearDups(Tables.load(s, d, "documents"), "doc_id", "text",
+            bands = 8, maxHamming = 5)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      None),
+
+    // ---- dedup: embedding-cosine near-dup pairs (brute baseline) ----------
+    ("d05_embedding_neardup",
+      (s: SparkSession, d: String) => {
+        Similarity.nearDupPairs(Tables.load(s, d, "embeddings"), threshold = 0.45)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+             |FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- similarity: brute-force cosine top-k -----------------------------
+    ("s01_cosine_topk",
+      (s: SparkSession, d: String) => {
+        val emb = Tables.load(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+        Similarity.bruteForceTopK(emb.select("vec_id", "embedding"), queries, k = 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+             |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    round(list_cosine_similarity(q.v, c.v), 6) AS cos_sim,
+             |    row_number() OVER (PARTITION BY q.vec_id
+             |      ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC, c.vec_id) AS rank
+             |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+             |WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    // ---- similarity: IVF-probed ANN (recall-gated in ScalaTest) -----------
+    ("s02_ann_ivf",
+      (s: SparkSession, d: String) => {
+        val emb = Tables.load(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+        Similarity.ivfTopK(emb.select("vec_id", "embedding"), queries,
+            k = 5, nCells = 16, nProbe = 4)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
+    // ---- text analysis: per-doc features ----------------------------------
+    ("t01_token_stats",
+      (s: SparkSession, d: String) => {
+        Tables.load(s, d, "documents")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("total_tokens"),
+            sum(length(col("text")).cast("long")).as("total_chars"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, COUNT(*) AS n_docs,
+             |  SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS total_tokens,
+             |  SUM(length(text)) AS total_chars
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    ("t02_quality_score",
+      (s: SparkSession, d: String) => {
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+            round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
+            TextAnalysis.qualityScore(col("text")).as("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
+             |  round(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+             |        / length(text), 6) AS punct_ratio,
+             |  round(0.4 * least(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) / 100.0, 1.0)
+             |      + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text))
+             |      + 0.3 * least(CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             |            t -> list_contains(['the','a','of','and','to','in','is','it','that','on'], t))) AS DOUBLE)
+             |          / len(regexp_extract_all(lower(text), '[a-z0-9]+')) * 5.0, 1.0),
+             |      6) AS quality
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    ("t03_lang_id",
+      (s: SparkSession, d: String) => {
+        Tables.load(s, d, "documents")
+          .groupBy(TextAnalysis.langId(col("text")).as("pred_lang"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("pred_lang"))
+      },
+      Some("""WITH scored AS (
+             |  SELECT
+             |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             |      t -> list_contains(['the','a','of','and','to','in','is','it','that','on'], t))) AS s_en,
+             |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             |      t -> list_contains(['der','die','das','und','ist','ein','zu','den','von','mit'], t))) AS s_de,
+             |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             |      t -> list_contains(['el','la','de','los','las','y','es','un','una','en'], t))) AS s_es,
+             |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             |      t -> list_contains(['le','la','les','et','est','une','des','du','dans','pour'], t))) AS s_fr,
+             |    regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS has_cjk
+             |  FROM documents)
+             |SELECT CASE WHEN has_cjk THEN 'zh'
+             |            WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+             |            WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+             |            WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+             |            ELSE 'fr' END AS pred_lang,
+             |  COUNT(*) AS n_docs
+             |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    ("t04_fingerprint",
+      (s: SparkSession, d: String) => {
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  list_reduce(
+             |    list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(range(1, length(text) + 1),
+             |                     i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+             |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+  )
+}

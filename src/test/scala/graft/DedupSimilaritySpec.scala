@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity}
+
+/** Accuracy invariants for the hash-seeded (non-oracle) operators:
+  * MinHash-LSH and SimHash near-dup recall against exact-Jaccard ground
+  * truth, IVF-ANN recall against brute force. sf0.001 documents contain
+  * genuine near-duplicates (shared-prefix pairs with bigram Jaccard ≥ 0.9). */
+class DedupSimilaritySpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = Tables.load(spark, sf, "documents").cache()
+
+  /** Exact ground truth: prefix-blocked pairs with word-bigram Jaccard ≥ 0.9. */
+  private lazy val truthPairs: Set[(Long, Long)] = {
+    val grams = docs.select(
+      col("doc_id"),
+      substring(col("text"), 1, 50).as("pfx"),
+      array_distinct(Dedup.wordNGrams(Dedup.words(col("text")), 2)).as("g"))
+    val a = grams.select(col("doc_id").as("id_a"), col("pfx"), col("g").as("g_a"))
+    val b = grams.select(col("doc_id").as("id_b"), col("pfx"), col("g").as("g_b"))
+    a.join(b, "pfx").filter(col("id_a") < col("id_b"))
+      .filter(Dedup.jaccard(col("g_a"), col("g_b")) >= 0.9)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("minhash LSH finds the high-Jaccard near-dup pairs (recall ≥ 0.8)") {
+    assert(truthPairs.nonEmpty, "fixture should contain near-dups")
+    val found = Dedup.minhashNearDups(docs, "doc_id", "text",
+        n = 3, k = 16, bands = 4, threshold = 0.5)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truthPairs.count(found).toDouble / truthPairs.size
+    assert(recall >= 0.8, s"recall $recall, truth=${truthPairs.size}, found=${found.size}")
+    // precision guard: verified-jaccard filter means no wild pairs
+    assert(found.size <= truthPairs.size * 4)
+  }
+
+  test("simhash banding finds the near-dup pairs (recall ≥ 0.8) with bounded noise") {
+    val found = Dedup.simhashNearDups(docs, "doc_id", "text", bands = 8, maxHamming = 5)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truthPairs.count(found).toDouble / truthPairs.size
+    assert(recall >= 0.8, s"recall $recall")
+    assert(found.size <= 200, s"too many candidate pairs: ${found.size}")
+  }
+
+  test("minhash candidates: no self pairs, id_a < id_b, deterministic") {
+    val grams = docs.select(col("doc_id").as("did"),
+      array_distinct(Dedup.wordNGrams(Dedup.words(col("text")), 3)).as("g"))
+    val c1 = Dedup.minhashCandidates(grams, "did", "g").collect()
+    val c2 = Dedup.minhashCandidates(grams, "did", "g").collect()
+    assert(c1.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      c2.map(r => (r.getLong(0), r.getLong(1))).toSet)
+    c1.foreach(r => assert(r.getLong(0) < r.getLong(1)))
+  }
+
+  test("IVF ANN recall ≥ 0.6 of brute-force top-5") {
+    val emb = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding").cache()
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(emb, queries, 5))
+    val ivf = pairs(Similarity.ivfTopK(emb, queries, 5, nCells = 16, nProbe = 4))
+    assert(brute.size == 50)
+    assert(ivf.size == 50)
+    val recall = brute.count(ivf).toDouble / brute.size
+    assert(recall >= 0.6, s"IVF recall $recall")
+  }
+
+  test("exact dedup keeps one row per distinct text") {
+    val deduped = docs.dropDuplicates("text")
+    assert(deduped.count() == docs.select("text").distinct().count())
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.CosineSimilarity.cosineSim
+import graft.functions.SimHash
+
+/** Unit tests for the custom Catalyst expressions. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine_sim matches the HOF reference implementation") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),
+      (Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
+      (Array(1.0f, 2.0f, 0.5f), Array(-1.0f, 0.25f, 4.0f))
+    ).toDF("a", "b")
+    val hof = df.select(
+      (aggregate(zip_with($"a".cast("array<double>"), $"b".cast("array<double>"),
+        (x, y) => x * y), lit(0d), (acc, x) => acc + x) /
+        (sqrt(aggregate($"a".cast("array<double>"), lit(0d), (acc, x) => acc + x * x)) *
+          sqrt(aggregate($"b".cast("array<double>"), lit(0d), (acc, x) => acc + x * x))))
+        .as("c")).as[Double].collect()
+    val fast = df.select(cosineSim($"a", $"b").as("c")).as[Double].collect()
+    hof.zip(fast).foreach { case (h, f) => assert(math.abs(h - f) < 1e-12) }
+    assert(math.abs(fast(0) - 1.0) < 1e-12)
+    assert(math.abs(fast(1)) < 1e-12)
+  }
+
+  test("cosine_sim is null-safe") {
+    val df = Seq(
+      (Some(Array(1.0f, 2.0f)), None: Option[Array[Float]]),
+      (None: Option[Array[Float]], Some(Array(1.0f, 2.0f))))
+      .toDF("a", "b")
+    val out = df.select(cosineSim($"a", $"b")).collect()
+    assert(out.forall(_.isNullAt(0)))
+  }
+
+  test("cosine_sim survives codegen (wholestage on)") {
+    // larger input so the plan actually goes through WholeStageCodegen
+    val n = 1000
+    val df = spark.range(n).select(
+      transform(sequence(lit(0), lit(7)), i => (col("id") + i).cast("double")).as("a"),
+      transform(sequence(lit(0), lit(7)), i => (col("id") * 2 + i).cast("double")).as("b"))
+    val res = df.select(cosineSim(col("a"), col("b")).as("c"))
+      .agg(min("c"), max("c")).collect()(0)
+    assert(res.getDouble(0) > 0.8 && res.getDouble(1) <= 1.0 + 1e-12)
+  }
+
+  test("simhash: identical token arrays → identical hash; small perturbation → small hamming") {
+    def fp(tokens: Seq[String]*): Seq[Long] =
+      tokens.toDF("t").select(SimHash.simhash($"t").as("h")).as[Long].collect().toSeq
+
+    val base = (1 to 200).map(i => s"tok$i")
+    val perturbed = base.updated(7, "tokX").updated(91, "tokY")
+    val unrelated = (1 to 200).map(i => s"other$i")
+    val Seq(h1, h1b, h2, h3) = fp(base, base, perturbed, unrelated)
+    assert(h1 == h1b)
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(h1, h2) <= 8, s"perturbed hamming ${hamming(h1, h2)}")
+    assert(hamming(h1, h3) >= 16, s"unrelated hamming ${hamming(h1, h3)}")
+  }
+
+  test("simhash skips null tokens and nulls propagate") {
+    val df = Seq(
+      (Seq("a", "b"), Seq("a", "b")),
+    ).toDF("x", "y")
+      .select(SimHash.simhash($"x").as("hx"),
+        SimHash.simhash(array_append($"y", lit(null).cast("string"))).as("hy"))
+    val r = df.collect()(0)
+    assert(r.getLong(0) == r.getLong(1)) // null token = no vote
+    val nulled = Seq(Tuple1(null: Seq[String])).toDF("t")
+      .select(SimHash.simhash($"t")).collect()(0)
+    assert(nulled.isNullAt(0))
+  }
+}
