@@ -67,9 +67,12 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, k: Int = 16, bands: Int = 4,
                       threshold: Double = 0.7): DataFrame = {
+    // cached: consumed 3x (banding + both verification joins); at cluster
+    // scale this is the materialized shingle/signature table
     val grams = docs.select(
       col(idCol).as("gid"),
       array_distinct(wordNGrams(words(col(textCol)), n)).as("grams"))
+      .cache()
     val cands = minhashCandidates(
       grams.withColumnRenamed("gid", "did").withColumnRenamed("grams", "g"),
       "did", "g", k, bands)

@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Multimodal
+import graft.streaming.EventStream
+
+/** Streaming + multimodal query surface. st01/st02 run the real
+  * Structured Streaming / typed-Dataset engines and still have DuckDB
+  * oracles (windowed counts ≡ date_trunc group-by; sessionization ≡
+  * gaps-and-islands SQL). m* queries exercise the binary-column
+  * plumbing; m01 is oracle-checked, feature outputs are seed-dependent
+  * (ScalaTest-gated). */
+object StreamMediaQueries {
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // ---- streaming: watermarked tumbling-window aggregate -----------------
+    ("st01_stream_hourly",
+      (s: SparkSession, d: String) => {
+        val agg = EventStream.hourlyCounts(EventStream.readEvents(s, d))
+        EventStream.runToMemory(s, agg, s"st01_mem_${System.nanoTime()}")
+          .orderBy(col("hour"), col("event_type"))
+      },
+      Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+             |  event_type, COUNT(*) AS n_events
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- stateful sessionization (typed Dataset API) ----------------------
+    ("st02_sessionize",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val events = Tables.load(s, d, "events").as[EventStream.Event]
+        EventStream.sessionize(events).toDF()
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+             |m AS (
+             |  SELECT user_id, t,
+             |    CASE WHEN lag(t) OVER w IS NULL
+             |           OR t - lag(t) OVER w > INTERVAL 30 MINUTE
+             |         THEN 1 ELSE 0 END AS brk
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+             |s AS (
+             |  SELECT user_id, t,
+             |    SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+             |                   ROWS UNBOUNDED PRECEDING) AS session_id
+             |  FROM m)
+             |SELECT user_id, CAST(session_id AS INT) AS session_id,
+             |  epoch_us(min(t)) AS session_start, epoch_us(max(t)) AS session_end,
+             |  COUNT(*) AS n_events
+             |FROM s GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin)),
+
+    // ---- multimodal: binary columns + typed metadata ----------------------
+    ("m01_media_stats",
+      (s: SparkSession, d: String) => {
+        val media = Multimodal.fromDocuments(Tables.load(s, d, "documents"))
+        Multimodal.extractFeatures(media)
+          .groupBy(col("kind"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("n_bytes").cast("long")).as("total_bytes"))
+          .orderBy(col("kind"))
+      },
+      Some("""SELECT CASE CAST(doc_id % 3 AS INT)
+             |         WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             |  COUNT(*) AS n_items,
+             |  SUM(octet_length(encode(text))) AS total_bytes
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    ("m02_media_features",
+      (s: SparkSession, d: String) => {
+        val media = Multimodal.fromDocuments(Tables.load(s, d, "documents"))
+        Multimodal.extractFeatures(media).toDF()
+          .select(col("media_id"), col("kind"), col("n_bytes"), col("features"))
+          .orderBy(col("media_id"))
+      },
+      None),
+
+    ("m03_frame_sample",
+      (s: SparkSession, d: String) => {
+        val media = Multimodal.fromDocuments(Tables.load(s, d, "documents"))
+        Multimodal.sampleFrames(media, everyMs = 1000L).toDF()
+          .groupBy(col("media_id"))
+          .agg(count(lit(1)).as("n_frames"), max(col("ts_ms")).as("last_ts_ms"))
+          .orderBy(col("media_id"))
+      },
+      None),
+  )
+}

@@ -1,0 +1,135 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Structured Streaming surface over the `events` table (north-star; the
+  * reference is batch-only — its incrementality is "re-run the DAG, pick
+  * the newest folder", SURVEY.md §1 — so the idiomatic Spark upgrade is a
+  * file-source stream with `Trigger.AvailableNow`).
+  *
+  * `events.ts` is TIMESTAMP(NANOS) parquet, declared LongType (epoch
+  * nanos) in the stream schema and converted to a microsecond timestamp
+  * column `event_time`.
+  */
+object EventStream {
+
+  /** events schema as read with nanosAsLong (see [[graft.Tables.load]]). */
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over the events parquet. The glob (not a bare
+    * file path) makes the source derive `basePath` = the directory, which
+    * the file-stream source requires. */
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(schema)
+      .parquet(s"$sfDir/events.*")
+      .withColumn("event_time", Tables.eventTime(col("ts")))
+  }
+
+  /** Hourly tumbling-window counts per event type with a watermark —
+    * the canonical windowed streaming aggregate. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n_events"))
+
+  /** Run a streaming aggregate to completion over the available data and
+    * return the result (memory sink, complete mode, AvailableNow). */
+  def runToMemory(spark: SparkSession, streamed: DataFrame, name: String): DataFrame = {
+    // one-shot drain: the extra watermark-commit empty batch adds latency
+    // and changes nothing for AvailableNow + Complete output
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val q = streamed.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  // ---- sessionization ------------------------------------------------------
+
+  case class Event(event_id: Long, ts: Long, user_id: Long,
+                   event_type: String, value: Double, props: String)
+  case class Session(user_id: Long, session_id: Int, session_start: Long,
+                     session_end: Long, n_events: Long)
+
+  val SessionGapMicros: Long = 30L * 60 * 1000 * 1000 // 30 min
+
+  private def toSessions(userId: Long, evs: Iterator[Event]): Iterator[Session] = {
+    val sorted = evs.toSeq.sortBy(e => (e.ts, e.event_id))
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+      var sessId = 1
+      var start = sorted.head.ts / 1000 // ns → µs
+      var last = start
+      var n = 0L
+      for (e <- sorted) {
+        val us = e.ts / 1000
+        if (us - last > SessionGapMicros) {
+          out += Session(userId, sessId, start, last, n)
+          sessId += 1; start = us; n = 0
+        }
+        last = us; n += 1
+      }
+      out += Session(userId, sessId, start, last, n)
+      out.iterator
+    }
+  }
+
+  /** Batch sessionization over the typed Dataset API
+    * (`KeyValueGroupedDataset.flatMapGroups`): split each user's events
+    * into sessions at >30 min gaps. Deterministic (sorted by ts,
+    * event_id); SQL-expressible as gaps-and-islands for the oracle. */
+  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id).flatMapGroups((uid, evs) => toSessions(uid, evs))
+  }
+
+  /** Streaming sessionization with explicit state
+    * (`flatMapGroupsWithState`): carries an open session across
+    * micro-batches, emits closed sessions, times out idle state. The
+    * within-batch split logic is shared with [[sessionize]]. */
+  def sessionizeStream(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Event], Session](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (uid: Long, evs: Iterator[Event], state: GroupState[List[Event]]) =>
+          if (state.hasTimedOut) {
+            val pending = state.getOption.getOrElse(Nil)
+            state.remove()
+            toSessions(uid, pending.iterator)
+          } else {
+            val all = state.getOption.getOrElse(Nil) ++ evs
+            val sessions = toSessions(uid, all.iterator).toSeq
+            if (sessions.isEmpty) Iterator.empty
+            else {
+              // keep the last (possibly still-open) session's events in state
+              val lastStart = sessions.last.session_start
+              val (closed, open) = (sessions.init, all.filter(_.ts / 1000 >= lastStart))
+              state.update(open)
+              state.setTimeoutDuration("30 minutes")
+              closed.iterator
+            }
+          }
+      }
+  }
+}

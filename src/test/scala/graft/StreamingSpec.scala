@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{Event, Session}
+
+/** Structured Streaming behavior: windowed agg ≡ batch equivalent, and
+  * stateful sessionization carrying an open session across micro-batches. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("streaming hourly counts equal the batch group-by") {
+    val streamed = EventStream.runToMemory(spark,
+      EventStream.hourlyCounts(EventStream.readEvents(spark, sf)), "t_hourly")
+    val batch = Tables.load(spark, sf, "events")
+      .groupBy(date_trunc("hour", Tables.eventTime(col("ts"))).as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("batch sessionize: gaps > 30 min split sessions; invariants hold") {
+    val h = 3600L * 1000 * 1000 * 1000 // 1h in ns
+    val evs = Seq(
+      Event(1, 0L, 7L, "a", 0, ""), Event(2, 10L * 60 * 1000 * 1000 * 1000, 7L, "a", 0, ""),
+      Event(3, 2 * h, 7L, "a", 0, ""), // new session after gap
+      Event(4, 0L, 8L, "b", 0, "")).toDS()
+    val sessions = EventStream.sessionize(evs).collect().sortBy(s => (s.user_id, s.session_id))
+    assert(sessions.map(s => (s.user_id, s.session_id, s.n_events)).toSeq ==
+      Seq((7L, 1, 2L), (7L, 2, 1L), (8L, 1, 1L)))
+    assert(sessions.head.session_start == 0L)
+    assert(sessions.head.session_end == 10L * 60 * 1000 * 1000) // µs
+  }
+
+  test("streaming sessionize keeps the open session across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val sessions = EventStream.sessionizeStream(mem.toDS())
+    val q = sessions.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("t_sessions")
+      .start()
+    try {
+      val m = 60L * 1000 * 1000 * 1000 // 1 min in ns
+      // batch 1: two events 5 min apart → still one open session, nothing emitted
+      mem.addData(Event(1, 0L, 1L, "a", 0, ""), Event(2, 5 * m, 1L, "a", 0, ""))
+      q.processAllAvailable()
+      assert(spark.table("t_sessions").count() == 0)
+      // batch 2: an event 90 min later closes the first session (emitted),
+      // opens a second one that stays in state
+      mem.addData(Event(3, 95 * m, 1L, "a", 0, ""))
+      q.processAllAvailable()
+      val out = spark.table("t_sessions").as[Session].collect()
+      assert(out.length == 1)
+      assert(out.head.n_events == 2 && out.head.session_start == 0L)
+    } finally q.stop()
+  }
+}
