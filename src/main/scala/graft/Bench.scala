@@ -1,6 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** JIT/classloading warmup so per-query timings measure the engine, not
+    * first-touch compilation: exercises parquet scan, hash agg + shuffle,
+    * broadcast join, sort, and codegen'd expressions on a tiny slice. */
+  private def warmup(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
+    li.groupBy(col("l_returnflag")).agg(sum(col("l_quantity"))).count()
+    val n = spark.read.parquet(s"$sfDir/nation.parquet")
+    val r = spark.read.parquet(s"$sfDir/region.parquet")
+    n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .orderBy(col("n_name")).count()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -10,6 +24,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try warmup(spark, sfDir) catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** SQL registration for the graft custom expressions, two ways:
+  *
+  *  - [[GraftFunctions.register]]: into an existing session's function
+  *    registry (tests, notebooks);
+  *  - [[GraftExtensions]]: a `SparkSessionExtensions` installer for
+  *    cluster deployments — `spark.sql.extensions=graft.functions.GraftExtensions`
+  *    or `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  *
+  * After either, plain SQL works:
+  * {{{
+  *   SELECT cosine_sim(a.embedding, b.embedding), simhash(tokens),
+  *          minhash_sig(grams, 16), word_ngrams(tokens, 3)
+  * }}}
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal int, got $other")
+  }
+
+  private def toDoubleArray(e: Expression): Expression =
+    Cast(e, ArrayType(DoubleType))
+
+  /** (name, builder) for every graft SQL function. */
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> (es => CosineSimilarity(toDoubleArray(es(0)), toDoubleArray(es(1)))),
+    "simhash" -> (es => SimHash(es.head)),
+    "minhash_sig" -> (es => MinHashSig(es(0), intArg(es(1), "minhash_sig"))),
+    "word_ngrams" -> (es => WordNGrams(es(0), intArg(es(1), "word_ngrams"))))
+
+  /** Register into an existing session (temp functions). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
+
+/** `SparkSessionExtensions` installer (see [[GraftFunctions]]). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        builder))
+    }
+}

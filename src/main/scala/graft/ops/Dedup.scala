@@ -17,13 +17,12 @@ object Dedup {
     * `string_split_regex(lower(text), '\s+')` for oracles). */
   def words(text: Column): Column = split(lower(text), "\\s+")
 
-  /** Word n-grams as strings; empty array when fewer than n words.
-    * 1-based `slice`; `sequence(0, size-n)` enumerates starts. */
+  /** Distinct word n-grams as strings; empty array when fewer than n
+    * words. Fused single-pass custom expression
+    * ([[graft.functions.WordNGrams]]) — replaces a 4-node HOF chain on
+    * the shingling hot path. */
   def wordNGrams(w: Column, n: Int): Column =
-    when(size(w) >= n,
-      transform(sequence(lit(0), size(w) - n),
-        i => concat_ws(" ", slice(w, i + lit(1), lit(n)))))
-      .otherwise(array())
+    graft.functions.WordNGrams.wordNGrams(w, n)
 
   /** Set Jaccard of two string arrays (distinct-element semantics, same
     * as DuckDB `list_intersect` / distinct-union cardinalities). */
@@ -31,12 +30,11 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") /
       size(array_distinct(concat(a, b)))
 
-  /** k-permutation MinHash signature over a string-array column: for each
-    * of k hash functions, the min xxhash64(k, shingle). O(k·|shingles|)
-    * per row, map-side only. */
+  /** k-permutation MinHash signature over a string-array column — the
+    * fused custom expression (2 hashes/shingle + k min-updates; see
+    * [[graft.functions.MinHashSig]]). Map-side only, no shuffle. */
   def minhashSignature(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      kk => array_min(transform(shingles, s => xxhash64(kk, s))))
+    graft.functions.MinHashSig.minhashSig(shingles, k)
 
   /** LSH banding: candidate pairs (id_a < id_b) whose MinHash signatures
     * collide in at least one of `bands` bands of `k/bands` rows.
@@ -71,7 +69,7 @@ object Dedup {
     // scale this is the materialized shingle/signature table
     val grams = docs.select(
       col(idCol).as("gid"),
-      array_distinct(wordNGrams(words(col(textCol)), n)).as("grams"))
+      wordNGrams(words(col(textCol)), n).as("grams"))
       .cache()
     val cands = minhashCandidates(
       grams.withColumnRenamed("gid", "did").withColumnRenamed("grams", "g"),

@@ -63,7 +63,7 @@ object NorthStarQueries {
         val grams = docs.select(
           col("doc_id"),
           substring(col("text"), 1, 50).as("pfx"),
-          array_distinct(Dedup.wordNGrams(Dedup.words(col("text")), 2)).as("g"))
+          Dedup.wordNGrams(Dedup.words(col("text")), 2).as("g"))
         val a = grams.select(col("doc_id").as("id_a"), col("pfx"), col("g").as("g_a"))
         val b = grams.select(col("doc_id").as("id_b"), col("pfx"), col("g").as("g_b"))
         a.join(b, "pfx").filter(col("id_a") < col("id_b"))

@@ -61,6 +61,23 @@ class FunctionsSpec extends SparkSpec {
     assert(hamming(h1, h3) >= 16, s"unrelated hamming ${hamming(h1, h3)}")
   }
 
+  test("SQL registration: all graft functions callable from spark.sql") {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .createOrReplaceTempView("emb_sql")
+    val r = spark.sql(
+      """SELECT cosine_sim(a.embedding, b.embedding) AS c
+        |FROM emb_sql a JOIN emb_sql b ON a.vec_id = 0 AND b.vec_id = 1""".stripMargin)
+      .collect()(0).getDouble(0)
+    assert(r > -1.0 && r < 1.0)
+    val r2 = spark.sql(
+      """SELECT simhash(split('a b c', ' ')) AS h,
+        |       minhash_sig(word_ngrams(split('a b c d', ' '), 2), 4) AS sig""".stripMargin)
+      .collect()(0)
+    assert(r2.getLong(0) != 0L)
+    assert(r2.getSeq[Long](1).length == 4)
+  }
+
   test("simhash skips null tokens and nulls propagate") {
     val df = Seq(
       (Seq("a", "b"), Seq("a", "b")),
