@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Aggregators
+import graft.ops.AsOfJoin
+
+/** Advanced relational surface: cube, pivot, as-of join, range join,
+  * typed-Aggregator UDAF, approximate distinct. All but the HLL sketch
+  * (engine-specific algorithm) are DuckDB-oracled. */
+object AdvancedQueries {
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // ---- cube ---------------------------------------------------------------
+    ("q21_cube",
+      (s: SparkSession, d: String) => {
+        Tables.load(s, d, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+             |FROM lineitem
+             |GROUP BY CUBE(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    // ---- pivot --------------------------------------------------------------
+    ("q22_pivot",
+      (s: SparkSession, d: String) => {
+        Tables.load(s, d, "events")
+          .groupBy(col("user_id"))
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id,
+             |  COUNT(*) FILTER (event_type = 'click') AS click,
+             |  COUNT(*) FILTER (event_type = 'error') AS error,
+             |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+             |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+             |  COUNT(*) FILTER (event_type = 'view') AS view
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- as-of join (point-in-time lookup) ----------------------------------
+    // Each event gets the user's most recent order at-or-before the event
+    // time. Spark: union + window composition (ops/AsOfJoin); oracle:
+    // DuckDB's native ASOF LEFT JOIN. Orders are pre-deduped to one row
+    // per (custkey, orderdate) keeping max orderkey, so the match is
+    // unambiguous in both engines.
+    ("q23_asof_join",
+      (s: SparkSession, d: String) => {
+        val events = Tables.load(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            Tables.eventTime(col("ts")).as("event_time"))
+        val orders = Tables.load(s, d, "orders")
+          .groupBy(col("o_custkey"), col("o_orderdate"))
+          .agg(max(col("o_orderkey")).as("o_orderkey"))
+        AsOfJoin.asOf(events, orders,
+            leftKey = "user_id", leftTime = "event_time",
+            rightKey = "o_custkey", rightTime = "o_orderdate",
+            valueCols = Seq("o_orderkey"))
+          .select(col("event_id"), col("user_id"), col("o_orderkey").as("last_orderkey"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+             |o AS (
+             |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+             |  FROM orders GROUP BY o_custkey, o_orderdate)
+             |SELECT e.event_id, e.user_id, o.o_orderkey AS last_orderkey
+             |FROM e ASOF LEFT JOIN o
+             |  ON e.user_id = o.o_custkey AND e.t >= o.o_orderdate
+             |ORDER BY e.event_id""".stripMargin)),
+
+    // ---- range (band) join --------------------------------------------------
+    // Non-equi join of orders against a tiny price-band table: Catalyst
+    // broadcasts the bands (BroadcastNestedLoopJoin) — the right plan when
+    // one side is a handful of rows, at any corpus scale.
+    ("q24_range_join",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val bands = Seq(
+          ("low", 0d, 100000d),
+          ("mid", 100000d, 300000d),
+          ("high", 300000d, 1e18)).toDF("band", "lo", "hi")
+        Tables.load(s, d, "orders")
+          .join(broadcast(bands),
+            col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy(col("band"))
+      },
+      Some("""SELECT band, COUNT(*) AS n_orders
+             |FROM orders
+             |JOIN (VALUES ('low', 0, 100000), ('mid', 100000, 300000),
+             |             ('high', 300000, 1e18)) AS bands(band, lo, hi)
+             |  ON o_totalprice >= lo AND o_totalprice < hi
+             |GROUP BY band ORDER BY band""".stripMargin)),
+
+    // ---- typed Aggregator UDAF ---------------------------------------------
+    ("q25_udaf_weighted_avg",
+      (s: SparkSession, d: String) => {
+        Tables.load(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(Aggregators.weightedAvg(col("l_quantity"), col("l_extendedprice"))
+            .as("wavg_price"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+             |           * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+             |    / (100.0 * SUM(CAST(l_quantity AS BIGINT))) AS wavg_price
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- approximate distinct (HLL sketch; algorithm-specific → no oracle) --
+    ("d06_approx_distinct",
+      (s: SparkSession, d: String) => {
+        Tables.load(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+            countDistinct(col("l_partkey")).as("exact_parts"))
+          .orderBy(col("l_returnflag"))
+      },
+      None),
+  )
+}
