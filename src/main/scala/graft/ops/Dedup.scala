@@ -107,7 +107,9 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: the hamming cut drops most candidate
+      // pairs, so the dedup shuffle only sees survivors
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

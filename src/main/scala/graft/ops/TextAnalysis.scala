@@ -21,6 +21,18 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Whitespace tokenization (split on runs of whitespace). */
+  def wsTokenCount(text: Column): Column =
+    size(split(text, "\\s+"))
+
+  /** BPE-ish pre-tokenization: letter runs, single digits, single
+    * non-alnum marks — the shape GPT-style byte-pair encoders use as
+    * their pre-split. Identical regex-class semantics in Java and RE2. */
+  val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
   /** Tiny per-language function-word profiles for the n-gram/stopword
     * language-ID heuristic. Deliberately small + deterministic. */
   val StopEn = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "on")

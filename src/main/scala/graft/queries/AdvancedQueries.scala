@@ -116,6 +116,54 @@ object AdvancedQueries {
              |    / (100.0 * SUM(CAST(l_quantity AS BIGINT))) AS wavg_price
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // ---- window-function variety: lag/lead/dense_rank/ntile ----------------
+    ("q26_window_variety",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val wp = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderpriority"))
+        Tables.load(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+            lead(col("o_orderkey"), 1).over(w).as("next_order"),
+            dense_rank().over(wp).as("pri_rank"),
+            ntile(4).over(w).as("quartile"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  lag(o_orderkey) OVER w AS prev_order,
+             |  lead(o_orderkey) OVER w AS next_order,
+             |  CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS INT) AS pri_rank,
+             |  CAST(ntile(4) OVER w AS INT) AS quartile
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ---- string + null-handling scalar functions ---------------------------
+    ("q27_string_nulls",
+      (s: SparkSession, d: String) => {
+        Tables.load(s, d, "orders")
+          .select(col("o_orderkey"),
+            concat(col("o_orderpriority"), lit("/"), col("o_orderstatus")).as("tag"),
+            lpad(col("o_orderkey").cast("string"), 10, "0").as("padded"),
+            coalesce(when(col("o_orderstatus") === "F", lit(null))
+              .otherwise(col("o_orderstatus")), lit("FINAL")).as("status2"),
+            regexp_extract(col("o_orderpriority"), "[0-9]+", 0).as("pri_num"),
+            reverse(col("o_orderpriority")).as("pri_rev"),
+            length(col("o_orderpriority")).as("pri_len"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+             |  o_orderpriority || '/' || o_orderstatus AS tag,
+             |  lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS padded,
+             |  coalesce(nullif(o_orderstatus, 'F'), 'FINAL') AS status2,
+             |  regexp_extract(o_orderpriority, '[0-9]+') AS pri_num,
+             |  reverse(o_orderpriority) AS pri_rev,
+             |  length(o_orderpriority) AS pri_len
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
     // ---- approximate distinct (HLL sketch; algorithm-specific → no oracle) --
     ("d06_approx_distinct",
       (s: SparkSession, d: String) => {

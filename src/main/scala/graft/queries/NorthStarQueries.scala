@@ -152,11 +152,15 @@ object NorthStarQueries {
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),
             sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("total_tokens"),
+            sum(TextAnalysis.wsTokenCount(col("text")).cast("long")).as("total_ws_tokens"),
+            sum(TextAnalysis.bpeTokenCount(col("text")).cast("long")).as("total_bpe_tokens"),
             sum(length(col("text")).cast("long")).as("total_chars"))
           .orderBy(col("source"))
       },
       Some("""SELECT source, COUNT(*) AS n_docs,
              |  SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS total_tokens,
+             |  SUM(len(string_split_regex(text, '\s+'))) AS total_ws_tokens,
+             |  SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS total_bpe_tokens,
              |  SUM(length(text)) AS total_chars
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
