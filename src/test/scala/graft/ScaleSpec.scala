@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.ScaleJoins
+
+/** Plan-level scale guarantees: bucketed joins don't shuffle, partitioned
+  * reads prune, salted joins preserve semantics while spreading hot keys. */
+class ScaleSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String = {
+    // materialize the AQE final plan
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("bucketed tables join with no shuffle exchange") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val o = Tables.load(spark, sf, "orders")
+    ScaleJoins.writeBucketed(li.select("l_orderkey", "l_quantity"), "li_b", "l_orderkey", 8)
+    ScaleJoins.writeBucketed(o.select("o_orderkey", "o_totalprice"), "o_b", "o_orderkey", 8)
+    val joined = spark.table("li_b")
+      .join(spark.table("o_b"), col("l_orderkey") === col("o_orderkey"))
+    val plan = planOf(joined)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+    // same result as the plain join
+    val plain = li.select("l_orderkey", "l_quantity")
+      .join(o.select("o_orderkey", "o_totalprice"), col("l_orderkey") === col("o_orderkey"))
+    assert(joined.count() == plain.count())
+  }
+
+  test("partitioned parquet read prunes partitions under an equality filter") {
+    val dir = Files.createTempDirectory("graft_prune").toString
+    Tables.load(spark, sf, "nation")
+      .withColumn("bucket", (col("n_nationkey") % 5).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("bucket") === 2)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), s"no partition filters:\n$scan")
+    assert(pruned.collect().length == 5) // 25 nations / 5 buckets
+    // only 1 of 5 partition directories feeds the executed scan (collect()
+    // above executed pruned's own plan, so its scan metrics are populated)
+    val fileScan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(fileScan.metrics("numFiles").value == 1,
+      s"scan read ${fileScan.metrics("numFiles").value} files, expected 1")
+  }
+
+  test("salted join equals plain join and spreads the hot key") {
+    val events = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("value"))
+    val customer = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val plain = events.join(customer, "user_id")
+    val salted = ScaleJoins.saltedJoin(events, customer, "user_id",
+      saltFactor = 4, saltSource = col("event_id"))
+    assert(salted.count() == plain.count())
+    assert(salted.select("user_id", "event_id", "c_mktsegment")
+      .exceptAll(plain.select("user_id", "event_id", "c_mktsegment")).isEmpty)
+  }
+}
