@@ -1,7 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md).
   * One parquet file per table under `$dir/` — mirrors the reference's
@@ -20,7 +22,11 @@ object Tables {
   }
 
   /** events.ts (epoch nanos, long) -> microsecond timestamp.
-    * DuckDB equivalent: `CAST(ts AS TIMESTAMP)` (ns->us truncation). */
+    * DuckDB equivalent: `CAST(ts AS TIMESTAMP)` (ns->us truncation).
+    * Must be INTEGER division: `/` on longs is double division, and
+    * epoch-nanos (~1.7e18) exceeds 2^53, so the double path lands 1 µs
+    * off for a fraction of rows. */
   def eventTime(tsNanos: Column): Column =
-    timestamp_micros((tsNanos / 1000).cast("long"))
+    timestamp_micros(ColumnBridge.column(
+      IntegralDivide(ColumnBridge.expression(tsNanos), Literal(1000L))))
 }

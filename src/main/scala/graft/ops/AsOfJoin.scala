@@ -44,7 +44,10 @@ object AsOfJoin {
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = valueCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+      // null join keys never match (SQL join semantics; the window would
+      // otherwise group null-key left rows with null-key right rows)
+      df.withColumn(c,
+        when(col("__key").isNotNull, last(col(c), ignoreNulls = true).over(w)))
     }
     carried.filter(col("__side") === 1)
       .select(leftCols.map(col) ++ valueCols.map(col): _*)

@@ -51,6 +51,10 @@ object Dedup {
         xxhash64(lit(b), slice(sig, b * r + 1, r)).as("bkey"))
     }: _*)
     val banded = docs
+      // drop empty shingle sets BEFORE banding: they all share the
+      // sentinel signature and would collide in every band — on a corpus
+      // with many sub-n-word docs that is an O(m^2) candidate blowup
+      .filter(size(col(shingleCol)) > 0)
       .select(col(idCol), explode(bandStructs).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
     val a = banded.select(col(idCol).as("id_a"), col("band"), col("bkey"))

@@ -45,18 +45,19 @@ object Similarity {
     corpus.orderBy(col("vec_id")).limit(nCells)
       .select(col("vec_id").as("cell_id"), col("embedding").as("centroid"))
 
-  /** Assign every corpus vector to its nearest centroid (broadcast join +
-    * per-vector argmax — one map-side pass, no shuffle of the corpus). */
-  def ivfAssign(corpus: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("cell_id"))
+  /** Assign every corpus vector to its nearest centroid: broadcast join +
+    * `max_by` argmax. The aggregation gets a map-side partial, so the
+    * exchange carries one row per vector — not the nCells-fold expansion
+    * a window-rank formulation would shuffle. Ties break to the lowest
+    * cell_id (the negated id in the ordering struct). */
+  def ivfAssign(corpus: DataFrame, cents: DataFrame): DataFrame =
     corpus.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cell_id"),
         round(cosineSim(col("embedding"), col("centroid")), 6).as("sim"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
-      .drop("rnk", "sim")
-  }
+      .groupBy(col("vec_id"))
+      .agg(
+        first(col("embedding")).as("embedding"),
+        max_by(col("cell_id"), struct(col("sim"), -col("cell_id"))).as("cell_id"))
 
   /** IVF search: probe the query's nProbe nearest cells only. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,

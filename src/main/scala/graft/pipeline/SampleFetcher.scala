@@ -7,7 +7,7 @@ package graft.pipeline
   * the pipeline tests — the real API fetcher is injected in production
   * (no egress here; SURVEY.md §7.4.7).
   */
-class SampleFetcher(nRows: Int = 450, perPageTotal: Int = 450) extends Ingest.Fetcher {
+class SampleFetcher(nRows: Int = 450) extends Ingest.Fetcher {
 
   override def total(): Int = nRows
 

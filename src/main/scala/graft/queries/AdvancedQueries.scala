@@ -110,10 +110,12 @@ object AdvancedQueries {
             .as("wavg_price"))
           .orderBy(col("l_returnflag"))
       },
+      // trunc(): matches Scala's (qty).toLong truncation-toward-zero for
+      // fractional quantities (CAST .. AS BIGINT would round)
       Some("""SELECT l_returnflag,
              |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
-             |           * CAST(l_quantity AS BIGINT)) AS DOUBLE)
-             |    / (100.0 * SUM(CAST(l_quantity AS BIGINT))) AS wavg_price
+             |           * CAST(trunc(l_quantity) AS BIGINT)) AS DOUBLE)
+             |    / (100.0 * SUM(CAST(trunc(l_quantity) AS BIGINT))) AS wavg_price
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // ---- window-function variety: lag/lead/dense_rank/ntile ----------------

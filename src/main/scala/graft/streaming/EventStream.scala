@@ -51,16 +51,24 @@ object EventStream {
     * return the result (memory sink, complete mode, AvailableNow). */
   def runToMemory(spark: SparkSession, streamed: DataFrame, name: String): DataFrame = {
     // one-shot drain: the extra watermark-commit empty batch adds latency
-    // and changes nothing for AvailableNow + Complete output
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    val q = streamed.writeStream
-      .outputMode(OutputMode.Complete)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    // and changes nothing for AvailableNow + Complete output; restore the
+    // session's previous setting afterwards
+    val confKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, "false")
+    try {
+      val q = streamed.writeStream
+        .outputMode(OutputMode.Complete)
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+    } finally prev match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
+    }
   }
 
   // ---- sessionization ------------------------------------------------------
@@ -103,29 +111,37 @@ object EventStream {
     events.groupByKey(_.user_id).flatMapGroups((uid, evs) => toSessions(uid, evs))
   }
 
+  /** Streaming state: next session id to assign for this user + the
+    * events of the still-open session. */
+  case class SessionState(nextId: Int, open: List[Event])
+
   /** Streaming sessionization with explicit state
-    * (`flatMapGroupsWithState`): carries an open session across
-    * micro-batches, emits closed sessions, times out idle state. The
+    * (`flatMapGroupsWithState`): carries the open session AND a running
+    * session counter across micro-batches (so emitted session_ids stay
+    * unique per user), emits closed sessions, times out idle state. The
     * within-batch split logic is shared with [[sessionize]]. */
   def sessionizeStream(events: Dataset[Event]): Dataset[Session] = {
     import events.sparkSession.implicits._
+    def renumber(base: Int, ss: Seq[Session]): Seq[Session] =
+      ss.zipWithIndex.map { case (s, i) => s.copy(session_id = base + i) }
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[Event], Session](
+      .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
-        (uid: Long, evs: Iterator[Event], state: GroupState[List[Event]]) =>
+        (uid: Long, evs: Iterator[Event], state: GroupState[SessionState]) =>
+          val st = state.getOption.getOrElse(SessionState(1, Nil))
           if (state.hasTimedOut) {
-            val pending = state.getOption.getOrElse(Nil)
             state.remove()
-            toSessions(uid, pending.iterator)
+            renumber(st.nextId, toSessions(uid, st.open.iterator).toSeq).iterator
           } else {
-            val all = state.getOption.getOrElse(Nil) ++ evs
+            val all = st.open ++ evs
             val sessions = toSessions(uid, all.iterator).toSeq
             if (sessions.isEmpty) Iterator.empty
             else {
               // keep the last (possibly still-open) session's events in state
               val lastStart = sessions.last.session_start
-              val (closed, open) = (sessions.init, all.filter(_.ts / 1000 >= lastStart))
-              state.update(open)
+              val closed = renumber(st.nextId, sessions.init)
+              state.update(SessionState(st.nextId + closed.size,
+                all.filter(_.ts / 1000 >= lastStart)))
               state.setTimeoutDuration("30 minutes")
               closed.iterator
             }

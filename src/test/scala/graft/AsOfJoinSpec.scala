@@ -32,6 +32,22 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == Map("t1" -> 100.0, "t2" -> 101.0, "t3" -> 55.0, "t4" -> null))
   }
 
+  test("asOf: null join keys never match (SQL semantics)") {
+    val left = Seq(
+      (Option.empty[Long], ts("2024-01-01 10:00:00"), "null-key"),
+      (Some(1L), ts("2024-01-01 10:00:00"), "real-key")
+    ).toDF("k", "t", "v")
+    val right = Seq(
+      (Option.empty[Long], ts("2024-01-01 09:00:00"), 5.0),
+      (Some(1L), ts("2024-01-01 09:00:00"), 7.0)
+    ).toDF("rk", "rt", "price")
+    val out = AsOfJoin.asOf(left, right, "k", "t", "rk", "rt", Seq("price"))
+      .select("v", "price").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1)))
+      .toMap
+    assert(out == Map("null-key" -> null, "real-key" -> 7.0))
+  }
+
   test("asOf keeps every left row (left-join semantics)") {
     val left = Seq((1L, ts("2024-01-01 00:00:00"), "a")).toDF("k", "t", "v")
     val right = Seq((2L, ts("2024-01-01 00:00:00"), 1.0)).toDF("rk", "rt", "x")

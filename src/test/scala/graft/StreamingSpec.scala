@@ -42,23 +42,45 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
     val sessions = EventStream.sessionizeStream(mem.toDS())
+    // ProcessingTimeTimeout makes the engine fire timeout-check batches on
+    // every trigger: ProcessingTime(0) would spin empty micro-batches
+    // back-to-back (endless state commits), and processAllAvailable never
+    // settles while timeouts are pending — so throttle the trigger and
+    // poll the sink with a deadline instead.
     val q = sessions.writeStream
       .outputMode(OutputMode.Append)
       .format("memory").queryName("t_sessions")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
       .start()
+    def awaitRows(n: Long, timeoutMs: Long = 120000): Unit = {
+      val deadline = System.currentTimeMillis + timeoutMs
+      while (spark.table("t_sessions").count() < n &&
+        System.currentTimeMillis < deadline) Thread.sleep(200)
+      assert(spark.table("t_sessions").count() >= n,
+        s"timed out waiting for $n rows")
+    }
     try {
       val m = 60L * 1000 * 1000 * 1000 // 1 min in ns
       // batch 1: two events 5 min apart → still one open session, nothing emitted
       mem.addData(Event(1, 0L, 1L, "a", 0, ""), Event(2, 5 * m, 1L, "a", 0, ""))
-      q.processAllAvailable()
+      Thread.sleep(3000)
       assert(spark.table("t_sessions").count() == 0)
       // batch 2: an event 90 min later closes the first session (emitted),
       // opens a second one that stays in state
       mem.addData(Event(3, 95 * m, 1L, "a", 0, ""))
-      q.processAllAvailable()
+      awaitRows(1)
       val out = spark.table("t_sessions").as[Session].collect()
       assert(out.length == 1)
+      assert(out.head.session_id == 1)
       assert(out.head.n_events == 2 && out.head.session_start == 0L)
+      // batch 3: another long gap closes the SECOND session — its id must
+      // continue from state (2), not restart at 1
+      mem.addData(Event(4, 200 * m, 1L, "a", 0, ""))
+      awaitRows(2)
+      val out2 = spark.table("t_sessions").as[Session].collect().sortBy(_.session_id)
+      assert(out2.length == 2)
+      assert(out2.map(_.session_id).toSeq == Seq(1, 2))
+      assert(out2(1).n_events == 1 && out2(1).session_start == 95 * m / 1000)
     } finally q.stop()
   }
 }
