@@ -1,7 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.functions.Aggregators
@@ -12,7 +13,35 @@ import graft.ops.AsOfJoin
   * (engine-specific algorithm) are DuckDB-oracled. */
 object AdvancedQueries {
 
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // ---- TPC-H Q3 shape: 3-way join + agg + top-k revenue -------------------
+    ("q28_shipping_priority",
+      (s: SparkSession, d: String) => {
+        val c = Tables.load(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables.load(s, d, "orders")
+        val l = Tables.load(s, d, "lineitem")
+        c.join(o, col("c_custkey") === col("o_custkey"))
+          .join(l, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(sum(dec(col("l_extendedprice")) *
+              (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, o_orderdate,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |GROUP BY l_orderkey, o_orderdate
+             |ORDER BY revenue DESC, l_orderkey
+             |LIMIT 10""".stripMargin)),
 
     // ---- cube ---------------------------------------------------------------
     ("q21_cube",

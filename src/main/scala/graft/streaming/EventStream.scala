@@ -50,12 +50,18 @@ object EventStream {
   /** Run a streaming aggregate to completion over the available data and
     * return the result (memory sink, complete mode, AvailableNow). */
   def runToMemory(spark: SparkSession, streamed: DataFrame, name: String): DataFrame = {
-    // one-shot drain: the extra watermark-commit empty batch adds latency
-    // and changes nothing for AvailableNow + Complete output; restore the
-    // session's previous setting afterwards
-    val confKey = "spark.sql.streaming.noDataMicroBatches.enabled"
-    val prev = spark.conf.getOption(confKey)
-    spark.conf.set(confKey, "false")
+    // One-shot drain tuning, restored afterwards:
+    //  - skip the watermark-commit empty batch (changes nothing for
+    //    AvailableNow + Complete output);
+    //  - skip checksum sidecar files on the ephemeral checkpoint — each
+    //    sidecar is an extra FileContext create that shells out on the
+    //    local FS, roughly doubling state-commit latency for zero benefit
+    //    on a throwaway dir.
+    val tuned = Seq(
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false",
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false")
+    val prev = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
       val q = streamed.writeStream
         .outputMode(OutputMode.Complete)
@@ -65,9 +71,9 @@ object EventStream {
         .start()
       q.awaitTermination()
       spark.table(name)
-    } finally prev match {
-      case Some(v) => spark.conf.set(confKey, v)
-      case None => spark.conf.unset(confKey)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
   }
 
