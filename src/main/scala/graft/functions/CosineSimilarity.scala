@@ -5,9 +5,9 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** `cosine_sim(a, b)`: cosine similarity of two `array<double>` vectors as a
+/** `cosine_sim(a, b)`: cosine similarity of two numeric-array vectors as a
   * native Catalyst expression with whole-stage codegen.
   *
   * Rationale (SURVEY.md §4, builder prompt): the built-in route —
@@ -17,17 +17,39 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * profile. This expression is one fused loop in generated Java, no
   * allocation, null-safe via `nullSafeCodeGen`.
   *
-  * Semantics match DuckDB's `list_cosine_similarity` (dot / (|a|·|b|)) so
-  * oracle queries can compare (after a `round(_, 6)` on both sides to
-  * absorb last-ulp differences). Mismatched lengths use the common prefix;
-  * zero vectors yield NaN — callers filter if needed.
+  * `array<float>` inputs are read natively (`getFloat` widened to double —
+  * exact, so results are bit-identical to casting the array first, without
+  * materializing a converted copy per pair evaluation).
+  *
+  * Semantics match DuckDB's `list_cosine_similarity` over
+  * `CAST(x AS DOUBLE[])` (dot / (|a|·|b|)); oracle queries `round(_, 6)`
+  * both sides to absorb last-ulp differences. Mismatched lengths use the
+  * common prefix; zero vectors yield NaN — callers filter if needed.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // inputs are pre-cast to array<double> by the [[CosineSimilarity.cosineSim]] builder
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim expects array<float> or array<double> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private lazy val leftFloat = isFloat(left)
+  private lazy val rightFloat = isFloat(right)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -36,7 +58,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0d; var nx = 0d; var ny = 0d
     var i = 0
     while (i < n) {
-      val xv = x.getDouble(i); val yv = y.getDouble(i)
+      val xv = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xv * yv; nx += xv * xv; ny += yv * yv
       i += 1
     }
@@ -52,12 +75,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val ny = ctx.freshName("ny")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
+      val getX = if (leftFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getY = if (rightFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0d, $nx = 0d, $ny = 0d;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = $a.getDouble($i);
-         |  double $yv = $b.getDouble($i);
+         |  double $xv = $getX;
+         |  double $yv = $getY;
          |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
          |}
          |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
@@ -71,12 +96,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
 object CosineSimilarity {
 
-  /** Column API: both inputs are cast to array<double> (accepts the
-    * testdata's array<float> embeddings directly). */
-  def cosineSim(a: Column, b: Column): Column = {
-    val ad = a.cast(ArrayType(DoubleType))
-    val bd = b.cast(ArrayType(DoubleType))
+  /** Column API: float and double arrays are consumed natively (no cast,
+    * no converted-copy allocation per evaluation); other element types
+    * are rejected at analysis — cast explicitly. */
+  def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(
-      CosineSimilarity(ColumnBridge.expression(ad), ColumnBridge.expression(bd)))
-  }
+      CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
