@@ -195,6 +195,28 @@ object AdvancedQueries {
              |  length(o_orderpriority) AS pri_len
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    // ---- grouping sets + grouping_id ---------------------------------------
+    ("q29_grouping_sets",
+      (s: SparkSession, d: String) => {
+        Tables.load(s, d, "lineitem").createOrReplaceTempView("lineitem_q29")
+        s.sql("""SELECT l_returnflag, l_linestatus,
+                |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+                |  CAST(grouping(l_linestatus) AS INT) AS g_ls,
+                |  COUNT(*) AS n
+                |FROM lineitem_q29
+                |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+                |ORDER BY l_returnflag ASC NULLS FIRST,
+                |         l_linestatus ASC NULLS FIRST, g_rf, g_ls""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+             |  CAST(grouping(l_linestatus) AS INT) AS g_ls,
+             |  COUNT(*) AS n
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+             |ORDER BY l_returnflag ASC NULLS FIRST,
+             |         l_linestatus ASC NULLS FIRST, g_rf, g_ls""".stripMargin)),
+
     // ---- approximate distinct (HLL sketch; algorithm-specific → no oracle) --
     ("d06_approx_distinct",
       (s: SparkSession, d: String) => {
