@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end LLM-corpus curation: the composed flow a training-data
+  * pipeline runs at scale, built entirely from this library's operators.
+  *
+  *   score (quality, lang, tokens)
+  *     → quality filter
+  *     → exact dedup (hash-groupBy on text, keep lowest doc_id)
+  *     → near-dup removal (MinHash+LSH pairs; drop the higher id of each
+  *       verified pair — a cheap one-pass cluster-min approximation; full
+  *       transitive closure would use an iterative connected-components
+  *       pass over the pair edges)
+  *     → write parquet partitioned by predicted language.
+  *
+  * Every stage is a shuffle-bounded DataFrame op (no driver-side loops,
+  * no cartesian products), so the same code runs at 100 TB: the dedup
+  * candidate space comes from LSH band equality joins and the writes are
+  * partitioned for downstream pruning.
+  */
+object Curation {
+
+  case class Report(stage: String, n_docs: Long)
+
+  /** Returns (curated DataFrame, per-stage row counts). The curated frame
+    * has columns: doc_id, text, pred_lang, quality, n_tokens. */
+  def curate(docs: DataFrame,
+             minQuality: Double = 0.45,
+             nGram: Int = 3,
+             jaccardThreshold: Double = 0.5): (DataFrame, Seq[Report]) = {
+    val scored = docs.select(
+      col("doc_id"), col("text"),
+      TextAnalysis.langId(col("text")).as("pred_lang"),
+      TextAnalysis.qualityScore(col("text")).as("quality"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+
+    val qualityKept = scored.filter(col("quality") >= minQuality)
+
+    // exact dedup: one survivor (lowest id) per identical text
+    val exactKept = qualityKept
+      .withColumn("keep_id", min(col("doc_id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("text"))))
+      .filter(col("doc_id") === col("keep_id"))
+      .drop("keep_id")
+
+    // near-dup removal: LSH-verified pairs, drop the higher id of each
+    val pairs = Dedup.minhashNearDups(
+      exactKept.select("doc_id", "text"), "doc_id", "text",
+      n = nGram, threshold = jaccardThreshold)
+    val losers = pairs.select(col("id_b").as("doc_id")).distinct()
+    val nearKept = exactKept.join(losers, Seq("doc_id"), "left_anti")
+
+    val report = Seq(
+      Report("input", docs.count()),
+      Report("quality_filtered", qualityKept.count()),
+      Report("exact_deduped", exactKept.count()),
+      Report("near_deduped", nearKept.count()))
+    (nearKept, report)
+  }
+
+  /** Curate and materialize partitioned by predicted language (partition
+    * pruning for per-language downstream consumers). Returns the report. */
+  def curateTo(docs: DataFrame, outDir: String): Seq[Report] = {
+    val (curated, report) = curate(docs)
+    curated.write.mode("overwrite").partitionBy("pred_lang").parquet(outDir)
+    report
+  }
+
+  /** The report as a DataFrame (queries()-friendly). */
+  def reportDF(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val (_, report) = curate(docs)
+    report.toDF().select(col("stage"), col("n_docs"))
+  }
+}

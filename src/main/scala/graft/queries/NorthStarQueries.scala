@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, Similarity, TextAnalysis}
 
 /** North-star operator inventory: dedup family, similarity search, text
   * analysis, JSON extraction, rollup (builder prompt; SURVEY.md §0/§7.2
@@ -211,6 +211,14 @@ object NorthStarQueries {
              |            ELSE 'fr' END AS pred_lang,
              |  COUNT(*) AS n_docs
              |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- composed curation pipeline (MinHash stage → rows-only check) -----
+    ("c01_curation_report",
+      (s: SparkSession, d: String) => {
+        Curation.reportDF(s, Tables.load(s, d, "documents"))
+          .orderBy(col("n_docs").desc, col("stage"))
+      },
+      None),
 
     ("t04_fingerprint",
       (s: SparkSession, d: String) => {
