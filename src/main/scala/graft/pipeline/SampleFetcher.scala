@@ -9,6 +9,9 @@ package graft.pipeline
   */
 class SampleFetcher(nRows: Int = 450) extends Ingest.Fetcher {
 
+  /** no-arg ctor for reflective injection (DSv2 `fetcherClass` option). */
+  def this() = this(450)
+
   override def total(): Int = nRows
 
   private val breweryTypes = Seq("micro", "brewpub", "regional", "large", "planned")
