@@ -62,7 +62,9 @@ object Similarity {
   /** IVF search: probe the query's nProbe nearest cells only. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents = centroids(corpus, nCells).cache()
+    // nCells rows: the broadcast() at each use site is the right
+    // distribution mechanism, a storage-level cache adds nothing
+    val cents = centroids(corpus, nCells)
     val assigned = ivfAssign(corpus, cents)
     // nProbe nearest cells per query
     val wq = Window.partitionBy(col("query_id"))
