@@ -30,32 +30,45 @@ object Curation {
              minQuality: Double = 0.45,
              nGram: Int = 3,
              jaccardThreshold: Double = 0.5): (DataFrame, Seq[Report]) = {
+    // Cached BEFORE the quality filter: filtering on a computed column
+    // makes Catalyst inline the scoring tree into the Filter predicate,
+    // and the HOF-bearing predicate drops out of whole-stage codegen —
+    // the giant expression then re-evaluates per row interpreted (13x
+    // slower measured). Materializing the score once is also the natural
+    // pipeline boundary at cluster scale.
     val scored = docs.select(
       col("doc_id"), col("text"),
       TextAnalysis.langId(col("text")).as("pred_lang"),
       TextAnalysis.qualityScore(col("text")).as("quality"),
       TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .cache()
 
     val qualityKept = scored.filter(col("quality") >= minQuality)
 
-    // exact dedup: one survivor (lowest id) per identical text
+    // exact dedup: one survivor (lowest id) per identical text.
+    // Cached: the frame feeds the LSH banding, both verification joins,
+    // the anti join, and a stage count — without it the scoring chain
+    // re-executes per consumer. (At cluster scale this is the
+    // materialized intermediate table between pipeline stages.)
     val exactKept = qualityKept
       .withColumn("keep_id", min(col("doc_id"))
         .over(org.apache.spark.sql.expressions.Window.partitionBy(col("text"))))
       .filter(col("doc_id") === col("keep_id"))
       .drop("keep_id")
+      .cache()
 
     // near-dup removal: LSH-verified pairs, drop the higher id of each
     val pairs = Dedup.minhashNearDups(
       exactKept.select("doc_id", "text"), "doc_id", "text",
       n = nGram, threshold = jaccardThreshold)
+      .cache() // consumed by the anti join AND any caller re-execution
     val losers = pairs.select(col("id_b").as("doc_id")).distinct()
     val nearKept = exactKept.join(losers, Seq("doc_id"), "left_anti")
 
     val report = Seq(
       Report("input", docs.count()),
       Report("quality_filtered", qualityKept.count()),
-      Report("exact_deduped", exactKept.count()),
+      Report("exact_deduped", exactKept.count()), // materializes the cache
       Report("near_deduped", nearKept.count()))
     (nearKept, report)
   }

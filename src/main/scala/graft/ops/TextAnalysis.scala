@@ -40,9 +40,12 @@ object TextAnalysis {
   val StopEs = Seq("el", "la", "de", "los", "las", "y", "es", "un", "una", "en")
   val StopFr = Seq("le", "la", "les", "et", "est", "une", "des", "du", "dans", "pour")
 
-  /** #tokens (repeats counted) contained in `stops`. */
+  /** #tokens (repeats counted) contained in `stops` — a codegen'd
+    * hash-set probe ([[graft.functions.TokenSetCount]]; the HOF
+    * `size(filter(...))` form is CodegenFallback and knocked the whole
+    * scoring projection out of whole-stage codegen). */
   def stopHits(toks: Column, stops: Seq[String]): Column =
-    size(filter(toks, t => t.isInCollection(stops)))
+    graft.functions.TokenSetCount.tokenSetCount(toks, stops)
 
   /** Heuristic language ID:
     * any CJK codepoint → zh; else argmax of per-language stopword hits
