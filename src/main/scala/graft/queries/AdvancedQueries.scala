@@ -217,6 +217,48 @@ object AdvancedQueries {
              |ORDER BY l_returnflag ASC NULLS FIRST,
              |         l_linestatus ASC NULLS FIRST, g_rf, g_ls""".stripMargin)),
 
+    // ---- correlated scalar subquery (Catalyst decorrelation) ---------------
+    ("q30_correlated_subquery",
+      (s: SparkSession, d: String) => {
+        Tables.load(s, d, "customer").createOrReplaceTempView("customer_q30")
+        Tables.load(s, d, "orders").createOrReplaceTempView("orders_q30")
+        s.sql("""SELECT c_custkey, c_name,
+                |  (SELECT max(o_totalprice) FROM orders_q30
+                |   WHERE o_custkey = c_custkey) AS max_order_price
+                |FROM customer_q30
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_name,
+             |  (SELECT max(o_totalprice) FROM orders
+             |   WHERE o_custkey = c_custkey) AS max_order_price
+             |FROM customer
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- higher-order functions over array columns -------------------------
+    // aggregate() folds left-to-right in both engines (DuckDB list_reduce
+    // with a prepended seed), so the double sums are order-identical.
+    ("q31_hof_vector_norm",
+      (s: SparkSession, d: String) => {
+        Tables.load(s, d, "embeddings")
+          .select(col("vec_id"),
+            size(col("embedding")).as("dim"),
+            round(sqrt(aggregate(
+              transform(col("embedding"), x => x.cast("double")),
+              lit(0.0), (acc, x) => acc + x * x)), 6).as("l2_norm"),
+            round(aggregate(
+              transform(col("embedding"), x => x.cast("double")),
+              lit(0.0), (acc, x) => acc + x) / size(col("embedding")), 6).as("mean_val"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""SELECT vec_id,
+             |  len(embedding) AS dim,
+             |  round(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), CAST(embedding AS DOUBLE[])),
+             |        (acc, x) -> acc + x * x)), 6) AS l2_norm,
+             |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE), CAST(embedding AS DOUBLE[])),
+             |        (acc, x) -> acc + x) / len(embedding), 6) AS mean_val
+             |FROM embeddings
+             |ORDER BY vec_id""".stripMargin)),
+
     // ---- approximate distinct (HLL sketch; algorithm-specific → no oracle) --
     ("d06_approx_distinct",
       (s: SparkSession, d: String) => {
