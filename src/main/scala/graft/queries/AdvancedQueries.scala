@@ -259,6 +259,23 @@ object AdvancedQueries {
              |FROM embeddings
              |ORDER BY vec_id""".stripMargin)),
 
+    // ---- exact percentiles (interpolated, same definition both engines) ----
+    ("q32_percentiles",
+      (s: SparkSession, d: String) => {
+        Tables.load(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"),
+            round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+             |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+             |  COUNT(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // ---- approximate distinct (HLL sketch; algorithm-specific → no oracle) --
     ("d06_approx_distinct",
       (s: SparkSession, d: String) => {
