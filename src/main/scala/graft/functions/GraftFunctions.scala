@@ -2,8 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** SQL registration for the graft custom expressions, two ways:
   *
@@ -27,12 +26,12 @@ object GraftFunctions {
       s"$fn expects a literal int, got $other")
   }
 
-  private def toDoubleArray(e: Expression): Expression =
-    Cast(e, ArrayType(DoubleType))
-
-  /** (name, builder) for every graft SQL function. */
+  /** (name, builder) for every graft SQL function. cosine_sim takes raw
+    * args: float/double arrays evaluate natively (same rule as the
+    * Column API — other element types are an analysis error; cast
+    * explicitly). */
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "cosine_sim" -> (es => CosineSimilarity(toDoubleArray(es(0)), toDoubleArray(es(1)))),
+    "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
     "simhash" -> (es => SimHash(es.head)),
     "minhash_sig" -> (es => MinHashSig(es(0), intArg(es(1), "minhash_sig"))),
     "word_ngrams" -> (es => WordNGrams(es(0), intArg(es(1), "word_ngrams"))))

@@ -23,6 +23,15 @@ case class TokenSetCount(child: Expression, set: Seq[String])
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"token_set_count expects array<string>, got ${other.simpleString}")
+    }
+
   @transient private lazy val lookup: java.util.HashSet[UTF8String] = {
     val s = new java.util.HashSet[UTF8String](set.size * 2)
     set.foreach(t => s.add(UTF8String.fromString(t)))

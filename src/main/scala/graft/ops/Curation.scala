@@ -24,12 +24,15 @@ object Curation {
 
   case class Report(stage: String, n_docs: Long)
 
-  /** Returns (curated DataFrame, per-stage row counts). The curated frame
-    * has columns: doc_id, text, pred_lang, quality, n_tokens. */
+  /** Curated frame (doc_id, text, pred_lang, quality, n_tokens) +
+    * per-stage counts + a release handle that unpersists the pipeline's
+    * intermediate caches once the frame has been consumed. */
+  case class Curated(frame: DataFrame, report: Seq[Report], release: () => Unit)
+
   def curate(docs: DataFrame,
              minQuality: Double = 0.45,
              nGram: Int = 3,
-             jaccardThreshold: Double = 0.5): (DataFrame, Seq[Report]) = {
+             jaccardThreshold: Double = 0.5): Curated = {
     // Cached BEFORE the quality filter: filtering on a computed column
     // makes Catalyst inline the scoring tree into the Filter predicate,
     // and the HOF-bearing predicate drops out of whole-stage codegen —
@@ -58,10 +61,10 @@ object Curation {
       .cache()
 
     // near-dup removal: LSH-verified pairs, drop the higher id of each
-    val pairs = Dedup.minhashNearDups(
+    val (pairsRaw, releaseGrams) = Dedup.minhashNearDupsWithRelease(
       exactKept.select("doc_id", "text"), "doc_id", "text",
       n = nGram, threshold = jaccardThreshold)
-      .cache() // consumed by the anti join AND any caller re-execution
+    val pairs = pairsRaw.cache() // consumed by the anti join AND caller re-execution
     val losers = pairs.select(col("id_b").as("doc_id")).distinct()
     val nearKept = exactKept.join(losers, Seq("doc_id"), "left_anti")
 
@@ -70,21 +73,28 @@ object Curation {
       Report("quality_filtered", qualityKept.count()),
       Report("exact_deduped", exactKept.count()), // materializes the cache
       Report("near_deduped", nearKept.count()))
-    (nearKept, report)
+    Curated(nearKept, report, () => {
+      Seq(scored, exactKept, pairs).foreach(_.unpersist())
+      releaseGrams()
+    })
   }
 
   /** Curate and materialize partitioned by predicted language (partition
-    * pruning for per-language downstream consumers). Returns the report. */
+    * pruning for per-language downstream consumers). Returns the report;
+    * caches are released after the write. */
   def curateTo(docs: DataFrame, outDir: String): Seq[Report] = {
-    val (curated, report) = curate(docs)
-    curated.write.mode("overwrite").partitionBy("pred_lang").parquet(outDir)
-    report
+    val c = curate(docs)
+    try c.frame.write.mode("overwrite").partitionBy("pred_lang").parquet(outDir)
+    finally c.release()
+    c.report
   }
 
-  /** The report as a DataFrame (queries()-friendly). */
+  /** The report as a DataFrame (queries()-friendly); caches released
+    * before returning (the report itself is already materialized). */
   def reportDF(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val (_, report) = curate(docs)
-    report.toDF().select(col("stage"), col("n_docs"))
+    val c = curate(docs)
+    c.release()
+    c.report.toDF().select(col("stage"), col("n_docs"))
   }
 }

@@ -65,10 +65,19 @@ object Dedup {
   }
 
   /** MinHash+LSH near-dup pairs verified with exact shingle Jaccard ≥
-    * `threshold`. `docs` must have (idCol: numeric, textCol: string). */
+    * `threshold`. `docs` must have (idCol: numeric, textCol: string).
+    * The internal shingle cache lives until the session drops it — use
+    * [[minhashNearDupsWithRelease]] when the caller controls lifecycle. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, k: Int = 16, bands: Int = 4,
-                      threshold: Double = 0.7): DataFrame = {
+                      threshold: Double = 0.7): DataFrame =
+    minhashNearDupsWithRelease(docs, idCol, textCol, n, k, bands, threshold)._1
+
+  /** As [[minhashNearDups]], plus a release handle that unpersists the
+    * internal shingle cache once the result has been consumed. */
+  def minhashNearDupsWithRelease(docs: DataFrame, idCol: String, textCol: String,
+                                 n: Int = 3, k: Int = 16, bands: Int = 4,
+                                 threshold: Double = 0.7): (DataFrame, () => Unit) = {
     // cached: consumed 3x (banding + both verification joins); at cluster
     // scale this is the materialized shingle/signature table
     val grams = docs.select(
@@ -78,12 +87,13 @@ object Dedup {
     val cands = minhashCandidates(
       grams.withColumnRenamed("gid", "did").withColumnRenamed("grams", "g"),
       "did", "g", k, bands)
-    cands
+    val pairs = cands
       .join(grams.select(col("gid").as("id_a"), col("grams").as("grams_a")), "id_a")
       .join(grams.select(col("gid").as("id_b"), col("grams").as("grams_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(jaccard(col("grams_a"), col("grams_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    (pairs, () => { grams.unpersist(); () })
   }
 
   /** SimHash fingerprints + banded near-dup pairs with Hamming distance ≤

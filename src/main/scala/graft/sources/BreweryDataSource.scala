@@ -57,9 +57,18 @@ private[sources] class BreweryTable(tableSchema: StructType)
 
 private[sources] class BreweryScanBuilder(schema: StructType,
                                           options: CaseInsensitiveStringMap)
-    extends ScanBuilder {
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var requiredSchema: StructType = schema
+
+  // column pruning pushes into the scan: unprojected fields are never
+  // materialized into rows (at scale: don't ship 16 strings for a
+  // 2-column query)
+  override def pruneColumns(required: StructType): Unit =
+    requiredSchema = required
+
   override def build(): Scan = new BreweryScan(
-    schema,
+    requiredSchema,
     options.get("fetcherClass"),
     Option(options.get("perPage")).map(_.toInt).getOrElse(Ingest.PerPage),
     Option(options.get("pagesPerPartition")).map(_.toInt).getOrElse(1))
@@ -86,7 +95,7 @@ private[sources] class BreweryScan(tableSchema: StructType, fetcherClass: String
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BreweryReaderFactory(fetcherClass, perPage)
+    new BreweryReaderFactory(fetcherClass, perPage, tableSchema.fieldNames)
 }
 
 private[sources] object BreweryScan {
@@ -95,7 +104,8 @@ private[sources] object BreweryScan {
       .newInstance().asInstanceOf[Ingest.Fetcher]
 }
 
-private[sources] class BreweryReaderFactory(fetcherClass: String, perPage: Int)
+private[sources] class BreweryReaderFactory(fetcherClass: String, perPage: Int,
+                                            fields: Array[String])
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -108,7 +118,7 @@ private[sources] class BreweryReaderFactory(fetcherClass: String, perPage: Int)
       override def get(): InternalRow = {
         val r = rows.next()
         new GenericInternalRow(
-          Ingest.header.map { k =>
+          fields.map { k =>
             r.getOrElse(k, null) match {
               case null => null
               case v => UTF8String.fromString(v)

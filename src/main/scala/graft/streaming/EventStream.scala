@@ -136,8 +136,13 @@ object EventStream {
         (uid: Long, evs: Iterator[Event], state: GroupState[SessionState]) =>
           val st = state.getOption.getOrElse(SessionState(1, Nil))
           if (state.hasTimedOut) {
-            state.remove()
-            renumber(st.nextId, toSessions(uid, st.open.iterator).toSeq).iterator
+            // flush the open session but KEEP the counter: removing state
+            // here would restart session_ids at 1 for this user's next
+            // events, duplicating already-emitted (user_id, session_id)
+            // keys. The residual state is two fields per user.
+            val flushed = renumber(st.nextId, toSessions(uid, st.open.iterator).toSeq)
+            state.update(SessionState(st.nextId + flushed.size, Nil))
+            flushed.iterator
           } else {
             val all = st.open ++ evs
             val sessions = toSessions(uid, all.iterator).toSeq

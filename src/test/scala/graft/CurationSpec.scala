@@ -15,7 +15,8 @@ class CurationSpec extends SparkSpec {
 
   test("curate: monotone stage counts, no remaining dups") {
     val docs = Tables.load(spark, sf, "documents")
-    val (curated, report) = Curation.curate(docs)
+    val c = Curation.curate(docs)
+    val (curated, report) = (c.frame, c.report)
     val byStage = report.map(r => r.stage -> r.n_docs).toMap
     assert(byStage("input") == 500)
     assert(byStage("quality_filtered") <= byStage("input"))
@@ -33,6 +34,7 @@ class CurationSpec extends SparkSpec {
     val pairs = Dedup.minhashNearDups(out.select("doc_id", "text"),
       "doc_id", "text", n = 3, threshold = 0.5)
     assert(pairs.count() == 0, "near-dup pair survived curation")
+    c.release() // intermediate caches dropped once consumed
   }
 
   test("curateTo: language-partitioned parquet layout") {

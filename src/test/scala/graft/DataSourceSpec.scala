@@ -33,9 +33,14 @@ class DataSourceSpec extends SparkSpec {
     assert(viaApi.exceptAll(viaCsv).isEmpty && viaCsv.exceptAll(viaApi).isEmpty)
   }
 
-  test("projection pushes through the v2 scan") {
+  test("projection pushes into the v2 scan (pruned scan output)") {
     val df = readApi(1).select("id", "country").filter(col("country") === " United States")
     assert(df.count() > 0)
     assert(df.columns.toSeq == Seq("id", "country"))
+    // the BatchScan itself (not a Project above it) carries only the
+    // required columns — SupportsPushDownRequiredColumns took effect
+    val scanOutput = df.queryExecution.executedPlan.collectLeaves().head.output.map(_.name)
+    assert(scanOutput.sorted == Seq("country", "id"),
+      s"scan not pruned: $scanOutput")
   }
 }
