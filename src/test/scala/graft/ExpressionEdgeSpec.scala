@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{MinHashSig, TokenSetCount, WordNGrams}
+import graft.ops.Dedup
+
+/** Edge-case behavior of the custom expressions: empty inputs, single
+  * tokens, nulls, and cross-path (eval vs codegen) consistency. */
+class ExpressionEdgeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("WordNGrams: fewer than n tokens → empty; nulls skipped like concat_ws") {
+    val df = Seq(
+      Seq("a"),                 // < n
+      Seq("a", "b"),            // exactly n
+      Seq("a", "b", "a", "b"),  // duplicate grams collapse
+      Seq.empty[String]
+    ).toDF("t").select(WordNGrams.wordNGrams($"t", 2).as("g"))
+    val out = df.as[Seq[String]].collect().toSeq
+    assert(out(0) == Seq())
+    assert(out(1) == Seq("a b"))
+    assert(out(2) == Seq("a b", "b a")) // distinct, first-occurrence order
+    assert(out(3) == Seq())
+  }
+
+  test("MinHashSig: empty shingles → sentinel signature; determinism; k length") {
+    val df = Seq(Seq.empty[String], Seq("x"), Seq("x"), Seq("y"))
+      .toDF("s").select(MinHashSig.minhashSig($"s", 8).as("sig"))
+    val out = df.as[Seq[Long]].collect().toSeq
+    assert(out.forall(_.length == 8))
+    assert(out(0).forall(_ == Long.MaxValue)) // no shingle observed
+    assert(out(1) == out(2))                  // deterministic
+    assert(out(1) != out(3))                  // input-sensitive
+  }
+
+  test("TokenSetCount: repeats counted, case-sensitive, empty inputs") {
+    val stops = Seq("the", "a")
+    val df = Seq(
+      Seq("the", "a", "the", "x"),
+      Seq("The", "A"),          // case-sensitive: no hits
+      Seq.empty[String]
+    ).toDF("t").select(TokenSetCount.tokenSetCount($"t", stops).as("n"))
+    assert(df.as[Int].collect().toSeq == Seq(3, 0, 0))
+  }
+
+  test("TokenSetCount rejects non-string arrays at analysis") {
+    val err = intercept[Exception] {
+      Seq(Seq(1, 2)).toDF("t")
+        .select(TokenSetCount.tokenSetCount($"t", Seq("x"))).collect()
+    }
+    assert(err.getMessage.contains("token_set_count") ||
+      err.getMessage.toLowerCase.contains("data type mismatch"))
+  }
+
+  test("minhash candidate generation on a corpus of only short docs is empty") {
+    val docs = Seq((1L, "one two"), (2L, "three four"), (3L, "five six"))
+      .toDF("doc_id", "text")
+    // 3-grams need >= 3 words: all shingle sets empty → zero candidates,
+    // zero pairs (not an all-pairs sentinel collision)
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", n = 3, threshold = 0.1)
+    assert(pairs.count() == 0)
+  }
+}
