@@ -69,10 +69,18 @@ object Curation {
     val nearKept = exactKept.join(losers, Seq("doc_id"), "left_anti")
 
     val report = Seq(
-      Report("input", docs.count()),
-      Report("quality_filtered", qualityKept.count()),
-      Report("exact_deduped", exactKept.count()), // materializes the cache
-      Report("near_deduped", nearKept.count()))
+      // scored is a 1:1 projection of docs, so its count IS the input
+      // count — and running it first fills the scored cache in the same job
+      Report("input", scored.count()),
+      Report("exact_deduped", exactKept.count()), // materializes exact cache
+      Report("quality_filtered", qualityKept.count()), // cheap off scored cache
+      Report("near_deduped", nearKept.count())
+    ).sortBy {
+      case Report("input", _) => 0
+      case Report("quality_filtered", _) => 1
+      case Report("exact_deduped", _) => 2
+      case _ => 3
+    }
     Curated(nearKept, report, () => {
       Seq(scored, exactKept, pairs).foreach(_.unpersist())
       releaseGrams()

@@ -28,6 +28,25 @@ object StreamMediaQueries {
              |  event_type, COUNT(*) AS n_events
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ---- stream-static join: enrich the event stream with a dimension ----
+    ("st03_stream_static_join",
+      (s: SparkSession, d: String) => {
+        val events = EventStream.readEvents(s, d)
+        val customers = Tables.load(s, d, "customer")
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+        val joined = events.join(customers, "user_id")
+          .groupBy(col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+              .cast("double").as("total_value"))
+        EventStream.runToMemory(s, joined, s"st03_mem_${System.nanoTime()}")
+          .orderBy(col("segment"))
+      },
+      Some("""SELECT c_mktsegment AS segment, COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+             |FROM events JOIN customer ON user_id = c_custkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- stateful sessionization (typed Dataset API) ----------------------
     ("st02_sessionize",
       (s: SparkSession, d: String) => {
