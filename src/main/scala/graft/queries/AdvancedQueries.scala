@@ -276,6 +276,23 @@ object AdvancedQueries {
              |  COUNT(*) AS n
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // ---- posexplode (generator/lateral view) -------------------------------
+    ("q33_posexplode",
+      (s: SparkSession, d: String) => {
+        Tables.load(s, d, "embeddings")
+          .filter(col("vec_id") < 50)
+          .select(col("vec_id"),
+            posexplode(slice(col("embedding").cast("array<double>"), 1, 3)))
+          .select(col("vec_id"), col("pos").cast("int").as("pos"),
+            round(col("col"), 6).as("val"))
+          .orderBy(col("vec_id"), col("pos"))
+      },
+      Some("""SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+             |  round(CAST(embedding[i] AS DOUBLE), 6) AS val
+             |FROM embeddings, generate_series(1, 3) AS t(i)
+             |WHERE vec_id < 50
+             |ORDER BY vec_id, pos""".stripMargin)),
+
     // ---- approximate distinct (HLL sketch; algorithm-specific → no oracle) --
     ("d06_approx_distinct",
       (s: SparkSession, d: String) => {
