@@ -293,6 +293,59 @@ object AdvancedQueries {
              |WHERE vec_id < 50
              |ORDER BY vec_id, pos""".stripMargin)),
 
+    // ---- outer joins (null-preserving sides) -------------------------------
+    ("q34_left_outer_join",
+      (s: SparkSession, d: String) => {
+        val c = Tables.load(s, d, "customer")
+        val bigOrders = Tables.load(s, d, "orders")
+          .filter(col("o_totalprice") > 450000)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_big"), max(col("o_totalprice")).as("max_big"))
+        c.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_outer")
+          .select(col("c_custkey"), col("n_big"), col("max_big"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, n_big, max_big
+             |FROM customer LEFT JOIN (
+             |  SELECT o_custkey, COUNT(*) AS n_big, MAX(o_totalprice) AS max_big
+             |  FROM orders WHERE o_totalprice > 450000 GROUP BY o_custkey
+             |) ON c_custkey = o_custkey
+             |ORDER BY c_custkey""".stripMargin)),
+
+    ("q35_full_outer_join",
+      (s: SparkSession, d: String) => {
+        val cn = Tables.load(s, d, "customer")
+          .groupBy(col("c_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("n_cust"))
+        val sn = Tables.load(s, d, "supplier")
+          .filter(col("s_acctbal") > 5000)
+          .groupBy(col("s_nationkey").as("nationkey2"))
+          .agg(count(lit(1)).as("n_supp"))
+        cn.join(sn, col("nationkey") === col("nationkey2"), "full_outer")
+          .select(coalesce(col("nationkey"), col("nationkey2")).as("nationkey"),
+            col("n_cust"), col("n_supp"))
+          .orderBy(col("nationkey"))
+      },
+      Some("""SELECT coalesce(c.nationkey, s.nationkey2) AS nationkey, n_cust, n_supp
+             |FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
+             |      FROM customer GROUP BY 1) c
+             |FULL JOIN (SELECT s_nationkey AS nationkey2, COUNT(*) AS n_supp
+             |           FROM supplier WHERE s_acctbal > 5000 GROUP BY 1) s
+             |  ON c.nationkey = s.nationkey2
+             |ORDER BY nationkey""".stripMargin)),
+
+    // ---- distinct union (set semantics, vs q12's UNION ALL) ----------------
+    ("q36_union_distinct",
+      (s: SparkSession, d: String) => {
+        val c = Tables.load(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        val sup = Tables.load(s, d, "supplier").select(col("s_nationkey").as("nationkey"))
+        c.union(sup).distinct().orderBy(col("nationkey"))
+      },
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |UNION
+             |SELECT s_nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin)),
+
     // ---- approximate distinct (HLL sketch; algorithm-specific → no oracle) --
     ("d06_approx_distinct",
       (s: SparkSession, d: String) => {
