@@ -68,19 +68,19 @@ object Curation {
     val losers = pairs.select(col("id_b").as("doc_id")).distinct()
     val nearKept = exactKept.join(losers, Seq("doc_id"), "left_anti")
 
+    // evaluation order ≠ display order: scored.count() runs first (it is a
+    // 1:1 projection of docs, so it IS the input count, and it fills the
+    // scored cache in the same job), then exactKept.count() fills the
+    // exact cache, making the remaining counts cheap cache reads
+    val nInput = scored.count()
+    val nExact = exactKept.count()
+    val nQuality = qualityKept.count()
+    val nNear = nearKept.count()
     val report = Seq(
-      // scored is a 1:1 projection of docs, so its count IS the input
-      // count — and running it first fills the scored cache in the same job
-      Report("input", scored.count()),
-      Report("exact_deduped", exactKept.count()), // materializes exact cache
-      Report("quality_filtered", qualityKept.count()), // cheap off scored cache
-      Report("near_deduped", nearKept.count())
-    ).sortBy {
-      case Report("input", _) => 0
-      case Report("quality_filtered", _) => 1
-      case Report("exact_deduped", _) => 2
-      case _ => 3
-    }
+      Report("input", nInput),
+      Report("quality_filtered", nQuality),
+      Report("exact_deduped", nExact),
+      Report("near_deduped", nNear))
     Curated(nearKept, report, () => {
       Seq(scored, exactKept, pairs).foreach(_.unpersist())
       releaseGrams()

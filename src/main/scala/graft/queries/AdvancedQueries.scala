@@ -282,7 +282,7 @@ object AdvancedQueries {
         Tables.load(s, d, "embeddings")
           .filter(col("vec_id") < 50)
           .select(col("vec_id"),
-            posexplode(slice(col("embedding").cast("array<double>"), 1, 3)))
+            posexplode(slice(col("embedding"), 1, 3).cast("array<double>")))
           .select(col("vec_id"), col("pos").cast("int").as("pos"),
             round(col("col"), 6).as("val"))
           .orderBy(col("vec_id"), col("pos"))
