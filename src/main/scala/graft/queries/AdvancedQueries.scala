@@ -346,6 +346,31 @@ object AdvancedQueries {
              |SELECT s_nationkey FROM supplier
              |ORDER BY nationkey""".stripMargin)),
 
+    // ---- retention cohorts (week-bucketed self-referential analytics) ------
+    ("q37_retention_cohort",
+      (s: SparkSession, d: String) => {
+        val uw = Tables.load(s, d, "events")
+          .select(col("user_id"),
+            date_trunc("week", Tables.eventTime(col("ts"))).cast("date").as("wk"))
+          .distinct()
+        val cohort = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+        uw.join(cohort, "user_id")
+          .groupBy(col("cohort_wk"),
+            (datediff(col("wk"), col("cohort_wk")) / 7).cast("int").as("weeks_since"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("cohort_wk"), col("weeks_since"))
+      },
+      Some("""WITH uw AS (
+             |  SELECT DISTINCT user_id,
+             |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+             |  FROM events),
+             |cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY user_id)
+             |SELECT cohort_wk,
+             |  CAST(date_diff('day', cohort_wk, wk) / 7 AS INT) AS weeks_since,
+             |  COUNT(*) AS n_users
+             |FROM uw JOIN cohort USING (user_id)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ---- approximate distinct (HLL sketch; algorithm-specific → no oracle) --
     ("d06_approx_distinct",
       (s: SparkSession, d: String) => {
