@@ -371,6 +371,41 @@ object AdvancedQueries {
              |FROM uw JOIN cohort USING (user_id)
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ---- conditional / boolean aggregates ----------------------------------
+    ("q38_conditional_agg",
+      (s: SparkSession, d: String) => {
+        Tables.load(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count_if(col("l_quantity") > 25).as("n_bulk"),
+            count_if(col("l_discount") === 0.0).as("n_no_discount"),
+            bool_and(col("l_quantity") > 0).as("all_positive_qty"),
+            bool_or(col("l_tax") > 0.07).as("any_high_tax"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |  COUNT(*) FILTER (l_quantity > 25) AS n_bulk,
+             |  COUNT(*) FILTER (l_discount = 0.0) AS n_no_discount,
+             |  bool_and(l_quantity > 0) AS all_positive_qty,
+             |  bool_or(l_tax > 0.07) AS any_high_tax
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- ordered string aggregation ----------------------------------------
+    ("q39_string_agg",
+      (s: SparkSession, d: String) => {
+        Tables.load(s, d, "nation")
+          .join(Tables.load(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name").as("region"))
+          .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+            count(lit(1)).as("n_nations"))
+          .orderBy(col("region"))
+      },
+      Some("""SELECT r_name AS region,
+             |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+             |  COUNT(*) AS n_nations
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY region""".stripMargin)),
+
     // ---- approximate distinct (HLL sketch; algorithm-specific → no oracle) --
     ("d06_approx_distinct",
       (s: SparkSession, d: String) => {
