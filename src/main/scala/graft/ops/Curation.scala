@@ -9,10 +9,9 @@ import org.apache.spark.sql.functions._
   *   score (quality, lang, tokens)
   *     → quality filter
   *     → exact dedup (hash-groupBy on text, keep lowest doc_id)
-  *     → near-dup removal (MinHash+LSH pairs; drop the higher id of each
-  *       verified pair — a cheap one-pass cluster-min approximation; full
-  *       transitive closure would use an iterative connected-components
-  *       pass over the pair edges)
+  *     → near-dup removal (MinHash+LSH verified pairs → transitive
+  *       clusters via [[Dedup.connectedComponents]]; keep each cluster's
+  *       minimum id)
   *     → write parquet partitioned by predicted language.
   *
   * Every stage is a shuffle-bounded DataFrame op (no driver-side loops,
@@ -60,12 +59,15 @@ object Curation {
       .drop("keep_id")
       .cache()
 
-    // near-dup removal: LSH-verified pairs, drop the higher id of each
+    // near-dup removal: LSH-verified pairs → transitive clusters
+    // (connected components), keep each cluster's minimum id
     val (pairsRaw, releaseGrams) = Dedup.minhashNearDupsWithRelease(
       exactKept.select("doc_id", "text"), "doc_id", "text",
       n = nGram, threshold = jaccardThreshold)
-    val pairs = pairsRaw.cache() // consumed by the anti join AND caller re-execution
-    val losers = pairs.select(col("id_b").as("doc_id")).distinct()
+    val pairs = pairsRaw.cache() // consumed by clustering AND caller re-execution
+    val losers = Dedup.connectedComponents(pairs)
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("doc_id"))
     val nearKept = exactKept.join(losers, Seq("doc_id"), "left_anti")
 
     // evaluation order ≠ display order: scored.count() runs first (it is a

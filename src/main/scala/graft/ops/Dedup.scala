@@ -96,6 +96,46 @@ object Dedup {
     (pairs, () => { grams.unpersist(); () })
   }
 
+  /** Connected components over undirected near-dup pair edges
+    * ((id_a, id_b) rows) via iterative min-label propagation: every node
+    * ends labeled with the smallest id in its component, so "keep the
+    * cluster minimum" dedup is exact under transitivity (A~B, B~C ⇒ one
+    * survivor for {A,B,C} even if A~C was never emitted as a pair).
+    *
+    * The loop is driver-side CONTROL flow only (the per-iteration work is
+    * a join + aggregate); near-dup clusters have tiny diameters, so
+    * convergence takes ~log(diameter) iterations. Returns (id, cluster). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .cache()
+    var iter = 0
+    var converged = edges.isEmpty
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("dst_label")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("dst_label")).as("nbr_label"))
+      val updated = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .cache()
+      converged = updated
+        .join(labels.select(col("id"), col("label").as("prev")), "id")
+        .filter(col("label") =!= col("prev"))
+        .isEmpty
+      labels.unpersist()
+      labels = updated
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** SimHash fingerprints + banded near-dup pairs with Hamming distance ≤
     * `maxHamming`. Banding: the 64-bit fingerprint splits into `bands`
     * equal bit-bands; by pigeonhole any pair within Hamming distance

@@ -73,6 +73,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall $recall")
   }
 
+  test("connectedComponents: transitive chains collapse to cluster minima") {
+    import spark.implicits._
+    // chain 1-2-3 (1~3 never emitted) + isolated pair 5-6
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+    // empty edge set → empty labels, no infinite loop
+    assert(Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+      .count() == 0)
+  }
+
   test("exact dedup keeps one row per distinct text") {
     val deduped = docs.dropDuplicates("text")
     assert(deduped.count() == docs.select("text").distinct().count())
