@@ -105,7 +105,33 @@ object Dedup {
     * The loop is driver-side CONTROL flow only (the per-iteration work is
     * a join + aggregate); near-dup clusters have tiny diameters, so
     * convergence takes ~log(diameter) iterations. Returns (id, cluster). */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
+                          driverThreshold: Long = 5000000L): DataFrame = {
+    // Near-dup pair sets are tiny relative to the corpus (that's the
+    // point of dedup); below the threshold a driver union-find resolves
+    // them in one collect instead of a multi-job iterative loop. The
+    // distributed label-propagation path remains for edge sets too big
+    // to collect.
+    if (pairs.count() <= driverThreshold) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .collect().foreach { row =>
+          val (a, b) = (row.getLong(0), row.getLong(1))
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+      return parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "label")
+    }
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .cache()

@@ -77,12 +77,19 @@ class DedupSimilaritySpec extends SparkSpec {
     import spark.implicits._
     // chain 1-2-3 (1~3 never emitted) + isolated pair 5-6
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L)
+    // driver union-find path (default threshold)
     val labels = Dedup.connectedComponents(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
-    // empty edge set → empty labels, no infinite loop
-    assert(Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
-      .count() == 0)
+    assert(labels == expected)
+    // distributed label-propagation path (threshold 0 forces the loop)
+    val labelsDist = Dedup.connectedComponents(pairs, driverThreshold = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labelsDist == expected)
+    // empty edge set → empty labels, no infinite loop (both paths)
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(none).count() == 0)
+    assert(Dedup.connectedComponents(none, driverThreshold = 0).count() == 0)
   }
 
   test("exact dedup keeps one row per distinct text") {
