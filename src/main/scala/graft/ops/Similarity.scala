@@ -38,12 +38,40 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Deterministic "trained" centroids: the nCells lowest-id vectors.
-    * (A production index would k-means these; centroid choice only
-    * affects recall, not the plumbing under test.) */
+  /** Deterministic seed centroids: the nCells lowest-id vectors. */
   def centroids(corpus: DataFrame, nCells: Int): DataFrame =
     corpus.orderBy(col("vec_id")).limit(nCells)
       .select(col("vec_id").as("cell_id"), col("embedding").as("centroid"))
+
+  /** k-means (Lloyd) refinement of the seed centroids, as DataFrame ops:
+    * assign (broadcast argmax, as [[ivfAssign]]) → recompute means
+    * (groupBy cell, per-dimension average via posexplode) → repeat.
+    * Deterministic: seeded from [[centroids]], fixed iteration count,
+    * cosine assignment with id tie-breaks. Empty cells keep their
+    * previous centroid. One broadcast-join pass + one aggregation per
+    * iteration — linear in corpus size, no cartesian. */
+  def kmeansCentroids(corpus: DataFrame, nCells: Int, iters: Int = 3): DataFrame = {
+    var cents = centroids(corpus, nCells).cache()
+    for (_ <- 1 to iters) {
+      val assigned = ivfAssign(corpus, cents)
+      val means = assigned
+        .select(col("cell_id"), posexplode(col("embedding").cast("array<double>")))
+        .groupBy(col("cell_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("cell_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell_id"),
+          transform(col("pm"), e => e.getField("m").cast("float")).as("centroid"))
+      val next = cents.select(col("cell_id"), col("centroid").as("prev"))
+        .join(means, Seq("cell_id"), "left")
+        .select(col("cell_id"), coalesce(col("centroid"), col("prev")).as("centroid"))
+        .cache()
+      next.count() // materialize before dropping the previous generation
+      cents.unpersist()
+      cents = next
+    }
+    cents
+  }
 
   /** Assign every corpus vector to its nearest centroid: broadcast join +
     * `max_by` argmax. The aggregation gets a map-side partial, so the
@@ -59,12 +87,15 @@ object Similarity {
         first(col("embedding")).as("embedding"),
         max_by(col("cell_id"), struct(col("sim"), -col("cell_id"))).as("cell_id"))
 
-  /** IVF search: probe the query's nProbe nearest cells only. */
+  /** IVF search: probe the query's nProbe nearest cells only.
+    * `trainIters > 0` refines the seed centroids with k-means first. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+              nCells: Int = 16, nProbe: Int = 4, trainIters: Int = 0): DataFrame = {
     // nCells rows: the broadcast() at each use site is the right
     // distribution mechanism, a storage-level cache adds nothing
-    val cents = centroids(corpus, nCells)
+    val cents =
+      if (trainIters > 0) kmeansCentroids(corpus, nCells, trainIters)
+      else centroids(corpus, nCells)
     val assigned = ivfAssign(corpus, cents)
     // nProbe nearest cells per query
     val wq = Window.partitionBy(col("query_id"))
