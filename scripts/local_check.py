@@ -4,19 +4,30 @@ Scala library). Runs each oracle_sql.json query in DuckDB over the same
 testdata parquet and compares against the Verify.scala parquet dumps:
 row count, column names, and a value hash with columns sorted by name.
 
+Deliberately goes through pandas (duckdb `.df()`), like the driver, so
+dtype artifacts surface locally: DuckDB HUGEINT (SUM of integers) coerces
+to float64 in pandas and hash-mismatches Spark's int64 even when values
+are numerically identical, and unhashable cells (numpy arrays) crash the
+row sort — both must fail HERE, not in the graded run.
+
 Usage: python3 scripts/local_check.py <sfDir> <verifyOutDir>
 """
 import json, sys, math
 
 import duckdb
 
+
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
 def canon(v):
+    """Canonical string per cell, dtype-sensitive: numpy int64 1435 ->
+    '1435' but float64 1435.0 -> '1435.0' (the driver's artifact)."""
     if v is None:
         return "NULL"
+    if hasattr(v, "item"):  # numpy scalar -> python scalar, keeps int/float split
+        v = v.item()
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -28,12 +39,16 @@ def canon(v):
     return str(v)
 
 
-def table_hash(rows, cols):
+def frame_hash(df):
+    """Columns sorted by name, rows sorted by all columns (pandas
+    sort_values — crashes on unhashable cells exactly like the driver),
+    then a sha256 over canonical cell strings."""
     import hashlib
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    cols = sorted(df.columns)
+    df = df[cols].sort_values(by=cols).reset_index(drop=True)
     h = hashlib.sha256()
-    for row in rows:
-        h.update(("|".join(canon(row[i]) for i in order) + "\n").encode())
+    for row in df.itertuples(index=False):
+        h.update(("|".join(canon(v) for v in row) + "\n").encode())
     return h.hexdigest()
 
 
@@ -46,35 +61,35 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-            g_cols = [d[0] for d in got.description]
-            g_rows = got.fetchall()
-            want = con.execute(sql)
-            w_cols = [d[0] for d in want.description]
-            w_rows = want.fetchall()
+            gdf = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
+            wdf = con.execute(sql).df()
+            problems = []
+            if sorted(gdf.columns) != sorted(wdf.columns):
+                problems.append(
+                    f"cols spark={sorted(gdf.columns)} oracle={sorted(wdf.columns)}")
+            if len(gdf) != len(wdf):
+                problems.append(f"rows spark={len(gdf)} oracle={len(wdf)}")
+            if not problems and frame_hash(gdf) != frame_hash(wdf):
+                problems.append("value hash mismatch")
+                cols = sorted(gdf.columns)
+                ga = gdf[cols].sort_values(by=cols).reset_index(drop=True)
+                gb = wdf[cols].sort_values(by=cols).reset_index(drop=True)
+                for i in range(min(len(ga), len(gb))):
+                    ra = [canon(v) for v in ga.iloc[i]]
+                    rb = [canon(v) for v in gb.iloc[i]]
+                    if ra != rb:
+                        problems.append(f"  first diff row {i}: spark={ra} oracle={rb}")
+                        break
         except Exception as e:
-            print(f"FAIL {name}: error {e}")
+            print(f"FAIL {name}: error {type(e).__name__}: {e}")
             n_fail += 1
             continue
-        problems = []
-        if sorted(g_cols) != sorted(w_cols):
-            problems.append(f"cols spark={sorted(g_cols)} oracle={sorted(w_cols)}")
-        if len(g_rows) != len(w_rows):
-            problems.append(f"rows spark={len(g_rows)} oracle={len(w_rows)}")
-        if not problems and table_hash(g_rows, g_cols) != table_hash(w_rows, w_cols):
-            problems.append("value hash mismatch")
-            for i, (a, b) in enumerate(zip(g_rows, w_rows)):
-                ga = [canon(a[j]) for j in sorted(range(len(g_cols)), key=lambda k: g_cols[k])]
-                gb = [canon(b[j]) for j in sorted(range(len(w_cols)), key=lambda k: w_cols[k])]
-                if ga != gb:
-                    problems.append(f"  first diff row {i}: spark={ga} oracle={gb}")
-                    break
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(g_rows)} rows)")
+            print(f"PASS {name} ({len(gdf)} rows)")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0

@@ -27,7 +27,7 @@ object NorthStarQueries {
           .orderBy(col("event_type"))
       },
       Some("""SELECT event_type,
-             |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
              |  COUNT(*) AS n
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
@@ -158,10 +158,10 @@ object NorthStarQueries {
           .orderBy(col("source"))
       },
       Some("""SELECT source, COUNT(*) AS n_docs,
-             |  SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS total_tokens,
-             |  SUM(len(string_split_regex(text, '\s+'))) AS total_ws_tokens,
-             |  SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS total_bpe_tokens,
-             |  SUM(length(text)) AS total_chars
+             |  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT) AS total_tokens,
+             |  CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS total_ws_tokens,
+             |  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_bpe_tokens,
+             |  CAST(SUM(length(text)) AS BIGINT) AS total_chars
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
     ("t02_quality_score",

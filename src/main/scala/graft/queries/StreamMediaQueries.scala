@@ -87,17 +87,26 @@ object StreamMediaQueries {
       Some("""SELECT CASE CAST(doc_id % 3 AS INT)
              |         WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
              |  COUNT(*) AS n_items,
-             |  SUM(octet_length(encode(text))) AS total_bytes
+             |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Output is scalar-only so the driver's pandas checker can sort/hash it;
+    // the feature-vector values themselves are stub-codec-dependent and are
+    // asserted in MultimodalSpec (shape, determinism, batch dataflow).
     ("m02_media_features",
       (s: SparkSession, d: String) => {
         val media = Multimodal.fromDocuments(Tables.load(s, d, "documents"))
         Multimodal.extractFeatures(media).toDF()
-          .select(col("media_id"), col("kind"), col("n_bytes"), col("features"))
+          .select(col("media_id"), col("kind"), col("n_bytes"),
+            size(col("features")).as("n_features"))
           .orderBy(col("media_id"))
       },
-      None),
+      Some("""SELECT doc_id AS media_id,
+             |  CASE CAST(doc_id % 3 AS INT)
+             |    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+             |  CAST(16 AS INT) AS n_features
+             |FROM documents ORDER BY media_id""".stripMargin)),
 
     ("m03_frame_sample",
       (s: SparkSession, d: String) => {
