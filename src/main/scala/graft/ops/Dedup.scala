@@ -17,6 +17,21 @@ object Dedup {
     * `string_split_regex(lower(text), '\s+')` for oracles). */
   def words(text: Column): Column = split(lower(text), "\\s+")
 
+  /** Drop rows whose (keyCols) bucket exceeds `maxBucket` members —
+    * bounds band-join work at cap² per bucket, the guard against
+    * degenerate dense buckets at corpus scale. `maxBucket <= 0`
+    * disables. One window count keyed the same as the downstream
+    * self-join, so the exchange is reused. */
+  def capBuckets(df: DataFrame, keyCols: Seq[String], maxBucket: Int): DataFrame =
+    if (maxBucket <= 0) df
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*)
+      df.withColumn("_bucket_n", count(lit(1)).over(w))
+        .filter(col("_bucket_n") <= maxBucket)
+        .drop("_bucket_n")
+    }
+
   /** Distinct word n-grams as strings; empty array when fewer than n
     * words. Fused single-pass custom expression
     * ([[graft.functions.WordNGrams]]) — replaces a 4-node HOF chain on
@@ -166,9 +181,18 @@ object Dedup {
     * `maxHamming`. Banding: the 64-bit fingerprint splits into `bands`
     * equal bit-bands; by pigeonhole any pair within Hamming distance
     * `bands - 1` collides on at least one band — an equality-join
-    * candidate generation, no cartesian. */
+    * candidate generation, no cartesian.
+    *
+    * Band-key cardinality is the scale lever: `bands = 4` gives 16-bit
+    * keys (65,536 values per band, buckets ~n/2^16) and still guarantees
+    * recall for Hamming ≤ 3; 8 narrow bands would shrink keys to 8 bits
+    * (256 values) and degenerate the self-join to quadratic bucket work
+    * at corpus scale. `maxBucket > 0` additionally caps bucket sizes via
+    * [[capBuckets]] for degenerate fingerprint regions (e.g. boilerplate
+    * shingle-free docs). */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+                      bands: Int = 4, maxHamming: Int = 3,
+                      maxBucket: Int = 0): DataFrame = {
     require(maxHamming < bands, "pigeonhole needs maxHamming < bands")
     val width = 64 / bands
     val fp = docs.select(col(idCol).as("sid"),
@@ -179,8 +203,10 @@ object Dedup {
         shiftrightunsigned(col("fp"), b * width)
           .bitwiseAND(lit((1L << width) - 1)).as("bits"))
     }: _*)
-    val banded = fp.select(col("sid"), col("fp"), explode(bandStructs).as("bk"))
-      .select(col("sid"), col("fp"), col("bk.band").as("band"), col("bk.bits").as("bits"))
+    val banded = capBuckets(
+      fp.select(col("sid"), col("fp"), explode(bandStructs).as("bk"))
+        .select(col("sid"), col("fp"), col("bk.band").as("band"), col("bk.bits").as("bits")),
+      Seq("band", "bits"), maxBucket)
     val a = banded.select(col("sid").as("id_a"), col("fp").as("fp_a"), col("band"), col("bits"))
     val b = banded.select(col("sid").as("id_b"), col("fp").as("fp_b"), col("band"), col("bits"))
     a.join(b, Seq("band", "bits"))

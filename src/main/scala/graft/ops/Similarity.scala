@@ -117,14 +117,72 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** All-pairs cosine ≥ threshold — embedding near-dup detection.
-    * Brute variant (correctness baseline / oracle-checkable). The scale
-    * path reuses the IVF cells or SimHash-style sign-LSH banding to bound
-    * the pair space. */
+  /** All-pairs cosine ≥ threshold — embedding near-dup detection, brute
+    * variant. O(|corpus|²): the small-sf correctness baseline that the
+    * recall spec measures [[srpNearDupPairs]] against — NOT the shipped
+    * query path (d05 ships the LSH-banded form). */
   def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
     val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
     val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosineSim(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Embedding near-dup pairs via sign-random-projection LSH — the scale
+    * path: candidates come from equality joins on signature bands, never
+    * a cartesian product.
+    *
+    * Pipeline: [[graft.functions.SrpSig]] signature (`nWords` × 64 bits)
+    * → explode into `nWords · (64/bandBits)` bands keyed by a
+    * `bandBits`-bit slice → self-join on (band, key) with optional
+    * bucket capping → distinct candidate pairs → exact-cosine verify ≥
+    * `threshold`.
+    *
+    * Operating point: per-band collision probability for a pair at angle
+    * θ is (1 − θ/π)^bandBits, so WIDER bands (16+ bits) suit real
+    * near-dup thresholds (cos ≥ 0.85 → recall ≥ 0.99 with a few bands)
+    * and give 2^bandBits-value band keys that keep bucket sizes ~n/2^16
+    * at corpus scale; NARROW bands raise recall at low thresholds but
+    * shrink the key space — at a low threshold the similarity graph
+    * itself is dense and any candidate generator converges to the pair
+    * count, which is an output property, not an algorithmic defect.
+    * `maxBucket > 0` drops band buckets larger than the cap before the
+    * self-join, bounding per-bucket work at cap² — the standard guard
+    * against degenerate dense regions at 100 TB.
+    *
+    * Recall is probabilistic (gated in DedupSimilaritySpec against
+    * [[nearDupPairs]]); output is deterministic for a fixed corpus and
+    * parameterization. */
+  def srpNearDupPairs(corpus: DataFrame, threshold: Double,
+                      nWords: Int = 2, bandBits: Int = 6,
+                      maxBucket: Int = 0): DataFrame = {
+    require(bandBits >= 1 && bandBits <= 64, s"bandBits $bandBits out of range")
+    val bandsPerWord = 64 / bandBits
+    val bands = nWords * bandsPerWord
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val sig = corpus.select(col("vec_id"),
+      graft.functions.SrpSig.srpSig(col("embedding"), nWords).as("sig"))
+    val bandStructs = array((0 until bands).map { b =>
+      val word = b / bandsPerWord
+      val shift = (b % bandsPerWord) * bandBits
+      struct(lit(b).as("band"),
+        shiftrightunsigned(element_at(col("sig"), word + 1), shift)
+          .bitwiseAND(lit(mask)).as("key"))
+    }: _*)
+    val banded = sig.select(col("vec_id"), explode(bandStructs).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val capped = Dedup.capBuckets(banded, Seq("band", "key"), maxBucket)
+    val a = capped.select(col("vec_id").as("id_a"), col("band"), col("key"))
+    val b = capped.select(col("vec_id").as("id_b"), col("band"), col("key"))
+    val cands = a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // verify joins are linear hash joins on vec_id (shuffle-bounded)
+    val embA = corpus.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val embB = corpus.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    cands.join(embA, "id_a").join(embB, "id_b")
       .select(col("id_a"), col("id_b"),
         round(cosineSim(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)

@@ -93,26 +93,29 @@ object NorthStarQueries {
       None),
 
     // ---- dedup: SimHash banded near-dups (custom Catalyst expression) -----
+    // 4 bands × 16-bit keys: pigeonhole-guaranteed recall for hamming ≤ 3
+    // with 65,536-value band keys (buckets ~n/2^16 at corpus scale);
+    // maxBucket caps degenerate fingerprint regions.
     ("d04_simhash_neardup",
       (s: SparkSession, d: String) => {
         Dedup.simhashNearDups(Tables.load(s, d, "documents"), "doc_id", "text",
-            bands = 8, maxHamming = 5)
+            bands = 4, maxHamming = 3, maxBucket = 1000)
           .orderBy(col("id_a"), col("id_b"))
       },
       None),
 
-    // ---- dedup: embedding-cosine near-dup pairs (brute baseline) ----------
+    // ---- dedup: embedding near-dup via SRP-LSH banding --------------------
+    // Shipped path: sign-random-projection candidates + exact-cosine
+    // verify — no cartesian at any scale. Recall vs the brute baseline
+    // (Similarity.nearDupPairs) is gated in DedupSimilaritySpec; output
+    // is hash-dependent → rows-only driver check.
     ("d05_embedding_neardup",
       (s: SparkSession, d: String) => {
-        Similarity.nearDupPairs(Tables.load(s, d, "embeddings"), threshold = 0.45)
+        Similarity.srpNearDupPairs(Tables.load(s, d, "embeddings"), threshold = 0.45,
+            nWords = 3, bandBits = 6, maxBucket = 1000)
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             |  round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
-             |FROM e a JOIN e b ON a.vec_id < b.vec_id
-             |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
-             |ORDER BY id_a, id_b""".stripMargin)),
+      None),
 
     // ---- similarity: brute-force cosine top-k -----------------------------
     ("s01_cosine_topk",

@@ -39,13 +39,55 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(found.size <= truthPairs.size * 4)
   }
 
-  test("simhash banding finds the near-dup pairs (recall ≥ 0.8) with bounded noise") {
-    val found = Dedup.simhashNearDups(docs, "doc_id", "text", bands = 8, maxHamming = 5)
+  test("simhash 4×16-bit banding is EXACT for its hamming ≤ 3 contract") {
+    // Pigeonhole: 3 differing bits cannot touch all 4 bands, so every
+    // ham ≤ 3 pair collides on ≥ 1 band — candidate recall is guaranteed,
+    // not probabilistic. Verify against brute-force hamming ground truth.
+    val fp = docs.select(col("doc_id"),
+      graft.functions.SimHash.simhash(Dedup.words(col("text"))).as("fp"))
+    val fa = fp.select(col("doc_id").as("id_a"), col("fp").as("fp_a"))
+    val fb = fp.select(col("doc_id").as("id_b"), col("fp").as("fp_b"))
+    val bruteTruth = fa.crossJoin(fb).filter(col("id_a") < col("id_b"))
+      .filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) <= 3)
       .select("id_a", "id_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = truthPairs.count(found).toDouble / truthPairs.size
-    assert(recall >= 0.8, s"recall $recall")
-    assert(found.size <= 200, s"too many candidate pairs: ${found.size}")
+    val found = Dedup.simhashNearDups(docs, "doc_id", "text",
+        bands = 4, maxHamming = 3, maxBucket = 1000)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == bruteTruth,
+      s"banded=${found.size} brute=${bruteTruth.size} — must be identical")
+    assert(bruteTruth.nonEmpty, "fixture should contain simhash near-dups")
+  }
+
+  test("simhash candidate volume stays ~linear on a clustered duplicate corpus") {
+    import spark.implicits._
+    // 300 docs in 100 clusters of 3 (one base + 2 light edits): candidate
+    // pairs must scale with cluster structure (~3 per cluster), not n².
+    val rng = new scala.util.Random(7)
+    val corpus = (0 until 100).flatMap { c =>
+      val base = (0 until 40).map(_ => s"w${rng.nextInt(5000)}").mkString(" ")
+      (0 until 3).map { v =>
+        val text = if (v == 0) base else base + s" tail$c$v"
+        ((c * 3 + v).toLong, text)
+      }
+    }.toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(corpus, "doc_id", "text",
+      bands = 4, maxHamming = 3, maxBucket = 1000).count()
+    // 100 clusters × ≤3 intra-cluster pairs + a small cross-cluster tail;
+    // n²/2 would be 44,850
+    assert(pairs <= 600, s"candidate blowup: $pairs pairs for 300 docs")
+    assert(pairs >= 100, s"clusters should produce pairs, got $pairs")
+  }
+
+  test("capBuckets drops oversized buckets and keeps small ones intact") {
+    import spark.implicits._
+    val banded = (0 until 20).map(i => (i.toLong, 0, if (i < 15) 1L else 2L))
+      .toDF("id", "band", "key")
+    val capped = Dedup.capBuckets(banded, Seq("band", "key"), maxBucket = 10)
+    // key=1 bucket (15 members) dropped, key=2 bucket (5 members) kept
+    assert(capped.count() == 5)
+    assert(Dedup.capBuckets(banded, Seq("band", "key"), 0).count() == 20)
   }
 
   test("minhash candidates: no self pairs, id_a < id_b, deterministic") {
@@ -71,6 +113,47 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ivf.size == 50)
     val recall = brute.count(ivf).toDouble / brute.size
     assert(recall >= 0.6, s"IVF recall $recall")
+  }
+
+  test("SRP-LSH near-dup: recall ≥ 0.8 of brute pairs, plan has no cartesian") {
+    val emb = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding").cache()
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairSet(Similarity.nearDupPairs(emb, 0.45))
+    assert(brute.nonEmpty, "fixture should contain qualifying pairs")
+    val lshDf = Similarity.srpNearDupPairs(emb, 0.45,
+      nWords = 3, bandBits = 6, maxBucket = 1000)
+    val lsh = pairSet(lshDf)
+    // deterministic on fixed data (measured 0.857 at sf0.001); every LSH
+    // pair is exact-verified, so precision is 1.0 by construction
+    val recall = brute.count(lsh).toDouble / brute.size
+    assert(recall >= 0.8, s"SRP recall $recall, truth=${brute.size}, found=${lsh.size}")
+    assert(lsh.subsetOf(brute), "verify stage must make every emitted pair exact")
+    val plan = lshDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must be join-banded, not all-pairs")
+  }
+
+  test("SRP-LSH near-dup: recall ≥ 0.95 on planted high-cosine duplicates") {
+    import spark.implicits._
+    // The realistic operating point: near-dup corpora have planted
+    // high-cos copies (cos ≥ 0.9), where 8-bit bands recall ≥ 0.95.
+    val rng = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(64)(rng.nextGaussian().toFloat)
+    def jitter(v: Array[Float]): Array[Float] = v.map(x => x + rng.nextGaussian().toFloat * 0.08f)
+    val rows = (0 until 200).flatMap { i =>
+      val base = vec()
+      Seq((i * 2L, base), (i * 2L + 1, jitter(base)))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairSet(Similarity.nearDupPairs(emb, 0.9))
+    assert(brute.size >= 150, s"planted dups should qualify, got ${brute.size}")
+    val lsh = pairSet(Similarity.srpNearDupPairs(emb, 0.9,
+      nWords = 2, bandBits = 8, maxBucket = 1000))
+    val recall = brute.count(lsh).toDouble / brute.size
+    assert(recall >= 0.95, s"planted-dup recall $recall")
   }
 
   test("connectedComponents: transitive chains collapse to cluster minima") {

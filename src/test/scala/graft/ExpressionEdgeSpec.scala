@@ -44,6 +44,30 @@ class ExpressionEdgeSpec extends SparkSpec {
     assert(df.as[Int].collect().toSeq == Seq(3, 0, 0))
   }
 
+  test("SrpSig: word count, determinism, float/double parity, null handling") {
+    import graft.functions.SrpSig
+    val v = Seq(0.5f, -1.25f, 3.0f, 0.0f)
+    val df = Seq(v, v).toDF("e")
+      .select(SrpSig.srpSig($"e", 2).as("sig"),
+        SrpSig.srpSig($"e".cast("array<double>"), 2).as("sigd"))
+    val rows = df.collect()
+    val s0 = rows(0).getSeq[Long](0)
+    assert(s0.length == 2)
+    assert(rows(1).getSeq[Long](0) == s0)            // deterministic
+    assert(rows(0).getSeq[Long](1) == s0)            // float ≡ double (exact widening)
+    // null array → null signature
+    val nullRow = Seq(Option.empty[Seq[Float]]).toDF("e")
+      .select(SrpSig.srpSig($"e", 1).as("sig")).collect()(0)
+    assert(nullRow.isNullAt(0))
+    // sign flip of the vector flips every plane sign → complementary bits
+    val flip = Seq(v, v.map(-_)).toDF("e")
+      .select(SrpSig.srpSig($"e", 1).as("sig"))
+      .collect().map(_.getSeq[Long](0).head)
+    // zero-accumulator planes (acc == 0) break ties to 0 on both, so the
+    // XOR is a subset of all-ones but nonzero for a non-degenerate vector
+    assert(flip(0) != flip(1))
+  }
+
   test("TokenSetCount rejects non-string arrays at analysis") {
     val err = intercept[Exception] {
       Seq(Seq(1, 2)).toDF("t")
