@@ -137,6 +137,11 @@ object NorthStarQueries {
              |ORDER BY query_id, rank""".stripMargin)),
 
     // ---- similarity: IVF-probed ANN (recall-gated in ScalaTest) -----------
+    // trainIters = 0 (seed centroids) is a MEASURED choice, not an
+    // omission: on the near-uniform synthetic embeddings k-means balances
+    // cells and recall drops (~0.88 trained vs ~0.94 seeds) — asserted in
+    // DedupSimilaritySpec ("s02 centroid choice"), which flips if the
+    // data ever gains cluster structure.
     ("s02_ann_ivf",
       (s: SparkSession, d: String) => {
         val emb = Tables.load(s, d, "embeddings")

@@ -175,7 +175,7 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.connectedComponents(none, driverThreshold = 0).count() == 0)
   }
 
-  test("k-means-trained IVF: valid centroids, recall still above floor") {
+  test("s02 centroid choice: seed-vs-k-means recall measured, shipped choice wins") {
     val emb = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding").cache()
     val cents = Similarity.kmeansCentroids(emb, nCells = 16, iters = 2)
     val rows = cents.collect()
@@ -188,13 +188,24 @@ class DedupSimilaritySpec extends SparkSpec {
       df.select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val brute = pairs(Similarity.bruteForceTopK(emb, queries, 5))
+    val seeded = pairs(Similarity.ivfTopK(emb, queries, 5, nCells = 16,
+      nProbe = 4, trainIters = 0))
     val trained = pairs(Similarity.ivfTopK(emb, queries, 5, nCells = 16,
       nProbe = 4, trainIters = 2))
-    val recall = brute.count(trained).toDouble / brute.size
-    // on near-uniform random embeddings training balances cells (recall
-    // ~0.88 vs 0.94 untrained — fewer candidates scanned); on clustered
-    // real data training raises it. Floor guards the plumbing.
-    assert(recall >= 0.6, s"trained IVF recall $recall")
+    val seedRecall = brute.count(seeded).toDouble / brute.size
+    val trainedRecall = brute.count(trained).toDouble / brute.size
+    // This is the recorded measurement justifying s02's trainIters = 0:
+    // on the near-uniform synthetic embeddings k-means balances cells, so
+    // fewer candidates fall in the probed cells (trained ~0.88 vs seeds
+    // ~0.94). On clustered real data training raises recall — if this
+    // data ever gains cluster structure the assertion flips and s02
+    // should switch to trainIters > 0.
+    info(f"s02 recall: seeds=$seedRecall%.3f kmeans-trained=$trainedRecall%.3f")
+    assert(seedRecall + 0.02 >= trainedRecall,
+      s"k-means centroids now beat seeds ($trainedRecall > $seedRecall): " +
+        "switch s02_ann_ivf to trainIters > 0")
+    assert(seedRecall >= 0.6, s"shipped s02 recall $seedRecall below floor")
+    assert(trainedRecall >= 0.6, s"trained IVF recall $trainedRecall")
   }
 
   test("exact dedup keeps one row per distinct text") {
