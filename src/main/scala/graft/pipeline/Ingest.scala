@@ -46,12 +46,29 @@ object Ingest {
     total / perPage + (if (total % perPage > 0) 1 else 0)
 
   /** A page source: `total()` mirrors the meta probe; `page(n)` one
-    * GET. Implementations over HTTP use `java.net.http.HttpClient`;
-    * tests inject a stub. Serializable so [[ingestDistributed]] can ship
-    * it to executors. */
+    * GET. Implementations over HTTP use [[HttpFetcher]]; tests inject a
+    * stub. Serializable so [[ingestDistributed]] can ship it to
+    * executors. */
   trait Fetcher extends Serializable {
     def total(): Int
     def page(n: Int, perPage: Int): Seq[Map[String, String]]
+  }
+
+  /** Per-page progress callback — the analog of the reference's XCom
+    * push `{'page': n, 'total': total}` per fetched page
+    * (`fetch_data_with_meta_from_api.py:78-81`). Serializable: in
+    * [[ingestDistributed]] it fires on executors (progress lands in
+    * executor logs; the driver-side count arrives via a named
+    * accumulator, visible in the Spark UI). */
+  trait ProgressListener extends Serializable {
+    def pageFetched(page: Int, total: Int): Unit
+  }
+
+  /** Default listener: one structured log line per page. */
+  object LogProgress extends ProgressListener {
+    override def pageFetched(page: Int, total: Int): Unit =
+      // scalastyle:off println — operational progress, reference parity
+      println(s"""[ingest] progress {"page":$page,"total":$total}""")
   }
 
   /** Minimal CSV quoting matching Python's `csv.writer` QUOTE_MINIMAL
@@ -67,7 +84,8 @@ object Ingest {
 
   /** Driver-side ingest (reference-parity). Returns the bronze run dir. */
   def ingest(spark: SparkSession, fetcher: Fetcher, bronzeDir: String,
-             runTs: Instant, perPage: Int = PerPage): String = {
+             runTs: Instant, perPage: Int = PerPage,
+             progress: ProgressListener = LogProgress): String = {
     val total = fetcher.total()
     val pages = pageCount(total, perPage)
     val runDir = new Path(bronzeDir, Layers.runFolderName(runTs))
@@ -83,6 +101,7 @@ object Ingest {
           w.write(csvLine(header.map(k => r.getOrElse(k, null)))); w.write("\r\n")
         }
       } finally w.close()
+      progress.pageFetched(n, total) // XCom-parity: after the page lands
     }
     assertComplete(spark, runDir.toString, total, perPage)
     runDir.toString
@@ -93,17 +112,21 @@ object Ingest {
     * silver reader). */
   def ingestDistributed(spark: SparkSession, fetcher: Fetcher,
                         bronzeDir: String, runTs: Instant,
-                        perPage: Int = PerPage): String = {
+                        perPage: Int = PerPage,
+                        progress: ProgressListener = LogProgress): String = {
     val total = fetcher.total()
     val pages = pageCount(total, perPage)
     val runDir = new Path(bronzeDir, Layers.runFolderName(runTs)).toString
     val parallelism = math.min(pages, spark.sparkContext.defaultParallelism)
+    val pagesFetched = spark.sparkContext.longAccumulator("ingest_pages_fetched")
     val rows: org.apache.spark.rdd.RDD[Row] = spark.range(1, pages + 1L)
       .repartition(math.max(parallelism, 1))
       .rdd.mapPartitions { pageNums =>
         pageNums.flatMap { n =>
-          fetcher.page(n.toInt, perPage)
-            .map(r => Row.fromSeq(header.map(k => r.getOrElse(k, null))))
+          val fetched = fetcher.page(n.toInt, perPage)
+          pagesFetched.add(1)
+          progress.pageFetched(n.toInt, total)
+          fetched.map(r => Row.fromSeq(header.map(k => r.getOrElse(k, null))))
         }
       }
     spark.createDataFrame(rows, schema)
@@ -117,6 +140,11 @@ object Ingest {
     val written = spark.read.option("header", true).csv(s"$runDir/*.csv").count()
     require(written == total,
       s"ingestion completeness violated: wrote $written rows, expected $total")
+    // >= not ==: accumulators in transformations may over-count under
+    // task retry/speculation on a real cluster; the row-count check above
+    // is the exact completeness gate
+    require(pagesFetched.value >= pages,
+      s"page-progress mismatch: fetched ${pagesFetched.value} of $pages pages")
     runDir
   }
 
