@@ -70,19 +70,21 @@ object Curation {
       .select(col("id").as("doc_id"))
     val nearKept = exactKept.join(losers, Seq("doc_id"), "left_anti")
 
-    // evaluation order ≠ display order: scored.count() runs first (it is a
-    // 1:1 projection of docs, so it IS the input count, and it fills the
-    // scored cache in the same job), then exactKept.count() fills the
-    // exact cache, making the remaining counts cheap cache reads
-    val nInput = scored.count()
-    val nExact = exactKept.count()
-    val nQuality = qualityKept.count()
-    val nNear = nearKept.count()
-    val report = Seq(
-      Report("input", nInput),
-      Report("quality_filtered", nQuality),
-      Report("exact_deduped", nExact),
-      Report("near_deduped", nNear))
+    // One aggregation job over a stage-labeled union instead of four
+    // separate count() jobs. By the time this runs, connectedComponents
+    // (invoked above) has already materialized the pairs cache, and
+    // computing pairs pulled the exactKept and scored partitions through
+    // their cache layers — so every union branch is a cache read.
+    val stageOf = Seq(
+      "input" -> scored, "quality_filtered" -> qualityKept,
+      "exact_deduped" -> exactKept, "near_deduped" -> nearKept)
+    val counted = stageOf.map { case (name, df) => df.select(lit(name).as("stage")) }
+      .reduce(_.unionAll(_))
+      .groupBy(col("stage")).agg(count(lit(1)).as("n_docs"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val report = stageOf.map { case (name, _) =>
+      Report(name, counted.getOrElse(name, 0L))
+    }
     Curated(nearKept, report, () => {
       Seq(scored, exactKept, pairs).foreach(_.unpersist())
       releaseGrams()

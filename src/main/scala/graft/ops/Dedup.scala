@@ -121,12 +121,13 @@ object Dedup {
     * a join + aggregate); near-dup clusters have tiny diameters, so
     * convergence takes ~log(diameter) iterations. Returns (id, cluster). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
-                          driverThreshold: Long = 5000000L): DataFrame = {
+                          driverThreshold: Long = 1000000L): DataFrame = {
     // Near-dup pair sets are tiny relative to the corpus (that's the
     // point of dedup); below the threshold a driver union-find resolves
-    // them in one collect instead of a multi-job iterative loop. The
-    // distributed label-propagation path remains for edge sets too big
-    // to collect.
+    // them in one collect instead of a multi-job iterative loop. 1M
+    // edges ≈ 16 MB of longs (tens of MB as Rows in flight) — well
+    // inside driver heap; the distributed label-propagation path takes
+    // over beyond that.
     if (pairs.count() <= driverThreshold) {
       val spark = pairs.sparkSession
       import spark.implicits._

@@ -48,7 +48,13 @@ object EventStream {
       .select(col("w.start").as("hour"), col("event_type"), col("n_events"))
 
   /** Run a streaming aggregate to completion over the available data and
-    * return the result (memory sink, complete mode, AvailableNow). */
+    * return the result (memory sink, complete mode, AvailableNow).
+    *
+    * The memory sink holds the (bounded-cardinality) aggregate on the
+    * driver — right for the oracle-checked query surface, where Complete
+    * mode must include still-open windows. The production drain at scale
+    * is [[runToFiles]]: Append mode + watermark to a parquet sink, no
+    * driver-held result. */
   def runToMemory(spark: SparkSession, streamed: DataFrame, name: String): DataFrame = {
     // One-shot drain tuning, restored afterwards:
     //  - skip the watermark-commit empty batch (changes nothing for
@@ -71,6 +77,37 @@ object EventStream {
         .start()
       q.awaitTermination()
       spark.table(name)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** Drain a watermarked streaming aggregate to a parquet file sink —
+    * the cluster-scale path: Append mode emits each window exactly once
+    * when the watermark passes it, results land in distributed files,
+    * and nothing is held on the driver. Windows not yet past the final
+    * watermark stay open and emit on the NEXT run from the same
+    * checkpoint (exactly what a continuously-scheduled job wants);
+    * one-shot consumers needing every window use [[runToMemory]].
+    * Returns the sink directory read back as a DataFrame. */
+  def runToFiles(spark: SparkSession, streamed: DataFrame, outDir: String,
+                 checkpointDir: String): DataFrame = {
+    val tuned = Seq(
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "true",
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false")
+    val prev = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val q = streamed.writeStream
+        .outputMode(OutputMode.Append)
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(outDir)
     } finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)

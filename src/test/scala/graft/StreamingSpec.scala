@@ -25,6 +25,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("file-sink drain (Append + watermark) emits exactly the finalized windows") {
+    val out = java.nio.file.Files.createTempDirectory("graft_fsink").toString
+    val drained = EventStream.runToFiles(spark,
+      EventStream.hourlyCounts(EventStream.readEvents(spark, sf)),
+      s"$out/data", s"$out/ckpt")
+    // Append emits a window once the watermark (max event_time - 1h)
+    // passes its end: expected = batch windows with end <= watermark
+    val events = Tables.load(spark, sf, "events")
+      .select(Tables.eventTime(col("ts")).as("event_time"))
+    val maxTs = events.agg(max(col("event_time"))).collect()(0).getTimestamp(0)
+    val batch = Tables.load(spark, sf, "events")
+      .groupBy(date_trunc("hour", Tables.eventTime(col("ts"))).as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .filter(col("hour") + expr("INTERVAL 1 HOUR") <=
+        lit(maxTs) - expr("INTERVAL 1 HOUR"))
+    assert(drained.count() > 0, "watermark should finalize most windows")
+    assert(drained.exceptAll(batch).isEmpty && batch.exceptAll(drained).isEmpty,
+      "file sink must hold exactly the watermark-finalized windows")
+  }
+
   test("batch sessionize: gaps > 30 min split sessions; invariants hold") {
     val h = 3600L * 1000 * 1000 * 1000 // 1h in ns
     val evs = Seq(
