@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data preparation operators (north-star extension): the
+  * steps between a curated corpus and a tokenizer-ready dataset.
+  *
+  * All are pure column/window expressions — deterministic, shuffle
+  * bounded, oracle-checkable in a second engine:
+  *  - [[splitAssign]]: stable train/val assignment from an id hash (no
+  *    RNG state, reproducible across runs and engines, survives corpus
+  *    append since each id's split never changes).
+  *  - [[normalized]]: canonical text form for formatting-insensitive
+  *    exact dedup (case/punctuation/whitespace collapsed).
+  *  - [[packedBin]]: greedy concat-packing of documents into
+  *    token-budget bins per shard — the standard pretraining packing;
+  *    partitioned by a shard key so the cumulative sum parallelizes
+  *    (one global ordered window would serialize at 100 TB).
+  *  - [[chunkStarts]]: overlapping fixed-size character chunks for
+  *    embedding/retrieval pipelines (explode at the call site).
+  */
+object TrainingPrep {
+
+  /** Knuth's multiplicative constant: spreads sequential ids uniformly
+    * over the modulus without RNG state. */
+  val HashK = 2654435761L
+
+  /** 'train' for trainPct% of ids, 'val' otherwise — deterministic and
+    * engine-portable (pure integer arithmetic, no overflow for ids up
+    * to ~3.4e9). */
+  def splitAssign(id: Column, trainPct: Int): Column =
+    when((id * HashK) % 100 < trainPct, "train").otherwise("val")
+
+  /** Canonical text: lowercase, strip non-alphanumerics, collapse
+    * whitespace runs, trim — catches formatting-only duplicates that
+    * byte-exact dedup misses. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Bin index for greedy concat-packing: documents ordered by
+    * `orderCol` within each `shard` are concatenated and cut every
+    * `budget` tokens; a document's bin is the budget-multiple its first
+    * token falls in. One partitioned window sum — no driver loop. */
+  def packedBin(tokens: Column, shard: Column, orderCol: Column, budget: Int): Column = {
+    val cumBefore =
+      sum(tokens).over(Window.partitionBy(shard).orderBy(orderCol)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - tokens
+    floor(cumBefore / budget).cast("long")
+  }
+
+  /** Array of chunk start offsets (0, stride, 2·stride, … < length) —
+    * `posexplode` + `substr` at the call site turns it into overlapping
+    * chunks of `size` chars with `size - stride` overlap. */
+  def chunkStarts(text: Column, stride: Int): Column =
+    sequence(lit(0), greatest(length(text) - 1, lit(0)), lit(stride))
+}

@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{TextAnalysis, TrainingPrep}
+import graft.streaming.EventStream
+
+/** Training-data preparation query surface: deterministic splits,
+  * token-budget packing, normalized dedup, chunking, and the file-sink
+  * streaming drain. Every query has a DuckDB oracle (all operators are
+  * pure column/window arithmetic or exact string ops).
+  */
+object TrainingPrepQueries {
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // ---- deterministic train/val split (id-hash, RNG-free) ----------------
+    ("q40_train_split",
+      (s: SparkSession, d: String) => {
+        Tables.load(s, d, "documents")
+          .groupBy(col("source"), TrainingPrep.splitAssign(col("doc_id"), 90).as("split"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("source"), col("split"))
+      },
+      Some("""SELECT source,
+             |  CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train' ELSE 'val' END AS split,
+             |  COUNT(*) AS n_docs
+             |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- greedy concat-packing into 512-token bins per source shard -------
+    ("q41_token_packing",
+      (s: SparkSession, d: String) => {
+        Tables.load(s, d, "documents")
+          .select(col("source"), col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+          .withColumn("bin",
+            TrainingPrep.packedBin(col("n_tokens"), col("source"), col("doc_id"), 512))
+          .groupBy(col("source"), col("bin"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("bin_tokens"))
+          .orderBy(col("source"), col("bin"))
+      },
+      Some("""WITH t AS (
+             |  SELECT source, doc_id,
+             |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |b AS (
+             |  SELECT source, n_tokens,
+             |    CAST(floor((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             |      ROWS UNBOUNDED PRECEDING) - n_tokens) / 512) AS BIGINT) AS bin
+             |  FROM t)
+             |SELECT source, bin, COUNT(*) AS n_docs,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+             |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- formatting-insensitive exact dedup on canonical text -------------
+    ("d07_normalized_dedup",
+      (s: SparkSession, d: String) => {
+        Tables.load(s, d, "documents")
+          .groupBy(TrainingPrep.normalized(col("text")).as("canon"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+          .select(col("keep_id"), col("n_copies"))
+          .orderBy(col("keep_id"))
+      },
+      Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+             |FROM documents
+             |GROUP BY trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+             |                             ' +', ' ', 'g'))
+             |ORDER BY keep_id""".stripMargin)),
+
+    // ---- overlapping character chunks (size 200, stride 150) --------------
+    ("t05_chunk_docs",
+      (s: SparkSession, d: String) => {
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("text"),
+            posexplode(TrainingPrep.chunkStarts(col("text"), 150)))
+          .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
+            col("text").substr(col("col") + 1, lit(200)).as("chunk"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some("""SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,
+             |  substr(text, CAST(u.i*150+1 AS INT), 200) AS chunk
+             |FROM documents,
+             |  unnest(range(0, CAST(ceil(length(text)/150.0) AS BIGINT))) AS u(i)
+             |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // ---- streaming drain to a parquet file sink (Append + watermark) ------
+    // The scale-path streaming story as an oracle-checked query: only
+    // watermark-finalized windows land in the sink.
+    ("st04_stream_file_drain",
+      (s: SparkSession, d: String) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_st04").toString
+        EventStream.runToFiles(s,
+            EventStream.hourlyCounts(EventStream.readEvents(s, d)),
+            s"$out/data", s"$out/ckpt")
+          .orderBy(col("hour"), col("event_type"))
+      },
+      Some("""WITH e AS (
+             |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+             |    event_type, CAST(ts AS TIMESTAMP) AS t
+             |  FROM events),
+             |wm AS (SELECT max(t) - INTERVAL 1 HOUR AS w FROM e)
+             |SELECT hour, event_type, COUNT(*) AS n_events
+             |FROM e, wm
+             |GROUP BY hour, event_type, wm.w
+             |HAVING hour + INTERVAL 1 HOUR <= wm.w
+             |ORDER BY hour, event_type""".stripMargin)),
+  )
+}

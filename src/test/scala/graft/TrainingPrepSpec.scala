@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TrainingPrep
+
+/** Invariants for the training-data preparation operators. */
+class TrainingPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("splitAssign: deterministic, ~trainPct proportion, stable under append") {
+    val ids = spark.range(0, 10000).toDF("id")
+    val split = ids.select(col("id"), TrainingPrep.splitAssign(col("id"), 90).as("s"))
+    val counts = split.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("train") + counts("val") == 10000)
+    // multiplicative hashing spreads sequential ids near-uniformly
+    assert(counts("train") >= 8700 && counts("train") <= 9300, s"skewed: $counts")
+    // per-id assignment is a pure function of the id: evaluating over a
+    // subset (append scenario) never flips an existing id's split
+    val sub = spark.range(0, 100).toDF("id")
+      .select(col("id"), TrainingPrep.splitAssign(col("id"), 90).as("s"))
+    val full = split.filter(col("id") < 100)
+    assert(sub.exceptAll(full).isEmpty && full.exceptAll(sub).isEmpty)
+  }
+
+  test("packedBin: greedy concat-packing reference semantics + conservation") {
+    val docs = Seq(
+      ("a", 1L, 60L), ("a", 2L, 60L), ("a", 3L, 60L), ("a", 4L, 250L), ("a", 5L, 10L),
+      ("b", 1L, 100L), ("b", 2L, 1L)
+    ).toDF("shard", "doc_id", "n_tokens")
+    val out = docs.withColumn("bin",
+        TrainingPrep.packedBin(col("n_tokens"), col("shard"), col("doc_id"), 100))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byKey = out.map(t => (t._1, t._2) -> t._4).toMap
+    // shard a cumBefore: 0, 60, 120, 180, 430 → bins 0, 0, 1, 1, 4
+    assert(byKey(("a", 1L)) == 0 && byKey(("a", 2L)) == 0)
+    assert(byKey(("a", 3L)) == 1 && byKey(("a", 4L)) == 1)
+    assert(byKey(("a", 5L)) == 4) // big doc straddles: later bins skip
+    // shard b: cumBefore 0, 100 → bins 0, 1 (exact boundary starts a new bin)
+    assert(byKey(("b", 1L)) == 0 && byKey(("b", 2L)) == 1)
+    // bins are non-decreasing in doc order within a shard
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_._2).map(_._4)
+      assert(ordered.zip(ordered.tail).forall { case (x, y) => x <= y })
+    }
+  }
+
+  test("normalized: formatting variants collapse, distinct content does not") {
+    val df = Seq(
+      "Hello,  World!", "hello world", "HELLO -- world",
+      "different text").toDF("t")
+      .select(TrainingPrep.normalized(col("t")).as("c"))
+    val canon = df.as[String].collect()
+    assert(canon(0) == "hello world" && canon(1) == "hello world" && canon(2) == "hello world")
+    assert(canon(3) == "different text")
+    assert(canon.distinct.length == 2)
+  }
+
+  test("chunkStarts: chunks cover the text with the declared overlap") {
+    val text = ("x" * 149) + ("y" * 150) + ("z" * 75) // length 374
+    val starts = Seq(text).toDF("t")
+      .select(TrainingPrep.chunkStarts(col("t"), 150).as("s"))
+      .as[Seq[Int]].collect()(0)
+    assert(starts == Seq(0, 150, 300))
+    val chunks = starts.map(s => text.substring(s, math.min(s + 200, text.length)))
+    // non-overlapping prefixes + final chunk reconstruct the text exactly
+    val rebuilt = chunks.init.map(_.take(150)).mkString + chunks.last
+    assert(rebuilt == text)
+    // consecutive chunks share size - stride = 50 chars
+    chunks.sliding(2).foreach {
+      case Seq(a, b) => if (a.length == 200) assert(a.takeRight(50) == b.take(50))
+      case _ =>
+    }
+    // empty text still yields exactly one (empty) chunk start
+    val empty = Seq("").toDF("t")
+      .select(TrainingPrep.chunkStarts(col("t"), 150).as("s"))
+      .as[Seq[Int]].collect()(0)
+    assert(empty == Seq(0))
+  }
+}
