@@ -204,10 +204,16 @@ object Dedup {
         shiftrightunsigned(col("fp"), b * width)
           .bitwiseAND(lit((1L << width) - 1)).as("bits"))
     }: _*)
+    // Cached: the self-join would otherwise recompute the whole
+    // fingerprint+banding+capping subtree once per side (verified via
+    // .explain — the duplicated Scan→SimHash→Generate→Window chain). At
+    // cluster scale this is the materialized banded table; same pattern
+    // as the minhash grams cache.
     val banded = capBuckets(
       fp.select(col("sid"), col("fp"), explode(bandStructs).as("bk"))
         .select(col("sid"), col("fp"), col("bk.band").as("band"), col("bk.bits").as("bits")),
       Seq("band", "bits"), maxBucket)
+      .cache()
     val a = banded.select(col("sid").as("id_a"), col("fp").as("fp_a"), col("band"), col("bits"))
     val b = banded.select(col("sid").as("id_b"), col("fp").as("fp_b"), col("band"), col("bits"))
     a.join(b, Seq("band", "bits"))

@@ -173,7 +173,10 @@ object Similarity {
     }: _*)
     val banded = sig.select(col("vec_id"), explode(bandStructs).as("bk"))
       .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val capped = Dedup.capBuckets(banded, Seq("band", "key"), maxBucket)
+    // Cached: the band self-join would otherwise evaluate the
+    // SrpSig→explode→cap-window subtree once per side (seen in
+    // .explain); this is the materialized signature table at scale.
+    val capped = Dedup.capBuckets(banded, Seq("band", "key"), maxBucket).cache()
     val a = capped.select(col("vec_id").as("id_a"), col("band"), col("key"))
     val b = capped.select(col("vec_id").as("id_b"), col("band"), col("key"))
     val cands = a.join(b, Seq("band", "key"))

@@ -1,0 +1,57 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Source/sink format coverage beyond CSV + parquet + REST: JSON-lines
+  * and ORC round-trips. Each query writes the table through the format
+  * and reads it back before aggregating, so the oracle (which reads the
+  * original parquet) certifies byte-faithful round-tripping, not just
+  * the aggregation. */
+object SourceFormatQueries {
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // ---- JSON-lines sink + schema-explicit source -------------------------
+    ("q42_jsonl_roundtrip",
+      (s: SparkSession, d: String) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+        val docs = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), col("text"))
+        docs.write.mode("overwrite").json(out)
+        s.read.schema(docs.schema).json(out)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text")).cast("long")).as("total_chars"),
+            min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+             |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+             |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ---- ORC sink + source ------------------------------------------------
+    ("q43_orc_roundtrip",
+      (s: SparkSession, d: String) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_orc").toString
+        Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_extendedprice"), col("l_returnflag"))
+          .write.mode("overwrite").orc(out)
+        s.read.orc(out)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity")).as("sum_qty"), // integer-valued doubles: exact
+            sum(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+              .cast("double").as("sum_price"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n_items,
+             |  SUM(l_quantity) AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+  )
+}

@@ -29,31 +29,37 @@ object TrainingPrepQueries {
              |  COUNT(*) AS n_docs
              |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
-    // ---- greedy concat-packing into 512-token bins per source shard -------
+    // ---- greedy concat-packing into 512-token bins per shard --------------
+    // Shard = (source, doc_id range of 100k): the window's state and sort
+    // stay bounded per shard and parallelism scales with the corpus, not
+    // with the handful of distinct sources — the cost is at most one
+    // underfull bin per 100k-doc range.
     ("q41_token_packing",
       (s: SparkSession, d: String) => {
         Tables.load(s, d, "documents")
           .select(col("source"), col("doc_id"),
+            floor(col("doc_id") / 100000).cast("long").as("id_range"),
             TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
           .withColumn("bin",
-            TrainingPrep.packedBin(col("n_tokens"), col("source"), col("doc_id"), 512))
-          .groupBy(col("source"), col("bin"))
+            TrainingPrep.packedBin(col("n_tokens"),
+              struct(col("source"), col("id_range")), col("doc_id"), 512))
+          .groupBy(col("source"), col("id_range"), col("bin"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_tokens")).as("bin_tokens"))
-          .orderBy(col("source"), col("bin"))
+          .orderBy(col("source"), col("id_range"), col("bin"))
       },
       Some("""WITH t AS (
-             |  SELECT source, doc_id,
+             |  SELECT source, doc_id, CAST(doc_id // 100000 AS BIGINT) AS id_range,
              |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens
              |  FROM documents),
              |b AS (
-             |  SELECT source, n_tokens,
-             |    CAST(floor((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             |  SELECT source, id_range, n_tokens,
+             |    CAST(floor((SUM(n_tokens) OVER (PARTITION BY source, id_range ORDER BY doc_id
              |      ROWS UNBOUNDED PRECEDING) - n_tokens) / 512) AS BIGINT) AS bin
              |  FROM t)
-             |SELECT source, bin, COUNT(*) AS n_docs,
+             |SELECT source, id_range, bin, COUNT(*) AS n_docs,
              |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
-             |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+             |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
 
     // ---- formatting-insensitive exact dedup on canonical text -------------
     ("d07_normalized_dedup",
