@@ -45,9 +45,64 @@ object Multimodal {
       .as[Media]
   }
 
-  /** STUB codec: deterministic fake "decode" producing a dim-sized float
-    * feature vector from a rolling hash of the payload bytes. A real
-    * implementation decodes pixels/samples here; everything around it
+  /** REAL image codec via `javax.imageio` (JDK built-in, no external
+    * deps): decodes PNG/JPEG/BMP/GIF payloads to pixels and derives a
+    * `dim`-bin normalized grayscale histogram as the feature vector.
+    * Returns None for undecodable bytes so callers can fall back to
+    * [[StubCodec]] — on the synthetic text-byte fixtures every payload
+    * falls back (outputs stay deterministic/oracle-safe), while real
+    * image bytes take the genuine decode path (MultimodalSpec feeds
+    * generated PNGs through it). Audio/video stay stubbed: no codec
+    * libraries exist in this container. */
+  object ImageCodec extends Serializable {
+    def decode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      catch { case _: java.io.IOException => None }
+
+    def features(payload: Array[Byte], dim: Int): Option[Array[Float]] =
+      decode(payload).map { img =>
+        val hist = new Array[Float](dim)
+        val w = img.getWidth
+        val h = img.getHeight
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val gray = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+            hist(gray * dim / 256) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toFloat
+        var i = 0
+        while (i < dim) { hist(i) /= n; i += 1 }
+        hist
+      }
+
+    /** Pixel-level resize + PNG re-encode (area-preserving smooth
+      * scale). None when the payload doesn't decode. */
+    def resized(payload: Array[Byte], newW: Int, newH: Int): Option[Array[Byte]] =
+      decode(payload).map { img =>
+        val out = new java.awt.image.BufferedImage(
+          newW, newH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, newW, newH, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      }
+  }
+
+  /** STUB codec for formats with no decoder in this container (audio,
+    * video; also the image fallback for undecodable bytes): a
+    * deterministic fake producing a dim-sized float feature vector from
+    * a rolling hash of the payload bytes. Everything around it
     * (batching, schema, null-free contract) is production-shaped. */
   object StubCodec extends Serializable {
     def features(payload: Array[Byte], dim: Int): Array[Float] = {
@@ -64,13 +119,19 @@ object Multimodal {
   }
 
   /** Feature extraction over partition-sized batches — the mapInPandas
-    * shape: one iterator in, one iterator out, no per-row UDF dispatch. */
+    * shape: one iterator in, one iterator out, no per-row UDF dispatch.
+    * Image payloads take the real [[ImageCodec]] decode when the bytes
+    * are a decodable image, otherwise (and for audio/video) the
+    * deterministic [[StubCodec]]. */
   def extractFeatures(media: Dataset[Media], dim: Int = 16): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { batch =>
       batch.map { m =>
-        MediaFeatures(m.media_id, m.kind, m.payload.length,
-          StubCodec.features(m.payload, dim))
+        val feats =
+          if (m.kind == "image") ImageCodec.features(m.payload, dim)
+            .getOrElse(StubCodec.features(m.payload, dim))
+          else StubCodec.features(m.payload, dim)
+        MediaFeatures(m.media_id, m.kind, m.payload.length, feats)
       }
     }
   }
@@ -93,15 +154,23 @@ object Multimodal {
     }
   }
 
-  /** Metadata-level resize (a real impl would also transform pixels in
-    * the payload via the codec). */
+  /** Resize: aspect-preserving fit into maxW × maxH. Decodable image
+    * payloads are resized at the PIXEL level and re-encoded (real
+    * transform via [[ImageCodec.resized]]); everything else updates
+    * metadata only (the honest stub for codec-less formats). */
   def resize(media: Dataset[Media], maxW: Int, maxH: Int): Dataset[Media] = {
     import media.sparkSession.implicits._
     media.map { m =>
       if (m.width <= maxW && m.height <= maxH) m
       else {
         val scale = math.min(maxW.toDouble / m.width, maxH.toDouble / m.height)
-        m.copy(width = (m.width * scale).toInt, height = (m.height * scale).toInt)
+        val nw = math.max(1, (m.width * scale).toInt)
+        val nh = math.max(1, (m.height * scale).toInt)
+        val payload =
+          if (m.kind == "image")
+            ImageCodec.resized(m.payload, nw, nh).getOrElse(m.payload)
+          else m.payload
+        m.copy(width = nw, height = nh, payload = payload)
       }
     }
   }

@@ -83,6 +83,26 @@ object EventStream {
     }
   }
 
+  /** Run `body` with the RocksDB state store provider — the 100 TB
+    * streaming-state story: state lives off-heap/on-disk per executor
+    * with changelog checkpointing to the checkpoint location, instead of
+    * in executor heap (the default HDFSBackedStateStoreProvider holds
+    * every key in memory — a ceiling the RocksDB provider removes for
+    * high-cardinality keys like per-user sessions). Restores the
+    * previous provider afterwards; queries STARTED inside keep their
+    * provider for their lifetime (it is fixed at query start). */
+  def withRocksDBState[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Drain a watermarked streaming aggregate to a parquet file sink —
     * the cluster-scale path: Append mode emits each window exactly once
     * when the watermark passes it, results land in distributed files,

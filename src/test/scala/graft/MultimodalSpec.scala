@@ -5,9 +5,24 @@ import org.apache.spark.sql.functions._
 import graft.ops.Multimodal
 
 /** Multimodal binary-column plumbing: schema, determinism, batch shape.
-  * (Decode itself is a documented stub — see Multimodal.StubCodec.) */
+  * Image decode is REAL (javax.imageio via Multimodal.ImageCodec) and
+  * exercised with generated PNGs below; audio/video decode is a
+  * documented stub — see Multimodal.StubCodec. */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
+
+  /** In-memory PNG: w×h horizontal gray gradient. */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = (x * 255) / math.max(w - 1, 1)
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 
   private val sf = "/root/testdata/sf0.001"
   private lazy val media = Multimodal.fromDocuments(Tables.load(spark, sf, "documents"))
@@ -34,6 +49,38 @@ class MultimodalSpec extends SparkSpec {
     }
     // features depend on payload: different docs → different features
     assert(f1.map(_.features.toSeq).distinct.length > f1.length / 2)
+  }
+
+  test("real PNG payloads take the javax.imageio decode path (histogram features)") {
+    val png = pngBytes(64, 32)
+    val rows = Seq(
+      Multimodal.Media(1L, "image", png, 64, 32, 0, 0L),
+      Multimodal.Media(2L, "image", "not an image".getBytes, 10, 10, 0, 0L),
+      Multimodal.Media(3L, "audio", png, 0, 0, 16000, 100L)).toDS()
+    val feats = Multimodal.extractFeatures(rows, dim = 16)
+      .collect().map(f => f.media_id -> f).toMap
+    // decoded histogram: normalized (sums to 1), spread across gray bins
+    val hist = feats(1L).features
+    assert(math.abs(hist.sum - 1f) < 1e-3, s"histogram not normalized: ${hist.sum}")
+    assert(hist.count(_ > 0f) >= 8, "gradient should fill most gray bins")
+    // undecodable image bytes fall back to the deterministic stub
+    assert(feats(2L).features.toSeq ==
+      Multimodal.StubCodec.features("not an image".getBytes, 16).toSeq)
+    // audio ignores the decodable payload: stays on the stub path
+    assert(feats(3L).features.toSeq == Multimodal.StubCodec.features(png, 16).toSeq)
+  }
+
+  test("resize transforms decodable image pixels, not just metadata") {
+    val png = pngBytes(64, 32)
+    val rows = Seq(Multimodal.Media(1L, "image", png, 64, 32, 0, 0L)).toDS()
+    val out = Multimodal.resize(rows, maxW = 32, maxH = 32).collect()(0)
+    assert(out.width == 32 && out.height == 16)
+    val img = Multimodal.ImageCodec.decode(out.payload).get
+    assert(img.getWidth == 32 && img.getHeight == 16) // payload re-encoded
+    // still a gradient after bilinear scale: left edge darker than right
+    val left = img.getRGB(0, 8) & 0xff
+    val right = img.getRGB(31, 8) & 0xff
+    assert(left < right)
   }
 
   test("frame sampling: only videos, ~1 frame per second of duration") {

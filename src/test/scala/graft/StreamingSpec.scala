@@ -46,6 +46,23 @@ class StreamingSpec extends SparkSpec {
       "file sink must hold exactly the watermark-finalized windows")
   }
 
+  test("RocksDB state store provider: same windowed results as the default store") {
+    val default = EventStream.runToMemory(spark,
+      EventStream.hourlyCounts(EventStream.readEvents(spark, sf)), "t_hourly_hdfs")
+      .collect().toSet
+    val rocks = EventStream.withRocksDBState(spark) {
+      EventStream.runToMemory(spark,
+        EventStream.hourlyCounts(EventStream.readEvents(spark, sf)), "t_hourly_rocks")
+        .collect().toSet
+    }
+    assert(rocks == default)
+    assert(rocks.nonEmpty)
+    // provider conf restored after the block (getOption surfaces the
+    // built-in HDFSBacked default, so assert on the value, not on None)
+    assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("HDFSBackedStateStoreProvider"))
+  }
+
   test("batch sessionize: gaps > 30 min split sessions; invariants hold") {
     val h = 3600L * 1000 * 1000 * 1000 // 1h in ns
     val evs = Seq(
