@@ -4,8 +4,11 @@ object Bench {
 
   /** JIT/classloading warmup so per-query timings measure the engine, not
     * first-touch compilation: exercises parquet scan, hash agg + shuffle,
-    * broadcast join, sort, and codegen'd expressions on a tiny slice. */
+    * broadcast join, sort, codegen'd expressions, generate/explode,
+    * window functions, regex extraction, and the streaming micro-batch
+    * engine on tiny slices. */
   private def warmup(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
     li.groupBy(col("l_returnflag")).agg(sum(col("l_quantity"))).count()
@@ -13,6 +16,17 @@ object Bench {
     val r = spark.read.parquet(s"$sfDir/region.parquet")
     n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .orderBy(col("n_name")).count()
+    // generate + regex + window codepaths (first-touch costs seconds)
+    li.select(explode(regexp_extract_all(lit("x1 y2 z3"), lit("[a-z0-9]+"), lit(0)))
+      .as("t")).count()
+    li.withColumn("rn",
+        row_number().over(Window.partitionBy(col("l_returnflag")).orderBy(col("l_orderkey"))))
+      .filter(col("rn") <= 2).count()
+    // streaming engine (micro-batch planner, state store, memory sink)
+    graft.streaming.EventStream.runToMemory(spark,
+      graft.streaming.EventStream.hourlyCounts(
+        graft.streaming.EventStream.readEvents(spark, sfDir)),
+      "graft_warmup_stream")
   }
 
   def main(args: Array[String]): Unit = {

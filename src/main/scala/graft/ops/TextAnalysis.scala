@@ -89,6 +89,17 @@ object TextAnalysis {
     * fold(acc = 0; acc = (acc·31 + codepoint) mod 1e9+7). Stays below
     * 2^35 so ANSI-mode long arithmetic never overflows. DuckDB twin uses
     * list_reduce over ascii(substr(...)). */
+  /** Gopher-style repetition signal: fraction of word occurrences that
+    * repeat an earlier word in the document (1 − distinct/total).
+    * Heavily boilerplate/spammy docs score high. Single division, exact
+    * in both engines; empty docs → 0. */
+  def repetitionRatio(text: Column): Column = {
+    val toks = tokens(lower(text))
+    when(size(toks) === 0, lit(0.0d))
+      .otherwise(lit(1.0d) -
+        size(array_distinct(toks)).cast("double") / size(toks))
+  }
+
   def fingerprint(text: Column): Column =
     aggregate(
       split(text, ""),

@@ -92,6 +92,45 @@ object TrainingPrepQueries {
              |  unnest(range(0, CAST(ceil(length(text)/150.0) AS BIGINT))) AS u(i)
              |ORDER BY doc_id, chunk_idx""".stripMargin)),
 
+    // ---- Gopher-style repetition filter signal ----------------------------
+    ("t06_repetition",
+      (s: SparkSession, d: String) => {
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"),
+            round(TextAnalysis.repetitionRatio(col("text")), 6).as("rep_ratio"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  round(CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) = 0 THEN 0.0
+             |    ELSE 1.0 - CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS DOUBLE)
+             |         / len(regexp_extract_all(lower(text), '[a-z0-9]+')) END, 6) AS rep_ratio
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- per-source heavy hitters (top-5 terms) ---------------------------
+    ("t07_top_terms",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val terms = Tables.load(s, d, "documents")
+          .select(col("source"),
+            explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+          .groupBy(col("source"), col("term"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("n").desc, col("term"))
+        terms.withColumn("rank", row_number().over(w).cast("int"))
+          .filter(col("rank") <= 5)
+          .orderBy(col("source"), col("rank"))
+      },
+      Some("""WITH t AS (
+             |  SELECT source, u.term AS term, COUNT(*) AS n
+             |  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS u(term)
+             |  GROUP BY 1, 2)
+             |SELECT source, term, n, CAST(rank AS INT) AS rank FROM (
+             |  SELECT source, term, n,
+             |    row_number() OVER (PARTITION BY source ORDER BY n DESC, term) AS rank
+             |  FROM t)
+             |WHERE rank <= 5 ORDER BY source, rank""".stripMargin)),
+
     // ---- streaming drain to a parquet file sink (Append + watermark) ------
     // The scale-path streaming story as an oracle-checked query: only
     // watermark-finalized windows land in the sink.
