@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{AdvancedQueries, CoreQueries, NorthStarQueries, SourceFormatQueries, StreamMediaQueries, TrainingPrepQueries}
+import graft.queries.{AdvancedQueries, CoreQueries, NorthStarQueries, ScaleJoinQueries, SourceFormatQueries, StreamMediaQueries, TrainingPrepQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -9,7 +9,8 @@ object SparkEntry {
   /** All query families, each a (name, sparkFn, Option[duckdb oracle]) seq. */
   private def inventory: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     CoreQueries.all ++ NorthStarQueries.all ++ StreamMediaQueries.all ++
-      AdvancedQueries.all ++ TrainingPrepQueries.all ++ SourceFormatQueries.all
+      AdvancedQueries.all ++ TrainingPrepQueries.all ++ SourceFormatQueries.all ++
+      ScaleJoinQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -34,7 +34,8 @@ object GraftFunctions {
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
     "simhash" -> (es => SimHash(es.head)),
     "minhash_sig" -> (es => MinHashSig(es(0), intArg(es(1), "minhash_sig"))),
-    "word_ngrams" -> (es => WordNGrams(es(0), intArg(es(1), "word_ngrams"))))
+    "word_ngrams" -> (es => WordNGrams(es(0), intArg(es(1), "word_ngrams"))),
+    "srp_sig" -> (es => SrpSig(es(0), intArg(es(1), "srp_sig"))))
 
   /** Register into an existing session (temp functions). */
   def register(spark: SparkSession): Unit =

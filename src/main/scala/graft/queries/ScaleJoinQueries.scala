@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.ScaleJoins
+
+/** The join-locality toolkit as oracle-checked queries: salting and
+  * bucketing must be result-transparent (identical output to the plain
+  * join — that is what the DuckDB oracles certify; the PLAN-level
+  * properties, salt spreading and zero-Exchange bucketed joins, are
+  * asserted in ScaleSpec). */
+object ScaleJoinQueries {
+
+  /** Per-JVM unique warehouse dir for the bucketed tables: a fixed path
+    * would collide across JVMs (the in-memory catalog forgets the
+    * managed table, its directory survives, and the next CREATE refuses
+    * with LOCATION_ALREADY_EXISTS). Within a JVM, repeat runs reuse the
+    * registered tables via overwrite mode. */
+  private lazy val bucketDbLocation: String =
+    java.nio.file.Files.createTempDirectory("graft_buckets").toString
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // ---- salted fact⋈dim join (hot-key spreading) -------------------------
+    ("q44_salted_join",
+      (s: SparkSession, d: String) => {
+        val li = Tables.load(s, d, "lineitem")
+        val part = Tables.load(s, d, "part")
+          .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+        ScaleJoins.saltedJoin(li, part, "l_partkey",
+            saltFactor = 8, saltSource = col("l_orderkey"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("p_brand"))
+      },
+      Some("""SELECT p_brand, COUNT(*) AS n_items, SUM(l_quantity) AS sum_qty
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- bucketed co-located join (shuffle-free at scale) -----------------
+    ("q45_bucketed_join",
+      (s: SparkSession, d: String) => {
+        s.sql("CREATE DATABASE IF NOT EXISTS graft_buckets " +
+          s"LOCATION '$bucketDbLocation'")
+        ScaleJoins.writeBucketed(
+          Tables.load(s, d, "lineitem").select("l_orderkey", "l_quantity"),
+          "graft_buckets.lineitem_b", "l_orderkey", 8)
+        ScaleJoins.writeBucketed(
+          Tables.load(s, d, "orders").select("o_orderkey", "o_orderpriority"),
+          "graft_buckets.orders_b", "o_orderkey", 8)
+        s.table("graft_buckets.lineitem_b")
+          .join(s.table("graft_buckets.orders_b"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_items, SUM(l_quantity) AS sum_qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+  )
+}

@@ -74,6 +74,42 @@ object StreamMediaQueries {
              |FROM s GROUP BY user_id, session_id
              |ORDER BY user_id, session_id""".stripMargin)),
 
+    // ---- stream-stream join: view → purchase attribution within 1 hour ----
+    // Watermarks on both sides + a time-range condition bound the join
+    // state (old rows evict once the other side's watermark passes);
+    // inner stream-stream joins emit in Append mode. With AvailableNow
+    // over the finite fixture the emitted pairs equal the batch join,
+    // which is the DuckDB oracle.
+    ("st05_stream_stream_join",
+      (s: SparkSession, d: String) => {
+        val ev = EventStream.readEvents(s, d)
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"),
+            col("event_time").as("view_time"))
+          .withWatermark("view_time", "2 hours")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+            col("event_time").as("purchase_time"))
+          .withWatermark("purchase_time", "2 hours")
+        val joined = views.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("purchase_time") >= col("view_time") &&
+            col("purchase_time") <= col("view_time") + expr("INTERVAL 1 HOUR"))
+          .select(col("user_id"), col("view_id"), col("purchase_id"))
+        EventStream.runToMemory(s, joined, s"st05_mem_${System.nanoTime()}",
+            org.apache.spark.sql.streaming.OutputMode.Append)
+          .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t
+             |  FROM events)
+             |SELECT c.user_id AS user_id, c.event_id AS view_id, p.event_id AS purchase_id
+             |FROM e c JOIN e p
+             |  ON c.user_id = p.user_id
+             | AND c.event_type = 'view' AND p.event_type = 'purchase'
+             | AND p.t >= c.t AND p.t <= c.t + INTERVAL 1 HOUR
+             |ORDER BY c.user_id, view_id, purchase_id""".stripMargin)),
+
     // ---- multimodal: binary columns + typed metadata ----------------------
     ("m01_media_stats",
       (s: SparkSession, d: String) => {

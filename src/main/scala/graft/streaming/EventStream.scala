@@ -55,7 +55,8 @@ object EventStream {
     * mode must include still-open windows. The production drain at scale
     * is [[runToFiles]]: Append mode + watermark to a parquet sink, no
     * driver-held result. */
-  def runToMemory(spark: SparkSession, streamed: DataFrame, name: String): DataFrame = {
+  def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
+                  mode: OutputMode = OutputMode.Complete): DataFrame = {
     // One-shot drain tuning, restored afterwards:
     //  - skip the watermark-commit empty batch (changes nothing for
     //    AvailableNow + Complete output);
@@ -70,7 +71,7 @@ object EventStream {
     tuned.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
       val q = streamed.writeStream
-        .outputMode(OutputMode.Complete)
+        .outputMode(mode)
         .format("memory")
         .queryName(name)
         .trigger(Trigger.AvailableNow())
