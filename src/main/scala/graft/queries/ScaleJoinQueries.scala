@@ -60,5 +60,24 @@ object ScaleJoinQueries {
       Some("""SELECT o_orderpriority, COUNT(*) AS n_items, SUM(l_quantity) AS sum_qty
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- mergeable sketch columns (pre-aggregation pattern) ---------------
+    // The 100 TB idiom: per-shard Datasketches HLL sketches materialize
+    // once, then ANY rollup is a cheap sketch union — no re-scan of raw
+    // data. Per-source sparse-mode estimates are exact at this
+    // cardinality, so the oracle is exact COUNT(DISTINCT) (verified at
+    // sf0.01 and sf0.1). The union rollup leaves sparse mode and drifts
+    // (~0.4% measured), so it is error-bound-gated in ScaleSpec rather
+    // than oracle-hashed.
+    ("q46_sketch_distinct",
+      (s: SparkSession, d: String) => {
+        Tables.load(s, d, "documents")
+          .groupBy(col("source"))
+          .agg(hll_sketch_agg(col("text")).as("sk"))
+          .select(col("source"), hll_sketch_estimate(col("sk")).as("n_distinct"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, COUNT(DISTINCT text) AS n_distinct
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
   )
 }

@@ -52,6 +52,28 @@ class ScaleSpec extends SparkSpec {
       s"scan read ${fileScan.metrics("numFiles").value} files, expected 1")
   }
 
+  test("HLL sketch union rollup: error-bounded global estimate from per-shard sketches") {
+    val docs = Tables.load(spark, sf, "documents")
+    // materialize per-source sketches once, roll up WITHOUT rescanning
+    val sketches = docs.groupBy(col("source"))
+      .agg(hll_sketch_agg(col("text")).as("sk")).cache()
+    val unionEst = sketches
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect()(0).getLong(0)
+    val exact = docs.select(count_distinct(col("text"))).collect()(0).getLong(0)
+    val relErr = math.abs(unionEst - exact).toDouble / exact
+    // lgConfigK=12 standard error ~1.6%; gate at 5%
+    assert(relErr <= 0.05, s"union estimate $unionEst vs exact $exact (err $relErr)")
+    // per-source sparse estimates are exact at this cardinality (what
+    // lets q46's DuckDB oracle use exact COUNT(DISTINCT))
+    val perSource = sketches
+      .select(col("source"), hll_sketch_estimate(col("sk")).as("est"))
+    val exactPer = docs.groupBy(col("source"))
+      .agg(count_distinct(col("text")).as("est"))
+    assert(perSource.exceptAll(exactPer).isEmpty)
+    sketches.unpersist()
+  }
+
   test("salted join equals plain join and spreads the hot key") {
     val events = Tables.load(spark, sf, "events")
       .select(col("user_id"), col("event_id"), col("value"))
