@@ -35,7 +35,11 @@ object GraftFunctions {
     "simhash" -> (es => SimHash(es.head)),
     "minhash_sig" -> (es => MinHashSig(es(0), intArg(es(1), "minhash_sig"))),
     "word_ngrams" -> (es => WordNGrams(es(0), intArg(es(1), "word_ngrams"))),
-    "srp_sig" -> (es => SrpSig(es(0), intArg(es(1), "srp_sig"))))
+    "srp_sig" -> (es => SrpSig(es(0), intArg(es(1), "srp_sig"))),
+    // aggregate: the registry takes the bare AggregateFunction — the
+    // analyzer wraps it into an AggregateExpression at resolution
+    "space_saving_topk" -> (es => SpaceSavingTopK(es(0),
+      intArg(es(1), "space_saving_topk"), intArg(es(2), "space_saving_topk"))))
 
   /** Register into an existing session (temp functions). */
   def register(spark: SparkSession): Unit =

@@ -79,5 +79,31 @@ object ScaleJoinQueries {
       },
       Some("""SELECT source, COUNT(DISTINCT text) AS n_distinct
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- custom mergeable sketch: Space-Saving heavy hitters --------------
+    // capacity (64) ≥ vocabulary here, so the sketch is EXACT and
+    // oracle-checkable; the approximate capacity<vocab regime (bounded
+    // state at 100 TB) is bounds-gated in ExpressionEdgeSpec.
+    ("q47_heavy_hitters",
+      (s: SparkSession, d: String) => {
+        Tables.load(s, d, "documents")
+          .select(col("source"),
+            explode(graft.ops.TextAnalysis.tokens(lower(col("text")))).as("term"))
+          .groupBy(col("source"))
+          .agg(graft.functions.SpaceSavingTopK.topK(col("term"), 3, 64).as("tk"))
+          .select(col("source"), posexplode(col("tk")))
+          .select(col("source"), (col("pos") + 1).cast("int").as("rank"),
+            col("col.term").as("term"), col("col.count").as("n"))
+          .orderBy(col("source"), col("rank"))
+      },
+      Some("""WITH t AS (
+             |  SELECT source, u.term AS term, COUNT(*) AS n
+             |  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS u(term)
+             |  GROUP BY 1, 2)
+             |SELECT source, CAST(rank AS INT) AS rank, term, n FROM (
+             |  SELECT source, term, n,
+             |    row_number() OVER (PARTITION BY source ORDER BY n DESC, term) AS rank
+             |  FROM t)
+             |WHERE rank <= 3 ORDER BY source, rank""".stripMargin)),
   )
 }

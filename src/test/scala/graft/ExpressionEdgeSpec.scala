@@ -77,6 +77,43 @@ class ExpressionEdgeSpec extends SparkSpec {
       err.getMessage.toLowerCase.contains("data type mismatch"))
   }
 
+  test("SpaceSavingTopK exact regime: capacity ≥ vocab → exact counts, zero error") {
+    import graft.functions.SpaceSavingTopK
+    val df = Seq("a", "b", "a", "c", "a", "b").toDF("t").repartition(3)
+    val out = df.agg(SpaceSavingTopK.topK($"t", 3, 8).as("tk"))
+      .select(explode($"tk").as("e"))
+      .select($"e.term", $"e.count", $"e.err")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("a", 3L, 0L), ("b", 2L, 0L), ("c", 1L, 0L)))
+  }
+
+  test("SpaceSavingTopK approximate regime: bounded state, heavy hitters guaranteed") {
+    import graft.functions.SpaceSavingTopK
+    // 5 heavy terms (1000 each) + 500 tail terms (~4 each): vocab 505
+    // far exceeds capacity 64, forcing evictions and merges
+    val rows = new scala.util.Random(3)
+      .shuffle((0 until 5).flatMap(h => Seq.fill(1000)(s"heavy$h")) ++
+        (0 until 500).flatMap(t => Seq.fill(4)(s"tail$t")))
+    val df = rows.toDF("t").repartition(8)
+    val trueCounts = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val out = df.agg(SpaceSavingTopK.topK($"t", 10, 64).as("tk"))
+      .select(explode($"tk").as("e"))
+      .select($"e.term", $"e.count", $"e.err")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // every term with f > n/capacity (7000/64 ≈ 109) must be reported
+    val reported = out.map(_._1).toSet
+    (0 until 5).foreach(h => assert(reported.contains(s"heavy$h"),
+      s"heavy$h missing from $reported"))
+    // bounds: count - err <= true frequency <= count
+    out.foreach { case (t, c, e) =>
+      val f = trueCounts.getOrElse(t, 0L)
+      assert(f <= c, s"$t: true $f > upper $c")
+      assert(c - e <= f, s"$t: lower ${c - e} > true $f")
+    }
+    // state stayed bounded: the output is a k-list from a 64-counter summary
+    assert(out.length == 10)
+  }
+
   test("minhash candidate generation on a corpus of only short docs is empty") {
     val docs = Seq((1L, "one two"), (2L, "three four"), (3L, "five six"))
       .toDF("doc_id", "text")
