@@ -190,10 +190,19 @@ object Dedup {
     * (256 values) and degenerate the self-join to quadratic bucket work
     * at corpus scale. `maxBucket > 0` additionally caps bucket sizes via
     * [[capBuckets]] for degenerate fingerprint regions (e.g. boilerplate
-    * shingle-free docs). */
+    * shingle-free docs). The internal banded cache lives until the
+    * session drops it — use [[simhashNearDupsWithRelease]] when the
+    * caller controls lifecycle. */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       bands: Int = 4, maxHamming: Int = 3,
-                      maxBucket: Int = 0): DataFrame = {
+                      maxBucket: Int = 0): DataFrame =
+    simhashNearDupsWithRelease(docs, idCol, textCol, bands, maxHamming, maxBucket)._1
+
+  /** As [[simhashNearDups]], plus a release handle for the banded
+    * fingerprint cache. */
+  def simhashNearDupsWithRelease(docs: DataFrame, idCol: String, textCol: String,
+                                 bands: Int = 4, maxHamming: Int = 3,
+                                 maxBucket: Int = 0): (DataFrame, () => Unit) = {
     require(maxHamming < bands, "pigeonhole needs maxHamming < bands")
     val width = 64 / bands
     val fp = docs.select(col(idCol).as("sid"),
@@ -216,7 +225,7 @@ object Dedup {
       .cache()
     val a = banded.select(col("sid").as("id_a"), col("fp").as("fp_a"), col("band"), col("bits"))
     val b = banded.select(col("sid").as("id_b"), col("fp").as("fp_b"), col("band"), col("bits"))
-    a.join(b, Seq("band", "bits"))
+    val pairs = a.join(b, Seq("band", "bits"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
@@ -224,5 +233,6 @@ object Dedup {
       // pairs, so the dedup shuffle only sees survivors
       .filter(col("hamming") <= maxHamming)
       .distinct()
+    (pairs, () => { banded.unpersist(); () })
   }
 }

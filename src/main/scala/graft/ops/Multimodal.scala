@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side machinery — schema, partitioning, per-partition batch
   * shape (`Dataset.mapPartitions`, the JVM analog of `mapInPandas`) — is
-  * real and tested. The actual byte decoding is STUBBED with a
-  * deterministic fake ([[StubCodec]]) because no image/audio codec
-  * libraries exist in this container; swap `StubCodec` for a real decoder
-  * (e.g. javax.imageio / ffmpeg bindings) without touching the dataflow.
+  * real and tested. IMAGE decoding is real too ([[ImageCodec]],
+  * `javax.imageio`: pixel histogram features, pixel-level resize);
+  * audio/video decoding is STUBBED with a deterministic fake
+  * ([[StubCodec]], also the fallback for undecodable image bytes)
+  * because no audio/video codec libraries exist in this container —
+  * swap it for e.g. ffmpeg bindings without touching the dataflow.
   */
 object Multimodal {
 
@@ -57,7 +59,13 @@ object Multimodal {
   object ImageCodec extends Serializable {
     def decode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
-      catch { case _: java.io.IOException => None }
+      catch {
+        // NonFatal, not just IOException: javax.imageio throws
+        // RuntimeExceptions (IndexOutOfBounds, IllegalArgument, CMM…) on
+        // truncated/malformed images, and the contract here is
+        // "undecodable → None → stub fallback", never a dead task
+        case scala.util.control.NonFatal(_) => None
+      }
 
     def features(payload: Array[Byte], dim: Int): Option[Array[Float]] =
       decode(payload).map { img =>

@@ -154,15 +154,30 @@ object Similarity {
     *
     * Recall is probabilistic (gated in DedupSimilaritySpec against
     * [[nearDupPairs]]); output is deterministic for a fixed corpus and
-    * parameterization. */
+    * parameterization. The internal banded cache lives until the session
+    * drops it — use [[srpNearDupPairsWithRelease]] when the caller
+    * controls lifecycle. */
   def srpNearDupPairs(corpus: DataFrame, threshold: Double,
                       nWords: Int = 2, bandBits: Int = 6,
-                      maxBucket: Int = 0): DataFrame = {
+                      maxBucket: Int = 0): DataFrame =
+    srpNearDupPairsWithRelease(corpus, threshold, nWords, bandBits, maxBucket)._1
+
+  /** As [[srpNearDupPairs]], plus a release handle that unpersists the
+    * banded-signature cache once the result has been consumed. */
+  def srpNearDupPairsWithRelease(corpus: DataFrame, threshold: Double,
+                                 nWords: Int = 2, bandBits: Int = 6,
+                                 maxBucket: Int = 0): (DataFrame, () => Unit) = {
     require(bandBits >= 1 && bandBits <= 64, s"bandBits $bandBits out of range")
     val bandsPerWord = 64 / bandBits
     val bands = nWords * bandsPerWord
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
-    val sig = corpus.select(col("vec_id"),
+    // Degenerate-vector guard (the blowup minhashCandidates filters for
+    // empty shingle sets): empty or all-zero embeddings share one
+    // signature and would collide in EVERY band. Self-cosine is 1 for
+    // any nonzero vector, NaN for zero vectors — one codegen'd pass.
+    val clean = corpus.filter(size(col("embedding")) > 0 &&
+      !isnan(cosineSim(col("embedding"), col("embedding"))))
+    val sig = clean.select(col("vec_id"),
       graft.functions.SrpSig.srpSig(col("embedding"), nWords).as("sig"))
     val bandStructs = array((0 until bands).map { b =>
       val word = b / bandsPerWord
@@ -185,9 +200,10 @@ object Similarity {
     // verify joins are linear hash joins on vec_id (shuffle-bounded)
     val embA = corpus.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
     val embB = corpus.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-    cands.join(embA, "id_a").join(embB, "id_b")
+    val pairs = cands.join(embA, "id_a").join(embB, "id_b")
       .select(col("id_a"), col("id_b"),
         round(cosineSim(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
+    (pairs, () => { capped.unpersist(); () })
   }
 }

@@ -85,10 +85,6 @@ object TextAnalysis {
       6)
   }
 
-  /** Polynomial rolling-hash fingerprint over the document's characters:
-    * fold(acc = 0; acc = (acc·31 + codepoint) mod 1e9+7). Stays below
-    * 2^35 so ANSI-mode long arithmetic never overflows. DuckDB twin uses
-    * list_reduce over ascii(substr(...)). */
   /** Gopher-style repetition signal: fraction of word occurrences that
     * repeat an earlier word in the document (1 − distinct/total).
     * Heavily boilerplate/spammy docs score high. Single division, exact
@@ -100,6 +96,10 @@ object TextAnalysis {
         size(array_distinct(toks)).cast("double") / size(toks))
   }
 
+  /** Polynomial rolling-hash fingerprint over the document's characters:
+    * fold(acc = 0; acc = (acc·31 + codepoint) mod 1e9+7). Stays below
+    * 2^35 so ANSI-mode long arithmetic never overflows. DuckDB twin uses
+    * list_reduce over ascii(substr(...)). */
   def fingerprint(text: Column): Column =
     aggregate(
       split(text, ""),

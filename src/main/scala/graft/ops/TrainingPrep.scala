@@ -23,21 +23,28 @@ import org.apache.spark.sql.functions._
   */
 object TrainingPrep {
 
-  /** Knuth's multiplicative constant: spreads sequential ids uniformly
-    * over the modulus without RNG state. */
-  val HashK = 2654435761L
+  /** Lehmer / Park–Miller minimal-standard multiplier and modulus:
+    * h(id) = (id · 48271) mod (2^31 − 1) mixes sequential ids well and
+    * the product stays far below 2^63 for any realistic id space
+    * (overflow-safe up to id ≈ 1.9e14 even under ANSI mode — a
+    * multiplicative constant near 2^31 would overflow at id ≈ 3.5e9 and
+    * either throw or silently skew the split). */
+  val HashA = 48271L
+  val HashM = 2147483647L
 
-  /** 'train' for trainPct% of ids, 'val' otherwise — deterministic and
-    * engine-portable (pure integer arithmetic, no overflow for ids up
-    * to ~3.4e9). */
+  /** 'train' for trainPct% of ids, 'val' otherwise — deterministic,
+    * engine-portable (pure integer arithmetic, identical in DuckDB) and
+    * stable under corpus append: an id's split never changes. */
   def splitAssign(id: Column, trainPct: Int): Column =
-    when((id * HashK) % 100 < trainPct, "train").otherwise("val")
+    when(((id * HashA) % HashM) % 100 < trainPct, "train").otherwise("val")
 
-  /** Canonical text: lowercase, strip non-alphanumerics, collapse
-    * whitespace runs, trim — catches formatting-only duplicates that
+  /** Canonical text: lowercase, collapse every non-alphanumeric run
+    * (punctuation AND whitespace — including newlines/tabs, so
+    * line-wrapped variants of the same text canonicalize identically)
+    * to a single space, trim — catches formatting-only duplicates that
     * byte-exact dedup misses. */
   def normalized(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
 
   /** Bin index for greedy concat-packing: documents ordered by
     * `orderCol` within each `shard` are concatenated and cut every
@@ -52,7 +59,11 @@ object TrainingPrep {
 
   /** Array of chunk start offsets (0, stride, 2·stride, … < length) —
     * `posexplode` + `substr` at the call site turns it into overlapping
-    * chunks of `size` chars with `size - stride` overlap. */
+    * chunks of `size` chars with `size - stride` overlap. Empty/null
+    * text yields an empty array (zero chunks), matching the oracle's
+    * `range(0, ceil(len/stride))` row count. */
   def chunkStarts(text: Column, stride: Int): Column =
-    sequence(lit(0), greatest(length(text) - 1, lit(0)), lit(stride))
+    when(length(text) > 0,
+      sequence(lit(0), length(text) - 1, lit(stride)))
+      .otherwise(array().cast("array<int>"))
 }

@@ -36,11 +36,17 @@ final class HttpFetcher(metaUrl: String, pageUrl: String,
 
   @transient private lazy val mapper = new ObjectMapper()
 
-  override def total(): Int =
-    mapper.readTree(get(metaUrl)).get("total").asText().toInt
+  override def total(): Int = {
+    val node = mapper.readTree(get(metaUrl))
+    require(node.hasNonNull("total"),
+      s"meta response from $metaUrl lacks a 'total' field: $node")
+    node.get("total").asText().toInt
+  }
 
   override def page(n: Int, perPage: Int): Seq[Map[String, String]] = {
-    val body = get(s"$pageUrl?per_page=$perPage&page=$n")
+    // honor an existing query string on the base URL
+    val sep = if (pageUrl.contains("?")) "&" else "?"
+    val body = get(s"$pageUrl${sep}per_page=$perPage&page=$n")
     val arr = mapper.readTree(body)
     require(arr.isArray, s"expected JSON array from $pageUrl, got ${arr.getNodeType}")
     val out = Seq.newBuilder[Map[String, String]]

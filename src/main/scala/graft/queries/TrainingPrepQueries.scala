@@ -25,7 +25,8 @@ object TrainingPrepQueries {
           .orderBy(col("source"), col("split"))
       },
       Some("""SELECT source,
-             |  CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train' ELSE 'val' END AS split,
+             |  CASE WHEN ((doc_id * 48271) % 2147483647) % 100 < 90
+             |       THEN 'train' ELSE 'val' END AS split,
              |  COUNT(*) AS n_docs
              |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
@@ -72,8 +73,7 @@ object TrainingPrepQueries {
       },
       Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
              |FROM documents
-             |GROUP BY trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-             |                             ' +', ' ', 'g'))
+             |GROUP BY trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
              |ORDER BY keep_id""".stripMargin)),
 
     // ---- overlapping character chunks (size 200, stride 150) --------------

@@ -134,6 +134,23 @@ class DedupSimilaritySpec extends SparkSpec {
       "candidate generation must be join-banded, not all-pairs")
   }
 
+  test("SRP-LSH near-dup: zero and empty vectors are guarded, not banded") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    // 20 real vectors + 50 zero vectors + 5 empty arrays: without the
+    // guard the degenerate vectors share one signature in every band
+    // (~1,250 junk candidate pairs); with it they never enter banding
+    val rows = (0 until 20).map(i => (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat))) ++
+      (100 until 150).map(i => (i.toLong, Array.fill(16)(0f))) ++
+      (200 until 205).map(i => (i.toLong, Array.empty[Float]))
+    val emb = rows.toDF("vec_id", "embedding")
+    val pairs = Similarity.srpNearDupPairs(emb, threshold = 0.0,
+      nWords = 1, bandBits = 8, maxBucket = 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // no degenerate id may appear in any candidate-derived pair
+    assert(pairs.forall { case (a, b) => a < 100 && b < 100 }, pairs.take(5).toSeq.toString)
+  }
+
   test("SRP-LSH near-dup: recall ≥ 0.95 on planted high-cosine duplicates") {
     import spark.implicits._
     // The realistic operating point: near-dup corpora have planted

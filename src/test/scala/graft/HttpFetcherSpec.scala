@@ -85,6 +85,23 @@ class HttpFetcherSpec extends SparkSpec with BeforeAndAfterAll {
     assert(f.page(3, 200).size == 50)            // last partial page
   }
 
+  test("page URL building honors an existing query string on the base URL") {
+    val f = new HttpFetcher(s"$base/meta", s"$base/breweries?by_country=x",
+      maxRetries = 0, backoffMs = 10)
+    // the stub parses by_country as just another param; a '?'-joined URL
+    // would send '...?by_country=x?per_page=...' and fail the param parse
+    assert(f.page(1, 200).size == 200)
+  }
+
+  test("meta response without a 'total' field raises an actionable error") {
+    server.createContext("/meta_bad", (ex: HttpExchange) =>
+      respond(ex, 200, """{"count": 450}"""))
+    val f = new HttpFetcher(s"$base/meta_bad", s"$base/breweries",
+      maxRetries = 0, backoffMs = 10)
+    val err = intercept[IllegalArgumentException](f.total())
+    assert(err.getMessage.contains("total") && err.getMessage.contains("/meta_bad"))
+  }
+
   test("non-2xx raises (raise_for_status parity), 4xx never retried") {
     val f = new HttpFetcher(s"$base/missing", s"$base/missing",
       maxRetries = 3, backoffMs = 10)

@@ -66,6 +66,12 @@ class MultimodalSpec extends SparkSpec {
     // undecodable image bytes fall back to the deterministic stub
     assert(feats(2L).features.toSeq ==
       Multimodal.StubCodec.features("not an image".getBytes, 16).toSeq)
+    // a corrupt-but-plausible image (real PNG header, garbage body) must
+    // also fall back, not kill the task — imageio throws RuntimeExceptions
+    // on malformed data, which decode() treats as undecodable
+    val corrupt = pngBytes(8, 8).take(40) ++ Array.fill[Byte](64)(0x7f)
+    assert(Multimodal.ImageCodec.decode(corrupt).isEmpty)
+    assert(Multimodal.ImageCodec.features(corrupt, 16).isEmpty)
     // audio ignores the decodable payload: stays on the stub path
     assert(feats(3L).features.toSeq == Multimodal.StubCodec.features(png, 16).toSeq)
   }
