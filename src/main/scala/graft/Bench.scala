@@ -27,6 +27,17 @@ object Bench {
       graft.streaming.EventStream.hourlyCounts(
         graft.streaming.EventStream.readEvents(spark, sfDir)),
       "graft_warmup_stream")
+    // curation + custom-expression codegen on tiny slices: the composed
+    // scoring/minhash/CC and SRP trees cost seconds at first touch
+    // (measured: c01 cold 10.2 s vs 2.5 s warm at sf0.1) — warming them
+    // here makes per-query numbers measure the engine, not the JIT
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(120)
+    graft.ops.Curation.reportDF(spark, docs)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64)
+    val (srpPairs, srpRelease) =
+      graft.ops.Similarity.srpNearDupPairsWithRelease(emb, 0.99, 1, 8, 0)
+    srpPairs.count()
+    srpRelease()
   }
 
   def main(args: Array[String]): Unit = {
