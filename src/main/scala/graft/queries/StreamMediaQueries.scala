@@ -110,6 +110,27 @@ object StreamMediaQueries {
              | AND p.t >= c.t AND p.t <= c.t + INTERVAL 1 HOUR
              |ORDER BY c.user_id, view_id, purchase_id""".stripMargin)),
 
+    // ---- streaming dedup: exactly-once events from an at-least-once feed --
+    // The stream is unioned with itself (every event arrives twice — the
+    // at-least-once delivery model), then deduped by event_id within the
+    // watermark: state holds only ids newer than the watermark, so memory
+    // is bounded by delivery skew, not stream length. Oracle = the
+    // original (single-copy) events table.
+    ("st06_stream_dedup",
+      (s: SparkSession, d: String) => {
+        val ev = EventStream.readEvents(s, d)
+        val atLeastOnce = ev.unionAll(ev)
+        val deduped = atLeastOnce
+          .withWatermark("event_time", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
+          .select(col("event_id"), col("event_type"), col("user_id"))
+        EventStream.runToMemory(s, deduped, s"st06_mem_${System.nanoTime()}",
+            org.apache.spark.sql.streaming.OutputMode.Append)
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, event_type, user_id
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     // ---- multimodal: binary columns + typed metadata ----------------------
     ("m01_media_stats",
       (s: SparkSession, d: String) => {
