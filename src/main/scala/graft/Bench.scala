@@ -36,8 +36,9 @@ object Bench {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64)
     val (srpPairs, srpRelease) =
       graft.ops.Similarity.srpNearDupPairsWithRelease(emb, 0.99, 1, 8, 0)
-    srpPairs.count()
-    srpRelease()
+    // finally: a failed warmup job must not leave the cache pinned
+    // through the timed run (main() swallows warmup errors)
+    try srpPairs.count() finally srpRelease()
   }
 
   def main(args: Array[String]): Unit = {

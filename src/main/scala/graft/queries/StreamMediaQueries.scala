@@ -114,18 +114,23 @@ object StreamMediaQueries {
     // The stream is unioned with itself (every event arrives twice — the
     // at-least-once delivery model), then deduped by event_id within the
     // watermark: state holds only ids newer than the watermark, so memory
-    // is bounded by delivery skew, not stream length. Oracle = the
-    // original (single-copy) events table.
+    // is bounded by delivery skew, not stream length. The output is a
+    // row-per-event STREAM, so it drains to a parquet file sink (never a
+    // driver-held memory table — that contract is for bounded
+    // aggregates). Oracle = the original single-copy events table;
+    // assumes event_id is unique in the fixture (holds at every sf) —
+    // a fixture with genuinely duplicated ids would make the dedup
+    // collapse them while the oracle keeps both.
     ("st06_stream_dedup",
       (s: SparkSession, d: String) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_st06").toString
         val ev = EventStream.readEvents(s, d)
         val atLeastOnce = ev.unionAll(ev)
         val deduped = atLeastOnce
           .withWatermark("event_time", "1 hour")
           .dropDuplicatesWithinWatermark("event_id")
           .select(col("event_id"), col("event_type"), col("user_id"))
-        EventStream.runToMemory(s, deduped, s"st06_mem_${System.nanoTime()}",
-            org.apache.spark.sql.streaming.OutputMode.Append)
+        EventStream.runToFiles(s, deduped, s"$out/data", s"$out/ckpt")
           .orderBy(col("event_id"))
       },
       Some("""SELECT event_id, event_type, user_id

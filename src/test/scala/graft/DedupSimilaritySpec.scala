@@ -147,6 +147,8 @@ class DedupSimilaritySpec extends SparkSpec {
     val pairs = Similarity.srpNearDupPairs(emb, threshold = 0.0,
       nWords = 1, bandBits = 8, maxBucket = 0)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the guard must not be vacuous: real vectors at threshold 0 still pair up
+    assert(pairs.nonEmpty, "guard dropped the real vectors too")
     // no degenerate id may appear in any candidate-derived pair
     assert(pairs.forall { case (a, b) => a < 100 && b < 100 }, pairs.take(5).toSeq.toString)
   }

@@ -67,8 +67,11 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(2L).features.toSeq ==
       Multimodal.StubCodec.features("not an image".getBytes, 16).toSeq)
     // a corrupt-but-plausible image (real PNG header, garbage body) must
-    // also fall back, not kill the task — imageio throws RuntimeExceptions
-    // on malformed data, which decode() treats as undecodable
+    // also fall back, not kill the task. This JRE surfaces such cases as
+    // IIOException; the NonFatal catch in decode() additionally guards
+    // the version/codec-dependent RuntimeException escapes (IndexOutOf
+    // Bounds/IllegalArgument/CMM) that crafted bytes can't trigger
+    // deterministically here.
     val corrupt = pngBytes(8, 8).take(40) ++ Array.fill[Byte](64)(0x7f)
     assert(Multimodal.ImageCodec.decode(corrupt).isEmpty)
     assert(Multimodal.ImageCodec.features(corrupt, 16).isEmpty)
