@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{TextAnalysis, TrainingPrep}
+import graft.ops.{Dedup, TextAnalysis, TrainingPrep}
 import graft.streaming.EventStream
 
 /** Training-data preparation query surface: deterministic splits,
@@ -91,6 +91,42 @@ object TrainingPrepQueries {
              |FROM documents,
              |  unnest(range(0, CAST(ceil(length(text)/150.0) AS BIGINT))) AS u(i)
              |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // ---- incremental dedup: delta batch vs existing corpus ----------------
+    // The append-time workflow: only NEW docs (delta) are checked against
+    // the existing base — a bipartite prefix-blocked join, never
+    // base×base. At scale the base side is the materialized
+    // shingle/signature table and the delta is a day's ingest.
+    ("d08_incremental_dedup",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.load(s, d, "documents")
+        val grams = docs.select(col("doc_id"),
+          substring(col("text"), 1, 50).as("pfx"),
+          Dedup.wordNGrams(Dedup.words(col("text")), 2).as("g"))
+        val base = grams.filter(col("doc_id") < 400)
+          .select(col("doc_id").as("base_id"), col("pfx"), col("g").as("g_base"))
+        val delta = grams.filter(col("doc_id") >= 400)
+          .select(col("doc_id").as("delta_id"), col("pfx"), col("g").as("g_delta"))
+        delta.join(base, "pfx")
+          .select(col("delta_id"), col("base_id"),
+            round(Dedup.jaccard(col("g_delta"), col("g_base")), 6).as("jaccard"))
+          .filter(col("jaccard") >= 0.5)
+          .orderBy(col("delta_id"), col("base_id"))
+      },
+      Some("""WITH grams AS (
+             |  SELECT doc_id, substr(text, 1, 50) AS pfx,
+             |    list_distinct(list_transform(range(1, greatest(len(w), 2)),
+             |                  i -> w[i] || ' ' || w[i+1])) AS g
+             |  FROM (SELECT doc_id, text,
+             |          string_split_regex(lower(text), '\s+') AS w FROM documents))
+             |SELECT d.doc_id AS delta_id, b.doc_id AS base_id,
+             |  round(CAST(len(list_intersect(d.g, b.g)) AS DOUBLE)
+             |    / len(list_distinct(d.g || b.g)), 6) AS jaccard
+             |FROM grams d JOIN grams b
+             |  ON d.pfx = b.pfx AND d.doc_id >= 400 AND b.doc_id < 400
+             |WHERE round(CAST(len(list_intersect(d.g, b.g)) AS DOUBLE)
+             |    / len(list_distinct(d.g || b.g)), 6) >= 0.5
+             |ORDER BY delta_id, base_id""".stripMargin)),
 
     // ---- Gopher-style repetition filter signal ----------------------------
     ("t06_repetition",
