@@ -117,6 +117,52 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Symmetric int8 quantization of the embedding column: per-vector
+    * scale = max|x|/127, q8[i] = round(x[i]/scale). Candidate storage
+    * shrinks 4× (int8 vs float32) — at 100 TB that is the difference
+    * between an in-memory and a spilling candidate scan. HOFs are fine
+    * here: quantization is a one-off materialization stage, not the
+    * per-pair scoring loop (that is [[graft.functions.CosineSimQ8]]).
+    * Zero vectors quantize to all-zero bytes with scale 0. */
+  def quantize(corpus: DataFrame): DataFrame =
+    corpus
+      .withColumn("q_scale",
+        aggregate(col("embedding"), lit(0f), (a, v) => greatest(a, abs(v))) / 127f)
+      .withColumn("q8",
+        when(col("q_scale") > 0,
+          transform(col("embedding"), v => round(v / col("q_scale")).cast("byte")))
+          .otherwise(transform(col("embedding"), _ => lit(0).cast("byte"))))
+      .select(col("vec_id"), col("q_scale"), col("q8"))
+
+  /** Quantized search with exact rescoring: score the int8 corpus with
+    * the fused [[graft.functions.CosineSimQ8]] kernel, keep a
+    * `rescore`-deep shortlist per query, then re-rank the shortlist
+    * with full-precision cosine. With rescore ≫ k the output matches
+    * brute-force exactly on realistic data (int8 ranking error is far
+    * smaller than neighbor gaps) while the scan reads 4× fewer bytes. */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                    rescore: Int = 32): DataFrame = {
+    val qz = quantize(corpus)
+    val approx = qz.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_embedding"), col("vec_id").as("neighbor_id"),
+        graft.functions.CosineSimQ8.cosineSimQ8(
+          col("q_embedding"), col("q8"), col("q_scale")).as("q_sim"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("q_sim").desc, col("neighbor_id"))
+    val shortlist = approx
+      .withColumn("rnk", row_number().over(wq)).filter(col("rnk") <= rescore)
+      .select(col("query_id"), col("q_embedding"), col("neighbor_id"))
+    val exact = shortlist
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineSim(col("embedding"), col("q_embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** All-pairs cosine ≥ threshold — embedding near-dup detection, brute
     * variant. O(|corpus|²): the small-sf correctness baseline that the
     * recall spec measures [[srpNearDupPairs]] against — NOT the shipped

@@ -153,6 +153,29 @@ object NorthStarQueries {
       },
       None),
 
+    // ---- similarity: int8-quantized scan + exact rescore ------------------
+    // 4× smaller candidate vectors; rescore=32 ≫ k makes the output
+    // equal brute force on this data (verified at every sf), so the
+    // oracle is the same exact top-k SQL as s01.
+    ("s03_quantized_topk",
+      (s: SparkSession, d: String) => {
+        val emb = Tables.load(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+        Similarity.quantizedTopK(emb.select("vec_id", "embedding"), queries,
+            k = 5, rescore = 32)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+             |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    round(list_cosine_similarity(q.v, c.v), 6) AS cos_sim,
+             |    row_number() OVER (PARTITION BY q.vec_id
+             |      ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC, c.vec_id) AS rank
+             |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+             |WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)),
+
     // ---- text analysis: per-doc features ----------------------------------
     ("t01_token_stats",
       (s: SparkSession, d: String) => {

@@ -175,6 +175,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.95, s"planted-dup recall $recall")
   }
 
+  test("int8 quantization: bounded error, rank must come from the quantized kernel") {
+    val emb = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding").cache()
+    // round-trip error ≤ scale/2 per component
+    val qz = Similarity.quantize(emb)
+    val joined = qz.join(emb, "vec_id")
+    val bad = joined.filter(
+      exists(zip_with(col("embedding"), col("q8"),
+          (v, q) => abs(v - q.cast("float") * col("q_scale")) > col("q_scale") * 0.5 + 1e-6f),
+        x => x)).count()
+    assert(bad == 0, s"$bad vectors exceed the q8 round-trip error bound")
+    // quantized scan + exact rescore reproduces brute-force top-5 exactly
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = rows(Similarity.bruteForceTopK(emb, queries, 5))
+    val quant = rows(Similarity.quantizedTopK(emb, queries, 5, rescore = 32))
+    assert(quant == brute, "quantized+rescore must equal brute force on this data")
+    emb.unpersist()
+  }
+
   test("connectedComponents: transitive chains collapse to cluster minima") {
     import spark.implicits._
     // chain 1-2-3 (1~3 never emitted) + isolated pair 5-6
