@@ -76,6 +76,26 @@ class FunctionsSpec extends SparkSpec {
       .collect()(0)
     assert(r2.getLong(0) != 0L)
     assert(r2.getSeq[Long](1).length == 4)
+    // round-2 functions through SQL: SRP signature, quantized cosine
+    // (identical vector → 1.0), Space-Saving aggregate
+    val r3 = spark.sql(
+      """SELECT srp_sig(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT)), 2) AS s,
+        |  cosine_sim_q8(array(CAST(1.0 AS FLOAT), CAST(0.5 AS FLOAT)),
+        |    array(CAST(127 AS TINYINT), CAST(64 AS TINYINT)),
+        |    CAST(0.007874016 AS FLOAT)) AS cq""".stripMargin).collect()(0)
+    assert(r3.getSeq[Long](0).length == 2)
+    assert(math.abs(r3.getDouble(1) - 1.0) < 1e-3) // 64/127 ≈ 0.5039 ~ 0.5
+    val r4 = spark.sql(
+      """SELECT space_saving_topk(t, 2, 8) AS tk
+        |FROM VALUES ('a'), ('b'), ('a'), ('a') AS v(t)""".stripMargin).collect()(0)
+    val top = r4.getSeq[org.apache.spark.sql.Row](0)
+    assert(top.head.getString(0) == "a" && top.head.getLong(1) == 3L)
+    // GraftExtensions (the spark.sql.extensions deploy path) injects
+    // from the same canonical list register() uses — pin its contents
+    // so a function added to one path can't silently miss the other
+    assert(graft.functions.GraftFunctions.functions.map(_._1).toSet ==
+      Set("cosine_sim", "cosine_sim_q8", "simhash", "minhash_sig",
+        "word_ngrams", "srp_sig", "space_saving_topk"))
   }
 
   test("simhash skips null tokens and nulls propagate") {
