@@ -117,22 +117,26 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Symmetric int8 quantization of the embedding column: per-vector
-    * scale = max|x|/127, q8[i] = round(x[i]/scale). Candidate storage
-    * shrinks 4× (int8 vs float32) — at 100 TB that is the difference
-    * between an in-memory and a spilling candidate scan. HOFs are fine
-    * here: quantization is a one-off materialization stage, not the
-    * per-pair scoring loop (that is [[graft.functions.CosineSimQ8]]).
-    * Zero vectors quantize to all-zero bytes with scale 0. */
-  def quantize(corpus: DataFrame): DataFrame =
-    corpus
+  /** Adds symmetric int8 quantization columns (`q_scale`, `q8`) to a
+    * frame with an `embedding` column: per-vector scale = max|x|/127,
+    * q8[i] = round(x[i]/scale). Candidate storage shrinks 4× (int8 vs
+    * float32) — at 100 TB that is the difference between an in-memory
+    * and a spilling candidate scan. HOFs are fine here: quantization is
+    * a one-off materialization stage, not the per-pair scoring loop
+    * (that is [[graft.functions.CosineSimQ8]]). Zero vectors quantize
+    * to all-zero bytes with scale 0. */
+  def withQ8(df: DataFrame): DataFrame =
+    df
       .withColumn("q_scale",
         aggregate(col("embedding"), lit(0f), (a, v) => greatest(a, abs(v))) / 127f)
       .withColumn("q8",
         when(col("q_scale") > 0,
           transform(col("embedding"), v => round(v / col("q_scale")).cast("byte")))
           .otherwise(transform(col("embedding"), _ => lit(0).cast("byte"))))
-      .select(col("vec_id"), col("q_scale"), col("q8"))
+
+  /** The quantized corpus projection: (vec_id, q_scale, q8). */
+  def quantize(corpus: DataFrame): DataFrame =
+    withQ8(corpus).select(col("vec_id"), col("q_scale"), col("q8"))
 
   /** Quantized search with exact rescoring: score the int8 corpus with
     * the fused [[graft.functions.CosineSimQ8]] kernel, keep a
@@ -161,6 +165,97 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     exact.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** Embedding near-dup pairs via IVF-cell blocking + int8 prefilter —
+    * the shipped d05 path for LOW thresholds, where SRP-LSH banding
+    * cannot hold recall (at cos 0.45 the per-hyperplane agreement
+    * probability is 0.65, so a 16-bit band collides with p ≈ 0.001 and
+    * the band count needed for recall 0.8 is ~1,600 — infeasible; see
+    * [[srpNearDupPairs]] for the operating-point math).
+    *
+    * Pipeline, all equality joins (no cartesian at any scale):
+    *  1. seed centroids ([[centroids]]) collected as the codebook — the
+    *     standard IVF materialization (nCells · dim floats, broadcast
+    *     -sized);
+    *  2. every vector maps to its `nProbe` nearest cells, computed
+    *     per-row against codebook literals (codegen'd [[cosineSim]],
+    *     zero shuffle — no window, no crossJoin);
+    *  3. self-join on cell_id generates candidates; each candidate is
+    *     scored IMMEDIATELY with the fused int8 kernel
+    *     ([[graft.functions.CosineSimQ8]]) and cut at
+    *     `threshold − prefilterMargin` BEFORE the distinct — the
+    *     survivors (not the candidates) pay the dedup shuffle and the
+    *     full-precision verify joins. Measured int8 error on 64-dim data
+    *     is ≤ 0.006, so the default 0.02 margin loses nothing;
+    *  4. exact-cosine verify ≥ threshold on the surviving pairs.
+    *
+    * Honest scale note: a threshold at the corpus' similarity noise
+    * floor (cos 0.45 on near-uniform data, background reaching 0.449)
+    * makes ANY candidate generator scan a constant fraction of all
+    * pairs to hold recall 0.8 — measured 72% for this blocking, and the
+    * equivalent holds for LSH banding. The scale lever here is the cost
+    * PER candidate: candidates are (id, id, 64-byte q8) rows scored in
+    * one codegen'd stage and cut by ~10³ before any shuffle. For real
+    * near-dup thresholds (cos ≥ 0.8) prefer [[srpNearDupPairs]], whose
+    * 16-bit bands prune combinatorially. Recall is gated in
+    * DedupSimilaritySpec against [[nearDupPairs]]; `maxBucket > 0` caps
+    * degenerate cells (recall trade, logged nowhere better than the
+    * count it changes — keep 0 unless cells skew). */
+  def ivfNearDupPairs(corpus: DataFrame, threshold: Double,
+                      nCells: Int = 16, nProbe: Int = 4,
+                      prefilterMargin: Double = 0.02,
+                      maxBucket: Int = 0): DataFrame =
+    ivfNearDupPairsWithRelease(corpus, threshold, nCells, nProbe,
+      prefilterMargin, maxBucket)._1
+
+  /** As [[ivfNearDupPairs]], plus a release handle for the cell-assigned
+    * quantized cache (the materialized IVF index at cluster scale). */
+  def ivfNearDupPairsWithRelease(corpus: DataFrame, threshold: Double,
+                                 nCells: Int = 16, nProbe: Int = 4,
+                                 prefilterMargin: Double = 0.02,
+                                 maxBucket: Int = 0): (DataFrame, () => Unit) = {
+    require(nProbe >= 1 && nProbe <= nCells, s"need 1 <= nProbe ($nProbe) <= nCells ($nCells)")
+    // degenerate-vector guard: zero/empty embeddings have NaN cosine to
+    // every centroid and would sort unpredictably; drop them up front
+    val clean = corpus.filter(size(col("embedding")) > 0 &&
+      !isnan(cosineSim(col("embedding"), col("embedding"))))
+    // codebook: deterministic seed centroids, driver-collected (the IVF
+    // index's broadcast codebook — nCells · dim floats)
+    val codebook = centroids(clean, nCells).collect().map { r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray)
+    }
+    val cellScores = array(codebook.map { case (cid, vec) =>
+      struct((-round(cosineSim(col("embedding"), typedlit(vec)), 6)).as("nsim"),
+        lit(cid).as("cell_id"))
+    }: _*)
+    val topCells = transform(
+      slice(sort_array(cellScores), 1, nProbe), e => e.getField("cell_id"))
+    // one map-side pass: quantize + multi-probe cell assignment
+    val assigned = Dedup.capBuckets(
+      withQ8(clean)
+        .select(col("vec_id"), col("embedding"), col("q_scale"), col("q8"),
+          explode(topCells).as("cell_id")),
+      Seq("cell_id"), maxBucket)
+      .cache() // both sides of the cell self-join; released via the handle
+    val a = assigned.select(col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("cell_id"))
+    val b = assigned.select(col("vec_id").as("id_b"),
+      col("q8").as("q8_b"), col("q_scale").as("scale_b"), col("cell_id"))
+    val cands = a.join(b, "cell_id")
+      .filter(col("id_a") < col("id_b"))
+      // int8 prefilter in the join's output stage: kills ~99.9% of
+      // candidates before the distinct/verify shuffles see them
+      .filter(graft.functions.CosineSimQ8.cosineSimQ8(
+        col("emb_a"), col("q8_b"), col("scale_b")) >= threshold - prefilterMargin)
+      .select("id_a", "id_b").distinct()
+    val embA = clean.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val embB = clean.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val pairs = cands.join(embA, "id_a").join(embB, "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(cosineSim(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+    (pairs, () => { assigned.unpersist(); () })
   }
 
   /** All-pairs cosine ≥ threshold — embedding near-dup detection, brute
@@ -202,16 +297,22 @@ object Similarity {
     * [[nearDupPairs]]); output is deterministic for a fixed corpus and
     * parameterization. The internal banded cache lives until the session
     * drops it — use [[srpNearDupPairsWithRelease]] when the caller
-    * controls lifecycle. */
+    * controls lifecycle.
+    *
+    * Defaults (8 words × 4 bands = 32 bands of 16-bit keys) target real
+    * near-dup thresholds: recall ≈ 0.999 at cos 0.95, 0.94 at 0.9, and
+    * band buckets stay ~n/2^16 — no caller gets a degenerate (sub-2^16)
+    * keyspace without asking for it. For thresholds at the similarity
+    * noise floor use [[ivfNearDupPairs]] instead. */
   def srpNearDupPairs(corpus: DataFrame, threshold: Double,
-                      nWords: Int = 2, bandBits: Int = 6,
+                      nWords: Int = 8, bandBits: Int = 16,
                       maxBucket: Int = 0): DataFrame =
     srpNearDupPairsWithRelease(corpus, threshold, nWords, bandBits, maxBucket)._1
 
   /** As [[srpNearDupPairs]], plus a release handle that unpersists the
     * banded-signature cache once the result has been consumed. */
   def srpNearDupPairsWithRelease(corpus: DataFrame, threshold: Double,
-                                 nWords: Int = 2, bandBits: Int = 6,
+                                 nWords: Int = 8, bandBits: Int = 16,
                                  maxBucket: Int = 0): (DataFrame, () => Unit) = {
     require(bandBits >= 1 && bandBits <= 64, s"bandBits $bandBits out of range")
     val bandsPerWord = 64 / bandBits

@@ -104,15 +104,20 @@ object NorthStarQueries {
       },
       None),
 
-    // ---- dedup: embedding near-dup via SRP-LSH banding --------------------
-    // Shipped path: sign-random-projection candidates + exact-cosine
-    // verify — no cartesian at any scale. Recall vs the brute baseline
-    // (Similarity.nearDupPairs) is gated in DedupSimilaritySpec; output
-    // is hash-dependent → rows-only driver check.
+    // ---- dedup: embedding near-dup via IVF-cell blocking ------------------
+    // Shipped path: multi-probe IVF-cell candidates, int8 prefilter
+    // BEFORE the distinct/verify shuffles, exact-cosine verify — no
+    // cartesian at any scale. SRP-LSH banding is the wrong scheme at
+    // this threshold (cos 0.45 sits on the corpus' similarity noise
+    // floor; 16-bit bands would need ~1,600 bands for recall 0.8, and
+    // narrow bands degenerate the keyspace — the round-2 defect).
+    // Recall vs the brute baseline (Similarity.nearDupPairs) is gated
+    // in DedupSimilaritySpec; centroid-seed-dependent → rows-only
+    // driver check.
     ("d05_embedding_neardup",
       (s: SparkSession, d: String) => {
-        Similarity.srpNearDupPairs(Tables.load(s, d, "embeddings"), threshold = 0.45,
-            nWords = 3, bandBits = 6, maxBucket = 1000)
+        Similarity.ivfNearDupPairs(Tables.load(s, d, "embeddings"), threshold = 0.45,
+            nCells = 16, nProbe = 4)
           .orderBy(col("id_a"), col("id_b"))
       },
       None),

@@ -134,6 +134,40 @@ class DedupSimilaritySpec extends SparkSpec {
       "candidate generation must be join-banded, not all-pairs")
   }
 
+  test("IVF-blocked near-dup (shipped d05): recall ≥ 0.8, exact precision, no cartesian") {
+    val emb = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding").cache()
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairSet(Similarity.nearDupPairs(emb, 0.45))
+    assert(brute.nonEmpty, "fixture should contain qualifying pairs")
+    val (ivfDf, release) = Similarity.ivfNearDupPairsWithRelease(
+      emb, 0.45, nCells = 16, nProbe = 4)
+    try {
+      val ivf = pairSet(ivfDf)
+      // deterministic for fixed data and seed centroids (measured 1.0 at
+      // sf0.001, 0.93 at sf0.01, 0.98 at sf0.1 with these parameters)
+      val recall = brute.count(ivf).toDouble / brute.size
+      assert(recall >= 0.8, s"IVF recall $recall, truth=${brute.size}, found=${ivf.size}")
+      assert(ivf.subsetOf(brute), "verify stage must make every emitted pair exact")
+      val plan = ivfDf.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        "candidate generation must be cell-blocked, not all-pairs")
+    } finally release()
+  }
+
+  test("IVF-blocked near-dup: zero and empty vectors are guarded, not assigned") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val rows = (0 until 20).map(i => (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat))) ++
+      (100 until 150).map(i => (i.toLong, Array.fill(16)(0f))) ++
+      (200 until 205).map(i => (i.toLong, Array.empty[Float]))
+    val emb = rows.toDF("vec_id", "embedding")
+    val pairs = Similarity.ivfNearDupPairs(emb, threshold = 0.0, nCells = 4, nProbe = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "guard dropped the real vectors too")
+    assert(pairs.forall { case (a, b) => a < 100 && b < 100 }, pairs.take(5).toSeq.toString)
+  }
+
   test("SRP-LSH near-dup: zero and empty vectors are guarded, not banded") {
     import spark.implicits._
     val rng = new scala.util.Random(5)
