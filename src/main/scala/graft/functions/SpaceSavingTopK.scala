@@ -93,6 +93,15 @@ object SpaceSavingTopK {
   /** Mutable capacity-bounded counter summary. */
   final class Summary(capacity: Int) {
     private[SpaceSavingTopK] val counters = mutable.HashMap.empty[String, Array[Long]]
+    /** True once any eviction (or merge truncation) has occurred. The
+      * Space-Saving invariant then reads: any term ABSENT from the
+      * summary has true count ≤ the current minimum counter. While
+      * false, absent terms have true count 0 — tracking this keeps the
+      * capacity ≥ vocab regime exact through merges. */
+    private[SpaceSavingTopK] var evicted: Boolean = false
+
+    private def minCount: Long =
+      if (counters.isEmpty) 0L else counters.valuesIterator.map(_(0)).min
 
     /** Add `inc` observations of `term` (with inherited error `err`).
       * At capacity, the minimum-count entry (lexicographic tie-break,
@@ -106,22 +115,48 @@ object SpaceSavingTopK {
             counters(term) = Array(inc, err)
           } else {
             var minTerm: String = null
-            var minCount = Long.MaxValue
+            var min = Long.MaxValue
             counters.foreach { case (t, ce) =>
-              if (ce(0) < minCount || (ce(0) == minCount && (minTerm == null || t < minTerm))) {
-                minCount = ce(0); minTerm = t
+              if (ce(0) < min || (ce(0) == min && (minTerm == null || t < minTerm))) {
+                min = ce(0); minTerm = t
               }
             }
             counters.remove(minTerm)
-            counters(term) = Array(minCount + inc, minCount + err)
+            counters(term) = Array(min + inc, min + err)
+            evicted = true
           }
       }
 
-    /** Merge: sum shared keys, offer the rest, then re-bound to
-      * capacity by dropping the smallest counts (their mass is already
-      * reflected in survivors' error floors where eviction applied). */
+    /** Mergeable-summaries merge (Agarwal et al.): shared keys sum
+      * count and err; a key absent from one side gets that side's
+      * absent-key bound — its minimum counter if it ever evicted, else
+      * 0 — added to BOTH count and err, since the absent side's true
+      * frequency lies in [0, floor]. Then truncate to the `capacity`
+      * largest counts (lexicographic tie-break): dropped counts are ≤
+      * the surviving minimum, so the absent-key invariant is preserved.
+      * The bound count − err ≤ f ≤ count holds under any merge
+      * topology (property-tested in ExpressionEdgeSpec), and the
+      * capacity ≥ vocab regime stays exact (floors 0, no truncation). */
     def mergeIn(other: Summary): Unit = {
-      other.counters.foreach { case (t, ce) => offer(t, ce(0), ce(1)) }
+      val mSelf = if (evicted) minCount else 0L
+      val mOther = if (other.evicted) other.minCount else 0L
+      val merged = mutable.HashMap.empty[String, Array[Long]]
+      counters.foreach { case (t, ce) =>
+        other.counters.get(t) match {
+          case Some(oe) => merged(t) = Array(ce(0) + oe(0), ce(1) + oe(1))
+          case None     => merged(t) = Array(ce(0) + mOther, ce(1) + mOther)
+        }
+      }
+      other.counters.foreach { case (t, oe) =>
+        if (!counters.contains(t)) merged(t) = Array(mSelf + oe(0), mSelf + oe(1))
+      }
+      evicted |= other.evicted
+      counters.clear()
+      if (merged.size <= capacity) counters ++= merged
+      else {
+        counters ++= merged.toArray.sortBy { case (t, ce) => (-ce(0), t) }.take(capacity)
+        evicted = true
+      }
     }
 
     def top(k: Int): Array[(String, Long, Long)] =
@@ -133,6 +168,7 @@ object SpaceSavingTopK {
     def toBytes: Array[Byte] = {
       val bos = new ByteArrayOutputStream()
       val out = new DataOutputStream(bos)
+      out.writeBoolean(evicted)
       out.writeInt(counters.size)
       counters.foreach { case (t, ce) =>
         out.writeUTF(t); out.writeLong(ce(0)); out.writeLong(ce(1))
@@ -146,6 +182,7 @@ object SpaceSavingTopK {
     def fromBytes(bytes: Array[Byte], capacity: Int): Summary = {
       val in = new DataInputStream(new ByteArrayInputStream(bytes))
       val s = new Summary(capacity)
+      s.evicted = in.readBoolean()
       val n = in.readInt()
       var i = 0
       while (i < n) {

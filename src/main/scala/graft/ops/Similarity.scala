@@ -26,12 +26,16 @@ import graft.functions.CosineSimilarity.cosineSim
   */
 object Similarity {
 
-  /** corpus: (vec_id, embedding); queries: (query_id, q_embedding). */
+  /** corpus: (vec_id, embedding); queries: (query_id, q_embedding).
+    * Degenerate (zero/empty) vectors score NaN, and Spark sorts NaN as
+    * the LARGEST double — unguarded they would rank first in every
+    * query's top-k, so every scoring path here filters them. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val scored = corpus.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cosineSim(col("embedding"), col("q_embedding")), 6).as("cos_sim"))
+      .filter(!isnan(col("cos_sim")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -106,11 +110,12 @@ object Similarity {
       .withColumn("rnk", row_number().over(wq))
       .filter(col("rnk") <= nProbe)
       .select(col("query_id"), col("q_embedding"), col("cell_id"))
-    // score only vectors in probed cells
+    // score only vectors in probed cells (NaN guard: see bruteForceTopK)
     val scored = probes.join(assigned, "cell_id")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cosineSim(col("embedding"), col("q_embedding")), 6).as("cos_sim"))
+      .filter(!isnan(col("cos_sim")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -152,6 +157,9 @@ object Similarity {
       .select(col("query_id"), col("q_embedding"), col("vec_id").as("neighbor_id"),
         graft.functions.CosineSimQ8.cosineSimQ8(
           col("q_embedding"), col("q8"), col("q_scale")).as("q_sim"))
+      // NaN guard (zero vectors): without it a degenerate vector would
+      // head EVERY query's shortlist (see bruteForceTopK)
+      .filter(!isnan(col("q_sim")))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("q_sim").desc, col("neighbor_id"))
     val shortlist = approx
@@ -161,6 +169,7 @@ object Similarity {
       .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         round(cosineSim(col("embedding"), col("q_embedding")), 6).as("cos_sim"))
+      .filter(!isnan(col("cos_sim")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     exact.withColumn("rank", row_number().over(w))

@@ -34,9 +34,13 @@ object TrainingPrep {
 
   /** 'train' for trainPct% of ids, 'val' otherwise — deterministic,
     * engine-portable (pure integer arithmetic, identical in DuckDB) and
-    * stable under corpus append: an id's split never changes. */
+    * stable under corpus append: an id's split never changes. `pmod`
+    * keeps the bucket in [0, 100) for NEGATIVE ids too — `%` preserves
+    * sign in both Spark and DuckDB, so a signed `%` would send every
+    * negative id to 'train' (always < trainPct). */
   def splitAssign(id: Column, trainPct: Int): Column =
-    when(((id * HashA) % HashM) % 100 < trainPct, "train").otherwise("val")
+    when(pmod(pmod(id * HashA, lit(HashM)), lit(100)) < trainPct, "train")
+      .otherwise("val")
 
   /** Canonical text: lowercase, collapse every non-alphanumeric run
     * (punctuation AND whitespace — including newlines/tabs, so

@@ -100,16 +100,26 @@ object ScaleJoinQueries {
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
     // ---- custom mergeable sketch: Space-Saving heavy hitters --------------
-    // capacity (64) ≥ vocabulary here, so the sketch is EXACT and
-    // oracle-checkable; the approximate capacity<vocab regime (bounded
-    // state at 100 TB) is bounds-gated in ExpressionEdgeSpec.
+    // The oracle (exact COUNT) is valid only in the sketch's EXACT
+    // regime (capacity ≥ per-source vocabulary). Capacity is DERIVED
+    // from the data (one cheap distinct-count pre-pass, floor 64) so
+    // the contract is self-checking: a fixture whose vocabulary grows
+    // past 64 widens the sketch instead of silently entering the
+    // merge-order-dependent approximate regime and flaking the hash
+    // gate. The approximate capacity<vocab regime (bounded state at
+    // 100 TB) is bounds-gated in ExpressionEdgeSpec.
     ("q47_heavy_hitters",
       (s: SparkSession, d: String) => {
-        Tables.load(s, d, "documents")
+        val terms = Tables.load(s, d, "documents")
           .select(col("source"),
             explode(graft.ops.TextAnalysis.tokens(lower(col("text")))).as("term"))
+        val maxVocab = terms.groupBy(col("source"))
+          .agg(countDistinct(col("term")).as("v"))
+          .agg(max(col("v"))).head().getLong(0)
+        terms
           .groupBy(col("source"))
-          .agg(graft.functions.SpaceSavingTopK.topK(col("term"), 3, 64).as("tk"))
+          .agg(graft.functions.SpaceSavingTopK.topK(col("term"), 3,
+            math.max(64L, maxVocab).toInt).as("tk"))
           .select(col("source"), posexplode(col("tk")))
           .select(col("source"), (col("pos") + 1).cast("int").as("rank"),
             col("col.term").as("term"), col("col.count").as("n"))

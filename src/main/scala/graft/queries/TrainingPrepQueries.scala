@@ -25,7 +25,7 @@ object TrainingPrepQueries {
           .orderBy(col("source"), col("split"))
       },
       Some("""SELECT source,
-             |  CASE WHEN ((doc_id * 48271) % 2147483647) % 100 < 90
+             |  CASE WHEN (((doc_id * 48271) % 2147483647 + 2147483647) % 2147483647) % 100 < 90
              |       THEN 'train' ELSE 'val' END AS split,
              |  COUNT(*) AS n_docs
              |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),

@@ -114,6 +114,59 @@ class ExpressionEdgeSpec extends SparkSpec {
     assert(out.length == 10)
   }
 
+  test("SpaceSavingTopK merge bound: count − err ≤ f ≤ count under random merge orders") {
+    import graft.functions.SpaceSavingTopK.Summary
+    // Summary-level property test (no Spark): random skewed streams,
+    // capacity << vocab, random substream partitions, two merge
+    // topologies (left fold and balanced tree). The mergeable-summaries
+    // bound must hold for every reported term in every configuration.
+    val rng = new scala.util.Random(17)
+    for (trial <- 0 until 20) {
+      val capacity = 8 + rng.nextInt(24)           // 8..31
+      val vocab = capacity * 3 + rng.nextInt(100)  // always > capacity
+      val n = 2000 + rng.nextInt(4000)
+      // zipf-ish skew so some terms are genuinely heavy
+      val stream = Seq.fill(n) {
+        val r = rng.nextDouble()
+        if (r < 0.5) s"t${rng.nextInt(5)}" else s"t${rng.nextInt(vocab)}"
+      }
+      val trueCounts = stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val nParts = 2 + rng.nextInt(6)
+      val parts = stream.zipWithIndex.groupBy(_._2 % nParts).values.map(_.map(_._1))
+      val summaries = parts.map { p =>
+        val s = new Summary(capacity)
+        p.foreach(t => s.offer(t, 1L, 0L))
+        s
+      }.toVector
+      def check(s: Summary, how: String): Unit =
+        s.top(capacity).foreach { case (t, c, e) =>
+          val f = trueCounts.getOrElse(t, 0L)
+          assert(f <= c, s"trial $trial $how $t: true $f > upper $c")
+          assert(c - e <= f, s"trial $trial $how $t: lower ${c - e} > true $f")
+        }
+      // left fold over a shuffled order
+      val foldOrder = rng.shuffle(summaries)
+      val folded = foldOrder.map(reserialize(_, capacity)).reduceLeft { (a, b) =>
+        a.mergeIn(b); a
+      }
+      check(folded, "fold")
+      // balanced tree merge
+      def tree(v: Vector[Summary]): Summary =
+        if (v.size == 1) v.head
+        else {
+          val (l, r) = v.splitAt(v.size / 2)
+          val a = tree(l); a.mergeIn(tree(r)); a
+        }
+      check(tree(rng.shuffle(summaries).map(reserialize(_, capacity))), "tree")
+    }
+  }
+
+  /** Round-trip through bytes, as shuffle does — also covers the
+    * evicted-flag serialization. */
+  private def reserialize(s: graft.functions.SpaceSavingTopK.Summary,
+                          capacity: Int): graft.functions.SpaceSavingTopK.Summary =
+    graft.functions.SpaceSavingTopK.Summary.fromBytes(s.toBytes, capacity)
+
   test("minhash candidate generation on a corpus of only short docs is empty") {
     val docs = Seq((1L, "one two"), (2L, "three four"), (3L, "five six"))
       .toDF("doc_id", "text")

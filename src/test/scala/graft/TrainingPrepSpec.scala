@@ -24,6 +24,17 @@ class TrainingPrepSpec extends SparkSpec {
     assert(sub.exceptAll(full).isEmpty && full.exceptAll(sub).isEmpty)
   }
 
+  test("splitAssign: negative ids still split ~trainPct (pmod, not signed %)") {
+    // signed % would make every negative id hash < trainPct ('train');
+    // pmod keeps the bucket in [0, 100) so the split holds on any id sign
+    val ids = spark.range(-10000, 0).toDF("id")
+    val counts = ids.select(TrainingPrep.splitAssign(col("id"), 90).as("s"))
+      .groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.getOrElse("val", 0L) >= 700, s"negative ids degenerate: $counts")
+    assert(counts("train") + counts.getOrElse("val", 0L) == 10000)
+  }
+
   test("packedBin: greedy concat-packing reference semantics + conservation") {
     val docs = Seq(
       ("a", 1L, 60L), ("a", 2L, 60L), ("a", 3L, 60L), ("a", 4L, 250L), ("a", 5L, 10L),
