@@ -7,7 +7,7 @@ object Bench {
     * broadcast join, sort, codegen'd expressions, generate/explode,
     * window functions, regex extraction, and the streaming micro-batch
     * engine on tiny slices. */
-  private def warmup(spark: SparkSession, sfDir: String): Unit = {
+  private[graft] def warmup(spark: SparkSession, sfDir: String): Unit = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)

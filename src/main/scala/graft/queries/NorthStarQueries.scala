@@ -111,16 +111,23 @@ object NorthStarQueries {
     // this threshold (cos 0.45 sits on the corpus' similarity noise
     // floor; 16-bit bands would need ~1,600 bands for recall 0.8, and
     // narrow bands degenerate the keyspace — the round-2 defect).
-    // Recall vs the brute baseline (Similarity.nearDupPairs) is gated
-    // in DedupSimilaritySpec; centroid-seed-dependent → rows-only
-    // driver check.
+    // nProbe = 6 of 16 cells is the measured recall-1.0 operating point
+    // on this corpus (DedupSimilaritySpec asserts set EQUALITY with the
+    // brute baseline at sf0.001 and sf0.01), which upgrades d05 from a
+    // rows-only check to a full all-pairs DuckDB oracle: with recall 1
+    // and exact-verify precision 1, the output IS the brute pair set.
     ("d05_embedding_neardup",
       (s: SparkSession, d: String) => {
         Similarity.ivfNearDupPairs(Tables.load(s, d, "embeddings"), threshold = 0.45,
-            nCells = 16, nProbe = 4)
+            nCells = 16, nProbe = 6)
           .orderBy(col("id_a"), col("id_b"))
       },
-      None),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+             |FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+             |ORDER BY id_a, id_b""".stripMargin)),
 
     // ---- similarity: brute-force cosine top-k -----------------------------
     ("s01_cosine_topk",

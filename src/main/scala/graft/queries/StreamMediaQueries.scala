@@ -121,6 +121,11 @@ object StreamMediaQueries {
     // assumes event_id is unique in the fixture (holds at every sf) —
     // a fixture with genuinely duplicated ids would make the dedup
     // collapse them while the oracle keeps both.
+    // The dedup state (one key per in-watermark event id) is the
+    // highest-cardinality state in the suite, so this query runs on the
+    // RocksDB state store provider — the 100 TB configuration (state
+    // off-heap/on-disk per executor, not an executor-heap ceiling) —
+    // exercised in the shipped path, not only in StreamingSpec.
     ("st06_stream_dedup",
       (s: SparkSession, d: String) => {
         val out = java.nio.file.Files.createTempDirectory("graft_st06").toString
@@ -130,8 +135,9 @@ object StreamMediaQueries {
           .withWatermark("event_time", "1 hour")
           .dropDuplicatesWithinWatermark("event_id")
           .select(col("event_id"), col("event_type"), col("user_id"))
-        EventStream.runToFiles(s, deduped, s"$out/data", s"$out/ckpt")
-          .orderBy(col("event_id"))
+        EventStream.withRocksDBState(s) {
+          EventStream.runToFiles(s, deduped, s"$out/data", s"$out/ckpt")
+        }.orderBy(col("event_id"))
       },
       Some("""SELECT event_id, event_type, user_id
              |FROM events ORDER BY event_id""".stripMargin)),
@@ -170,6 +176,10 @@ object StreamMediaQueries {
              |  CAST(16 AS INT) AS n_features
              |FROM documents ORDER BY media_id""".stripMargin)),
 
+    // Frame COUNTS are a pure function of the fixture (duration_ms =
+    // 10·len(text), one frame per second, min 1), so the aggregate is
+    // oracle-checkable even though per-frame features are stub-codec
+    // values (those are asserted in MultimodalSpec).
     ("m03_frame_sample",
       (s: SparkSession, d: String) => {
         val media = Multimodal.fromDocuments(Tables.load(s, d, "documents"))
@@ -178,6 +188,9 @@ object StreamMediaQueries {
           .agg(count(lit(1)).as("n_frames"), max(col("ts_ms")).as("last_ts_ms"))
           .orderBy(col("media_id"))
       },
-      None),
+      Some("""SELECT doc_id AS media_id,
+             |  CAST(greatest(1, length(text) * 10 // 1000) AS BIGINT) AS n_frames,
+             |  (CAST(greatest(1, length(text) * 10 // 1000) AS BIGINT) - 1) * 1000 AS last_ts_ms
+             |FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id""".stripMargin)),
   )
 }

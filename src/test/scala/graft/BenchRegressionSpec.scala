@@ -1,0 +1,54 @@
+package graft
+
+import scala.io.Source
+
+/** Per-query wall-time regression gate. Round 2 shipped a systemic
+  * ~2× bench regression (pinned caches starving later queries) that no
+  * test caught because correctness stayed green — this spec makes
+  * `sbt test` fail on that class of leak before the driver ever runs.
+  *
+  * Method: the checked-in baseline (`bench_baseline_sf001.txt`) records
+  * each query's warm wall time at sf0.01; every query re-runs here (same
+  * warmup and per-query cache release as Bench) and fails only past
+  * `max(3 × baseline, baseline + 2 s)` — far above machine-load variance
+  * (±25% measured) and JIT jitter on sub-second queries, far below the
+  * 5–18× signatures of a real leak. New queries without a baseline row
+  * pass with an info message until the baseline is regenerated (command
+  * in the resource header).
+  */
+class BenchRegressionSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.01"
+
+  private lazy val baseline: Map[String, Double] = {
+    val src = Source.fromInputStream(
+      getClass.getResourceAsStream("/bench_baseline_sf001.txt"), "UTF-8")
+    try src.getLines()
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l => val Array(k, v) = l.split("\\s+"); k -> v.toDouble }
+      .toMap
+    finally src.close()
+  }
+
+  test("no query grossly regresses vs the checked-in sf0.01 baseline") {
+    Bench.warmup(spark, sfDir)
+    spark.catalog.clearCache()
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      val t = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      baseline.get(name) match {
+        case Some(b) =>
+          val allowed = math.max(3 * b, b + 2.0)
+          if (t > allowed)
+            failures += f"$name: $t%.2fs vs baseline $b%.2fs (allowed $allowed%.2fs)"
+        case None =>
+          info(s"$name has no baseline row — regenerate bench_baseline_sf001.txt")
+      }
+    }
+    assert(failures.isEmpty,
+      "per-query regressions:\n" + failures.mkString("\n"))
+  }
+}

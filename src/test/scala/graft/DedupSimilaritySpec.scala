@@ -134,25 +134,28 @@ class DedupSimilaritySpec extends SparkSpec {
       "candidate generation must be join-banded, not all-pairs")
   }
 
-  test("IVF-blocked near-dup (shipped d05): recall ≥ 0.8, exact precision, no cartesian") {
-    val emb = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding").cache()
-    def pairSet(df: org.apache.spark.sql.DataFrame) =
-      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val brute = pairSet(Similarity.nearDupPairs(emb, 0.45))
-    assert(brute.nonEmpty, "fixture should contain qualifying pairs")
-    val (ivfDf, release) = Similarity.ivfNearDupPairsWithRelease(
-      emb, 0.45, nCells = 16, nProbe = 4)
-    try {
-      val ivf = pairSet(ivfDf)
-      // deterministic for fixed data and seed centroids (measured 1.0 at
-      // sf0.001, 0.93 at sf0.01, 0.98 at sf0.1 with these parameters)
-      val recall = brute.count(ivf).toDouble / brute.size
-      assert(recall >= 0.8, s"IVF recall $recall, truth=${brute.size}, found=${ivf.size}")
-      assert(ivf.subsetOf(brute), "verify stage must make every emitted pair exact")
-      val plan = ivfDf.queryExecution.executedPlan.toString
-      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
-        "candidate generation must be cell-blocked, not all-pairs")
-    } finally release()
+  test("IVF-blocked near-dup (shipped d05): EQUALS brute pairs, no cartesian") {
+    // d05 carries a full all-pairs DuckDB oracle, which is only sound if
+    // the blocked path finds EXACTLY the brute pair set (recall 1.0 at
+    // the shipped nProbe = 6 operating point + exact-verify precision).
+    // Assert set equality at both the spec sf and the driver's sf0.01.
+    for (sfDir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val emb = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding").cache()
+      def pairSet(df: org.apache.spark.sql.DataFrame) =
+        df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = pairSet(Similarity.nearDupPairs(emb, 0.45))
+      assert(brute.nonEmpty, s"$sfDir fixture should contain qualifying pairs")
+      val (ivfDf, release) = Similarity.ivfNearDupPairsWithRelease(
+        emb, 0.45, nCells = 16, nProbe = 6)
+      try {
+        val ivf = pairSet(ivfDf)
+        assert(ivf == brute,
+          s"$sfDir: blocked=${ivf.size} brute=${brute.size} — d05's oracle needs equality")
+        val plan = ivfDf.queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+          "candidate generation must be cell-blocked, not all-pairs")
+      } finally { release(); emb.unpersist() }
+    }
   }
 
   test("IVF-blocked near-dup: zero and empty vectors are guarded, not assigned") {
