@@ -32,15 +32,40 @@ object TrainingPrep {
   val HashA = 48271L
   val HashM = 2147483647L
 
+  /** Uniform pseudo-random bucket in [0, m) from an id — the shared
+    * primitive for every deterministic sampling decision here. `pmod`
+    * keeps the bucket nonnegative for NEGATIVE ids too — `%` preserves
+    * sign in both Spark and DuckDB, so a signed `%` would collapse all
+    * negative ids into the low buckets. Pure integer arithmetic,
+    * identical in DuckDB, stable under corpus append. */
+  def hashBucket(id: Column, m: Int): Column =
+    pmod(pmod(id * HashA, lit(HashM)), lit(m))
+
   /** 'train' for trainPct% of ids, 'val' otherwise — deterministic,
-    * engine-portable (pure integer arithmetic, identical in DuckDB) and
-    * stable under corpus append: an id's split never changes. `pmod`
-    * keeps the bucket in [0, 100) for NEGATIVE ids too — `%` preserves
-    * sign in both Spark and DuckDB, so a signed `%` would send every
-    * negative id to 'train' (always < trainPct). */
+    * engine-portable, stable under corpus append: an id's split never
+    * changes. */
   def splitAssign(id: Column, trainPct: Int): Column =
-    when(pmod(pmod(id * HashA, lit(HashM)), lit(100)) < trainPct, "train")
-      .otherwise("val")
+    when(hashBucket(id, 100) < trainPct, "train").otherwise("val")
+
+  /** Keep-decision for balancing a skewed corpus down to `cap` docs per
+    * group: keep ≈ cap/groupN of each group, exactly all of a group
+    * already at or under the cap (bucket·groupN < cap·1e6 is always
+    * true when groupN ≤ cap). Pure integer compare — no floating-point
+    * rate, so Spark and DuckDB agree bit-for-bit — and entirely
+    * MAP-SIDE given a per-row group size: the scale path for "uniform
+    * source mixture" downsampling at 100 TB, where a rank-per-group
+    * window would shuffle the full corpus into per-group sorts. */
+  def balancedKeep(id: Column, groupN: Column, cap: Long): Column =
+    hashBucket(id, 1000000) * groupN < lit(cap) * 1000000L
+
+  /** Repeat count for fractional-epoch upsampling (pretraining data
+    * mixes: "see this source 2.5×"): `milliEpochs` is the weight in
+    * thousandths (2500 = 2.5 epochs), every doc repeats floor(w) times
+    * and a deterministic w-fractional share of docs repeat once more —
+    * integer arithmetic only, so the oracle reproduces it exactly. */
+  def epochRepeat(milliEpochs: Column, id: Column): Column =
+    floor(milliEpochs / 1000).cast("long") +
+      when(hashBucket(id, 1000) < milliEpochs % 1000, 1L).otherwise(0L)
 
   /** Canonical text: lowercase, collapse every non-alphanumeric run
     * (punctuation AND whitespace — including newlines/tabs, so

@@ -62,6 +62,76 @@ object TrainingPrepQueries {
              |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
              |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
 
+    // ---- balanced downsampling to a uniform language mixture --------------
+    // The pretraining-mix primitive: the corpus is lang-skewed (en ~3×
+    // fr), so over-represented languages downsample to the smallest
+    // language's count via a deterministic id-hash threshold. The keep
+    // decision is one integer compare per row (map-side; no per-group
+    // rank window shuffling the corpus), a group at/under the cap keeps
+    // everything, and the only shuffles are the two tiny count
+    // aggregations. `cap` is one scalar pre-pass (the mix spec a real
+    // pipeline would read from config).
+    ("q48_balanced_sample",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.load(s, d, "documents")
+        val cap = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+          .agg(min(col("n"))).head().getLong(0)
+        docs
+          .withColumn("n_lang", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_total"),
+            count_if(TrainingPrep.balancedKeep(col("doc_id"), col("n_lang"), cap))
+              .as("n_kept"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH c AS (SELECT MIN(n) AS cap FROM
+             |    (SELECT COUNT(*) AS n FROM documents GROUP BY lang)),
+             |n AS (SELECT lang, doc_id,
+             |    COUNT(*) OVER (PARTITION BY lang) AS n_lang FROM documents)
+             |SELECT lang, COUNT(*) AS n_total,
+             |  CAST(COUNT(*) FILTER (
+             |    (((doc_id * 48271) % 2147483647 + 2147483647) % 2147483647) % 1000000
+             |      * n_lang < (SELECT cap FROM c) * 1000000) AS BIGINT) AS n_kept
+             |FROM n GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ---- fractional-epoch upsampling (data-mix weighting) -----------------
+    // The complementary mix primitive: under-represented languages
+    // repeat fractionally (2.5 epochs = every doc twice, a
+    // deterministic hash-chosen half a third time) — integer
+    // milli-epoch arithmetic, so the expansion is engine-exact. The
+    // explode is the only row expansion; repeats are bounded by the mix
+    // weights, so output scales linearly with input.
+    ("q49_epoch_mix",
+      (s: SparkSession, d: String) => {
+        val weights = typedLit(Map("de" -> 2500L, "es" -> 2000L,
+          "fr" -> 2000L, "zh" -> 1500L))
+        Tables.load(s, d, "documents")
+          .withColumn("rep", TrainingPrep.epochRepeat(
+            coalesce(element_at(weights, col("lang")), lit(1000L)), col("doc_id")))
+          .select(col("lang"), col("rep"),
+            explode(when(col("rep") > 0, sequence(lit(1L), col("rep")))
+              .otherwise(array().cast("array<long>"))).as("epoch"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs_out"),
+            count_if(col("epoch") === 1).as("n_docs_in"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH w AS (
+             |  SELECT lang, doc_id,
+             |    CASE lang WHEN 'de' THEN 2500 WHEN 'es' THEN 2000
+             |              WHEN 'fr' THEN 2000 WHEN 'zh' THEN 1500
+             |              ELSE 1000 END AS mw
+             |  FROM documents),
+             |r AS (
+             |  SELECT lang, mw // 1000 +
+             |    CASE WHEN (((doc_id * 48271) % 2147483647 + 2147483647) % 2147483647) % 1000
+             |              < mw % 1000 THEN 1 ELSE 0 END AS rep
+             |  FROM w)
+             |SELECT lang, CAST(SUM(rep) AS BIGINT) AS n_docs_out,
+             |  CAST(COUNT(*) FILTER (rep > 0) AS BIGINT) AS n_docs_in
+             |FROM r GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // ---- formatting-insensitive exact dedup on canonical text -------------
     ("d07_normalized_dedup",
       (s: SparkSession, d: String) => {

@@ -35,6 +35,33 @@ class TrainingPrepSpec extends SparkSpec {
     assert(counts("train") + counts.getOrElse("val", 0L) == 10000)
   }
 
+  test("balancedKeep: groups at/under cap keep everything, over-cap groups thin to ~cap") {
+    val n = 1000
+    val ids = spark.range(0, n).toDF("id")
+    // group of size n with cap n: bucket·n < n·1e6 ⟺ bucket < 1e6 — always
+    val keptAll = ids.filter(TrainingPrep.balancedKeep(col("id"), lit(n.toLong), n)).count()
+    assert(keptAll == n, s"cap == groupN must keep all, kept $keptAll")
+    // group of size 1000 with cap 100: expect ~100 kept (hash-uniform)
+    val kept = ids.filter(TrainingPrep.balancedKeep(col("id"), lit(n.toLong), 100)).count()
+    assert(kept >= 60 && kept <= 140, s"expected ~100 of 1000 kept, got $kept")
+    // deterministic: same decision on re-evaluation
+    val again = ids.filter(TrainingPrep.balancedKeep(col("id"), lit(n.toLong), 100)).count()
+    assert(again == kept)
+  }
+
+  test("epochRepeat: floor/ceil repeats in the fractional-epoch proportion") {
+    val ids = spark.range(0, 2000).toDF("id")
+    val reps = ids.select(TrainingPrep.epochRepeat(lit(2500L), col("id")).as("r"))
+      .groupBy("r").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps.keySet == Set(2L, 3L), s"2.5 epochs must repeat 2 or 3 times: $reps")
+    // ~half the ids take the extra repeat
+    assert(reps(3L) >= 800 && reps(3L) <= 1200, s"fractional share off: $reps")
+    // integral weight: exactly floor, no fractional branch
+    val flat = ids.select(TrainingPrep.epochRepeat(lit(2000L), col("id")).as("r"))
+      .groupBy("r").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flat == Map(2L -> 2000L), s"integral weight must be exact: $flat")
+  }
+
   test("packedBin: greedy concat-packing reference semantics + conservation") {
     val docs = Seq(
       ("a", 1L, 60L), ("a", 2L, 60L), ("a", 3L, 60L), ("a", 4L, 250L), ("a", 5L, 10L),
