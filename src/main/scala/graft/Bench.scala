@@ -77,8 +77,10 @@ object Bench {
     }
     // 3-decimal times keep the one-line JSON short (a 75-query line with
     // 17-digit doubles overflows the driver's capture — round 2 lost the
-    // tail)
-    def fmt(v: Double): String = f"$v%.3f"
+    // tail). Locale.ROOT: the f-interpolator honors the JVM default
+    // locale, and a comma decimal separator would corrupt the JSON.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

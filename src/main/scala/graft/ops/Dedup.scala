@@ -86,19 +86,27 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, k: Int = 16, bands: Int = 4,
                       threshold: Double = 0.7): DataFrame =
-    minhashNearDupsWithRelease(docs, idCol, textCol, n, k, bands, threshold)._1
+    minhashImpl(docs, idCol, textCol, n, k, bands, threshold, cache = false)._1
 
   /** As [[minhashNearDups]], plus a release handle that unpersists the
-    * internal shingle cache once the result has been consumed. */
+    * internal shingle cache once the result has been consumed (the
+    * plain form caches nothing — each consumer recomputes the map-side
+    * shingling, so arbitrary callers pin no session state). */
   def minhashNearDupsWithRelease(docs: DataFrame, idCol: String, textCol: String,
                                  n: Int = 3, k: Int = 16, bands: Int = 4,
-                                 threshold: Double = 0.7): (DataFrame, () => Unit) = {
-    // cached: consumed 3x (banding + both verification joins); at cluster
-    // scale this is the materialized shingle/signature table
-    val grams = docs.select(
+                                 threshold: Double = 0.7): (DataFrame, () => Unit) =
+    minhashImpl(docs, idCol, textCol, n, k, bands, threshold, cache = true)
+
+  private def minhashImpl(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int, k: Int, bands: Int,
+                          threshold: Double, cache: Boolean): (DataFrame, () => Unit) = {
+    // WithRelease form caches: consumed 3x (banding + both verification
+    // joins); at cluster scale this is the materialized
+    // shingle/signature table
+    val gramsBase = docs.select(
       col(idCol).as("gid"),
       wordNGrams(words(col(textCol)), n).as("grams"))
-      .cache()
+    val grams = if (cache) gramsBase.cache() else gramsBase
     val cands = minhashCandidates(
       grams.withColumnRenamed("gid", "did").withColumnRenamed("grams", "g"),
       "did", "g", k, bands)
@@ -108,7 +116,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(jaccard(col("grams_a"), col("grams_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    (pairs, () => { grams.unpersist(); () })
+    (pairs, () => { if (cache) grams.unpersist(); () })
   }
 
   /** Connected components over undirected near-dup pair edges
@@ -196,13 +204,21 @@ object Dedup {
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       bands: Int = 4, maxHamming: Int = 3,
                       maxBucket: Int = 0): DataFrame =
-    simhashNearDupsWithRelease(docs, idCol, textCol, bands, maxHamming, maxBucket)._1
+    simhashImpl(docs, idCol, textCol, bands, maxHamming, maxBucket,
+      cache = false)._1
 
   /** As [[simhashNearDups]], plus a release handle for the banded
-    * fingerprint cache. */
+    * fingerprint cache (the plain form caches nothing — each self-join
+    * side recomputes the fingerprint subtree, so arbitrary callers pin
+    * no session state). */
   def simhashNearDupsWithRelease(docs: DataFrame, idCol: String, textCol: String,
                                  bands: Int = 4, maxHamming: Int = 3,
-                                 maxBucket: Int = 0): (DataFrame, () => Unit) = {
+                                 maxBucket: Int = 0): (DataFrame, () => Unit) =
+    simhashImpl(docs, idCol, textCol, bands, maxHamming, maxBucket, cache = true)
+
+  private def simhashImpl(docs: DataFrame, idCol: String, textCol: String,
+                          bands: Int, maxHamming: Int,
+                          maxBucket: Int, cache: Boolean): (DataFrame, () => Unit) = {
     require(maxHamming < bands, "pigeonhole needs maxHamming < bands")
     val width = 64 / bands
     val fp = docs.select(col(idCol).as("sid"),
@@ -213,16 +229,17 @@ object Dedup {
         shiftrightunsigned(col("fp"), b * width)
           .bitwiseAND(lit((1L << width) - 1)).as("bits"))
     }: _*)
-    // Cached: the self-join would otherwise recompute the whole
+    // WithRelease form: cached so the self-join doesn't recompute the
     // fingerprint+banding+capping subtree once per side (verified via
     // .explain — the duplicated Scan→SimHash→Generate→Window chain). At
     // cluster scale this is the materialized banded table; same pattern
-    // as the minhash grams cache.
-    val banded = capBuckets(
+    // as the minhash grams cache. Plain form recomputes instead of
+    // pinning.
+    val bandedBase = capBuckets(
       fp.select(col("sid"), col("fp"), explode(bandStructs).as("bk"))
         .select(col("sid"), col("fp"), col("bk.band").as("band"), col("bk.bits").as("bits")),
       Seq("band", "bits"), maxBucket)
-      .cache()
+    val banded = if (cache) bandedBase.cache() else bandedBase
     val a = banded.select(col("sid").as("id_a"), col("fp").as("fp_a"), col("band"), col("bits"))
     val b = banded.select(col("sid").as("id_b"), col("fp").as("fp_b"), col("band"), col("bits"))
     val pairs = a.join(b, Seq("band", "bits"))
@@ -233,6 +250,6 @@ object Dedup {
       // pairs, so the dedup shuffle only sees survivors
       .filter(col("hamming") <= maxHamming)
       .distinct()
-    (pairs, () => { banded.unpersist(); () })
+    (pairs, () => { if (cache) banded.unpersist(); () })
   }
 }

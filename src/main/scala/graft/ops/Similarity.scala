@@ -215,15 +215,26 @@ object Similarity {
                       nCells: Int = 16, nProbe: Int = 4,
                       prefilterMargin: Double = 0.02,
                       maxBucket: Int = 0): DataFrame =
-    ivfNearDupPairsWithRelease(corpus, threshold, nCells, nProbe,
-      prefilterMargin, maxBucket)._1
+    ivfImpl(corpus, threshold, nCells, nProbe,
+      prefilterMargin, maxBucket, cache = false)._1
 
   /** As [[ivfNearDupPairs]], plus a release handle for the cell-assigned
-    * quantized cache (the materialized IVF index at cluster scale). */
+    * quantized cache (the materialized IVF index at cluster scale).
+    * The plain form caches NOTHING (each self-join side recomputes the
+    * map-side assign/quantize subtree — safe for callers with no
+    * lifecycle hook, nothing stays pinned after consumption); this form
+    * caches the assignment table and hands the caller its lifecycle. */
   def ivfNearDupPairsWithRelease(corpus: DataFrame, threshold: Double,
                                  nCells: Int = 16, nProbe: Int = 4,
                                  prefilterMargin: Double = 0.02,
-                                 maxBucket: Int = 0): (DataFrame, () => Unit) = {
+                                 maxBucket: Int = 0): (DataFrame, () => Unit) =
+    ivfImpl(corpus, threshold, nCells, nProbe, prefilterMargin, maxBucket,
+      cache = true)
+
+  private def ivfImpl(corpus: DataFrame, threshold: Double,
+                      nCells: Int, nProbe: Int,
+                      prefilterMargin: Double,
+                      maxBucket: Int, cache: Boolean): (DataFrame, () => Unit) = {
     require(nProbe >= 1 && nProbe <= nCells, s"need 1 <= nProbe ($nProbe) <= nCells ($nCells)")
     // degenerate-vector guard: zero/empty embeddings have NaN cosine to
     // every centroid and would sort unpredictably; drop them up front
@@ -240,13 +251,14 @@ object Similarity {
     }: _*)
     val topCells = transform(
       slice(sort_array(cellScores), 1, nProbe), e => e.getField("cell_id"))
-    // one map-side pass: quantize + multi-probe cell assignment
-    val assigned = Dedup.capBuckets(
+    // one map-side pass: quantize + multi-probe cell assignment (cached
+    // only in the WithRelease form; both self-join sides consume it)
+    val assignedBase = Dedup.capBuckets(
       withQ8(clean)
         .select(col("vec_id"), col("embedding"), col("q_scale"), col("q8"),
           explode(topCells).as("cell_id")),
       Seq("cell_id"), maxBucket)
-      .cache() // both sides of the cell self-join; released via the handle
+    val assigned = if (cache) assignedBase.cache() else assignedBase
     val a = assigned.select(col("vec_id").as("id_a"),
       col("embedding").as("emb_a"), col("cell_id"))
     val b = assigned.select(col("vec_id").as("id_b"),
@@ -264,7 +276,7 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         round(cosineSim(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
-    (pairs, () => { assigned.unpersist(); () })
+    (pairs, () => { if (cache) assigned.unpersist(); () })
   }
 
   /** All-pairs cosine ≥ threshold — embedding near-dup detection, brute
@@ -316,13 +328,20 @@ object Similarity {
   def srpNearDupPairs(corpus: DataFrame, threshold: Double,
                       nWords: Int = 8, bandBits: Int = 16,
                       maxBucket: Int = 0): DataFrame =
-    srpNearDupPairsWithRelease(corpus, threshold, nWords, bandBits, maxBucket)._1
+    srpImpl(corpus, threshold, nWords, bandBits, maxBucket, cache = false)._1
 
   /** As [[srpNearDupPairs]], plus a release handle that unpersists the
-    * banded-signature cache once the result has been consumed. */
+    * banded-signature cache once the result has been consumed (the
+    * plain form caches nothing — each self-join side recomputes the
+    * signature subtree, so arbitrary callers pin no session state). */
   def srpNearDupPairsWithRelease(corpus: DataFrame, threshold: Double,
                                  nWords: Int = 8, bandBits: Int = 16,
-                                 maxBucket: Int = 0): (DataFrame, () => Unit) = {
+                                 maxBucket: Int = 0): (DataFrame, () => Unit) =
+    srpImpl(corpus, threshold, nWords, bandBits, maxBucket, cache = true)
+
+  private def srpImpl(corpus: DataFrame, threshold: Double,
+                      nWords: Int, bandBits: Int,
+                      maxBucket: Int, cache: Boolean): (DataFrame, () => Unit) = {
     require(bandBits >= 1 && bandBits <= 64, s"bandBits $bandBits out of range")
     val bandsPerWord = 64 / bandBits
     val bands = nWords * bandsPerWord
@@ -344,10 +363,11 @@ object Similarity {
     }: _*)
     val banded = sig.select(col("vec_id"), explode(bandStructs).as("bk"))
       .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    // Cached: the band self-join would otherwise evaluate the
-    // SrpSig→explode→cap-window subtree once per side (seen in
-    // .explain); this is the materialized signature table at scale.
-    val capped = Dedup.capBuckets(banded, Seq("band", "key"), maxBucket).cache()
+    // WithRelease form: cached so the band self-join evaluates the
+    // SrpSig→explode→cap-window subtree once, not per side (this is the
+    // materialized signature table at scale); plain form recomputes.
+    val cappedBase = Dedup.capBuckets(banded, Seq("band", "key"), maxBucket)
+    val capped = if (cache) cappedBase.cache() else cappedBase
     val a = capped.select(col("vec_id").as("id_a"), col("band"), col("key"))
     val b = capped.select(col("vec_id").as("id_b"), col("band"), col("key"))
     val cands = a.join(b, Seq("band", "key"))
@@ -360,6 +380,6 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         round(cosineSim(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
-    (pairs, () => { capped.unpersist(); () })
+    (pairs, () => { if (cache) capped.unpersist(); () })
   }
 }

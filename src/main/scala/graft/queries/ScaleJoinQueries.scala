@@ -47,6 +47,10 @@ object ScaleJoinQueries {
     (liT, ordT)
   }
 
+  /** q47's derived sketch capacity, once per (session, sf). */
+  private val q47Capacity =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Int]
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
     // ---- salted fact⋈dim join (hot-key spreading) -------------------------
@@ -102,24 +106,27 @@ object ScaleJoinQueries {
     // ---- custom mergeable sketch: Space-Saving heavy hitters --------------
     // The oracle (exact COUNT) is valid only in the sketch's EXACT
     // regime (capacity ≥ per-source vocabulary). Capacity is DERIVED
-    // from the data (one cheap distinct-count pre-pass, floor 64) so
-    // the contract is self-checking: a fixture whose vocabulary grows
+    // from the data (one distinct-count pre-pass, floor 64, memoized
+    // per (session, sf) so repeat runs don't tokenize the corpus twice)
+    // — the contract is self-checking: a fixture whose vocabulary grows
     // past 64 widens the sketch instead of silently entering the
     // merge-order-dependent approximate regime and flaking the hash
     // gate. The approximate capacity<vocab regime (bounded state at
     // 100 TB) is bounds-gated in ExpressionEdgeSpec.
     ("q47_heavy_hitters",
       (s: SparkSession, d: String) => {
-        val terms = Tables.load(s, d, "documents")
+        def terms = Tables.load(s, d, "documents")
           .select(col("source"),
             explode(graft.ops.TextAnalysis.tokens(lower(col("text")))).as("term"))
-        val maxVocab = terms.groupBy(col("source"))
-          .agg(countDistinct(col("term")).as("v"))
-          .agg(max(col("v"))).head().getLong(0)
+        val capacity = q47Capacity.getOrElseUpdate((s, d), {
+          val maxVocab = terms.groupBy(col("source"))
+            .agg(countDistinct(col("term")).as("v"))
+            .agg(max(col("v"))).head().getLong(0)
+          math.max(64L, maxVocab).toInt
+        })
         terms
           .groupBy(col("source"))
-          .agg(graft.functions.SpaceSavingTopK.topK(col("term"), 3,
-            math.max(64L, maxVocab).toInt).as("tk"))
+          .agg(graft.functions.SpaceSavingTopK.topK(col("term"), 3, capacity).as("tk"))
           .select(col("source"), posexplode(col("tk")))
           .select(col("source"), (col("pos") + 1).cast("int").as("rank"),
             col("col.term").as("term"), col("col.count").as("n"))

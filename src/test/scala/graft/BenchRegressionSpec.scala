@@ -8,17 +8,21 @@ import scala.io.Source
   * `sbt test` fail on that class of leak before the driver ever runs.
   *
   * Method: the checked-in baseline (`bench_baseline_sf001.txt`) records
-  * each query's warm wall time at sf0.01; every query re-runs here (same
-  * warmup and per-query cache release as Bench) and fails only past
-  * `max(3 × baseline, baseline + 2 s)` — far above machine-load variance
-  * (±25% measured) and JIT jitter on sub-second queries, far below the
-  * 5–18× signatures of a real leak. New queries without a baseline row
-  * pass with an info message until the baseline is regenerated (command
-  * in the resource header).
+  * each query's warm wall time at sf0.01 AS MEASURED BY THIS SPEC (the
+  * shared local[4] test session — recording in any other environment,
+  * e.g. Bench's local[8], would skew every comparison); every query
+  * re-runs here (same warmup and per-query cache release as Bench) and
+  * fails only past `max(3 × baseline, baseline + 2 s)` — far above
+  * machine-load variance (±25% measured) and JIT jitter on sub-second
+  * queries, far below the 5–18× signatures of a real leak. New queries
+  * without a baseline row pass with an info message until the baseline
+  * is regenerated: run with `GRAFT_WRITE_BASELINE=1`, which rewrites
+  * the resource from this very measurement loop instead of asserting.
   */
 class BenchRegressionSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.01"
+  private val baselinePath = "src/test/resources/bench_baseline_sf001.txt"
 
   private lazy val baseline: Map[String, Double] = {
     val src = Source.fromInputStream(
@@ -34,21 +38,41 @@ class BenchRegressionSpec extends SparkSpec {
     Bench.warmup(spark, sfDir)
     spark.catalog.clearCache()
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    val measured = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       val t = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
+      measured += name -> t
       baseline.get(name) match {
         case Some(b) =>
           val allowed = math.max(3 * b, b + 2.0)
           if (t > allowed)
             failures += f"$name: $t%.2fs vs baseline $b%.2fs (allowed $allowed%.2fs)"
         case None =>
-          info(s"$name has no baseline row — regenerate bench_baseline_sf001.txt")
+          info(s"$name has no baseline row — rerun with GRAFT_WRITE_BASELINE=1")
       }
     }
-    assert(failures.isEmpty,
-      "per-query regressions:\n" + failures.mkString("\n"))
+    if (sys.env.contains("GRAFT_WRITE_BASELINE")) {
+      val header =
+        """|# Per-query wall-time baseline at sf0.01, recorded by
+           |# BenchRegressionSpec itself (shared local[4] test session) so the
+           |# gate compares like with like. Regenerate:
+           |#   GRAFT_WRITE_BASELINE=1 sbt "testOnly graft.BenchRegressionSpec"
+           |# Gate: fail past max(3 x baseline, baseline + 2s) -- gross
+           |# regressions (the round-2 cache leak was 5-18x), not machine
+           |# variance (~25%).
+           |""".stripMargin
+      val body = measured.sortBy(_._1).map { case (k, v) =>
+        String.format(java.util.Locale.ROOT, "%s %.3f%n", k, Double.box(v))
+      }.mkString
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(baselinePath),
+        header + body)
+      info(s"baseline rewritten at $baselinePath — no assertions this run")
+    } else {
+      assert(failures.isEmpty,
+        "per-query regressions:\n" + failures.mkString("\n"))
+    }
   }
 }

@@ -138,8 +138,9 @@ class DedupSimilaritySpec extends SparkSpec {
     // d05 carries a full all-pairs DuckDB oracle, which is only sound if
     // the blocked path finds EXACTLY the brute pair set (recall 1.0 at
     // the shipped nProbe = 6 operating point + exact-verify precision).
-    // Assert set equality at both the spec sf and the driver's sf0.01.
-    for (sfDir <- Seq(sf, "/root/testdata/sf0.01")) {
+    // Assert set equality at EVERY sf the driver hashes (the oracle runs
+    // at sf0.01; local_check also certifies sf0.001 and sf0.1).
+    for (sfDir <- Seq(sf, "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
       val emb = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding").cache()
       def pairSet(df: org.apache.spark.sql.DataFrame) =
         df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
