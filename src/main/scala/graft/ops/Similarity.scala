@@ -92,9 +92,16 @@ object Similarity {
         max_by(col("cell_id"), struct(col("sim"), -col("cell_id"))).as("cell_id"))
 
   /** IVF search: probe the query's nProbe nearest cells only.
-    * `trainIters > 0` refines the seed centroids with k-means first. */
+    * `trainIters > 0` refines the seed centroids with k-means first.
+    * `quantized = true` scores probed candidates with the fused int8
+    * kernel ([[graft.functions.CosineSimQ8]]) and re-ranks a
+    * `rescore`-deep shortlist at full precision — the IVF-int8 layout:
+    * at 100 TB the probed cells are read as int8 (4× fewer bytes) and
+    * only the shortlist touches float vectors. With rescore ≫ k the
+    * output equals the float path exactly (spec-asserted). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCells: Int = 16, nProbe: Int = 4, trainIters: Int = 0): DataFrame = {
+              nCells: Int = 16, nProbe: Int = 4, trainIters: Int = 0,
+              quantized: Boolean = false, rescore: Int = 32): DataFrame = {
     // nCells rows: the broadcast() at each use site is the right
     // distribution mechanism, a storage-level cache adds nothing
     val cents =
@@ -110,16 +117,43 @@ object Similarity {
       .withColumn("rnk", row_number().over(wq))
       .filter(col("rnk") <= nProbe)
       .select(col("query_id"), col("q_embedding"), col("cell_id"))
-    // score only vectors in probed cells (NaN guard: see bruteForceTopK)
-    val scored = probes.join(assigned, "cell_id")
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(cosineSim(col("embedding"), col("q_embedding")), 6).as("cos_sim"))
-      .filter(!isnan(col("cos_sim")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    if (!quantized) {
+      // score only vectors in probed cells (NaN guard: see bruteForceTopK)
+      probes.join(assigned, "cell_id")
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(cosineSim(col("embedding"), col("q_embedding")), 6).as("cos_sim"))
+        .filter(!isnan(col("cos_sim")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+    } else {
+      // IVF-int8 layout: the probe join carries ONLY the quantized
+      // columns (vec_id, cell_id, q8, q_scale — the materialized index
+      // at 100 TB, 4× fewer candidate bytes than float32); float
+      // vectors are touched only for the rescore-deep shortlist
+      val assignedQ8 = withQ8(assigned)
+        .select(col("vec_id"), col("cell_id"), col("q8"), col("q_scale"))
+      val wq = Window.partitionBy(col("query_id"))
+        .orderBy(col("q_sim").desc, col("neighbor_id"))
+      val shortlist = probes.join(assignedQ8, "cell_id")
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("q_embedding"), col("vec_id").as("neighbor_id"),
+          graft.functions.CosineSimQ8.cosineSimQ8(
+            col("q_embedding"), col("q8"), col("q_scale")).as("q_sim"))
+        .filter(!isnan(col("q_sim")))
+        .withColumn("rnk", row_number().over(wq)).filter(col("rnk") <= rescore)
+        .select(col("query_id"), col("q_embedding"), col("neighbor_id"))
+      shortlist
+        .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding")),
+          "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"),
+          round(cosineSim(col("embedding"), col("q_embedding")), 6).as("cos_sim"))
+        .filter(!isnan(col("cos_sim")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+    }
   }
 
   /** Adds symmetric int8 quantization columns (`q_scale`, `q8`) to a

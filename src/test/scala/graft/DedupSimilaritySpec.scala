@@ -159,6 +159,52 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF-int8 scan (quantized ivfTopK) equals the float IVF path exactly") {
+    // rescore ≫ k makes the int8 shortlist re-rank reproduce the float
+    // path's output — the same contract quantizedTopK certifies vs
+    // brute, here for the IVF-probed layout (4× fewer candidate bytes)
+    val emb = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding").cache()
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val float = rows(Similarity.ivfTopK(emb, queries, 5, nCells = 16, nProbe = 4))
+    val q8 = rows(Similarity.ivfTopK(emb, queries, 5, nCells = 16, nProbe = 4,
+      quantized = true, rescore = 32))
+    assert(q8 == float, "IVF-int8 with rescore must equal the float IVF path")
+    emb.unpersist()
+  }
+
+  test("IVF-blocked near-dup on a clustered corpus: planted dups found, cells cappable") {
+    import spark.implicits._
+    // 100 clusters of 3 near-identical vectors on a 64-dim background:
+    // the shape real near-dup corpora have (and the testdata lacks).
+    // Cluster-mates must co-assign and verify; capping cells must
+    // degrade recall gracefully, not error.
+    val rng = new scala.util.Random(23)
+    def vec(): Array[Float] = Array.fill(64)(rng.nextGaussian().toFloat)
+    def jitter(v: Array[Float]): Array[Float] =
+      v.map(x => x + rng.nextGaussian().toFloat * 0.05f)
+    val rows = (0 until 100).flatMap { c =>
+      val base = vec()
+      Seq((c * 3L, base), (c * 3L + 1, jitter(base)), (c * 3L + 2, jitter(base)))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairSet(Similarity.nearDupPairs(emb, 0.9))
+    assert(brute.size >= 250, s"planted clusters should qualify, got ${brute.size}")
+    val ivf = pairSet(Similarity.ivfNearDupPairs(emb, 0.9, nCells = 16, nProbe = 4))
+    val recall = brute.count(ivf).toDouble / brute.size
+    assert(recall >= 0.95, s"clustered-corpus recall $recall")
+    assert(ivf.subsetOf(brute), "verify stage keeps precision exact")
+    // capped variant: still runs, still a subset; never errors on dense cells
+    val capped = pairSet(Similarity.ivfNearDupPairs(emb, 0.9, nCells = 16,
+      nProbe = 4, maxBucket = 30))
+    assert(capped.subsetOf(brute))
+  }
+
   test("IVF-blocked near-dup: zero and empty vectors are guarded, not assigned") {
     import spark.implicits._
     val rng = new scala.util.Random(5)
