@@ -74,11 +74,13 @@ object TrainingPrepQueries {
     ("q48_balanced_sample",
       (s: SparkSession, d: String) => {
         val docs = Tables.load(s, d, "documents")
-        val cap = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-          .agg(min(col("n"))).head().getLong(0)
-        docs
-          .withColumn("n_lang", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))))
+        val langCounts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+        val cap = langCounts.agg(min(col("n_lang"))).head().getLong(0)
+        // per-lang sizes reach each row via a BROADCAST join of the tiny
+        // counts table — a lang-partitioned window would shuffle the
+        // whole corpus into one task per language (parallelism collapse
+        // at 100 TB); this way the keep decision stays map-side
+        docs.join(broadcast(langCounts), "lang")
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_total"),
             count_if(TrainingPrep.balancedKeep(col("doc_id"), col("n_lang"), cap))
