@@ -26,21 +26,56 @@ import graft.functions.CosineSimilarity.cosineSim
   */
 object Similarity {
 
-  /** corpus: (vec_id, embedding); queries: (query_id, q_embedding).
-    * Degenerate (zero/empty) vectors score NaN, and Spark sorts NaN as
-    * the LARGEST double — unguarded they would rank first in every
-    * query's top-k, so every scoring path here filters them. */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(cosineSim(col("embedding"), col("q_embedding")), 6).as("cos_sim"))
-      .filter(!isnan(col("cos_sim")))
+  /** Rank scored (query_id, neighbor_id, cos_sim) rows per query, keep
+    * the top k. Degenerate (zero/empty) vectors score NaN, and Spark
+    * sorts NaN as the LARGEST double — unguarded they would rank first
+    * in every query's top-k, so the filter lives here, on every scoring
+    * path's way out. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
+    scored.filter(!isnan(col("cos_sim")))
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Full-precision re-rank of an int8-scored candidate frame
+    * (query_id, q_embedding, neighbor_id, q_sim): keep a rescore-deep
+    * shortlist per query by q_sim, re-score it against the float
+    * corpus, rank top k — the shared tail of every quantized-scan
+    * search path. */
+  private def rescoredTopK(approx: DataFrame, corpus: DataFrame,
+                           k: Int, rescore: Int): DataFrame = {
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("q_sim").desc, col("neighbor_id"))
+    val shortlist = approx.filter(!isnan(col("q_sim")))
+      .withColumn("rnk", row_number().over(wq)).filter(col("rnk") <= rescore)
+      .select(col("query_id"), col("q_embedding"), col("neighbor_id"))
+    rankTopK(
+      shortlist
+        .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding")),
+          "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"),
+          round(cosineSim(col("embedding"), col("q_embedding")), 6).as("cos_sim")),
+      k)
+  }
+
+  /** Drops degenerate (empty or all-zero) embeddings — their cosine is
+    * NaN to everything, so they can neither block nor score. Self-cosine
+    * is 1 for any nonzero vector, NaN for zero vectors: one codegen'd
+    * pass. */
+  private def cleanVectors(corpus: DataFrame): DataFrame =
+    corpus.filter(size(col("embedding")) > 0 &&
+      !isnan(cosineSim(col("embedding"), col("embedding"))))
+
+  /** corpus: (vec_id, embedding); queries: (query_id, q_embedding). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    rankTopK(
+      corpus.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(cosineSim(col("embedding"), col("q_embedding")), 6).as("cos_sim")),
+      k)
 
   /** Deterministic seed centroids: the nCells lowest-id vectors. */
   def centroids(corpus: DataFrame, nCells: Int): DataFrame =
@@ -117,17 +152,14 @@ object Similarity {
       .withColumn("rnk", row_number().over(wq))
       .filter(col("rnk") <= nProbe)
       .select(col("query_id"), col("q_embedding"), col("cell_id"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
     if (!quantized) {
-      // score only vectors in probed cells (NaN guard: see bruteForceTopK)
-      probes.join(assigned, "cell_id")
-        .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          round(cosineSim(col("embedding"), col("q_embedding")), 6).as("cos_sim"))
-        .filter(!isnan(col("cos_sim")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
+      // score only vectors in probed cells (NaN guard inside rankTopK)
+      rankTopK(
+        probes.join(assigned, "cell_id")
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            round(cosineSim(col("embedding"), col("q_embedding")), 6).as("cos_sim")),
+        k)
     } else {
       // IVF-int8 layout: the probe join carries ONLY the quantized
       // columns (vec_id, cell_id, q8, q_scale — the materialized index
@@ -135,24 +167,13 @@ object Similarity {
       // vectors are touched only for the rescore-deep shortlist
       val assignedQ8 = withQ8(assigned)
         .select(col("vec_id"), col("cell_id"), col("q8"), col("q_scale"))
-      val wq = Window.partitionBy(col("query_id"))
-        .orderBy(col("q_sim").desc, col("neighbor_id"))
-      val shortlist = probes.join(assignedQ8, "cell_id")
-        .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("q_embedding"), col("vec_id").as("neighbor_id"),
-          graft.functions.CosineSimQ8.cosineSimQ8(
-            col("q_embedding"), col("q8"), col("q_scale")).as("q_sim"))
-        .filter(!isnan(col("q_sim")))
-        .withColumn("rnk", row_number().over(wq)).filter(col("rnk") <= rescore)
-        .select(col("query_id"), col("q_embedding"), col("neighbor_id"))
-      shortlist
-        .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding")),
-          "neighbor_id")
-        .select(col("query_id"), col("neighbor_id"),
-          round(cosineSim(col("embedding"), col("q_embedding")), 6).as("cos_sim"))
-        .filter(!isnan(col("cos_sim")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
+      rescoredTopK(
+        probes.join(assignedQ8, "cell_id")
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("q_embedding"), col("vec_id").as("neighbor_id"),
+            graft.functions.CosineSimQ8.cosineSimQ8(
+              col("q_embedding"), col("q8"), col("q_scale")).as("q_sim")),
+        corpus, k, rescore)
     }
   }
 
@@ -184,31 +205,14 @@ object Similarity {
     * brute-force exactly on realistic data (int8 ranking error is far
     * smaller than neighbor gaps) while the scan reads 4× fewer bytes. */
   def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                    rescore: Int = 32): DataFrame = {
-    val qz = quantize(corpus)
-    val approx = qz.crossJoin(broadcast(queries))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("q_embedding"), col("vec_id").as("neighbor_id"),
-        graft.functions.CosineSimQ8.cosineSimQ8(
-          col("q_embedding"), col("q8"), col("q_scale")).as("q_sim"))
-      // NaN guard (zero vectors): without it a degenerate vector would
-      // head EVERY query's shortlist (see bruteForceTopK)
-      .filter(!isnan(col("q_sim")))
-    val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("q_sim").desc, col("neighbor_id"))
-    val shortlist = approx
-      .withColumn("rnk", row_number().over(wq)).filter(col("rnk") <= rescore)
-      .select(col("query_id"), col("q_embedding"), col("neighbor_id"))
-    val exact = shortlist
-      .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
-      .select(col("query_id"), col("neighbor_id"),
-        round(cosineSim(col("embedding"), col("q_embedding")), 6).as("cos_sim"))
-      .filter(!isnan(col("cos_sim")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    exact.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-  }
+                    rescore: Int = 32): DataFrame =
+    rescoredTopK(
+      quantize(corpus).crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("q_embedding"), col("vec_id").as("neighbor_id"),
+          graft.functions.CosineSimQ8.cosineSimQ8(
+            col("q_embedding"), col("q8"), col("q_scale")).as("q_sim")),
+      corpus, k, rescore)
 
   /** Embedding near-dup pairs via IVF-cell blocking + int8 prefilter —
     * the shipped d05 path for LOW thresholds, where SRP-LSH banding
@@ -270,10 +274,7 @@ object Similarity {
                       prefilterMargin: Double,
                       maxBucket: Int, cache: Boolean): (DataFrame, () => Unit) = {
     require(nProbe >= 1 && nProbe <= nCells, s"need 1 <= nProbe ($nProbe) <= nCells ($nCells)")
-    // degenerate-vector guard: zero/empty embeddings have NaN cosine to
-    // every centroid and would sort unpredictably; drop them up front
-    val clean = corpus.filter(size(col("embedding")) > 0 &&
-      !isnan(cosineSim(col("embedding"), col("embedding"))))
+    val clean = cleanVectors(corpus)
     // codebook: deterministic seed centroids, driver-collected (the IVF
     // index's broadcast codebook — nCells · dim floats)
     val codebook = centroids(clean, nCells).collect().map { r =>
@@ -382,10 +383,8 @@ object Similarity {
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
     // Degenerate-vector guard (the blowup minhashCandidates filters for
     // empty shingle sets): empty or all-zero embeddings share one
-    // signature and would collide in EVERY band. Self-cosine is 1 for
-    // any nonzero vector, NaN for zero vectors — one codegen'd pass.
-    val clean = corpus.filter(size(col("embedding")) > 0 &&
-      !isnan(cosineSim(col("embedding"), col("embedding"))))
+    // signature and would collide in EVERY band.
+    val clean = cleanVectors(corpus)
     val sig = clean.select(col("vec_id"),
       graft.functions.SrpSig.srpSig(col("embedding"), nWords).as("sig"))
     val bandStructs = array((0 until bands).map { b =>

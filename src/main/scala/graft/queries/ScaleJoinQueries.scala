@@ -47,9 +47,10 @@ object ScaleJoinQueries {
     (liT, ordT)
   }
 
-  /** q47's derived sketch capacity, once per (session, sf). */
-  private val q47Capacity =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Int]
+  /** q47's derived sketch capacity, once per sf dir (it is a property
+    * of the data alone; keying by session would pin session references
+    * in a static map for the JVM's lifetime). */
+  private val q47Capacity = scala.collection.concurrent.TrieMap.empty[String, Int]
 
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
@@ -118,7 +119,7 @@ object ScaleJoinQueries {
         def terms = Tables.load(s, d, "documents")
           .select(col("source"),
             explode(graft.ops.TextAnalysis.tokens(lower(col("text")))).as("term"))
-        val capacity = q47Capacity.getOrElseUpdate((s, d), {
+        val capacity = q47Capacity.getOrElseUpdate(d, {
           val maxVocab = terms.groupBy(col("source"))
             .agg(countDistinct(col("term")).as("v"))
             .agg(max(col("v"))).head().getLong(0)
