@@ -21,15 +21,28 @@ object Dedup {
     * bounds band-join work at cap² per bucket, the guard against
     * degenerate dense buckets at corpus scale. `maxBucket <= 0`
     * disables. One window count keyed the same as the downstream
-    * self-join, so the exchange is reused. */
+    * self-join, so the exchange is reused. Capping trades RECALL for
+    * bounded work — use [[capBucketsWithDropped]] when the caller
+    * should surface how much was discarded instead of silently
+    * filtering. */
   def capBuckets(df: DataFrame, keyCols: Seq[String], maxBucket: Int): DataFrame =
-    if (maxBucket <= 0) df
+    capBucketsWithDropped(df, keyCols, maxBucket)._1
+
+  /** As [[capBuckets]], plus the DROPPED rows as a second frame so the
+    * caller can count/log/quarantine them (e.g.
+    * `log.warn(s"capped ${dropped.count()} rows")` or a side output of
+    * over-dense keys to investigate). Both frames derive from one
+    * window count over the same exchange; consuming only the kept side
+    * costs the same as [[capBuckets]]. */
+  def capBucketsWithDropped(df: DataFrame, keyCols: Seq[String],
+                            maxBucket: Int): (DataFrame, DataFrame) =
+    if (maxBucket <= 0) (df, df.limit(0))
     else {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(keyCols.map(col): _*)
-      df.withColumn("_bucket_n", count(lit(1)).over(w))
-        .filter(col("_bucket_n") <= maxBucket)
-        .drop("_bucket_n")
+      val counted = df.withColumn("_bucket_n", count(lit(1)).over(w))
+      (counted.filter(col("_bucket_n") <= maxBucket).drop("_bucket_n"),
+        counted.filter(col("_bucket_n") > maxBucket).drop("_bucket_n"))
     }
 
   /** Distinct word n-grams as strings; empty array when fewer than n

@@ -88,6 +88,12 @@ class DedupSimilaritySpec extends SparkSpec {
     // key=1 bucket (15 members) dropped, key=2 bucket (5 members) kept
     assert(capped.count() == 5)
     assert(Dedup.capBuckets(banded, Seq("band", "key"), 0).count() == 20)
+    // accounting variant surfaces exactly the discarded rows (ADVICE:
+    // capping must be observable, not a silent recall loss)
+    val (kept, dropped) = Dedup.capBucketsWithDropped(banded, Seq("band", "key"), 10)
+    assert(kept.count() == 5 && dropped.count() == 15)
+    val (all, none) = Dedup.capBucketsWithDropped(banded, Seq("band", "key"), 0)
+    assert(all.count() == 20 && none.count() == 0)
   }
 
   test("minhash candidates: no self pairs, id_a < id_b, deterministic") {

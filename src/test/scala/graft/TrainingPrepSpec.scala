@@ -49,6 +49,16 @@ class TrainingPrepSpec extends SparkSpec {
     assert(again == kept)
   }
 
+  test("balancedKeep/epochRepeat edge weights: cap 0 keeps nothing, weight 0 drops all") {
+    val ids = spark.range(0, 500).toDF("id")
+    // cap 0: bucket·n < 0 is never true — an empty mix target empties the group
+    assert(ids.filter(TrainingPrep.balancedKeep(col("id"), lit(500L), 0)).count() == 0)
+    // weight 0 epochs: every repeat count is 0 — the source is excluded
+    val reps = ids.select(TrainingPrep.epochRepeat(lit(0L), col("id")).as("r"))
+      .agg(max(col("r")), min(col("r"))).head()
+    assert(reps.getLong(0) == 0 && reps.getLong(1) == 0)
+  }
+
   test("epochRepeat: floor/ceil repeats in the fractional-epoch proportion") {
     val ids = spark.range(0, 2000).toDF("id")
     val reps = ids.select(TrainingPrep.epochRepeat(lit(2500L), col("id")).as("r"))
