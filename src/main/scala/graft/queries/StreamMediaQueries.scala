@@ -142,6 +142,33 @@ object StreamMediaQueries {
       Some("""SELECT event_id, event_type, user_id
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // ---- foreachBatch: incremental dedup store (merge-on-arrival) ---------
+    // The corpus is split into 4 files and streamed one file per
+    // micro-batch, so the store genuinely merges 4 incremental
+    // deliveries (not one big batch). The merge is associative, so the
+    // final store equals batch exact-dedup (d01) regardless of file
+    // order — that equivalence is the oracle.
+    ("st07_dedup_store",
+      (s: SparkSession, d: String) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_st07").toString
+        Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
+          .repartition(4)
+          .write.mode("overwrite").parquet(s"$tmp/in")
+        val docsStream = s.readStream
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType))))
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$tmp/in/part-*")
+        graft.streaming.DedupStore.run(s, docsStream, s"$tmp/store", s"$tmp/ckpt")
+          .select(col("keep_id"), col("n_copies"))
+          .orderBy(col("keep_id"))
+      },
+      Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+             |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
+
     // ---- multimodal: binary columns + typed metadata ----------------------
     ("m01_media_stats",
       (s: SparkSession, d: String) => {

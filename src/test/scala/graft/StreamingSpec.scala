@@ -63,6 +63,31 @@ class StreamingSpec extends SparkSpec {
       .contains("HDFSBackedStateStoreProvider"))
   }
 
+  test("foreachBatch dedup store: multi-batch merge equals batch dedup, versions commit") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_store_spec").toString
+    // 3 texts with duplicates spread across files so merges genuinely
+    // combine counts across micro-batches
+    val docs = Seq(
+      (1L, "alpha"), (2L, "beta"), (3L, "alpha"),
+      (4L, "gamma"), (5L, "beta"), (6L, "alpha")
+    ).toDF("doc_id", "text")
+    docs.repartition(3).write.mode("overwrite").parquet(s"$tmp/in")
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/in/part-*")
+    val store = graft.streaming.DedupStore.run(
+      spark, stream, s"$tmp/store", s"$tmp/ckpt")
+    val got = store.collect()
+      .map(r => (r.getAs[String]("text"), r.getAs[Long]("keep_id"),
+        r.getAs[Long]("n_copies"))).toSet
+    assert(got == Set(("alpha", 1L, 3L), ("beta", 2L, 2L), ("gamma", 4L, 1L)))
+    // the store committed one version per delivered micro-batch (3 files)
+    val versions = new java.io.File(s"$tmp/store").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+    assert(versions.length == 3, s"expected 3 committed versions, got ${versions.length}")
+  }
+
   test("batch sessionize: gaps > 30 min split sessions; invariants hold") {
     val h = 3600L * 1000 * 1000 * 1000 // 1h in ns
     val evs = Seq(
