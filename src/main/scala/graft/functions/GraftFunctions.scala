@@ -37,10 +37,14 @@ object GraftFunctions {
     "word_ngrams" -> (es => WordNGrams(es(0), intArg(es(1), "word_ngrams"))),
     "srp_sig" -> (es => SrpSig(es(0), intArg(es(1), "srp_sig"))),
     "cosine_sim_q8" -> (es => CosineSimQ8(es(0), es(1), es(2))),
-    // aggregate: the registry takes the bare AggregateFunction — the
+    // aggregates: the registry takes the bare AggregateFunction — the
     // analyzer wraps it into an AggregateExpression at resolution
     "space_saving_topk" -> (es => SpaceSavingTopK(es(0),
-      intArg(es(1), "space_saving_topk"), intArg(es(2), "space_saving_topk"))))
+      intArg(es(1), "space_saving_topk"), intArg(es(2), "space_saving_topk"))),
+    // single-quantile SQL form (basis points: 5000 = median); the
+    // Column API (KllQuantiles.quantilesBp) takes a quantile list
+    "kll_quantile" -> (es => KllQuantiles(es(0),
+      Seq(intArg(es(1), "kll_quantile")), intArg(es(2), "kll_quantile"))))
 
   /** Register into an existing session (temp functions). */
   def register(spark: SparkSession): Unit =

@@ -142,5 +142,43 @@ object ScaleJoinQueries {
              |    row_number() OVER (PARTITION BY source ORDER BY n DESC, term) AS rank
              |  FROM t)
              |WHERE rank <= 3 ORDER BY source, rank""".stripMargin)),
+
+    // ---- custom mergeable sketch: KLL quantiles ---------------------------
+    // The distribution member of the sketch trio (q46 cardinality, q47
+    // frequency): per-source token-length quantiles from a mergeable
+    // compactor sketch. capacity 65,536 ≥ any per-source group at test
+    // scale → the EXACT regime (no compaction, lower quantile by
+    // integer target rank (n·bp + 9999) div 10000 — the same arithmetic
+    // the oracle SQL uses, so no IEEE-vs-decimal ceil() divergence).
+    // The approximate capacity<n regime (bounded state at 100 TB) is
+    // rank-error-gated in ExpressionEdgeSpec.
+    ("q50_quantile_sketch",
+      (s: SparkSession, d: String) => {
+        Tables.load(s, d, "documents")
+          .select(col("source"),
+            graft.ops.TextAnalysis.tokenCount(col("text")).cast("double").as("v"))
+          .groupBy(col("source"))
+          .agg(graft.functions.KllQuantiles.quantilesBp(
+            col("v"), Seq(5000, 9000, 9900), 65536).as("qs"))
+          .select(col("source"),
+            element_at(col("qs"), 1).as("p50"),
+            element_at(col("qs"), 2).as("p90"),
+            element_at(col("qs"), 3).as("p99"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH t AS (
+             |  SELECT source,
+             |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE) AS v
+             |  FROM documents),
+             |r AS (
+             |  SELECT source, v,
+             |    row_number() OVER (PARTITION BY source ORDER BY v) AS rn,
+             |    COUNT(*) OVER (PARTITION BY source) AS n
+             |  FROM t)
+             |SELECT source,
+             |  MIN(CASE WHEN rn >= (n * 5000 + 9999) // 10000 THEN v END) AS p50,
+             |  MIN(CASE WHEN rn >= (n * 9000 + 9999) // 10000 THEN v END) AS p90,
+             |  MIN(CASE WHEN rn >= (n * 9900 + 9999) // 10000 THEN v END) AS p99
+             |FROM r GROUP BY source ORDER BY source""".stripMargin)),
   )
 }

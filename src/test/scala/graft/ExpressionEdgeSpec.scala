@@ -167,6 +167,40 @@ class ExpressionEdgeSpec extends SparkSpec {
                           capacity: Int): graft.functions.SpaceSavingTopK.Summary =
     graft.functions.SpaceSavingTopK.Summary.fromBytes(s.toBytes, capacity)
 
+  test("KllQuantiles exact regime: capacity ≥ n reproduces exact lower quantiles") {
+    import graft.functions.KllQuantiles
+    val vals = new scala.util.Random(29).shuffle((1 to 1000).toVector)
+    val df = vals.map(_.toDouble).toDF("v").repartition(7)
+    val qs = df.agg(KllQuantiles.quantilesBp($"v", Seq(5000, 9000, 9900), 2048).as("q"))
+      .collect()(0).getSeq[Double](0)
+    // exact lower quantiles of 1..1000: rank (1000·bp + 9999)/10000
+    assert(qs == Seq(500.0, 900.0, 990.0), qs.toString)
+  }
+
+  test("KllQuantiles approximate regime: bounded state, bounded rank error under merges") {
+    import graft.functions.KllQuantiles
+    // 100k values, capacity 256: compaction must engage (state ≪ n) and
+    // the weighted-rank answer must stay within a few % of exact ranks
+    // across the partial-aggregation merge tree
+    val n = 100000
+    val vals = new scala.util.Random(31).shuffle((1 to n).toVector)
+    val df = vals.map(_.toDouble).toDF("v").repartition(16)
+    val qs = df.agg(KllQuantiles.quantilesBp($"v", Seq(5000, 9000, 9900), 256).as("q"))
+      .collect()(0).getSeq[Double](0)
+    val targets = Seq(0.5, 0.9, 0.99).map(_ * n)
+    qs.zip(targets).foreach { case (got, want) =>
+      val rankErr = math.abs(got - want) / n
+      assert(rankErr <= 0.05, s"quantile $got vs exact rank $want: error $rankErr")
+    }
+    // serialization round-trip preserves the answer (shuffle path)
+    val s = new KllQuantiles.Summary(64)
+    (1 to 500).foreach(i => s.update(i.toDouble))
+    val rt = KllQuantiles.Summary.fromBytes(s.toBytes, 64)
+    assert(rt.quantile(5000) == s.quantile(5000))
+    // empty summary yields NaN, not a crash
+    assert(new KllQuantiles.Summary(8).quantile(5000).isNaN)
+  }
+
   test("minhash candidate generation on a corpus of only short docs is empty") {
     val docs = Seq((1L, "one two"), (2L, "three four"), (3L, "five six"))
       .toDF("doc_id", "text")

@@ -90,12 +90,17 @@ class FunctionsSpec extends SparkSpec {
         |FROM VALUES ('a'), ('b'), ('a'), ('a') AS v(t)""".stripMargin).collect()(0)
     val top = r4.getSeq[org.apache.spark.sql.Row](0)
     assert(top.head.getString(0) == "a" && top.head.getLong(1) == 3L)
+    // kll_quantile: exact regime (capacity ≥ n) → exact lower median
+    val r5 = spark.sql(
+      """SELECT kll_quantile(CAST(v AS DOUBLE), 5000, 16) AS q
+        |FROM VALUES (1), (2), (3), (4) AS t(v)""".stripMargin).collect()(0)
+    assert(r5.getSeq[Double](0) == Seq(2.0)) // rank ceil(4·0.5) = 2
     // GraftExtensions (the spark.sql.extensions deploy path) injects
     // from the same canonical list register() uses — pin its contents
     // so a function added to one path can't silently miss the other
     assert(graft.functions.GraftFunctions.functions.map(_._1).toSet ==
       Set("cosine_sim", "cosine_sim_q8", "simhash", "minhash_sig",
-        "word_ngrams", "srp_sig", "space_saving_topk"))
+        "word_ngrams", "srp_sig", "space_saving_topk", "kll_quantile"))
   }
 
   test("simhash skips null tokens and nulls propagate") {
