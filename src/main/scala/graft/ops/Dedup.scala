@@ -132,6 +132,23 @@ object Dedup {
     (pairs, () => { if (cache) grams.unpersist(); () })
   }
 
+  /** Benchmark decontamination: training docs sharing at least one word
+    * n-gram with any eval-set document, with the count of distinct
+    * shared n-grams as evidence. The standard pre-training hygiene step
+    * (don't train on the benchmark) — distinct from pairwise dedup:
+    * membership against a SMALL eval gram set, so the plan is an
+    * explode + broadcast join + per-doc count, linear in corpus size
+    * with no self-join at any scale. Both frames need (idCol, textCol). */
+  def contaminatedDocs(docs: DataFrame, evalDocs: DataFrame,
+                       idCol: String, textCol: String, n: Int): DataFrame = {
+    def grams(df: DataFrame) = df.select(col(idCol),
+      explode(wordNGrams(words(col(textCol)), n)).as("gram"))
+    val evalGrams = grams(evalDocs).select("gram").distinct()
+    grams(docs).join(broadcast(evalGrams), "gram")
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("gram")).as("n_shared"))
+  }
+
   /** Connected components over undirected near-dup pair edges
     * ((id_a, id_b) rows) via iterative min-label propagation: every node
     * ends labeled with the smallest id in its component, so "keep the

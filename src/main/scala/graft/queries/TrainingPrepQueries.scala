@@ -134,6 +134,33 @@ object TrainingPrepQueries {
              |  CAST(COUNT(*) FILTER (rep > 0) AS BIGINT) AS n_docs_in
              |FROM r GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // ---- benchmark decontamination (n-gram membership vs eval set) --------
+    // The pre-training hygiene step: flag every training doc sharing a
+    // word 5-gram with the (small, broadcast) eval set — here a
+    // deterministic doc_id slice standing in for a benchmark. Explode +
+    // broadcast join + per-doc distinct count: linear in corpus size,
+    // no self-join. Flagged docs include the eval docs themselves plus
+    // any overlapping training docs — what gets quarantined pre-training.
+    ("q51_decontaminate",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.load(s, d, "documents")
+        Dedup.contaminatedDocs(docs, docs.filter(col("doc_id") % 23 === 0),
+            "doc_id", "text", n = 5)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id,
+             |    unnest(list_distinct(list_transform(
+             |      range(1, greatest(len(w) - 3, 1)),
+             |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS gram
+             |  FROM (SELECT doc_id,
+             |          string_split_regex(lower(text), '\s+') AS w FROM documents)),
+             |e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 23 = 0)
+             |SELECT g.doc_id,
+             |  CAST(COUNT(DISTINCT g.gram) AS BIGINT) AS n_shared
+             |FROM g JOIN e USING (gram)
+             |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin)),
+
     // ---- formatting-insensitive exact dedup on canonical text -------------
     ("d07_normalized_dedup",
       (s: SparkSession, d: String) => {

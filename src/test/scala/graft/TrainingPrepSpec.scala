@@ -49,6 +49,22 @@ class TrainingPrepSpec extends SparkSpec {
     assert(again == kept)
   }
 
+  test("contaminatedDocs flags exactly the n-gram-overlapping docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),   // eval doc
+      (2L, "a quick brown fox jumps over nothing much here"), // shares a 5-gram
+      (3L, "completely different words with no overlap at all"),
+      (4L, "short text")                                      // < 5 words: no grams
+    ).toDF("doc_id", "text")
+    val evalSet = docs.filter(col("doc_id") === 1)
+    val flagged = graft.ops.Dedup.contaminatedDocs(docs, evalSet, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.keySet == Set(1L, 2L), flagged.toString)
+    assert(flagged(1L) == 5L) // the eval doc shares all 5 of its own 5-grams
+    assert(flagged(2L) == 1L) // "quick brown fox jumps over"
+  }
+
   test("balancedKeep/epochRepeat edge weights: cap 0 keeps nothing, weight 0 drops all") {
     val ids = spark.range(0, 500).toDF("id")
     // cap 0: bucket·n < 0 is never true — an empty mix target empties the group
