@@ -21,9 +21,14 @@ import org.apache.spark.sql.types._
   *
   * Structure: level i holds values of weight 2^i, each level bounded by
   * `capacity`; an overfull level sorts, promotes every second value to
-  * level i+1 (alternating start offset — deterministic, no RNG), and
-  * clears. State is O(capacity · log(n/capacity)) regardless of stream
-  * length; merge is level-wise concatenation + re-compaction.
+  * level i+1 (alternating start offset — no RNG), and clears. State is
+  * O(capacity · log(n/capacity)) regardless of stream length; merge is
+  * level-wise concatenation + re-compaction. In the approximate regime
+  * the surviving values depend on the merge ORDER, which Spark's
+  * shuffle does not fix across runs — like any compactor sketch, the
+  * answer is reproducible per merge topology and bounded always; only
+  * the EXACT regime (below) is run-for-run identical, which is why the
+  * oracle lives there.
   *
   * Quantile semantics are LOWER-quantile by weighted rank with the
   * target rank in pure integer arithmetic: for q basis points (5000 =
@@ -80,7 +85,7 @@ case class KllQuantiles(
   }
 
   override def eval(buf: KllQuantiles.Summary): Any =
-    new GenericArrayData(quantilesBp.map(buf.quantile).toArray)
+    new GenericArrayData(buf.quantiles(quantilesBp))
 
   override def serialize(buf: KllQuantiles.Summary): Array[Byte] = buf.toBytes
   override def deserialize(bytes: Array[Byte]): KllQuantiles.Summary =
@@ -123,6 +128,10 @@ object KllQuantiles {
     }
 
     def mergeIn(other: Summary): Unit = {
+      // fold the other side's compaction count so the alternating
+      // offset keeps cycling across a merge tree rather than being
+      // reset to the surviving buffer's local parity
+      compactions += other.compactions
       while (levels.length < other.levels.length)
         levels += ArrayBuffer.empty[Double]
       var i = 0
@@ -137,10 +146,11 @@ object KllQuantiles {
       }
     }
 
-    /** Lower quantile by weighted rank: smallest value whose cumulative
-      * weight reaches ceil(W·qBp/10000), computed in pure integer
-      * arithmetic. NaN for an empty summary. */
-    def quantile(qBp: Int): Double = {
+    /** Lower quantiles by weighted rank: for each qBp, the smallest
+      * value whose cumulative weight reaches ceil(W·qBp/10000) —
+      * integer arithmetic only. One flatten + sort serves ALL requested
+      * quantiles. NaN entries for an empty summary. */
+    def quantiles(qBps: Seq[Int]): Array[Double] = {
       val items = ArrayBuffer.empty[(Double, Long)]
       var i = 0
       while (i < levels.length) {
@@ -148,19 +158,31 @@ object KllQuantiles {
         levels(i).foreach(v => items += ((v, w)))
         i += 1
       }
-      if (items.isEmpty) return Double.NaN
+      if (items.isEmpty) return Array.fill(qBps.length)(Double.NaN)
       val sorted = items.sortBy(_._1)
       val total = sorted.iterator.map(_._2).sum
-      val target = (total * qBp + 9999L) / 10000L
+      // one cumulative pass answers the targets in ascending order
+      val byTarget = qBps.zipWithIndex
+        .map { case (q, ix) => ((total * q + 9999L) / 10000L, ix) }
+        .sortBy(_._1)
+      val out = new Array[Double](qBps.length)
       var cum = 0L
       var j = 0
-      while (j < sorted.length) {
+      var t = 0
+      while (j < sorted.length && t < byTarget.length) {
         cum += sorted(j)._2
-        if (cum >= target) return sorted(j)._1
+        while (t < byTarget.length && cum >= byTarget(t)._1) {
+          out(byTarget(t)._2) = sorted(j)._1
+          t += 1
+        }
         j += 1
       }
-      sorted.last._1
+      while (t < byTarget.length) { out(byTarget(t)._2) = sorted.last._1; t += 1 }
+      out
     }
+
+    /** Single-quantile convenience (tests). */
+    def quantile(qBp: Int): Double = quantiles(Seq(qBp))(0)
 
     def toBytes: Array[Byte] = {
       val bos = new ByteArrayOutputStream()

@@ -79,8 +79,13 @@ object TrainingPrepQueries {
         // per-lang sizes reach each row via a BROADCAST join of the tiny
         // counts table — a lang-partitioned window would shuffle the
         // whole corpus into one task per language (parallelism collapse
-        // at 100 TB); this way the keep decision stays map-side
-        docs.join(broadcast(langCounts), "lang")
+        // at 100 TB); this way the keep decision stays map-side.
+        // Null-safe equality: groupBy emits a NULL-lang group (and so
+        // does the oracle's GROUP BY), so a plain inner join would drop
+        // those rows
+        docs.join(broadcast(langCounts.withColumnRenamed("lang", "cl")),
+            col("lang") <=> col("cl"))
+          .drop("cl")
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_total"),
             count_if(TrainingPrep.balancedKeep(col("doc_id"), col("n_lang"), cap))

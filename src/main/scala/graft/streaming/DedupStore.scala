@@ -13,11 +13,14 @@ import org.apache.spark.sql.streaming.Trigger
   * here an aggregate-merge-rewrite (a transactional MERGE INTO where a
   * table format provides one).
   *
-  * The store is versioned (`v<batchId>` subdirs): each batch writes a
-  * NEW version from (previous version ∪ batch), so a reader never
-  * observes a half-written store, and checkpoint recovery resumes from
-  * the last committed version — the poor-man's snapshot isolation on
-  * plain parquet. The merge is associative and commutative
+  * The store is versioned (`v<batchId>` subdirs, committed iff their
+  * `_SUCCESS` marker exists): batch N writes a NEW version from
+  * (newest version with id < N) ∪ batch, so a reader never observes a
+  * half-written store and a checkpoint REPLAY of batch N rebuilds vN
+  * from N's original base instead of double-counting into a version
+  * that already contains it — the poor-man's snapshot isolation +
+  * idempotent MERGE on plain parquet. The merge is associative and
+  * commutative
   * (min(keep_id), sum(n_copies)), so the final state is independent of
   * batch boundaries and file order; with the whole corpus drained it
   * EQUALS the batch exact-dedup (d01) — which is what the st07 oracle
@@ -30,42 +33,64 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object DedupStore {
 
-  private def versions(storeDir: String): Seq[java.io.File] = {
+  /** Committed versions only: a `v<id>` dir counts once its `_SUCCESS`
+    * marker exists (Spark's committer writes it at job commit), so a
+    * half-written version from a mid-write crash can never become a
+    * merge base or a read target. */
+  private def versions(storeDir: String): Seq[(Long, java.io.File)] = {
     val d = new java.io.File(storeDir)
     Option(d.listFiles())
-      .map(_.toSeq.filter(f => f.isDirectory && f.getName.startsWith("v")))
+      .map(_.toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("v") &&
+          new java.io.File(f, "_SUCCESS").isFile)
+        .map(f => f.getName.drop(1).toLong -> f))
       .getOrElse(Seq.empty)
   }
 
   /** Latest committed store version, if any. */
-  private def latest(storeDir: String): Option[String] =
-    versions(storeDir).sortBy(_.getName.drop(1).toLong).lastOption
-      .map(_.getAbsolutePath)
+  private[graft] def latest(storeDir: String): Option[String] =
+    versions(storeDir).sortBy(_._1).lastOption.map(_._2.getAbsolutePath)
+
+  /** Newest committed version STRICTLY BEFORE `batchId` — the merge
+    * base for that batch. Using latest() would double-count on
+    * checkpoint replay: if batch N committed its version but the
+    * streaming checkpoint didn't record N before a crash, N is
+    * re-delivered and must merge from N's ORIGINAL base, not from the
+    * version that already contains N. */
+  private[graft] def baseFor(storeDir: String, batchId: Long): Option[String] =
+    versions(storeDir).filter(_._1 < batchId)
+      .sortBy(_._1).lastOption.map(_._2.getAbsolutePath)
 
   /** Drain `docs` (a streaming frame with doc_id, text) into the store
     * and return the final deduplicated state. */
   def run(spark: SparkSession, docs: DataFrame,
           storeDir: String, ckptDir: String): DataFrame = {
     val tuned = Seq(
-      "spark.sql.streaming.noDataMicroBatches.enabled" -> "true",
+      // no watermark/stateful operator here: a no-data batch would only
+      // rewrite the whole store into a duplicate version
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false",
       "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false")
     val prev = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
     tuned.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
       val mergeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
-        val s = batch.sparkSession
-        val incoming = batch
-          .groupBy(col("text"))
-          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-        val merged = latest(storeDir) match {
-          case Some(prevVersion) =>
-            s.read.parquet(prevVersion).unionByName(incoming)
-              .groupBy(col("text"))
-              .agg(min(col("keep_id")).as("keep_id"),
-                sum(col("n_copies")).as("n_copies"))
-          case None => incoming
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val incoming = batch
+            .groupBy(col("text"))
+            .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+          // merge base: newest version with id < batchId (idempotent
+          // under checkpoint replay — see baseFor)
+          val merged = baseFor(storeDir, batchId) match {
+            case Some(prevVersion) =>
+              s.read.parquet(prevVersion).unionByName(incoming)
+                .groupBy(col("text"))
+                .agg(min(col("keep_id")).as("keep_id"),
+                  sum(col("n_copies")).as("n_copies"))
+            case None => incoming
+          }
+          merged.write.mode("overwrite").parquet(s"$storeDir/v$batchId")
         }
-        merged.write.mode("overwrite").parquet(s"$storeDir/v$batchId")
       }
       val q = docs.writeStream
         .foreachBatch(mergeBatch)

@@ -88,6 +88,24 @@ class StreamingSpec extends SparkSpec {
     assert(versions.length == 3, s"expected 3 committed versions, got ${versions.length}")
   }
 
+  test("dedup store versions: _SUCCESS gates commits, replay base excludes own batch") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_store_vers").toString
+    def mkVersion(id: Long, committed: Boolean): Unit = {
+      val d = new java.io.File(s"$tmp/v$id"); d.mkdirs()
+      if (committed) new java.io.File(d, "_SUCCESS").createNewFile()
+    }
+    mkVersion(0, committed = true)
+    mkVersion(1, committed = true)
+    mkVersion(2, committed = false) // half-written: crashed before job commit
+    val latest = graft.streaming.DedupStore.latest(tmp)
+    assert(latest.exists(_.endsWith("v1")), s"uncommitted v2 must be invisible: $latest")
+    // replay of batch 1 must merge from v0 (its original base), not from
+    // v1 — which already contains batch 1 and would double-count
+    val base = graft.streaming.DedupStore.baseFor(tmp, 1L)
+    assert(base.exists(_.endsWith("v0")), s"replay base for batch 1: $base")
+    assert(graft.streaming.DedupStore.baseFor(tmp, 0L).isEmpty)
+  }
+
   test("batch sessionize: gaps > 30 min split sessions; invariants hold") {
     val h = 3600L * 1000 * 1000 * 1000 // 1h in ns
     val evs = Seq(
