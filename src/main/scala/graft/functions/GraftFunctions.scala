@@ -37,6 +37,7 @@ object GraftFunctions {
     "word_ngrams" -> (es => WordNGrams(es(0), intArg(es(1), "word_ngrams"))),
     "srp_sig" -> (es => SrpSig(es(0), intArg(es(1), "srp_sig"))),
     "cosine_sim_q8" -> (es => CosineSimQ8(es(0), es(1), es(2))),
+    "quantize_q8" -> (es => QuantizeQ8(es(0))),
     // aggregates: the registry takes the bare AggregateFunction — the
     // analyzer wraps it into an AggregateExpression at resolution
     "space_saving_topk" -> (es => SpaceSavingTopK(es(0),

@@ -181,18 +181,17 @@ object Similarity {
     * frame with an `embedding` column: per-vector scale = max|x|/127,
     * q8[i] = round(x[i]/scale). Candidate storage shrinks 4× (int8 vs
     * float32) — at 100 TB that is the difference between an in-memory
-    * and a spilling candidate scan. HOFs are fine here: quantization is
-    * a one-off materialization stage, not the per-pair scoring loop
-    * (that is [[graft.functions.CosineSimQ8]]). Zero vectors quantize
-    * to all-zero bytes with scale 0. */
+    * and a spilling candidate scan. One fused codegen'd pass
+    * ([[graft.functions.QuantizeQ8]]) — the HOF formulation this
+    * replaces was `CodegenFallback` and de-codegen'd the whole
+    * index-build projection, which runs once per corpus row. Zero
+    * vectors quantize to all-zero bytes with scale 0. */
   def withQ8(df: DataFrame): DataFrame =
     df
-      .withColumn("q_scale",
-        aggregate(col("embedding"), lit(0f), (a, v) => greatest(a, abs(v))) / 127f)
-      .withColumn("q8",
-        when(col("q_scale") > 0,
-          transform(col("embedding"), v => round(v / col("q_scale")).cast("byte")))
-          .otherwise(transform(col("embedding"), _ => lit(0).cast("byte"))))
+      .withColumn("_qz", graft.functions.QuantizeQ8.quantizeQ8(col("embedding")))
+      .withColumn("q_scale", col("_qz.q_scale"))
+      .withColumn("q8", col("_qz.q8"))
+      .drop("_qz")
 
   /** The quantized corpus projection: (vec_id, q_scale, q8). */
   def quantize(corpus: DataFrame): DataFrame =

@@ -265,6 +265,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.95, s"planted-dup recall $recall")
   }
 
+  test("QuantizeQ8 fused expression equals the HOF formulation it replaced") {
+    import spark.implicits._
+    val rng = new scala.util.Random(37)
+    val rows = (0 until 200).map(i => (i.toLong, Array.fill(32)(rng.nextGaussian().toFloat))) ++
+      Seq((900L, Array.fill(8)(0f)), (901L, Array.empty[Float]),
+        (902L, Array(-1.5f, 0.75f, -0.25f))) // negative halves: HALF_UP parity
+    val emb = rows.toDF("vec_id", "embedding")
+    val hof = emb
+      .withColumn("q_scale",
+        aggregate(col("embedding"), lit(0f), (a, v) => greatest(a, abs(v))) / 127f)
+      .withColumn("q8",
+        when(col("q_scale") > 0,
+          transform(col("embedding"), v => round(v / col("q_scale")).cast("byte")))
+          .otherwise(transform(col("embedding"), _ => lit(0).cast("byte"))))
+      .select("vec_id", "q_scale", "q8")
+    val fused = Similarity.quantize(emb)
+    assert(fused.exceptAll(hof).isEmpty && hof.exceptAll(fused).isEmpty,
+      "fused quantization must be bit-identical to the HOF path")
+  }
+
   test("int8 quantization: bounded error, rank must come from the quantized kernel") {
     val emb = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding").cache()
     // round-trip error ≤ scale/2 per component

@@ -95,12 +95,19 @@ class FunctionsSpec extends SparkSpec {
       """SELECT kll_quantile(CAST(v AS DOUBLE), 5000, 16) AS q
         |FROM VALUES (1), (2), (3), (4) AS t(v)""".stripMargin).collect()(0)
     assert(r5.getSeq[Double](0) == Seq(2.0)) // rank ceil(4·0.5) = 2
+    // quantize_q8: max element hits ±127, scale recovers the max
+    val r6 = spark.sql(
+      """SELECT quantize_q8(array(CAST(0.5 AS FLOAT), CAST(-1.0 AS FLOAT))) AS qz"""
+    ).collect()(0).getStruct(0)
+    assert(r6.getSeq[Byte](1) == Seq[Byte](64, -127), r6.toString)
+    assert(math.abs(r6.getDouble(0) - 1.0 / 127) < 1e-9)
     // GraftExtensions (the spark.sql.extensions deploy path) injects
     // from the same canonical list register() uses — pin its contents
     // so a function added to one path can't silently miss the other
     assert(graft.functions.GraftFunctions.functions.map(_._1).toSet ==
       Set("cosine_sim", "cosine_sim_q8", "simhash", "minhash_sig",
-        "word_ngrams", "srp_sig", "space_saving_topk", "kll_quantile"))
+        "word_ngrams", "srp_sig", "space_saving_topk", "kll_quantile",
+        "quantize_q8"))
   }
 
   test("simhash skips null tokens and nulls propagate") {
