@@ -207,6 +207,40 @@ object StreamMediaQueries {
     // 10·len(text), one frame per second, min 1), so the aggregate is
     // oracle-checkable even though per-frame features are stub-codec
     // values (those are asserted in MultimodalSpec).
+    // ---- binaryFile source: the real multimodal ingest path ---------------
+    // Media corpora arrive as object-store FILES, not table rows: the
+    // fixture payloads are materialized as one file each (executor-side
+    // writes), then ingested through Spark's binaryFile source. Only
+    // path/length are selected, so the source never reads payload BYTES
+    // (column pruning on the content column) — at 100 TB the manifest
+    // scan is metadata-only. The oracle certifies per-kind counts and
+    // byte totals against the originating table.
+    ("m04_binary_ingest",
+      (s: SparkSession, d: String) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_m04").toString
+        Multimodal.fromDocuments(Tables.load(s, d, "documents")).toDF()
+          .select(col("media_id"), col("payload"))
+          .foreachPartition { rows: java.util.Iterator[org.apache.spark.sql.Row] =>
+            rows.forEachRemaining { r =>
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(s"$tmp/${r.getLong(0)}.bin"),
+                r.getAs[Array[Byte]](1))
+            }
+          }
+        s.read.format("binaryFile").load(s"$tmp/*.bin")
+          .select(regexp_extract(col("path"), "([0-9]+)\\.bin$", 1)
+            .cast("long").as("media_id"), col("length"))
+          .groupBy(element_at(typedLit(Multimodal.Kinds),
+            (col("media_id") % 3 + 1).cast("int")).as("kind"))
+          .agg(count(lit(1)).as("n_files"), sum(col("length")).as("total_bytes"))
+          .orderBy(col("kind"))
+      },
+      Some("""SELECT CASE CAST(doc_id % 3 AS INT)
+             |         WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             |  COUNT(*) AS n_files,
+             |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     ("m03_frame_sample",
       (s: SparkSession, d: String) => {
         val media = Multimodal.fromDocuments(Tables.load(s, d, "documents"))
