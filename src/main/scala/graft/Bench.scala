@@ -91,7 +91,7 @@ object Bench {
     // crashing query can't read as a faster total
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    // headline fields BEFORE the 77-entry queries map: if the driver's
+    // headline fields BEFORE the per-query map: if the driver's
     // capture truncates the line (round 2 lost the tail), the total,
     // failure list, and sf survive — only per-query detail is at risk
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","failed":$failed,"queries":$qs}""")

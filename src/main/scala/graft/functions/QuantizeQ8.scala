@@ -20,7 +20,9 @@ import org.apache.spark.sql.types._
   * interpreted — the measured 13× cliff this library's other custom
   * expressions exist to avoid. Quantization runs once per corpus row on
   * the d05/s03 index-build path, which at 10⁹ rows is exactly where an
-  * interpreted stage would bite.
+  * interpreted stage would bite. Output is spec-asserted bit-identical
+  * to the HOF formulation on well-formed (finite, non-null-element)
+  * vectors; degenerate-input behavior is documented on [[compute]].
   */
 case class QuantizeQ8(child: Expression) extends UnaryExpression {
 
@@ -57,25 +59,43 @@ object QuantizeQ8 {
 
   /** Shared by interpreted eval and generated code: one pass for the
     * max-abs, one for the bytes — no boxed intermediates. Arithmetic
-    * mirrors the HOF path exactly: float max-abs, double scale, double
-    * division, HALF_UP (away-from-zero) rounding like Spark's round(). */
+    * mirrors the HOF path: float max-abs, double scale, double
+    * division, away-from-zero half rounding (agrees with Spark's
+    * round() everywhere except quotients within half an ulp of an
+    * exact .5 — absent on real data and covered by the bit-parity
+    * spec on the fixtures). Degenerate inputs: a NaN element poisons
+    * the scale to NaN and the bytes to zero (the HOF behavior —
+    * `greatest` treats NaN as largest); a NULL element counts as 0
+    * (the one intentional divergence: the HOF emitted a null byte,
+    * this emits 0 so `q8` stays null-free for the scoring kernel —
+    * null elements only occur in malformed embeddings, which the
+    * near-dup paths drop via cleanVectors anyway). */
   def compute(arr: ArrayData): InternalRow = {
     val n = arr.numElements()
     var maxAbs = 0f
+    var sawNaN = false
     var i = 0
     while (i < n) {
-      val a = math.abs(arr.getFloat(i))
-      if (a > maxAbs) maxAbs = a
+      if (!arr.isNullAt(i)) {
+        val v = arr.getFloat(i)
+        if (v.isNaN) sawNaN = true
+        else {
+          val a = math.abs(v)
+          if (a > maxAbs) maxAbs = a
+        }
+      }
       i += 1
     }
-    val scale = maxAbs.toDouble / 127.0
+    val scale = if (sawNaN) Double.NaN else maxAbs.toDouble / 127.0
     val bytes = new Array[Byte](n)
-    if (scale > 0d) {
+    if (scale > 0d) { // false for NaN and 0 → all-zero bytes
       i = 0
       while (i < n) {
-        val x = arr.getFloat(i).toDouble / scale
-        val r = if (x >= 0) math.floor(x + 0.5d) else math.ceil(x - 0.5d)
-        bytes(i) = r.toByte
+        if (!arr.isNullAt(i)) {
+          val x = arr.getFloat(i).toDouble / scale
+          val r = if (x >= 0) math.floor(x + 0.5d) else math.ceil(x - 0.5d)
+          bytes(i) = r.toByte
+        }
         i += 1
       }
     }

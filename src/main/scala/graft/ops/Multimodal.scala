@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing (north-star): image/audio/video as opaque
@@ -31,6 +31,12 @@ object Multimodal {
 
   val Kinds = Seq("image", "audio", "video")
 
+  /** THE fixture id→kind mapping (doc_id mod 3) — single definition
+    * shared by [[fromDocuments]] and the file-ingest query (m04), so
+    * the mapping can't silently diverge between producer and reader. */
+  def kindOf(id: Column): Column =
+    element_at(typedLit(Kinds), (id % 3 + 1).cast("int"))
+
   /** Deterministic synthetic media derived from the `documents` table
     * (payload = UTF-8 bytes of the text, kind = doc_id mod 3) so every
     * scale factor has a stable multimodal fixture. */
@@ -38,7 +44,7 @@ object Multimodal {
     import docs.sparkSession.implicits._
     docs.select(
       col("doc_id").as("media_id"),
-      element_at(typedLit(Kinds), (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      kindOf(col("doc_id")).as("kind"),
       encode(col("text"), "UTF-8").as("payload"),
       (col("doc_id") % 640 + 64).cast("int").as("width"),
       (col("doc_id") % 480 + 48).cast("int").as("height"),

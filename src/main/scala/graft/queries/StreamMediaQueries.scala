@@ -31,15 +31,17 @@ object StreamMediaQueries {
   def ensureMediaFiles(s: SparkSession, d: String): String =
     mediaFileDirs.getOrElseUpdate(d, {
       val tmp = java.nio.file.Files.createTempDirectory("graft_m04").toString
+      // driver-side writes (toLocalIterator): the fixture dir is a
+      // DRIVER-local path, which executor-side foreachPartition would
+      // only reach in local mode; the slice is bounded so streaming it
+      // through the driver is small and cluster-correct
       Multimodal.fromDocuments(Tables.load(s, d, "documents")).toDF()
         .filter(col("media_id") < MediaFileCount)
         .select(col("media_id"), col("payload"))
-        .foreachPartition { rows: java.util.Iterator[org.apache.spark.sql.Row] =>
-          rows.forEachRemaining { r =>
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(s"$tmp/${r.getLong(0)}.bin"),
-              r.getAs[Array[Byte]](1))
-          }
+        .toLocalIterator().forEachRemaining { r =>
+          val f = java.nio.file.Paths.get(s"$tmp/${r.getLong(0)}.bin")
+          java.nio.file.Files.write(f, r.getAs[Array[Byte]](1))
+          f.toFile.deleteOnExit()
         }
       tmp
     })
@@ -236,33 +238,6 @@ object StreamMediaQueries {
     // 10·len(text), one frame per second, min 1), so the aggregate is
     // oracle-checkable even though per-frame features are stub-codec
     // values (those are asserted in MultimodalSpec).
-    // ---- binaryFile source: the real multimodal ingest path ---------------
-    // Media corpora arrive as object-store FILES, not table rows: the
-    // fixture payloads are materialized as one file each (executor-side
-    // writes, ONCE per session+sf — the object store pre-exists in a
-    // real pipeline, so the query times the binaryFile INGEST, not the
-    // fixture build; same write-once rule as q45's bucketed tables).
-    // Only path/length are selected, so the source never reads payload
-    // BYTES (column pruning on the content column) — at 100 TB the
-    // manifest scan is metadata-only. The oracle certifies per-kind
-    // counts and byte totals against the originating table.
-    ("m04_binary_ingest",
-      (s: SparkSession, d: String) => {
-        val tmp = ensureMediaFiles(s, d)
-        s.read.format("binaryFile").load(s"$tmp/*.bin")
-          .select(regexp_extract(col("path"), "([0-9]+)\\.bin$", 1)
-            .cast("long").as("media_id"), col("length"))
-          .groupBy(element_at(typedLit(Multimodal.Kinds),
-            (col("media_id") % 3 + 1).cast("int")).as("kind"))
-          .agg(count(lit(1)).as("n_files"), sum(col("length")).as("total_bytes"))
-          .orderBy(col("kind"))
-      },
-      Some("""SELECT CASE CAST(doc_id % 3 AS INT)
-             |         WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-             |  COUNT(*) AS n_files,
-             |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
-             |FROM documents WHERE doc_id < 500 GROUP BY 1 ORDER BY 1""".stripMargin)),
-
     ("m03_frame_sample",
       (s: SparkSession, d: String) => {
         val media = Multimodal.fromDocuments(Tables.load(s, d, "documents"))
@@ -275,5 +250,31 @@ object StreamMediaQueries {
              |  CAST(greatest(1, length(text) * 10 // 1000) AS BIGINT) AS n_frames,
              |  (CAST(greatest(1, length(text) * 10 // 1000) AS BIGINT) - 1) * 1000 AS last_ts_ms
              |FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id""".stripMargin)),
+
+    // ---- binaryFile source: the real multimodal ingest path ---------------
+    // Media corpora arrive as object-store FILES, not table rows: the
+    // fixture payloads are materialized as one file each, ONCE per
+    // session+sf (the object store pre-exists in a real pipeline, so
+    // the query times the binaryFile INGEST, not the fixture build;
+    // same write-once rule as q45's bucketed tables). Only path/length
+    // are selected, so the source never reads payload BYTES (column
+    // pruning on the content column) — at 100 TB the manifest scan is
+    // metadata-only. The oracle certifies per-kind counts and byte
+    // totals against the originating table.
+    ("m04_binary_ingest",
+      (s: SparkSession, d: String) => {
+        val tmp = ensureMediaFiles(s, d)
+        s.read.format("binaryFile").load(s"$tmp/*.bin")
+          .select(regexp_extract(col("path"), "([0-9]+)\\.bin$", 1)
+            .cast("long").as("media_id"), col("length"))
+          .groupBy(Multimodal.kindOf(col("media_id")).as("kind"))
+          .agg(count(lit(1)).as("n_files"), sum(col("length")).as("total_bytes"))
+          .orderBy(col("kind"))
+      },
+      Some("""SELECT CASE CAST(doc_id % 3 AS INT)
+             |         WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             |  COUNT(*) AS n_files,
+             |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+             |FROM documents WHERE doc_id < 500 GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }
