@@ -46,10 +46,12 @@ object Similarity {
     * search path. */
   private def rescoredTopK(approx: DataFrame, corpus: DataFrame,
                            k: Int, rescore: Int): DataFrame = {
+    // a shortlist shallower than k would silently return < k neighbors
+    val depth = math.max(rescore, k)
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("q_sim").desc, col("neighbor_id"))
     val shortlist = approx.filter(!isnan(col("q_sim")))
-      .withColumn("rnk", row_number().over(wq)).filter(col("rnk") <= rescore)
+      .withColumn("rnk", row_number().over(wq)).filter(col("rnk") <= depth)
       .select(col("query_id"), col("q_embedding"), col("neighbor_id"))
     rankTopK(
       shortlist

@@ -33,6 +33,36 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object DedupStore {
 
+  /** Store schema — also the shape run() returns when no batch ever
+    * commits, so downstream selects resolve against an empty result. */
+  private[graft] val STORE_SCHEMA: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("keep_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_copies",
+        org.apache.spark.sql.types.LongType)))
+
+  /** Retention: after vN commits, only vN and its merge base (the
+    * newest committed version below N) are ever read again — vN is the
+    * read target, the base is what a checkpoint REPLAY of batch N would
+    * re-merge from. Everything older is dead weight that would grow the
+    * store O(batches × size), so drop it at commit time. */
+  private def prune(storeDir: String, batchId: Long): Unit = {
+    val committed = versions(storeDir).map(_._1).filter(_ <= batchId)
+    val keep: Set[Long] =
+      committed.filter(_ < batchId).sorted.lastOption.toSet + batchId
+    versions(storeDir)
+      .filter { case (id, _) => id <= batchId && !keep.contains(id) }
+      .foreach { case (_, dir) => deleteRecursively(dir) }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
   /** Committed versions only: a `v<id>` dir counts once its `_SUCCESS`
     * marker exists (Spark's committer writes it at job commit), so a
     * half-written version from a mid-write crash can never become a
@@ -90,6 +120,7 @@ object DedupStore {
             case None => incoming
           }
           merged.write.mode("overwrite").parquet(s"$storeDir/v$batchId")
+          prune(storeDir, batchId)
         }
       }
       val q = docs.writeStream
@@ -99,7 +130,8 @@ object DedupStore {
         .start()
       q.awaitTermination()
       latest(storeDir).map(spark.read.parquet(_))
-        .getOrElse(spark.emptyDataFrame)
+        .getOrElse(spark.createDataFrame(
+          new java.util.ArrayList[Row](), STORE_SCHEMA))
     } finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)

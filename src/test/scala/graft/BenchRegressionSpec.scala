@@ -18,6 +18,11 @@ import scala.io.Source
   * without a baseline row pass with an info message until the baseline
   * is regenerated: run with `GRAFT_WRITE_BASELINE=1`, which rewrites
   * the resource from this very measurement loop instead of asserting.
+  *
+  * Portability: the baseline is absolute wall time from one machine, so
+  * on a foreign host the whole test CANCELS unless the fixture dir
+  * exists, and the multiplier is tunable via `GRAFT_BENCH_GATE_FACTOR`
+  * (e.g. 6 on shared CI hardware) rather than failing spuriously.
   */
 class BenchRegressionSpec extends SparkSpec {
 
@@ -34,7 +39,13 @@ class BenchRegressionSpec extends SparkSpec {
     finally src.close()
   }
 
+  private val gateFactor: Double =
+    sys.env.get("GRAFT_BENCH_GATE_FACTOR").map(_.toDouble).getOrElse(3.0)
+
   test("no query grossly regresses vs the checked-in sf0.01 baseline") {
+    assume(new java.io.File(sfDir).isDirectory,
+      s"fixture dir $sfDir absent — wall-time gate only runs where the " +
+        "driver-generated testdata exists")
     Bench.warmup(spark, sfDir)
     spark.catalog.clearCache()
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -47,7 +58,7 @@ class BenchRegressionSpec extends SparkSpec {
       measured += name -> t
       baseline.get(name) match {
         case Some(b) =>
-          val allowed = math.max(3 * b, b + 2.0)
+          val allowed = math.max(gateFactor * b, b + 2.0)
           if (t > allowed)
             failures += f"$name: $t%.2fs vs baseline $b%.2fs (allowed $allowed%.2fs)"
         case None =>

@@ -82,10 +82,29 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getAs[String]("text"), r.getAs[Long]("keep_id"),
         r.getAs[Long]("n_copies"))).toSet
     assert(got == Set(("alpha", 1L, 3L), ("beta", 2L, 2L), ("gamma", 4L, 1L)))
-    // the store committed one version per delivered micro-batch (3 files)
+    // retention: commit-time pruning keeps only the newest version and
+    // its replay base — 3 micro-batches leave v1 (base) + v2 (read
+    // target), not O(batches) dead versions
     val versions = new java.io.File(s"$tmp/store").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("v"))
-    assert(versions.length == 3, s"expected 3 committed versions, got ${versions.length}")
+      .map(_.getName).sorted
+    assert(versions.toSeq == Seq("v1", "v2"),
+      s"expected pruned store {v1, v2}, got ${versions.mkString(",")}")
+  }
+
+  test("dedup store run() with no committed batch returns the typed empty store") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_store_empty").toString
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$tmp/in")
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/in/part-*")
+    val store = graft.streaming.DedupStore.run(
+      spark, stream, s"$tmp/store", s"$tmp/ckpt")
+    // downstream select must resolve even with zero committed versions
+    assert(store.select("keep_id", "n_copies").count() == 0L)
+    assert(store.schema.fieldNames.toSeq == Seq("text", "keep_id", "n_copies"))
   }
 
   test("dedup store versions: _SUCCESS gates commits, replay base excludes own batch") {
