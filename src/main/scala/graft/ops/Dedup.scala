@@ -52,6 +52,30 @@ object Dedup {
   def wordNGrams(w: Column, n: Int): Column =
     graft.functions.WordNGrams.wordNGrams(w, n)
 
+  /** Exact-substring duplicate pairs: documents sharing ANY exact word
+    * n-gram (the suffix-array dedup criterion of Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * re-expressed as distributed blocking — the gram IS the block key,
+    * so candidate generation is one equality self-join, never a
+    * cartesian). A 100 TB corpus has a near-unique gram space at n = 8:
+    * bucket sizes track true duplication, and the one degenerate case —
+    * boilerplate grams shared by thousands of documents — is bounded by
+    * `maxBucket` (0 disables, for exact-oracle regimes; production sets
+    * it and quarantines the dropped grams via
+    * [[capBucketsWithDropped]]). The distinct() collapses multi-gram
+    * overlaps so the pair shuffle carries unique pairs only. */
+  def substringNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int = 8, maxBucket: Int = 0): DataFrame = {
+    val grams = capBuckets(
+      docs.select(col(idCol).as("doc_id"),
+        explode(wordNGrams(words(col(textCol)), n)).as("gram")),
+      Seq("gram"), maxBucket)
+    val a = grams.select(col("gram"), col("doc_id").as("id_a"))
+    val b = grams.select(col("gram"), col("doc_id").as("id_b"))
+    a.join(b, "gram").filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
   /** Set Jaccard of two string arrays (distinct-element semantics, same
     * as DuckDB `list_intersect` / distinct-union cardinalities). */
   def jaccard(a: Column, b: Column): Column =

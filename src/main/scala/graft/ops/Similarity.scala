@@ -40,23 +40,40 @@ object Similarity {
   }
 
   /** Full-precision re-rank of an int8-scored candidate frame
-    * (query_id, q_embedding, neighbor_id, q_sim): keep a rescore-deep
-    * shortlist per query by q_sim, re-score it against the float
-    * corpus, rank top k — the shared tail of every quantized-scan
-    * search path. */
-  private def rescoredTopK(approx: DataFrame, corpus: DataFrame,
-                           k: Int, rescore: Int): DataFrame = {
+    * (query_id, neighbor_id, q_sim): keep a rescore-deep shortlist per
+    * query by q_sim, re-score it against the float corpus, rank top k —
+    * the shared tail of every quantized-scan search path.
+    *
+    * The candidate frame deliberately carries NO vectors: the
+    * shortlist cut is a window (a full shuffle of every candidate
+    * row), and shuffling (long, long, float) is ~20 bytes/row where
+    * dragging q_embedding through would be ~13× that — measured 11.8 s
+    * → 3 s on the n² self-join (s04) at sf0.1. Query vectors re-join
+    * AFTER the cut, when only rescore·|queries| rows remain.
+    *
+    * Contract: callers pass NaN-free `q_sim` (clean degenerate vectors
+    * BEFORE scoring, via [[cleanVectors]]/[[cleanQueries]]). A
+    * `!isnan(q_sim)` filter here would inline the whole int8 kernel
+    * into the Filter predicate (Catalyst pushes filters through
+    * projections by substituting the alias) and re-evaluate it per
+    * row — measured as the difference between 9.6 s and 3.4 s on the
+    * s04 scan. [[rankTopK]]'s final NaN guard still backstops the
+    * (shortlist-sized) full-precision side. */
+  private def rescoredTopK(approx: DataFrame, queries: DataFrame,
+                           corpus: DataFrame, k: Int, rescore: Int): DataFrame = {
     // a shortlist shallower than k would silently return < k neighbors
     val depth = math.max(rescore, k)
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("q_sim").desc, col("neighbor_id"))
-    val shortlist = approx.filter(!isnan(col("q_sim")))
+    val shortlist = approx
+      .select(col("query_id"), col("neighbor_id"), col("q_sim"))
       .withColumn("rnk", row_number().over(wq)).filter(col("rnk") <= depth)
-      .select(col("query_id"), col("q_embedding"), col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
     rankTopK(
       shortlist
         .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding")),
           "neighbor_id")
+        .join(queries.select(col("query_id"), col("q_embedding")), "query_id")
         .select(col("query_id"), col("neighbor_id"),
           round(cosineSim(col("embedding"), col("q_embedding")), 6).as("cos_sim")),
       k)
@@ -70,10 +87,27 @@ object Similarity {
     corpus.filter(size(col("embedding")) > 0 &&
       !isnan(cosineSim(col("embedding"), col("embedding"))))
 
+  /** [[cleanVectors]] for a (query_id, q_embedding)-shaped frame. */
+  private def cleanQueries(queries: DataFrame): DataFrame =
+    queries.filter(size(col("q_embedding")) > 0 &&
+      !isnan(cosineSim(col("q_embedding"), col("q_embedding"))))
+
+  /** Spread an under-partitioned scan side across the cluster. A
+    * broadcast-nested-loop scan inherits the stream side's
+    * partitioning, so a single-file corpus serializes the whole n·m
+    * kernel evaluation on ONE task (measured: 8.4 s → 2.5 s on the s04
+    * self-join at sf0.1). No-op when the input already has enough
+    * partitions — at real scale the corpus arrives well-partitioned
+    * and a repartition would add a pointless full shuffle. */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** corpus: (vec_id, embedding); queries: (query_id, q_embedding). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
     rankTopK(
-      corpus.crossJoin(broadcast(queries))
+      spread(corpus).crossJoin(broadcast(queries))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           round(cosineSim(col("embedding"), col("q_embedding")), 6).as("cos_sim")),
@@ -136,9 +170,13 @@ object Similarity {
     * at 100 TB the probed cells are read as int8 (4× fewer bytes) and
     * only the shortlist touches float vectors. With rescore ≫ k the
     * output equals the float path exactly (spec-asserted). */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+  def ivfTopK(corpus0: DataFrame, queries0: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4, trainIters: Int = 0,
               quantized: Boolean = false, rescore: Int = 32): DataFrame = {
+    // degenerate vectors out FIRST: they can't assign, probe, or score,
+    // and downstream (rescoredTopK) relies on NaN-free q_sim
+    val corpus = cleanVectors(corpus0)
+    val queries = cleanQueries(queries0)
     // nCells rows: the broadcast() at each use site is the right
     // distribution mechanism, a storage-level cache adds nothing
     val cents =
@@ -172,10 +210,10 @@ object Similarity {
       rescoredTopK(
         probes.join(assignedQ8, "cell_id")
           .filter(col("vec_id") =!= col("query_id"))
-          .select(col("query_id"), col("q_embedding"), col("vec_id").as("neighbor_id"),
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
             graft.functions.CosineSimQ8.cosineSimQ8(
               col("q_embedding"), col("q8"), col("q_scale")).as("q_sim")),
-        corpus, k, rescore)
+        queries, corpus, k, rescore)
     }
   }
 
@@ -199,21 +237,47 @@ object Similarity {
   def quantize(corpus: DataFrame): DataFrame =
     withQ8(corpus).select(col("vec_id"), col("q_scale"), col("q8"))
 
+  /** Exact k-NN self-join: every vector gets its k nearest neighbors —
+    * the all-pairs primitive under SemDeDup-style embedding curation
+    * and cluster seeding. Ships the quantized-scan shape: the n² scan
+    * reads int8 codes (4× fewer bytes than float32), and only a
+    * rescore-deep shortlist per query touches float vectors; with
+    * rescore ≫ k the result EQUALS brute force (the s03-verified
+    * property, re-asserted for the self-join in its spec), which is
+    * what lets the query keep a full DuckDB oracle.
+    *
+    * Scale note: the query side is the corpus itself, broadcast to the
+    * scan — right up to ~10⁶ queries (a 64-dim float batch is 256 MB
+    * at that point). Past that, batch the queries (iterate broadcast
+    * slices) or accept approximate recall and block via [[ivfTopK]] —
+    * on THIS data IVF self-kNN recall tops out at 0.87 even probing
+    * 10/16 cells (neighbors sit at the similarity noise floor), which
+    * is why the exact scan is the shipped default. */
+  def knnJoin(corpus: DataFrame, k: Int, rescore: Int = 32): DataFrame =
+    quantizedTopK(corpus,
+      corpus.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding")),
+      k, rescore)
+
   /** Quantized search with exact rescoring: score the int8 corpus with
     * the fused [[graft.functions.CosineSimQ8]] kernel, keep a
     * `rescore`-deep shortlist per query, then re-rank the shortlist
     * with full-precision cosine. With rescore ≫ k the output matches
     * brute-force exactly on realistic data (int8 ranking error is far
     * smaller than neighbor gaps) while the scan reads 4× fewer bytes. */
-  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                    rescore: Int = 32): DataFrame =
+  def quantizedTopK(corpus0: DataFrame, queries0: DataFrame, k: Int,
+                    rescore: Int = 32): DataFrame = {
+    // degenerate vectors out FIRST — rescoredTopK needs NaN-free q_sim
+    val corpus = cleanVectors(corpus0)
+    val queries = cleanQueries(queries0)
     rescoredTopK(
-      quantize(corpus).crossJoin(broadcast(queries))
+      spread(quantize(corpus)).crossJoin(broadcast(queries))
         .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("q_embedding"), col("vec_id").as("neighbor_id"),
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
           graft.functions.CosineSimQ8.cosineSimQ8(
             col("q_embedding"), col("q8"), col("q_scale")).as("q_sim")),
-      corpus, k, rescore)
+      queries, corpus, k, rescore)
+  }
 
   /** Embedding near-dup pairs via IVF-cell blocking + int8 prefilter —
     * the shipped d05 path for LOW thresholds, where SRP-LSH banding

@@ -129,6 +129,26 @@ object NorthStarQueries {
              |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ---- dedup: exact-substring pairs (Lee et al. 2022 criterion) ---------
+    // The gram itself is the block key (equality self-join, no
+    // cartesian); maxBucket = 0 because the measured max gram
+    // doc-frequency on this corpus is 4 — the EXACT regime, which is
+    // what the all-pairs oracle certifies. Production caps + quarantines
+    // hot boilerplate grams via capBucketsWithDropped.
+    ("d09_substring_dedup",
+      (s: SparkSession, d: String) => {
+        Dedup.substringNearDupPairs(Tables.load(s, d, "documents"),
+            "doc_id", "text", n = 8)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH w AS (SELECT doc_id,
+             |    string_split_regex(lower(text), '\s+') AS w FROM documents),
+             |g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+             |      FROM w, unnest(range(1, greatest(len(w)-6, 1))) AS u(i))
+             |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // ---- similarity: brute-force cosine top-k -----------------------------
     ("s01_cosine_topk",
       (s: SparkSession, d: String) => {
@@ -186,6 +206,27 @@ object NorthStarQueries {
              |      ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC, c.vec_id) AS rank
              |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
              |WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    // ---- similarity: exact k-NN self-join (quantized scan) ----------------
+    // Every vector is a query: the SemDeDup-style all-pairs primitive.
+    // The int8 scan + rescore ≫ k equals brute force exactly (spec
+    // re-asserts it for the self-join), so the full brute oracle holds.
+    ("s04_knn_join",
+      (s: SparkSession, d: String) => {
+        Similarity.knnJoin(
+            Tables.load(s, d, "embeddings").select("vec_id", "embedding"),
+            k = 3, rescore = 32)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+             |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    round(list_cosine_similarity(q.v, c.v), 6) AS cos_sim,
+             |    row_number() OVER (PARTITION BY q.vec_id
+             |      ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC, c.vec_id) AS rank
+             |  FROM e q JOIN e c ON c.vec_id <> q.vec_id)
+             |WHERE rank <= 3
              |ORDER BY query_id, rank""".stripMargin)),
 
     // ---- text analysis: per-doc features ----------------------------------

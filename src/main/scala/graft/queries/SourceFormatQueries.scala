@@ -12,6 +12,21 @@ import graft.Tables
   * the aggregation. */
 object SourceFormatQueries {
 
+  /** Size-targeted compaction: write `df` as exactly
+    * ceil(payload bytes / targetBytes) round-robin parquet files and
+    * return that file count. The layout is derived from the data — the
+    * difference between a compaction job and a hardcoded
+    * `repartition(200)`. */
+  private[graft] def compact(df: DataFrame, payload: org.apache.spark.sql.Column,
+                             out: String, targetBytes: Long): Int = {
+    val totalBytes = df.agg(sum(payload.cast("long")).as("b"))
+      .head(1).headOption.flatMap(r => Option(r.get(0)).map(_ => r.getLong(0)))
+      .getOrElse(0L)
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    df.repartition(nFiles).write.mode("overwrite").parquet(out)
+    nFiles
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
     // ---- JSON-lines sink + schema-explicit source -------------------------
@@ -55,5 +70,34 @@ object SourceFormatQueries {
              |  SUM(l_quantity) AS sum_qty,
              |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- size-targeted file compaction ------------------------------------
+    // The small-files maintenance job every long-lived 100 TB table
+    // needs: derive the output file count from the DATA (ceil of total
+    // payload bytes / a target file size) instead of a hardcoded
+    // partition count, round-robin repartition to exactly that many
+    // files, and certify content parity through the rewrite. The
+    // oracle reads the ORIGINAL table — equal aggregates certify the
+    // compaction lost and duplicated nothing. File count is asserted
+    // in its spec (SourceFormatSpec).
+    ("q52_compaction",
+      (s: SparkSession, d: String) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_compact").toString
+        val docs = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), col("text"))
+        // one aggregate job sizes the layout; 64 KiB target keeps the
+        // fixture multi-file (production uses 128–1024 MiB)
+        compact(docs, octet_length(col("text")), out, targetBytes = 64L * 1024)
+        s.read.parquet(out)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(octet_length(col("text")).cast("long")).as("total_bytes"),
+            min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, COUNT(*) AS n_docs,
+             |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+             |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
   )
 }

@@ -271,6 +271,51 @@ object TrainingPrepQueries {
              |  FROM t)
              |WHERE rank <= 5 ORDER BY source, rank""".stripMargin)),
 
+    // ---- text analysis: TF-IDF keyword extraction -------------------------
+    // Per-doc top-3 keywords. Ranking is INTEGER-exact — (tf desc,
+    // df asc, term asc), i.e. most frequent locally, rarest globally —
+    // so no float ever decides a row's presence; the tfidf double
+    // (tf·ln(N/df), the classic score) is emitted round-6 for display,
+    // where a 1-ulp libm difference can't flip the hash. df is a
+    // vocabulary-sized aggregate (broadcastable at corpus scale); N is
+    // a broadcast 1-row frame, never a driver collect.
+    ("t08_tfidf_keywords",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = Tables.load(s, d, "documents")
+          .select(col("doc_id"),
+            explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+        val tf = toks.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val df = toks.groupBy(col("term"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val nDocs = Tables.load(s, d, "documents")
+          .agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("tf").desc, col("df"), col("term"))
+        tf.join(df, "term").crossJoin(broadcast(nDocs))
+          .withColumn("rank", row_number().over(w).cast("int"))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+            round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+              .as("tfidf"))
+          .orderBy(col("doc_id"), col("rank"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, u.term AS term
+             |  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS u(term)),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+             |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+             |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+             |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df,
+             |  round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+             |FROM (
+             |  SELECT t.doc_id, t.term, t.tf, f.df, n.n_docs,
+             |    row_number() OVER (PARTITION BY t.doc_id
+             |      ORDER BY t.tf DESC, f.df ASC, t.term) AS rank
+             |  FROM tf t JOIN df f USING (term) CROSS JOIN n)
+             |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
     // ---- streaming drain to a parquet file sink (Append + watermark) ------
     // The scale-path streaming story as an oracle-checked query: only
     // watermark-finalized windows land in the sink.

@@ -363,4 +363,46 @@ class DedupSimilaritySpec extends SparkSpec {
     val deduped = docs.dropDuplicates("text")
     assert(deduped.count() == docs.select("text").distinct().count())
   }
+
+  test("substring dedup: shared word 8-gram pairs exactly, cap drops hot grams") {
+    import spark.implicits._
+    val eight = "one two three four five six seven eight"
+    val fixture = Seq(
+      (1L, s"prefix a $eight suffix p"),   // shares `eight` with 2
+      (2L, s"prefix b $eight suffix q"),
+      (3L, "totally different words with no overlapping gram at all here"),
+      (4L, s"$eight")                      // exactly the gram: pairs with 1, 2
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.substringNearDupPairs(fixture, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    // maxBucket = 2: the `eight` gram's bucket holds 3 docs -> capped
+    // away, killing 4's pairs; (1,2) survives via the 2-doc bucket of
+    // "two three four five six seven eight suffix"
+    val capped = Dedup.substringNearDupPairs(fixture, "doc_id", "text",
+        n = 8, maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)))
+    // exact-oracle regime on the real corpus: no gram bucket exceeds the
+    // measured max doc-frequency (4), so the shipped uncapped d09 is exact
+    val maxDf = docs.select(col("doc_id"),
+        explode(Dedup.wordNGrams(Dedup.words(col("text")), 8)).as("gram"))
+      .groupBy("gram").agg(countDistinct("doc_id").as("n"))
+      .agg(max("n")).head().getLong(0)
+    assert(maxDf <= 4, s"gram doc-frequency grew to $maxDf — revisit d09 capping")
+  }
+
+  test("kNN self-join (shipped s04): quantized scan equals brute force exactly") {
+    val emb = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
+    val asQueries = emb.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_embedding"))
+    val got = Similarity.knnJoin(emb, k = 3, rescore = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val brute = Similarity.bruteForceTopK(emb, asQueries, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got == brute, "int8 scan + rescore>=k must reproduce brute exactly")
+    // rescore below k must clamp, not truncate the result set
+    val clamped = Similarity.knnJoin(emb, k = 3, rescore = 1)
+    assert(clamped.groupBy("query_id").count().agg(min("count")).head().getLong(0) == 3L)
+  }
 }

@@ -74,6 +74,24 @@ class ScaleSpec extends SparkSpec {
     sketches.unpersist()
   }
 
+  test("compaction derives the file count from payload bytes and loses nothing") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val out = Files.createTempDirectory("graft_compact_spec").toString
+    val nFiles = graft.queries.SourceFormatQueries.compact(
+      docs, octet_length(col("text")), out, targetBytes = 32L * 1024)
+    val expectBytes = docs.agg(sum(octet_length(col("text")).cast("long")))
+      .head().getLong(0)
+    assert(nFiles == ((expectBytes + 32 * 1024 - 1) / (32 * 1024)).toInt)
+    val parts = new java.io.File(out).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts == nFiles, s"wrote $parts part files, sized for $nFiles")
+    // content parity: nothing lost, nothing duplicated
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+  }
+
   test("salted join equals plain join and spreads the hot key") {
     val events = Tables.load(spark, sf, "events")
       .select(col("user_id"), col("event_id"), col("value"))
