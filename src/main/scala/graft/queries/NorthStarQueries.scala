@@ -83,14 +83,37 @@ object NorthStarQueries {
              |FROM grams a JOIN grams b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
              |ORDER BY id_a, id_b""".stripMargin)),
 
-    // ---- dedup: MinHash + LSH banding (hash-dependent → ScalaTest-gated) --
+    // ---- dedup: MinHash + LSH banding ------------------------------------
+    // Oracled: the exact trigram-Jaccard ≥ 0.5 pair set, via shared-
+    // gram COUNTS (|A∩B| from an inverted-index join, |A∪B| =
+    // |A|+|B|−|A∩B|) — no list intersection, so the reference runs in
+    // ~2 s even at sf0.1. Valid because the fixed-seed signatures are
+    // DETERMINISTIC and their measured candidate recall on this corpus
+    // is complete at every sf (the near-dup pairs sit at J ≥ 0.9 where
+    // the 4-band collision probability is ≥ 0.986/pair; set equality
+    // is spec-asserted at sf0.001, so any seed/param/data change that
+    // re-enters the probabilistic regime fails loudly, not silently).
     ("d03_minhash_lsh",
       (s: SparkSession, d: String) => {
         Dedup.minhashNearDups(Tables.load(s, d, "documents"), "doc_id", "text",
             n = 3, k = 16, bands = 4, threshold = 0.5)
           .orderBy(col("id_a"), col("id_b"))
       },
-      None),
+      Some("""WITH w AS (SELECT doc_id,
+             |    string_split_regex(lower(text), '\s+') AS w FROM documents),
+             |g AS (SELECT doc_id,
+             |    list_distinct(list_transform(range(1, greatest(len(w)-1, 1)),
+             |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g FROM w),
+             |g2 AS (SELECT doc_id, unnest(g) AS gram FROM g),
+             |ix AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+             |       FROM g2 a JOIN g2 b ON a.gram = b.gram AND a.doc_id < b.doc_id
+             |       GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |  round(CAST(i AS DOUBLE) / (la.l + lb.l - i), 6) AS jaccard
+             |FROM ix JOIN (SELECT doc_id, len(g) AS l FROM g) la ON la.doc_id = id_a
+             |        JOIN (SELECT doc_id, len(g) AS l FROM g) lb ON lb.doc_id = id_b
+             |WHERE round(CAST(i AS DOUBLE) / (la.l + lb.l - i), 6) >= 0.5
+             |ORDER BY id_a, id_b""".stripMargin)),
 
     // ---- dedup: SimHash banded near-dups (custom Catalyst expression) -----
     // 4 bands × 16-bit keys: pigeonhole-guaranteed recall for hamming ≤ 3
@@ -297,12 +320,52 @@ object NorthStarQueries {
              |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- composed curation pipeline (MinHash stage → rows-only check) -----
+    // Oracled end to end: the quality expression is t02's (round-6
+    // parity), exact dedup is a text group-by, the near-dup pair set is
+    // d03's deterministic-recall regime over the exact-deduped
+    // survivors, and transitive clusters are a recursive CTE computing
+    // min-reachable-id — i.e. DuckDB re-runs the whole curation
+    // pipeline declaratively and must land on the same four counts.
     ("c01_curation_report",
       (s: SparkSession, d: String) => {
         Curation.reportDF(s, Tables.load(s, d, "documents"))
           .orderBy(col("n_docs").desc, col("stage"))
       },
-      None),
+      Some("""WITH q AS (SELECT doc_id, text FROM documents
+             |  WHERE round(0.4 * least(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) / 100.0, 1.0)
+             |      + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text))
+             |      + 0.3 * least(CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             |            t -> list_contains(['the','a','of','and','to','in','is','it','that','on'], t))) AS DOUBLE)
+             |          / len(regexp_extract_all(lower(text), '[a-z0-9]+')) * 5.0, 1.0),
+             |      6) >= 0.45),
+             |e AS (SELECT min(doc_id) AS doc_id, text FROM q GROUP BY text),
+             |w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM e),
+             |g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w)-1, 1)),
+             |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g FROM w),
+             |g2 AS (SELECT doc_id, unnest(g) AS gram FROM g),
+             |ix AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+             |       FROM g2 a JOIN g2 b ON a.gram = b.gram AND a.doc_id < b.doc_id
+             |       GROUP BY 1, 2),
+             |p AS (SELECT id_a, id_b
+             |      FROM ix JOIN (SELECT doc_id, len(g) AS l FROM g) la ON la.doc_id = id_a
+             |              JOIN (SELECT doc_id, len(g) AS l FROM g) lb ON lb.doc_id = id_b
+             |      WHERE round(CAST(i AS DOUBLE) / (la.l + lb.l - i), 6) >= 0.5),
+             |e2 AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),
+             |nodes AS (SELECT DISTINCT src AS id FROM e2),
+             |reach AS (
+             |  WITH RECURSIVE r(id, v) AS (
+             |    SELECT id, id FROM nodes
+             |    UNION
+             |    SELECT r.id, e2.dst FROM r JOIN e2 ON e2.src = r.v)
+             |  SELECT id, min(v) AS label FROM r GROUP BY id),
+             |losers AS (SELECT id FROM reach WHERE id <> label)
+             |SELECT stage, n_docs FROM (
+             |  SELECT 'input' AS stage, (SELECT COUNT(*) FROM documents) AS n_docs
+             |  UNION ALL SELECT 'quality_filtered', (SELECT COUNT(*) FROM q)
+             |  UNION ALL SELECT 'exact_deduped', (SELECT COUNT(*) FROM e)
+             |  UNION ALL SELECT 'near_deduped',
+             |    (SELECT COUNT(*) FROM e) - (SELECT COUNT(*) FROM losers))
+             |ORDER BY n_docs DESC, stage""".stripMargin)),
 
     ("t04_fingerprint",
       (s: SparkSession, d: String) => {

@@ -59,6 +59,36 @@ object StreamMediaQueries {
              |  event_type, COUNT(*) AS n_events
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ---- streaming sketch state: per-hour heavy hitters -------------------
+    // The mergeable Space-Saving sketch (q47's TypedImperativeAggregate)
+    // as STREAMING aggregation state: each micro-batch folds into the
+    // per-window serialized summary, so state per hour is O(capacity),
+    // never O(distinct terms) — the bounded-state top-k idiom at 100 TB
+    // event volume. Capacity 16 ≥ the 5 event types = exact regime,
+    // which is what lets the oracle be the exact ranked counts. The
+    // explode runs on the drained batch result; the stream carries only
+    // (window, sketch).
+    ("st08_stream_topk",
+      (s: SparkSession, d: String) => {
+        val agg = EventStream.readEvents(s, d)
+          .withWatermark("event_time", "1 hour")
+          .groupBy(window(col("event_time"), "1 hour").as("w"))
+          .agg(graft.functions.SpaceSavingTopK.topK(col("event_type"), 3, 16).as("tk"))
+          .select(col("w.start").as("hour"), col("tk"))
+        EventStream.runToMemory(s, agg, s"st08_mem_${System.nanoTime()}")
+          .select(col("hour"), posexplode(col("tk")))
+          .select(col("hour"), (col("pos") + 1).cast("int").as("rank"),
+            col("col.term").as("event_type"), col("col.count").as("n_events"))
+          .orderBy(col("hour"), col("rank"))
+      },
+      Some("""WITH h AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+             |  event_type, COUNT(*) AS n_events FROM events GROUP BY 1, 2)
+             |SELECT hour, CAST(rank AS INT) AS rank, event_type, n_events FROM (
+             |  SELECT hour, event_type, n_events,
+             |    row_number() OVER (PARTITION BY hour ORDER BY n_events DESC, event_type) AS rank
+             |  FROM h)
+             |WHERE rank <= 3 ORDER BY hour, rank""".stripMargin)),
+
     // ---- stream-static join: enrich the event stream with a dimension ----
     ("st03_stream_static_join",
       (s: SparkSession, d: String) => {

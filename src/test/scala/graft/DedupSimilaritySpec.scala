@@ -39,6 +39,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(found.size <= truthPairs.size * 4)
   }
 
+  test("minhash LSH (shipped d03): EQUALS the exact trigram-Jaccard pair set") {
+    // the regime behind d03's DuckDB oracle: fixed-seed signatures are
+    // deterministic, and on this corpus every J >= 0.5 pair collides in
+    // at least one band (pairs sit at J >= 0.9 where the per-pair
+    // 4-band collision bound is >= 0.986 — measured COMPLETE at every
+    // sf). If a seed/param/data change re-enters the probabilistic
+    // regime, this equality is what fails.
+    val found = Dedup.minhashNearDups(docs, "doc_id", "text",
+        n = 3, k = 16, bands = 4, threshold = 0.5)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val grams = docs.select(col("doc_id"),
+      array_distinct(Dedup.wordNGrams(Dedup.words(col("text")), 3)).as("g"))
+    val a = grams.select(col("doc_id").as("id_a"), col("g").as("g_a"))
+    val b = grams.select(col("doc_id").as("id_b"), col("g").as("g_b"))
+    val exact = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .filter(round(Dedup.jaccard(col("g_a"), col("g_b")), 6) >= 0.5)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == exact,
+      s"missing=${exact -- found} extra=${found -- exact}")
+  }
+
   test("simhash 4×16-bit banding is EXACT for its hamming ≤ 3 contract") {
     // Pigeonhole: 3 differing bits cannot touch all 4 bands, so every
     // ham ≤ 3 pair collides on ≥ 1 band — candidate recall is guaranteed,
