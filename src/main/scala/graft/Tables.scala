@@ -29,4 +29,11 @@ object Tables {
   def eventTime(tsNanos: Column): Column =
     timestamp_micros(ColumnBridge.column(
       IntegralDivide(ColumnBridge.expression(tsNanos), Literal(1000L))))
+
+  /** First row's first column as a Long, None when the frame is empty
+    * or the value is NULL (e.g. an aggregate over zero rows). The
+    * shared null-safe scalar extraction for derive-from-data sizing
+    * (compaction targets, sketch capacities). */
+  private[graft] def firstLongOption(df: DataFrame): Option[Long] =
+    df.head(1).headOption.filterNot(_.isNullAt(0)).map(_.getLong(0))
 }

@@ -98,10 +98,24 @@ object Similarity {
     * kernel evaluation on ONE task (measured: 8.4 s → 2.5 s on the s04
     * self-join at sf0.1). No-op when the input already has enough
     * partitions — at real scale the corpus arrives well-partitioned
-    * and a repartition would add a pointless full shuffle. */
+    * and a repartition would add a pointless full shuffle.
+    *
+    * The partition probe (`df.rdd`) is only safe on exchange-free
+    * plans: under AQE, materializing the RDD of a plan WITH an
+    * exchange finalizes the adaptive plan, which EXECUTES its shuffle
+    * stages eagerly — the caller's upstream pipeline would run twice.
+    * A plan that already shuffles is also already spread (its exchange
+    * landed it on the session's shuffle partitioning), so skip both
+    * the probe and the repartition in that case. */
   private def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    val hasExchange = df.queryExecution.sparkPlan
+      .find(_.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
+      .isDefined
+    if (hasExchange) df
+    else {
+      val target = df.sparkSession.sessionState.conf.numShufflePartitions
+      if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    }
   }
 
   /** corpus: (vec_id, embedding); queries: (query_id, q_embedding). */

@@ -60,13 +60,13 @@ object ScaleJoinQueries {
     * throwing on `head()`. */
   private[graft] def q47CapacityFor(s: SparkSession, d: String): Int =
     q47Capacity.getOrElseUpdate(d, {
-      val maxVocab = Tables.load(s, d, "documents")
-        .select(col("source"),
-          explode(graft.ops.TextAnalysis.tokens(lower(col("text")))).as("term"))
-        .groupBy(col("source"))
-        .agg(countDistinct(col("term")).as("v"))
-        .agg(max(col("v")).as("m"))
-        .head(1).headOption.flatMap(r => Option(r.get(0)).map(_ => r.getLong(0)))
+      val maxVocab = Tables.firstLongOption(
+        Tables.load(s, d, "documents")
+          .select(col("source"),
+            explode(graft.ops.TextAnalysis.tokens(lower(col("text")))).as("term"))
+          .groupBy(col("source"))
+          .agg(countDistinct(col("term")).as("v"))
+          .agg(max(col("v")).as("m")))
         .getOrElse(64L)
       math.max(64L, maxVocab).toInt
     })

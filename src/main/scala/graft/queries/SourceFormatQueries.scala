@@ -19,9 +19,8 @@ object SourceFormatQueries {
     * `repartition(200)`. */
   private[graft] def compact(df: DataFrame, payload: org.apache.spark.sql.Column,
                              out: String, targetBytes: Long): Int = {
-    val totalBytes = df.agg(sum(payload.cast("long")).as("b"))
-      .head(1).headOption.flatMap(r => Option(r.get(0)).map(_ => r.getLong(0)))
-      .getOrElse(0L)
+    val totalBytes = Tables.firstLongOption(
+      df.agg(sum(payload.cast("long")).as("b"))).getOrElse(0L)
     val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     df.repartition(nFiles).write.mode("overwrite").parquet(out)
     nFiles
@@ -78,8 +77,8 @@ object SourceFormatQueries {
     // partition count, round-robin repartition to exactly that many
     // files, and certify content parity through the rewrite. The
     // oracle reads the ORIGINAL table — equal aggregates certify the
-    // compaction lost and duplicated nothing. File count is asserted
-    // in its spec (SourceFormatSpec).
+    // compaction lost and duplicated nothing. File count and content
+    // parity are asserted in ScaleSpec.
     ("q52_compaction",
       (s: SparkSession, d: String) => {
         val out = java.nio.file.Files.createTempDirectory("graft_compact").toString

