@@ -89,6 +89,39 @@ object StreamMediaQueries {
              |  FROM h)
              |WHERE rank <= 3 ORDER BY hour, rank""".stripMargin)),
 
+    // ---- streaming sketch state: per-hour quantiles -----------------------
+    // KLL (q50's TypedImperativeAggregate) as streaming state — with
+    // st08 this completes the mergeable-sketch trio's streaming story:
+    // counts (st01), heavy hitters (st08), distributions (st09), each
+    // O(sketch) state per window. Capacity 65,536 ≥ any hourly event
+    // count here = exact regime, so the oracle is exact ranked
+    // selection with the same integer basis-point rank as q50.
+    ("st09_stream_quantiles",
+      (s: SparkSession, d: String) => {
+        val agg = EventStream.readEvents(s, d)
+          .withWatermark("event_time", "1 hour")
+          .groupBy(window(col("event_time"), "1 hour").as("w"))
+          .agg(graft.functions.KllQuantiles.quantilesBp(
+            col("value"), Seq(5000, 9000, 9900), 65536).as("qs"))
+          .select(col("w.start").as("hour"), col("qs"))
+        EventStream.runToMemory(s, agg, s"st09_mem_${System.nanoTime()}")
+          .select(col("hour"),
+            element_at(col("qs"), 1).as("p50"),
+            element_at(col("qs"), 2).as("p90"),
+            element_at(col("qs"), 3).as("p99"))
+          .orderBy(col("hour"))
+      },
+      Some("""WITH e AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+             |  value AS v FROM events),
+             |r AS (SELECT hour, v,
+             |    row_number() OVER (PARTITION BY hour ORDER BY v) AS rn,
+             |    COUNT(*) OVER (PARTITION BY hour) AS n FROM e)
+             |SELECT hour,
+             |  MIN(CASE WHEN rn >= (n * 5000 + 9999) // 10000 THEN v END) AS p50,
+             |  MIN(CASE WHEN rn >= (n * 9000 + 9999) // 10000 THEN v END) AS p90,
+             |  MIN(CASE WHEN rn >= (n * 9900 + 9999) // 10000 THEN v END) AS p99
+             |FROM r GROUP BY hour ORDER BY hour""".stripMargin)),
+
     // ---- stream-static join: enrich the event stream with a dimension ----
     ("st03_stream_static_join",
       (s: SparkSession, d: String) => {
