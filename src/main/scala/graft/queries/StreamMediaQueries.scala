@@ -339,5 +339,35 @@ object StreamMediaQueries {
              |  COUNT(*) AS n_files,
              |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
              |FROM documents WHERE doc_id < 500 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- multimodal content-hash dedup ------------------------------------
+    // The dedup × multimodal intersection: media corpora dedup by
+    // PAYLOAD hash (sha-256 of the bytes), not by any decoded view —
+    // byte-identical re-uploads are the dominant duplication mode in
+    // crawled media. Unlike m04's metadata-only scan, this one MUST
+    // read content bytes (that is the honest cost of content
+    // addressing); the hash then stands in for the payload everywhere
+    // downstream — the shuffle carries 32-byte digests, never media.
+    // min_sha in the output certifies actual digest parity with the
+    // oracle (DuckDB sha256 of the same UTF-8 bytes), not just counts.
+    ("m05_media_dedup",
+      (s: SparkSession, d: String) => {
+        val tmp = ensureMediaFiles(s, d)
+        s.read.format("binaryFile").load(s"$tmp/*.bin")
+          .select(regexp_extract(col("path"), "([0-9]+)\\.bin$", 1)
+            .cast("long").as("media_id"),
+            sha2(col("content"), 256).as("sha"))
+          .groupBy(Multimodal.kindOf(col("media_id")).as("kind"))
+          .agg(count(lit(1)).as("n_files"),
+            countDistinct(col("sha")).as("n_distinct"),
+            min(col("sha")).as("min_sha"))
+          .orderBy(col("kind"))
+      },
+      Some("""SELECT CASE CAST(doc_id % 3 AS INT)
+             |         WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             |  COUNT(*) AS n_files,
+             |  COUNT(DISTINCT sha256(text)) AS n_distinct,
+             |  MIN(sha256(text)) AS min_sha
+             |FROM documents WHERE doc_id < 500 GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

@@ -413,6 +413,12 @@ class DedupSimilaritySpec extends SparkSpec {
       .groupBy("gram").agg(countDistinct("doc_id").as("n"))
       .agg(max("n")).head().getLong(0)
     assert(maxDf <= 4, s"gram doc-frequency grew to $maxDf — revisit d09 capping")
+    // candidate generation is the gram equality self-join — never all-pairs
+    val realDf = Dedup.substringNearDupPairs(docs, "doc_id", "text", n = 8)
+    realDf.collect()
+    val plan = realDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"substring dedup must block on the gram key:\n$plan")
   }
 
   test("kNN self-join (shipped s04): quantized scan equals brute force exactly") {
