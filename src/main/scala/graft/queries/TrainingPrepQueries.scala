@@ -287,13 +287,17 @@ object TrainingPrepQueries {
     ("t08_tfidf_keywords",
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.expressions.Window
-        val toks = Tables.load(s, d, "documents")
+        val tf = Tables.load(s, d, "documents")
           .select(col("doc_id"),
             explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
-        val tf = toks.groupBy(col("doc_id"), col("term"))
+          .groupBy(col("doc_id"), col("term"))
           .agg(count(lit(1)).as("tf"))
-        val df = toks.groupBy(col("term"))
-          .agg(countDistinct(col("doc_id")).as("df"))
+        // df derives from tf's aggregate (one row per (doc, term)), so
+        // the corpus is exploded and shuffled ONCE — a second
+        // explode+countDistinct pass over raw text would double the
+        // heavy stage for the same answer
+        val df = tf.groupBy(col("term"))
+          .agg(count(lit(1)).as("df"))
         val nDocs = Tables.load(s, d, "documents")
           .agg(count(lit(1)).as("n_docs"))
         val w = Window.partitionBy(col("doc_id"))
