@@ -494,4 +494,37 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
     (pairs, () => { if (cache) capped.unpersist(); () })
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * cluster the embedding space coarsely, then deduplicate ONLY within
+    * clusters — pairwise cosine never crosses a cluster boundary, so
+    * the quadratic kernel runs on n/k-sized blocks instead of the
+    * corpus. Deterministic variant: seed centroids ([[centroids]]),
+    * 6-dp-rounded assignment with id tie-breaks, and the keep rule
+    * "drop a vector iff a SMALLER-id vector in its cluster is
+    * ≥ threshold similar" — every choice reproducible in SQL, which is
+    * what makes this (unlike most ANN dedup) fully DuckDB-oracle-able.
+    *
+    * Returns the KEPT vectors as (vec_id, cluster). At 100 TB: the
+    * assignment is one broadcast-argmax map pass; the intra-cluster
+    * self-join shuffles on cluster id, so work is Σ|cluster|² — bounded
+    * by making nCells track corpus size (SemDeDup uses k ≈ √n·c), with
+    * [[Dedup.capBuckets]] as the degenerate-cluster guard. */
+  def semanticDedupKept(corpus0: DataFrame, threshold: Double,
+                        nCells: Int): DataFrame = {
+    val corpus = cleanVectors(corpus0)
+    val assigned = ivfAssign(corpus, centroids(corpus, nCells))
+      .select(col("vec_id"), col("embedding"), col("cell_id").as("cluster"))
+    val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"))
+    val dropped = a.join(b, "cluster")
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(cosineSim(col("emb_a"), col("emb_b")), 6) >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cluster"))
+  }
 }

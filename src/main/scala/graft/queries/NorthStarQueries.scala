@@ -172,6 +172,39 @@ object NorthStarQueries {
              |FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ---- dedup: SemDeDup semantic dedup (cluster-blocked cosine) ----------
+    // Deterministic SemDeDup (seed centroids, 6-dp rounding, id
+    // tie-breaks — see Similarity.semanticDedupKept) so the whole
+    // pipeline, clustering included, is SQL-expressible and
+    // hash-checked against DuckDB's list_cosine_similarity — not just
+    // recall-gated like the ANN paths.
+    ("d10_semantic_dedup",
+      (s: SparkSession, d: String) => {
+        Similarity.semanticDedupKept(Tables.load(s, d, "embeddings"),
+            threshold = 0.45, nCells = 16)
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |c AS (SELECT vec_id AS cell_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+             |s AS (SELECT e.vec_id, c.cell_id,
+             |        round(list_cosine_similarity(e.v, c.cv), 6) AS sim
+             |      FROM e CROSS JOIN c),
+             |a AS (SELECT vec_id, cell_id AS cluster FROM (
+             |        SELECT vec_id, cell_id,
+             |          row_number() OVER (PARTITION BY vec_id
+             |                             ORDER BY sim DESC, cell_id) AS rn
+             |        FROM s)
+             |      WHERE rn = 1),
+             |p AS (SELECT DISTINCT y.vec_id
+             |      FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+             |      JOIN e ex ON ex.vec_id = x.vec_id
+             |      JOIN e ey ON ey.vec_id = y.vec_id
+             |      WHERE round(list_cosine_similarity(ex.v, ey.v), 6) >= 0.45)
+             |SELECT a.vec_id, a.cluster
+             |FROM a LEFT JOIN p ON a.vec_id = p.vec_id
+             |WHERE p.vec_id IS NULL
+             |ORDER BY a.vec_id""".stripMargin)),
+
     // ---- similarity: brute-force cosine top-k -----------------------------
     ("s01_cosine_topk",
       (s: SparkSession, d: String) => {

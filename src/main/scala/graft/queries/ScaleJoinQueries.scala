@@ -194,5 +194,35 @@ object ScaleJoinQueries {
              |  MIN(CASE WHEN rn >= (n * 9000 + 9999) // 10000 THEN v END) AS p90,
              |  MIN(CASE WHEN rn >= (n * 9900 + 9999) // 10000 THEN v END) AS p99
              |FROM r GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- bloom-filter join pruning (sketch-prefiltered verify join) -------
+    // The 100 TB decontamination shape: the corpus's exploded 5-grams
+    // are pruned by a bloom filter built over the eval set's grams
+    // BEFORE any shuffle — only true overlaps (plus the ~3% fpp tail)
+    // reach the exact verify semi-join. A bloom filter has no false
+    // negatives, so prefilter→verify is result-identical to the plain
+    // join; that equality is exactly what this oracle certifies (and
+    // ScaleSpec asserts the might_contain prefilter is in the plan).
+    ("q53_bloom_decontaminate",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.load(s, d, "documents")
+        graft.ops.Sketches.bloomDecontaminatedIds(
+            docs.filter(col("doc_id") % 23 =!= 0),
+            docs.filter(col("doc_id") % 23 === 0),
+            "doc_id", "text", n = 5)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id,
+             |    unnest(list_distinct(list_transform(
+             |      range(1, greatest(len(w) - 3, 1)),
+             |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS gram
+             |  FROM (SELECT doc_id,
+             |          string_split_regex(lower(text), '\s+') AS w FROM documents)),
+             |e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 23 = 0)
+             |SELECT DISTINCT g.doc_id
+             |FROM g JOIN e USING (gram)
+             |WHERE g.doc_id % 23 <> 0
+             |ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -439,4 +439,32 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
     assert(shuffled == brute)
   }
+
+  test("SemDeDup (shipped d10): keep rule holds and dedup is within-cluster only") {
+    import graft.functions.CosineSimilarity.cosineSim
+    val emb = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
+    val tau = 0.45
+    val kept = Similarity.semanticDedupKept(emb, threshold = tau, nCells = 8).cache()
+    try {
+      val n = emb.count()
+      val keptN = kept.count()
+      assert(keptN > 0 && keptN <= n)
+      // no kept pair within one cluster is >= tau similar (else the
+      // larger id should have been dropped)
+      val a = kept.join(emb, "vec_id")
+        .select(col("cluster"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      val b = kept.join(emb, "vec_id")
+        .select(col("cluster"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      val violations = a.join(b, "cluster")
+        .filter(col("id_a") < col("id_b"))
+        .filter(round(cosineSim(col("emb_a"), col("emb_b")), 6) >= tau)
+        .count()
+      assert(violations == 0L, s"$violations kept within-cluster near-dup pairs")
+      // every cluster id is one of the 8 seed vec_ids
+      val seeds = emb.orderBy(col("vec_id")).limit(8)
+        .collect().map(_.getLong(0)).toSet
+      val clusters = kept.select("cluster").distinct().collect().map(_.getLong(0)).toSet
+      assert(clusters.subsetOf(seeds), s"non-seed cluster ids: ${clusters -- seeds}")
+    } finally { kept.unpersist(); () }
+  }
 }

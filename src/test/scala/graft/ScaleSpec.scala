@@ -104,4 +104,35 @@ class ScaleSpec extends SparkSpec {
     assert(salted.select("user_id", "event_id", "c_mktsegment")
       .exceptAll(plain.select("user_id", "event_id", "c_mktsegment")).isEmpty)
   }
+
+  test("bloom prefilter is in the executed plan and is result-transparent (q53)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val corpus = docs.filter(col("doc_id") % 23 =!= 0)
+    val eval = docs.filter(col("doc_id") % 23 === 0)
+    val pruned = graft.ops.Sketches.bloomDecontaminatedIds(
+      corpus, eval, "doc_id", "text", n = 5)
+    // no false negatives: identical id set to the exact gram semi-join
+    val exact = graft.ops.Dedup.contaminatedDocs(corpus, eval, "doc_id", "text", n = 5)
+      .select("doc_id")
+    assert(pruned.exceptAll(exact).isEmpty && exact.exceptAll(pruned).isEmpty,
+      "bloom-prefiltered result differs from the exact join")
+    // the codegen'd membership probe sits in the plan as a filter
+    val plan = planOf(pruned)
+    assert(plan.contains("might_contain"), s"no bloom probe in plan:\n$plan")
+  }
+
+  test("bloom prune keeps every true match and its fpp tail is small") {
+    val li = Tables.load(spark, sf, "lineitem").select("l_orderkey").distinct()
+    val keys = Tables.load(spark, sf, "orders")
+      .filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey").as("l_orderkey"))
+    val pruned = graft.ops.Sketches.bloomPrune(li, "l_orderkey", keys, 4096)
+    val truePos = li.join(keys, Seq("l_orderkey"), "left_semi")
+    // bloom ⊇ exact (no false negatives) ...
+    assert(truePos.exceptAll(pruned).isEmpty)
+    // ... and ≤ exact + a bounded false-positive tail (~3% of non-matches)
+    val n = li.count(); val tp = truePos.count(); val kept = pruned.count()
+    assert(kept - tp <= math.max(16L, ((n - tp) * 0.10).toLong),
+      s"false-positive tail too fat: kept=$kept truePos=$tp n=$n")
+  }
 }
