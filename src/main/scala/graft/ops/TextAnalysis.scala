@@ -105,4 +105,28 @@ object TextAnalysis {
       split(text, ""),
       lit(0L),
       (acc, ch) => (acc * 31 + ascii(ch).cast("long")) % 1000000007L)
+
+  /** PII patterns, chosen from the Java-regex ∩ RE2 common subset
+    * (character classes, bounded repetition — no lookaround, no
+    * backrefs) so the redaction is DuckDB-oracle-checkable. Deliberately
+    * conservative shapes: a production scrubber layers more patterns,
+    * but the dataflow — a codegen'd regexp_replace chain in the scan
+    * projection, no UDF, no shuffle — is exactly this. */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhonePattern = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Pattern = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** Replace every email / phone / IPv4 occurrence with a typed
+    * placeholder. Email first: its class covers dotted digit runs, so
+    * the narrower IP pattern must only see what email left behind. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>"),
+      Ipv4Pattern, "<IP>")
+
+  /** Occurrence count of `pattern` in `text` (codegen'd). */
+  def patternCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
 }

@@ -325,6 +325,101 @@ object TrainingPrepQueries {
              |  FROM tf t JOIN df f USING (term) CROSS JOIN n)
              |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
 
+    // ---- PII redaction (regex scrub in the scan projection) ---------------
+    // The synthetic corpus carries no natural PII, so the query derives
+    // a deterministic PII-bearing text from doc_id (emails for ids
+    // not ≡0 mod 3, phones mod 4, IPs mod 5) and both engines apply the
+    // SAME derivation — the oracle then certifies the redaction chain
+    // and the per-type counts, not the synthesis. All codegen'd
+    // regexp_replace/extract_all: no UDF, no shuffle, scales as a pure
+    // map over the corpus.
+    ("t09_pii_redact",
+      (s: SparkSession, d: String) => {
+        val id = col("doc_id")
+        val email = when(id % 3 =!= 0,
+          concat(lit(" contact user"), id.cast("string"),
+            lit("@example.com"))).otherwise("")
+        val phone = when(id % 4 =!= 0,
+          concat(lit(" call +1-555-"),
+            lpad((id % 10000).cast("string"), 4, "0"))).otherwise("")
+        val ip = when(id % 5 =!= 0,
+          concat(lit(" from 10."), (id % 256).cast("string"), lit(".0."),
+            ((id * 7) % 256).cast("string"))).otherwise("")
+        val pii = concat(col("text"), email, phone, ip)
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.patternCount(pii, TextAnalysis.EmailPattern).as("n_emails"),
+            TextAnalysis.patternCount(pii, TextAnalysis.PhonePattern).as("n_phones"),
+            TextAnalysis.patternCount(pii, TextAnalysis.Ipv4Pattern).as("n_ips"),
+            TextAnalysis.redactPii(pii).as("redacted"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |    text ||
+             |    CASE WHEN doc_id % 3 <> 0
+             |      THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+             |    CASE WHEN doc_id % 4 <> 0
+             |      THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             |      ELSE '' END ||
+             |    CASE WHEN doc_id % 5 <> 0
+             |      THEN ' from 10.' || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256)
+             |      ELSE '' END AS pii
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(pii,
+             |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+             |  CAST(len(regexp_extract_all(pii,
+             |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+             |  CAST(len(regexp_extract_all(pii,
+             |    '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS INT) AS n_ips,
+             |  regexp_replace(regexp_replace(regexp_replace(pii,
+             |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+             |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+             |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS redacted
+             |FROM p ORDER BY doc_id""".stripMargin)),
+
+    // ---- word-entropy + type-token-ratio quality signals ------------------
+    // Two information-theoretic quality filters over the word
+    // distribution: Shannon entropy H = ln(n)/ln2 − Σc·ln(c)/(n·ln2)
+    // (low-entropy docs are boilerplate/spam) and type-token ratio.
+    // One explode + two-level aggregation — the per-(doc,word) partial
+    // combines map-side, so the shuffle carries distinct words, not
+    // occurrences. Identical expression shape in both engines; 6-dp
+    // rounding absorbs summation-order ulps.
+    ("t10_word_entropy",
+      (s: SparkSession, d: String) => {
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), "\\s+")).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy(col("doc_id"), col("w"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n"),
+            sum(col("c").cast("double") * log(col("c").cast("double"))).as("slc"),
+            count(lit(1)).as("nd"))
+          .select(col("doc_id"), col("n"),
+            round((log(col("n").cast("double")) - col("slc") / col("n")) /
+              log(lit(2.0)), 6).as("entropy_bits"),
+            round(col("nd").cast("double") / col("n"), 6).as("ttr"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, u.w AS w
+             |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+             |        FROM documents), unnest(ws) AS u(w)
+             |  WHERE len(u.w) > 0),
+             |c AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2),
+             |a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+             |        SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS slc,
+             |        COUNT(*) AS nd
+             |      FROM c GROUP BY 1)
+             |SELECT doc_id, n,
+             |  round((ln(CAST(n AS DOUBLE)) - slc / n) / ln(2.0), 6) AS entropy_bits,
+             |  round(CAST(nd AS DOUBLE) / n, 6) AS ttr
+             |FROM a ORDER BY doc_id""".stripMargin)),
+
     // ---- streaming drain to a parquet file sink (Append + watermark) ------
     // The scale-path streaming story as an oracle-checked query: only
     // watermark-finalized windows land in the sink.

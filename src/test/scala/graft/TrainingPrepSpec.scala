@@ -144,4 +144,57 @@ class TrainingPrepSpec extends SparkSpec {
       .as[Seq[Int]].collect()(0)
     assert(empty.isEmpty)
   }
+
+  test("redactPii scrubs every email/phone/IP and leaves clean text alone") {
+    import graft.ops.TextAnalysis
+    val rows = Seq(
+      "mail me at jo.doe+x@sub.example.org today",
+      "call +1-555-0199 or +44-20-7946",
+      "host 192.168.0.1 and 10.0.0.255 up",
+      "no pii here at all",
+      "combo a@b.io +1-555-0000 1.2.3.4").toDF("t")
+      .select(col("t"), TextAnalysis.redactPii(col("t")).as("r"),
+        TextAnalysis.patternCount(col("t"), TextAnalysis.EmailPattern).as("ne"),
+        TextAnalysis.patternCount(col("t"), TextAnalysis.PhonePattern).as("np"),
+        TextAnalysis.patternCount(col("t"), TextAnalysis.Ipv4Pattern).as("ni"))
+      .collect()
+    assert(rows(0).getString(1) == "mail me at <EMAIL> today")
+    assert(rows(1).getString(1) == "call <PHONE> or +44-20-7946") // 3-digit middle required
+    assert(rows(2).getString(1) == "host <IP> and <IP> up")
+    assert(rows(3).getString(1) == "no pii here at all")
+    assert(rows(4).getString(1) == "combo <EMAIL> <PHONE> <IP>")
+    // after redaction nothing PII-shaped survives
+    rows.foreach { r =>
+      Seq(TextAnalysis.EmailPattern, TextAnalysis.PhonePattern,
+        TextAnalysis.Ipv4Pattern).foreach { p =>
+        assert(!java.util.regex.Pattern.compile(p).matcher(r.getString(1)).find(),
+          s"residual $p in '${r.getString(1)}'")
+      }
+    }
+    assert(rows.map(r => (r.getInt(2), r.getInt(3), r.getInt(4))).toSeq ==
+      Seq((1, 0, 0), (0, 1, 0), (0, 0, 2), (0, 0, 0), (1, 1, 1)))
+  }
+
+  test("word entropy: uniform words hit log2(n), constant doc hits 0") {
+    val df = Seq(
+      (1L, "a b c d"),        // 4 distinct, uniform -> H = 2 bits, ttr 1
+      (2L, "x x x x"),        // constant -> H = 0, ttr 0.25
+      (3L, "a a b b")).toDF("doc_id", "text") // H = 1
+    val got = df
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("slc"),
+        count(lit(1)).as("nd"))
+      .select(col("doc_id"),
+        round((log(col("n").cast("double")) - col("slc") / col("n")) /
+          log(lit(2.0)), 6).as("h"),
+        round(col("nd").cast("double") / col("n"), 6).as("ttr"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((2.0, 1.0)))
+    assert(got(2L) == ((0.0, 0.25)))
+    assert(got(3L) == ((1.0, 0.5)))
+  }
 }
