@@ -98,5 +98,83 @@ object SourceFormatQueries {
              |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
              |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- plain-text sink + source (line-oriented corpus format) -----------
+    // The format most raw LLM corpora arrive in: one record per line,
+    // tab-separated fields. Write via the text sink, read back with the
+    // text source, re-parse with a bounded split (limit 3 keeps any
+    // tabs inside the payload intact) — the oracle on the original
+    // parquet certifies lossless line encoding.
+    ("q54_text_roundtrip",
+      (s: SparkSession, d: String) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_text").toString
+        Tables.load(s, d, "documents")
+          .select(concat_ws("\t", col("doc_id").cast("string"), col("lang"),
+            col("text")).as("value"))
+          .write.mode("overwrite").text(out)
+        s.read.text(out)
+          .select(split(col("value"), "\t", 3).as("f"))
+          .select(element_at(col("f"), 1).cast("long").as("doc_id"),
+            element_at(col("f"), 2).as("lang"),
+            element_at(col("f"), 3).as("text"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text")).cast("long")).as("total_chars"),
+            sum(col("doc_id")).as("id_sum"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+             |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+             |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ---- date-partitioned layout + pruned scan ----------------------------
+    // The canonical 100 TB fact-table layout: partition directories by
+    // ship month, rows sorted by l_shipdate within each file so parquet
+    // row-group min/max stats prune inside files too. The layout is
+    // built once per (JVM, sf) — write-once/scan-many, same rule as
+    // q45's bucketed tables — and the timed query is the month-range
+    // scan, which touches 12 of ~83 partition directories
+    // (PartitionFilters + numFiles asserted in ScaleSpec). The oracle
+    // reads the original unpartitioned table: equal aggregates certify
+    // pruning dropped no in-range rows.
+    ("q55_partition_pruned_scan",
+      (s: SparkSession, d: String) => {
+        val dir = ensureShipDateLayout(s, d)
+        s.read.parquet(dir)
+          .filter(col("ship_month").between("1996-01", "1996-12"))
+          .groupBy(col("ship_month"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity")).as("sum_qty"), // integer-valued doubles: exact
+            sum(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+              .cast("double").as("sum_price"))
+          .orderBy(col("ship_month"))
+      },
+      Some("""SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+             |  COUNT(*) AS n_items, SUM(l_quantity) AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM lineitem
+             |WHERE strftime(l_shipdate, '%Y-%m') BETWEEN '1996-01' AND '1996-12'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
+
+  /** Per-JVM memoized ship-month-partitioned lineitem layout for q55:
+    * directories by `ship_month`, rows sorted by `l_shipdate` within
+    * partitions (file/row-group stats line up with the sort key).
+    * Built from Bench's warmup so the timed query measures the pruned
+    * SCAN — the repeated operation — not the one-off layout job. */
+  private val shipLayouts = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[graft] def ensureShipDateLayout(s: SparkSession, d: String): String =
+    shipLayouts.getOrElseUpdate(d, {
+      val out = java.nio.file.Files.createTempDirectory("graft_shippart").toString
+      Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+          col("l_shipdate"))
+        .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+        .repartition(col("ship_month"))
+        .sortWithinPartitions(col("l_shipdate"))
+        .write.mode("overwrite").partitionBy("ship_month").parquet(out)
+      out
+    })
 }

@@ -59,6 +59,25 @@ object StreamMediaQueries {
              |  event_type, COUNT(*) AS n_events
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ---- streaming sliding-window aggregate (overlapping windows) ---------
+    // window(2h, 1h): each event contributes to exactly the two hourly-
+    // aligned 2-hour windows covering it — which is why the oracle is a
+    // UNION ALL of two shifted tumbling grids. Complete-mode memory
+    // drain so still-open trailing windows are included, like st01.
+    ("st10_stream_sliding",
+      (s: SparkSession, d: String) => {
+        val agg = EventStream.slidingCounts(EventStream.readEvents(s, d))
+        EventStream.runToMemory(s, agg, s"st10_mem_${System.nanoTime()}")
+          .orderBy(col("win_start"), col("event_type"))
+      },
+      Some("""WITH t AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+             |             event_type FROM events),
+             |w AS (SELECT h AS win_start, event_type FROM t
+             |      UNION ALL
+             |      SELECT h - INTERVAL 1 HOUR AS win_start, event_type FROM t)
+             |SELECT win_start, event_type, COUNT(*) AS n_events
+             |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ---- streaming sketch state: per-hour heavy hitters -------------------
     // The mergeable Space-Saving sketch (q47's TypedImperativeAggregate)
     // as STREAMING aggregation state: each micro-batch folds into the

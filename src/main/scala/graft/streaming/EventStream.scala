@@ -47,6 +47,22 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("hour"), col("event_type"), col("n_events"))
 
+  /** Sliding-window counts: 2-hour windows advancing hourly, so every
+    * event lands in exactly two windows. Same bounded-state shape as
+    * [[hourlyCounts]] — the watermark closes a window 1 h after its end,
+    * and state is O(open windows × event types) regardless of volume.
+    * The overlap factor (len/slide = 2) multiplies shuffle rows, which
+    * is the real cost knob at 100 TB: Spark expands each event to its
+    * window set BEFORE the partial aggregation, so partials still
+    * combine map-side. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "2 hours", "1 hour").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n_events"))
+
   /** Run a streaming aggregate to completion over the available data and
     * return the result (memory sink, complete mode, AvailableNow).
     *

@@ -135,4 +135,28 @@ class ScaleSpec extends SparkSpec {
     assert(kept - tp <= math.max(16L, ((n - tp) * 0.10).toLong),
       s"false-positive tail too fat: kept=$kept truePos=$tp n=$n")
   }
+
+  test("q55 layout: month-range filter prunes to the in-range partition dirs") {
+    val dir = graft.queries.SourceFormatQueries.ensureShipDateLayout(spark, sf)
+    val all = spark.read.parquet(dir)
+    val pruned = all.filter(col("ship_month").between("1996-01", "1996-12"))
+    pruned.collect()
+    val plan = pruned.queryExecution.executedPlan
+    assert(plan.toString.contains("PartitionFilters"),
+      s"no partition filters:\n$plan")
+    val scan = plan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    val prunedFiles = scan.metrics("numFiles").value
+    // one file per month partition at this scale: 12 in-range dirs of ~83
+    val totalMonths = all.select("ship_month").distinct().count()
+    assert(prunedFiles <= 12L,
+      s"scan read $prunedFiles files for a 12-month range")
+    assert(totalMonths > 12L, s"fixture spans only $totalMonths months")
+    // pruning dropped no in-range rows
+    val expected = Tables.load(spark, sf, "lineitem")
+      .filter(date_format(col("l_shipdate"), "yyyy-MM")
+        .between("1996-01", "1996-12")).count()
+    assert(pruned.count() == expected)
+  }
 }

@@ -183,4 +183,19 @@ class StreamingSpec extends SparkSpec {
       assert(out2(1).n_events == 1 && out2(1).session_start == 95 * m / 1000)
     } finally q.stop()
   }
+
+  test("sliding windows (st10): every event lands in exactly two aligned windows") {
+    import org.apache.spark.sql.functions._
+    val out = graft.streaming.EventStream.runToMemory(spark,
+      graft.streaming.EventStream.slidingCounts(
+        graft.streaming.EventStream.readEvents(spark, sf)),
+      s"slide_${System.nanoTime()}")
+    val total = out.agg(sum(col("n_events"))).head.getLong(0)
+    val n = Tables.load(spark, sf, "events").count()
+    assert(total == 2 * n, s"overlap-2 sliding windows must double-count: $total vs 2*$n")
+    // every window start is hour-aligned (epoch-aligned slide)
+    val misaligned = out.filter(
+      col("win_start") =!= date_trunc("hour", col("win_start"))).count()
+    assert(misaligned == 0L)
+  }
 }
