@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 /** SQL registration for the graft custom expressions, two ways:
   *
@@ -26,6 +27,13 @@ object GraftFunctions {
       s"$fn expects a literal int, got $other")
   }
 
+  private def longArg(e: Expression, fn: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal int/long, got $other")
+  }
+
   /** (name, builder) for every graft SQL function. cosine_sim takes raw
     * args: float/double arrays evaluate natively (same rule as the
     * Column API — other element types are an analysis error; cast
@@ -45,7 +53,18 @@ object GraftFunctions {
     // single-quantile SQL form (basis points: 5000 = median); the
     // Column API (KllQuantiles.quantilesBp) takes a quantile list
     "kll_quantile" -> (es => KllQuantiles(es(0),
-      Seq(intArg(es(1), "kll_quantile")), intArg(es(2), "kll_quantile"))))
+      Seq(intArg(es(1), "kll_quantile")), intArg(es(2), "kll_quantile"))),
+    // bloom membership pair (graft.ops.Sketches' SQL face): the agg
+    // builds the serialized filter over xxhash64(key) — same hashing as
+    // the Column API — and might_contain probes it. The filter argument
+    // must be a constant or scalar subquery (catalyst's own contract
+    // for BloomFilterMightContain).
+    "bloom_filter_agg" -> (es => new BloomFilterAggregate(
+      new XxHash64(Seq(es(0))), longArg(es(1), "bloom_filter_agg"))),
+    "bloom_might_contain" -> (es => BloomFilterMightContain(es(0),
+      new XxHash64(Seq(es(1))))),
+    // read side of Spark's built-in count_min_sketch aggregate
+    "cms_estimate" -> (es => CmsEstimate(es(0), es(1))))
 
   /** Register into an existing session (temp functions). */
   def register(spark: SparkSession): Unit =

@@ -400,6 +400,38 @@ object NorthStarQueries {
              |    (SELECT COUNT(*) FROM e) - (SELECT COUNT(*) FROM losers))
              |ORDER BY n_docs DESC, stage""".stripMargin)),
 
+    // ---- dup-cluster assignment (oracle-checked connected components) -----
+    // The per-document cluster map a dedup pipeline actually consumes:
+    // canonical id = min doc id reachable through the d09 exact-8-gram
+    // pair graph. Deterministic (min-root union-find below the driver
+    // threshold, min-label propagation above — same fixpoint), so the
+    // whole operator is hash-checked against a recursive-CTE transitive
+    // closure in DuckDB, not just spec-gated.
+    ("c02_dup_clusters",
+      (s: SparkSession, d: String) => {
+        val pairs = Dedup.substringNearDupPairs(
+          Tables.load(s, d, "documents"), "doc_id", "text", n = 8)
+        Dedup.connectedComponents(pairs)
+          .select(col("id").as("doc_id"), col("label").as("cluster"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (SELECT doc_id,
+             |    string_split_regex(lower(text), '\s+') AS w FROM documents),
+             |g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+             |      FROM w, unnest(range(1, greatest(len(w)-6, 1))) AS u(i)),
+             |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+             |e AS (SELECT id_a AS src, id_b AS dst FROM p
+             |      UNION ALL SELECT id_b, id_a FROM p),
+             |nodes AS (SELECT DISTINCT src AS id FROM e),
+             |reach AS (
+             |  WITH RECURSIVE r(id, v) AS (
+             |    SELECT id, id FROM nodes
+             |    UNION
+             |    SELECT r.id, e.dst FROM r JOIN e ON e.src = r.v)
+             |  SELECT id, min(v) AS cluster FROM r GROUP BY id)
+             |SELECT id AS doc_id, cluster FROM reach ORDER BY doc_id""".stripMargin)),
+
     ("t04_fingerprint",
       (s: SparkSession, d: String) => {
         Tables.load(s, d, "documents")

@@ -195,6 +195,34 @@ object ScaleJoinQueries {
              |  MIN(CASE WHEN rn >= (n * 9900 + 9999) // 10000 THEN v END) AS p99
              |FROM r GROUP BY source ORDER BY source""".stripMargin)),
 
+    // ---- count-min sketch point-frequency probes --------------------------
+    // The fifth member of the mergeable sketch family (HLL cardinality
+    // q46, Space-Saving top-k q47, KLL quantiles q50, bloom membership
+    // q53): per-source CMS over terms via Spark's built-in
+    // count_min_sketch aggregate, probed with the custom cms_estimate
+    // expression (Spark ships the build side but no SQL-facing read).
+    // No DuckDB oracle by design — the estimate is a function of the
+    // sketch's hash family — but it is deterministic (fixed seed) and
+    // its one-sided error contract (never undercounts; overcount
+    // ≤ eps·N w.p. ≥ confidence) is asserted against exact counts in
+    // ExpressionEdgeSpec.
+    ("q56_cms_pointfreq",
+      (s: SparkSession, d: String) => {
+        Tables.load(s, d, "documents")
+          .select(col("source"),
+            explode(graft.ops.TextAnalysis.tokens(lower(col("text")))).as("term"))
+          .groupBy(col("source"))
+          .agg(expr("count_min_sketch(term, 0.001d, 0.99d, 42)").as("sk"))
+          .select(col("source"),
+            explode(array(lit("data"), lit("spark"), lit("table"),
+              lit("window"), lit("zzz_absent"))).as("term"),
+            col("sk"))
+          .select(col("source"), col("term"),
+            graft.functions.CmsEstimate.cmsEstimate(col("sk"), col("term")).as("est"))
+          .orderBy(col("source"), col("term"))
+      },
+      None),
+
     // ---- bloom-filter join pruning (sketch-prefiltered verify join) -------
     // The 100 TB decontamination shape: the corpus's exploded 5-grams
     // are pruned by a bloom filter built over the eval set's grams

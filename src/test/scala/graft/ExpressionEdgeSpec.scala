@@ -209,4 +209,36 @@ class ExpressionEdgeSpec extends SparkSpec {
     val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", n = 3, threshold = 0.1)
     assert(pairs.count() == 0)
   }
+
+  test("CMS point estimates: never undercount; overcount bounded by eps·N") {
+    val sf = "/root/testdata/sf0.001"
+    val eps = 0.001
+    val terms = Tables.load(spark, sf, "documents")
+      .select(col("source"),
+        explode(graft.ops.TextAnalysis.tokens(lower(col("text")))).as("term"))
+      .cache()
+    try {
+      val probes = Seq("data", "spark", "table", "window", "zzz_absent")
+      val est = terms.groupBy(col("source"))
+        .agg(expr("count_min_sketch(term, 0.001d, 0.99d, 42)").as("sk"))
+        .select(col("source"),
+          explode(array(probes.map(lit): _*)).as("term"), col("sk"))
+        .select(col("source"), col("term"),
+          graft.functions.CmsEstimate.cmsEstimate(col("sk"), col("term")).as("est"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val exact = terms.filter(col("term").isin(probes.map(lit): _*))
+        .groupBy(col("source"), col("term")).count()
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val n = terms.groupBy(col("source")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      est.foreach { case ((src, term), e) =>
+        val t = exact.getOrElse((src, term), 0L)
+        assert(e >= t, s"CMS undercounted ($src,$term): $e < $t")
+        assert(e <= t + math.max(1L, (eps * n(src)).ceil.toLong),
+          s"CMS overcount past eps·N for ($src,$term): est $e, exact $t, N ${n(src)}")
+      }
+      // absent term is present in the probe output for every source
+      assert(est.keys.count(_._2 == "zzz_absent") == n.size)
+    } finally { terms.unpersist(); () }
+  }
 }

@@ -107,7 +107,37 @@ class FunctionsSpec extends SparkSpec {
     assert(graft.functions.GraftFunctions.functions.map(_._1).toSet ==
       Set("cosine_sim", "cosine_sim_q8", "simhash", "minhash_sig",
         "word_ngrams", "srp_sig", "space_saving_topk", "kll_quantile",
-        "quantize_q8"))
+        "quantize_q8", "bloom_filter_agg", "bloom_might_contain",
+        "cms_estimate"))
+  }
+
+  test("cms_estimate reads Spark's built-in count_min_sketch aggregate") {
+    graft.functions.GraftFunctions.register(spark)
+    val est = spark.sql(
+      """SELECT cms_estimate(
+        |  (SELECT count_min_sketch(v, 0.001d, 0.99d, 42)
+        |   FROM VALUES ('a'),('a'),('a'),('b') AS t(v)), 'a') AS e""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(est == 3L) // tiny sketch, no collisions: exact
+  }
+
+  test("bloom SQL pair: scalar-subquery filter probes with no false negatives") {
+    graft.functions.GraftFunctions.register(spark)
+    // every member key must probe true (bloom has no false negatives)
+    val hits = spark.sql(
+      """SELECT bloom_might_contain(
+        |  (SELECT bloom_filter_agg(v, 16) FROM VALUES ('a'),('b'),('c') AS t(v)),
+        |  v) AS hit
+        |FROM VALUES ('a'),('b'),('c') AS t(v)""".stripMargin)
+      .collect().map(_.getBoolean(0))
+    assert(hits.forall(identity))
+    // a clearly-absent key with plenty of filter headroom probes false
+    val miss = spark.sql(
+      """SELECT bloom_might_contain(
+        |  (SELECT bloom_filter_agg(v, 1024) FROM VALUES ('a'),('b'),('c') AS t(v)),
+        |  'definitely-not-in-the-set') AS hit""".stripMargin)
+      .collect()(0).getBoolean(0)
+    assert(!miss)
   }
 
   test("simhash skips null tokens and nulls propagate") {
