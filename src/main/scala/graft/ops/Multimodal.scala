@@ -29,6 +29,8 @@ object Multimodal {
   case class Frame(media_id: Long, frame_idx: Int, ts_ms: Long,
                    features: Array[Float])
 
+  case class MediaHash(media_id: Long, phash: String)
+
   val Kinds = Seq("image", "audio", "video")
 
   /** THE fixture id→kind mapping (doc_id mod 3) — single definition
@@ -93,6 +95,47 @@ object Multimodal {
         var i = 0
         while (i < dim) { hist(i) /= n; i += 1 }
         hist
+      }
+
+    /** Perceptual average-hash over DECODED PIXELS: an 8×8 grid of
+      * grayscale cell means, bit = cell mean > image mean, row-major —
+      * 64 chars of '0'/'1'. Near-identical images (recompression,
+      * small edits, brightness-preserving noise) land within a few
+      * bits; unrelated images differ in ~32. None when the payload
+      * doesn't decode (callers fall back to [[Multimodal.byteAHash]],
+      * the same construction over raw bytes). */
+    def phash(payload: Array[Byte]): Option[String] =
+      decode(payload).map { img =>
+        val w = img.getWidth
+        val h = img.getHeight
+        val sums = new Array[Long](64)
+        val counts = new Array[Long](64)
+        var total = 0L
+        var y = 0
+        while (y < h) {
+          val cy = ((y.toLong * 8) / h).toInt
+          var x = 0
+          while (x < w) {
+            val cx = ((x.toLong * 8) / w).toInt
+            val rgb = img.getRGB(x, y)
+            val gray = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+            val cell = cy * 8 + cx
+            sums(cell) += gray
+            counts(cell) += 1
+            total += gray
+            x += 1
+          }
+          y += 1
+        }
+        val gmean = total.toDouble / (w.toLong * h)
+        val sb = new java.lang.StringBuilder(64)
+        var i = 0
+        while (i < 64) {
+          val m = if (counts(i) == 0) 0.0 else sums(i).toDouble / counts(i)
+          sb.append(if (m > gmean) '1' else '0')
+          i += 1
+        }
+        sb.toString
       }
 
     /** Pixel-level resize + PNG re-encode (area-preserving smooth
@@ -187,5 +230,64 @@ object Multimodal {
         m.copy(width = nw, height = nh, payload = payload)
       }
     }
+  }
+
+  /** Average-hash over RAW BYTES: 64 equal blocks (block of byte j =
+    * j·64 div n), block mean > payload mean → '1'. The same
+    * construction as [[ImageCodec.phash]] with bytes standing in for
+    * pixels — the deterministic fallback for payloads with no decoder,
+    * and (unlike pixel decoding) SQL-expressible, which is what lets
+    * m06 be oracle-checked on the synthetic fixture while the real
+    * pixel path is spec-tested on generated PNGs. Empty blocks
+    * (payloads shorter than 64 bytes) read as mean 0. */
+  def byteAHash(payload: Array[Byte]): String = {
+    val n = payload.length
+    if (n == 0) return "0" * 64
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var total = 0L
+    var j = 0
+    while (j < n) {
+      val blk = ((j.toLong * 64) / n).toInt
+      val b = payload(j) & 0xff
+      sums(blk) += b
+      counts(blk) += 1
+      total += b
+      j += 1
+    }
+    val gmean = total.toDouble / n
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < 64) {
+      val m = if (counts(i) == 0) 0.0 else sums(i).toDouble / counts(i)
+      sb.append(if (m > gmean) '1' else '0')
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Bit disagreement between two equal-length hash strings. */
+  def hamming(a: String, b: String): Int = {
+    require(a.length == b.length, s"hash lengths differ: ${a.length}/${b.length}")
+    var d = 0
+    var i = 0
+    while (i < a.length) { if (a.charAt(i) != b.charAt(i)) d += 1; i += 1 }
+    d
+  }
+
+  /** Perceptual hash per media row (m06): decoded-pixel aHash for
+    * decodable images, [[byteAHash]] otherwise — same batched
+    * mapPartitions shape as [[extractFeatures]]. Near-dup media pair
+    * generation over these hashes reuses the d04 banding machinery
+    * (4×16-bit pigeonhole bands guarantee hamming ≤ 3 recall). */
+  def perceptualHashes(media: Dataset[Media]): Dataset[MediaHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val h =
+        if (m.kind == "image")
+          ImageCodec.phash(m.payload).getOrElse(byteAHash(m.payload))
+        else byteAHash(m.payload)
+      MediaHash(m.media_id, h)
+    })
   }
 }

@@ -512,10 +512,25 @@ object Similarity {
     * by making nCells track corpus size (SemDeDup uses k ≈ √n·c), with
     * [[Dedup.capBuckets]] as the degenerate-cluster guard. */
   def semanticDedupKept(corpus0: DataFrame, threshold: Double,
-                        nCells: Int): DataFrame = {
+                        nCells: Int): DataFrame =
+    semanticDedupImpl(corpus0, threshold, nCells, cache = false)._1
+
+  /** [[semanticDedupKept]] with the assignment CACHED (it appears three
+    * times in the plan: both sides of the pair self-join and the kept
+    * anti-join) and a release handle. The stateless form recomputes the
+    * linear assignment pass instead — the quadratic intra-cluster work
+    * is never duplicated either way. At real scale the assignment is a
+    * materialized cell-partitioned table, not a session cache. */
+  def semanticDedupKeptWithRelease(corpus0: DataFrame, threshold: Double,
+                                   nCells: Int): (DataFrame, () => Unit) =
+    semanticDedupImpl(corpus0, threshold, nCells, cache = true)
+
+  private def semanticDedupImpl(corpus0: DataFrame, threshold: Double,
+                                nCells: Int, cache: Boolean): (DataFrame, () => Unit) = {
     val corpus = cleanVectors(corpus0)
-    val assigned = ivfAssign(corpus, centroids(corpus, nCells))
+    val assignedBase = ivfAssign(corpus, centroids(corpus, nCells))
       .select(col("vec_id"), col("embedding"), col("cell_id").as("cluster"))
+    val assigned = if (cache) assignedBase.cache() else assignedBase
     val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"))
     val b = assigned.select(col("cluster"), col("vec_id").as("id_b"),
@@ -524,7 +539,8 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .filter(round(cosineSim(col("emb_a"), col("emb_b")), 6) >= threshold)
       .select(col("id_b").as("vec_id")).distinct()
-    assigned.join(dropped, Seq("vec_id"), "left_anti")
+    val kept = assigned.join(dropped, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cluster"))
+    (kept, () => { if (cache) assigned.unpersist(); () })
   }
 }

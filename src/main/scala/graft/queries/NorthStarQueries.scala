@@ -432,6 +432,56 @@ object NorthStarQueries {
              |  SELECT id, min(v) AS cluster FROM r GROUP BY id)
              |SELECT id AS doc_id, cluster FROM reach ORDER BY doc_id""".stripMargin)),
 
+    // ---- canonical survivor per dup cluster (keep-best dedup output) ------
+    // What a dedup pipeline actually emits: one survivor per c02
+    // cluster, chosen by highest quality score with doc-id tie-break
+    // (max_by over a (q, -id) struct — one aggregation, no window
+    // shuffle of the full membership). Quality is t02's 6-dp-rounded
+    // score, so the argmax is engine-reproducible.
+    ("c03_canonical_docs",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.load(s, d, "documents")
+        val pairs = Dedup.substringNearDupPairs(docs, "doc_id", "text", n = 8)
+        Dedup.connectedComponents(pairs)
+          .select(col("id").as("doc_id"), col("label").as("cluster"))
+          .join(docs.select(col("doc_id"),
+            TextAnalysis.qualityScore(col("text")).as("q")), "doc_id")
+          .groupBy(col("cluster"))
+          .agg(max_by(col("doc_id"), struct(col("q"), -col("doc_id"))).as("keep_id"),
+            count(lit(1)).as("n_members"))
+          .orderBy(col("cluster"))
+      },
+      Some("""WITH w AS (SELECT doc_id,
+             |    string_split_regex(lower(text), '\s+') AS w FROM documents),
+             |g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+             |      FROM w, unnest(range(1, greatest(len(w)-6, 1))) AS u(i)),
+             |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+             |e AS (SELECT id_a AS src, id_b AS dst FROM p
+             |      UNION ALL SELECT id_b, id_a FROM p),
+             |nodes AS (SELECT DISTINCT src AS id FROM e),
+             |reach AS (
+             |  WITH RECURSIVE r(id, v) AS (
+             |    SELECT id, id FROM nodes
+             |    UNION
+             |    SELECT r.id, e.dst FROM r JOIN e ON e.src = r.v)
+             |  SELECT id AS doc_id, min(v) AS cluster FROM r GROUP BY id),
+             |q AS (SELECT doc_id,
+             |    round(0.4 * least(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) / 100.0, 1.0)
+             |        + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text))
+             |        + 0.3 * least(CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             |              t -> list_contains(['the','a','of','and','to','in','is','it','that','on'], t))) AS DOUBLE)
+             |            / len(regexp_extract_all(lower(text), '[a-z0-9]+')) * 5.0, 1.0),
+             |        6) AS q
+             |  FROM documents)
+             |SELECT cluster, keep_id, n_members FROM (
+             |  SELECT reach.cluster, reach.doc_id AS keep_id,
+             |    row_number() OVER (PARTITION BY reach.cluster
+             |                       ORDER BY q.q DESC, reach.doc_id) AS rn,
+             |    COUNT(*) OVER (PARTITION BY reach.cluster) AS n_members
+             |  FROM reach JOIN q ON q.doc_id = reach.doc_id)
+             |WHERE rn = 1 ORDER BY cluster""".stripMargin)),
+
     ("t04_fingerprint",
       (s: SparkSession, d: String) => {
         Tables.load(s, d, "documents")

@@ -388,5 +388,40 @@ object StreamMediaQueries {
              |  COUNT(DISTINCT sha256(text)) AS n_distinct,
              |  MIN(sha256(text)) AS min_sha
              |FROM documents WHERE doc_id < 500 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- multimodal: perceptual hash (content-SIMILAR, not -identical) ----
+    // The dedup m05 can't do: re-encoded/lightly-edited media share no
+    // byte hash but land within a few bits of perceptual average-hash.
+    // Decodable images hash over REAL pixels (ImageCodec.phash, 8×8
+    // grayscale cell means — spec-tested on generated PNGs); the
+    // synthetic text-byte payloads deterministically take the byteAHash
+    // fallback, the SAME construction over raw bytes, which is
+    // SQL-expressible — so the full query stays oracle-checked while
+    // the pixel path stays real. Pairing over these hashes reuses the
+    // d04 pigeonhole banding.
+    ("m06_media_phash",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        Multimodal.perceptualHashes(
+            Multimodal.fromDocuments(Tables.load(s, d, "documents"))
+              .filter(col("kind") === "image").as[Multimodal.Media])
+          .toDF()
+          .orderBy(col("media_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS n
+             |           FROM documents WHERE doc_id % 3 = 0),
+             |x AS (SELECT doc_id, ((j-1)*64)//n AS blk,
+             |        ascii(substr(text, CAST(j AS INT), 1)) AS b
+             |      FROM d, unnest(range(1, n+1)) AS u(j)),
+             |g AS (SELECT doc_id, avg(CAST(b AS DOUBLE)) AS gmean FROM x GROUP BY 1),
+             |bm AS (SELECT doc_id, blk, avg(CAST(b AS DOUBLE)) AS m FROM x GROUP BY 1, 2),
+             |grid AS (SELECT d.doc_id, u.blk FROM d, unnest(range(0, 64)) AS u(blk)),
+             |bits AS (SELECT grid.doc_id, grid.blk,
+             |           CASE WHEN coalesce(bm.m, 0.0) > g.gmean THEN '1' ELSE '0' END AS bit
+             |         FROM grid
+             |         LEFT JOIN bm ON bm.doc_id = grid.doc_id AND bm.blk = grid.blk
+             |         JOIN g ON g.doc_id = grid.doc_id)
+             |SELECT doc_id AS media_id, string_agg(bit, '' ORDER BY blk) AS phash
+             |FROM bits GROUP BY doc_id ORDER BY media_id""".stripMargin)),
   )
 }

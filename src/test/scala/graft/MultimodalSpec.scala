@@ -112,4 +112,50 @@ class MultimodalSpec extends SparkSpec {
       assert(m.width > 0 && m.height > 0)
     }
   }
+
+  test("perceptual hash: real pixels — edits land near, different images far") {
+    // structured deterministic images: left-dark/right-light vs
+    // top-dark/bottom-light differ in ~half the cells; a lightly-edited
+    // copy (one corner cell nudged, mean-preserving) stays within a few
+    def img(w: Int, h: Int)(pix: (Int, Int) => Int): Array[Byte] = {
+      val b = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = pix(x, y) & 0xff
+        b.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(b, "png", bos)
+      bos.toByteArray
+    }
+    val leftRight = img(64, 64)((x, _) => if (x < 32) 20 else 220)
+    val leftRightEdit = img(64, 64)((x, y) =>
+      if (x < 8 && y < 8) 220 else if (x < 32) 20 else 220)
+    val topBottom = img(64, 64)((_, y) => if (y < 32) 20 else 220)
+    val Some(h1) = Multimodal.ImageCodec.phash(leftRight)
+    val Some(h1e) = Multimodal.ImageCodec.phash(leftRightEdit)
+    val Some(h2) = Multimodal.ImageCodec.phash(topBottom)
+    assert(h1.length == 64 && h1.forall(c => c == '0' || c == '1'))
+    // identical bytes → identical hash; re-encode at same pixels too
+    assert(Multimodal.ImageCodec.phash(img(64, 64)((x, _) => if (x < 32) 20 else 220))
+      .contains(h1))
+    assert(Multimodal.hamming(h1, h1e) <= 4,
+      s"light edit moved ${Multimodal.hamming(h1, h1e)} bits")
+    assert(Multimodal.hamming(h1, h2) >= 16,
+      s"different images only ${Multimodal.hamming(h1, h2)} bits apart")
+  }
+
+  test("byteAHash: deterministic, 64 bits, short payloads pad with zero blocks") {
+    val h = Multimodal.byteAHash("abcdefgh".getBytes("UTF-8") ++ Array.fill(120)('z'.toByte))
+    assert(h.length == 64 && h.forall(c => c == '0' || c == '1'))
+    // a payload shorter than 64 bytes still yields 64 bits
+    val short = Multimodal.byteAHash("abc".getBytes("UTF-8"))
+    assert(short.length == 64)
+    assert(Multimodal.byteAHash(Array.emptyByteArray) == "0" * 64)
+    // undecodable "image" payloads fall back to byteAHash in the Dataset path
+    import spark.implicits._
+    val m = Seq(Multimodal.Media(9L, "image", "not an image".getBytes, 1, 1, 0, 0L)).toDS()
+    val out = Multimodal.perceptualHashes(m).collect()
+    assert(out.head.phash == Multimodal.byteAHash("not an image".getBytes))
+  }
 }
