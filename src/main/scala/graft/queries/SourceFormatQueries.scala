@@ -156,7 +156,48 @@ object SourceFormatQueries {
              |FROM lineitem
              |WHERE strftime(l_shipdate, '%Y-%m') BETWEEN '1996-01' AND '1996-12'
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- schema-evolution read (mergeSchema over heterogeneous files) -----
+    // Files written before a column existed read back as NULL in that
+    // column under mergeSchema — no rewrite of old data, queries
+    // null-fill at the edge (coalesce to a sentinel). The oracle
+    // reconstructs the same evolution rule from the original table.
+    ("q57_schema_evolution",
+      (s: SparkSession, d: String) => {
+        val dir = ensureEvolvedLayout(s, d)
+        s.read.option("mergeSchema", "true").parquet(dir)
+          .groupBy(col("lang"),
+            coalesce(col("source"), lit("pre_source")).as("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+          .orderBy(col("lang"), col("source"))
+      },
+      Some("""SELECT lang,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'pre_source' ELSE source END AS source,
+             |  COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+             |FROM documents
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
   )
+
+  /** q57's two-batch schema-evolved layout, memoized per (JVM, sf):
+    * batch 1 (even doc ids) wrote (doc_id, lang) before the `source`
+    * column existed; batch 2 (odd ids) wrote (doc_id, lang, source).
+    * Long-lived 100 TB tables ALWAYS look like this — columns arrive
+    * over time and old files never rewrite. */
+  private val evolvedLayouts = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[graft] def ensureEvolvedLayout(s: SparkSession, d: String): String =
+    evolvedLayouts.getOrElseUpdate(d, {
+      val out = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+      val docs = Tables.load(s, d, "documents")
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(s"$out/batch=1")
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .write.mode("overwrite").parquet(s"$out/batch=2")
+      out
+    })
 
   /** Per-JVM memoized ship-month-partitioned lineitem layout for q55:
     * directories by `ship_month`, rows sorted by `l_shipdate` within

@@ -420,6 +420,42 @@ object TrainingPrepQueries {
              |  round(CAST(nd AS DOUBLE) / n, 6) AS ttr
              |FROM a ORDER BY doc_id""".stripMargin)),
 
+    // ---- duplicated-gram ratio (cross-doc boilerplate signal) -------------
+    // Fraction of a document's distinct 8-grams that also occur in at
+    // least one OTHER document — the memorization-risk / boilerplate
+    // signal (d09 tells you WHICH pairs collide; t11 scores each doc by
+    // HOW MUCH of it is shared). Gram doc-frequencies come from one
+    // explode + count-distinct aggregate — vocabulary-sized, not
+    // corpus-sized — then join back on gram. Only docs with ≥ 8 words
+    // have grams; others drop (matches the oracle's join semantics).
+    ("t11_dup_gram_ratio",
+      (s: SparkSession, d: String) => {
+        val grams = Tables.load(s, d, "documents")
+          .select(col("doc_id"),
+            explode(Dedup.wordNGrams(Dedup.words(col("text")), 8)).as("gram"))
+        val dfreq = grams.groupBy(col("gram"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        grams.join(dfreq, "gram")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+          .select(col("doc_id"), col("n_grams"), col("n_shared"),
+            round(col("n_shared").cast("double") / col("n_grams"), 6).as("dup_ratio"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+             |  FROM (SELECT doc_id,
+             |          string_split_regex(lower(text), '\s+') AS w FROM documents),
+             |       unnest(range(1, greatest(len(w)-6, 1))) AS u(i)),
+             |f AS (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY 1)
+             |SELECT g.doc_id,
+             |  CAST(COUNT(*) AS BIGINT) AS n_grams,
+             |  CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+             |  round(CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / COUNT(*), 6) AS dup_ratio
+             |FROM g JOIN f USING (gram)
+             |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin)),
+
     // ---- streaming drain to a parquet file sink (Append + watermark) ------
     // The scale-path streaming story as an oracle-checked query: only
     // watermark-finalized windows land in the sink.

@@ -465,6 +465,13 @@ class DedupSimilaritySpec extends SparkSpec {
         .collect().map(_.getLong(0)).toSet
       val clusters = kept.select("cluster").distinct().collect().map(_.getLong(0)).toSet
       assert(clusters.subsetOf(seeds), s"non-seed cluster ids: ${clusters -- seeds}")
+      // the WithRelease (cached-assignment) variant is result-identical
+      // and leaves nothing cached after release
+      val (kept2, release) =
+        Similarity.semanticDedupKeptWithRelease(emb, threshold = tau, nCells = 8)
+      try {
+        assert(kept2.exceptAll(kept).isEmpty && kept.exceptAll(kept2).isEmpty)
+      } finally release()
     } finally { kept.unpersist(); () }
   }
 }
