@@ -52,6 +52,7 @@ object Bench {
     // q55/q57 layouts: write-once/scan-many, same rule as q45
     graft.queries.SourceFormatQueries.ensureShipDateLayout(spark, sfDir): Unit
     graft.queries.SourceFormatQueries.ensureEvolvedLayout(spark, sfDir): Unit
+    graft.queries.SourceFormatQueries.ensureZOrderLayout(spark, sfDir): Unit
   }
 
   def main(args: Array[String]): Unit = {

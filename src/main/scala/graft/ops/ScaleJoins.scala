@@ -38,4 +38,24 @@ object ScaleJoins {
       explode(array((0 until saltFactor).map(lit): _*)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Min-max-normalized 16-bit-per-dimension Z-value for a 2-D sort key
+    * ([[graft.functions.ZOrder2]]): each column linearly rescales to
+    * 0..65535 from its data min/max (exact integer arithmetic —
+    * products stay < 2^53, and [[org.apache.spark.sql.catalyst.expressions.IntegralDivide]]
+    * keeps the division exact), then the two 16-bit values interleave.
+    * Without normalization, keys of different magnitudes degenerate the
+    * interleave to ordering by the wider key. Degenerate dimensions
+    * (min == max) normalize to 0. */
+  def zValue16(a: Column, aMin: Long, aMax: Long,
+               b: Column, bMin: Long, bMax: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
+    import org.apache.spark.sql.graft.ColumnBridge
+    def norm(c: Column, lo: Long, hi: Long): Column =
+      if (hi <= lo) lit(0L)
+      else ColumnBridge.column(IntegralDivide(
+        ColumnBridge.expression((c - lit(lo)) * lit(65535L)),
+        Literal(hi - lo)))
+    graft.functions.ZOrder2.zorder2(norm(a, aMin, aMax), norm(b, bMin, bMax))
+  }
 }

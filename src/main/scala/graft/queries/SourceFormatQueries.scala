@@ -177,7 +177,69 @@ object SourceFormatQueries {
              |  COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
              |FROM documents
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- Z-ordered layout + two-dimension pruned scan ---------------------
+    // Multi-column data skipping: the layout sorts by the Morton
+    // interleave of min-max-normalized (l_partkey, l_suppkey), so ANY
+    // file holds a near-rectangle of the key plane and per-file min/max
+    // stats stay narrow on BOTH columns (ScaleSpec measures the spans
+    // vs a single-key sort, where the second column's stats are
+    // useless). The timed query range-filters both dimensions; the
+    // predicate bounds derive from data min/max with the same integer
+    // arithmetic on both engines, so the oracle is exact at every sf.
+    ("q58_zorder_scan",
+      (s: SparkSession, d: String) => {
+        val (dir, (pmin, pmax, smin, smax)) = ensureZOrderLayout(s, d)
+        val pLo = pmin + (pmax - pmin) * 3 / 10
+        val pHi = pmin + (pmax - pmin) * 5 / 10
+        val sLo = smin + (smax - smin) * 3 / 10
+        val sHi = smin + (smax - smin) * 5 / 10
+        s.read.parquet(dir)
+          .filter(col("l_partkey").between(pLo, pHi) &&
+            col("l_suppkey").between(sLo, sHi))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH r AS (SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+             |             MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+             |           FROM lineitem)
+             |SELECT l_returnflag, COUNT(*) AS n_items, SUM(l_quantity) AS sum_qty
+             |FROM lineitem, r
+             |WHERE l_partkey BETWEEN pmin + (pmax - pmin) * 3 // 10
+             |                    AND pmin + (pmax - pmin) * 5 // 10
+             |  AND l_suppkey BETWEEN smin + (smax - smin) * 3 // 10
+             |                    AND smin + (smax - smin) * 5 // 10
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
+
+  /** q58's Z-ordered lineitem layout + the (pmin, pmax, smin, smax)
+    * bounds it was normalized with, memoized per (JVM, sf). 16 range
+    * partitions of the z-value ⇒ ~16 files, each a near-rectangle of
+    * the (partkey, suppkey) plane. */
+  private val zorderLayouts =
+    scala.collection.concurrent.TrieMap.empty[String, (String, (Long, Long, Long, Long))]
+
+  private[graft] def ensureZOrderLayout(
+      s: SparkSession, d: String): (String, (Long, Long, Long, Long)) =
+    zorderLayouts.getOrElseUpdate(d, {
+      val out = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_returnflag"))
+      val r = li.agg(min(col("l_partkey")), max(col("l_partkey")),
+        min(col("l_suppkey")), max(col("l_suppkey"))).head
+      val bounds = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      li.withColumn("__z", graft.ops.ScaleJoins.zValue16(
+          col("l_partkey"), bounds._1, bounds._2,
+          col("l_suppkey"), bounds._3, bounds._4))
+        .repartitionByRange(16, col("__z"))
+        .sortWithinPartitions(col("__z"))
+        .drop("__z")
+        .write.mode("overwrite").parquet(out)
+      (out, bounds)
+    })
 
   /** q57's two-batch schema-evolved layout, memoized per (JVM, sf):
     * batch 1 (even doc ids) wrote (doc_id, lang) before the `source`

@@ -210,6 +210,30 @@ class ExpressionEdgeSpec extends SparkSpec {
     assert(pairs.count() == 0)
   }
 
+  test("ZOrder2: interleave round-trips bits, orders rectangles, codegen-safe") {
+    import graft.functions.ZOrder2
+    // bit-exact: a's bits at even positions, b's at odd
+    assert(ZOrder2.interleave(0L, 0L) == 0L)
+    assert(ZOrder2.interleave(1L, 0L) == 1L)
+    assert(ZOrder2.interleave(0L, 1L) == 2L)
+    assert(ZOrder2.interleave(3L, 3L) == 15L)
+    // 31 ones spread to even positions 0..60; b shifts them to odd
+    assert(ZOrder2.interleave(0x7fffffffL, 0L) == 0x1555555555555555L)
+    assert(ZOrder2.interleave(0L, 0x7fffffffL) == 0x2AAAAAAAAAAAAAAAL)
+    // monotone within a fixed quadrant: higher (a, b) never lowers z
+    for (a <- 0L to 16L; b <- 0L to 16L) {
+      assert(ZOrder2.interleave(a + 1, b) > ZOrder2.interleave(a, b) ||
+        ZOrder2.interleave(a, b + 1) > ZOrder2.interleave(a, b))
+      assert(ZOrder2.interleave(a + 1, b + 1) > ZOrder2.interleave(a, b))
+    }
+    // expression path (codegen) equals the static helper
+    val got = spark.range(100)
+      .select(graft.functions.ZOrder2.zorder2(col("id"), col("id") * 3).as("z"))
+      .collect().map(_.getLong(0))
+    val want = (0L until 100L).map(i => ZOrder2.interleave(i, i * 3))
+    assert(got.toSeq == want)
+  }
+
   test("CMS point estimates: never undercount; overcount bounded by eps·N") {
     val sf = "/root/testdata/sf0.001"
     val eps = 0.001

@@ -159,4 +159,45 @@ class ScaleSpec extends SparkSpec {
         .between("1996-01", "1996-12")).count()
     assert(pruned.count() == expected)
   }
+
+  test("q58 z-order layout clusters BOTH dims; single-key sort only one") {
+    def fileSpans(dir: String): Map[String, (Double, Double)] = {
+      val rows = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("l_partkey")).as("p0"), max(col("l_partkey")).as("p1"),
+          min(col("l_suppkey")).as("s0"), max(col("l_suppkey")).as("s1"))
+        .collect()
+      rows.map(r => r.getString(0) ->
+        ((r.getLong(2) - r.getLong(1)).toDouble, (r.getLong(4) - r.getLong(3)).toDouble))
+        .toMap
+    }
+    val (zdir, (pmin, pmax, smin, smax)) =
+      graft.queries.SourceFormatQueries.ensureZOrderLayout(spark, sf)
+    val pSpan = (pmax - pmin).toDouble
+    val sSpan = (smax - smin).toDouble
+    val zf = fileSpans(zdir)
+    assert(zf.size >= 8, s"z layout produced only ${zf.size} files")
+    val zAvgP = zf.values.map(_._1).sum / zf.size / pSpan
+    val zAvgS = zf.values.map(_._2).sum / zf.size / sSpan
+    // every z-file is a near-rectangle: both dims well under global span
+    assert(zAvgP <= 0.6, s"z-layout avg partkey span $zAvgP")
+    assert(zAvgS <= 0.6, s"z-layout avg suppkey span $zAvgS")
+    // contrast: the same data sorted by partkey alone leaves suppkey
+    // file stats useless (~full span) — the reason z-order exists
+    val pdir = java.nio.file.Files.createTempDirectory("graft_psort").toString
+    Tables.load(spark, sf, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"), col("l_returnflag"))
+      .repartitionByRange(16, col("l_partkey"))
+      .sortWithinPartitions(col("l_partkey"))
+      .write.mode("overwrite").parquet(pdir)
+    val pf = fileSpans(pdir)
+    val pAvgS = pf.values.map(_._2).sum / pf.size / sSpan
+    assert(pAvgS >= 0.9, s"single-key layout unexpectedly clustered suppkey: $pAvgS")
+    // and the q58 predicate pushes down on both columns
+    val q58 = SparkEntry.queries("q58_zorder_scan")(spark, sf)
+    q58.collect()
+    val scans = q58.queryExecution.executedPlan.toString
+    assert(scans.contains("l_partkey") && scans.contains("PushedFilters"),
+      s"q58 scan lost pushdown:\n$scans")
+  }
 }
