@@ -127,6 +127,22 @@ object Similarity {
           round(cosineSim(col("embedding"), col("q_embedding")), 6).as("cos_sim")),
       k)
 
+  /** Range query: all corpus vectors within cosine ≥ `radius` of each
+    * query — the fixed-radius member of the search family (top-k
+    * s01/s02/s03, all-pairs s04/d05). Same broadcast-queries shape as
+    * [[bruteForceTopK]] minus the ranking window: output size is
+    * data-dependent, so no per-query shuffle for rank is needed at
+    * all — the filter runs inside the scan projection. The IVF scale
+    * path applies unchanged (probe cells, then range-filter) when the
+    * query count grows past broadcast size. */
+  def rangeSearch(corpus: DataFrame, queries: DataFrame,
+                  radius: Double): DataFrame =
+    spread(cleanVectors(corpus)).crossJoin(broadcast(cleanQueries(queries)))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosineSim(col("embedding"), col("q_embedding")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= radius)
+
   /** Deterministic seed centroids: the nCells lowest-id vectors. */
   def centroids(corpus: DataFrame, nCells: Int): DataFrame =
     corpus.orderBy(col("vec_id")).limit(nCells)

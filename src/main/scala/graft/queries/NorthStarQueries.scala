@@ -224,6 +224,23 @@ object NorthStarQueries {
              |WHERE rank <= 5
              |ORDER BY query_id, rank""".stripMargin)),
 
+    // ---- similarity: fixed-radius range search ----------------------------
+    ("s05_range_search",
+      (s: SparkSession, d: String) => {
+        val emb = Tables.load(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+        Similarity.rangeSearch(emb.select("vec_id", "embedding"), queries,
+            radius = 0.35)
+          .orderBy(col("query_id"), col("neighbor_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+             |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |  round(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
+             |FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+             |WHERE round(list_cosine_similarity(q.v, c.v), 6) >= 0.35
+             |ORDER BY query_id, neighbor_id""".stripMargin)),
+
     // ---- similarity: IVF-probed ANN (recall-gated in ScalaTest) -----------
     // trainIters = 0 (seed centroids) is a MEASURED choice, not an
     // omission: on the near-uniform synthetic embeddings k-means balances

@@ -78,6 +78,29 @@ object StreamMediaQueries {
              |SELECT win_start, event_type, COUNT(*) AS n_events
              |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ---- streaming blocklist decontamination (bloom + anti-join) ----------
+    // The q53 pruning idiom applied to a STREAM: clean-majority events
+    // bypass the stream-static anti-join via the bloom literal; only
+    // might-contain candidates join. The oracle is the plain batch
+    // anti-join semantics (blocklist = users ≡ 0 mod 17 seen in
+    // events), certifying the bloom short-circuit drops nothing and
+    // leaks nothing.
+    ("st11_stream_blocklist",
+      (s: SparkSession, d: String) => {
+        val blocklist = Tables.load(s, d, "events")
+          .select(col("user_id")).distinct()
+          .filter(col("user_id") % 17 === 0)
+        val kept = EventStream.blocklistFiltered(
+          EventStream.readEvents(s, d), blocklist, "user_id")
+        val agg = EventStream.hourlyCounts(kept)
+        EventStream.runToMemory(s, agg, s"st11_mem_${System.nanoTime()}")
+          .orderBy(col("hour"), col("event_type"))
+      },
+      Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+             |  event_type, COUNT(*) AS n_events
+             |FROM events WHERE user_id % 17 <> 0
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ---- streaming sketch state: per-hour heavy hitters -------------------
     // The mergeable Space-Saving sketch (q47's TypedImperativeAggregate)
     // as STREAMING aggregation state: each micro-batch folds into the

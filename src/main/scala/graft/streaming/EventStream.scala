@@ -63,6 +63,27 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("win_start"), col("event_type"), col("n_events"))
 
+  /** Blocklist decontamination on the stream (st11): drop events from
+    * blocklisted users without joining the whole stream — the bloom
+    * prefilter (a codegen'd literal in the scan, no state, no shuffle)
+    * routes the definitely-clean majority straight through, and only
+    * might-be-blocked candidates take the stream-static anti-join that
+    * removes false positives. Bloom has no false negatives, so no
+    * blocked user can slip through the short-circuit branch; the union
+    * is exactly `events ANTI JOIN blocklist`. At 100 TB-a-day event
+    * volume this is the difference between joining ~0.1% of the stream
+    * and joining all of it. */
+  def blocklistFiltered(events: DataFrame, blocklist: DataFrame,
+                        keyCol: String): DataFrame = {
+    val expected = math.max(blocklist.count(), 1L)
+    val bloom = graft.ops.Sketches.buildBloom(blocklist, keyCol, expected)
+    val mc = graft.ops.Sketches.mightContain(bloom, col(keyCol))
+    val clean = events.filter(!mc)
+    val maybe = events.filter(mc)
+      .join(blocklist, Seq(keyCol), "left_anti")
+    clean.unionByName(maybe)
+  }
+
   /** Run a streaming aggregate to completion over the available data and
     * return the result (memory sink, complete mode, AvailableNow).
     *

@@ -198,4 +198,21 @@ class StreamingSpec extends SparkSpec {
       col("win_start") =!= date_trunc("hour", col("win_start"))).count()
     assert(misaligned == 0L)
   }
+
+  test("blocklist filter (st11): bloom short-circuit equals the plain anti-join") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.load(spark, sf, "events")
+      .withColumn("event_time", Tables.eventTime(col("ts")))
+    val blocklist = events.select(col("user_id")).distinct()
+      .filter(col("user_id") % 17 === 0)
+    // batch path through the same helper: exact anti-join semantics
+    val kept = graft.streaming.EventStream.blocklistFiltered(
+      events, blocklist, "user_id")
+    val plain = events.join(blocklist, Seq("user_id"), "left_anti")
+    assert(kept.count() == plain.count())
+    assert(kept.filter(col("user_id") % 17 === 0).count() == 0L,
+      "a blocklisted user leaked through the bloom short-circuit")
+    // the bloom probe is in the plan (the clean-majority branch)
+    assert(kept.queryExecution.executedPlan.toString.contains("might_contain"))
+  }
 }
