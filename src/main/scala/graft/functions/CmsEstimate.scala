@@ -64,16 +64,19 @@ object CmsEstimate {
   // 1-entry per-thread deserialization cache, keyed by reference: the
   // probe fan-out evaluates runs of rows whose sketch cell is the same
   // backing array. A miss just re-parses — correctness never depends
-  // on a hit.
-  private val last = new ThreadLocal[(Array[Byte], CountMinSketch)]
+  // on a hit. Held through a SoftReference so a long-lived executor
+  // thread doesn't pin the last ~1/eps-sized sketch grid after the
+  // probing query finishes.
+  private val last =
+    new ThreadLocal[java.lang.ref.SoftReference[(Array[Byte], CountMinSketch)]]
 
   def estimate(sk: Array[Byte], item: UTF8String): Long = {
-    val cached = last.get()
+    val cached = Option(last.get()).map(_.get).orNull
     val cms =
       if (cached != null && (cached._1 eq sk)) cached._2
       else {
         val parsed = CountMinSketch.readFrom(sk)
-        last.set((sk, parsed))
+        last.set(new java.lang.ref.SoftReference((sk, parsed)))
         parsed
       }
     // byte[] routes to the same binary hash path CountMinSketchAgg

@@ -127,15 +127,7 @@ object Multimodal {
           }
           y += 1
         }
-        val gmean = total.toDouble / (w.toLong * h)
-        val sb = new java.lang.StringBuilder(64)
-        var i = 0
-        while (i < 64) {
-          val m = if (counts(i) == 0) 0.0 else sums(i).toDouble / counts(i)
-          sb.append(if (m > gmean) '1' else '0')
-          i += 1
-        }
-        sb.toString
+        aHashBits(sums, counts, total, w.toLong * h)
       }
 
     /** Pixel-level resize + PNG re-encode (area-preserving smooth
@@ -255,6 +247,15 @@ object Multimodal {
       total += b
       j += 1
     }
+    aHashBits(sums, counts, total, n.toLong)
+  }
+
+  /** The shared bit rule for both aHash variants ([[ImageCodec.phash]]
+    * pixels, [[byteAHash]] bytes): bin mean > global mean → '1', empty
+    * bins read as mean 0. ONE definition so the documented
+    * interchangeability of the two paths can't silently diverge. */
+  private def aHashBits(sums: Array[Long], counts: Array[Long],
+                        total: Long, n: Long): String = {
     val gmean = total.toDouble / n
     val sb = new java.lang.StringBuilder(64)
     var i = 0

@@ -46,10 +46,21 @@ object Sketches {
   /** Build-side of [[bloomPrune]]: collect `keys`' single-row bloom
     * aggregate to the driver. `keys` is the SMALL side (a benchmark
     * suite, a blocklist) — at 100 TB it is still ~10⁵–10⁷ keys, a
-    * sub-MB filter. */
-  def buildBloom(keys: DataFrame, keyCol: String, expectedItems: Long): Array[Byte] =
-    keys.agg(bloomAgg(col(keyCol), expectedItems).as("bf"))
+    * sub-MB filter. Zero keys yield a valid EMPTY filter (probes all
+    * false), not the NULL catalyst's aggregate returns — a null bloom
+    * literal would NULL-out every downstream predicate and silently
+    * drop the whole probed side. */
+  def buildBloom(keys: DataFrame, keyCol: String, expectedItems: Long): Array[Byte] = {
+    val bytes = keys.agg(bloomAgg(col(keyCol), expectedItems).as("bf"))
       .head.getAs[Array[Byte]](0)
+    if (bytes != null) bytes
+    else {
+      val empty = org.apache.spark.util.sketch.BloomFilter.create(1)
+      val bos = new java.io.ByteArrayOutputStream()
+      empty.writeTo(bos)
+      bos.toByteArray
+    }
+  }
 
   /** `df` minus the rows whose `keyCol` cannot be in `keys`: the cheap,
     * codegen'd, no-shuffle prefilter. Survivors (matches + ~3% false
@@ -70,11 +81,19 @@ object Sketches {
     def grams(df: DataFrame) = df.select(col(idCol),
       // WordNGrams emits distinct grams per doc already
       explode(Dedup.wordNGrams(Dedup.words(col(textCol)), n)).as("gram"))
-    val benchGrams = grams(evalDocs).select("gram").distinct()
-    // sizing pre-pass on the SMALL side only; floor keeps a degenerate
-    // eval set from building a zero-capacity filter
-    val expected = math.max(benchGrams.count(), 1L)
-    bloomPrune(grams(docs), "gram", benchGrams, expected)
+    // cached for the two EAGER passes (sizing count + bloom collect),
+    // released before returning — the verify join in the lazy result
+    // recomputes once, so the eval-side pipeline runs twice total, and
+    // nothing stays pinned past this call (house rule: stateless
+    // shipped paths)
+    val benchGrams = grams(evalDocs).select("gram").distinct().cache()
+    val pruned = try {
+      // sizing pre-pass on the SMALL side only; floor keeps a
+      // degenerate eval set from building a zero-capacity filter
+      val expected = math.max(benchGrams.count(), 1L)
+      bloomPrune(grams(docs), "gram", benchGrams, expected)
+    } finally benchGrams.unpersist()
+    pruned
       .join(benchGrams, Seq("gram"), "left_semi")
       .select(col(idCol)).distinct()
   }

@@ -390,8 +390,7 @@ object TrainingPrepQueries {
     ("t10_word_entropy",
       (s: SparkSession, d: String) => {
         Tables.load(s, d, "documents")
-          .select(col("doc_id"),
-            explode(split(lower(col("text")), "\\s+")).as("w"))
+          .select(col("doc_id"), explode(Dedup.words(col("text"))).as("w"))
           .filter(length(col("w")) > 0)
           .groupBy(col("doc_id"), col("w"))
           .agg(count(lit(1)).as("c"))

@@ -214,5 +214,13 @@ class StreamingSpec extends SparkSpec {
       "a blocklisted user leaked through the bloom short-circuit")
     // the bloom probe is in the plan (the clean-majority branch)
     assert(kept.queryExecution.executedPlan.toString.contains("might_contain"))
+    // EMPTY blocklist: an empty bloom (probes false) must pass every
+    // event through — catalyst's empty aggregate returns NULL, which
+    // unguarded would NULL-out both filter branches and drop the stream
+    val none = blocklist.filter(col("user_id") < 0)
+    val keptAll = graft.streaming.EventStream.blocklistFiltered(
+      events, none, "user_id")
+    assert(keptAll.count() == events.count(),
+      "empty blocklist must keep every event")
   }
 }
