@@ -212,7 +212,53 @@ object SourceFormatQueries {
              |  AND l_suppkey BETWEEN smin + (smax - smin) * 3 // 10
              |                    AND smin + (smax - smin) * 5 // 10
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- dynamic partition overwrite (incremental-refresh sink) -----------
+    // The reference's silver/gold writes are STATIC overwrite — the
+    // whole directory is replaced every run (SURVEY.md §2 item 5). The
+    // incremental upgrade a scheduled 100 TB pipeline needs is DYNAMIC
+    // mode: an update batch replaces ONLY the partitions it carries,
+    // untouched partitions keep their files. Here run 1 lands the even
+    // half of every lang partition; run 2 carries only lang='en' (all
+    // of it) and must not disturb the other langs — so the final state
+    // is "all en + even others", which the oracle reconstructs from
+    // the original table. ScaleSpec asserts run 1's non-en files
+    // literally survive run 2.
+    ("q59_dynamic_overwrite",
+      (s: SparkSession, d: String) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_dynover").toString
+        val docs = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("text"), col("lang"))
+        withOverwriteMode(s, "dynamic") {
+          docs.filter(col("doc_id") % 2 === 0)
+            .write.mode("overwrite").partitionBy("lang").parquet(out)
+          docs.filter(col("lang") === "en")
+            .write.mode("overwrite").partitionBy("lang").parquet(out)
+        }
+        s.read.parquet(out)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+             |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+             |FROM documents
+             |WHERE lang = 'en' OR (lang <> 'en' AND doc_id % 2 = 0)
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
   )
+
+  /** Run `body` with `spark.sql.sources.partitionOverwriteMode` set to
+    * `mode`, restoring the previous setting after. */
+  private[graft] def withOverwriteMode[T](s: SparkSession, mode: String)(body: => T): T = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, mode)
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
 
   /** q58's Z-ordered lineitem layout + the (pmin, pmax, smin, smax)
     * bounds it was normalized with, memoized per (JVM, sf). 16 range

@@ -200,4 +200,34 @@ class ScaleSpec extends SparkSpec {
     assert(scans.contains("l_partkey") && scans.contains("PushedFilters"),
       s"q58 scan lost pushdown:\n$scans")
   }
+
+  test("dynamic partition overwrite (q59): untouched partitions keep their files") {
+    import graft.queries.SourceFormatQueries.withOverwriteMode
+    val out = Files.createTempDirectory("graft_dynspec").toString
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    def filesUnder(lang: String): Set[String] = {
+      val dir = new java.io.File(s"$out/lang=$lang")
+      if (!dir.isDirectory) Set.empty
+      else dir.listFiles.map(_.getName).filter(_.endsWith(".parquet")).toSet
+    }
+    withOverwriteMode(spark, "dynamic") {
+      docs.filter(col("doc_id") % 2 === 0)
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+      val zhBefore = filesUnder("zh")
+      assert(zhBefore.nonEmpty)
+      docs.filter(col("lang") === "en")
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+      // run 2 carried no zh rows: run 1's physical files must survive
+      assert(filesUnder("zh") == zhBefore,
+        "dynamic overwrite touched a partition absent from the batch")
+    }
+    // contrast: STATIC overwrite of the same second batch wipes zh
+    withOverwriteMode(spark, "static") {
+      docs.filter(col("lang") === "en")
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+      assert(filesUnder("zh").isEmpty,
+        "static overwrite should have replaced the whole directory")
+    }
+  }
 }
