@@ -43,6 +43,48 @@ object AdvancedQueries {
              |ORDER BY revenue DESC, l_orderkey
              |LIMIT 10""".stripMargin)),
 
+    // ---- 6-way star join (TPC-H Q5 shape: local supplier volume) ----------
+    // The join-order stress test: two selective dimensions (region
+    // filter reaching nation, a year filter on orders) and a
+    // two-column equi-join (l_suppkey AND the local-supplier
+    // c_nationkey = s_nationkey condition). Catalyst broadcasts every
+    // dimension (region/nation/customer/supplier at these
+    // cardinalities) so the only shuffle is the final per-nation
+    // aggregate — at 100 TB the fact-side scan order and dimension
+    // broadcasts are exactly what AQE + CBO should preserve.
+    ("q60_local_supplier_volume",
+      (s: SparkSession, d: String) => {
+        val c = Tables.load(s, d, "customer")
+        val o = Tables.load(s, d, "orders")
+          .filter(year(col("o_orderdate")) === 1996)
+        val l = Tables.load(s, d, "lineitem")
+        val sup = Tables.load(s, d, "supplier")
+        val n = Tables.load(s, d, "nation")
+        val r = Tables.load(s, d, "region").filter(col("r_name") === "ASIA")
+        c.join(o, col("c_custkey") === col("o_custkey"))
+          .join(l, col("o_orderkey") === col("l_orderkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(n, col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(dec(col("l_extendedprice")) *
+              (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA' AND year(o_orderdate) = 1996
+             |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)),
+
     // ---- cube ---------------------------------------------------------------
     ("q21_cube",
       (s: SparkSession, d: String) => {

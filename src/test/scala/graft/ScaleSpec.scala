@@ -201,6 +201,16 @@ class ScaleSpec extends SparkSpec {
       s"q58 scan lost pushdown:\n$scans")
   }
 
+  test("q60 star join: dimensions broadcast, fact side never builds a hash side") {
+    val q60 = SparkEntry.queries("q60_local_supplier_volume")(spark, sf)
+    val plan = planOf(q60)
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(nBroadcast >= 3,
+      s"expected the dimension joins to broadcast, got $nBroadcast in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a dimension join fell back to sort-merge at fixture scale:\n$plan")
+  }
+
   test("dynamic partition overwrite (q59): untouched partitions keep their files") {
     import graft.queries.SourceFormatQueries.withOverwriteMode
     val out = Files.createTempDirectory("graft_dynspec").toString
