@@ -61,19 +61,23 @@ case class CmsEstimate(left: Expression, right: Expression)
 
 object CmsEstimate {
 
-  // 1-entry per-thread deserialization cache, keyed by reference: the
-  // probe fan-out evaluates runs of rows whose sketch cell is the same
-  // backing array. A miss just re-parses — correctness never depends
-  // on a hit. Held through a SoftReference so a long-lived executor
-  // thread doesn't pin the last ~1/eps-sized sketch grid after the
-  // probing query finishes.
+  // 1-entry per-thread deserialization cache: the probe fan-out
+  // evaluates runs of rows against the same sketch bytes. Keyed by
+  // CONTENT (Arrays.equals — O(sketch) but far cheaper than readFrom's
+  // parse + grid allocation), with a reference fast path: binary values
+  // read from UnsafeRows are typically fresh per-row copies, so a
+  // reference-only key would never hit on the common scan shape. A miss
+  // just re-parses — correctness never depends on a hit. Held through a
+  // SoftReference so a long-lived executor thread doesn't pin the last
+  // ~1/eps-sized sketch grid after the probing query finishes.
   private val last =
     new ThreadLocal[java.lang.ref.SoftReference[(Array[Byte], CountMinSketch)]]
 
   def estimate(sk: Array[Byte], item: UTF8String): Long = {
     val cached = Option(last.get()).map(_.get).orNull
     val cms =
-      if (cached != null && (cached._1 eq sk)) cached._2
+      if (cached != null &&
+          ((cached._1 eq sk) || java.util.Arrays.equals(cached._1, sk))) cached._2
       else {
         val parsed = CountMinSketch.readFrom(sk)
         last.set(new java.lang.ref.SoftReference((sk, parsed)))

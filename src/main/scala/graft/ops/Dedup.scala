@@ -82,6 +82,61 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") /
       size(array_distinct(concat(a, b)))
 
+  /** (doc_id, pfx, g): the shared projection under the prefix-blocked
+    * Jaccard family — block key = first `prefixLen` chars, payload =
+    * distinct word n-grams. `maxBucket` caps the PREFIX buckets via
+    * [[capBuckets]]: a boilerplate-heavy corpus ("Terms of Service…"
+    * × 10⁷) concentrates one prefix, and without the cap the block
+    * self-join goes quadratic on that bucket — the same degenerate case
+    * every other blocked join here guards. 0 disables (the exact-oracle
+    * regime, valid when measured prefix multiplicity is bounded — true
+    * of this corpus); production sets a cap and quarantines the hot
+    * prefixes via [[capBucketsWithDropped]]. */
+  private def prefixGrams(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int, prefixLen: Int, maxBucket: Int): DataFrame =
+    capBuckets(
+      docs.select(col(idCol).as("doc_id"),
+        substring(col(textCol), 1, prefixLen).as("pfx"),
+        wordNGrams(words(col(textCol)), n).as("g")),
+      Seq("pfx"), maxBucket)
+
+  /** All prefix-blocked candidate pairs with their word-n-gram Jaccard
+    * (id_a < id_b; no threshold — the caller filters). Candidates come
+    * from an equality self-join on the prefix block key, never a
+    * cartesian; per-bucket work is bounded by `maxBucket`² when set. */
+  def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int = 2, prefixLen: Int = 50,
+                         maxBucket: Int = 0): DataFrame = {
+    val grams = prefixGrams(docs, idCol, textCol, n, prefixLen, maxBucket)
+    val a = grams.select(col("doc_id").as("id_a"), col("pfx"), col("g").as("g_a"))
+    val b = grams.select(col("doc_id").as("id_b"), col("pfx"), col("g").as("g_b"))
+    a.join(b, "pfx").filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("g_a"), col("g_b")).as("jaccard"))
+  }
+
+  /** Incremental (delta-vs-base) near-dup check: only NEW docs are
+    * compared against the existing corpus — a BIPARTITE prefix-blocked
+    * join, never base×base. At scale the base side is the materialized
+    * prefix/gram table and the delta is a day's ingest; both sides'
+    * prefix buckets are capped independently, so per-bucket work is
+    * bounded by `maxBucket`² when set. Returns (delta_id, base_id,
+    * jaccard round-6) for pairs with Jaccard ≥ `threshold`. */
+  def incrementalJaccardDups(base: DataFrame, delta: DataFrame,
+                             idCol: String, textCol: String,
+                             n: Int = 2, prefixLen: Int = 50,
+                             threshold: Double = 0.5,
+                             maxBucket: Int = 0): DataFrame = {
+    val b = prefixGrams(base, idCol, textCol, n, prefixLen, maxBucket)
+      .select(col("doc_id").as("base_id"), col("pfx"), col("g").as("g_base"))
+    val d = prefixGrams(delta, idCol, textCol, n, prefixLen, maxBucket)
+      .select(col("doc_id").as("delta_id"), col("pfx"), col("g").as("g_delta"))
+    d.join(b, "pfx")
+      .select(col("delta_id"), col("base_id"),
+        round(jaccard(col("g_delta"), col("g_base")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** k-permutation MinHash signature over a string-array column — the
     * fused custom expression (2 hashes/shingle + k min-updates; see
     * [[graft.functions.MinHashSig]]). Map-side only, no shuffle. */

@@ -109,10 +109,14 @@ object TextAnalysis {
   /** PII patterns, chosen from the Java-regex ∩ RE2 common subset
     * (character classes, bounded repetition — no lookaround, no
     * backrefs) so the redaction is DuckDB-oracle-checkable. Deliberately
-    * conservative shapes: a production scrubber layers more patterns,
-    * but the dataflow — a codegen'd regexp_replace chain in the scan
-    * projection, no UDF, no shuffle — is exactly this. */
-  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    * conservative shapes: a production scrubber layers more patterns
+    * (and would reject out-of-range octets like 999.999.999.999 that
+    * this loose IPv4 shape accepts), but the dataflow — a codegen'd
+    * regexp_replace chain in the scan projection, no UDF, no shuffle —
+    * is exactly this. Email classes are case-insensitive ([A-Za-z]) so
+    * 'User@Example.COM' redacts; RE2 has no (?i), so explicit classes
+    * keep the pattern in the Java ∩ RE2 subset. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhonePattern = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
   val Ipv4Pattern = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
 

@@ -57,18 +57,15 @@ object NorthStarQueries {
              |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
 
     // ---- dedup: word-bigram Jaccard on prefix-blocked pairs ---------------
+    // maxBucket = 0 is the exact-oracle regime (measured prefix
+    // multiplicity on this corpus is bounded); production sets a cap —
+    // Dedup.prefixJaccardPairs threads it to capBuckets, and
+    // DedupSimilaritySpec ("prefix bucket cap") shows bounded candidate
+    // volume on a synthetic boilerplate corpus.
     ("d02_ngram_jaccard",
       (s: SparkSession, d: String) => {
-        val docs = Tables.load(s, d, "documents")
-        val grams = docs.select(
-          col("doc_id"),
-          substring(col("text"), 1, 50).as("pfx"),
-          Dedup.wordNGrams(Dedup.words(col("text")), 2).as("g"))
-        val a = grams.select(col("doc_id").as("id_a"), col("pfx"), col("g").as("g_a"))
-        val b = grams.select(col("doc_id").as("id_b"), col("pfx"), col("g").as("g_b"))
-        a.join(b, "pfx").filter(col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b"),
-            Dedup.jaccard(col("g_a"), col("g_b")).as("jaccard"))
+        Dedup.prefixJaccardPairs(Tables.load(s, d, "documents"),
+            "doc_id", "text", n = 2, prefixLen = 50, maxBucket = 0)
           .orderBy(col("id_a"), col("id_b"))
       },
       Some("""WITH grams AS (
@@ -241,12 +238,23 @@ object NorthStarQueries {
              |WHERE round(list_cosine_similarity(q.v, c.v), 6) >= 0.35
              |ORDER BY query_id, neighbor_id""".stripMargin)),
 
-    // ---- similarity: IVF-probed ANN (recall-gated in ScalaTest) -----------
+    // ---- similarity: IVF-probed ANN (full DuckDB oracle) ------------------
     // trainIters = 0 (seed centroids) is a MEASURED choice, not an
     // omission: on the near-uniform synthetic embeddings k-means balances
     // cells and recall drops (~0.88 trained vs ~0.94 seeds) — asserted in
     // DedupSimilaritySpec ("s02 centroid choice"), which flips if the
     // data ever gains cluster structure.
+    //
+    // Oracled via the d10 playbook: the pipeline is deterministic end to
+    // end (seed centroids = lowest-id vectors, 6-dp-rounded argmax
+    // assignment with lowest-cell-id tie-break, top-nProbe probe cells
+    // per query with the same tie-break, rank with neighbor-id
+    // tie-break), so the SQL re-runs the IVF algorithm ITSELF — not a
+    // brute-force stand-in, so ANN recall < 1 cannot break the match.
+    // Spark's cleanVectors (NaN self-cosine) maps to
+    // list_inner_product(v,v) > 0: DuckDB's list_cosine_similarity
+    // returns -1, not NaN, on zero vectors, so an isnan() mirror would
+    // silently diverge on degenerate rows.
     ("s02_ann_ivf",
       (s: SparkSession, d: String) => {
         val emb = Tables.load(s, d, "embeddings")
@@ -256,7 +264,32 @@ object NorthStarQueries {
             k = 5, nCells = 16, nProbe = 4)
           .orderBy(col("query_id"), col("rank"))
       },
-      None),
+      Some("""WITH e AS (SELECT vec_id, v FROM
+             |        (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+             |      WHERE len(v) > 0 AND list_inner_product(v, v) > 0),
+             |c AS (SELECT vec_id AS cell_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+             |a AS (SELECT vec_id, cell_id FROM (
+             |        SELECT e.vec_id, c.cell_id,
+             |          row_number() OVER (PARTITION BY e.vec_id
+             |            ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell_id) AS rn
+             |        FROM e CROSS JOIN c)
+             |      WHERE rn = 1),
+             |p AS (SELECT query_id, cell_id FROM (
+             |        SELECT q.vec_id AS query_id, c.cell_id,
+             |          row_number() OVER (PARTITION BY q.vec_id
+             |            ORDER BY round(list_cosine_similarity(q.v, c.cv), 6) DESC, c.cell_id) AS rn
+             |        FROM e q CROSS JOIN c WHERE q.vec_id < 10)
+             |      WHERE rn <= 4)
+             |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+             |  SELECT p.query_id, a.vec_id AS neighbor_id,
+             |    round(list_cosine_similarity(q.v, n.v), 6) AS cos_sim,
+             |    row_number() OVER (PARTITION BY p.query_id
+             |      ORDER BY round(list_cosine_similarity(q.v, n.v), 6) DESC, a.vec_id) AS rank
+             |  FROM p JOIN a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
+             |  JOIN e q ON q.vec_id = p.query_id
+             |  JOIN e n ON n.vec_id = a.vec_id)
+             |WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)),
 
     // ---- similarity: int8-quantized scan + exact rescore ------------------
     // 4× smaller candidate vectors; rescore=32 ≫ k makes the output

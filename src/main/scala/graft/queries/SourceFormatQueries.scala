@@ -105,6 +105,13 @@ object SourceFormatQueries {
     // text source, re-parse with a bounded split (limit 3 keeps any
     // tabs inside the payload intact) — the oracle on the original
     // parquet certifies lossless line encoding.
+    // Fixture invariant (line formats, not this query): text contains
+    // no \n/\r (the text source would split one record into several
+    // rows) and lang is non-null (concat_ws skips nulls, shifting field
+    // positions) — both hold for the generated corpus at every sf, and
+    // the oracle's aggregate equality is what would catch a violation.
+    // A corpus without that guarantee must escape newlines (or use
+    // q42's JSONL sink, which escapes by construction).
     ("q54_text_roundtrip",
       (s: SparkSession, d: String) => {
         val out = java.nio.file.Files.createTempDirectory("graft_text").toString

@@ -422,6 +422,15 @@ object StreamMediaQueries {
     // SQL-expressible — so the full query stays oracle-checked while
     // the pixel path stays real. Pairing over these hashes reuses the
     // d04 pigeonhole banding.
+    //
+    // The oracle hashes OCTETS, exactly like byteAHash: to_hex(encode(
+    // text)) and a strpos('123456789ABCDEF', …) hex-digit decode give
+    // byte j's unsigned value (the 0-less digit string makes strpos
+    // return the value directly, 0 for '0'), so non-ASCII text (real
+    // zh fixtures) hashes identically on both sides — a per-CHARACTER
+    // ascii() twin would silently diverge there. Empty payloads take
+    // the LEFT-JOIN/coalesce path: 0 > 0 is false in every block,
+    // matching byteAHash's all-zero hash.
     ("m06_media_phash",
       (s: SparkSession, d: String) => {
         import s.implicits._
@@ -431,19 +440,22 @@ object StreamMediaQueries {
           .toDF()
           .orderBy(col("media_id"))
       },
-      Some("""WITH d AS (SELECT doc_id, text, length(text) AS n
+      Some("""WITH d AS (SELECT doc_id, to_hex(encode(text)) AS h,
+             |             octet_length(encode(text)) AS n
              |           FROM documents WHERE doc_id % 3 = 0),
              |x AS (SELECT doc_id, ((j-1)*64)//n AS blk,
-             |        ascii(substr(text, CAST(j AS INT), 1)) AS b
+             |        strpos('123456789ABCDEF', substr(h, CAST(2*j-1 AS INT), 1)) * 16
+             |        + strpos('123456789ABCDEF', substr(h, CAST(2*j AS INT), 1)) AS b
              |      FROM d, unnest(range(1, n+1)) AS u(j)),
              |g AS (SELECT doc_id, avg(CAST(b AS DOUBLE)) AS gmean FROM x GROUP BY 1),
              |bm AS (SELECT doc_id, blk, avg(CAST(b AS DOUBLE)) AS m FROM x GROUP BY 1, 2),
              |grid AS (SELECT d.doc_id, u.blk FROM d, unnest(range(0, 64)) AS u(blk)),
              |bits AS (SELECT grid.doc_id, grid.blk,
-             |           CASE WHEN coalesce(bm.m, 0.0) > g.gmean THEN '1' ELSE '0' END AS bit
+             |           CASE WHEN coalesce(bm.m, 0.0) > coalesce(g.gmean, 0.0)
+             |                THEN '1' ELSE '0' END AS bit
              |         FROM grid
              |         LEFT JOIN bm ON bm.doc_id = grid.doc_id AND bm.blk = grid.blk
-             |         JOIN g ON g.doc_id = grid.doc_id)
+             |         LEFT JOIN g ON g.doc_id = grid.doc_id)
              |SELECT doc_id AS media_id, string_agg(bit, '' ORDER BY blk) AS phash
              |FROM bits GROUP BY doc_id ORDER BY media_id""".stripMargin)),
   )

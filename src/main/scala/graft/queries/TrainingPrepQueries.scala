@@ -201,20 +201,17 @@ object TrainingPrepQueries {
     // the existing base — a bipartite prefix-blocked join, never
     // base×base. At scale the base side is the materialized
     // shingle/signature table and the delta is a day's ingest.
+    // maxBucket = 0 is the exact-oracle regime; production caps both
+    // sides' prefix buckets (see Dedup.incrementalJaccardDups and the
+    // DedupSimilaritySpec boilerplate-corpus test).
     ("d08_incremental_dedup",
       (s: SparkSession, d: String) => {
         val docs = Tables.load(s, d, "documents")
-        val grams = docs.select(col("doc_id"),
-          substring(col("text"), 1, 50).as("pfx"),
-          Dedup.wordNGrams(Dedup.words(col("text")), 2).as("g"))
-        val base = grams.filter(col("doc_id") < 400)
-          .select(col("doc_id").as("base_id"), col("pfx"), col("g").as("g_base"))
-        val delta = grams.filter(col("doc_id") >= 400)
-          .select(col("doc_id").as("delta_id"), col("pfx"), col("g").as("g_delta"))
-        delta.join(base, "pfx")
-          .select(col("delta_id"), col("base_id"),
-            round(Dedup.jaccard(col("g_delta"), col("g_base")), 6).as("jaccard"))
-          .filter(col("jaccard") >= 0.5)
+        Dedup.incrementalJaccardDups(
+            base = docs.filter(col("doc_id") < 400),
+            delta = docs.filter(col("doc_id") >= 400),
+            "doc_id", "text", n = 2, prefixLen = 50,
+            threshold = 0.5, maxBucket = 0)
           .orderBy(col("delta_id"), col("base_id"))
       },
       Some("""WITH grams AS (
@@ -368,13 +365,13 @@ object TrainingPrepQueries {
              |  FROM documents)
              |SELECT doc_id,
              |  CAST(len(regexp_extract_all(pii,
-             |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
              |  CAST(len(regexp_extract_all(pii,
              |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
              |  CAST(len(regexp_extract_all(pii,
              |    '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS INT) AS n_ips,
              |  regexp_replace(regexp_replace(regexp_replace(pii,
-             |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
              |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS redacted
              |FROM p ORDER BY doc_id""".stripMargin)),

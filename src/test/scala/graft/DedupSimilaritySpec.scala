@@ -119,6 +119,39 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(all.count() == 20 && none.count() == 0)
   }
 
+  test("prefix bucket cap bounds candidate volume on a boilerplate corpus") {
+    import spark.implicits._
+    // The d02/d08 degenerate case: boilerplate-heavy corpora ("Terms of
+    // Service…" × many) concentrate one 50-char prefix, and the
+    // uncapped block self-join goes quadratic on that bucket. 200
+    // boilerplate docs + 50 unique-prefix near-dup pairs.
+    val boiler = "terms of service please read these terms carefully before using"
+    val corpus = (
+      (0 until 200).map(i => (i.toLong, s"$boiler unique tail number $i")) ++
+      (0 until 50).flatMap { p =>
+        val pfx = s"distinct document prefix $p padded out to exceed fifty chars"
+        Seq((1000L + 2 * p, s"$pfx shared body"), (1001L + 2 * p, s"$pfx shared body too"))
+      }).toDF("doc_id", "text")
+    // uncapped: the boilerplate bucket alone contributes 200·199/2 pairs
+    val uncapped = Dedup.prefixJaccardPairs(corpus, "doc_id", "text",
+      n = 2, prefixLen = 50, maxBucket = 0).count()
+    assert(uncapped >= 19900L + 50, s"expected quadratic blowup, got $uncapped")
+    // capped: the oversized boilerplate bucket drops, the 50 bounded
+    // two-doc buckets survive intact — work is bounded at cap² per bucket
+    val capped = Dedup.prefixJaccardPairs(corpus, "doc_id", "text",
+      n = 2, prefixLen = 50, maxBucket = 10).count()
+    assert(capped == 50L, s"capped candidate volume should be the 50 bounded pairs, got $capped")
+    // bipartite (d08 shape): same guard on both sides of delta-vs-base
+    val base = corpus.filter(col("doc_id") < 100 || col("doc_id") >= 1000)
+    val delta = corpus.filter(col("doc_id") >= 100 && col("doc_id") < 1000)
+    val cappedInc = Dedup.incrementalJaccardDups(base, delta, "doc_id", "text",
+      n = 2, prefixLen = 50, threshold = 0.0, maxBucket = 10).count()
+    assert(cappedInc == 0L, s"boilerplate bucket must be capped on both sides, got $cappedInc")
+    val uncappedInc = Dedup.incrementalJaccardDups(base, delta, "doc_id", "text",
+      n = 2, prefixLen = 50, threshold = 0.0, maxBucket = 0).count()
+    assert(uncappedInc == 10000L, s"uncapped bipartite volume is 100·100, got $uncappedInc")
+  }
+
   test("minhash candidates: no self pairs, id_a < id_b, deterministic") {
     val grams = docs.select(col("doc_id").as("did"),
       array_distinct(Dedup.wordNGrams(Dedup.words(col("text")), 3)).as("g"))
