@@ -102,6 +102,12 @@ object Bench {
     // capture truncates the line (round 2 lost the tail), the total,
     // failure list, and sf survive — only per-query detail is at risk
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","failed":$failed,"queries":$qs}""")
+    // …and AGAIN as a short trailer line: rounds 3-5 showed the driver's
+    // capture keeps the TAIL, so the leading headline (and the first ~30
+    // queries) vanished with it. A headline at both ends survives either
+    // truncation direction; parsers that json.loads the last line get a
+    // complete record here.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","failed":$failed,"n_queries":${results.size}}""")
     spark.stop()
   }
 }

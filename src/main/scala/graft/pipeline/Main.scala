@@ -11,13 +11,19 @@ import org.apache.spark.sql.SparkSession
   * path it wrote; failure = exception = chain stops, exactly the
   * ALL_SUCCESS trigger-rule semantics.
   *
-  * Usage: `runMain graft.pipeline.Main <dataDir> [nRows]`
+  * Usage: `runMain graft.pipeline.Main <dataDir> [nRows] [--distributed]`
   * (offline [[SampleFetcher]]; swap an HTTP fetcher in production).
+  * `--distributed` routes ingest through [[Ingest.ingestDistributed]] —
+  * the executor page fan-out that the 100 TB deployment uses (the
+  * default driver loop is reference-parity) — so the scale path stays
+  * exercised end-to-end through silver and gold, not only in specs.
   */
 object Main {
   def main(args: Array[String]): Unit = {
-    val dataDir = args.headOption.getOrElse("/tmp/graft_medallion")
-    val nRows = args.lift(1).map(_.toInt).getOrElse(450)
+    val distributed = args.contains("--distributed")
+    val positional = args.filterNot(_.startsWith("--"))
+    val dataDir = positional.headOption.getOrElse("/tmp/graft_medallion")
+    val nRows = positional.lift(1).map(_.toInt).getOrElse(450)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -29,8 +35,12 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
     try {
       val now = Instant.now()
-      val bronze = Ingest.ingest(spark, new SampleFetcher(nRows), s"$dataDir/bronze", now)
-      println(s"[bronze] $bronze")
+      val fetcher = new SampleFetcher(nRows)
+      val bronze =
+        if (distributed)
+          Ingest.ingestDistributed(spark, fetcher, s"$dataDir/bronze", now)
+        else Ingest.ingest(spark, fetcher, s"$dataDir/bronze", now)
+      println(s"[bronze] $bronze${if (distributed) " (distributed)" else ""}")
       val silver = Silver.run(spark, s"$dataDir/bronze", s"$dataDir/silver", now)
       println(s"[silver] $silver")
       val gold = Gold.run(spark, s"$dataDir/silver", s"$dataDir/gold", now)

@@ -220,14 +220,25 @@ object EventStream {
     * (`flatMapGroupsWithState`): carries the open session AND a running
     * session counter across micro-batches (so emitted session_ids stay
     * unique per user), emits closed sessions, times out idle state. The
-    * within-batch split logic is shared with [[sessionize]]. */
-  def sessionizeStream(events: Dataset[Event]): Dataset[Session] = {
+    * within-batch split logic is shared with [[sessionize]].
+    *
+    * `timeout = false` disables the idle-state timeout — for one-shot
+    * AvailableNow drains where sentinel flush events close open
+    * sessions instead (st12): a pending processing-time timeout keeps
+    * the one-shot query from settling (it would wait out the idle
+    * window in WALL-CLOCK time), and firing it would emit the sentinel
+    * sessions the drain relies on never emitting. Continuous
+    * deployments keep the default: idle users flush after 30 min. */
+  def sessionizeStream(events: Dataset[Event],
+                       timeout: Boolean = true): Dataset[Session] = {
     import events.sparkSession.implicits._
     def renumber(base: Int, ss: Seq[Session]): Seq[Session] =
       ss.zipWithIndex.map { case (s, i) => s.copy(session_id = base + i) }
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append,
+        if (timeout) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout) {
         (uid: Long, evs: Iterator[Event], state: GroupState[SessionState]) =>
           val st = state.getOption.getOrElse(SessionState(1, Nil))
           if (state.hasTimedOut) {
@@ -248,7 +259,8 @@ object EventStream {
               val closed = renumber(st.nextId, sessions.init)
               state.update(SessionState(st.nextId + closed.size,
                 all.filter(_.ts / 1000 >= lastStart)))
-              state.setTimeoutDuration("30 minutes")
+              // setting a duration under NoTimeout throws — guard it
+              if (timeout) state.setTimeoutDuration("30 minutes")
               closed.iterator
             }
           }

@@ -112,4 +112,26 @@ class PipelineSpec extends SparkSpec {
     assert(dist.count() == 450)
     assert(dist.exceptAll(classic).isEmpty && classic.exceptAll(dist).isEmpty)
   }
+
+  test("distributed ingest drives the FULL chain: silver + gold over executor-fanned bronze") {
+    // Main's --distributed path end to end (the 100 TB ingest shape must
+    // not bit-rot behind the ingest-level parity check): bronze via
+    // executor fan-out, then the same silver/gold stages the driver-loop
+    // chain runs, landing on identical gold aggregates.
+    val root2 = java.nio.file.Files.createTempDirectory("graft_dist_e2e").toString
+    val t = Instant.parse("2026-08-12T15:00:00Z")
+    Ingest.ingestDistributed(spark, new SampleFetcher(450), s"$root2/bronze", t)
+    Silver.run(spark, s"$root2/bronze", s"$root2/silver", t)
+    val goldRun = Gold.run(spark, s"$root2/silver", s"$root2/gold", t)
+    val gold = spark.read.parquet(goldRun)
+    // reference chain: same fetcher through the driver-loop ingest
+    val rootC = java.nio.file.Files.createTempDirectory("graft_dist_ref").toString
+    Ingest.ingest(spark, new SampleFetcher(450), s"$rootC/bronze", t)
+    Silver.run(spark, s"$rootC/bronze", s"$rootC/silver", t)
+    val refGold = spark.read.parquet(
+      Gold.run(spark, s"$rootC/silver", s"$rootC/gold", t))
+    assert(gold.agg(sum("brewery_count")).head.getLong(0) == 450L)
+    // same aggregate content as the driver-loop pipeline's gold
+    assert(gold.exceptAll(refGold).isEmpty && refGold.exceptAll(gold).isEmpty)
+  }
 }

@@ -211,6 +211,43 @@ class ScaleSpec extends SparkSpec {
       s"a dimension join fell back to sort-merge at fixture scale:\n$plan")
   }
 
+  test("q28 TPC-H Q3 shape: segment filter pushed to scan, customer broadcast, partial agg") {
+    val q28 = SparkEntry.queries("q28_shipping_priority")(spark, sf)
+    val plan = planOf(q28)
+    // the selective dimension filter must reach the parquet scan, not
+    // sit above a full read
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"c_mktsegment filter not pushed to the customer scan:\n$plan")
+    // filtered customer is broadcast-joined, never sort-merged or crossed
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the filtered customer dimension to broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$plan")
+    // revenue aggregates map-side first: the exchange carries one row
+    // per (orderkey, orderdate) per partition, not the joined fact rows
+    assert(plan.contains("partial_sum"),
+      s"aggregate lost its map-side partial:\n$plan")
+    // top-10 is a TakeOrderedAndProject, not a global sort of every group
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"ORDER BY + LIMIT should plan as top-k, not full sort:\n$plan")
+  }
+
+  test("q04 fact-fact join aggregate keeps map-side partials and clean joins") {
+    val q04 = SparkEntry.queries("q04_join_agg")(spark, sf)
+    val plan = planOf(q04)
+    assert(plan.contains("partial_sum") && plan.contains("partial_count"),
+      s"group-by lost its map-side partial aggregation:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$plan")
+    // both scans project only the join/agg columns (ReadSchema pruned to
+    // ≤ 2 columns each), never the full 16-column tables
+    val readSchemas = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toSeq
+    assert(readSchemas.nonEmpty &&
+      readSchemas.forall(s => s.count(_ == ',') <= 1),
+      s"scan reads more columns than the query needs:\n${readSchemas.mkString("\n")}")
+  }
+
   test("dynamic partition overwrite (q59): untouched partitions keep their files") {
     import graft.queries.SourceFormatQueries.withOverwriteMode
     val out = Files.createTempDirectory("graft_dynspec").toString

@@ -92,6 +92,63 @@ class StreamingSpec extends SparkSpec {
       s"expected pruned store {v1, v2}, got ${versions.mkString(",")}")
   }
 
+  test("dedup store rewrites only touched hash partitions; untouched carry forward") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_store_part").toString
+    // batch 0: 200 distinct texts (touches ~all 16 buckets); batch 1: a
+    // single duplicate doc (touches exactly ONE bucket) — the incremental
+    // shape where partitioned merge pays off
+    val big = (0 until 200).map(i => (i.toLong, s"text body number $i"))
+      .toDF("doc_id", "text")
+    val soloText = "text body number 7" // dup → batch 1 genuinely merges
+    big.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+    Seq((1000L, soloText)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    // deterministic micro-batch order: FileStreamSource sorts by mtime
+    val parts = new java.io.File(s"$tmp/in").listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.length()).reverse
+    assert(parts.length == 2)
+    val now = System.currentTimeMillis()
+    parts(0).setLastModified(now - 60000) // big file first
+    parts(1).setLastModified(now)
+    val stream = spark.readStream.schema(big.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in/part-*")
+    val store = graft.streaming.DedupStore.run(
+      spark, stream, s"$tmp/store", s"$tmp/ckpt")
+    val got = store.collect()
+      .map(r => (r.getAs[String]("text"), r.getAs[Long]("keep_id"),
+        r.getAs[Long]("n_copies"))).toSet
+    assert(got.size == 200 && got(("text body number 7", 7L, 2L)))
+    val soloBucket = spark.range(1)
+      .select(pmod(xxhash64(lit(soloText)), lit(16L)).cast("int"))
+      .head.getInt(0)
+    val v0 = new java.io.File(s"$tmp/store/v0")
+    val v1 = new java.io.File(s"$tmp/store/v1")
+    assert(v0.isDirectory && v1.isDirectory)
+    def fileKeys(dir: java.io.File): Map[String, Any] =
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith(".") &&
+          !f.getName.startsWith("_"))
+        .map(f => f.getName -> java.nio.file.Files.readAttributes(f.toPath,
+          classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey)
+        .toMap
+    val untouched = v0.listFiles().filter(f => f.isDirectory &&
+      f.getName.startsWith("bucket=") && f.getName != s"bucket=$soloBucket")
+    assert(untouched.length >= 10, "batch 0 should populate most buckets")
+    untouched.foreach { b =>
+      val carried = new java.io.File(v1, b.getName)
+      assert(carried.isDirectory, s"${b.getName} must carry into v1")
+      // same file names AND same inodes: hard-linked, not rewritten
+      assert(fileKeys(b) == fileKeys(carried),
+        s"${b.getName}: untouched partition must be link-carried, not rewritten")
+    }
+    // the touched bucket was genuinely rewritten (fresh files, no links)
+    val touchedNew = fileKeys(new java.io.File(v1, s"bucket=$soloBucket"))
+    val touchedOld = fileKeys(new java.io.File(v0, s"bucket=$soloBucket"))
+    assert(touchedNew.nonEmpty)
+    assert(touchedOld.values.toSet.intersect(touchedNew.values.toSet).isEmpty,
+      "touched partition must be rewritten, not linked")
+  }
+
   test("dedup store run() with no committed batch returns the typed empty store") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_store_empty").toString
     val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
