@@ -49,6 +49,9 @@ object Bench {
     // same rule for m04's object-store fixture: the files pre-exist in a
     // real pipeline, so the query times the binaryFile ingest only
     graft.queries.StreamMediaQueries.ensureMediaFiles(spark, sfDir)
+    // …and st12's arrival fixture (the stream pre-exists): the query
+    // times the stateful sessionization drain, not the staging write
+    graft.queries.StreamMediaQueries.ensureSessionStream(spark, sfDir): Unit
     // q55/q57 layouts: write-once/scan-many, same rule as q45
     graft.queries.SourceFormatQueries.ensureShipDateLayout(spark, sfDir): Unit
     graft.queries.SourceFormatQueries.ensureEvolvedLayout(spark, sfDir): Unit

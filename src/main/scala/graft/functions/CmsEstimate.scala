@@ -73,12 +73,18 @@ object CmsEstimate {
   private val last =
     new ThreadLocal[java.lang.ref.SoftReference[(Array[Byte], CountMinSketch)]]
 
+  /** Deserializations performed (test observability: FunctionsSpec
+    * asserts the probe fan-out parses ≪ once per row, i.e. the
+    * content-keyed cache actually hits on UnsafeRow-copied binaries). */
+  private[graft] val parseCount = new java.util.concurrent.atomic.LongAdder
+
   def estimate(sk: Array[Byte], item: UTF8String): Long = {
     val cached = Option(last.get()).map(_.get).orNull
     val cms =
       if (cached != null &&
           ((cached._1 eq sk) || java.util.Arrays.equals(cached._1, sk))) cached._2
       else {
+        parseCount.increment()
         val parsed = CountMinSketch.readFrom(sk)
         last.set(new java.lang.ref.SoftReference((sk, parsed)))
         parsed

@@ -115,6 +115,38 @@ object Dedup {
         jaccard(col("g_a"), col("g_b")).as("jaccard"))
   }
 
+  /** Edit-distance (Levenshtein) near-dup pairs on prefix-blocked
+    * candidates — the fuzzy-dedup family member for SHORT edits that
+    * n-gram Jaccard under-weights (a 1-char typo flips every n-gram it
+    * touches; it flips exactly one unit of edit distance). Returns
+    * (id_a, id_b, edit_dist) for blocked pairs with distance ≤
+    * `maxDist`.
+    *
+    * Scale shape: candidates are the prefix equality join (capped via
+    * `maxBucket`, as [[prefixJaccardPairs]]); each candidate then pays
+    * an O(len·maxDist) THRESHOLDED Levenshtein — the 3-arg built-in
+    * band-limits the DP to the diagonal and early-exits at
+    * `maxDist + 1`, so cost per pair is linear in text length for
+    * small distance budgets, not the O(len²) full matrix. That
+    * per-candidate economy (like d05's int8 prefilter) is the lever
+    * that keeps fuzzy dedup feasible once blocking has done its job. */
+  def editDistanceNearDups(docs: DataFrame, idCol: String, textCol: String,
+                           maxDist: Int, prefixLen: Int = 50,
+                           maxBucket: Int = 0): DataFrame = {
+    val blocked = capBuckets(
+      docs.select(col(idCol).as("doc_id"),
+        substring(col(textCol), 1, prefixLen).as("pfx"), col(textCol).as("t")),
+      Seq("pfx"), maxBucket)
+    val a = blocked.select(col("doc_id").as("id_a"), col("pfx"), col("t").as("t_a"))
+    val b = blocked.select(col("doc_id").as("id_b"), col("pfx"), col("t").as("t_b"))
+    a.join(b, "pfx").filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("t_a"), col("t_b"), maxDist).as("edit_dist"))
+      // the thresholded form returns -1 past the budget — the filter IS
+      // the ≤ maxDist cut
+      .filter(col("edit_dist") >= 0)
+  }
+
   /** Incremental (delta-vs-base) near-dup check: only NEW docs are
     * compared against the existing corpus — a BIPARTITE prefix-blocked
     * join, never base×base. At scale the base side is the materialized

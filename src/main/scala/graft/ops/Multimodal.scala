@@ -279,8 +279,7 @@ object Multimodal {
   /** Perceptual hash per media row (m06): decoded-pixel aHash for
     * decodable images, [[byteAHash]] otherwise — same batched
     * mapPartitions shape as [[extractFeatures]]. Near-dup media pair
-    * generation over these hashes reuses the d04 banding machinery
-    * (4×16-bit pigeonhole bands guarantee hamming ≤ 3 recall). */
+    * generation over these hashes is [[phashNearDupPairs]]. */
   def perceptualHashes(media: Dataset[Media]): Dataset[MediaHash] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { m =>
@@ -290,5 +289,50 @@ object Multimodal {
         else byteAHash(m.payload)
       MediaHash(m.media_id, h)
     })
+  }
+
+  /** Near-dup media pairs over perceptual hashes — the d04 pigeonhole
+    * banding applied to the 64-bit aHash: the hash splits into 4
+    * 16-char bit-bands, any pair within Hamming distance ≤ 3 collides
+    * on at least one band (guaranteed recall, not probabilistic), the
+    * band equality self-join generates candidates, and an exact
+    * Hamming verify ≤ `maxHamming` cuts them. `hashes` is
+    * (media_id, phash) as produced by [[perceptualHashes]]; the
+    * 16-bit band keys keep buckets ~n/2^16 at corpus scale, with
+    * `maxBucket` capping degenerate regions (all-black thumbnails,
+    * empty payloads — the phash analogue of boilerplate). Hamming is
+    * computed word-wise (conv → xor → bit_count, codegen'd), not
+    * per-character. Requires `maxHamming < 4` — past the pigeonhole
+    * guarantee the band join silently loses recall. */
+  def phashNearDupPairs(hashes: DataFrame, maxHamming: Int = 3,
+                        maxBucket: Int = 0): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"4-band pigeonhole guarantees recall only for maxHamming < 4, got $maxHamming")
+    import org.apache.spark.sql.functions._
+    val bandStructs = array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        substring(col("phash"), b * 16 + 1, 16).as("key"))
+    }: _*)
+    val banded = Dedup.capBuckets(
+      hashes.select(col("media_id"), col("phash"),
+        explode(bandStructs).as("bk"))
+        .select(col("media_id"), col("phash"),
+          col("bk.band").as("band"), col("bk.key").as("key")),
+      Seq("band", "key"), maxBucket)
+    val a = banded.select(col("media_id").as("id_a"),
+      col("phash").as("ph_a"), col("band"), col("key"))
+    val b = banded.select(col("media_id").as("id_b"),
+      col("phash").as("ph_b"), col("band"), col("key"))
+    def word(c: org.apache.spark.sql.Column, i: Int) =
+      conv(substring(c, i * 16 + 1, 16), 2, 10).cast("long")
+    val hamming = (0 until 4).map { i =>
+      bit_count(word(col("ph_a"), i).bitwiseXOR(word(col("ph_b"), i)))
+    }.reduce(_ + _).cast("int")
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming.as("hamming"))
+      // filter BEFORE distinct, as d04: survivors pay the dedup shuffle
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

@@ -9,9 +9,12 @@ import graft.ops.{Curation, Dedup, Similarity, TextAnalysis}
 /** North-star operator inventory: dedup family, similarity search, text
   * analysis, JSON extraction, rollup (builder prompt; SURVEY.md §0/§7.2
   * step 5). Naming: d* dedup, s* similarity, t* text, q19+ extra
-  * relational. Oracle-expressible queries carry DuckDB SQL; MinHash /
-  * SimHash / IVF are hash-seed-dependent and covered by ScalaTest
-  * invariants instead (driver records rows-only).
+  * relational. Every deterministic pipeline carries a DuckDB oracle —
+  * including MinHash d03 (deterministic-recall regime) and the IVF
+  * queries d05/s02 (the SQL re-runs the IVF algorithm itself). Only
+  * SimHash d04 stays spec-gated: its fingerprint is xxhash64-seeded
+  * per token, which DuckDB cannot mirror, so the spec asserts the
+  * pigeonhole-exactness contract instead (driver records rows-only).
   */
 object NorthStarQueries {
 
@@ -78,6 +81,27 @@ object NorthStarQueries {
              |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
              |    / len(list_distinct(a.g || b.g)) AS jaccard
              |FROM grams a JOIN grams b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- dedup: edit-distance (Levenshtein) near-dups ---------------------
+    // The fuzzy-dedup family member n-gram Jaccard under-weights: short
+    // edits. Same prefix blocking (and maxBucket guard) as d02; each
+    // candidate pays a THRESHOLDED Levenshtein (diagonal-banded DP,
+    // early exit past the budget — see Dedup.editDistanceNearDups).
+    // Both engines implement standard Levenshtein, so the pair set AND
+    // the distances hash-match exactly.
+    ("d11_edit_distance_dedup",
+      (s: SparkSession, d: String) => {
+        Dedup.editDistanceNearDups(Tables.load(s, d, "documents"),
+            "doc_id", "text", maxDist = 5, prefixLen = 50, maxBucket = 0)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH b AS (SELECT doc_id, substr(text, 1, 50) AS pfx, text
+             |           FROM documents)
+             |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+             |  CAST(levenshtein(a.text, c.text) AS INT) AS edit_dist
+             |FROM b a JOIN b c ON a.pfx = c.pfx AND a.doc_id < c.doc_id
+             |WHERE levenshtein(a.text, c.text) <= 5
              |ORDER BY id_a, id_b""".stripMargin)),
 
     // ---- dedup: MinHash + LSH banding ------------------------------------

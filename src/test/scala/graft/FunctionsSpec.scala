@@ -121,6 +121,30 @@ class FunctionsSpec extends SparkSpec {
     assert(est == 3L) // tiny sketch, no collisions: exact
   }
 
+  test("cms_estimate per-thread cache hits across the probe fan-out") {
+    graft.functions.GraftFunctions.register(spark)
+    // q56's shape: ONE sketch fanned out against many probe rows. Binary
+    // values from UnsafeRows are fresh per-row copies, so a reference-
+    // keyed cache would re-parse per row — the content (Arrays.equals)
+    // key must hold parses to ~one per (thread, sketch), not per row.
+    graft.functions.CmsEstimate.parseCount.reset()
+    val probes = 500
+    // CROSS JOIN (not a scalar subquery, which folds to a literal and
+    // would share one array reference): the sketch arrives as a per-row
+    // binary column read, the shape the content key exists for
+    val est = spark.sql(
+      s"""WITH sk AS (SELECT count_min_sketch(CAST(v AS STRING), 0.001d, 0.99d, 42) AS s
+         |            FROM range(1000) AS t(v))
+         |SELECT cms_estimate(s, CAST(id % 100 AS STRING)) AS e
+         |FROM sk CROSS JOIN range($probes)""".stripMargin)
+      .collect().map(_.getLong(0))
+    assert(est.forall(_ >= 1L)) // every probed value exists once
+    val parses = graft.functions.CmsEstimate.parseCount.sum()
+    assert(parses > 0, "fan-out must deserialize at least once")
+    assert(parses <= 32,
+      s"cache never hits: $parses parses for $probes probe rows")
+  }
+
   test("bloom SQL pair: scalar-subquery filter probes with no false negatives") {
     graft.functions.GraftFunctions.register(spark)
     // every member key must probe true (bloom has no false negatives)

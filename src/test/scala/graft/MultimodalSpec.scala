@@ -158,4 +158,49 @@ class MultimodalSpec extends SparkSpec {
     val out = Multimodal.perceptualHashes(m).collect()
     assert(out.head.phash == Multimodal.byteAHash("not an image".getBytes))
   }
+
+  test("phash banding pairs near-identical media and is EXACT for hamming ≤ 3") {
+    import spark.implicits._
+    def flip(h: String, idx: Int*): String = {
+      val a = h.toCharArray
+      idx.foreach(i => a(i) = if (a(i) == '0') '1' else '0')
+      new String(a)
+    }
+    val base = ("01" * 32)
+    // crafted hashes: ham(1,2)=2, ham(1,3)=3 with flips SPREAD over 3
+    // different bands (the adversarial pigeonhole case — only one band
+    // left equal), ham(1,4)=20 (distant), 5 = exact dup of 1
+    val hashes = Seq(
+      1L -> base,
+      2L -> flip(base, 0, 63),
+      3L -> flip(base, 5, 20, 40),
+      4L -> flip(base, 0 until 20: _*),
+      5L -> base).toDF("media_id", "phash")
+    val pairs = Multimodal.phashNearDupPairs(hashes, maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    // exact-recall contract: EVERY ham ≤ 3 pair, nothing else
+    // (ham(2,3) = 5 — their flip sets barely overlap — so it must NOT pair)
+    assert(pairs.keySet == Set((1L, 2L), (1L, 3L), (1L, 5L), (2L, 5L), (3L, 5L)),
+      s"got ${pairs.keySet}")
+    assert(pairs((1L, 2L)) == 2 && pairs((1L, 3L)) == 3 && pairs((1L, 5L)) == 0)
+    // real pixels: a PNG and a byte-distinct twin (trailing byte — PNG
+    // decoders stop at IEND) hash identically: pixel aHash sees pixels,
+    // not bytes — the pair m05's content hash structurally misses
+    val png = pngBytes(64, 32)
+    val trailingByte = png ++ Array[Byte](0)
+    assert(Multimodal.ImageCodec.decode(trailingByte).isDefined,
+      "trailing-byte PNG must still decode")
+    val media = Seq(
+      Multimodal.Media(10L, "image", png, 64, 32, 0, 0L),
+      Multimodal.Media(11L, "image", trailingByte, 64, 32, 0, 0L)).toDS()
+    val found = Multimodal.phashNearDupPairs(
+        Multimodal.perceptualHashes(media).toDF(), maxHamming = 3)
+      .collect()
+    assert(found.length == 1 && found.head.getInt(2) == 0,
+      s"re-encoded image must pair at hamming 0: ${found.mkString(",")}")
+    // bucket cap drops a degenerate bucket (e.g. all-black thumbnails)
+    val degenerate = (0 until 50).map(i => (100L + i) -> ("0" * 64)).toDF("media_id", "phash")
+    assert(Multimodal.phashNearDupPairs(degenerate, 3, maxBucket = 10).count() == 0L)
+    assert(Multimodal.phashNearDupPairs(degenerate, 3).count() == 50L * 49 / 2)
+  }
 }
