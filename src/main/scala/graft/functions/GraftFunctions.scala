@@ -64,7 +64,11 @@ object GraftFunctions {
     "bloom_might_contain" -> (es => BloomFilterMightContain(es(0),
       new XxHash64(Seq(es(1))))),
     // read side of Spark's built-in count_min_sketch aggregate
-    "cms_estimate" -> (es => CmsEstimate(es(0), es(1))))
+    "cms_estimate" -> (es => CmsEstimate(es(0), es(1))),
+    // theta-style KMV distinct sketch: build + read sides (q61)
+    "kmv_sketch" -> (es => KmvSketchAgg(es(0), intArg(es(1), "kmv_sketch"))),
+    "kmv_estimate" -> (es => KmvEstimate(es(0))),
+    "kmv_intersect" -> (es => KmvIntersect(es(0), es(1))))
 
   /** Register into an existing session (temp functions). */
   def register(spark: SparkSession): Unit =

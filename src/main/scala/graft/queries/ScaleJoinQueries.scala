@@ -223,6 +223,49 @@ object ScaleJoinQueries {
       },
       None),
 
+    // ---- KMV theta sketch: cross-shard distinct-set intersection ----------
+    // The SET-OPERATION member of the mergeable sketch family — the
+    // question HLL can't answer: how many distinct users do two event
+    // types SHARE, from sketches built independently per type (at
+    // 100 TB: per shard/day, materialized once, intersected without
+    // ever re-joining raw events). Build = kmv_sketch aggregate (k
+    // smallest distinct xxhash64 values, order-independent merge);
+    // read = kmv_estimate / kmv_intersect custom expressions. k=16384
+    // ≥ 10× the distinct-user count at bench scale, so the sketch is
+    // never trimmed and both estimates are EXACT — which is what lets
+    // this sketch query carry a full DuckDB COUNT(DISTINCT) oracle
+    // (the q47/q50 exact-regime playbook); the approximate regime is
+    // error-gated in ExpressionEdgeSpec.
+    ("q61_sketch_intersect",
+      (s: SparkSession, d: String) => {
+        val sk = Tables.load(s, d, "events")
+          .groupBy(col("event_type"))
+          .agg(graft.functions.KmvSketch.kmvSketch(
+            col("user_id").cast("string"), 16384).as("sk"))
+        val a = sk.select(col("event_type").as("type_a"), col("sk").as("sk_a"))
+        val b = sk.select(col("event_type").as("type_b"), col("sk").as("sk_b"))
+        a.crossJoin(b).filter(col("type_a") < col("type_b"))
+          .select(col("type_a"), col("type_b"),
+            graft.functions.KmvSketch.kmvEstimate(col("sk_a")).as("n_a"),
+            graft.functions.KmvSketch.kmvEstimate(col("sk_b")).as("n_b"),
+            graft.functions.KmvSketch.kmvIntersect(
+              col("sk_a"), col("sk_b")).as("n_common"))
+          .orderBy(col("type_a"), col("type_b"))
+      },
+      Some("""WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+             |c AS (SELECT event_type, COUNT(*) AS n FROM tu GROUP BY 1),
+             |p AS (SELECT t1.event_type AS type_a, t2.event_type AS type_b,
+             |        COUNT(*) AS n_common
+             |      FROM tu t1 JOIN tu t2
+             |        ON t1.user_id = t2.user_id AND t1.event_type < t2.event_type
+             |      GROUP BY 1, 2)
+             |SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+             |  ca.n AS n_a, cb.n AS n_b,
+             |  CAST(coalesce(p.n_common, 0) AS BIGINT) AS n_common
+             |FROM c ca JOIN c cb ON ca.event_type < cb.event_type
+             |LEFT JOIN p ON p.type_a = ca.event_type AND p.type_b = cb.event_type
+             |ORDER BY type_a, type_b""".stripMargin)),
+
     // ---- bloom-filter join pruning (sketch-prefiltered verify join) -------
     // The 100 TB decontamination shape: the corpus's exploded 5-grams
     // are pruned by a bloom filter built over the eval set's grams

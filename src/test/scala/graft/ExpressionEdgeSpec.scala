@@ -265,4 +265,64 @@ class ExpressionEdgeSpec extends SparkSpec {
       assert(est.keys.count(_._2 == "zzz_absent") == n.size)
     } finally { terms.unpersist(); () }
   }
+
+  test("KmvSketch exact regime: untrimmed sketches give exact distinct + intersection") {
+    import spark.implicits._
+    import graft.functions.KmvSketch
+    // two overlapping value sets, k well above both cardinalities
+    val df = ((0 until 300).map(i => ("a", s"u$i")) ++
+      (200 until 600).map(i => ("b", s"u$i"))).toDF("g", "v")
+    val sk = df.groupBy($"g").agg(KmvSketch.kmvSketch($"v", 1024).as("sk"))
+    val row = sk.select($"g", KmvSketch.kmvEstimate($"sk").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(row == Map("a" -> 300L, "b" -> 400L))
+    val a = sk.filter($"g" === "a").select($"sk".as("sk_a"))
+    val b = sk.filter($"g" === "b").select($"sk".as("sk_b"))
+    val common = a.crossJoin(b)
+      .select(KmvSketch.kmvIntersect($"sk_a", $"sk_b")).head.getLong(0)
+    assert(common == 100L) // u200..u299
+    // merge-topology independence: the sketch is a pure function of the
+    // value SET — byte-identical under any partitioning
+    def bytesOf(parts: Int): Seq[Array[Byte]] =
+      df.repartition(parts).groupBy($"g").agg(KmvSketch.kmvSketch($"v", 1024).as("sk"))
+        .orderBy($"g").collect().map(_.getAs[Array[Byte]]("sk")).toSeq
+    val Seq(x1, x2) = bytesOf(1)
+    val Seq(y1, y2) = bytesOf(13)
+    assert(java.util.Arrays.equals(x1, y1) && java.util.Arrays.equals(x2, y2),
+      "serialized sketch must not depend on merge topology")
+  }
+
+  test("KmvSketch approximate regime: ~1/sqrt(k) error for counts and intersections") {
+    import spark.implicits._
+    import graft.functions.KmvSketch
+    // 20k distinct per side, 10k shared; k = 256 → expect ~6% typical
+    // error, gate at 25% (counts) / 35% (intersection — union-scaled)
+    val df = ((0 until 20000).map(i => ("a", s"x$i")) ++
+      (10000 until 30000).map(i => ("b", s"x$i"))).toDF("g", "v")
+    val sk = df.groupBy($"g").agg(KmvSketch.kmvSketch($"v", 256).as("sk"))
+    val est = sk.select($"g", KmvSketch.kmvEstimate($"sk").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    est.foreach { case (g, n) =>
+      assert(math.abs(n - 20000.0) / 20000.0 <= 0.25, s"$g estimate $n vs 20000")
+    }
+    val a = sk.filter($"g" === "a").select($"sk".as("sk_a"))
+    val b = sk.filter($"g" === "b").select($"sk".as("sk_b"))
+    val common = a.crossJoin(b)
+      .select(KmvSketch.kmvIntersect($"sk_a", $"sk_b")).head.getLong(0)
+    assert(math.abs(common - 10000.0) / 10000.0 <= 0.35,
+      s"intersection estimate $common vs 10000")
+    // state is bounded: a trimmed sketch serializes ≤ k hashes
+    val sizes = sk.select(length($"sk")).collect().map(_.getInt(0))
+    assert(sizes.forall(_ <= 5 + 256 * 8), s"sketch exceeded k longs: ${sizes.toSeq}")
+  }
+
+  test("KmvSketch SQL registration: kmv_sketch/kmv_estimate/kmv_intersect") {
+    graft.functions.GraftFunctions.register(spark)
+    val got = spark.sql(
+      """WITH sk AS (SELECT kmv_sketch(CAST(v AS STRING), 64) AS s
+        |            FROM VALUES ('p'),('q'),('r'),('p') AS t(v))
+        |SELECT kmv_estimate(s), kmv_intersect(s, s) FROM sk""".stripMargin)
+      .head()
+    assert(got.getLong(0) == 3L && got.getLong(1) == 3L)
+  }
 }

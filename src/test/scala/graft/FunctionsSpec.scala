@@ -108,7 +108,7 @@ class FunctionsSpec extends SparkSpec {
       Set("cosine_sim", "cosine_sim_q8", "simhash", "minhash_sig",
         "word_ngrams", "srp_sig", "space_saving_topk", "kll_quantile",
         "quantize_q8", "bloom_filter_agg", "bloom_might_contain",
-        "cms_estimate"))
+        "cms_estimate", "kmv_sketch", "kmv_estimate", "kmv_intersect"))
   }
 
   test("cms_estimate reads Spark's built-in count_min_sketch aggregate") {
