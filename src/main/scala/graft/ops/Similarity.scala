@@ -151,10 +151,18 @@ object Similarity {
   /** k-means (Lloyd) refinement of the seed centroids, as DataFrame ops:
     * assign (broadcast argmax, as [[ivfAssign]]) → recompute means
     * (groupBy cell, per-dimension average via posexplode) → repeat.
-    * Deterministic: seeded from [[centroids]], fixed iteration count,
-    * cosine assignment with id tie-breaks. Empty cells keep their
-    * previous centroid. One broadcast-join pass + one aggregation per
-    * iteration — linear in corpus size, no cartesian. */
+    * Deterministic AND engine-reproducible: seeded from [[centroids]],
+    * fixed iteration count, cosine assignment with id tie-breaks, and
+    * per-dimension means ROUNDED to 6 dp before the float cast — the
+    * same rule every similarity score here follows, so partial-
+    * aggregation summation order (double addition is not associative)
+    * can't leak into the trained codebook, and a SQL oracle computing
+    * round(avg(x), 6) per dimension lands on the identical centroid
+    * (s06). Empty cells keep their previous centroid. One
+    * broadcast-join pass + one aggregation per iteration — linear in
+    * corpus size, no cartesian. Returns a driver-localized frame
+    * (centroids are broadcast-sized by construction): no cache is left
+    * pinned, per the stateless-shipped-path house rule. */
   def kmeansCentroids(corpus: DataFrame, nCells: Int, iters: Int = 3): DataFrame = {
     var cents = centroids(corpus, nCells).cache()
     for (_ <- 1 to iters) {
@@ -162,7 +170,7 @@ object Similarity {
       val means = assigned
         .select(col("cell_id"), posexplode(col("embedding").cast("array<double>")))
         .groupBy(col("cell_id"), col("pos"))
-        .agg(avg(col("col")).as("m"))
+        .agg(round(avg(col("col")), 6).as("m"))
         .groupBy(col("cell_id"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell_id"),
@@ -175,7 +183,14 @@ object Similarity {
       cents.unpersist()
       cents = next
     }
-    cents
+    // localize (nCells rows — the broadcast codebook) and release the
+    // loop cache so shipped callers pin no session state
+    val rows = cents.collect().toSeq
+    val schema = cents.schema
+    val spark = cents.sparkSession
+    cents.unpersist()
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
   }
 
   /** Assign every corpus vector to its nearest centroid: broadcast join +

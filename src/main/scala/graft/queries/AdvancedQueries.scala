@@ -17,6 +17,79 @@ object AdvancedQueries {
 
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
+    // ---- staged funnel: ordered event-sequence conversion -----------------
+    // The product-analytics sequence query: users reaching view →
+    // click → purchase IN EVENT-TIME ORDER (each stage's anchor is the
+    // earliest qualifying event strictly after the previous stage's).
+    // Deterministic: stage anchors are mins, so no row-order
+    // dependence. Scale shape: one filtered aggregate per stage plus
+    // an equi-join on user_id — after the first shuffle every stage
+    // join is co-partitioned on the same key, and each stage's frame
+    // only shrinks (funnels are monotone), so cost is ~one scan plus
+    // K small hash joins, never a per-user sort of full history.
+    ("q62_funnel",
+      (s: SparkSession, d: String) => {
+        val ev = Tables.load(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val t1 = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+        val t2 = ev.filter(col("event_type") === "click").join(t1, "user_id")
+          .filter(col("ts") > col("t1"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+        val t3 = ev.filter(col("event_type") === "purchase").join(t2, "user_id")
+          .filter(col("ts") > col("t2"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+        t1.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
+          .unionAll(t2.agg(count(lit(1)).as("n_users"))
+            .select(lit("2_click").as("stage"), col("n_users")))
+          .unionAll(t3.agg(count(lit(1)).as("n_users"))
+            .select(lit("3_purchase").as("stage"), col("n_users")))
+          .orderBy(col("stage"))
+      },
+      Some("""WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+             |            WHERE event_type = 'view' GROUP BY 1),
+             |t2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+             |       FROM events e JOIN t1 ON e.user_id = t1.user_id
+             |       WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1),
+             |t3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+             |       FROM events e JOIN t2 ON e.user_id = t2.user_id
+             |       WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1)
+             |SELECT stage, n_users FROM (
+             |  SELECT '1_view' AS stage, COUNT(*) AS n_users FROM t1
+             |  UNION ALL SELECT '2_click', COUNT(*) FROM t2
+             |  UNION ALL SELECT '3_purchase', COUNT(*) FROM t3)
+             |ORDER BY stage""".stripMargin)),
+
+    // ---- time-RANGE window frame: rolling 1-hour per-user activity --------
+    // The frame q26's ROWS variety can't express: RANGE BETWEEN a TIME
+    // interval PRECEDING and CURRENT ROW — every event sees the count/
+    // value-sum of its user's trailing hour, peers with equal ts
+    // included on both engines by RANGE semantics (deterministic
+    // without a unique sort key). Spark orders by the raw nanosecond
+    // long with a numeric rangeBetween; DuckDB orders the NANOS
+    // timestamp with INTERVAL 1 HOUR — identical inclusive [ts−1h, ts]
+    // bounds. Decimal sum, cast to double at the end (the house float
+    // rule). At scale this is one shuffle on user_id + a per-partition
+    // sort — the same cost envelope as any windowed scan.
+    ("q63_time_range_window",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+          .rangeBetween(-3600L * 1000 * 1000 * 1000, Window.currentRow)
+        Tables.load(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            count(lit(1)).over(w).as("n_1h"),
+            sum(dec(col("value"))).over(w).cast("double").as("sum_1h"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id,
+             |  COUNT(*) OVER w AS n_1h,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, event_id""".stripMargin)),
+
     // ---- TPC-H Q3 shape: 3-way join + agg + top-k revenue -------------------
     ("q28_shipping_priority",
       (s: SparkSession, d: String) => {

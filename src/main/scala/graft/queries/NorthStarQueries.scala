@@ -315,6 +315,61 @@ object NorthStarQueries {
              |WHERE rank <= 5
              |ORDER BY query_id, rank""".stripMargin)),
 
+    // ---- similarity: k-means (Lloyd) clustering as a query ----------------
+    // The TRAINED-codebook path (s02 ships seed centroids as a measured
+    // choice; this exercises the trainer through the oracle gate):
+    // one Lloyd iteration from the seed centroids, then cluster sizes.
+    // Oracle-able because every step is engine-reproducible — seed
+    // centroids = lowest-id vectors, argmax assignment on 6-dp-rounded
+    // cosine with cell-id tie-break, per-dimension means ROUNDED to
+    // 6 dp before the float cast (kmeansCentroids' rule: summation
+    // order can't leak), empty cells carried via LEFT JOIN/coalesce.
+    // The SQL re-runs the iteration itself with round(avg(v[i]), 6)
+    // per dimension and a CAST(... AS FLOAT) round-trip matching
+    // Spark's float centroid storage.
+    ("s06_kmeans_clusters",
+      (s: SparkSession, d: String) => {
+        import graft.functions.CosineSimilarity.cosineSim
+        val emb = Tables.load(s, d, "embeddings").select("vec_id", "embedding")
+        val clean = emb.filter(size(col("embedding")) > 0 &&
+          !isnan(cosineSim(col("embedding"), col("embedding"))))
+        val cents = Similarity.kmeansCentroids(clean, nCells = 8, iters = 1)
+        Similarity.ivfAssign(clean, cents)
+          .groupBy(col("cell_id"))
+          .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("min_member"))
+          .select(col("cell_id").as("cluster"), col("n_members"), col("min_member"))
+          .orderBy(col("cluster"))
+      },
+      Some("""WITH e AS (SELECT vec_id, v FROM
+             |        (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+             |      WHERE len(v) > 0 AND list_inner_product(v, v) > 0),
+             |c0 AS (SELECT vec_id AS cell_id, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+             |a0 AS (SELECT vec_id, cell_id FROM (
+             |        SELECT e.vec_id, c0.cell_id,
+             |          row_number() OVER (PARTITION BY e.vec_id
+             |            ORDER BY round(list_cosine_similarity(e.v, c0.cv), 6) DESC, c0.cell_id) AS rn
+             |        FROM e CROSS JOIN c0)
+             |      WHERE rn = 1),
+             |x AS (SELECT a0.cell_id, u.i, e.v[CAST(u.i AS INT)] AS xv
+             |      FROM a0 JOIN e USING (vec_id),
+             |           unnest(range(1, len(e.v) + 1)) AS u(i)),
+             |m AS (SELECT cell_id,
+             |        list(CAST(CAST(mx AS FLOAT) AS DOUBLE) ORDER BY i) AS mv
+             |      FROM (SELECT cell_id, i, round(avg(xv), 6) AS mx
+             |            FROM x GROUP BY 1, 2)
+             |      GROUP BY 1),
+             |c1 AS (SELECT c0.cell_id, coalesce(m.mv, c0.cv) AS cv
+             |       FROM c0 LEFT JOIN m USING (cell_id)),
+             |a1 AS (SELECT vec_id, cell_id FROM (
+             |        SELECT e.vec_id, c1.cell_id,
+             |          row_number() OVER (PARTITION BY e.vec_id
+             |            ORDER BY round(list_cosine_similarity(e.v, c1.cv), 6) DESC, c1.cell_id) AS rn
+             |        FROM e CROSS JOIN c1)
+             |      WHERE rn = 1)
+             |SELECT cell_id AS cluster, COUNT(*) AS n_members,
+             |  MIN(vec_id) AS min_member
+             |FROM a1 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- similarity: int8-quantized scan + exact rescore ------------------
     // 4× smaller candidate vectors; rescore=32 ≫ k makes the output
     // equal brute force on this data (verified at every sf), so the
