@@ -248,6 +248,31 @@ class ScaleSpec extends SparkSpec {
       s"scan reads more columns than the query needs:\n${readSchemas.mkString("\n")}")
   }
 
+  test("q62 funnel: stage frames broadcast, partial aggs, no degenerate joins") {
+    val plan = planOf(SparkEntry.queries("q62_funnel")(spark, sf))
+    // each stage joins the events scan against the PREVIOUS stage's
+    // (small, shrinking) user frame — those must broadcast, never
+    // sort-merge or cross
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"stage frames should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$plan")
+    // per-stage min(ts) anchors combine map-side
+    assert(plan.contains("partial_min"), s"stage anchor lost its partial:\n$plan")
+  }
+
+  test("q63 time-RANGE window: a single hash exchange feeds the window") {
+    val plan = planOf(SparkEntry.queries("q63_time_range_window")(spark, sf))
+    assert(plan.contains("Window"), s"no window operator:\n$plan")
+    // one shuffle on user_id for the window; the final ORDER BY adds a
+    // range exchange, never a second hash one. AQE's toString prints
+    // the initial plan after the final one — count the final only.
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan).length
+    assert(hashExchanges == 1,
+      s"expected exactly one hash exchange (the window's), got $hashExchanges:\n$finalPlan")
+  }
+
   test("dynamic partition overwrite (q59): untouched partitions keep their files") {
     import graft.queries.SourceFormatQueries.withOverwriteMode
     val out = Files.createTempDirectory("graft_dynspec").toString
