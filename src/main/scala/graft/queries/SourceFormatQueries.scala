@@ -252,6 +252,55 @@ object SourceFormatQueries {
              |FROM documents
              |WHERE lang = 'en' OR (lang <> 'en' AND doc_id % 2 = 0)
              |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ---- targeted delete (takedown / right-to-be-forgotten) ---------------
+    // The deletion-side counterpart of q59's append-side refresh: purge
+    // a LIST OF ROW IDS from a partitioned table while rewriting only
+    // the partitions that contain them. The takedown list arrives as
+    // bare ids (no partition info — how deletion requests actually
+    // come); a broadcast semi-join derives the affected partitions,
+    // the rewrite scan is pruned to exactly those directories
+    // (partition-column isin), a broadcast anti-join drops the victims,
+    // and dynamic overwrite replaces only the affected partitions —
+    // every other partition's files are untouched (ScaleSpec asserts
+    // file-level survival). At 100 TB this is the plain-parquet form
+    // of DELETE WHERE with file pruning: cost ∝ affected partitions,
+    // not table size. The oracle recomputes the post-delete aggregates
+    // from the original table, certifying the purge dropped exactly
+    // the victims and nothing else.
+    ("q64_targeted_delete",
+      (s: SparkSession, d: String) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_delete").toString
+        val docs = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("text"), col("source"))
+        docs.write.mode("overwrite").partitionBy("source").parquet(out)
+        // the takedown list: bare doc ids (spans 2 of ~20 partitions here,
+        // but the code derives that — it never assumes)
+        val victims = docs
+          .filter(col("source").isin("src3", "src7") && col("doc_id") % 3 === 0)
+          .select(col("doc_id"))
+        val table = s.read.parquet(out)
+        val affected = table.join(broadcast(victims), "doc_id")
+          .select(col("source")).distinct().collect().map(_.getString(0)).toSeq
+        // an empty takedown list touches nothing — skip the rewrite
+        if (affected.nonEmpty) withOverwriteMode(s, "dynamic") {
+          table.filter(col("source").isin(affected: _*))
+            .join(broadcast(victims), Seq("doc_id"), "left_anti")
+            .write.mode("overwrite").partitionBy("source").parquet(out)
+        }
+        s.read.parquet(out)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(octet_length(col("text")).cast("long")).as("total_bytes"),
+            min(col("doc_id")).as("min_id"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, COUNT(*) AS n_docs,
+             |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+             |  MIN(doc_id) AS min_id
+             |FROM documents
+             |WHERE NOT (source IN ('src3', 'src7') AND doc_id % 3 = 0)
+             |GROUP BY source ORDER BY source""".stripMargin)),
   )
 
   /** Run `body` with `spark.sql.sources.partitionOverwriteMode` set to

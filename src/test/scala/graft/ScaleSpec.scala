@@ -248,6 +248,44 @@ class ScaleSpec extends SparkSpec {
       s"scan reads more columns than the query needs:\n${readSchemas.mkString("\n")}")
   }
 
+  test("targeted delete (q64 shape): only victim partitions rewrite; the rest survive") {
+    import graft.queries.SourceFormatQueries.withOverwriteMode
+    val out = Files.createTempDirectory("graft_delspec").toString
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    docs.write.mode("overwrite").partitionBy("source").parquet(out)
+    def filesUnder(src: String): Set[String] = {
+      val dir = new java.io.File(s"$out/source=$src")
+      if (!dir.isDirectory) Set.empty
+      else dir.listFiles.map(_.getName).filter(_.endsWith(".parquet")).toSet
+    }
+    // source assignment interleaves doc_id mod 20, so src1 holds only
+    // ids ≡ 1 (mod 20) — pick victims by a coprime residue
+    val victims = docs.filter(col("source") === "src1" && col("doc_id") % 3 === 0)
+      .select(col("doc_id"))
+    val nVictims = victims.count()
+    assert(nVictims > 0, "fixture should produce victims")
+    val table = spark.read.parquet(out)
+    val affected = table.join(broadcast(victims), "doc_id")
+      .select(col("source")).distinct().collect().map(_.getString(0)).toSeq
+    assert(affected == Seq("src1"), s"victims live in src1 only: $affected")
+    val untouchedBefore = filesUnder("src0")
+    val touchedBefore = filesUnder("src1")
+    assert(untouchedBefore.nonEmpty && touchedBefore.nonEmpty)
+    withOverwriteMode(spark, "dynamic") {
+      table.filter(col("source").isin(affected: _*))
+        .join(broadcast(victims), Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").partitionBy("source").parquet(out)
+    }
+    // unaffected partition: identical files; affected: rewritten
+    assert(filesUnder("src0") == untouchedBefore,
+      "delete touched a partition with no victims")
+    assert(filesUnder("src1") != touchedBefore, "victim partition must rewrite")
+    val after = spark.read.parquet(out)
+    assert(after.count() == docs.count() - nVictims)
+    assert(after.filter(col("source") === "src1" && col("doc_id") % 3 === 0).count() == 0L)
+  }
+
   test("q62 funnel: stage frames broadcast, partial aggs, no degenerate joins") {
     val plan = planOf(SparkEntry.queries("q62_funnel")(spark, sf))
     // each stage joins the events scan against the PREVIOUS stage's
