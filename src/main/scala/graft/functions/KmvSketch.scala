@@ -57,6 +57,12 @@ case class KmvSketchAgg(
   override def dataType: DataType = BinaryType
   override def prettyName: String = "kmv_sketch"
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"kmv_sketch expects a string item (cast explicitly), got " +
+        child.dataType.simpleString)
+
   override def createAggregationBuffer(): KmvSketch.Summary =
     new KmvSketch.Summary(k)
 
