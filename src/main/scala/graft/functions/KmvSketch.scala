@@ -169,14 +169,24 @@ object KmvSketch {
     private[KmvSketch] var trimmed: Boolean = false
 
     def offer(h: Long): Unit = {
+      // saturation fast path: once the sketch holds k values, the
+      // overwhelming majority of further hashes exceed the current
+      // k-th minimum — reject them with ONE comparison and no boxed
+      // insert/remove round-trip (this is the per-row hot path of the
+      // aggregate; h == last is a no-op either way: equal to an
+      // already-kept value)
+      if (values.size >= k &&
+          java.lang.Long.compareUnsigned(h, values.last) >= 0) {
+        if (java.lang.Long.compareUnsigned(h, values.last) > 0) trimmed = true
+        return
+      }
       values.add(h)
       if (values.size > k) { values.remove(values.last); trimmed = true }
       ()
     }
 
     def mergeIn(other: Summary): Unit = {
-      values.addAll(other.values)
-      while (values.size > k) { values.remove(values.last); trimmed = true }
+      other.values.forEach(v => offer(v))
       trimmed |= other.trimmed
     }
 

@@ -283,10 +283,26 @@ object SourceFormatQueries {
         val affected = table.join(broadcast(victims), "doc_id")
           .select(col("source")).distinct().collect().map(_.getString(0)).toSeq
         // an empty takedown list touches nothing — skip the rewrite
-        if (affected.nonEmpty) withOverwriteMode(s, "dynamic") {
-          table.filter(col("source").isin(affected: _*))
+        if (affected.nonEmpty) {
+          val survivors = table.filter(col("source").isin(affected: _*))
             .join(broadcast(victims), Seq("doc_id"), "left_anti")
-            .write.mode("overwrite").partitionBy("source").parquet(out)
+          // dynamic overwrite only replaces partitions PRESENT in the
+          // written data: a partition whose every row is a victim (the
+          // whole-source purge — the most common real takedown) emits
+          // no rows, so its old files would silently survive. Collect
+          // the surviving partitions BEFORE the rewrite (afterwards the
+          // frame's file listing points at replaced files), then delete
+          // fully-purged partition directories explicitly.
+          val survived = survivors.select(col("source")).distinct()
+            .collect().map(_.getString(0)).toSet
+          withOverwriteMode(s, "dynamic") {
+            survivors.write.mode("overwrite").partitionBy("source").parquet(out)
+          }
+          (affected.toSet -- survived).foreach { src =>
+            val dir = new java.io.File(out, s"source=$src")
+            Option(dir.listFiles()).foreach(_.foreach(f => f.delete(): Unit))
+            dir.delete(): Unit
+          }
         }
         s.read.parquet(out)
           .groupBy(col("source"))

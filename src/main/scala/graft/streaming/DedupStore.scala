@@ -106,6 +106,25 @@ object DedupStore {
     versions(storeDir).filter(_._1 < batchId)
       .sortBy(_._1).lastOption.map(_._2.getAbsolutePath)
 
+  /** The store's persisted bucket layout (`_LAYOUT` at the store root):
+    * written on first use, ADOPTED on every later run — a store drained
+    * with nBuckets=16 and reopened with nBuckets=8 would hash the same
+    * text into a DIFFERENT bucket, duplicating its row across buckets
+    * and silently splitting n_copies. The stored layout wins; the
+    * parameter only sizes a fresh store. */
+  private def layoutBuckets(storeDir: String, requested: Int): Int = {
+    val f = new java.io.File(storeDir, "_LAYOUT")
+    if (f.isFile) {
+      new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+    } else {
+      new java.io.File(storeDir).mkdirs()
+      java.nio.file.Files.write(f.toPath,
+        requested.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      requested
+    }
+  }
+
   /** Hard-link `src` into `dst` (same inode — zero data movement, and
     * retention-safe: deleting the source version later leaves the link
     * intact); copy when the filesystem refuses links. */
@@ -136,6 +155,10 @@ object DedupStore {
       val mergeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
         if (!batch.isEmpty) {
           val s = batch.sparkSession
+          // the store's committed layout wins over the parameter (see
+          // layoutBuckets) — re-resolved per batch so a store created
+          // by an earlier run of this query is never re-hashed
+          val buckets = layoutBuckets(storeDir, nBuckets)
           // cached: consumed twice per batch (touched-bucket collect +
           // the merge job), and re-aggregating the batch for each would
           // double the batch-side work; released before the batch ends
@@ -143,8 +166,9 @@ object DedupStore {
             .groupBy(col("text"))
             .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
             .withColumn("bucket",
-              pmod(xxhash64(col("text")), lit(nBuckets.toLong)).cast("int"))
+              pmod(xxhash64(col("text")), lit(buckets.toLong)).cast("int"))
             .cache()
+          try {
           // merge base: newest version with id < batchId (idempotent
           // under checkpoint replay — see baseFor)
           val base = baseFor(storeDir, batchId)
@@ -205,8 +229,11 @@ object DedupStore {
           }
           deleteRecursively(staging)
           new java.io.File(vDir, "_SUCCESS").createNewFile()
-          incoming.unpersist()
           prune(storeDir, batchId)
+          // finally: a failed batch (IOException in move/link) must not
+          // leave the cached batch aggregate pinned in the shared
+          // session after run() rethrows — the stateless house rule
+          } finally incoming.unpersist()
         }
       }
       val q = docs.writeStream

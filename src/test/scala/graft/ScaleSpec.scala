@@ -284,6 +284,31 @@ class ScaleSpec extends SparkSpec {
     val after = spark.read.parquet(out)
     assert(after.count() == docs.count() - nVictims)
     assert(after.filter(col("source") === "src1" && col("doc_id") % 3 === 0).count() == 0L)
+    // whole-partition purge: dynamic overwrite can't replace a partition
+    // its output doesn't contain, so a fully-victimized partition needs
+    // the explicit directory delete (the q64 bug a %-based fixture list
+    // can never hit) — purge ALL remaining src1 rows and assert the
+    // partition directory is gone while others still survive
+    val allSrc1 = after.filter(col("source") === "src1").select(col("doc_id"))
+    assert(allSrc1.count() > 0)
+    val table2 = spark.read.parquet(out)
+    val survivors2 = table2.filter(col("source") === "src1")
+      .join(broadcast(allSrc1), Seq("doc_id"), "left_anti")
+    // collect BEFORE the rewrite — afterwards the frame's listing points
+    // at replaced files (the q64 bug this test mirrors)
+    val survivedSrcs = survivors2.select(col("source")).distinct()
+      .collect().map(_.getString(0)).toSet
+    withOverwriteMode(spark, "dynamic") {
+      survivors2.write.mode("overwrite").partitionBy("source").parquet(out)
+    }
+    (Set("src1") -- survivedSrcs).foreach { src =>
+      val dir = new java.io.File(s"$out/source=$src")
+      Option(dir.listFiles()).foreach(_.foreach(f => f.delete(): Unit))
+      dir.delete(): Unit
+    }
+    assert(filesUnder("src1").isEmpty, "fully-purged partition must vanish")
+    assert(filesUnder("src0") == untouchedBefore)
+    assert(spark.read.parquet(out).filter(col("source") === "src1").count() == 0L)
   }
 
   test("q62 funnel: stage frames broadcast, partial aggs, no degenerate joins") {

@@ -149,6 +149,34 @@ class StreamingSpec extends SparkSpec {
       "touched partition must be rewritten, not linked")
   }
 
+  test("dedup store adopts the committed bucket layout over a mismatched parameter") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_store_layout").toString
+    def stream() = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in/part-*")
+    val first = Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha")).toDF("doc_id", "text")
+    first.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+    graft.streaming.DedupStore.run(spark, stream(), s"$tmp/store", s"$tmp/ckpt",
+      nBuckets = 16)
+    // proper resumption: same input dir + same checkpoint, a new file
+    // arrives — but the CALLER passes a different nBuckets. The
+    // persisted _LAYOUT must win: re-hashing "alpha" into a different
+    // bucket would duplicate its row across buckets and split n_copies.
+    Seq((4L, "alpha"), (5L, "gamma")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    val store = graft.streaming.DedupStore.run(spark, stream(), s"$tmp/store", s"$tmp/ckpt",
+      nBuckets = 4)
+    val got = store.collect()
+      .map(r => (r.getAs[String]("text"), r.getAs[Long]("keep_id"),
+        r.getAs[Long]("n_copies"))).toSet
+    assert(got == Set(("alpha", 1L, 3L), ("beta", 2L, 1L), ("gamma", 5L, 1L)),
+      s"layout mismatch corrupted the store: $got")
+  }
+
   test("dedup store run() with no committed batch returns the typed empty store") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_store_empty").toString
     val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
