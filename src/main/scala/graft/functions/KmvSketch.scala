@@ -50,18 +50,21 @@ case class KmvSketchAgg(
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[KmvSketch.Summary] {
 
-  require(k >= 16, s"need k >= 16 for a usable estimator, got $k")
-
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
   override def prettyName: String = "kmv_sketch"
 
+  // both invariants surface as ANALYSIS errors (not construction-time
+  // IllegalArgumentException), so SQL `kmv_sketch(v, 8)` fails the same
+  // way `kmv_sketch(intCol, 64)` does
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
+    if (child.dataType != StringType) TypeCheckResult.TypeCheckFailure(
       s"kmv_sketch expects a string item (cast explicitly), got " +
         child.dataType.simpleString)
+    else if (k < 16) TypeCheckResult.TypeCheckFailure(
+      s"kmv_sketch needs k >= 16 for a usable estimator, got $k")
+    else TypeCheckResult.TypeCheckSuccess
 
   override def createAggregationBuffer(): KmvSketch.Summary =
     new KmvSketch.Summary(k)

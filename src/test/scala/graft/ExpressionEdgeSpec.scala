@@ -325,4 +325,13 @@ class ExpressionEdgeSpec extends SparkSpec {
       .head()
     assert(got.getLong(0) == 3L && got.getLong(1) == 3L)
   }
+
+  test("KmvSketch rejects undersized k at analysis time, like the item-type check") {
+    graft.functions.GraftFunctions.register(spark)
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT kmv_sketch(v, 8) FROM VALUES ('p'),('q') AS t(v)")
+        .collect()
+    }
+    assert(ex.getMessage.contains("k >= 16"), ex.getMessage)
+  }
 }
