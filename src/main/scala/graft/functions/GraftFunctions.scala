@@ -41,6 +41,7 @@ object GraftFunctions {
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
     "simhash" -> (es => SimHash(es.head)),
+    "simhash_md5" -> (es => SimHashMd5(es.head)),
     "minhash_sig" -> (es => MinHashSig(es(0), intArg(es(1), "minhash_sig"))),
     "word_ngrams" -> (es => WordNGrams(es(0), intArg(es(1), "word_ngrams"))),
     "srp_sig" -> (es => SrpSig(es(0), intArg(es(1), "srp_sig"))),

@@ -348,6 +348,19 @@ object Dedup {
     simhashImpl(docs, idCol, textCol, bands, maxHamming, maxBucket,
       cache = false)._1
 
+  /** [[simhashNearDups]] with the ORACLE-EXPRESSIBLE md5 fingerprint
+    * ([[graft.functions.SimHashMd5]]): identical banding, pigeonhole
+    * recall, and output shape, but the per-token hash is the first 64
+    * bits of MD5(token) — a built-in in DuckDB too, so the whole pair
+    * set is SQL-recomputable and hash-checked (the d04 oracle). Use the
+    * xxhash64 form for production throughput (one XXH64 pass per token
+    * vs a full MD5). */
+  def simhashNearDupsMd5(docs: DataFrame, idCol: String, textCol: String,
+                         bands: Int = 4, maxHamming: Int = 3,
+                         maxBucket: Int = 0): DataFrame =
+    simhashImpl(docs, idCol, textCol, bands, maxHamming, maxBucket,
+      cache = false, fingerprint = SimHash.simhashMd5)._1
+
   /** As [[simhashNearDups]], plus a release handle for the banded
     * fingerprint cache (the plain form caches nothing — each self-join
     * side recomputes the fingerprint subtree, so arbitrary callers pin
@@ -359,11 +372,13 @@ object Dedup {
 
   private def simhashImpl(docs: DataFrame, idCol: String, textCol: String,
                           bands: Int, maxHamming: Int,
-                          maxBucket: Int, cache: Boolean): (DataFrame, () => Unit) = {
+                          maxBucket: Int, cache: Boolean,
+                          fingerprint: Column => Column = SimHash.simhash
+                         ): (DataFrame, () => Unit) = {
     require(maxHamming < bands, "pigeonhole needs maxHamming < bands")
     val width = 64 / bands
     val fp = docs.select(col(idCol).as("sid"),
-      SimHash.simhash(words(col(textCol))).as("fp"))
+      fingerprint(words(col(textCol))).as("fp"))
     val bandStructs = array((0 until bands).map { b =>
       struct(lit(b).as("band"),
         // unsigned slice of `width` bits

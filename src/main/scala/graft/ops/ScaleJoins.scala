@@ -39,6 +39,38 @@ object ScaleJoins {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Run `body` under AQE skew-join settings aggressive enough to
+    * demonstrate runtime skew splitting at fixture scale (q65):
+    * broadcast is disabled on BOTH planner and AQE thresholds so the
+    * join genuinely sort-merges, the skew factor/threshold are floored
+    * so above-median partitions qualify, and forceOptimizeSkewedJoin
+    * covers shapes where splitting would add an exchange. Production
+    * keeps the defaults (factor 5, 256 MB threshold) — this is the
+    * NATIVE answer to the skew scale-killer that q44 solves manually
+    * with salting: AQE measures real partition sizes at the shuffle
+    * boundary and splits only what is actually hot, no salt-factor
+    * guesswork, at the cost of working only at blocking shuffle
+    * boundaries (salting also covers streaming/bucketed shapes).
+    * Every conf is restored after `body`. */
+  def withSkewJoinDemo[T](s: SparkSession)(body: => T): T = {
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   /** Min-max-normalized 16-bit-per-dimension Z-value for a 2-D sort key
     * ([[graft.functions.ZOrder2]]): each column linearly rescales to
     * 0..65535 from its data min/max (exact integer arithmetic —

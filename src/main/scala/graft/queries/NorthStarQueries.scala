@@ -10,11 +10,12 @@ import graft.ops.{Curation, Dedup, Similarity, TextAnalysis}
   * analysis, JSON extraction, rollup (builder prompt; SURVEY.md §0/§7.2
   * step 5). Naming: d* dedup, s* similarity, t* text, q19+ extra
   * relational. Every deterministic pipeline carries a DuckDB oracle —
-  * including MinHash d03 (deterministic-recall regime) and the IVF
-  * queries d05/s02 (the SQL re-runs the IVF algorithm itself). Only
-  * SimHash d04 stays spec-gated: its fingerprint is xxhash64-seeded
-  * per token, which DuckDB cannot mirror, so the spec asserts the
-  * pigeonhole-exactness contract instead (driver records rows-only).
+  * including MinHash d03 (deterministic-recall regime), the IVF
+  * queries d05/s02 (the SQL re-runs the IVF algorithm itself), and
+  * SimHash d04, whose shipped fingerprint is the md5 twin
+  * ([[graft.functions.SimHashMd5]]) precisely so DuckDB can recompute
+  * it; the xxhash64 production variant stays spec-gated
+  * (pigeonhole-exactness + candidate volume in DedupSimilaritySpec).
   */
 object NorthStarQueries {
 
@@ -138,15 +139,44 @@ object NorthStarQueries {
 
     // ---- dedup: SimHash banded near-dups (custom Catalyst expression) -----
     // 4 bands × 16-bit keys: pigeonhole-guaranteed recall for hamming ≤ 3
-    // with 65,536-value band keys (buckets ~n/2^16 at corpus scale);
-    // maxBucket caps degenerate fingerprint regions.
+    // with 65,536-value band keys (buckets ~n/2^16 at corpus scale).
+    // Shipped with the md5 fingerprint twin (SimHashMd5): md5 is a
+    // built-in in BOTH engines, so the oracle recomputes the fingerprints
+    // bit by bit from substr(md5(token),1,16) hex digits and takes the
+    // ALL-PAIRS hamming ≤ 3 set — valid because banding guarantees
+    // recall at hamming < bands and the exact hamming filter gives
+    // precision 1, so the banded output EQUALS all-pairs. maxBucket = 0
+    // is the exact-oracle regime; the xxhash64-seeded variant (one XXH64
+    // pass per token vs a full MD5) remains the production fast path,
+    // pigeonhole- and volume-gated in DedupSimilaritySpec.
     ("d04_simhash_neardup",
       (s: SparkSession, d: String) => {
-        Dedup.simhashNearDups(Tables.load(s, d, "documents"), "doc_id", "text",
-            bands = 4, maxHamming = 3, maxBucket = 1000)
+        Dedup.simhashNearDupsMd5(Tables.load(s, d, "documents"), "doc_id", "text",
+            bands = 4, maxHamming = 3, maxBucket = 0)
           .orderBy(col("id_a"), col("id_b"))
       },
-      None),
+      Some("""WITH w AS (SELECT doc_id,
+             |    string_split_regex(lower(text), '\s+') AS w FROM documents),
+             |tok AS (SELECT doc_id, unnest(w) AS t FROM w),
+             |hx AS (SELECT doc_id, substr(md5(t), 1, 16) AS h FROM tok),
+             |bits AS (SELECT doc_id, CAST(u.j AS INT) AS j,
+             |    CASE WHEN ((strpos('0123456789abcdef',
+             |                  substr(h, 16 - CAST(u.j AS INT) // 4, 1)) - 1)
+             |               // (1 << (CAST(u.j AS INT) % 4))) % 2 = 1
+             |         THEN 1 ELSE -1 END AS vote
+             |  FROM hx, unnest(range(0, 64)) AS u(j)),
+             |fpb AS (SELECT doc_id, j,
+             |    CASE WHEN SUM(vote) > 0 THEN 1 ELSE 0 END AS bit
+             |  FROM bits GROUP BY 1, 2),
+             |fp AS (SELECT doc_id,
+             |    CAST(SUM(CASE WHEN j = 63 THEN -(1::HUGEINT << 63)
+             |                  ELSE (1::HUGEINT << j) END * bit) AS BIGINT) AS fp
+             |  FROM fpb GROUP BY 1)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+             |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+             |ORDER BY id_a, id_b""".stripMargin)),
 
     // ---- dedup: embedding near-dup via IVF-cell blocking ------------------
     // Shipped path: multi-probe IVF-cell candidates, int8 prefilter
@@ -318,22 +348,25 @@ object NorthStarQueries {
     // ---- similarity: k-means (Lloyd) clustering as a query ----------------
     // The TRAINED-codebook path (s02 ships seed centroids as a measured
     // choice; this exercises the trainer through the oracle gate):
-    // one Lloyd iteration from the seed centroids, then cluster sizes.
-    // Oracle-able because every step is engine-reproducible — seed
-    // centroids = lowest-id vectors, argmax assignment on 6-dp-rounded
-    // cosine with cell-id tie-break, per-dimension means ROUNDED to
-    // 6 dp before the float cast (kmeansCentroids' rule: summation
-    // order can't leak), empty cells carried via LEFT JOIN/coalesce.
-    // The SQL re-runs the iteration itself with round(avg(v[i]), 6)
-    // per dimension and a CAST(... AS FLOAT) round-trip matching
-    // Spark's float centroid storage.
+    // TWO Lloyd iterations from the seed centroids, then cluster sizes —
+    // two, not one, so the oracle certifies convergence BEHAVIOR (means
+    // of means, empty-cell carry across iterations), not just a single
+    // refinement step. Oracle-able because every step is
+    // engine-reproducible — seed centroids = lowest-id vectors, argmax
+    // assignment on 6-dp-rounded cosine with cell-id tie-break,
+    // per-dimension means ROUNDED to 6 dp before the float cast
+    // (kmeansCentroids' rule: summation order can't leak), empty cells
+    // carried via LEFT JOIN/coalesce. The SQL re-runs both iterations
+    // itself (the a→x→m→c block repeated — mechanical CTE repetition)
+    // with round(avg(v[i]), 6) per dimension and a CAST(... AS FLOAT)
+    // round-trip matching Spark's float centroid storage.
     ("s06_kmeans_clusters",
       (s: SparkSession, d: String) => {
         import graft.functions.CosineSimilarity.cosineSim
         val emb = Tables.load(s, d, "embeddings").select("vec_id", "embedding")
         val clean = emb.filter(size(col("embedding")) > 0 &&
           !isnan(cosineSim(col("embedding"), col("embedding"))))
-        val cents = Similarity.kmeansCentroids(clean, nCells = 8, iters = 1)
+        val cents = Similarity.kmeansCentroids(clean, nCells = 8, iters = 2)
         Similarity.ivfAssign(clean, cents)
           .groupBy(col("cell_id"))
           .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("min_member"))
@@ -350,25 +383,41 @@ object NorthStarQueries {
              |            ORDER BY round(list_cosine_similarity(e.v, c0.cv), 6) DESC, c0.cell_id) AS rn
              |        FROM e CROSS JOIN c0)
              |      WHERE rn = 1),
-             |x AS (SELECT a0.cell_id, u.i, e.v[CAST(u.i AS INT)] AS xv
+             |x1 AS (SELECT a0.cell_id, u.i, e.v[CAST(u.i AS INT)] AS xv
              |      FROM a0 JOIN e USING (vec_id),
              |           unnest(range(1, len(e.v) + 1)) AS u(i)),
-             |m AS (SELECT cell_id,
+             |m1 AS (SELECT cell_id,
              |        list(CAST(CAST(mx AS FLOAT) AS DOUBLE) ORDER BY i) AS mv
              |      FROM (SELECT cell_id, i, round(avg(xv), 6) AS mx
-             |            FROM x GROUP BY 1, 2)
+             |            FROM x1 GROUP BY 1, 2)
              |      GROUP BY 1),
-             |c1 AS (SELECT c0.cell_id, coalesce(m.mv, c0.cv) AS cv
-             |       FROM c0 LEFT JOIN m USING (cell_id)),
+             |c1 AS (SELECT c0.cell_id, coalesce(m1.mv, c0.cv) AS cv
+             |       FROM c0 LEFT JOIN m1 USING (cell_id)),
              |a1 AS (SELECT vec_id, cell_id FROM (
              |        SELECT e.vec_id, c1.cell_id,
              |          row_number() OVER (PARTITION BY e.vec_id
              |            ORDER BY round(list_cosine_similarity(e.v, c1.cv), 6) DESC, c1.cell_id) AS rn
              |        FROM e CROSS JOIN c1)
+             |      WHERE rn = 1),
+             |x2 AS (SELECT a1.cell_id, u.i, e.v[CAST(u.i AS INT)] AS xv
+             |      FROM a1 JOIN e USING (vec_id),
+             |           unnest(range(1, len(e.v) + 1)) AS u(i)),
+             |m2 AS (SELECT cell_id,
+             |        list(CAST(CAST(mx AS FLOAT) AS DOUBLE) ORDER BY i) AS mv
+             |      FROM (SELECT cell_id, i, round(avg(xv), 6) AS mx
+             |            FROM x2 GROUP BY 1, 2)
+             |      GROUP BY 1),
+             |c2 AS (SELECT c1.cell_id, coalesce(m2.mv, c1.cv) AS cv
+             |       FROM c1 LEFT JOIN m2 USING (cell_id)),
+             |a2 AS (SELECT vec_id, cell_id FROM (
+             |        SELECT e.vec_id, c2.cell_id,
+             |          row_number() OVER (PARTITION BY e.vec_id
+             |            ORDER BY round(list_cosine_similarity(e.v, c2.cv), 6) DESC, c2.cell_id) AS rn
+             |        FROM e CROSS JOIN c2)
              |      WHERE rn = 1)
              |SELECT cell_id AS cluster, COUNT(*) AS n_members,
              |  MIN(vec_id) AS min_member
-             |FROM a1 GROUP BY 1 ORDER BY 1""".stripMargin)),
+             |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- similarity: int8-quantized scan + exact rescore ------------------
     // 4× smaller candidate vectors; rescore=32 ≫ k makes the output

@@ -47,6 +47,25 @@ object ScaleJoinQueries {
     (liT, ordT)
   }
 
+  /** q65's join body, shared with ScaleSpec's skew-plan assertion: the
+    * q44 fact⋈dim aggregate with no salting — skew handling is AQE's
+    * job here. The fact side is round-robin repartitioned first because
+    * AQE's skew split is a UNION OF MAP-OUTPUT RANGES: a reducer
+    * partition fed by a single map task cannot be subdivided, and the
+    * fixture's one-file scan produces exactly one map block per
+    * reducer. On a cluster the fact side always has thousands of map
+    * tasks — the repartition emulates that granularity at fixture
+    * scale; it is demo scaffolding, not part of the operator. */
+  private[graft] def q65Join(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.load(s, d, "lineitem").select("l_partkey", "l_quantity")
+      .repartition(16)
+    val part = Tables.load(s, d, "part")
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    li.join(part, "l_partkey")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+  }
+
   /** q47's derived sketch capacity, once per sf dir (it is a property
     * of the data alone; keying by session would pin session references
     * in a static map for the JVM's lifetime). */
@@ -84,6 +103,32 @@ object ScaleJoinQueries {
           .groupBy(col("p_brand"))
           .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
           .orderBy(col("p_brand"))
+      },
+      Some("""SELECT p_brand, COUNT(*) AS n_items, SUM(l_quantity) AS sum_qty
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- AQE skew-join (runtime-measured skew splitting) ------------------
+    // The engine-native counterpart of q44's manual salt: the SAME
+    // fact⋈dim join runs as a sort-merge join under
+    // spark.sql.adaptive.skewJoin — AQE measures real partition sizes
+    // at the shuffle boundary and splits the hot ones into multiple
+    // reader tasks at runtime (the final plan's SortMergeJoin carries
+    // skew=true — asserted in ScaleSpec via the q63 Initial-Plan
+    // parsing trick). Result-transparent by construction, so the oracle
+    // is q44's plain-join SQL. The demo confs floor the skew thresholds
+    // so fixture-scale partitions qualify (see
+    // ScaleJoins.withSkewJoinDemo); the join materializes through a
+    // parquet round-trip because AQE decisions happen at execution
+    // time — the confs must be live when the job runs, not when the
+    // frame is declared.
+    ("q65_aqe_skew_join",
+      (s: SparkSession, d: String) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_aqeskew").toString
+        ScaleJoins.withSkewJoinDemo(s) {
+          q65Join(s, d).write.mode("overwrite").parquet(out)
+        }
+        s.read.parquet(out).orderBy(col("p_brand"))
       },
       Some("""SELECT p_brand, COUNT(*) AS n_items, SUM(l_quantity) AS sum_qty
              |FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -201,11 +246,16 @@ object ScaleJoinQueries {
     // q53): per-source CMS over terms via Spark's built-in
     // count_min_sketch aggregate, probed with the custom cms_estimate
     // expression (Spark ships the build side but no SQL-facing read).
-    // No DuckDB oracle by design — the estimate is a function of the
-    // sketch's hash family — but it is deterministic (fixed seed) and
-    // its one-sided error contract (never undercounts; overcount
-    // ≤ eps·N w.p. ≥ confidence) is asserted against exact counts in
-    // ExpressionEdgeSpec.
+    // Oracled via the q47/q50/q61 exact-regime playbook: the fixture's
+    // per-source vocabulary (~31 distinct terms, every sf) against
+    // width 2000 × depth 7 leaves some collision-free row for every
+    // probe with near-certainty, making the min-over-rows estimate
+    // EXACT — so DuckDB's plain exact counts (0 for the absent probe)
+    // are the oracle. The premise is asserted per-probe in
+    // ExpressionEdgeSpec (est == exact), so a corpus whose vocabulary
+    // grows into the approximate regime fails the spec loudly instead
+    // of silently flaking the oracle hash; the approximate regime's
+    // one-sided error contract is gated in the same spec.
     ("q56_cms_pointfreq",
       (s: SparkSession, d: String) => {
         Tables.load(s, d, "documents")
@@ -221,7 +271,18 @@ object ScaleJoinQueries {
             graft.functions.CmsEstimate.cmsEstimate(col("sk"), col("term")).as("est"))
           .orderBy(col("source"), col("term"))
       },
-      None),
+      Some("""WITH t AS (
+             |  SELECT source, u.term AS term, COUNT(*) AS n
+             |  FROM documents,
+             |       unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS u(term)
+             |  GROUP BY 1, 2),
+             |p AS (SELECT DISTINCT source, pr.term
+             |      FROM documents
+             |      CROSS JOIN (VALUES ('data'),('spark'),('table'),
+             |                         ('window'),('zzz_absent')) pr(term))
+             |SELECT p.source, p.term, CAST(coalesce(t.n, 0) AS BIGINT) AS est
+             |FROM p LEFT JOIN t ON t.source = p.source AND t.term = p.term
+             |ORDER BY p.source, p.term""".stripMargin)),
 
     // ---- KMV theta sketch: cross-shard distinct-set intersection ----------
     // The SET-OPERATION member of the mergeable sketch family — the

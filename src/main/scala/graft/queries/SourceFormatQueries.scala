@@ -258,30 +258,43 @@ object SourceFormatQueries {
     // a LIST OF ROW IDS from a partitioned table while rewriting only
     // the partitions that contain them. The takedown list arrives as
     // bare ids (no partition info — how deletion requests actually
-    // come); a broadcast semi-join derives the affected partitions,
-    // the rewrite scan is pruned to exactly those directories
-    // (partition-column isin), a broadcast anti-join drops the victims,
-    // and dynamic overwrite replaces only the affected partitions —
+    // come). Discovery is two-stage so it never scans the full table:
+    // per-partition id BLOOMS (materialized next to the layout at write
+    // time — see writeIdBloomStats) are probed driver-side to derive
+    // CANDIDATE partitions, then an exact broadcast semi-join over just
+    // those directories confirms the affected set — a bloom has no
+    // false negatives, so the prefilter is sound, and its ~% false
+    // positives only cost a few extra pruned-scan dirs. The rewrite
+    // scan is pruned the same way, a broadcast anti-join drops the
+    // victims, and dynamic overwrite replaces only affected partitions —
     // every other partition's files are untouched (ScaleSpec asserts
-    // file-level survival). At 100 TB this is the plain-parquet form
-    // of DELETE WHERE with file pruning: cost ∝ affected partitions,
-    // not table size. The oracle recomputes the post-delete aggregates
-    // from the original table, certifying the purge dropped exactly
-    // the victims and nothing else.
+    // file-level survival AND that discovery reads a strict subset of
+    // files). At 100 TB this is the plain-parquet form of DELETE WHERE
+    // with stats-pruned file skipping: cost ∝ affected partitions, not
+    // table size. The oracle recomputes the post-delete aggregates from
+    // the original table, certifying the purge dropped exactly the
+    // victims and nothing else.
     ("q64_targeted_delete",
       (s: SparkSession, d: String) => {
         val out = java.nio.file.Files.createTempDirectory("graft_delete").toString
         val docs = Tables.load(s, d, "documents")
           .select(col("doc_id"), col("lang"), col("text"), col("source"))
         docs.write.mode("overwrite").partitionBy("source").parquet(out)
+        writeIdBloomStats(docs, out) // write-time stats, amortized
         // the takedown list: bare doc ids (spans 2 of ~20 partitions here,
         // but the code derives that — it never assumes)
-        val victims = docs
+        val victimIds = docs
           .filter(col("source").isin("src3", "src7") && col("doc_id") % 3 === 0)
-          .select(col("doc_id"))
+          .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+        val victims = s.createDataset(victimIds)(
+          org.apache.spark.sql.Encoders.scalaLong).toDF("doc_id")
         val table = s.read.parquet(out)
-        val affected = table.join(broadcast(victims), "doc_id")
-          .select(col("source")).distinct().collect().map(_.getString(0)).toSeq
+        val candidates = bloomCandidateSources(s, out, victimIds)
+        val affected =
+          if (candidates.isEmpty) Seq.empty[String]
+          else table.filter(col("source").isin(candidates: _*))
+            .join(broadcast(victims), "doc_id")
+            .select(col("source")).distinct().collect().map(_.getString(0)).toSeq
         // an empty takedown list touches nothing — skip the rewrite
         if (affected.nonEmpty) {
           val survivors = table.filter(col("source").isin(affected: _*))
@@ -318,6 +331,40 @@ object SourceFormatQueries {
              |WHERE NOT (source IN ('src3', 'src7') AND doc_id % 3 = 0)
              |GROUP BY source ORDER BY source""".stripMargin)),
   )
+
+  /** q64's write-time partition stats: one row per `source` partition
+    * holding a bloom filter over that partition's doc ids, materialized
+    * under `_stats/` next to the layout (underscore-prefixed, so table
+    * scans ignore it). A takedown probes these driver-side and touches
+    * only candidate partitions — discovery cost ∝ victim partitions +
+    * one tiny stats read, never a full-table scan. Sized for the whole
+    * table's row count (a uniform overestimate per partition keeps the
+    * fpp below the library default everywhere). Staleness after a
+    * partition rewrite is SOUND: a bloom with deleted ids still has no
+    * false negatives for the rows that remain, it just over-admits —
+    * rebuild per rewritten partition when fpp drift matters. */
+  private[graft] def writeIdBloomStats(docs: DataFrame, out: String): Unit = {
+    val n = math.max(docs.count(), 1L)
+    docs.groupBy(col("source"))
+      .agg(graft.ops.Sketches.bloomAgg(col("doc_id"), n).as("bloom"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/_stats")
+  }
+
+  /** Partitions whose bloom might contain ANY victim id — the sound
+    * prefilter (no false negatives) for q64's exact confirm join. The
+    * probe hashes exactly as [[graft.ops.Sketches.bloomAgg]]'s build
+    * side (xxhash64 of the long id, seed 42, then the library's own
+    * putLong), so driver and executors can never drift. */
+  private[graft] def bloomCandidateSources(s: SparkSession, out: String,
+                                           victimIds: Seq[Long]): Seq[String] =
+    s.read.parquet(s"$out/_stats").collect().toSeq
+      .filter { r =>
+        val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
+        victimIds.exists(id => bf.mightContainLong(
+          org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(id, 42L)))
+      }
+      .map(_.getAs[String]("source"))
 
   /** Run `body` with `spark.sql.sources.partitionOverwriteMode` set to
     * `mode`, restoring the previous setting after. */

@@ -399,6 +399,45 @@ object StreamMediaQueries {
       Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
              |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
 
+    // ---- targeted delete INSIDE the dedup store (takedown + versioning) ---
+    // q64's takedown semantics composed with st07's versioned store: the
+    // corpus drains into the store, then a bounded takedown list of raw
+    // texts is purged. DedupStore.purge rewrites ONLY the victims' hash
+    // buckets into a new (major, sub) version — every other bucket
+    // carries forward by manifest reference — and records tombstone
+    // hashes so a checkpoint replay (which would re-merge victim texts
+    // from source data) or a later re-ingestion cannot resurrect them;
+    // StreamingSpec drives both resurrection paths. Cost ∝ victim
+    // buckets, not store size. Oracle: the final store equals batch
+    // exact-dedup (d01) over the corpus minus the victim texts.
+    ("st13_store_purge",
+      (s: SparkSession, d: String) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_st13").toString
+        val docs = Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
+        docs.repartition(4).write.mode("overwrite").parquet(s"$tmp/in")
+        val docsStream = s.readStream
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType))))
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$tmp/in/part-*")
+        graft.streaming.DedupStore.run(s, docsStream, s"$tmp/store", s"$tmp/ckpt")
+        // the takedown list: raw text strings (how deletion requests
+        // actually arrive), bounded — ~1/37 of distinct texts here
+        val victims = docs.filter(col("doc_id") % 37 === 0)
+          .select(col("text")).distinct().collect().map(_.getString(0)).toSeq
+        graft.streaming.DedupStore.purge(s, s"$tmp/store", victims)
+          .select(col("keep_id"), col("n_copies"))
+          .orderBy(col("keep_id"))
+      },
+      Some("""WITH v AS (SELECT DISTINCT text FROM documents WHERE doc_id % 37 = 0)
+             |SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+             |FROM documents
+             |WHERE text NOT IN (SELECT text FROM v)
+             |GROUP BY text ORDER BY keep_id""".stripMargin)),
+
     // ---- multimodal: binary columns + typed metadata ----------------------
     ("m01_media_stats",
       (s: SparkSession, d: String) => {

@@ -260,6 +260,13 @@ class ExpressionEdgeSpec extends SparkSpec {
         assert(e >= t, s"CMS undercounted ($src,$term): $e < $t")
         assert(e <= t + math.max(1L, (eps * n(src)).ceil.toLong),
           s"CMS overcount past eps·N for ($src,$term): est $e, exact $t, N ${n(src)}")
+        // the fixture runs in the EXACT regime (~31 distinct terms per
+        // source vs width 2000 × depth 7: some row is collision-free for
+        // every probe), which is what licenses q56's exact-count DuckDB
+        // oracle — this assertion flips if the corpus vocabulary ever
+        // grows into the approximate regime, so the oracle can't rot
+        // silently
+        assert(e == t, s"q56 exact-regime premise broken ($src,$term): $e != $t")
       }
       // absent term is present in the probe output for every source
       assert(est.keys.count(_._2 == "zzz_absent") == n.size)

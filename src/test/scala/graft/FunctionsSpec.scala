@@ -105,7 +105,7 @@ class FunctionsSpec extends SparkSpec {
     // from the same canonical list register() uses — pin its contents
     // so a function added to one path can't silently miss the other
     assert(graft.functions.GraftFunctions.functions.map(_._1).toSet ==
-      Set("cosine_sim", "cosine_sim_q8", "simhash", "minhash_sig",
+      Set("cosine_sim", "cosine_sim_q8", "simhash", "simhash_md5", "minhash_sig",
         "word_ngrams", "srp_sig", "space_saving_topk", "kll_quantile",
         "quantize_q8", "bloom_filter_agg", "bloom_might_contain",
         "cms_estimate", "kmv_sketch", "kmv_estimate", "kmv_intersect"))

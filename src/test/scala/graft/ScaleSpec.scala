@@ -266,9 +266,33 @@ class ScaleSpec extends SparkSpec {
     val nVictims = victims.count()
     assert(nVictims > 0, "fixture should produce victims")
     val table = spark.read.parquet(out)
-    val affected = table.join(broadcast(victims), "doc_id")
+    // two-stage discovery: write-time per-partition id blooms probed
+    // driver-side prune the confirm scan to candidate partitions only
+    graft.queries.SourceFormatQueries.writeIdBloomStats(docs, out)
+    val victimIds = victims.collect().map(_.getLong(0)).toSeq
+    val candidates = graft.queries.SourceFormatQueries
+      .bloomCandidateSources(spark, out, victimIds)
+    val totalSources = docs.select("source").distinct().count()
+    assert(candidates.contains("src1"), "bloom prefilter lost a true partition")
+    assert(candidates.size < totalSources,
+      s"bloom prefilter pruned nothing: ${candidates.size} of $totalSources")
+    val prunedBase = table.filter(col("source").isin(candidates: _*))
+    val affected = prunedBase.join(broadcast(victims), "doc_id")
       .select(col("source")).distinct().collect().map(_.getString(0)).toSeq
     assert(affected == Seq("src1"), s"victims live in src1 only: $affected")
+    // the confirm scan's base read a strict subset of the table's files
+    // (simple filter plan — no AQE wrapper — so scan metrics are
+    // directly inspectable, the q55 pattern)
+    def numFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get.metrics("numFiles").value
+    }
+    val prunedFiles = numFiles(prunedBase)
+    val totalFiles = numFiles(spark.read.parquet(out))
+    assert(prunedFiles < totalFiles,
+      s"discovery read $prunedFiles of $totalFiles files")
     val untouchedBefore = filesUnder("src0")
     val touchedBefore = filesUnder("src1")
     assert(untouchedBefore.nonEmpty && touchedBefore.nonEmpty)
@@ -309,6 +333,27 @@ class ScaleSpec extends SparkSpec {
     assert(filesUnder("src1").isEmpty, "fully-purged partition must vanish")
     assert(filesUnder("src0") == untouchedBefore)
     assert(spark.read.parquet(out).filter(col("source") === "src1").count() == 0L)
+  }
+
+  test("q65 AQE skew join: final plan splits skewed partitions, result matches q44's") {
+    val (skewed, plan) = ScaleJoins.withSkewJoinDemo(spark) {
+      val df = graft.queries.ScaleJoinQueries.q65Join(spark, sf)
+      val rows = df.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      (rows, df.queryExecution.executedPlan.toString)
+    }
+    // AQE's toString prints the final plan first, the initial one after
+    // (the q63 trick) — the skew split must be in the FINAL plan
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("SortMergeJoin"),
+      s"skew demo must sort-merge, not broadcast:\n$finalPlan")
+    assert(finalPlan.contains("skew=true"),
+      s"no runtime skew split in the final plan:\n$finalPlan")
+    // result-transparent: identical output to the plain (default-conf)
+    // join — the same claim q44's oracle makes for salting
+    val plain = graft.queries.ScaleJoinQueries.q65Join(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(skewed == plain)
   }
 
   test("q62 funnel: stage frames broadcast, partial aggs, no degenerate joins") {

@@ -82,14 +82,22 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getAs[String]("text"), r.getAs[Long]("keep_id"),
         r.getAs[Long]("n_copies"))).toSet
     assert(got == Set(("alpha", 1L, 3L), ("beta", 2L, 2L), ("gamma", 4L, 1L)))
-    // retention: commit-time pruning keeps only the newest version and
-    // its replay base — 3 micro-batches leave v1 (base) + v2 (read
-    // target), not O(batches) dead versions
+    // retention: commit-time pruning keeps the newest version, its
+    // replay base, and exactly the older versions whose files a live
+    // manifest still references (carry-forward by reference) — never
+    // O(batches) dead versions
     val versions = new java.io.File(s"$tmp/store").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("v"))
-      .map(_.getName).sorted
-    assert(versions.toSeq == Seq("v1", "v2"),
-      s"expected pruned store {v1, v2}, got ${versions.mkString(",")}")
+      .map(_.getName).toSet
+    assert(Set("v1", "v2").subsetOf(versions),
+      s"read target + replay base must survive: $versions")
+    val referenced = Seq("v1", "v2").flatMap { v =>
+      graft.streaming.DedupStore.manifestEntries(s"$tmp/store",
+          new java.io.File(s"$tmp/store/$v"))
+        .map(_._2.getParentFile.getParentFile.getName)
+    }.toSet
+    assert(versions == Set("v1", "v2") ++ referenced,
+      s"unreferenced versions must be pruned: kept $versions, live ${referenced}")
   }
 
   test("dedup store rewrites only touched hash partitions; untouched carry forward") {
@@ -124,29 +132,25 @@ class StreamingSpec extends SparkSpec {
     val v0 = new java.io.File(s"$tmp/store/v0")
     val v1 = new java.io.File(s"$tmp/store/v1")
     assert(v0.isDirectory && v1.isDirectory)
-    def fileKeys(dir: java.io.File): Map[String, Any] =
-      Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && !f.getName.startsWith(".") &&
-          !f.getName.startsWith("_"))
-        .map(f => f.getName -> java.nio.file.Files.readAttributes(f.toPath,
-          classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey)
-        .toMap
-    val untouched = v0.listFiles().filter(f => f.isDirectory &&
-      f.getName.startsWith("bucket=") && f.getName != s"bucket=$soloBucket")
-    assert(untouched.length >= 10, "batch 0 should populate most buckets")
-    untouched.foreach { b =>
-      val carried = new java.io.File(v1, b.getName)
-      assert(carried.isDirectory, s"${b.getName} must carry into v1")
-      // same file names AND same inodes: hard-linked, not rewritten
-      assert(fileKeys(b) == fileKeys(carried),
-        s"${b.getName}: untouched partition must be link-carried, not rewritten")
+    // v1 PHYSICALLY contains only the bucket it rewrote: carry-forward
+    // is by manifest reference (zero bytes moved — the object-store-safe
+    // contract; the round-6 hard links required a link-capable fs)
+    val v1Buckets = v1.listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(v1Buckets == Set(s"bucket=$soloBucket"),
+      s"v1 must hold only the touched bucket, got $v1Buckets")
+    val manifest = graft.streaming.DedupStore.manifestEntries(s"$tmp/store", v1)
+    val byBucket = manifest.groupBy(_._1)
+    assert(byBucket.keySet.size >= 11, "batch 0 should populate most buckets")
+    // untouched buckets resolve to v0's ORIGINAL files; the touched one
+    // resolves into v1 and was genuinely rewritten
+    byBucket.foreach { case (b, entries) =>
+      val owners = entries.map(_._2.getParentFile.getParentFile.getName).toSet
+      if (b == soloBucket) assert(owners == Set("v1"),
+        s"touched bucket $b must be rewritten into v1, got $owners")
+      else assert(owners == Set("v0"),
+        s"untouched bucket $b must carry forward by reference, got $owners")
+      entries.foreach(e => assert(e._2.isFile, s"dangling manifest ref: ${e._2}"))
     }
-    // the touched bucket was genuinely rewritten (fresh files, no links)
-    val touchedNew = fileKeys(new java.io.File(v1, s"bucket=$soloBucket"))
-    val touchedOld = fileKeys(new java.io.File(v0, s"bucket=$soloBucket"))
-    assert(touchedNew.nonEmpty)
-    assert(touchedOld.values.toSet.intersect(touchedNew.values.toSet).isEmpty,
-      "touched partition must be rewritten, not linked")
   }
 
   test("dedup store adopts the committed bucket layout over a mismatched parameter") {
@@ -175,6 +179,87 @@ class StreamingSpec extends SparkSpec {
         r.getAs[Long]("n_copies"))).toSet
     assert(got == Set(("alpha", 1L, 3L), ("beta", 2L, 1L), ("gamma", 5L, 1L)),
       s"layout mismatch corrupted the store: $got")
+  }
+
+  test("dedup store purge: victim buckets rewrite, tombstones survive replay and re-ingest") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_store_purge").toString
+    val docs = (0 until 50).map(i => (i.toLong, s"purge corpus text $i"))
+      .toDF("doc_id", "text")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+    def stream() = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in/part-*")
+    graft.streaming.DedupStore.run(spark, stream(), s"$tmp/store", s"$tmp/ckpt")
+    val victims = Seq("purge corpus text 7", "purge corpus text 13")
+    val purged = graft.streaming.DedupStore.purge(spark, s"$tmp/store", victims)
+    val texts = purged.collect().map(_.getAs[String]("text")).toSet
+    assert(texts.size == 48 && victims.forall(!texts.contains(_)))
+    // physical shape: the purge version holds ONLY the victims' buckets;
+    // everything else is carried forward by reference into v0
+    val vP = new java.io.File(s"$tmp/store/v0.1")
+    assert(vP.isDirectory, "purge must commit v0.1 (no batch id consumed)")
+    val victimBuckets = victims.map(t => spark.range(1)
+      .select(pmod(xxhash64(lit(t)), lit(16L)).cast("int")).head.getInt(0)).toSet
+    val rewritten = vP.listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(rewritten == victimBuckets.map(b => s"bucket=$b"),
+      s"purge rewrote $rewritten, victims live in $victimBuckets")
+    // none of the surviving rows in rewritten buckets are victims, and
+    // untouched buckets resolve into v0
+    graft.streaming.DedupStore.manifestEntries(s"$tmp/store", vP)
+      .foreach { case (b, f) =>
+        val owner = f.getParentFile.getParentFile.getName
+        if (victimBuckets.contains(b)) assert(owner == "v0.1")
+        else assert(owner == "v0", s"bucket $b should carry forward: $owner")
+      }
+    // REPLAY under a fresh checkpoint (full source re-delivery): batch 0
+    // is already committed, so the drain skips it and the purge version
+    // stays the read target — deleted texts must not resurrect
+    val replayed = graft.streaming.DedupStore.run(
+      spark, stream(), s"$tmp/store", s"$tmp/ckpt_fresh")
+    val replayedTexts = replayed.collect().map(_.getAs[String]("text")).toSet
+    assert(replayedTexts == texts, "replay resurrected purged texts")
+    // RE-INGESTION: a later batch carrying a purged text again (plus a
+    // genuinely new text) — the tombstone suppresses the victim, the new
+    // text lands
+    Seq((999L, "purge corpus text 7"), (1000L, "brand new text"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    val after = graft.streaming.DedupStore.run(
+      spark, stream(), s"$tmp/store", s"$tmp/ckpt")
+    val afterTexts = after.collect().map(_.getAs[String]("text")).toSet
+    assert(!afterTexts.contains("purge corpus text 7"),
+      "tombstoned text re-ingested past the purge")
+    assert(afterTexts.contains("brand new text"))
+    assert(afterTexts.size == 49)
+  }
+
+  test("corrupt _LAYOUT: recovered when nothing committed, loud when versions exist") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_store_corrupt").toString
+    val docs = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+    def stream() = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in/part-*")
+    // truncated marker, no committed versions (the crash-on-first-use
+    // shape): the store must recover with the requested layout
+    new java.io.File(s"$tmp/store").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$tmp/store/_LAYOUT"), Array.empty[Byte])
+    val store = graft.streaming.DedupStore.run(
+      spark, stream(), s"$tmp/store", s"$tmp/ckpt", nBuckets = 4)
+    assert(store.count() == 2L)
+    // corrupt marker WITH committed versions: recovery would re-hash the
+    // store, so the run must fail with an actionable message instead
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$tmp/store/_LAYOUT"),
+      "garbage".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Seq((3L, "gamma")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    val ex = intercept[Exception] {
+      graft.streaming.DedupStore.run(spark, stream(), s"$tmp/store", s"$tmp/ckpt")
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("corrupt _LAYOUT")),
+      s"expected the corrupt-marker diagnostic, got: ${messages(ex)}")
   }
 
   test("dedup store run() with no committed batch returns the typed empty store") {
