@@ -297,7 +297,11 @@ object NorthStarQueries {
     // omission: on the near-uniform synthetic embeddings k-means balances
     // cells and recall drops (~0.88 trained vs ~0.94 seeds) — asserted in
     // DedupSimilaritySpec ("s02 centroid choice"), which flips if the
-    // data ever gains cluster structure.
+    // data ever gains cluster structure. The trainer itself is not
+    // untested for it: s06 certifies the SAME kmeansCentroids through
+    // two Lloyd iterations against a DuckDB re-run of the algorithm, so
+    // choosing seeds here is a recall trade-off, not distrust of the
+    // training path.
     //
     // Oracled via the d10 playbook: the pipeline is deterministic end to
     // end (seed centroids = lowest-id vectors, 6-dp-rounded argmax

@@ -369,9 +369,11 @@ object StreamMediaQueries {
     // final store equals batch exact-dedup (d01) regardless of file
     // order — that equivalence is the oracle. Store versions are hash-
     // partitioned (pmod(xxhash64(text), 16)): a batch rewrites only the
-    // buckets it touches and hard-links the rest forward, so per-batch
-    // cost tracks the touched store fraction, not O(store) — see
-    // DedupStore's scale note (StreamingSpec asserts the carry-forward).
+    // buckets it touches and carries the rest forward BY MANIFEST
+    // REFERENCE (zero bytes moved on any filesystem — object stores
+    // included), so per-batch cost tracks the touched store fraction,
+    // not O(store) — see DedupStore's scale note (StreamingSpec asserts
+    // the carry-forward).
     // Honest fixture measurement: at sf0.1 each ~1/4-corpus batch
     // touches ALL 16 buckets, so pruning saves nothing here and the
     // partitioned path costs ~+1.2 s over the old monolithic rewrite

@@ -83,6 +83,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(bruteTruth.nonEmpty, "fixture should contain simhash near-dups")
   }
 
+  test("simhash md5 twin: banded output equals brute-force hamming ≤ 3 (the d04 oracle premise)") {
+    // The d04 DuckDB oracle computes the ALL-PAIRS hamming ≤ 3 set from
+    // SQL-reconstructed md5 fingerprints; the shipped query is the
+    // banded join. They are interchangeable only if banding recall is
+    // exactly 1 (pigeonhole) and the hamming filter gives precision 1 —
+    // assert that equivalence here so the oracle premise is locked in
+    // the unit gate, not just at the driver's sf.
+    val fp = docs.select(col("doc_id"),
+      graft.functions.SimHash.simhashMd5(Dedup.words(col("text"))).as("fp"))
+    val fa = fp.select(col("doc_id").as("id_a"), col("fp").as("fp_a"))
+    val fb = fp.select(col("doc_id").as("id_b"), col("fp").as("fp_b"))
+    val bruteTruth = fa.crossJoin(fb).filter(col("id_a") < col("id_b"))
+      .filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) <= 3)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Dedup.simhashNearDupsMd5(docs, "doc_id", "text",
+        bands = 4, maxHamming = 3, maxBucket = 0)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == bruteTruth,
+      s"banded=${found.size} brute=${bruteTruth.size} — must be identical")
+    // the two fingerprint families are genuinely different hashes of
+    // the same scheme — identical token arrays must still agree with
+    // themselves (sanity that the md5 path is deterministic)
+    val twice = docs.limit(20).select(
+      graft.functions.SimHash.simhashMd5(Dedup.words(col("text"))).as("a"),
+      graft.functions.SimHash.simhashMd5(Dedup.words(col("text"))).as("b"))
+    assert(twice.filter(col("a") =!= col("b")).count() == 0L)
+  }
+
   test("simhash candidate volume stays ~linear on a clustered duplicate corpus") {
     import spark.implicits._
     // 300 docs in 100 clusters of 3 (one base + 2 light edits): candidate

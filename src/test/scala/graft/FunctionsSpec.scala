@@ -61,6 +61,22 @@ class FunctionsSpec extends SparkSpec {
     assert(hamming(h1, h3) >= 16, s"unrelated hamming ${hamming(h1, h3)}")
   }
 
+  test("simhash_md5: single-token fingerprint IS the first 8 md5 bytes (the oracle's bit layout)") {
+    graft.functions.GraftFunctions.register(spark)
+    // one token → every bit counter is ±1, so the fingerprint equals the
+    // token hash itself. md5('a') = 0cc175b9c0f1b6a8..., big-endian
+    // first 8 bytes = 0x0cc175b9c0f1b6a8 — exactly the value the d04
+    // DuckDB oracle reconstructs from substr(md5(t),1,16) hex digits.
+    // This pins the byte order + hex decoding both engines must share.
+    val got = spark.sql("SELECT simhash_md5(array('a'))").head.getLong(0)
+    assert(got == 0x0cc175b9c0f1b6a8L, f"got $got%016x")
+    // null tokens skipped, null array propagates (parity with simhash)
+    val r = spark.sql(
+      """SELECT simhash_md5(array('a', CAST(NULL AS STRING))),
+        |       simhash_md5(CAST(NULL AS ARRAY<STRING>))""".stripMargin).head
+    assert(r.getLong(0) == 0x0cc175b9c0f1b6a8L && r.isNullAt(1))
+  }
+
   test("SQL registration: all graft functions callable from spark.sql") {
     graft.functions.GraftFunctions.register(spark)
     Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
