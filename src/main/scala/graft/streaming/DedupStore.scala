@@ -88,28 +88,54 @@ object DedupStore {
       case _ => None
     }
 
-  /** Retention: after a version commits, the only versions ever read
-    * again are the commit itself, its replay base (newest major below —
-    * what a crashed-before-_SUCCESS batch would re-merge from), and any
-    * version whose FILES one of those two manifests still references
-    * (carry-forward by reference keeps old versions alive exactly as
-    * long as a live manifest points into them). Everything else is dead
-    * weight that would grow the store O(batches × size) — drop it. */
+  /** Retention: after a version commits, the only LIVE manifests are
+    * the commit's own and those of any version ordered after it (a
+    * fresh-checkpoint replay rebuilds early majors while the real
+    * latest still stands — its references must survive the rebuilds'
+    * prunes). A separate "replay base" anchor is no longer needed: a
+    * committed batch is never re-merged (run()'s replay fast path skips
+    * it), so the only version a future batch reads is the newest one.
+    * Versions survive exactly as long as a live manifest references
+    * their files; everything else is dead weight that would grow the
+    * store O(batches × size) — drop it.
+    *
+    * Retention is FILE-level, not just version-level: inside surviving
+    * versions, data files no live manifest references are deleted too
+    * (a referenced version's OWN manifest is history, not a liveness
+    * root). This keeps storage at exactly the live byte set — and it is
+    * what makes [[purge]]'s physical erasure IMMEDIATE: the superseded
+    * victim-bucket files in older versions stop being referenced the
+    * moment the purge version commits, so this sweep removes their
+    * bytes in the same call, not at some later retention rotation. */
   private def prune(storeDir: String, current: VKey): Unit = {
     val all = versions(storeDir)
+    val liveKeys = all.map(_._1).filter(_ >= current)
     val byKey = all.toMap
-    val baseKey = all.map(_._1).filter(_._1 < current._1)
-      .sortBy(identity).lastOption
-    val anchors: Set[VKey] = baseKey.toSet + current
-    val referenced: Set[VKey] = anchors.flatMap { k =>
+    val liveFiles: Set[java.io.File] = liveKeys.flatMap { k =>
       byKey.get(k).toSeq.flatMap(dir =>
-        manifestEntries(storeDir, dir).flatMap { case (_, f) =>
-          parseKey(f.getParentFile.getParentFile.getName)
-        })
-    }
-    val keep = anchors ++ referenced
+        manifestEntries(storeDir, dir).map(_._2.getAbsoluteFile))
+    }.toSet
+    val referenced: Set[VKey] = liveFiles
+      .flatMap(f => parseKey(f.getParentFile.getParentFile.getName))
+    val keep = referenced ++ liveKeys
     all.filter { case (k, _) => k <= current && !keep.contains(k) }
       .foreach { case (_, dir) => deleteRecursively(dir) }
+    // file-level sweep inside surviving versions at or below the
+    // commit: drop data files no live manifest references (markers and
+    // manifests stay — they are version metadata, not carried data;
+    // versions ABOVE the commit are someone else's liveness roots)
+    versions(storeDir).filter(_._1 <= current).foreach { case (_, dir) =>
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(b => b.isDirectory && b.getName.startsWith("bucket="))
+        .foreach { b =>
+          Option(b.listFiles()).getOrElse(Array.empty)
+            .filter(f => f.isFile && !f.getName.startsWith(".") &&
+              !f.getName.startsWith("_") &&
+              !liveFiles.contains(f.getAbsoluteFile))
+            .foreach(f => f.delete(): Unit)
+          if (Option(b.listFiles()).exists(_.isEmpty)) b.delete(): Unit
+        }
+    }
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -416,6 +442,14 @@ object DedupStore {
     }
   }
 
+  /** Consumer-side read of the store's current deduplicated state —
+    * what run() returns, without running a drain: the newest committed
+    * version resolved through its manifest, tombstone-filtered. An
+    * empty or uncommitted store reads as the typed empty frame. */
+  def read(spark: SparkSession, storeDir: String): DataFrame =
+    latest(storeDir).map(readVersion(spark, storeDir, _))
+      .getOrElse(emptyStore(spark))
+
   /** Targeted delete (takedown / right-to-be-forgotten) INSIDE the
     * versioned store: rewrite ONLY the victims' buckets into a new
     * (major, sub+1) version — untouched buckets carry forward by
@@ -426,14 +460,14 @@ object DedupStore {
     * Cost ∝ victim buckets, not store size — q64's pruned-rewrite
     * shape composed with the version/replay machinery. `victimTexts`
     * is a driver-side list because takedown requests are bounded
-    * (thousands, not millions); physical bytes of superseded victim
-    * files disappear when retention rotates their old version out
-    * (logical deletion — every read path — is immediate). */
+    * (thousands, not millions). Erasure is immediate on BOTH axes:
+    * logically via the tombstone filter on every read path, and
+    * physically via prune's file-level sweep, which deletes the
+    * superseded victim-bucket files in this same call (StreamingSpec
+    * asserts no parquet file under the store still holds a victim). */
   def purge(spark: SparkSession, storeDir: String,
             victimTexts: Seq[String]): DataFrame = {
-    if (victimTexts.isEmpty)
-      return latest(storeDir).map(readVersion(spark, storeDir, _))
-        .getOrElse(emptyStore(spark))
+    if (victimTexts.isEmpty) return read(spark, storeDir)
     // hash exactly as the store does (one tiny Spark job, so the driver
     // can never drift from the executors' xxhash64)
     val vdf = spark.createDataset(victimTexts.distinct)(Encoders.STRING)

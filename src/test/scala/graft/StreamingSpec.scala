@@ -82,22 +82,34 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getAs[String]("text"), r.getAs[Long]("keep_id"),
         r.getAs[Long]("n_copies"))).toSet
     assert(got == Set(("alpha", 1L, 3L), ("beta", 2L, 2L), ("gamma", 4L, 1L)))
-    // retention: commit-time pruning keeps the newest version, its
-    // replay base, and exactly the older versions whose files a live
-    // manifest still references (carry-forward by reference) — never
-    // O(batches) dead versions
+    // retention: commit-time pruning keeps the newest version and
+    // exactly the older versions whose files its manifest still
+    // references (carry-forward by reference) — never a replay-base
+    // anchor (committed batches skip on replay) and never O(batches)
+    // dead versions
     val versions = new java.io.File(s"$tmp/store").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("v"))
       .map(_.getName).toSet
-    assert(Set("v1", "v2").subsetOf(versions),
-      s"read target + replay base must survive: $versions")
-    val referenced = Seq("v1", "v2").flatMap { v =>
-      graft.streaming.DedupStore.manifestEntries(s"$tmp/store",
-          new java.io.File(s"$tmp/store/$v"))
-        .map(_._2.getParentFile.getParentFile.getName)
-    }.toSet
-    assert(versions == Set("v1", "v2") ++ referenced,
-      s"unreferenced versions must be pruned: kept $versions, live ${referenced}")
+    assert(versions.contains("v2"), s"read target must survive: $versions")
+    val referenced = graft.streaming.DedupStore.manifestEntries(s"$tmp/store",
+        new java.io.File(s"$tmp/store/v2"))
+      .map(_._2.getParentFile.getParentFile.getName).toSet
+    assert(versions == Set("v2") ++ referenced,
+      s"unreferenced versions must be pruned: kept $versions, live $referenced")
+    // ...and inside surviving versions, every remaining data file is
+    // one the live manifest references (file-level retention)
+    val liveFiles = graft.streaming.DedupStore.manifestEntries(s"$tmp/store",
+        new java.io.File(s"$tmp/store/v2"))
+      .map(_._2.getCanonicalPath).toSet
+    versions.foreach { v =>
+      val dataFiles = Option(new java.io.File(s"$tmp/store/$v").listFiles())
+        .getOrElse(Array.empty).filter(_.isDirectory)
+        .flatMap(b => Option(b.listFiles()).getOrElse(Array.empty))
+        .filter(f => f.isFile && !f.getName.startsWith(".") &&
+          !f.getName.startsWith("_"))
+      dataFiles.foreach(f => assert(liveFiles.contains(f.getCanonicalPath),
+        s"dead data file survived the sweep: $f"))
+    }
   }
 
   test("dedup store rewrites only touched hash partitions; untouched carry forward") {
@@ -193,6 +205,10 @@ class StreamingSpec extends SparkSpec {
     val purged = graft.streaming.DedupStore.purge(spark, s"$tmp/store", victims)
     val texts = purged.collect().map(_.getAs[String]("text")).toSet
     assert(texts.size == 48 && victims.forall(!texts.contains(_)))
+    // the consumer-side read sees the same post-purge state
+    val reread = graft.streaming.DedupStore.read(spark, s"$tmp/store")
+      .collect().map(_.getAs[String]("text")).toSet
+    assert(reread == texts)
     // physical shape: the purge version holds ONLY the victims' buckets;
     // everything else is carried forward by reference into v0
     val vP = new java.io.File(s"$tmp/store/v0.1")
@@ -210,6 +226,22 @@ class StreamingSpec extends SparkSpec {
         if (victimBuckets.contains(b)) assert(owner == "v0.1")
         else assert(owner == "v0", s"bucket $b should carry forward: $owner")
       }
+    // PHYSICAL erasure is immediate: prune's file-level sweep removes
+    // the superseded victim-bucket files in the same purge call, so NO
+    // parquet file anywhere under the store still holds a victim text
+    // (the GDPR requirement — logical filtering alone is not deletion)
+    val allDataFiles = new java.io.File(s"$tmp/store").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .flatMap(v => Option(v.listFiles()).getOrElse(Array.empty))
+      .filter(_.isDirectory)
+      .flatMap(b => Option(b.listFiles()).getOrElse(Array.empty))
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath)
+    assert(allDataFiles.nonEmpty)
+    val residual = spark.read.parquet(allDataFiles.toIndexedSeq: _*)
+      .filter(col("text").isin(victims: _*)).count()
+    assert(residual == 0L,
+      s"$residual victim rows physically present after purge")
     // REPLAY under a fresh checkpoint (full source re-delivery): batch 0
     // is already committed, so the drain skips it and the purge version
     // stays the read target — deleted texts must not resurrect
