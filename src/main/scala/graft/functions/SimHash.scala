@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** `simhash(tokens)`: 64-bit SimHash fingerprint of an `array<string>` of
   * tokens, as a native Catalyst expression.
@@ -23,9 +24,14 @@ import org.apache.spark.sql.types.{DataType, LongType}
 case class SimHash(child: Expression)
     extends UnaryExpression {
 
-  // input must be array<string> (tokens); built via [[SimHash.simhash]]
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
+
+  // array<string> tokens enforced at ANALYSIS time, so SQL misuse
+  // (`simhash('abc')`) is an AnalysisException, not an executor
+  // ClassCastException — same contract as every other graft function
+  override def checkInputDataTypes(): TypeCheckResult =
+    SimHash.checkTokens(prettyName, child.dataType)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -54,6 +60,9 @@ case class SimHashMd5(child: Expression)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    SimHash.checkTokens(prettyName, child.dataType)
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     SimHash.ofTokensMd5(arr)
@@ -69,6 +78,13 @@ case class SimHashMd5(child: Expression)
 object SimHash {
 
   val Seed = 42L
+
+  private[functions] def checkTokens(fn: String, dt: DataType): TypeCheckResult =
+    dt match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$fn expects array<string> tokens, got ${other.simpleString}")
+    }
 
   /** Single-pass SimHash over an ArrayData of UTF8Strings (shared by
     * interpreted eval and generated code). */

@@ -52,8 +52,8 @@ object ScaleJoins {
     * guesswork, at the cost of working only at blocking shuffle
     * boundaries (salting also covers streaming/bucketed shapes).
     * Every conf is restored after `body`. */
-  def withSkewJoinDemo[T](s: SparkSession)(body: => T): T = {
-    val confs = Seq(
+  def withSkewJoinDemo[T](s: SparkSession)(body: => T): T =
+    graft.Confs.withConfs(s, Seq(
       "spark.sql.adaptive.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
@@ -61,15 +61,7 @@ object ScaleJoins {
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
       "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
-    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
-    confs.foreach { case (k, v) => s.conf.set(k, v) }
-    try body
-    finally prev.foreach {
-      case (k, Some(v)) => s.conf.set(k, v)
-      case (k, None) => s.conf.unset(k)
-    }
-  }
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1"))(body)
 
   /** Min-max-normalized 16-bit-per-dimension Z-value for a 2-D sort key
     * ([[graft.functions.ZOrder2]]): each column linearly rescales to

@@ -146,9 +146,16 @@ object NorthStarQueries {
     // ALL-PAIRS hamming ≤ 3 set — valid because banding guarantees
     // recall at hamming < bands and the exact hamming filter gives
     // precision 1, so the banded output EQUALS all-pairs. maxBucket = 0
-    // is the exact-oracle regime; the xxhash64-seeded variant (one XXH64
-    // pass per token vs a full MD5) remains the production fast path,
-    // pigeonhole- and volume-gated in DedupSimilaritySpec.
+    // is the exact-oracle regime, valid here for the same measured
+    // reason as d02/d09: this corpus has no degenerate fingerprint
+    // region (65,536-value band keys spread it thin). A
+    // boilerplate-heavy production corpus MUST pass a cap —
+    // simhashNearDupsMd5 threads maxBucket to the same capBuckets
+    // guard as every other blocked join, trading capped recall for
+    // bounded bucket² work — or the hot (band,bits) bucket goes
+    // quadratic. The xxhash64-seeded variant (one XXH64 pass per token
+    // vs a full MD5) remains the production fast path, pigeonhole- and
+    // volume-gated in DedupSimilaritySpec.
     ("d04_simhash_neardup",
       (s: SparkSession, d: String) => {
         Dedup.simhashNearDupsMd5(Tables.load(s, d, "documents"), "doc_id", "text",

@@ -368,16 +368,9 @@ object SourceFormatQueries {
 
   /** Run `body` with `spark.sql.sources.partitionOverwriteMode` set to
     * `mode`, restoring the previous setting after. */
-  private[graft] def withOverwriteMode[T](s: SparkSession, mode: String)(body: => T): T = {
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, mode)
-    try body
-    finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
-    }
-  }
+  private[graft] def withOverwriteMode[T](s: SparkSession, mode: String)(body: => T): T =
+    graft.Confs.withConfs(s,
+      Seq("spark.sql.sources.partitionOverwriteMode" -> mode))(body)
 
   /** q58's Z-ordered lineitem layout + the (pmin, pmax, smin, smax)
     * bounds it was normalized with, memoized per (JVM, sf). 16 range

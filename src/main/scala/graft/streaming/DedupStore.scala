@@ -176,12 +176,23 @@ object DedupStore {
 
   /** Parse a version's `_MANIFEST`: `<bucket>\t<relpath>` lines, paths
     * relative to the store root (so the store directory is relocatable
-    * as a unit). */
+    * as a unit). A COMMITTED version without a manifest is refused
+    * loudly: treating it as empty would read the store as vacant and
+    * let the next commit's prune delete its (unreferenced-looking)
+    * data — the silent-total-loss failure mode for a store written by
+    * the pre-manifest layout or one whose manifest was lost. */
   private[graft] def manifestEntries(storeDir: String,
                                      vDir: java.io.File): Seq[(Int, java.io.File)] = {
     val mf = new java.io.File(vDir, "_MANIFEST")
-    if (!mf.isFile) Seq.empty
-    else {
+    if (!mf.isFile) {
+      if (new java.io.File(vDir, "_SUCCESS").isFile)
+        throw new IllegalStateException(
+          s"committed store version ${vDir.getAbsolutePath} has no " +
+            "_MANIFEST — the store was written by an older (pre-manifest) " +
+            "layout or the manifest was lost; rebuild the store or restore " +
+            "the manifest before opening it with this version")
+      Seq.empty
+    } else {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.readAllLines(mf.toPath,
           java.nio.charset.StandardCharsets.UTF_8).asScala.toSeq
@@ -236,7 +247,10 @@ object DedupStore {
   private[graft] def loadTombstones(storeDir: String): Seq[Long] = {
     val d = new java.io.File(storeDir, "_TOMBSTONES")
     import scala.jdk.CollectionConverters._
-    Option(d.listFiles()).map(_.toSeq.filter(_.isFile)
+    // dot-files are in-flight writes (.tN.tmp) — a truncated hash line
+    // in one could parse as a WRONG hash, so only committed files count
+    Option(d.listFiles())
+      .map(_.toSeq.filter(f => f.isFile && !f.getName.startsWith("."))
       .flatMap(f => java.nio.file.Files.readAllLines(f.toPath,
           java.nio.charset.StandardCharsets.UTF_8).asScala
         .flatMap(_.trim.toLongOption))
@@ -359,14 +373,11 @@ object DedupStore {
   def run(spark: SparkSession, docs: DataFrame,
           storeDir: String, ckptDir: String, nBuckets: Int = 16): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
-    val tuned = Seq(
+    graft.Confs.withConfs(spark, Seq(
       // no watermark/stateful operator here: a no-data batch would only
       // re-reference the whole store into a duplicate version
       "spark.sql.streaming.noDataMicroBatches.enabled" -> "false",
-      "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false")
-    val prev = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
-    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false")) {
       val mergeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
         // idempotent replay fast path: vN committed means batch N's
         // merge result is already on disk (the merge is deterministic),
@@ -374,8 +385,10 @@ object DedupStore {
         // a full re-drain under a fresh checkpoint — skips the rebuild
         // instead of stomping a version that later manifests (a purge's,
         // or under a fresh checkpoint any later batch's) reference into.
-        if (!batch.isEmpty &&
-            !versions(storeDir).exists(_._1._1 == batchId)) {
+        // The cheap local directory check runs FIRST: a skipped batch
+        // costs one listFiles(), not a Spark job over the batch files.
+        if (!versions(storeDir).exists(_._1._1 == batchId) &&
+            !batch.isEmpty) {
           val s = batch.sparkSession
           // the store's committed layout wins over the parameter (see
           // layoutBuckets) — re-resolved per batch so a store created
@@ -433,12 +446,7 @@ object DedupStore {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      latest(storeDir)
-        .map(readVersion(spark, storeDir, _))
-        .getOrElse(emptyStore(spark))
-    } finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
+      read(spark, storeDir)
     }
   }
 
@@ -479,18 +487,25 @@ object DedupStore {
       .getOrElse((0L, 1))
     // tombstones land FIRST (atomically): from this moment the texts
     // are logically gone on every read path even if the rewrite below
-    // crashes; the file is named after the purge version, so a retry
-    // overwrites rather than duplicates
+    // crashes. Each purge appends a FRESH file (monotonic counter) —
+    // never a version-derived name, which two purges could share when
+    // the first committed no version (victims absent, or a crash after
+    // the tombstone landed) and REPLACE_EXISTING would then silently
+    // drop the earlier purge's hashes, resurrecting its texts on
+    // re-ingestion. A crashed-and-retried purge writes a duplicate
+    // file instead; loadTombstones dedups.
     val tombDir = new java.io.File(storeDir, "_TOMBSTONES")
     tombDir.mkdirs()
-    val tmp = new java.io.File(tombDir, s".${dirName(newKey)}.tmp")
+    val nextTomb = Option(tombDir.listFiles()).getOrElse(Array.empty)
+      .flatMap(f => f.getName.stripPrefix("t").toLongOption)
+      .maxOption.getOrElse(-1L) + 1
+    val tmp = new java.io.File(tombDir, s".t$nextTomb.tmp")
     java.nio.file.Files.write(tmp.toPath, hashes.map(_.toString)
       .mkString("", "\n", "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.file.Files.move(tmp.toPath,
-      new java.io.File(tombDir, dirName(newKey)).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      new java.io.File(tombDir, s"t$nextTomb").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     current match {
       case None => emptyStore(spark) // nothing committed: tombstones only
       case Some((baseKey, baseDir)) =>

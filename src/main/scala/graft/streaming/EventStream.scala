@@ -101,12 +101,9 @@ object EventStream {
     //    sidecar is an extra FileContext create that shells out on the
     //    local FS, roughly doubling state-commit latency for zero benefit
     //    on a throwaway dir.
-    val tuned = Seq(
+    graft.Confs.withConfs(spark, Seq(
       "spark.sql.streaming.noDataMicroBatches.enabled" -> "false",
-      "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false")
-    val prev = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
-    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false")) {
       val q = streamed.writeStream
         .outputMode(mode)
         .format("memory")
@@ -115,9 +112,6 @@ object EventStream {
         .start()
       q.awaitTermination()
       spark.table(name)
-    } finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
     }
   }
 
@@ -129,17 +123,11 @@ object EventStream {
     * high-cardinality keys like per-user sessions). Restores the
     * previous provider afterwards; queries STARTED inside keep their
     * provider for their lifetime (it is fixed at query start). */
-  def withRocksDBState[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
+  def withRocksDBState[T](spark: SparkSession)(body: => T): T =
+    graft.Confs.withConfs(spark, Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ))(body)
 
   /** Drain a watermarked streaming aggregate to a parquet file sink —
     * the cluster-scale path: Append mode emits each window exactly once
@@ -151,12 +139,9 @@ object EventStream {
     * Returns the sink directory read back as a DataFrame. */
   def runToFiles(spark: SparkSession, streamed: DataFrame, outDir: String,
                  checkpointDir: String): DataFrame = {
-    val tuned = Seq(
+    graft.Confs.withConfs(spark, Seq(
       "spark.sql.streaming.noDataMicroBatches.enabled" -> "true",
-      "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false")
-    val prev = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
-    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false")) {
       val q = streamed.writeStream
         .outputMode(OutputMode.Append)
         .format("parquet")
@@ -166,9 +151,6 @@ object EventStream {
         .start()
       q.awaitTermination()
       spark.read.parquet(outDir)
-    } finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
     }
   }
 

@@ -75,6 +75,13 @@ class FunctionsSpec extends SparkSpec {
       """SELECT simhash_md5(array('a', CAST(NULL AS STRING))),
         |       simhash_md5(CAST(NULL AS ARRAY<STRING>))""".stripMargin).head
     assert(r.getLong(0) == 0x0cc175b9c0f1b6a8L && r.isNullAt(1))
+    // non-token input is an ANALYSIS error, not an executor cast crash
+    Seq("simhash_md5('abc')", "simhash(array(1, 2))").foreach { bad =>
+      val ex = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT $bad").collect()
+      }
+      assert(ex.getMessage.contains("array<string>"), s"$bad: ${ex.getMessage}")
+    }
   }
 
   test("SQL registration: all graft functions callable from spark.sql") {
