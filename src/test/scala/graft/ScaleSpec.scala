@@ -72,6 +72,15 @@ class ScaleSpec extends SparkSpec {
       .agg(count_distinct(col("text")).as("est"))
     assert(perSource.exceptAll(exactPer).isEmpty)
     sketches.unpersist()
+    // d06's premise: at lgConfigK=18 the lineitem partkey sketch stays
+    // in the exact sparse/coupon regime for every fixture sf — this
+    // assertion flips before the exact-count oracle could ever flake
+    val d06 = Tables.load(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey"), lit(18))).as("est"),
+        count_distinct(col("l_partkey")).as("exact"))
+    assert(d06.filter(col("est") =!= col("exact")).count() == 0L,
+      "d06 exact-regime premise broken: lgK=18 sketch drifted from exact")
   }
 
   test("compaction derives the file count from payload bytes and loses nothing") {
