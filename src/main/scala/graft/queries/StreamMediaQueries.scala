@@ -412,6 +412,11 @@ object StreamMediaQueries {
     // StreamingSpec drives both resurrection paths. Cost ∝ victim
     // buckets, not store size. Oracle: the final store equals batch
     // exact-dedup (d01) over the corpus minus the victim texts.
+    // Timed cost is dominated by building the store fixture (the st07
+    // drain, ~5 s at sf0.1); the purge itself is ~0.6 s — kept in-query
+    // rather than warmed up because purge MUTATES the store, so a
+    // shared pre-built fixture would make the second bench run time a
+    // victims-already-gone no-op instead of a real takedown.
     ("st13_store_purge",
       (s: SparkSession, d: String) => {
         val tmp = java.nio.file.Files.createTempDirectory("graft_st13").toString

@@ -56,6 +56,13 @@ import org.apache.spark.sql.streaming.Trigger
   * corpus store needs. The read path applies the same filter, so a
   * purge is logically complete the moment its tombstone file lands even
   * if the physical rewrite crashes mid-way.
+  *
+  * Single-writer contract: one drain OR purge at a time per store. The
+  * streaming checkpoint already serializes drains; a purge must not
+  * race a running drain (both commit versions and prune). Concurrent
+  * READS are safe at any time — they resolve a committed version's
+  * manifest, and retention never deletes files a committed manifest
+  * still references.
   */
 object DedupStore {
 

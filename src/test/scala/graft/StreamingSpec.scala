@@ -264,6 +264,64 @@ class StreamingSpec extends SparkSpec {
     assert(afterTexts.size == 49)
   }
 
+  test("fresh-checkpoint re-drain after retention pruned early versions keeps the purged state") {
+    // The hardest interleaving: multi-batch drain where later batches
+    // touch every bucket (so retention deletes v0/v1 entirely), then a
+    // purge, then a FULL re-delivery under a fresh checkpoint. Batches
+    // 0/1 find no committed version (pruned) and REBUILD from nothing;
+    // their commits' prunes must not delete files the still-standing
+    // purge version references (liveness includes versions ordered
+    // after the committing one), and batch 2 must skip because the
+    // purge sub-version carries its major. The read target stays the
+    // purged state throughout.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_store_redrain").toString
+    def writeBatch(rows: Seq[(Long, String)], mtime: Long): Unit = {
+      import spark.implicits._
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(s"$tmp/in")
+      val newest = new java.io.File(s"$tmp/in").listFiles()
+        .filter(_.getName.startsWith("part-")).maxBy(_.lastModified())
+      newest.setLastModified(mtime): Unit
+    }
+    val now = System.currentTimeMillis()
+    writeBatch((0 until 100).map(i => (i.toLong, s"redrain text $i")), now - 60000)
+    writeBatch((100 until 200).map(i => (i.toLong, s"redrain text $i")), now - 30000)
+    // batch 2 re-delivers EVERY text, so it touches every occupied
+    // bucket and retention fully supersedes (prunes) v0 and v1 — the
+    // setup the re-drain scenario needs
+    writeBatch((0 until 200).map(i => (1000L + i, s"redrain text $i")), now)
+    def stream() = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in/part-*")
+    graft.streaming.DedupStore.run(spark, stream(), s"$tmp/store", s"$tmp/ckpt")
+    // setup premise: batch 2 (all 200 texts re-delivered over 16
+    // buckets) touched every bucket, so v0/v1 are superseded and pruned
+    val before = new java.io.File(s"$tmp/store").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v")).map(_.getName).toSet
+    assert(before == Set("v2"), s"retention should leave only v2: $before")
+    val victims = Seq("redrain text 7", "redrain text 123")
+    val purged = graft.streaming.DedupStore.purge(spark, s"$tmp/store", victims)
+      .collect().map(_.getAs[String]("text")).toSet
+    assert(purged.size == 198 && victims.forall(!purged.contains(_)))
+    // full re-delivery, fresh checkpoint: batches 0/1 rebuild (their
+    // versions are gone), batch 2 skips (major 2 exists via v2.1)
+    val redrained = graft.streaming.DedupStore.run(
+      spark, stream(), s"$tmp/store", s"$tmp/ckpt_fresh")
+    val after = redrained.collect().map(_.getAs[String]("text")).toSet
+    assert(after == purged,
+      s"re-drain diverged: missing=${purged -- after} extra=${after -- purged}")
+    // and the purge version is still the read target with intact refs
+    assert(graft.streaming.DedupStore.latest(s"$tmp/store")
+      .exists(_.endsWith("v2.1")))
+    graft.streaming.DedupStore.manifestEntries(s"$tmp/store",
+        new java.io.File(s"$tmp/store/v2.1"))
+      .foreach(e => assert(e._2.isFile, s"dangling manifest ref: ${e._2}"))
+  }
+
   test("corrupt _LAYOUT: recovered when nothing committed, loud when versions exist") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_store_corrupt").toString
     val docs = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
