@@ -295,9 +295,13 @@ object Similarity {
     * scan — right up to ~10⁶ queries (a 64-dim float batch is 256 MB
     * at that point). Past that, batch the queries (iterate broadcast
     * slices) or accept approximate recall and block via [[ivfTopK]] —
-    * on THIS data IVF self-kNN recall tops out at 0.87 even probing
+    * shipped as s07_ivf_knn_join, whose candidates arrive through a
+    * cell-keyed shuffle join with no query broadcast at all, and whose
+    * oracle re-runs the IVF algorithm in SQL so recall < 1 can't break
+    * it. On THIS data IVF self-kNN recall tops out at 0.87 even probing
     * 10/16 cells (neighbors sit at the similarity noise floor), which
-    * is why the exact scan is the shipped default. */
+    * is why the exact scan stays the default for broadcastable
+    * batches. */
   def knnJoin(corpus: DataFrame, k: Int, rescore: Int = 32): DataFrame =
     quantizedTopK(corpus,
       corpus.select(col("vec_id").as("query_id"),

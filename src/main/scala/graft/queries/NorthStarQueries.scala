@@ -474,6 +474,56 @@ object NorthStarQueries {
              |WHERE rank <= 3
              |ORDER BY query_id, rank""".stripMargin)),
 
+    // ---- similarity: IVF k-NN JOIN (the unbounded-scale all-pairs path) ----
+    // s04's exact kNN join broadcasts the query batch to the int8 scan —
+    // right up to ~10⁶ queries, then the broadcast IS the ceiling (its
+    // scaladoc owns this). This is the shape past that ceiling: every
+    // vector is a query and arrives at its candidates through a
+    // CELL-KEYED SHUFFLE JOIN (probes ⋈ assignments on cell_id — only
+    // the nCells-row codebook broadcasts), so both sides partition
+    // freely at any corpus size. The trade is ANN recall (~0.87
+    // measured for self-kNN on this corpus at nProbe 4 — neighbors sit
+    // at the similarity noise floor, which is WHY s04 ships exact for
+    // broadcastable batches); the oracle is still full rows+hash
+    // because the SQL re-runs the IVF algorithm itself (the s02
+    // playbook: seed centroids, 6-dp argmax, probe cells, ranked tail),
+    // so approximate recall cannot break the match.
+    ("s07_ivf_knn_join",
+      (s: SparkSession, d: String) => {
+        val emb = Tables.load(s, d, "embeddings").select("vec_id", "embedding")
+        Similarity.ivfTopK(emb,
+            emb.select(col("vec_id").as("query_id"),
+              col("embedding").as("q_embedding")),
+            k = 3, nCells = 16, nProbe = 4)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH e AS (SELECT vec_id, v FROM
+             |        (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+             |      WHERE len(v) > 0 AND list_inner_product(v, v) > 0),
+             |c AS (SELECT vec_id AS cell_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+             |a AS (SELECT vec_id, cell_id FROM (
+             |        SELECT e.vec_id, c.cell_id,
+             |          row_number() OVER (PARTITION BY e.vec_id
+             |            ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell_id) AS rn
+             |        FROM e CROSS JOIN c)
+             |      WHERE rn = 1),
+             |p AS (SELECT query_id, cell_id FROM (
+             |        SELECT q.vec_id AS query_id, c.cell_id,
+             |          row_number() OVER (PARTITION BY q.vec_id
+             |            ORDER BY round(list_cosine_similarity(q.v, c.cv), 6) DESC, c.cell_id) AS rn
+             |        FROM e q CROSS JOIN c)
+             |      WHERE rn <= 4)
+             |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+             |  SELECT p.query_id, a.vec_id AS neighbor_id,
+             |    round(list_cosine_similarity(q.v, n.v), 6) AS cos_sim,
+             |    row_number() OVER (PARTITION BY p.query_id
+             |      ORDER BY round(list_cosine_similarity(q.v, n.v), 6) DESC, a.vec_id) AS rank
+             |  FROM p JOIN a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
+             |  JOIN e q ON q.vec_id = p.query_id
+             |  JOIN e n ON n.vec_id = a.vec_id)
+             |WHERE rank <= 3
+             |ORDER BY query_id, rank""".stripMargin)),
+
     // ---- text analysis: per-doc features ----------------------------------
     ("t01_token_stats",
       (s: SparkSession, d: String) => {
