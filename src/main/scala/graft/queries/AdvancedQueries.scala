@@ -9,8 +9,9 @@ import graft.functions.Aggregators
 import graft.ops.AsOfJoin
 
 /** Advanced relational surface: cube, pivot, as-of join, range join,
-  * typed-Aggregator UDAF, approximate distinct. All but the HLL sketch
-  * (engine-specific algorithm) are DuckDB-oracled. */
+  * typed-Aggregator UDAF, approximate distinct. Every query is
+  * DuckDB-oracled — the HLL sketch (d06) included, via the exact
+  * sparse-regime sizing its own comment explains. */
 object AdvancedQueries {
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))

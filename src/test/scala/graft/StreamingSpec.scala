@@ -264,6 +264,47 @@ class StreamingSpec extends SparkSpec {
     assert(afterTexts.size == 49)
   }
 
+  test("interleaved drains and purges: tombstones accumulate across purge generations") {
+    // The long-lived shape: ingest, takedown, more ingest (including a
+    // re-delivery of the purged text under a new id), another takedown.
+    // Both purges' tombstones must stay in force — the second purge
+    // must not displace the first's (the round-7 tombstone-collision
+    // fix) — and versions must interleave as v0 -> v0.1 -> v1 -> v1.1.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_store_ilv").toString
+    def stream() = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in/part-*")
+    (0 until 100).map(i => (i.toLong, s"ilv text $i")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+    graft.streaming.DedupStore.run(spark, stream(), s"$tmp/store", s"$tmp/ckpt")
+    graft.streaming.DedupStore.purge(spark, s"$tmp/store", Seq("ilv text 5"))
+    // second ingest: new texts, a re-delivery of the purged text under
+    // a fresh id, and a duplicate of a surviving text
+    ((100 until 150).map(i => (i.toLong, s"ilv text $i")) ++
+      Seq((900L, "ilv text 5"), (901L, "ilv text 10")))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    graft.streaming.DedupStore.run(spark, stream(), s"$tmp/store", s"$tmp/ckpt")
+    val finalStore = graft.streaming.DedupStore.purge(
+      spark, s"$tmp/store", Seq("ilv text 110"))
+    val rows = finalStore.collect()
+      .map(r => r.getAs[String]("text") -> r.getAs[Long]("n_copies")).toMap
+    assert(rows.size == 148, s"expected 148 texts, got ${rows.size}")
+    assert(!rows.contains("ilv text 5"), "first purge's tombstone lost")
+    assert(!rows.contains("ilv text 110"), "second purge ineffective")
+    assert(rows("ilv text 10") == 2L, "duplicate merge broken by purges")
+    assert(graft.streaming.DedupStore.latest(s"$tmp/store")
+      .exists(_.endsWith("v1.1")))
+    // two committed tombstone files, no overwrites
+    val tombs = new java.io.File(s"$tmp/store/_TOMBSTONES").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".")).map(_.getName).toSet
+    assert(tombs == Set("t0", "t1"), s"tombstone files: $tombs")
+  }
+
   test("fresh-checkpoint re-drain after retention pruned early versions keeps the purged state") {
     // The hardest interleaving: multi-batch drain where later batches
     // touch every bucket (so retention deletes v0/v1 entirely), then a
