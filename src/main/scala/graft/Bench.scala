@@ -96,7 +96,15 @@ object Bench {
       // skips the retry — failures should stay loud, not be retried
       // into a timing.
       val first = once()
-      name -> (if (first < 0) first else math.min(first, once()))
+      name -> (if (first < 0) first
+      else {
+        // a failed RETRY must not discard the valid first measurement
+        // (min(first, -1) would report the query as failed after it
+        // succeeded): keep the first run's time; the retry failure is
+        // already loud on stderr
+        val second = once()
+        if (second < 0) first else math.min(first, second)
+      })
     }
     // 3-decimal times keep the one-line JSON short (a 75-query line with
     // 17-digit doubles overflows the driver's capture — round 2 lost the

@@ -214,7 +214,18 @@ object Similarity {
     * `rescore`-deep shortlist at full precision — the IVF-int8 layout:
     * at 100 TB the probed cells are read as int8 (4× fewer bytes) and
     * only the shortlist touches float vectors. With rescore ≫ k the
-    * output equals the float path exactly (spec-asserted). */
+    * output equals the float path exactly (spec-asserted).
+    *
+    * Scaling rule for `nCells`: it is the key space of the cell-keyed
+    * candidate join, so it must GROW with the corpus — size it so one
+    * cell's vectors fit a target partition (nCells ≈ corpus_vectors ×
+    * bytes_per_candidate / target_partition_bytes; with the int8 index
+    * a 128-dim candidate is ~140 B, so ~1M vectors per cell at 128 MB
+    * partitions). Per-query probe work is then nProbe × corpus/nCells
+    * regardless of corpus size. The fixture's nCells = 16 is fixture
+    * granularity, not the rule. Hot cells (a skewed codebook) are a
+    * join-skew problem, handled by AQE skew-join exactly as q65
+    * demonstrates — not by this operator. */
   def ivfTopK(corpus0: DataFrame, queries0: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4, trainIters: Int = 0,
               quantized: Boolean = false, rescore: Int = 32): DataFrame = {

@@ -481,20 +481,25 @@ object NorthStarQueries {
     // vector is a query and arrives at its candidates through a
     // CELL-KEYED SHUFFLE JOIN (probes ⋈ assignments on cell_id — only
     // the nCells-row codebook broadcasts), so both sides partition
-    // freely at any corpus size. The trade is ANN recall (~0.87
-    // measured for self-kNN on this corpus at nProbe 4 — neighbors sit
-    // at the similarity noise floor, which is WHY s04 ships exact for
-    // broadcastable batches); the oracle is still full rows+hash
-    // because the SQL re-runs the IVF algorithm itself (the s02
-    // playbook: seed centroids, 6-dp argmax, probe cells, ranked tail),
-    // so approximate recall cannot break the match.
+    // freely at any corpus size. Candidates travel as the QUANTIZED
+    // int8 index (vec_id, cell_id, q8, q_scale — 4× fewer bytes than
+    // float32 through the shuffle), and rescore = 32 ≫ k re-ranks the
+    // shortlist at full precision, which equals the float path exactly
+    // (DedupSimilaritySpec asserts it for this self-join, the s03/s04
+    // rule). The trade is ANN recall (~0.87 measured for self-kNN on
+    // this corpus at nProbe 4 — neighbors sit at the similarity noise
+    // floor, which is WHY s04 ships exact for broadcastable batches);
+    // the oracle is still full rows+hash because the SQL re-runs the
+    // IVF algorithm itself (the s02 playbook: seed centroids, 6-dp
+    // argmax, probe cells, ranked tail), so neither approximate recall
+    // nor quantization can break the match.
     ("s07_ivf_knn_join",
       (s: SparkSession, d: String) => {
         val emb = Tables.load(s, d, "embeddings").select("vec_id", "embedding")
         Similarity.ivfTopK(emb,
             emb.select(col("vec_id").as("query_id"),
               col("embedding").as("q_embedding")),
-            k = 3, nCells = 16, nProbe = 4)
+            k = 3, nCells = 16, nProbe = 4, quantized = true, rescore = 32)
           .orderBy(col("query_id"), col("rank"))
       },
       Some("""WITH e AS (SELECT vec_id, v FROM

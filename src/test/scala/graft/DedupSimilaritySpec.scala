@@ -268,6 +268,26 @@ class DedupSimilaritySpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("IVF k-NN self-join (shipped s07): int8 candidates equal the float path") {
+    // s07 ships quantized = true — every vector is a query and the
+    // cell-join candidates travel as the int8 index. rescore ≫ k must
+    // make that output identical to the float-candidate branch at the
+    // shipped parameters, or the flip would silently change results.
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").cache()
+    val queries = emb.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val float = rows(Similarity.ivfTopK(emb, queries, 3, nCells = 16, nProbe = 4))
+    val q8 = rows(Similarity.ivfTopK(emb, queries, 3, nCells = 16, nProbe = 4,
+      quantized = true, rescore = 32))
+    assert(q8 == float,
+      "s07's int8 self-join candidates must reproduce the float path exactly")
+    emb.unpersist()
+  }
+
   test("IVF-blocked near-dup on a clustered corpus: planted dups found, cells cappable") {
     import spark.implicits._
     // 100 clusters of 3 near-identical vectors on a 64-dim background:
