@@ -2,6 +2,8 @@ package graft.streaming
 
 import scala.math.Ordering.Implicits.infixOrderingOps
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -43,9 +45,24 @@ import org.apache.spark.sql.streaming.Trigger
   * how Delta/Iceberg get the same property, reproduced here on plain
   * parquet.) Per-batch merge cost is therefore ∝ the store fraction the
   * batch touches, not O(store). Commit ordering is crash-safe: the
-  * manifest is written atomically (temp + ATOMIC_MOVE), and the
-  * version's `_SUCCESS` lands last; retention keeps any version whose
-  * files a live manifest still references.
+  * manifest is written atomically (temp + rename), and the version's
+  * `_SUCCESS` lands last; retention keeps any version whose files a
+  * live manifest still references.
+  *
+  * Substrate — ALL metadata IO goes through the Hadoop `FileSystem`
+  * API resolved from the store path's scheme, so the same code executes
+  * against local disk, HDFS, or any Hadoop-compatible store (the data
+  * files already did — they are written/read by Spark). Atomicity
+  * notes per substrate: on HDFS and local disk, rename is atomic, so
+  * temp + rename gives all-or-nothing markers; on S3A, rename is
+  * copy+delete, but the primitive that replaces it — a single-object
+  * PUT, which S3 applies atomically — is exactly what writing the
+  * manifest/marker directly would be, and because every version
+  * directory is written ONCE and never patched (a new version is a new
+  * directory; `_SUCCESS` gates visibility), a non-atomic rename of a
+  * small metadata object is still safe there: a torn read cannot
+  * happen (PUT is atomic per object) and a crashed rename just leaves
+  * an uncommitted version that the next run rewrites.
   *
   * Deletion — [[purge]] + tombstones: a takedown rewrites ONLY the
   * victims' buckets into a new (major, sub+1) version and records the
@@ -95,6 +112,81 @@ object DedupStore {
       case _ => None
     }
 
+  // ---- substrate: Hadoop FileSystem primitives -----------------------------
+  // The store's metadata layer speaks the FileSystem API exclusively, so
+  // a `hdfs://` or `s3a://` store path executes the same code as a local
+  // one (scheme-resolved; the Spark session's Hadoop conf carries
+  // credentials/endpoints exactly as it does for table reads).
+
+  /** The session's Hadoop conf when one is active (it carries fs.*
+    * credentials and endpoint settings), a default conf otherwise —
+    * metadata helpers callable without a session still resolve local
+    * and HDFS paths correctly. */
+  private def hadoopConf(): Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  /** Resolve a store path to its FileSystem + fully-qualified root.
+    * `LocalFileSystem` is unwrapped to its raw (checksum-free) form:
+    * the client-side sidecar `.crc` files it maintains would veto the
+    * contract that an operator may restore/replace a small marker file
+    * byte-for-byte out-of-band (corrupt-`_LAYOUT` recovery relies on
+    * reading whatever bytes are there and diagnosing THEM — a checksum
+    * mismatch on a hand-restored marker would mask the real message).
+    * Metadata integrity is owned by the commit protocol itself (temp +
+    * rename + `_SUCCESS`-last ordering), not per-file checksums.
+    * HDFS/S3A are not checksum wrappers and pass through unchanged. */
+  private def fsRoot(storeDir: String): (FileSystem, Path) = {
+    val raw = new Path(storeDir)
+    val fs = raw.getFileSystem(hadoopConf()) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case x => x
+    }
+    (fs, fs.makeQualified(raw))
+  }
+
+  /** listStatus that treats a missing directory as empty (the Hadoop
+    * API throws FileNotFoundException instead). */
+  private def listDir(fs: FileSystem, p: Path): Seq[FileStatus] =
+    if (!fs.exists(p)) Seq.empty else fs.listStatus(p).toSeq
+
+  private def readString(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  /** Atomic(-enough) metadata write: temp file + rename. Rename is
+    * atomic on HDFS/local; on object stores it degrades to copy+delete,
+    * which is still safe for THIS layout because each target object is
+    * written before the version's `_SUCCESS` gates any reader onto it
+    * (see the substrate note in the class doc — a direct single-PUT of
+    * the target would be the native S3 form of the same guarantee). */
+  private def atomicWrite(fs: FileSystem, target: Path, body: String): Unit = {
+    val tmp = new Path(target.getParent, s".${target.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(target)) fs.delete(target, false)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"rename $tmp -> $target failed")
+  }
+
+  /** A file's path relative to the store root (manifests store relative
+    * paths so the store directory is relocatable as a unit). */
+  private def relativize(root: Path, file: Path): String = {
+    val r = root.toString + "/"
+    val f = file.toString
+    require(f.startsWith(r), s"manifest file $f outside store root $root")
+    f.stripPrefix(r)
+  }
+
   /** Retention: after a version commits, the only LIVE manifests are
     * the commit's own and those of any version ordered after it (a
     * fresh-checkpoint replay rebuilds early majors while the real
@@ -114,40 +206,34 @@ object DedupStore {
     * victim-bucket files in older versions stop being referenced the
     * moment the purge version commits, so this sweep removes their
     * bytes in the same call, not at some later retention rotation. */
-  private def prune(storeDir: String, current: VKey): Unit = {
-    val all = versions(storeDir)
+  private def prune(fs: FileSystem, root: Path, current: VKey): Unit = {
+    val all = versions(fs, root)
     val liveKeys = all.map(_._1).filter(_ >= current)
     val byKey = all.toMap
-    val liveFiles: Set[java.io.File] = liveKeys.flatMap { k =>
-      byKey.get(k).toSeq.flatMap(dir =>
-        manifestEntries(storeDir, dir).map(_._2.getAbsoluteFile))
+    val liveFiles: Set[Path] = liveKeys.flatMap { k =>
+      byKey.get(k).toSeq.flatMap(dir => entriesOf(fs, root, dir).map(_._2))
     }.toSet
     val referenced: Set[VKey] = liveFiles
-      .flatMap(f => parseKey(f.getParentFile.getParentFile.getName))
+      .flatMap(f => parseKey(f.getParent.getParent.getName))
     val keep = referenced ++ liveKeys
     all.filter { case (k, _) => k <= current && !keep.contains(k) }
-      .foreach { case (_, dir) => deleteRecursively(dir) }
+      .foreach { case (_, dir) => fs.delete(dir, true): Unit }
     // file-level sweep inside surviving versions at or below the
     // commit: drop data files no live manifest references (markers and
     // manifests stay — they are version metadata, not carried data;
     // versions ABOVE the commit are someone else's liveness roots)
-    versions(storeDir).filter(_._1 <= current).foreach { case (_, dir) =>
-      Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(b => b.isDirectory && b.getName.startsWith("bucket="))
+    versions(fs, root).filter(_._1 <= current).foreach { case (_, dir) =>
+      listDir(fs, dir)
+        .filter(b => b.isDirectory && b.getPath.getName.startsWith("bucket="))
         .foreach { b =>
-          Option(b.listFiles()).getOrElse(Array.empty)
-            .filter(f => f.isFile && !f.getName.startsWith(".") &&
-              !f.getName.startsWith("_") &&
-              !liveFiles.contains(f.getAbsoluteFile))
-            .foreach(f => f.delete(): Unit)
-          if (Option(b.listFiles()).exists(_.isEmpty)) b.delete(): Unit
+          listDir(fs, b.getPath)
+            .filter(f => f.isFile && !f.getPath.getName.startsWith(".") &&
+              !f.getPath.getName.startsWith("_") &&
+              !liveFiles.contains(fs.makeQualified(f.getPath)))
+            .foreach(f => fs.delete(f.getPath, false): Unit)
+          if (listDir(fs, b.getPath).isEmpty) fs.delete(b.getPath, false): Unit
         }
     }
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(): Unit
   }
 
   /** Committed versions only: a version dir counts once its `_SUCCESS`
@@ -156,18 +242,18 @@ object DedupStore {
     * OURS, created after the manifest lands — not the Spark committer's,
     * which would mark the version complete before the carried-forward
     * buckets are resolvable.) */
-  private def versions(storeDir: String): Seq[(VKey, java.io.File)] = {
-    val d = new java.io.File(storeDir)
-    Option(d.listFiles())
-      .map(_.toSeq
-        .filter(f => f.isDirectory && new java.io.File(f, "_SUCCESS").isFile)
-        .flatMap(f => parseKey(f.getName).map(_ -> f)))
-      .getOrElse(Seq.empty)
-  }
+  private def versions(fs: FileSystem, root: Path): Seq[(VKey, Path)] =
+    listDir(fs, root)
+      .filter(st => st.isDirectory &&
+        fs.exists(new Path(st.getPath, "_SUCCESS")))
+      .flatMap(st =>
+        parseKey(st.getPath.getName).map(_ -> fs.makeQualified(st.getPath)))
 
   /** Latest committed store version, if any. */
-  private[graft] def latest(storeDir: String): Option[String] =
-    versions(storeDir).sortBy(_._1).lastOption.map(_._2.getAbsolutePath)
+  private[graft] def latest(storeDir: String): Option[String] = {
+    val (fs, root) = fsRoot(storeDir)
+    versions(fs, root).sortBy(_._1).lastOption.map(_._2.toString)
+  }
 
   /** Newest committed version with major STRICTLY BEFORE `batchId` —
     * the merge base for that batch. Purge sub-versions of an earlier
@@ -175,9 +261,11 @@ object DedupStore {
     * batch's own (possibly purged) versions never do — a replay must
     * merge from the batch's ORIGINAL base, not from a version that
     * already contains it. */
-  private[graft] def baseFor(storeDir: String, batchId: Long): Option[String] =
-    versions(storeDir).filter(_._1._1 < batchId)
-      .sortBy(_._1).lastOption.map(_._2.getAbsolutePath)
+  private[graft] def baseFor(storeDir: String, batchId: Long): Option[String] = {
+    val (fs, root) = fsRoot(storeDir)
+    versions(fs, root).filter(_._1._1 < batchId)
+      .sortBy(_._1).lastOption.map(_._2.toString)
+  }
 
   // ---- manifest: bucket -> concrete data files (maybe in older versions) ---
 
@@ -188,56 +276,53 @@ object DedupStore {
     * let the next commit's prune delete its (unreferenced-looking)
     * data — the silent-total-loss failure mode for a store written by
     * the pre-manifest layout or one whose manifest was lost. */
-  private[graft] def manifestEntries(storeDir: String,
-                                     vDir: java.io.File): Seq[(Int, java.io.File)] = {
-    val mf = new java.io.File(vDir, "_MANIFEST")
-    if (!mf.isFile) {
-      if (new java.io.File(vDir, "_SUCCESS").isFile)
+  private def entriesOf(fs: FileSystem, root: Path,
+                        vDir: Path): Seq[(Int, Path)] = {
+    val mf = new Path(vDir, "_MANIFEST")
+    if (!fs.exists(mf)) {
+      if (fs.exists(new Path(vDir, "_SUCCESS")))
         throw new IllegalStateException(
-          s"committed store version ${vDir.getAbsolutePath} has no " +
+          s"committed store version $vDir has no " +
             "_MANIFEST — the store was written by an older (pre-manifest) " +
             "layout or the manifest was lost; rebuild the store or restore " +
             "the manifest before opening it with this version")
       Seq.empty
     } else {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.readAllLines(mf.toPath,
-          java.nio.charset.StandardCharsets.UTF_8).asScala.toSeq
+      readString(fs, mf).split("\n", -1).toSeq
         .filter(_.nonEmpty)
         .map { line =>
           val Array(b, rel) = line.split("\t", 2)
-          b.toInt -> new java.io.File(storeDir, rel)
+          b.toInt -> fs.makeQualified(new Path(root, rel))
         }
     }
   }
 
-  /** Atomic manifest write (temp + ATOMIC_MOVE): readers and prune see
-    * either the full manifest or none — never a truncated file list. */
-  private def writeManifest(vDir: java.io.File,
+  /** Test/diagnostic view of a version's manifest: fully-qualified
+    * (bucket, file) entries. `versionPath` may be the version dir name
+    * or any absolute/qualified form of its path. */
+  private[graft] def manifestEntries(storeDir: String,
+                                     versionPath: String): Seq[(Int, Path)] = {
+    val (fs, root) = fsRoot(storeDir)
+    entriesOf(fs, root, fs.makeQualified(new Path(versionPath)))
+  }
+
+  /** Atomic manifest write: readers and prune see either the full
+    * manifest or none — never a truncated file list. */
+  private def writeManifest(fs: FileSystem, vDir: Path,
                             entries: Seq[(Int, String)]): Unit = {
     val body = entries.sortBy(identity)
       .map { case (b, rel) => s"$b\t$rel" }.mkString("", "\n", "\n")
-    val tmp = new java.io.File(vDir, "._MANIFEST.tmp")
-    java.nio.file.Files.write(tmp.toPath,
-      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp.toPath,
-      new java.io.File(vDir, "_MANIFEST").toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    atomicWrite(fs, new Path(vDir, "_MANIFEST"), body)
   }
-
-  /** Resolve a committed version to its concrete data files. */
-  private def manifestFiles(storeDir: String, versionPath: String): Seq[(Int, java.io.File)] =
-    manifestEntries(storeDir, new java.io.File(versionPath))
 
   /** Read a committed version through its manifest, tombstone-filtered
     * (see [[loadTombstones]] — normally a no-op; it matters when a
     * purge's tombstones committed but its physical rewrite crashed). */
-  private def readVersion(spark: SparkSession, storeDir: String,
-                          versionPath: String): DataFrame = {
-    val files = manifestFiles(storeDir, versionPath).map(_._2.getAbsolutePath)
+  private def readVersion(spark: SparkSession, fs: FileSystem, root: Path,
+                          versionPath: Path): DataFrame = {
+    val files = entriesOf(fs, root, versionPath).map(_._2.toString)
     if (files.isEmpty) emptyStore(spark)
-    else withoutTombstoned(spark, storeDir,
+    else withoutTombstoned(spark, fs, root,
       spark.read.parquet(files: _*).select("text", "keep_id", "n_copies"))
   }
 
@@ -252,24 +337,27 @@ object DedupStore {
     * 64-bit collisions could suppress an innocent text (~n·2⁻⁶⁴ —
     * negligible for bounded takedown lists, and the documented trade). */
   private[graft] def loadTombstones(storeDir: String): Seq[Long] = {
-    val d = new java.io.File(storeDir, "_TOMBSTONES")
-    import scala.jdk.CollectionConverters._
+    val (fs, root) = fsRoot(storeDir)
+    loadTombstones(fs, root)
+  }
+
+  private def loadTombstones(fs: FileSystem, root: Path): Seq[Long] = {
+    val d = new Path(root, "_TOMBSTONES")
     // dot-files are in-flight writes (.tN.tmp) — a truncated hash line
     // in one could parse as a WRONG hash, so only committed files count
-    Option(d.listFiles())
-      .map(_.toSeq.filter(f => f.isFile && !f.getName.startsWith("."))
-      .flatMap(f => java.nio.file.Files.readAllLines(f.toPath,
-          java.nio.charset.StandardCharsets.UTF_8).asScala
+    listDir(fs, d)
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("."))
+      .flatMap(f => readString(fs, f.getPath).split("\n", -1).toSeq
         .flatMap(_.trim.toLongOption))
-      .distinct).getOrElse(Seq.empty)
+      .distinct
   }
 
   /** Drop tombstoned texts from `df` (broadcast anti-join on the text
     * hash — bounded takedown lists stay a sub-MB broadcast; an isin
     * literal list would bloat codegen past a few hundred entries). */
-  private def withoutTombstoned(spark: SparkSession, storeDir: String,
-                                df: DataFrame): DataFrame = {
-    val tombs = loadTombstones(storeDir)
+  private def withoutTombstoned(spark: SparkSession, fs: FileSystem,
+                                root: Path, df: DataFrame): DataFrame = {
+    val tombs = loadTombstones(fs, root)
     if (tombs.isEmpty) df
     else {
       val tdf = spark.createDataset(tombs)(Encoders.scalaLong).toDF("__thash")
@@ -285,40 +373,28 @@ object DedupStore {
     * text into a DIFFERENT bucket, duplicating its row across buckets
     * and silently splitting n_copies. The stored layout wins; the
     * parameter only sizes a fresh store. */
-  private def layoutBuckets(storeDir: String, requested: Int): Int = {
-    val f = new java.io.File(storeDir, "_LAYOUT")
-    if (f.isFile) {
-      val raw = new String(java.nio.file.Files.readAllBytes(f.toPath),
-        java.nio.charset.StandardCharsets.UTF_8).trim
+  private def layoutBuckets(fs: FileSystem, root: Path, requested: Int): Int = {
+    val f = new Path(root, "_LAYOUT")
+    if (fs.exists(f) && fs.getFileStatus(f).isFile) {
+      val raw = readString(fs, f).trim
       raw.toIntOption.filter(_ >= 1) match {
         case Some(n) => n
-        case None if versions(storeDir).isEmpty =>
+        case None if versions(fs, root).isEmpty =>
           // truncated/corrupt marker with nothing committed: no version
           // was hashed under it, so the requested layout can safely
           // replace it instead of bricking the store
-          writeLayout(f, requested); requested
+          atomicWrite(fs, f, requested.toString); requested
         case None => throw new IllegalStateException(
-          s"corrupt _LAYOUT marker '$raw' at ${f.getAbsolutePath} with " +
+          s"corrupt _LAYOUT marker '$raw' at $f with " +
             "committed versions present — restore the marker to the bucket " +
             "count the committed versions were hashed with (count the " +
             "bucket= dirs in the newest v* directory)")
       }
     } else {
-      new java.io.File(storeDir).mkdirs()
-      writeLayout(f, requested)
+      fs.mkdirs(root)
+      atomicWrite(fs, f, requested.toString)
       requested
     }
-  }
-
-  /** Atomic marker write: temp file + ATOMIC_MOVE, so a crash mid-write
-    * can never leave a truncated marker that later runs fail to parse. */
-  private def writeLayout(f: java.io.File, n: Int): Unit = {
-    val tmp = new java.io.File(f.getParentFile, s".${f.getName}.tmp")
-    java.nio.file.Files.write(tmp.toPath,
-      n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp.toPath, f.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
   }
 
   /** Write `touched`-bucket rows (text, keep_id, n_copies, bucket) as a
@@ -327,11 +403,11 @@ object DedupStore {
     * the base BY MANIFEST REFERENCE, write the manifest atomically, then
     * land `_SUCCESS` and prune. A fully-emptied touched bucket (every
     * row deleted) simply has no manifest entry. */
-  private def commitVersion(spark: SparkSession, storeDir: String, key: VKey,
-                            rows: DataFrame, touched: Set[Int],
-                            base: Option[String]): Unit = {
+  private def commitVersion(spark: SparkSession, fs: FileSystem, root: Path,
+                            key: VKey, rows: DataFrame, touched: Set[Int],
+                            base: Option[Path]): Unit = {
     val name = dirName(key)
-    val staging = new java.io.File(storeDir, s".staging_$name")
+    val staging = new Path(root, s".staging_$name")
     // `rows` arrives already repartition(bucket)-aligned (callers put
     // the repartition BEFORE any aggregate so the exchange is reused via
     // the subset rule), so the partitionBy write emits ONE file per
@@ -339,37 +415,37 @@ object DedupStore {
     // (the compaction anti-pattern q52 exists to undo). At scale, size
     // nBuckets so one bucket ≈ one target file.
     rows.write.mode("overwrite").partitionBy("bucket")
-      .parquet(staging.getAbsolutePath)
-    val vDir = new java.io.File(storeDir, name)
-    if (vDir.exists()) deleteRecursively(vDir) // uncommitted leftover
-    vDir.mkdirs()
+      .parquet(staging.toString)
+    val vDir = new Path(root, name)
+    if (fs.exists(vDir)) fs.delete(vDir, true): Unit // uncommitted leftover
+    fs.mkdirs(vDir)
     val written: Seq[(Int, String)] =
-      Option(staging.listFiles()).getOrElse(Array.empty).toSeq
-        .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      listDir(fs, staging)
+        .filter(b => b.isDirectory && b.getPath.getName.startsWith("bucket="))
         .flatMap { b =>
-          java.nio.file.Files.move(b.toPath,
-            new java.io.File(vDir, b.getName).toPath)
-          val bucket = b.getName.stripPrefix("bucket=").toInt
-          Option(new java.io.File(vDir, b.getName).listFiles())
-            .getOrElse(Array.empty).toSeq
-            .filter(f => f.isFile && !f.getName.startsWith(".") &&
-              !f.getName.startsWith("_"))
-            .map(f => bucket -> s"$name/${b.getName}/${f.getName}")
+          val bName = b.getPath.getName
+          val target = new Path(vDir, bName)
+          if (!fs.rename(b.getPath, target))
+            throw new java.io.IOException(
+              s"staging move ${b.getPath} -> $target failed")
+          val bucket = bName.stripPrefix("bucket=").toInt
+          listDir(fs, target)
+            .filter(f => f.isFile && !f.getPath.getName.startsWith(".") &&
+              !f.getPath.getName.startsWith("_"))
+            .map(f => bucket -> s"$name/$bName/${f.getPath.getName}")
         }
-    deleteRecursively(staging)
+    fs.delete(staging, true): Unit
     // untouched buckets: inherit the base's concrete file paths — zero
     // data movement on any filesystem (the object-store-safe form of
     // the round-6 hard-link carry-forward)
     val inherited: Seq[(Int, String)] = base.toSeq.flatMap { prev =>
-      manifestEntries(storeDir, new java.io.File(prev))
+      entriesOf(fs, root, prev)
         .filter { case (b, _) => !touched.contains(b) }
-        .map { case (b, f) =>
-          b -> new java.io.File(storeDir).toPath.relativize(f.toPath).toString
-        }
+        .map { case (b, f) => b -> relativize(root, f) }
     }
-    writeManifest(vDir, written ++ inherited)
-    new java.io.File(vDir, "_SUCCESS").createNewFile()
-    prune(storeDir, key)
+    writeManifest(fs, vDir, written ++ inherited)
+    fs.create(new Path(vDir, "_SUCCESS"), true).close()
+    prune(fs, root, key)
   }
 
   /** Drain `docs` (a streaming frame with doc_id, text) into the store
@@ -386,21 +462,22 @@ object DedupStore {
       "spark.sql.streaming.noDataMicroBatches.enabled" -> "false",
       "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false")) {
       val mergeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+        val (fs, root) = fsRoot(storeDir)
         // idempotent replay fast path: vN committed means batch N's
         // merge result is already on disk (the merge is deterministic),
         // so a re-delivery after a crash-before-checkpoint-record — or
         // a full re-drain under a fresh checkpoint — skips the rebuild
         // instead of stomping a version that later manifests (a purge's,
         // or under a fresh checkpoint any later batch's) reference into.
-        // The cheap local directory check runs FIRST: a skipped batch
-        // costs one listFiles(), not a Spark job over the batch files.
-        if (!versions(storeDir).exists(_._1._1 == batchId) &&
+        // The cheap directory check runs FIRST: a skipped batch costs
+        // one listing, not a Spark job over the batch files.
+        if (!versions(fs, root).exists(_._1._1 == batchId) &&
             !batch.isEmpty) {
           val s = batch.sparkSession
           // the store's committed layout wins over the parameter (see
           // layoutBuckets) — re-resolved per batch so a store created
           // by an earlier run of this query is never re-hashed
-          val buckets = layoutBuckets(storeDir, nBuckets)
+          val buckets = layoutBuckets(fs, root, nBuckets)
           // cached: consumed twice per batch (touched-bucket collect +
           // the merge job), and re-aggregating the batch for each would
           // double the batch-side work; released before the batch ends
@@ -413,7 +490,8 @@ object DedupStore {
           try {
             // merge base: newest version with major < batchId
             // (idempotent under checkpoint replay — see baseFor)
-            val base = baseFor(storeDir, batchId)
+            val base = versions(fs, root).filter(_._1._1 < batchId)
+              .sortBy(_._1).lastOption.map(_._2)
             // the buckets this batch touches — a ≤ nBuckets-row collect
             val touched = incoming.select(col("bucket")).distinct()
               .collect().map(_.getInt(0)).toSet
@@ -421,16 +499,16 @@ object DedupStore {
             // buckets' files, so the job reads only the store fraction
             // it rewrites
             val baseRows = base.map { prevVersion =>
-              val files = manifestFiles(storeDir, prevVersion)
+              val files = entriesOf(fs, root, prevVersion)
                 .filter { case (b, _) => touched.contains(b) }
-                .map(_._2.getAbsolutePath)
+                .map(_._2.toString)
               if (files.isEmpty) None
               else Some(s.read.parquet(files: _*)
                 .select("text", "keep_id", "n_copies")
                 .withColumn("bucket",
                   pmod(xxhash64(col("text")), lit(buckets.toLong)).cast("int")))
             }.flatten
-            val mergeInput = withoutTombstoned(s, storeDir,
+            val mergeInput = withoutTombstoned(s, fs, root,
               baseRows.map(_.unionByName(incoming)).getOrElse(incoming))
             // ONE shuffle, bucket-keyed: HashPartitioning(bucket)
             // satisfies the (bucket, text) clustering the aggregate
@@ -440,7 +518,7 @@ object DedupStore {
               .groupBy(col("bucket"), col("text"))
               .agg(min(col("keep_id")).as("keep_id"),
                 sum(col("n_copies")).as("n_copies"))
-            commitVersion(s, storeDir, (batchId, 0), merged, touched, base)
+            commitVersion(s, fs, root, (batchId, 0), merged, touched, base)
           // finally: a failed batch (IOException in move) must not leave
           // the cached batch aggregate pinned in the shared session
           // after run() rethrows — the stateless house rule
@@ -461,9 +539,12 @@ object DedupStore {
     * what run() returns, without running a drain: the newest committed
     * version resolved through its manifest, tombstone-filtered. An
     * empty or uncommitted store reads as the typed empty frame. */
-  def read(spark: SparkSession, storeDir: String): DataFrame =
-    latest(storeDir).map(readVersion(spark, storeDir, _))
+  def read(spark: SparkSession, storeDir: String): DataFrame = {
+    val (fs, root) = fsRoot(storeDir)
+    versions(fs, root).sortBy(_._1).lastOption
+      .map { case (_, dir) => readVersion(spark, fs, root, dir) }
       .getOrElse(emptyStore(spark))
+  }
 
   /** Targeted delete (takedown / right-to-be-forgotten) INSIDE the
     * versioned store: rewrite ONLY the victims' buckets into a new
@@ -483,13 +564,14 @@ object DedupStore {
   def purge(spark: SparkSession, storeDir: String,
             victimTexts: Seq[String]): DataFrame = {
     if (victimTexts.isEmpty) return read(spark, storeDir)
+    val (fs, root) = fsRoot(storeDir)
     // hash exactly as the store does (one tiny Spark job, so the driver
     // can never drift from the executors' xxhash64)
     val vdf = spark.createDataset(victimTexts.distinct)(Encoders.STRING)
       .toDF("text")
     val hashes = vdf.select(xxhash64(col("text")).as("h"))
       .collect().map(_.getLong(0)).toSeq
-    val current = versions(storeDir).sortBy(_._1).lastOption
+    val current = versions(fs, root).sortBy(_._1).lastOption
     val newKey: VKey = current.map { case ((m, s), _) => (m, s + 1) }
       .getOrElse((0L, 1))
     // tombstones land FIRST (atomically): from this moment the texts
@@ -497,45 +579,39 @@ object DedupStore {
     // crashes. Each purge appends a FRESH file (monotonic counter) —
     // never a version-derived name, which two purges could share when
     // the first committed no version (victims absent, or a crash after
-    // the tombstone landed) and REPLACE_EXISTING would then silently
+    // the tombstone landed) and an overwrite would then silently
     // drop the earlier purge's hashes, resurrecting its texts on
     // re-ingestion. A crashed-and-retried purge writes a duplicate
     // file instead; loadTombstones dedups.
-    val tombDir = new java.io.File(storeDir, "_TOMBSTONES")
-    tombDir.mkdirs()
-    val nextTomb = Option(tombDir.listFiles()).getOrElse(Array.empty)
-      .flatMap(f => f.getName.stripPrefix("t").toLongOption)
+    val tombDir = new Path(root, "_TOMBSTONES")
+    fs.mkdirs(tombDir)
+    val nextTomb = listDir(fs, tombDir)
+      .flatMap(f => f.getPath.getName.stripPrefix("t").toLongOption)
       .maxOption.getOrElse(-1L) + 1
-    val tmp = new java.io.File(tombDir, s".t$nextTomb.tmp")
-    java.nio.file.Files.write(tmp.toPath, hashes.map(_.toString)
-      .mkString("", "\n", "\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp.toPath,
-      new java.io.File(tombDir, s"t$nextTomb").toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    atomicWrite(fs, new Path(tombDir, s"t$nextTomb"),
+      hashes.map(_.toString).mkString("", "\n", "\n"))
     current match {
       case None => emptyStore(spark) // nothing committed: tombstones only
       case Some((baseKey, baseDir)) =>
-        val buckets = layoutBuckets(storeDir, 16)
+        val buckets = layoutBuckets(fs, root, 16)
         val victimBuckets = hashes
           .map(h => (((h % buckets) + buckets) % buckets).toInt).toSet
-        val baseManifest = manifestEntries(storeDir, baseDir)
+        val baseManifest = entriesOf(fs, root, baseDir)
         val touched = victimBuckets.intersect(baseManifest.map(_._1).toSet)
         if (touched.isEmpty) // victims not physically present
-          readVersion(spark, storeDir, baseDir.getAbsolutePath)
+          readVersion(spark, fs, root, baseDir)
         else {
           val files = baseManifest.filter(e => touched.contains(e._1))
-            .map(_._2.getAbsolutePath)
-          val survivors = withoutTombstoned(spark, storeDir,
+            .map(_._2.toString)
+          val survivors = withoutTombstoned(spark, fs, root,
               spark.read.parquet(files: _*)
                 .select("text", "keep_id", "n_copies"))
             .withColumn("bucket",
               pmod(xxhash64(col("text")), lit(buckets.toLong)).cast("int"))
             .repartition(col("bucket"))
-          commitVersion(spark, storeDir, newKey, survivors, touched,
-            Some(baseDir.getAbsolutePath))
-          readVersion(spark, storeDir,
-            new java.io.File(storeDir, dirName(newKey)).getAbsolutePath)
+          commitVersion(spark, fs, root, newKey, survivors, touched,
+            Some(baseDir))
+          readVersion(spark, fs, root, new Path(root, dirName(newKey)))
         }
     }
   }

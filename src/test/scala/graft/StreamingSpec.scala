@@ -92,15 +92,15 @@ class StreamingSpec extends SparkSpec {
       .map(_.getName).toSet
     assert(versions.contains("v2"), s"read target must survive: $versions")
     val referenced = graft.streaming.DedupStore.manifestEntries(s"$tmp/store",
-        new java.io.File(s"$tmp/store/v2"))
-      .map(_._2.getParentFile.getParentFile.getName).toSet
+        s"$tmp/store/v2")
+      .map(_._2.getParent.getParent.getName).toSet
     assert(versions == Set("v2") ++ referenced,
       s"unreferenced versions must be pruned: kept $versions, live $referenced")
     // ...and inside surviving versions, every remaining data file is
     // one the live manifest references (file-level retention)
     val liveFiles = graft.streaming.DedupStore.manifestEntries(s"$tmp/store",
-        new java.io.File(s"$tmp/store/v2"))
-      .map(_._2.getCanonicalPath).toSet
+        s"$tmp/store/v2")
+      .map(e => new java.io.File(e._2.toUri.getPath).getCanonicalPath).toSet
     versions.foreach { v =>
       val dataFiles = Option(new java.io.File(s"$tmp/store/$v").listFiles())
         .getOrElse(Array.empty).filter(_.isDirectory)
@@ -150,18 +150,21 @@ class StreamingSpec extends SparkSpec {
     val v1Buckets = v1.listFiles().filter(_.isDirectory).map(_.getName).toSet
     assert(v1Buckets == Set(s"bucket=$soloBucket"),
       s"v1 must hold only the touched bucket, got $v1Buckets")
-    val manifest = graft.streaming.DedupStore.manifestEntries(s"$tmp/store", v1)
+    val manifest = graft.streaming.DedupStore.manifestEntries(
+      s"$tmp/store", v1.getAbsolutePath)
     val byBucket = manifest.groupBy(_._1)
     assert(byBucket.keySet.size >= 11, "batch 0 should populate most buckets")
     // untouched buckets resolve to v0's ORIGINAL files; the touched one
     // resolves into v1 and was genuinely rewritten
     byBucket.foreach { case (b, entries) =>
-      val owners = entries.map(_._2.getParentFile.getParentFile.getName).toSet
+      val owners = entries.map(_._2.getParent.getParent.getName).toSet
       if (b == soloBucket) assert(owners == Set("v1"),
         s"touched bucket $b must be rewritten into v1, got $owners")
       else assert(owners == Set("v0"),
         s"untouched bucket $b must carry forward by reference, got $owners")
-      entries.foreach(e => assert(e._2.isFile, s"dangling manifest ref: ${e._2}"))
+      entries.foreach(e => assert(
+        new java.io.File(e._2.toUri.getPath).isFile,
+        s"dangling manifest ref: ${e._2}"))
     }
   }
 
@@ -220,9 +223,9 @@ class StreamingSpec extends SparkSpec {
       s"purge rewrote $rewritten, victims live in $victimBuckets")
     // none of the surviving rows in rewritten buckets are victims, and
     // untouched buckets resolve into v0
-    graft.streaming.DedupStore.manifestEntries(s"$tmp/store", vP)
+    graft.streaming.DedupStore.manifestEntries(s"$tmp/store", vP.getAbsolutePath)
       .foreach { case (b, f) =>
-        val owner = f.getParentFile.getParentFile.getName
+        val owner = f.getParent.getParent.getName
         if (victimBuckets.contains(b)) assert(owner == "v0.1")
         else assert(owner == "v0", s"bucket $b should carry forward: $owner")
       }
@@ -359,8 +362,9 @@ class StreamingSpec extends SparkSpec {
     assert(graft.streaming.DedupStore.latest(s"$tmp/store")
       .exists(_.endsWith("v2.1")))
     graft.streaming.DedupStore.manifestEntries(s"$tmp/store",
-        new java.io.File(s"$tmp/store/v2.1"))
-      .foreach(e => assert(e._2.isFile, s"dangling manifest ref: ${e._2}"))
+        s"$tmp/store/v2.1")
+      .foreach(e => assert(new java.io.File(e._2.toUri.getPath).isFile,
+        s"dangling manifest ref: ${e._2}"))
   }
 
   test("corrupt _LAYOUT: recovered when nothing committed, loud when versions exist") {
@@ -391,6 +395,32 @@ class StreamingSpec extends SparkSpec {
       Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
     assert(messages(ex).exists(_.contains("corrupt _LAYOUT")),
       s"expected the corrupt-marker diagnostic, got: ${messages(ex)}")
+  }
+
+  test("dedup store metadata speaks the Hadoop FileSystem API: scheme-qualified store URI") {
+    // The store dir arrives as an explicit `file:` URI — the path shape
+    // an HDFS/S3A deployment hands over (`hdfs://nn/...`, `s3a://b/...`).
+    // Every metadata operation (layout, versions, manifest, tombstones,
+    // prune) must resolve it through the scheme's FileSystem, not
+    // java.io — a drain AND a purge end-to-end prove the whole surface.
+    val local = java.nio.file.Files.createTempDirectory("graft_store_uri").toString
+    val storeUri = s"file:$local/store"
+    val docs = Seq((1L, "uri alpha"), (2L, "uri beta"), (3L, "uri alpha"))
+      .toDF("doc_id", "text")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$local/in")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$local/in/part-*")
+    val store = graft.streaming.DedupStore.run(
+      spark, stream, storeUri, s"$local/ckpt")
+    val got = store.collect()
+      .map(r => (r.getAs[String]("text"), r.getAs[Long]("n_copies"))).toSet
+    assert(got == Set(("uri alpha", 2L), ("uri beta", 1L)))
+    val purged = graft.streaming.DedupStore.purge(spark, storeUri, Seq("uri beta"))
+      .collect().map(_.getAs[String]("text")).toSet
+    assert(purged == Set("uri alpha"))
+    // latest resolves through the same scheme-qualified root
+    assert(graft.streaming.DedupStore.latest(storeUri).exists(_.endsWith("v0.1")))
+    assert(graft.streaming.DedupStore.loadTombstones(storeUri).size == 1)
   }
 
   test("dedup store run() with no committed batch returns the typed empty store") {
