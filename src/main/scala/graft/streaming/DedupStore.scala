@@ -200,12 +200,24 @@ object DedupStore {
     *
     * Retention is FILE-level, not just version-level: inside surviving
     * versions, data files no live manifest references are deleted too
-    * (a referenced version's OWN manifest is history, not a liveness
-    * root). This keeps storage at exactly the live byte set — and it is
-    * what makes [[purge]]'s physical erasure IMMEDIATE: the superseded
-    * victim-bucket files in older versions stop being referenced the
-    * moment the purge version commits, so this sweep removes their
-    * bytes in the same call, not at some later retention rotation. */
+    * (a version kept alive as a FILE-HOLDER is kept for its files, not
+    * its history). This keeps storage at exactly the live byte set —
+    * and it is what makes [[purge]]'s physical erasure IMMEDIATE: the
+    * superseded victim-bucket files in older versions stop being
+    * referenced the moment the purge version commits, so this sweep
+    * removes their bytes in the same call, not at some later retention
+    * rotation.
+    *
+    * Survivor manifests stay ACCURATE: before the sweep removes a file
+    * a surviving version's own manifest still lists, that manifest is
+    * rewritten without the dead entries. A file-holder's manifest is a
+    * real contract — a fresh-checkpoint re-drain that rebuilds a pruned
+    * major picks the survivor via [[baseFor]] and reads (and inherits!)
+    * its entries, so a dangling entry would crash the rebuild or
+    * propagate into the new version's manifest. Rewrite-then-sweep
+    * ordering is the crash-safe direction: dying between the two steps
+    * leaves only unreferenced files (reclaimed by the next commit's
+    * prune), never a manifest pointing at nothing. */
   private def prune(fs: FileSystem, root: Path, current: VKey): Unit = {
     val all = versions(fs, root)
     val liveKeys = all.map(_._1).filter(_ >= current)
@@ -218,8 +230,17 @@ object DedupStore {
     val keep = referenced ++ liveKeys
     all.filter { case (k, _) => k <= current && !keep.contains(k) }
       .foreach { case (_, dir) => fs.delete(dir, true): Unit }
-    // file-level sweep inside surviving versions at or below the
-    // commit: drop data files no live manifest references (markers and
+    // surviving versions at or below the commit, in sweep order:
+    // 1) patch their manifests down to live entries (see scaladoc)
+    all.filter { case (k, _) => k <= current && keep.contains(k) }
+      .foreach { case (_, dir) =>
+        val entries = entriesOf(fs, root, dir)
+        val (live, dead) = entries.partition(e => liveFiles.contains(e._2))
+        if (dead.nonEmpty)
+          writeManifest(fs, dir,
+            live.map { case (b, f) => b -> relativize(root, f) })
+      }
+    // 2) drop data files no live manifest references (markers and
     // manifests stay — they are version metadata, not carried data;
     // versions ABOVE the commit are someone else's liveness roots)
     versions(fs, root).filter(_._1 <= current).foreach { case (_, dir) =>
@@ -405,7 +426,8 @@ object DedupStore {
     * row deleted) simply has no manifest entry. */
   private def commitVersion(spark: SparkSession, fs: FileSystem, root: Path,
                             key: VKey, rows: DataFrame, touched: Set[Int],
-                            base: Option[Path]): Unit = {
+                            base: Option[Path],
+                            batchStat: Option[(Long, Long)] = None): Unit = {
     val name = dirName(key)
     val staging = new Path(root, s".staging_$name")
     // `rows` arrives already repartition(bucket)-aligned (callers put
@@ -444,8 +466,25 @@ object DedupStore {
         .map { case (b, f) => b -> relativize(root, f) }
     }
     writeManifest(fs, vDir, written ++ inherited)
+    // drain commits record the batch's content fingerprint BEFORE the
+    // _SUCCESS gate (committed ⇒ stat present), so a later replay skip
+    // can verify its premise — see the skip branch in run()
+    batchStat.foreach { case (n, x) =>
+      atomicWrite(fs, new Path(vDir, "_BATCHSTAT"), s"$n\t$x\n")
+    }
     fs.create(new Path(vDir, "_SUCCESS"), true).close()
     prune(fs, root, key)
+  }
+
+  /** Order-insensitive content fingerprint of a deduped batch aggregate
+    * (text, keep_id, n_copies): (row count, XOR of the rows' xxhash64).
+    * XOR commutes and cannot overflow, so partial-aggregation order and
+    * partitioning can't perturb it; rows are distinct by text, so pairs
+    * can't self-cancel systematically. */
+  private def batchFingerprint(agg: DataFrame): (Long, Long) = {
+    val r = agg.agg(count(lit(1)),
+      expr("bit_xor(xxhash64(text, keep_id, n_copies))")).head
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
   /** Drain `docs` (a streaming frame with doc_id, text) into the store
@@ -469,18 +508,52 @@ object DedupStore {
         // a full re-drain under a fresh checkpoint — skips the rebuild
         // instead of stomping a version that later manifests (a purge's,
         // or under a fresh checkpoint any later batch's) reference into.
-        // The cheap directory check runs FIRST: a skipped batch costs
-        // one listing, not a Spark job over the batch files.
-        if (!versions(fs, root).exists(_._1._1 == batchId) &&
-            !batch.isEmpty) {
+        // The skip's PREMISE — the re-delivered batch carries the same
+        // content the committed version merged — holds by construction
+        // for checkpointed replay (offsets pin the files), but a fresh-
+        // checkpoint re-drain re-derives batch boundaries from a live
+        // source listing: if files landed/vanished since the original
+        // drain, batch N's content silently changes and skipping it
+        // would DROP that data. So a skipped non-empty batch is verified
+        // against the `_BATCHSTAT` fingerprint its version recorded at
+        // commit — one batch-side aggregation, no store IO — and a
+        // mismatch fails loudly instead of losing rows. (The stat lives
+        // on the (N, 0) drain version; if retention pruned it and only
+        // purge sub-versions remain, the check degrades to trusting the
+        // skip, the pre-stat behavior.)
+        if (versions(fs, root).exists(_._1._1 == batchId)) {
+          if (!batch.isEmpty) {
+            val statP = new Path(new Path(root, dirName((batchId, 0))),
+              "_BATCHSTAT")
+            if (fs.exists(statP)) {
+              val Array(nS, xS) = readString(fs, statP).trim.split("\t", 2)
+              val (n, x) = batchFingerprint(batch
+                .groupBy(col("text"))
+                .agg(min(col("doc_id")).as("keep_id"),
+                  count(lit(1)).as("n_copies")))
+              if (n != nS.toLong || x != xS.toLong)
+                throw new IllegalStateException(
+                  s"replay-skip premise violated for batch $batchId: the " +
+                    s"re-delivered batch ($n rows, fingerprint $x) does not " +
+                    s"match what version v$batchId merged ($nS rows, " +
+                    s"fingerprint $xS). The source file set or options " +
+                    "changed since the original drain — a fresh-checkpoint " +
+                    "re-drain requires the SAME source content and batch " +
+                    "boundaries. Re-drain into a fresh store (or resume the " +
+                    "original checkpoint) instead of skipping this batch, " +
+                    "which would silently drop its data.")
+            }
+          }
+        } else if (!batch.isEmpty) {
           val s = batch.sparkSession
           // the store's committed layout wins over the parameter (see
           // layoutBuckets) — re-resolved per batch so a store created
           // by an earlier run of this query is never re-hashed
           val buckets = layoutBuckets(fs, root, nBuckets)
-          // cached: consumed twice per batch (touched-bucket collect +
-          // the merge job), and re-aggregating the batch for each would
-          // double the batch-side work; released before the batch ends
+          // cached: consumed three times per batch (touched-bucket
+          // collect + content fingerprint + the merge job), and
+          // re-aggregating the batch for each would triple the
+          // batch-side work; released before the batch ends
           val incoming = batch
             .groupBy(col("text"))
             .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
@@ -518,7 +591,8 @@ object DedupStore {
               .groupBy(col("bucket"), col("text"))
               .agg(min(col("keep_id")).as("keep_id"),
                 sum(col("n_copies")).as("n_copies"))
-            commitVersion(s, fs, root, (batchId, 0), merged, touched, base)
+            commitVersion(s, fs, root, (batchId, 0), merged, touched, base,
+              batchStat = Some(batchFingerprint(incoming)))
           // finally: a failed batch (IOException in move) must not leave
           // the cached batch aggregate pinned in the shared session
           // after run() rethrows — the stateless house rule

@@ -367,6 +367,117 @@ class StreamingSpec extends SparkSpec {
         s"dangling manifest ref: ${e._2}"))
   }
 
+  test("file-holder survivor keeps an accurate manifest; redrain through it succeeds") {
+    // The partial-touch retention corner: an INTERMEDIATE major is fully
+    // superseded (pruned) while an OLDER version survives only as a
+    // file-holder — a live manifest still references one of its buckets,
+    // but its other bucket was rewritten later and its file swept. The
+    // survivor's own manifest must drop the swept entry (not dangle):
+    // a fresh-checkpoint re-drain rebuilds the pruned major THROUGH the
+    // survivor via baseFor, reading and inheriting its manifest — a
+    // dangling entry crashes the rebuild on a nonexistent parquet path.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_store_fh").toString
+    val cands = (0 until 40).map(i => s"fh text $i")
+    val bucketOf = cands.map(t => t -> spark.range(1)
+      .select(pmod(xxhash64(lit(t)), lit(16L)).cast("int")).head.getInt(0)).toMap
+    val a = cands.head
+    val b = cands.find(t => bucketOf(t) != bucketOf(a)).get
+    def writeBatch(rows: Seq[(Long, String)], mtime: Long): Unit = {
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(s"$tmp/in")
+      val newest = new java.io.File(s"$tmp/in").listFiles()
+        .filter(_.getName.startsWith("part-")).maxBy(_.lastModified())
+      newest.setLastModified(mtime): Unit
+    }
+    val now = System.currentTimeMillis()
+    writeBatch(Seq((1L, a), (2L, b)), now - 60000) // v0: both buckets
+    writeBatch(Seq((3L, a)), now - 30000)          // v1: rewrites a's bucket
+    writeBatch(Seq((4L, a)), now)                  // v2: rewrites it again
+    def stream() = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in/part-*")
+    val store = graft.streaming.DedupStore.run(
+      spark, stream(), s"$tmp/store", s"$tmp/ckpt")
+    val got = store.collect()
+      .map(r => (r.getAs[String]("text"), r.getAs[Long]("keep_id"),
+        r.getAs[Long]("n_copies"))).toSet
+    assert(got == Set((a, 1L, 3L), (b, 2L, 1L)))
+    // premise: v1 fully superseded and pruned; v0 survives ONLY as the
+    // file-holder for b's bucket (its a-bucket file was swept)
+    val dirs = new java.io.File(s"$tmp/store").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v")).map(_.getName).toSet
+    assert(dirs == Set("v0", "v2"), s"expected file-holder shape, got: $dirs")
+    // the survivor's manifest holds exactly the live bucket, no
+    // dangling entries
+    val v0Entries = graft.streaming.DedupStore.manifestEntries(
+      s"$tmp/store", s"$tmp/store/v0")
+    assert(v0Entries.map(_._1).toSet == Set(bucketOf(b)),
+      s"swept bucket must leave the survivor's manifest: $v0Entries")
+    v0Entries.foreach(e => assert(new java.io.File(e._2.toUri.getPath).isFile,
+      s"dangling manifest ref in file-holder: ${e._2}"))
+    // fresh-checkpoint re-drain: batch 1 rebuilds with baseFor = v0 —
+    // reads (and its commit inherits) the survivor's manifest
+    val redrained = graft.streaming.DedupStore.run(
+      spark, stream(), s"$tmp/store", s"$tmp/ckpt_fresh")
+    val after = redrained.collect()
+      .map(r => (r.getAs[String]("text"), r.getAs[Long]("keep_id"),
+        r.getAs[Long]("n_copies"))).toSet
+    assert(after == got, s"redrain through the file-holder diverged: $after")
+    assert(graft.streaming.DedupStore.latest(s"$tmp/store")
+      .exists(_.endsWith("v2")), "newest version must stay the read target")
+  }
+
+  test("replay skip verifies batch content: changed source under fresh checkpoint fails loudly") {
+    // A fresh-checkpoint re-drain re-derives batch boundaries from the
+    // live source listing. If the source changed since the original
+    // drain, a committed major would silently swallow the changed
+    // batch — the _BATCHSTAT fingerprint must catch it instead.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_store_stat").toString
+    def writeBatch(rows: Seq[(Long, String)], mtime: Long): java.io.File = {
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(s"$tmp/in")
+      val newest = new java.io.File(s"$tmp/in").listFiles()
+        .filter(_.getName.startsWith("part-")).maxBy(_.lastModified())
+      newest.setLastModified(mtime)
+      newest
+    }
+    val now = System.currentTimeMillis()
+    val fileA = writeBatch(Seq((1L, "rs one"), (2L, "rs two")), now - 60000)
+    writeBatch(Seq((3L, "rs three")), now - 30000)
+    def stream() = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in/part-*")
+    val store = graft.streaming.DedupStore.run(
+      spark, stream(), s"$tmp/store", s"$tmp/ckpt")
+    assert(store.count() == 3L)
+    // unchanged source: the re-drain's skips verify cleanly end-to-end
+    val same = graft.streaming.DedupStore.run(
+      spark, stream(), s"$tmp/store", s"$tmp/ckpt_same")
+    assert(same.count() == 3L)
+    // now batch 0's content CHANGES: its file is replaced by one with
+    // different rows (older mtime keeps it first in the batch order)
+    assert(fileA.delete())
+    // the sibling .crc (if any) must go too or the raw read stays stale
+    new java.io.File(fileA.getParentFile, s".${fileA.getName}.crc").delete()
+    writeBatch(Seq((10L, "rs changed")), now - 60000)
+    val ex = intercept[Exception] {
+      graft.streaming.DedupStore.run(
+        spark, stream(), s"$tmp/store", s"$tmp/ckpt_fresh")
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("replay-skip premise violated")),
+      s"expected the changed-source diagnostic, got: ${messages(ex)}")
+  }
+
   test("corrupt _LAYOUT: recovered when nothing committed, loud when versions exist") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_store_corrupt").toString
     val docs = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
