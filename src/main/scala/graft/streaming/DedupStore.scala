@@ -64,22 +64,37 @@ import org.apache.spark.sql.streaming.Trigger
   * happen (PUT is atomic per object) and a crashed rename just leaves
   * an uncommitted version that the next run rewrites.
   *
-  * Deletion — [[purge]] + tombstones: a takedown rewrites ONLY the
-  * victims' buckets into a new (major, sub+1) version and records the
-  * victims' 64-bit text hashes under `_TOMBSTONES/`. Tombstones make
-  * deletion survive REPLAY (a re-delivered batch re-merges victim texts
-  * from source data; the merge filters them out) and suppress
-  * re-ingestion of purged texts in future batches — the GDPR contract a
-  * corpus store needs. The read path applies the same filter, so a
-  * purge is logically complete the moment its tombstone file lands even
-  * if the physical rewrite crashes mid-way.
+  * Deletion — [[purge]]/[[purgeWhere]] + tombstones: a takedown
+  * rewrites ONLY the victims' buckets into a new (major, sub+1) version
+  * and records the victims' 64-bit text hashes under `_TOMBSTONES/`.
+  * Tombstones make deletion survive REPLAY (a re-delivered batch
+  * re-merges victim texts from source data; the merge filters them out)
+  * and suppress re-ingestion of purged texts in future batches — the
+  * GDPR contract a corpus store needs. The read path applies the same
+  * filter, so a purge is logically complete the moment its tombstone
+  * file lands even if the physical rewrite crashes mid-way.
   *
-  * Single-writer contract: one drain OR purge at a time per store. The
-  * streaming checkpoint already serializes drains; a purge must not
-  * race a running drain (both commit versions and prune). Concurrent
-  * READS are safe at any time — they resolve a committed version's
-  * manifest, and retention never deletes files a committed manifest
-  * still references.
+  * Tombstone LIFECYCLE: tombstones are deletion-correctness machinery,
+  * not a permanent content blocklist. [[compactTombstones]] folds away
+  * hashes whose victims are physically absent from every committed
+  * manifest's data (keeping the in-flight ones a crashed purge still
+  * needs), so the read path's anti-join broadcast stays O(recent
+  * takedowns) instead of O(all time). The documented contract:
+  * suppression of RE-INGESTION lasts until compaction — compact once
+  * the victim is also gone from the upstream source (the usual
+  * deletion pipeline order), after which the text arriving again is a
+  * legitimately new document. A permanent content ban belongs in a
+  * blocklist filter on the ingest stream (st11's shape), not in
+  * deletion markers.
+  *
+  * Single-writer contract — ENFORCED: run(), purge()/purgeWhere(), and
+  * compactTombstones() take an exclusive `_LOCK` marker at the store
+  * root (exclusive create; holder + timestamp inside) and fail loudly
+  * if another writer holds it. A crashed writer's lock goes stale
+  * after [[LOCK_STALE_MS]] and is broken by the next writer. Concurrent
+  * READS are safe at any time, lock-free — they resolve a committed
+  * version's manifest, and retention never deletes files a committed
+  * manifest still references.
   */
 object DedupStore {
 
@@ -185,6 +200,63 @@ object DedupStore {
     val f = file.toString
     require(f.startsWith(r), s"manifest file $f outside store root $root")
     f.stripPrefix(r)
+  }
+
+  // ---- single-writer lock --------------------------------------------------
+
+  /** Age after which a writer lock is considered abandoned (its holder
+    * crashed without the finally-release) and may be broken. Generous:
+    * a healthy drain holds the lock across its whole run, so this must
+    * exceed any plausible batch, not any plausible RPC. */
+  private[graft] val LOCK_STALE_MS: Long = 30L * 60 * 1000
+
+  /** Enforce the single-writer contract: exclusive-create a `_LOCK`
+    * marker (atomic where the FS provides O_EXCL — HDFS and local; on
+    * S3A, conditional PUT is the equivalent primitive) holding
+    * `<epochMillis>\t<token>\t<op>`, run `body`, release. A held lock
+    * fails LOUDLY — interleaved drain/purge commits and prunes corrupt
+    * the version chain silently, which is strictly worse than a
+    * refused writer. A lock older than [[LOCK_STALE_MS]] is a crashed
+    * holder's leftover: break it and retry the create ONCE (two
+    * breakers race to the exclusive create; exactly one wins, the
+    * other gets the refusal). */
+  private def withWriterLock[T](fs: FileSystem, root: Path, op: String)
+                               (body: => T): T = {
+    fs.mkdirs(root)
+    val lock = new Path(root, "_LOCK")
+    def tryAcquire(): Boolean =
+      try {
+        val out = fs.create(lock, false) // exclusive: fails if held
+        try out.write(s"${System.currentTimeMillis()}\t${
+          java.util.UUID.randomUUID()}\t$op\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    val acquired = tryAcquire() || {
+      val holder = try Some(readString(fs, lock).trim)
+                   catch { case _: java.io.IOException => None }
+      val heldMs = holder.flatMap(_.split("\t").headOption)
+        .flatMap(_.toLongOption)
+        .map(t => System.currentTimeMillis() - t)
+      if (heldMs.exists(_ > LOCK_STALE_MS) || holder.isEmpty) {
+        // stale (or vanished between create and read): break and retry
+        fs.delete(lock, false)
+        tryAcquire()
+      } else false
+    }
+    if (!acquired) {
+      val holder = try readString(fs, lock).trim
+                   catch { case _: java.io.IOException => "<unreadable>" }
+      throw new IllegalStateException(
+        s"store $root is locked by another writer [$holder] — the " +
+          "single-writer contract forbids a concurrent drain/purge/" +
+          "compaction (interleaved commits and prunes would corrupt the " +
+          s"version chain). If the holder crashed, the lock goes stale " +
+          s"after ${LOCK_STALE_MS / 60000} min; remove _LOCK manually to " +
+          "break it sooner.")
+    }
+    try body finally { fs.delete(lock, false): Unit }
   }
 
   /** Retention: after a version commits, the only LIVE manifests are
@@ -495,6 +567,8 @@ object DedupStore {
   def run(spark: SparkSession, docs: DataFrame,
           storeDir: String, ckptDir: String, nBuckets: Int = 16): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
+    val (lockFs, lockRoot) = fsRoot(storeDir)
+    withWriterLock(lockFs, lockRoot, "drain") {
     graft.Confs.withConfs(spark, Seq(
       // no watermark/stateful operator here: a no-data batch would only
       // re-reference the whole store into a duplicate version
@@ -607,6 +681,7 @@ object DedupStore {
       q.awaitTermination()
       read(spark, storeDir)
     }
+    }
   }
 
   /** Consumer-side read of the store's current deduplicated state —
@@ -639,6 +714,7 @@ object DedupStore {
             victimTexts: Seq[String]): DataFrame = {
     if (victimTexts.isEmpty) return read(spark, storeDir)
     val (fs, root) = fsRoot(storeDir)
+    withWriterLock(fs, root, "purge") {
     // hash exactly as the store does (one tiny Spark job, so the driver
     // can never drift from the executors' xxhash64)
     val vdf = spark.createDataset(victimTexts.distinct)(Encoders.STRING)
@@ -687,6 +763,97 @@ object DedupStore {
             Some(baseDir))
           readVersion(spark, fs, root, new Path(root, dirName(newKey)))
         }
+    }
+    }
+  }
+
+  /** Predicate takedown — how deletion requests actually arrive (ids,
+    * ranges, patterns; q64's shape) when the raw texts aren't in hand:
+    * resolve the matching CURRENT store rows to their texts, then
+    * delegate to [[purge]] (which owns hashing, tombstones, the pruned
+    * bucket rewrite, and the lock). The store read is manifest-resolved
+    * and the predicate reaches the parquet scan via pushdown where its
+    * shape allows. `maxVictims` guards the driver-side victim list:
+    * takedowns are bounded by nature — a predicate matching a
+    * corpus-scale row set is a rebuild (filter + re-drain into a fresh
+    * store), not a takedown, and silently collecting millions of texts
+    * onto the driver would be the failure mode, so it refuses loudly. */
+  def purgeWhere(spark: SparkSession, storeDir: String, cond:
+                 org.apache.spark.sql.Column,
+                 maxVictims: Int = 100000): DataFrame = {
+    val victims = read(spark, storeDir).filter(cond)
+      .select(col("text")).limit(maxVictims + 1)
+      .collect().map(_.getString(0)).toSeq
+    if (victims.size > maxVictims)
+      throw new IllegalArgumentException(
+        s"purgeWhere predicate matched more than maxVictims=$maxVictims " +
+          "store rows — that is a corpus-scale rewrite, not a takedown; " +
+          "filter the corpus and re-drain into a fresh store instead (or " +
+          "raise maxVictims deliberately)")
+    purge(spark, storeDir, victims)
+  }
+
+  /** Fold away tombstones whose victims are PHYSICALLY erased, keeping
+    * the ones a crashed purge still needs — the lifecycle step that
+    * caps [[loadTombstones]] at O(recent takedowns) instead of O(all
+    * time). A hash is retained iff some committed version's
+    * manifest-referenced data still contains a text hashing to it
+    * (the tombstone is then load-bearing: it is what hides the victim
+    * until the rewrite completes or re-runs); everything else folds
+    * into deletion, ENDING re-ingestion suppression for those texts —
+    * the documented contract (see the class doc: compact once the
+    * victim is also gone upstream; permanent bans belong in a
+    * blocklist, not deletion markers).
+    *
+    * Cost ∝ the tombstone-hash buckets' live bytes, not store size:
+    * the presence probe reads only manifest entries in buckets a
+    * tombstone hash maps to. Crash-safe ordering: the consolidated
+    * survivor file lands (atomically) BEFORE the old files are
+    * removed — dying in between leaves duplicate hashes, which
+    * [[loadTombstones]] dedups, never a window with suppression lost.
+    * Returns (kept, dropped) hash counts. */
+  def compactTombstones(spark: SparkSession, storeDir: String): (Int, Int) = {
+    val (fs, root) = fsRoot(storeDir)
+    withWriterLock(fs, root, "compact-tombstones") {
+      val tombs = loadTombstones(fs, root)
+      if (tombs.isEmpty) (0, 0)
+      else {
+        val buckets = layoutBuckets(fs, root, 16)
+        val tombBuckets = tombs
+          .map(h => (((h % buckets) + buckets) % buckets).toInt).toSet
+        // every surviving data file is referenced by some committed
+        // version's manifest (prune keeps survivor manifests accurate),
+        // so the union of manifests restricted to the tombstones'
+        // buckets is exactly the byte set that could still hold a victim
+        val files = versions(fs, root)
+          .flatMap { case (_, dir) => entriesOf(fs, root, dir) }
+          .filter { case (b, _) => tombBuckets.contains(b) }
+          .map(_._2.toString).distinct
+        val present: Set[Long] =
+          if (files.isEmpty) Set.empty
+          else {
+            val tdf = spark.createDataset(tombs)(Encoders.scalaLong)
+              .toDF("__thash")
+            spark.read.parquet(files: _*)
+              .select(xxhash64(col("text")).as("__thash"))
+              .join(broadcast(tdf), Seq("__thash"), "left_semi")
+              .distinct().collect().map(_.getLong(0)).toSet
+          }
+        // a colliding innocent text keeps the tombstone alive (fail-safe
+        // toward suppression — the documented ~n·2⁻⁶⁴ trade)
+        val keep = tombs.filter(present.contains)
+        val tombDir = new Path(root, "_TOMBSTONES")
+        val old = listDir(fs, tombDir)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("."))
+          .map(_.getPath)
+        val next = old.flatMap(_.getName.stripPrefix("t").toLongOption)
+          .maxOption.getOrElse(-1L) + 1
+        if (keep.nonEmpty)
+          atomicWrite(fs, new Path(tombDir, s"t$next"),
+            keep.mkString("", "\n", "\n"))
+        old.foreach(p => fs.delete(p, false): Unit)
+        (keep.size, tombs.size - keep.size)
+      }
     }
   }
 }

@@ -478,6 +478,110 @@ class StreamingSpec extends SparkSpec {
       s"expected the changed-source diagnostic, got: ${messages(ex)}")
   }
 
+  test("single-writer lock: a held lock refuses the writer loudly; a stale one is broken") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_store_lock").toString
+    val docs = Seq((1L, "lk alpha"), (2L, "lk beta")).toDF("doc_id", "text")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+    def stream() = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in/part-*")
+    graft.streaming.DedupStore.run(spark, stream(), s"$tmp/store", s"$tmp/ckpt")
+    // the lock releases after a successful drain
+    assert(!new java.io.File(s"$tmp/store/_LOCK").exists(),
+      "lock must release after the drain")
+    // a LIVE lock (fresh timestamp — another writer mid-operation):
+    // purge and drain must refuse loudly, not interleave commits
+    val lockFile = java.nio.file.Paths.get(s"$tmp/store/_LOCK")
+    java.nio.file.Files.write(lockFile,
+      s"${System.currentTimeMillis()}\tother-writer\tdrain\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val ex = intercept[IllegalStateException] {
+      graft.streaming.DedupStore.purge(spark, s"$tmp/store", Seq("lk alpha"))
+    }
+    assert(ex.getMessage.contains("locked by another writer"),
+      s"expected the lock refusal, got: ${ex.getMessage}")
+    // nothing committed under refusal: store state unchanged
+    assert(graft.streaming.DedupStore.read(spark, s"$tmp/store").count() == 2L)
+    // a STALE lock (crashed holder): the next writer breaks it and runs
+    java.nio.file.Files.write(lockFile,
+      (s"${System.currentTimeMillis() - graft.streaming.DedupStore.LOCK_STALE_MS - 1000}" +
+        "\tcrashed-writer\tpurge\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val purged = graft.streaming.DedupStore.purge(
+      spark, s"$tmp/store", Seq("lk alpha"))
+    assert(purged.collect().map(_.getAs[String]("text")).toSet == Set("lk beta"))
+    assert(!new java.io.File(s"$tmp/store/_LOCK").exists(),
+      "broken-then-acquired lock must release")
+  }
+
+  test("tombstone compaction: erased victims fold away, in-flight tombstones survive") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_store_tc").toString
+    val docs = (0 until 50).map(i => (i.toLong, s"tc text $i")).toDF("doc_id", "text")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+    def stream() = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in/part-*")
+    graft.streaming.DedupStore.run(spark, stream(), s"$tmp/store", s"$tmp/ckpt")
+    // a completed purge: victims physically erased, tombstones now inert
+    graft.streaming.DedupStore.purge(spark, s"$tmp/store",
+      Seq("tc text 7", "tc text 13"))
+    // a CRASHED purge, simulated at its crash point: tombstone landed,
+    // physical rewrite didn't — this tombstone is load-bearing (it is
+    // the only thing hiding the victim) and must survive compaction
+    val crashedVictim = "tc text 3"
+    val crashedHash = spark.range(1)
+      .select(xxhash64(lit(crashedVictim))).head.getLong(0)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$tmp/store/_TOMBSTONES/t1"),
+      s"$crashedHash\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(!graft.streaming.DedupStore.read(spark, s"$tmp/store")
+      .collect().map(_.getAs[String]("text")).contains(crashedVictim))
+    val (kept, dropped) = graft.streaming.DedupStore.compactTombstones(
+      spark, s"$tmp/store")
+    assert((kept, dropped) == (1, 2),
+      s"expected the crashed purge's hash kept and 2 folded, got ($kept, $dropped)")
+    // files consolidated; only the load-bearing hash remains
+    assert(graft.streaming.DedupStore.loadTombstones(s"$tmp/store") ==
+      Seq(crashedHash))
+    val tombFiles = new java.io.File(s"$tmp/store/_TOMBSTONES").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".")).map(_.getName).toSet
+    assert(tombFiles.size == 1, s"compaction must consolidate files: $tombFiles")
+    // the crashed victim stays hidden on every read path
+    assert(!graft.streaming.DedupStore.read(spark, s"$tmp/store")
+      .collect().map(_.getAs[String]("text")).contains(crashedVictim))
+    // the documented contract: a compacted victim arriving AGAIN is a
+    // legitimately new document — suppression ended with compaction
+    Seq((900L, "tc text 7")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    val after = graft.streaming.DedupStore.run(
+      spark, stream(), s"$tmp/store", s"$tmp/ckpt")
+    val texts = after.collect().map(_.getAs[String]("text")).toSet
+    assert(texts.contains("tc text 7"), "re-ingestion after compaction must land")
+    assert(!texts.contains(crashedVictim), "load-bearing tombstone lost")
+    assert(!texts.contains("tc text 13"), "un-reingested victim resurrected")
+  }
+
+  test("purgeWhere: predicate takedown equals text purge; corpus-scale match refused") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_store_pw").toString
+    val docs = (0 until 60).map(i => (i.toLong, s"pw text ${i % 30}"))
+      .toDF("doc_id", "text") // 30 texts × 2 copies, keep_id = 0..29
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+    def stream() = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in/part-*")
+    graft.streaming.DedupStore.run(spark, stream(), s"$tmp/store", s"$tmp/ckpt")
+    val purged = graft.streaming.DedupStore.purgeWhere(
+      spark, s"$tmp/store", col("keep_id") < 5)
+    val rows = purged.collect()
+      .map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies"))).toSet
+    assert(rows == (5 until 30).map(i => (i.toLong, 2L)).toSet,
+      s"predicate purge must remove exactly keep_id < 5: $rows")
+    // bounded-takedown guard: a predicate matching more rows than
+    // maxVictims is a rewrite, not a takedown — refuse loudly
+    val ex = intercept[IllegalArgumentException] {
+      graft.streaming.DedupStore.purgeWhere(
+        spark, s"$tmp/store", col("keep_id") >= 0, maxVictims = 10)
+    }
+    assert(ex.getMessage.contains("maxVictims"))
+  }
+
   test("corrupt _LAYOUT: recovered when nothing committed, loud when versions exist") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_store_corrupt").toString
     val docs = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
