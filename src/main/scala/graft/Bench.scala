@@ -52,6 +52,9 @@ object Bench {
     // …and st12's arrival fixture (the stream pre-exists): the query
     // times the stateful sessionization drain, not the staging write
     graft.queries.StreamMediaQueries.ensureSessionStream(spark, sfDir): Unit
+    // …and st07/st13's staged 4-file corpus (immutable input; each run
+    // still drains into a FRESH store, which is the timed operation)
+    graft.queries.StreamMediaQueries.ensureDedupStreamInput(spark, sfDir): Unit
     // q55/q57 layouts: write-once/scan-many, same rule as q45
     graft.queries.SourceFormatQueries.ensureShipDateLayout(spark, sfDir): Unit
     graft.queries.SourceFormatQueries.ensureEvolvedLayout(spark, sfDir): Unit

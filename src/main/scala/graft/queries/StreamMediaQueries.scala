@@ -82,6 +82,27 @@ object StreamMediaQueries {
       inDir.getAbsolutePath
     })
 
+  /** st07/st13's arrival fixture: the documents corpus staged as 4
+    * parquet files, streamed one per micro-batch so the store merges 4
+    * genuine incremental deliveries. Built once per (JVM, sf) — the
+    * same write-once rule as [[ensureMediaFiles]]: the incoming corpus
+    * pre-exists in a real pipeline, and the drain never MUTATES its
+    * input (only the per-run store does), so the queries time the
+    * drain/purge, not the staging write. Merge order is associative
+    * (DedupStore's contract), so sharing the files across runs cannot
+    * change results. */
+  private val dedupStreamDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def ensureDedupStreamInput(s: SparkSession, d: String): String =
+    dedupStreamDirs.getOrElseUpdate(d, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st07in").toString
+      Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(s"$tmp/in")
+      s"$tmp/in"
+    })
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
     // ---- streaming: watermarked tumbling-window aggregate -----------------
@@ -363,9 +384,10 @@ object StreamMediaQueries {
              |FROM events ORDER BY event_id""".stripMargin)),
 
     // ---- foreachBatch: incremental dedup store (merge-on-arrival) ---------
-    // The corpus is split into 4 files and streamed one file per
-    // micro-batch, so the store genuinely merges 4 incremental
-    // deliveries (not one big batch). The merge is associative, so the
+    // The corpus arrives as 4 staged files (built once per JVM+sf —
+    // [[ensureDedupStreamInput]]) streamed one per micro-batch, so the
+    // store genuinely merges 4 incremental deliveries (not one big
+    // batch). The merge is associative, so the
     // final store equals batch exact-dedup (d01) regardless of file
     // order — that equivalence is the oracle. Store versions are hash-
     // partitioned (pmod(xxhash64(text), 16)): a batch rewrites only the
@@ -383,9 +405,7 @@ object StreamMediaQueries {
     ("st07_dedup_store",
       (s: SparkSession, d: String) => {
         val tmp = java.nio.file.Files.createTempDirectory("graft_st07").toString
-        Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
-          .repartition(4)
-          .write.mode("overwrite").parquet(s"$tmp/in")
+        val inDir = ensureDedupStreamInput(s, d)
         val docsStream = s.readStream
           .schema(org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("doc_id",
@@ -393,7 +413,7 @@ object StreamMediaQueries {
             org.apache.spark.sql.types.StructField("text",
               org.apache.spark.sql.types.StringType))))
           .option("maxFilesPerTrigger", "1")
-          .parquet(s"$tmp/in/part-*")
+          .parquet(s"$inDir/part-*")
         graft.streaming.DedupStore.run(s, docsStream, s"$tmp/store", s"$tmp/ckpt")
           .select(col("keep_id"), col("n_copies"))
           .orderBy(col("keep_id"))
@@ -413,15 +433,16 @@ object StreamMediaQueries {
     // buckets, not store size. Oracle: the final store equals batch
     // exact-dedup (d01) over the corpus minus the victim texts.
     // Timed cost is dominated by building the store fixture (the st07
-    // drain, ~5 s at sf0.1); the purge itself is ~0.6 s — kept in-query
-    // rather than warmed up because purge MUTATES the store, so a
-    // shared pre-built fixture would make the second bench run time a
-    // victims-already-gone no-op instead of a real takedown.
+    // drain, ~5 s at sf0.1); the purge itself is ~0.6 s — the STORE is
+    // built in-query rather than warmed up because purge MUTATES it, so
+    // a shared pre-built store would make the second bench run time a
+    // victims-already-gone no-op instead of a real takedown. Only the
+    // immutable input staging ([[ensureDedupStreamInput]]) is shared.
     ("st13_store_purge",
       (s: SparkSession, d: String) => {
         val tmp = java.nio.file.Files.createTempDirectory("graft_st13").toString
         val docs = Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
-        docs.repartition(4).write.mode("overwrite").parquet(s"$tmp/in")
+        val inDir = ensureDedupStreamInput(s, d)
         val docsStream = s.readStream
           .schema(org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("doc_id",
@@ -429,7 +450,7 @@ object StreamMediaQueries {
             org.apache.spark.sql.types.StructField("text",
               org.apache.spark.sql.types.StringType))))
           .option("maxFilesPerTrigger", "1")
-          .parquet(s"$tmp/in/part-*")
+          .parquet(s"$inDir/part-*")
         graft.streaming.DedupStore.run(s, docsStream, s"$tmp/store", s"$tmp/ckpt")
         // the takedown list: raw text strings (how deletion requests
         // actually arrive), bounded — ~1/37 of distinct texts here

@@ -432,7 +432,7 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.connectedComponents(none, driverThreshold = 0).count() == 0)
   }
 
-  test("s02 centroid choice: seed-vs-k-means recall measured, shipped choice wins") {
+  test("s02 centroid choice: seed-vs-k-means recall both measured, floors hold") {
     val emb = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding").cache()
     val cents = Similarity.kmeansCentroids(emb, nCells = 16, iters = 2)
     val rows = cents.collect()
@@ -451,18 +451,18 @@ class DedupSimilaritySpec extends SparkSpec {
       nProbe = 4, trainIters = 2))
     val seedRecall = brute.count(seeded).toDouble / brute.size
     val trainedRecall = brute.count(trained).toDouble / brute.size
-    // This is the recorded measurement justifying s02's trainIters = 0:
-    // on the near-uniform synthetic embeddings k-means balances cells, so
-    // fewer candidates fall in the probed cells (trained ~0.88 vs seeds
-    // ~0.94). On clustered real data training raises recall — if this
-    // data ever gains cluster structure the assertion flips and s02
-    // should switch to trainIters > 0.
-    info(f"s02 recall: seeds=$seedRecall%.3f kmeans-trained=$trainedRecall%.3f")
-    assert(seedRecall + 0.02 >= trainedRecall,
-      s"k-means centroids now beat seeds ($trainedRecall > $seedRecall): " +
-        "switch s02_ann_ivf to trainIters > 0")
-    assert(seedRecall >= 0.6, s"shipped s02 recall $seedRecall below floor")
-    assert(trainedRecall >= 0.6, s"trained IVF recall $trainedRecall")
+    // s02 SHIPS the trained codebook (trainIters = 2): a trained,
+    // balanced codebook is the deployment index — on clustered real
+    // corpora it raises recall, and balanced cells keep per-cell
+    // candidate counts near corpus/nCells at 100 TB. The measured cost
+    // on THIS near-uniform synthetic fixture: balancing spreads true
+    // neighbors across more cells, so trained recall can dip below
+    // seeds (~0.88 vs ~0.94 at sf0.01). Both numbers stay measured
+    // here so the trade remains visible; the floor guards against the
+    // trainer degenerating (e.g. centroid collapse would tank recall).
+    info(f"s02 recall: seeds=$seedRecall%.3f kmeans-trained=$trainedRecall%.3f (shipped)")
+    assert(trainedRecall >= 0.6, s"shipped s02 recall $trainedRecall below floor")
+    assert(seedRecall >= 0.6, s"seed IVF recall $seedRecall below floor")
   }
 
   test("exact dedup keeps one row per distinct text") {
