@@ -55,6 +55,9 @@ object Bench {
     // …and st07/st13's staged 4-file corpus (immutable input; each run
     // still drains into a FRESH store, which is the timed operation)
     graft.queries.StreamMediaQueries.ensureDedupStreamInput(spark, sfDir): Unit
+    // …and st15/st16's two-delivery store (lookup/changedSince are pure
+    // reads, so the store pre-exists and the queries time the pruned read)
+    graft.queries.StreamMediaQueries.ensureBatchStore(spark, sfDir): Unit
     // q55/q57 layouts: write-once/scan-many, same rule as q45
     graft.queries.SourceFormatQueries.ensureShipDateLayout(spark, sfDir): Unit
     graft.queries.SourceFormatQueries.ensureEvolvedLayout(spark, sfDir): Unit

@@ -103,6 +103,35 @@ object StreamMediaQueries {
       s"$tmp/in"
     })
 
+  /** st15/st16's store fixture: the documents corpus delivered as TWO
+    * DSv2 batch writes (even doc_ids, then odd) into a per-(JVM, sf)
+    * store, returning `(storeDir, cursor)` where the cursor names the
+    * version after delivery one — the sync point st16's change feed
+    * reads from. Built once per (JVM, sf) under the usual write-once
+    * rule: lookup and changedSince are pure reads (neither mutates the
+    * store), so the build is setup and the queries time the
+    * bucket-/cursor-pruned READS — the operation a serving or
+    * downstream-sync consumer repeats at scale. */
+  private val batchStores =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  def ensureBatchStore(s: SparkSession, d: String): (String, String) =
+    batchStores.getOrElseUpdate(d, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st15s").toString
+      val store = s"$tmp/store"
+      val docs = Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .write.format("graft.sources.DedupStoreSink")
+        .option("path", store).option("nBuckets", "16")
+        .mode("append").save()
+      val cursor = graft.streaming.DedupStore.currentVersion(store).getOrElse(
+        throw new IllegalStateException(s"batch write committed nothing at $store"))
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .write.format("graft.sources.DedupStoreSink")
+        .option("path", store).mode("append").save()
+      (store, cursor)
+    })
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
     // ---- streaming: watermarked tumbling-window aggregate -----------------
@@ -465,6 +494,96 @@ object StreamMediaQueries {
              |FROM documents
              |WHERE text NOT IN (SELECT text FROM v)
              |GROUP BY text ORDER BY keep_id""".stripMargin)),
+
+    // ---- DSv2 sink: the dedup store as a Spark-native streaming sink ------
+    // st07's drain through `writeStream.format(...)` instead of the
+    // foreachBatch escape hatch — the idiomatic endgame for the store:
+    // executors stage map-side partials (text → (min doc_id, count),
+    // bounded memory), the driver's per-epoch commit runs the SAME
+    // bucket-pruned manifest merge under the writer lock
+    // (DedupStoreSink's scaladoc owns the protocol mapping). Same
+    // associative-merge oracle as st07: the drained store equals batch
+    // exact-dedup over the corpus. The sink path costs one extra
+    // staging write+read of per-task PARTIALS vs foreachBatch — ∝
+    // distinct texts per task, not raw input — which is the price of
+    // sink-level integration at identical merge semantics.
+    ("st14_store_sink",
+      (s: SparkSession, d: String) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_st14").toString
+        val inDir = ensureDedupStreamInput(s, d)
+        val docsStream = s.readStream
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType))))
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$inDir/part-*")
+        val q = docsStream.writeStream
+          .format("graft.sources.DedupStoreSink")
+          .option("path", s"$tmp/store")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        graft.streaming.DedupStore.read(s, s"$tmp/store")
+          .select(col("keep_id"), col("n_copies"))
+          .orderBy(col("keep_id"))
+      },
+      Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+             |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
+
+    // ---- store point lookup: bucket-pruned read ---------------------------
+    // The serving-side read: store rows for a bounded probe list,
+    // touching only the |hit buckets| files the probes hash into — at
+    // any store size the scan is ∝ probes, not the store
+    // (DedupStoreReadSpec asserts the strict file subset; the shared
+    // two-delivery fixture is [[ensureBatchStore]]). Oracle: the full
+    // corpus dedup aggregate restricted to the probed texts.
+    ("st15_store_lookup",
+      (s: SparkSession, d: String) => {
+        val (store, _) = ensureBatchStore(s, d)
+        // the probe list: texts of the first 20 doc ids — bounded,
+        // deterministic, and how point traffic arrives (texts, not ids)
+        val probes = Tables.load(s, d, "documents")
+          .filter(col("doc_id") < 20).select(col("text"))
+          .distinct().collect().map(_.getString(0)).toSeq
+        graft.streaming.DedupStore.lookup(s, store, probes)
+          .select(col("keep_id"), col("n_copies"))
+          .orderBy(col("keep_id"))
+      },
+      Some("""WITH agg AS (SELECT text, MIN(doc_id) AS keep_id,
+             |  COUNT(*) AS n_copies FROM documents GROUP BY text)
+             |SELECT keep_id, n_copies FROM agg
+             |WHERE text IN (SELECT text FROM documents WHERE doc_id < 20)
+             |ORDER BY keep_id""".stripMargin)),
+
+    // ---- store change feed: cursor-pruned incremental sync ----------------
+    // The downstream-sync read: every bucket rewritten after the
+    // consumer's cursor (here: the version between the fixture's two
+    // deliveries) re-emits its CURRENT rows as upserts; carried-forward
+    // buckets cost zero bytes because manifest paths name the version
+    // that wrote each file. The feed is bucket-granular, so the query
+    // projects it onto the texts known to have changed (delivery two's)
+    // — an EXACT projection, not a recall regime: a changed text's
+    // bucket was by definition rewritten, so the feed provably contains
+    // it with its post-merge values, which is what the oracle checks.
+    ("st16_store_changes",
+      (s: SparkSession, d: String) => {
+        val (store, cursor) = ensureBatchStore(s, d)
+        val odd = Tables.load(s, d, "documents")
+          .filter(pmod(col("doc_id"), lit(2)) === 1)
+          .select(col("text")).distinct()
+        graft.streaming.DedupStore.changedSince(s, store, cursor)
+          .join(odd, Seq("text"), "left_semi")
+          .select(col("keep_id"), col("n_copies"))
+          .orderBy(col("keep_id"))
+      },
+      Some("""WITH agg AS (SELECT text, MIN(doc_id) AS keep_id,
+             |  COUNT(*) AS n_copies FROM documents GROUP BY text)
+             |SELECT keep_id, n_copies FROM agg
+             |WHERE text IN (SELECT text FROM documents WHERE doc_id % 2 = 1)
+             |ORDER BY keep_id""".stripMargin)),
 
     // ---- multimodal: binary columns + typed metadata ----------------------
     ("m01_media_stats",

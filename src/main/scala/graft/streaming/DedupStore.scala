@@ -152,7 +152,7 @@ object DedupStore {
     * Metadata integrity is owned by the commit protocol itself (temp +
     * rename + `_SUCCESS`-last ordering), not per-file checksums.
     * HDFS/S3A are not checksum wrappers and pass through unchanged. */
-  private def fsRoot(storeDir: String): (FileSystem, Path) = {
+  private[graft] def fsRoot(storeDir: String): (FileSystem, Path) = {
     val raw = new Path(storeDir)
     val fs = raw.getFileSystem(hadoopConf()) match {
       case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
@@ -220,7 +220,7 @@ object DedupStore {
     * holder's leftover: break it and retry the create ONCE (two
     * breakers race to the exclusive create; exactly one wins, the
     * other gets the refusal). */
-  private def withWriterLock[T](fs: FileSystem, root: Path, op: String)
+  private[graft] def withWriterLock[T](fs: FileSystem, root: Path, op: String)
                                (body: => T): T = {
     fs.mkdirs(root)
     val lock = new Path(root, "_LOCK")
@@ -341,6 +341,15 @@ object DedupStore {
         fs.exists(new Path(st.getPath, "_SUCCESS")))
       .flatMap(st =>
         parseKey(st.getPath.getName).map(_ -> fs.makeQualified(st.getPath)))
+
+  /** The next unused version major — what a replay-identity-free
+    * delivery (the DSv2 BATCH write) commits as, so it can never
+    * collide with an existing batch's version or a future epoch of the
+    * checkpointed drain that produced the current chain. */
+  private[graft] def nextMajor(storeDir: String): Long = {
+    val (fs, root) = fsRoot(storeDir)
+    versions(fs, root).map(_._1._1).maxOption.getOrElse(-1L) + 1
+  }
 
   /** Latest committed store version, if any. */
   private[graft] def latest(storeDir: String): Option[String] = {
@@ -574,8 +583,39 @@ object DedupStore {
       // re-reference the whole store into a duplicate version
       "spark.sql.streaming.noDataMicroBatches.enabled" -> "false",
       "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false")) {
-      val mergeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val q = docs.writeStream
+        .foreachBatch((batch: DataFrame, batchId: Long) =>
+          mergeBatch(batch, storeDir, nBuckets, batchId))
+        .option("checkpointLocation", ckptDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      read(spark, storeDir)
+    }
+    }
+  }
+
+  /** Merge ONE delivered batch into the store as version `(batchId, 0)`
+    * — the shared core of [[run]]'s foreachBatch and the DSv2 sink's
+    * per-epoch commit ([[graft.sources.DedupStoreSink]]). The caller
+    * must hold the writer lock. With `preAggregated = true` the batch
+    * rows are map-side partials `(text, keep_id, n_copies)` (the DSv2
+    * writers' per-task aggregates) and the reduce combines them with
+    * min/sum; otherwise raw `(doc_id, text)` docs aggregate with
+    * min/count. Both shapes reduce to the identical per-text aggregate,
+    * so the replay fingerprint and the merge are delivery-path
+    * agnostic. */
+  private[graft] def mergeBatch(batch: DataFrame, storeDir: String,
+                                nBuckets: Int, batchId: Long,
+                                preAggregated: Boolean = false): Unit = {
         val (fs, root) = fsRoot(storeDir)
+        def reduceBatch(b: DataFrame): DataFrame =
+          if (preAggregated) b.groupBy(col("text"))
+            .agg(min(col("keep_id")).as("keep_id"),
+              sum(col("n_copies")).as("n_copies"))
+          else b.groupBy(col("text"))
+            .agg(min(col("doc_id")).as("keep_id"),
+              count(lit(1)).as("n_copies"))
         // idempotent replay fast path: vN committed means batch N's
         // merge result is already on disk (the merge is deterministic),
         // so a re-delivery after a crash-before-checkpoint-record — or
@@ -601,10 +641,7 @@ object DedupStore {
               "_BATCHSTAT")
             if (fs.exists(statP)) {
               val Array(nS, xS) = readString(fs, statP).trim.split("\t", 2)
-              val (n, x) = batchFingerprint(batch
-                .groupBy(col("text"))
-                .agg(min(col("doc_id")).as("keep_id"),
-                  count(lit(1)).as("n_copies")))
+              val (n, x) = batchFingerprint(reduceBatch(batch))
               if (n != nS.toLong || x != xS.toLong)
                 throw new IllegalStateException(
                   s"replay-skip premise violated for batch $batchId: the " +
@@ -628,9 +665,7 @@ object DedupStore {
           // collect + content fingerprint + the merge job), and
           // re-aggregating the batch for each would triple the
           // batch-side work; released before the batch ends
-          val incoming = batch
-            .groupBy(col("text"))
-            .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+          val incoming = reduceBatch(batch)
             .withColumn("bucket",
               pmod(xxhash64(col("text")), lit(buckets.toLong)).cast("int"))
             .cache()
@@ -672,16 +707,6 @@ object DedupStore {
           // after run() rethrows — the stateless house rule
           } finally incoming.unpersist()
         }
-      }
-      val q = docs.writeStream
-        .foreachBatch(mergeBatch)
-        .option("checkpointLocation", ckptDir)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      read(spark, storeDir)
-    }
-    }
   }
 
   /** Consumer-side read of the store's current deduplicated state —
@@ -693,6 +718,126 @@ object DedupStore {
     versions(fs, root).sortBy(_._1).lastOption
       .map { case (_, dir) => readVersion(spark, fs, root, dir) }
       .getOrElse(emptyStore(spark))
+  }
+
+  /** The current version's directory NAME (e.g. `v3` / `v3.1`) — the
+    * CURSOR an incremental consumer records after a sync and later
+    * hands to [[changedSince]]. A name stays a valid cursor even after
+    * its directory is pruned: change comparison is by the (major, sub)
+    * key parsed from the name, never by reading the old version. */
+  def currentVersion(storeDir: String): Option[String] = {
+    val (fs, root) = fsRoot(storeDir)
+    versions(fs, root).sortBy(_._1).lastOption.map { case (k, _) => dirName(k) }
+  }
+
+  /** Bucket-pruned point lookup: the store rows for exactly `texts`,
+    * reading ONLY the buckets those texts hash into — the latest
+    * manifest maps bucket → concrete files, so a bounded lookup list
+    * touches |hit buckets| files out of nBuckets, never the store
+    * (ReadSpec asserts the strict file subset). The text→bucket hash
+    * runs as a tiny Spark job so the driver can never drift from the
+    * executors' xxhash64. Lookup lists are bounded (debug/serving/
+    * takedown-shaped traffic), so both the collect and the broadcast
+    * semi-join stay sub-MB; corpus-scale membership checks belong to
+    * the bloom path (q53/st11), not here. Tombstone-filtered like
+    * every read path. */
+  def lookup(spark: SparkSession, storeDir: String,
+             texts: Seq[String]): DataFrame = {
+    if (texts.isEmpty) return emptyStore(spark)
+    val files = lookupFiles(spark, storeDir, texts)
+    if (files.isEmpty) return emptyStore(spark)
+    val (fs, root) = fsRoot(storeDir)
+    val tdf = spark.createDataset(texts.distinct)(Encoders.STRING).toDF("text")
+    withoutTombstoned(spark, fs, root,
+      spark.read.parquet(files: _*).select("text", "keep_id", "n_copies"))
+      .join(broadcast(tdf), Seq("text"), "left_semi")
+  }
+
+  /** The concrete data files [[lookup]] would read — the latest
+    * manifest pruned to the lookup texts' buckets. Exposed for the
+    * pruning assertion in ReadSpec. */
+  private[graft] def lookupFiles(spark: SparkSession, storeDir: String,
+                                 texts: Seq[String]): Seq[String] = {
+    val (fs, root) = fsRoot(storeDir)
+    versions(fs, root).sortBy(_._1).lastOption match {
+      case None => Seq.empty
+      case Some((_, vDir)) =>
+        val buckets = layoutBuckets(fs, root, 16)
+        val hit = spark.createDataset(texts.distinct)(Encoders.STRING)
+          .toDF("text")
+          .select(pmod(xxhash64(col("text")), lit(buckets.toLong))
+            .cast("int").as("b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        entriesOf(fs, root, vDir)
+          .filter { case (b, _) => hit.contains(b) }
+          .map(_._2.toString)
+    }
+  }
+
+  /** Incremental change feed (bucket-granular upserts): the CURRENT
+    * rows of every bucket rewritten by a version ordered after the
+    * consumer's `sinceVersion` cursor (a name from [[currentVersion]]).
+    * A downstream sync applies these as upserts keyed by text, plus
+    * [[tombstones]] as deletes — together they reconstruct the store
+    * state exactly, because a text can only change by its bucket being
+    * rewritten (drain merge or purge) or by tombstoning.
+    *
+    * Zero history retention is needed: each manifest entry's file path
+    * embeds the version that WROTE it (`vN[.s]/bucket=…/part-…`), so
+    * "changed since" is decided from the latest manifest alone —
+    * carried-forward buckets keep their original version prefix and
+    * are excluded for free, and bytes read ∝ rewritten buckets, never
+    * the store. This is the CDC shape the store's retention allows:
+    * superseded files are reclaimed eagerly (prune's file-level sweep),
+    * so old VALUES are gone, but upsert-plus-tombstone delivery never
+    * needs them. The trade is granularity: a rewritten bucket re-emits
+    * ALL its current rows (idempotent upserts absorb the re-delivery);
+    * size nBuckets so a bucket ≈ one sync unit. Purge rewrites commit
+    * as `(major, sub+1)`, which orders after the purged `(major, sub)`
+    * under the key order — a cursor taken before the purge sees the
+    * rewritten bucket (minus the victim), so erasure PROPAGATES
+    * downstream through the same feed. */
+  def changedSince(spark: SparkSession, storeDir: String,
+                   sinceVersion: String): DataFrame = {
+    val files = changedFiles(storeDir, sinceVersion)
+    if (files.isEmpty) return emptyStore(spark)
+    val (fs, root) = fsRoot(storeDir)
+    withoutTombstoned(spark, fs, root,
+      spark.read.parquet(files: _*).select("text", "keep_id", "n_copies"))
+  }
+
+  /** The concrete data files [[changedSince]] would read: latest-
+    * manifest entries whose writing version (parsed from the path)
+    * orders after the cursor. Exposed for ReadSpec's pruning
+    * assertion. */
+  private[graft] def changedFiles(storeDir: String,
+                                  sinceVersion: String): Seq[String] = {
+    val since = parseKey(new Path(sinceVersion).getName).getOrElse(
+      throw new IllegalArgumentException(
+        s"'$sinceVersion' is not a store version name (vN or vN.s) — " +
+          "pass a cursor obtained from currentVersion()"))
+    val (fs, root) = fsRoot(storeDir)
+    versions(fs, root).sortBy(_._1).lastOption.toSeq.flatMap {
+      case (_, vDir) =>
+        entriesOf(fs, root, vDir)
+          .filter { case (_, f) =>
+            parseKey(f.getParent.getParent.getName).exists(_ > since) }
+          .map(_._2.toString)
+    }
+  }
+
+  /** The erasure feed: every tombstoned xxhash64(text) as a one-column
+    * frame — what a downstream consumer deletes by (it stores the same
+    * hashes, never the erased content). Append-only until
+    * [[compactTombstones]] folds hashes whose victims are physically
+    * absent everywhere;
+    * consumers that sync at least once per compaction interval never
+    * miss a delete (and a full re-sync from [[read]] is always a
+    * correct recovery, since every read path is tombstone-filtered). */
+  def tombstones(spark: SparkSession, storeDir: String): DataFrame = {
+    val (fs, root) = fsRoot(storeDir)
+    spark.createDataset(loadTombstones(fs, root))(Encoders.scalaLong)
+      .toDF("text_hash")
   }
 
   /** Targeted delete (takedown / right-to-be-forgotten) INSIDE the

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.DedupStore
+
+/** The store's consumer-side read surface: bucket-pruned point lookup,
+  * the cursor-pruned change feed, and the erasure (tombstone) feed.
+  * The load-bearing claims: lookups and change reads touch a strict
+  * SUBSET of the store's files (∝ probed buckets / rewritten buckets,
+  * never the store), the feed provably carries every changed text, and
+  * purges propagate downstream through the same two feeds. */
+class DedupStoreReadSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val SinkFormat = "graft.sources.DedupStoreSink"
+
+  /** A store built from two batch deliveries; returns (storeDir, the
+    * cursor between them). Delivery 1: texts a0..a19 (ids 0..19, each
+    * text twice via id+100). Delivery 2: one NEW text plus a duplicate
+    * of a0 (so one delivery-1 text changes its count). */
+  private def twoDeliveryStore(): (String, String) = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rdspec").toString
+    val store = s"$tmp/store"
+    val d1 = (0 until 20).flatMap(i =>
+      Seq((i.toLong, s"rd text $i"), (i + 100L, s"rd text $i")))
+      .toDF("doc_id", "text")
+    d1.write.format(SinkFormat).option("path", store)
+      .option("nBuckets", "8").mode("append").save()
+    val cursor = DedupStore.currentVersion(store).get
+    Seq((200L, "rd fresh"), (201L, "rd text 0"))
+      .toDF("doc_id", "text")
+      .write.format(SinkFormat).option("path", store).mode("append").save()
+    (store, cursor)
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long)] =
+    df.collect().map(r => (r.getAs[String]("text"),
+      r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies"))).toSet
+
+  private def bucketOf(text: String, nBuckets: Int): Int =
+    Seq(text).toDF("t")
+      .select(pmod(xxhash64(col("t")), lit(nBuckets.toLong)).cast("int"))
+      .head.getInt(0)
+
+  test("lookup reads only the probed buckets and equals the filtered read") {
+    val (store, _) = twoDeliveryStore()
+    val probes = Seq("rd text 3", "rd text 7")
+    val allFiles = DedupStore.manifestEntries(store,
+      DedupStore.latest(store).get).map(_._2.toString).toSet
+    val probed = DedupStore.lookupFiles(spark, store, probes).toSet
+    assert(probed.nonEmpty && probed.subsetOf(allFiles) && probed != allFiles,
+      s"lookup must read a strict file subset: $probed of ${allFiles.size}")
+    assert(rows(DedupStore.lookup(spark, store, probes)) ==
+      rows(DedupStore.read(spark, store)
+        .filter(col("text").isin(probes: _*))))
+    assert(rows(DedupStore.lookup(spark, store, probes)) ==
+      Set(("rd text 3", 3L, 2L), ("rd text 7", 7L, 2L)))
+  }
+
+  test("lookup: absent texts and an empty probe list read as empty") {
+    val (store, _) = twoDeliveryStore()
+    assert(DedupStore.lookup(spark, store, Seq("rd nowhere")).isEmpty)
+    assert(DedupStore.lookup(spark, store, Seq.empty).isEmpty)
+    // an uncommitted store reads as empty too, not as a crash
+    val empty = java.nio.file.Files.createTempDirectory("graft_rde").toString
+    assert(DedupStore.lookup(spark, empty, Seq("x")).isEmpty)
+  }
+
+  test("changedSince excludes carried-forward buckets and carries every changed text") {
+    val (store, cursor) = twoDeliveryStore()
+    val allFiles = DedupStore.manifestEntries(store,
+      DedupStore.latest(store).get).map(_._2.toString).toSet
+    val changed = DedupStore.changedFiles(store, cursor).toSet
+    assert(changed.nonEmpty && changed.subsetOf(allFiles) && changed != allFiles,
+      s"delivery 2 touched ≤2 of 8 buckets, so the feed must read a " +
+        s"strict subset: ${changed.size} of ${allFiles.size}")
+    val feed = rows(DedupStore.changedSince(spark, store, cursor))
+    // every changed text appears with its POST-merge values…
+    assert(feed.contains(("rd fresh", 200L, 1L)))
+    assert(feed.contains(("rd text 0", 0L, 3L)))
+    // …the feed is a subset of the current state (upserts, not history)…
+    assert(feed.subsetOf(rows(DedupStore.read(spark, store))))
+    // …and only rewritten buckets' rows are in it
+    val changedBuckets =
+      Set(bucketOf("rd fresh", 8), bucketOf("rd text 0", 8))
+    assert(feed.forall { case (t, _, _) => changedBuckets.contains(bucketOf(t, 8)) })
+    // a consumer already at the head sees an empty feed
+    val head = DedupStore.currentVersion(store).get
+    assert(DedupStore.changedSince(spark, store, head).isEmpty)
+  }
+
+  test("a purge propagates downstream through the change + tombstone feeds") {
+    val (store, _) = twoDeliveryStore()
+    val cursor = DedupStore.currentVersion(store).get
+    DedupStore.purge(spark, store, Seq("rd text 5"))
+    val feed = rows(DedupStore.changedSince(spark, store, cursor))
+    // the victim's bucket was rewritten: its surviving bucket-mates
+    // re-emit (idempotent upserts), the victim itself never appears
+    assert(!feed.exists(_._1 == "rd text 5"))
+    val survivors = rows(DedupStore.read(spark, store))
+      .filter { case (t, _, _) => bucketOf(t, 8) == bucketOf("rd text 5", 8) }
+    assert(feed == survivors,
+      "the feed after a purge must re-emit exactly the rewritten bucket")
+    // the erasure feed names the victim by hash — never by content
+    val victimHash = Seq("rd text 5").toDF("t")
+      .select(xxhash64(col("t"))).head.getLong(0)
+    val tombs = DedupStore.tombstones(spark, store)
+      .collect().map(_.getLong(0)).toSet
+    assert(tombs == Set(victimHash))
+  }
+
+  test("a cursor that is not a version name is refused loudly") {
+    val (store, _) = twoDeliveryStore()
+    val e = intercept[IllegalArgumentException] {
+      DedupStore.changedFiles(store, "not-a-version")
+    }
+    assert(e.getMessage.contains("currentVersion"))
+  }
+}
