@@ -293,6 +293,94 @@ object Similarity {
   def quantize(corpus: DataFrame): DataFrame =
     withQ8(corpus).select(col("vec_id"), col("q_scale"), col("q8"))
 
+  /** Materialize the IVF-int8 index on disk — the serving layout the
+    * header sentence promises ("at 100 TB the assignment is a
+    * materialized, cell-partitioned table and probing is partition
+    * pruning"). Two parquet trees under `indexDir`:
+    *
+    *  - `codebook/` — the nCells trained centroids (tiny; every probe
+    *    broadcasts it),
+    *  - `cells/` — the corpus as (vec_id, q8, q_scale) PARTITIONED BY
+    *    cell_id: a probe reads nProbe of nCells directories via static
+    *    partition pruning, and each candidate row is the ~4×-compressed
+    *    int8 code, never the float vector.
+    *
+    * Build cost is one trainer run ([[kmeansCentroids]]) + one
+    * assign-quantize pass over the corpus — paid ONCE, amortized over
+    * every subsequent probe batch, which is the point: [[ivfTopK]]
+    * re-derives codebook and assignment inside every query, the right
+    * shape for one-shot analytics but not for serving. Float vectors
+    * deliberately stay OUT of the index: the rescore tail re-joins the
+    * source corpus by id, so index bytes stay 4× down and the source
+    * table remains the single float authority (no second copy to keep
+    * consistent). Training determinism is s06's certified regime, so an
+    * index-backed query keeps a full SQL oracle (s08). */
+  def buildIvfIndex(corpus0: DataFrame, indexDir: String,
+                    nCells: Int = 16, trainIters: Int = 2): Unit = {
+    val corpus = cleanVectors(corpus0)
+    val cents =
+      if (trainIters > 0) kmeansCentroids(corpus, nCells, trainIters)
+      else centroids(corpus, nCells)
+    // cell_id pinned to INT on both trees: partition-column type
+    // inference reads the cells/ directory values back as int, so an
+    // int codebook keeps the probe's isin prune and the candidate join
+    // cast-free
+    cents.select(col("cell_id").cast("int").as("cell_id"), col("centroid"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebook")
+    withQ8(ivfAssign(corpus, cents))
+      .select(col("cell_id").cast("int").as("cell_id"),
+        col("vec_id"), col("q8"), col("q_scale"))
+      .write.mode("overwrite").partitionBy("cell_id")
+      .parquet(s"$indexDir/cells")
+  }
+
+  /** Probe a [[buildIvfIndex]] layout: identical semantics to
+    * `ivfTopK(..., quantized = true)` with the SAME parameters the
+    * index was built with, but the codebook and assignment come off
+    * disk and the candidate scan reads ONLY the probed cells'
+    * partition directories. The probed cell set is collected
+    * driver-side (≤ |queries|·nProbe ids — queries are broadcast-
+    * bounded on every top-k path here, so this is a bounded metadata
+    * collect, the lookup()/codebook house pattern) and applied as an
+    * `isin` filter on the partition column, so the pruning is STATIC —
+    * visible as PartitionFilters in the scan, asserted in
+    * DedupSimilaritySpec — rather than a runtime DPP gamble.
+    * `corpus0` supplies the float vectors for the rescore tail
+    * ([[rescoredTopK]]); with rescore ≫ k the result equals the float
+    * path exactly (spec-asserted), which keeps the SQL oracle. */
+  def ivfIndexTopK(indexDir: String, corpus0: DataFrame, queries0: DataFrame,
+                   k: Int, nProbe: Int = 4, rescore: Int = 32): DataFrame = {
+    val spark = corpus0.sparkSession
+    val corpus = cleanVectors(corpus0)
+    val queries = cleanQueries(queries0)
+    val cents = spark.read.parquet(s"$indexDir/codebook")
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cell_id"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("q_embedding"), col("cell_id"),
+        round(cosineSim(col("q_embedding"), col("centroid")), 6).as("sim"))
+      .withColumn("rnk", row_number().over(wq))
+      .filter(col("rnk") <= nProbe)
+      .select(col("query_id"), col("q_embedding"), col("cell_id"))
+    val hitCells = probes.select(col("cell_id")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (hitCells.isEmpty) {
+      return spark.emptyDataFrame
+        .select(lit(0L).as("query_id"), lit(0L).as("neighbor_id"),
+          lit(0.0).as("cos_sim"), lit(0).as("rank"))
+        .limit(0)
+    }
+    val cells = spark.read.parquet(s"$indexDir/cells")
+      .filter(col("cell_id").isin(hitCells: _*))
+    rescoredTopK(
+      probes.join(cells, "cell_id")
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          graft.functions.CosineSimQ8.cosineSimQ8(
+            col("q_embedding"), col("q8"), col("q_scale")).as("q_sim")),
+      queries, corpus, k, rescore)
+  }
+
   /** Exact k-NN self-join: every vector gets its k nearest neighbors —
     * the all-pairs primitive under SemDeDup-style embedding curation
     * and cluster seeding. Ships the quantized-scan shape: the n² scan

@@ -19,6 +19,24 @@ import graft.ops.{Curation, Dedup, Similarity, TextAnalysis}
   */
 object NorthStarQueries {
 
+  /** s08's persisted IVF-int8 index over the embeddings table — built
+    * once per (JVM, sf) under the write-once rule (the index is the
+    * amortized serving layout; what a deployment repeats is the PROBE,
+    * which is what s08 times). Same training regime as s02 (nCells=16,
+    * trainIters=2), so both queries share the oracle's certified
+    * codebook derivation. */
+  private val ivfIndexes =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def ensureIvfIndex(s: SparkSession, d: String): String =
+    ivfIndexes.getOrElseUpdate(d, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s08idx").toString
+      Similarity.buildIvfIndex(
+        Tables.load(s, d, "embeddings").select("vec_id", "embedding"),
+        s"$tmp/index", nCells = 16, trainIters = 2)
+      s"$tmp/index"
+    })
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
     // ---- JSON extraction over events.props --------------------------------
@@ -563,6 +581,89 @@ object NorthStarQueries {
              |  JOIN e q ON q.vec_id = p.query_id
              |  JOIN e n ON n.vec_id = a.vec_id)
              |WHERE rank <= 3
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    // ---- similarity: persisted-index probe (the serving path) -------------
+    // s02 re-derives codebook and assignment inside the query — right
+    // for one-shot analytics, wrong for serving, where the index is
+    // built once and probed forever. s08 is that second regime:
+    // [[graft.ops.Similarity.buildIvfIndex]] materializes the trained
+    // IVF-int8 layout on disk (write-once fixture, like q45's bucketed
+    // tables), and the timed query is ONLY the probe — codebook off
+    // disk, candidate scan statically pruned to the probed cells'
+    // partition directories (PartitionFilters, asserted in
+    // DedupSimilaritySpec), int8 candidates rescored exactly. Same
+    // training regime as s02 (nCells=16, trainIters=2) so the oracle
+    // is s02's certified codebook CTE with the probe batch swapped to
+    // vec_id ∈ [10, 20).
+    ("s08_ann_index_probe",
+      (s: SparkSession, d: String) => {
+        val idx = ensureIvfIndex(s, d)
+        val emb = Tables.load(s, d, "embeddings")
+        val queries = emb
+          .filter(col("vec_id") >= 10 && col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+        Similarity.ivfIndexTopK(idx, emb.select("vec_id", "embedding"),
+            queries, k = 5, nProbe = 4, rescore = 32)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH e AS (SELECT vec_id, v FROM
+             |        (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+             |      WHERE len(v) > 0 AND list_inner_product(v, v) > 0),
+             |c0 AS (SELECT vec_id AS cell_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+             |a0 AS (SELECT vec_id, cell_id FROM (
+             |        SELECT e.vec_id, c0.cell_id,
+             |          row_number() OVER (PARTITION BY e.vec_id
+             |            ORDER BY round(list_cosine_similarity(e.v, c0.cv), 6) DESC, c0.cell_id) AS rn
+             |        FROM e CROSS JOIN c0)
+             |      WHERE rn = 1),
+             |x1 AS (SELECT a0.cell_id, u.i, e.v[CAST(u.i AS INT)] AS xv
+             |      FROM a0 JOIN e USING (vec_id),
+             |           unnest(range(1, len(e.v) + 1)) AS u(i)),
+             |m1 AS (SELECT cell_id,
+             |        list(CAST(CAST(mx AS FLOAT) AS DOUBLE) ORDER BY i) AS mv
+             |      FROM (SELECT cell_id, i, round(avg(xv), 6) AS mx
+             |            FROM x1 GROUP BY 1, 2)
+             |      GROUP BY 1),
+             |c1 AS (SELECT c0.cell_id, coalesce(m1.mv, c0.cv) AS cv
+             |       FROM c0 LEFT JOIN m1 USING (cell_id)),
+             |a1 AS (SELECT vec_id, cell_id FROM (
+             |        SELECT e.vec_id, c1.cell_id,
+             |          row_number() OVER (PARTITION BY e.vec_id
+             |            ORDER BY round(list_cosine_similarity(e.v, c1.cv), 6) DESC, c1.cell_id) AS rn
+             |        FROM e CROSS JOIN c1)
+             |      WHERE rn = 1),
+             |x2 AS (SELECT a1.cell_id, u.i, e.v[CAST(u.i AS INT)] AS xv
+             |      FROM a1 JOIN e USING (vec_id),
+             |           unnest(range(1, len(e.v) + 1)) AS u(i)),
+             |m2 AS (SELECT cell_id,
+             |        list(CAST(CAST(mx AS FLOAT) AS DOUBLE) ORDER BY i) AS mv
+             |      FROM (SELECT cell_id, i, round(avg(xv), 6) AS mx
+             |            FROM x2 GROUP BY 1, 2)
+             |      GROUP BY 1),
+             |c AS (SELECT c1.cell_id, coalesce(m2.mv, c1.cv) AS cv
+             |      FROM c1 LEFT JOIN m2 USING (cell_id)),
+             |a AS (SELECT vec_id, cell_id FROM (
+             |        SELECT e.vec_id, c.cell_id,
+             |          row_number() OVER (PARTITION BY e.vec_id
+             |            ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell_id) AS rn
+             |        FROM e CROSS JOIN c)
+             |      WHERE rn = 1),
+             |p AS (SELECT query_id, cell_id FROM (
+             |        SELECT q.vec_id AS query_id, c.cell_id,
+             |          row_number() OVER (PARTITION BY q.vec_id
+             |            ORDER BY round(list_cosine_similarity(q.v, c.cv), 6) DESC, c.cell_id) AS rn
+             |        FROM e q CROSS JOIN c WHERE q.vec_id >= 10 AND q.vec_id < 20)
+             |      WHERE rn <= 4)
+             |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+             |  SELECT p.query_id, a.vec_id AS neighbor_id,
+             |    round(list_cosine_similarity(q.v, n.v), 6) AS cos_sim,
+             |    row_number() OVER (PARTITION BY p.query_id
+             |      ORDER BY round(list_cosine_similarity(q.v, n.v), 6) DESC, a.vec_id) AS rank
+             |  FROM p JOIN a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
+             |  JOIN e q ON q.vec_id = p.query_id
+             |  JOIN e n ON n.vec_id = a.vec_id)
+             |WHERE rank <= 5
              |ORDER BY query_id, rank""".stripMargin)),
 
     // ---- text analysis: per-doc features ----------------------------------

@@ -166,6 +166,58 @@ object TrainingPrepQueries {
              |FROM g JOIN e USING (gram)
              |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin)),
 
+    // ---- leakage-free (cluster-aware) train/val split ---------------------
+    // q40 hashes the DOCUMENT id, which puts two near-duplicate docs on
+    // opposite sides of the split ~2·p·(1-p) of the time — the classic
+    // eval-contamination leak. The fix: hash the split UNIT instead —
+    // a doc's near-dup cluster label (c02's connected components over
+    // word-8-gram pairs) when it has one, the doc itself when it
+    // doesn't — so an entire dup cluster lands on ONE side by
+    // construction (TrainingPrepSpec asserts no pair crosses). Same
+    // RNG-free Lehmer assignment as q40, so the choice is reproducible
+    // across runs and engines; the oracle re-derives the clusters with
+    // the c02 recursive-CTE closure and applies the identical hash.
+    // At 100 TB the added cost over q40 is exactly the c02 clustering
+    // (banded pair generation + hash-min convergence); the split
+    // itself stays one map-side integer compare per row.
+    ("q67_leakage_free_split",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.load(s, d, "documents")
+        val clusters = Dedup.connectedComponents(
+            Dedup.substringNearDupPairs(docs, "doc_id", "text", n = 8))
+          .select(col("id").as("doc_id"), col("label").as("cluster"))
+        docs.select(col("doc_id"))
+          .join(clusters, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster"), col("doc_id")).as("unit"))
+          .groupBy(TrainingPrep.splitAssign(col("unit"), 90).as("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("unit")).as("n_units"))
+          .orderBy(col("split"))
+      },
+      Some("""WITH w AS (SELECT doc_id,
+             |    string_split_regex(lower(text), '\s+') AS w FROM documents),
+             |g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+             |      FROM w, unnest(range(1, greatest(len(w)-6, 1))) AS u(i)),
+             |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+             |e AS (SELECT id_a AS src, id_b AS dst FROM p
+             |      UNION ALL SELECT id_b, id_a FROM p),
+             |nodes AS (SELECT DISTINCT src AS id FROM e),
+             |reach AS (
+             |  WITH RECURSIVE r(id, v) AS (
+             |    SELECT id, id FROM nodes
+             |    UNION
+             |    SELECT r.id, e.dst FROM r JOIN e ON e.src = r.v)
+             |  SELECT id, min(v) AS cluster FROM r GROUP BY id),
+             |u AS (SELECT d.doc_id, coalesce(reach.cluster, d.doc_id) AS unit
+             |      FROM documents d LEFT JOIN reach ON reach.id = d.doc_id)
+             |SELECT CASE WHEN (((unit * 48271) % 2147483647 + 2147483647) % 2147483647) % 100 < 90
+             |       THEN 'train' ELSE 'val' END AS split,
+             |  COUNT(*) AS n_docs,
+             |  CAST(COUNT(DISTINCT unit) AS BIGINT) AS n_units
+             |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- formatting-insensitive exact dedup on canonical text -------------
     ("d07_normalized_dedup",
       (s: SparkSession, d: String) => {

@@ -268,6 +268,56 @@ class DedupSimilaritySpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("persisted IVF index (shipped s08): probe equals in-query path, scan is partition-pruned") {
+    val emb = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding").cache()
+    val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val idx = graft.queries.NorthStarQueries.ensureIvfIndex(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // the index-backed probe reproduces the in-query trained path
+    // exactly — same codebook regime (trainIters = 2), int8 candidates,
+    // rescore ≫ k
+    val inQuery = rows(Similarity.ivfTopK(emb, queries, 5,
+      nCells = 16, nProbe = 4, trainIters = 2, quantized = true, rescore = 32))
+    val probed = rows(Similarity.ivfIndexTopK(idx, emb, queries, 5,
+      nProbe = 4, rescore = 32))
+    assert(probed == inQuery,
+      "index probe must equal the in-query trained IVF path exactly")
+    // the candidate scan reads a strict subset of the index's cell
+    // directories (one query probes nProbe = 4 of 16 cells — the
+    // unambiguous subset). AQE hides file scans inside query stages
+    // (both AdaptiveSparkPlanExec and QueryStageExec are leaf nodes),
+    // so the walk crosses those boundaries explicitly.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def cellScansOf(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => cellScansOf(a.executedPlan)
+      case s: QueryStageExec        => cellScansOf(s.plan)
+      case f: FileSourceScanExec =>
+        if (f.toString.contains("cells")) Seq(f) else Seq.empty
+      case other => other.children.flatMap(cellScansOf)
+    }
+    val oneQuery = queries.filter(col("query_id") === 10)
+    val probeScan = Similarity.ivfIndexTopK(idx, emb, oneQuery, 5,
+      nProbe = 4, rescore = 32)
+    probeScan.collect()
+    val cellScans = cellScansOf(probeScan.queryExecution.executedPlan)
+    assert(cellScans.nonEmpty, "no cells/ scan found in the probe plan")
+    val scan = cellScans.head
+    assert(scan.toString.contains("PartitionFilters"),
+      s"probe scan has no partition filters:\n$scan")
+    val full = spark.read.parquet(s"$idx/cells")
+    full.collect()
+    val totalFiles = cellScansOf(full.queryExecution.executedPlan)
+      .head.metrics("numFiles").value
+    val probedFiles = scan.metrics("numFiles").value
+    assert(probedFiles > 0 && probedFiles < totalFiles,
+      s"probe read $probedFiles of $totalFiles index files — not pruned")
+    emb.unpersist()
+  }
+
   test("IVF k-NN self-join (shipped s07): int8 candidates equal the float path") {
     // s07 ships quantized = true — every vector is a query and the
     // cell-join candidates travel as the int8 index. rescore ≫ k must

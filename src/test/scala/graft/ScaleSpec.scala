@@ -349,6 +349,60 @@ class ScaleSpec extends SparkSpec {
     assert(spark.read.parquet(out).filter(col("source") === "src1").count() == 0L)
   }
 
+  test("q66 rollup refresh: source scan pruned to touched days, clean rollup partitions survive") {
+    import graft.queries.SourceFormatQueries
+    val tmp = Files.createTempDirectory("graft_rollup_t").toString
+    val src = s"$tmp/src"; val rollup = s"$tmp/rollup"
+    val ev = Tables.load(spark, sf, "events")
+      .withColumn("day", date_format(Tables.eventTime(col("ts")), "yyyy-MM-dd"))
+      .select(col("day"), col("event_type"), col("event_id"), col("user_id"))
+    val Seq(maxDay, prevDay) = ev.select(col("day")).distinct()
+      .orderBy(col("day").desc).limit(2).collect().map(_.getString(0)).toSeq
+    val late = col("day") === maxDay ||
+      (col("day") === prevDay && col("event_id") % 3 === 0)
+    val base = ev.filter(!late)
+    base.write.partitionBy("day").parquet(src)
+    SourceFormatQueries.rollupOf(base).write.partitionBy("day").parquet(rollup)
+    ev.filter(late).write.mode("append").partitionBy("day").parquet(src)
+    val touched = Seq(maxDay, prevDay)
+    def filesUnder(dir: String, day: String): Set[String] = {
+      val f = new java.io.File(s"$dir/day=$day")
+      if (!f.isDirectory) Set.empty
+      else f.listFiles.map(_.getName).filter(_.endsWith(".parquet")).toSet
+    }
+    val cleanDay = ev.filter(!col("day").isin(touched: _*))
+      .agg(min(col("day"))).collect()(0).getString(0)
+    val cleanBefore = filesUnder(rollup, cleanDay)
+    assert(cleanBefore.nonEmpty, s"no rollup files for clean day $cleanDay")
+    // the refresh's source scan reads a strict file subset (q55 pattern:
+    // simple filter plan — scan metrics directly inspectable)
+    def numFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get.metrics("numFiles").value
+    }
+    val prunedFiles = numFiles(
+      spark.read.parquet(src).filter(col("day").isin(touched: _*)))
+    val totalFiles = numFiles(spark.read.parquet(src))
+    assert(prunedFiles > 0 && prunedFiles < totalFiles,
+      s"refresh scan read $prunedFiles of $totalFiles source files — not pruned")
+    SourceFormatQueries.refreshRollup(spark, src, rollup, touched)
+    // clean partition: byte-identical file set; touched: materialized
+    assert(filesUnder(rollup, cleanDay) == cleanBefore,
+      "refresh rewrote a rollup partition whose source did not change")
+    assert(filesUnder(rollup, maxDay).nonEmpty, "new day's rollup missing")
+    // the refreshed rollup equals a from-scratch rebuild over the full source
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("day").cast("string"), col("event_type"),
+        col("n_events"), col("user_sum")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val got = rows(spark.read.parquet(rollup))
+    val want = rows(SourceFormatQueries.rollupOf(spark.read.parquet(src)))
+    assert(got == want, "incrementally refreshed rollup must equal a full rebuild")
+  }
+
   test("q65 AQE skew join: final plan splits skewed partitions, result matches q44's") {
     val (skewed, plan) = ScaleJoins.withSkewJoinDemo(spark) {
       val df = graft.queries.ScaleJoinQueries.q65Join(spark, sf)

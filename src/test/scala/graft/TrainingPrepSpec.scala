@@ -24,6 +24,36 @@ class TrainingPrepSpec extends SparkSpec {
     assert(sub.exceptAll(full).isEmpty && full.exceptAll(sub).isEmpty)
   }
 
+  test("q67 leakage-free split: no near-dup pair crosses the train/val boundary") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, sf, "documents")
+    val pairs = graft.ops.Dedup.substringNearDupPairs(docs, "doc_id", "text", n = 8)
+    assert(pairs.count() > 0, "fixture must contain near-dup pairs")
+    val clusters = graft.ops.Dedup.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("label").as("cluster"))
+    val assign = docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        TrainingPrep.splitAssign(
+          coalesce(col("cluster"), col("doc_id")), 90).as("split"))
+    // every near-dup pair lands on ONE side — the leak q67 exists to kill
+    val crossing = pairs
+      .join(assign.select(col("doc_id").as("id_a"), col("split").as("s_a")), "id_a")
+      .join(assign.select(col("doc_id").as("id_b"), col("split").as("s_b")), "id_b")
+      .filter(col("s_a") =!= col("s_b"))
+    assert(crossing.isEmpty, "a near-dup pair crossed the split boundary")
+    // the doc-id hash (q40's rule) DOES leak on this fixture — the
+    // contrast that motivates the unit hash
+    val naive = docs.select(col("doc_id"),
+      TrainingPrep.splitAssign(col("doc_id"), 90).as("split"))
+    val naiveCrossing = pairs
+      .join(naive.select(col("doc_id").as("id_a"), col("split").as("s_a")), "id_a")
+      .join(naive.select(col("doc_id").as("id_b"), col("split").as("s_b")), "id_b")
+      .filter(col("s_a") =!= col("s_b"))
+    assert(!naiveCrossing.isEmpty,
+      "fixture has no doc-id-hash leak — the contrast assertion is vacuous")
+  }
+
   test("splitAssign: negative ids still split ~trainPct (pmod, not signed %)") {
     // signed % would make every negative id hash < trainPct ('train');
     // pmod keeps the bucket in [0, 100) so the split holds on any id sign
