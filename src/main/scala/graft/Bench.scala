@@ -59,8 +59,9 @@ object Bench {
     // reads, so the store pre-exists and the queries time the pruned read)
     graft.queries.StreamMediaQueries.ensureBatchStore(spark, sfDir): Unit
     // …and s08's persisted IVF index (build amortizes over probes; the
-    // probe is the timed operation)
+    // probe is the timed operation), plus st17's staged query stream
     graft.queries.NorthStarQueries.ensureIvfIndex(spark, sfDir): Unit
+    graft.queries.StreamMediaQueries.ensureQueryStream(spark, sfDir): Unit
     // q55/q57 layouts: write-once/scan-many, same rule as q45
     graft.queries.SourceFormatQueries.ensureShipDateLayout(spark, sfDir): Unit
     graft.queries.SourceFormatQueries.ensureEvolvedLayout(spark, sfDir): Unit

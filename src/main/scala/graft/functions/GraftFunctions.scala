@@ -34,6 +34,25 @@ object GraftFunctions {
       s"$fn expects a literal int/long, got $other")
   }
 
+  /** A literal string-array argument. SQL callers write
+    * `array('a', 'b')`, which reaches the builder as an unanalyzed
+    * `CreateArray` of string literals (constant folding runs later);
+    * a pre-folded array Literal is accepted too. */
+  private def stringArrayArg(e: Expression, fn: String): Seq[String] = e match {
+    case org.apache.spark.sql.catalyst.expressions.CreateArray(children, _) =>
+      children.map {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+        case other => throw new IllegalArgumentException(
+          s"$fn expects literal strings in the array, got $other")
+      }
+    case Literal(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, _)) =>
+      arr.toArray[org.apache.spark.unsafe.types.UTF8String](
+        org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal string array, got $other")
+  }
+
   /** (name, builder) for every graft SQL function. cosine_sim takes raw
     * args: float/double arrays evaluate natively (same rule as the
     * Column API — other element types are an analysis error; cast
@@ -69,7 +88,12 @@ object GraftFunctions {
     // theta-style KMV distinct sketch: build + read sides (q61)
     "kmv_sketch" -> (es => KmvSketchAgg(es(0), intArg(es(1), "kmv_sketch"))),
     "kmv_estimate" -> (es => KmvEstimate(es(0))),
-    "kmv_intersect" -> (es => KmvIntersect(es(0), es(1))))
+    "kmv_intersect" -> (es => KmvIntersect(es(0), es(1))),
+    // membership count against a literal set (t02's stopword term)
+    "token_set_count" -> (es => TokenSetCount(es(0),
+      stringArrayArg(es(1), "token_set_count"))),
+    // 2-D Morton interleave (q58's layout key)
+    "zorder2" -> (es => ZOrder2(es(0), es(1))))
 
   /** Register into an existing session (temp functions). */
   def register(spark: SparkSession): Unit =

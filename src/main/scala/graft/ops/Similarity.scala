@@ -293,6 +293,41 @@ object Similarity {
   def quantize(corpus: DataFrame): DataFrame =
     withQ8(corpus).select(col("vec_id"), col("q_scale"), col("q8"))
 
+  /** Per-group centroid outliers — embedding-space quality filtering
+    * (the SemDeDup-adjacent curation step: d10 removes near-DUPLICATES,
+    * this surfaces near-NOISE): each labeled group's k members FARTHEST
+    * from the group's mean embedding, by ascending 6-dp-rounded cosine
+    * with vec_id tie-break. The centroid derivation is s06's certified
+    * rule (per-dimension `round(avg, 6)` stored as float — summation
+    * order can't leak), so the whole pipeline keeps a SQL oracle (s09).
+    *
+    * Scale shape: the mean aggregate combines map-side (posexplode
+    * expands ×dims but partials fold before the exchange), the
+    * centroid join broadcasts (|labels| rows), and the per-group rank
+    * shuffles only (label, vec_id, cos_sim) rows ~20 B wide — never a
+    * vector — with WindowGroupLimit cutting to k before the final
+    * sort. Expects (vec_id, embedding, label); degenerate vectors are
+    * dropped, not ranked (their cosine is NaN to everything). */
+  def centroidOutliers(emb: DataFrame, k: Int): DataFrame = {
+    val e = cleanVectors(emb)
+    val cents = e
+      .select(col("label"), posexplode(col("embedding").cast("array<double>")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("col")), 6).as("m"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label"),
+        transform(col("pm"), x => x.getField("m").cast("float")).as("centroid"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("cos_sim").asc, col("vec_id"))
+    e.join(broadcast(cents), "label")
+      .select(col("label"), col("vec_id"),
+        round(cosineSim(col("embedding"), col("centroid")), 6).as("cos_sim"))
+      .filter(!isnan(col("cos_sim")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Materialize the IVF-int8 index on disk — the serving layout the
     * header sentence promises ("at 100 TB the assignment is a
     * materialized, cell-partitioned table and probing is partition

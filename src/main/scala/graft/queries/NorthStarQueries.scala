@@ -666,6 +666,38 @@ object NorthStarQueries {
              |WHERE rank <= 5
              |ORDER BY query_id, rank""".stripMargin)),
 
+    // ---- similarity: per-label centroid outliers (embedding QC) -----------
+    // The embedding-space quality filter beside d10's near-dup removal:
+    // the 5 vectors per label farthest from their label's mean
+    // embedding — curation candidates (mislabeled/noisy docs). Centroid
+    // rule is s06's certified 6-dp mean; the oracle re-derives it with
+    // the same unnest-avg CTE and ranks ascending cosine.
+    ("s09_embedding_outliers",
+      (s: SparkSession, d: String) => {
+        Similarity.centroidOutliers(Tables.load(s, d, "embeddings"), k = 5)
+          .orderBy(col("label"), col("rank"))
+      },
+      Some("""WITH e AS (SELECT vec_id, label, v FROM
+             |        (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+             |      WHERE len(v) > 0 AND list_inner_product(v, v) > 0),
+             |x AS (SELECT label, u.i, e.v[CAST(u.i AS INT)] AS xv
+             |      FROM e, unnest(range(1, len(e.v) + 1)) AS u(i)),
+             |m AS (SELECT label,
+             |        list(CAST(CAST(mx AS FLOAT) AS DOUBLE) ORDER BY i) AS cv
+             |      FROM (SELECT label, i, round(avg(xv), 6) AS mx
+             |            FROM x GROUP BY 1, 2)
+             |      GROUP BY 1),
+             |sc AS (SELECT e.label, e.vec_id,
+             |        round(list_cosine_similarity(e.v, m.cv), 6) AS cos_sim
+             |      FROM e JOIN m USING (label))
+             |SELECT label, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+             |  SELECT label, vec_id, cos_sim,
+             |    row_number() OVER (PARTITION BY label
+             |      ORDER BY cos_sim ASC, vec_id) AS rank
+             |  FROM sc)
+             |WHERE rank <= 5
+             |ORDER BY label, rank""".stripMargin)),
+
     // ---- text analysis: per-doc features ----------------------------------
     ("t01_token_stats",
       (s: SparkSession, d: String) => {

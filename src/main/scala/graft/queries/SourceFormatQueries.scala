@@ -300,6 +300,80 @@ object SourceFormatQueries {
              |  CAST(SUM(user_id) AS BIGINT) AS user_sum
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ---- partitioned upsert (SCD-1 MERGE on plain parquet) ----------------
+    // The row-level merge completing the table-maintenance family:
+    // append (q59), delete (q64), aggregate refresh (q66) — and now
+    // MERGE: updates arrive as (key, new value) with NO partition info
+    // (how CDC feeds actually look), inserts as full rows. Discovery
+    // reuses q64's two-stage machinery — per-partition id blooms
+    // probed driver-side for candidates, exact broadcast confirm over
+    // just those directories — then ONE dynamic overwrite rewrites the
+    // affected partitions as survivors (anti-join) ∪ updated rows
+    // (partition recovered from the pre-image) ∪ inserts. Cost ∝
+    // affected partitions at any table size; every other partition's
+    // files are untouched (ScaleSpec's q64 test pins the shared
+    // mechanics; the oracle certifies last-writer-wins row semantics
+    // by recomputing the post-merge table from scratch). The update
+    // key list is takedown-shaped (bounded) — corpus-scale feeds
+    // would batch by partition instead of collecting keys.
+    ("q68_partitioned_upsert",
+      (s: SparkSession, d: String) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+        val docs = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("text"), col("source"))
+        docs.write.mode("overwrite").partitionBy("source").parquet(out)
+        writeIdBloomStats(docs, out)
+        // the merge feed (deterministic: source = src(doc_id mod 20), so
+        // updates live in src1 only and inserts declare src3)
+        val updates = docs
+          .filter(col("doc_id") % 20 === 1 && col("doc_id") % 3 === 0)
+          .select(col("doc_id"), concat(lit("v2 "), col("text")).as("text"))
+        val maxId = Tables.firstLongOption(docs.agg(max(col("doc_id"))))
+          .getOrElse(0L)
+        val inserts = docs
+          .filter(col("doc_id") % 20 === 3 && col("doc_id") % 5 === 0)
+          .select((col("doc_id") + maxId + 1L).as("doc_id"),
+            concat(lit("new "), col("text")).as("text"), col("source"))
+        val updateIds = updates.select(col("doc_id")).collect()
+          .map(_.getLong(0)).toSeq
+        val candidates = bloomCandidateSources(s, out, updateIds)
+        val table = s.read.parquet(out)
+        val confirmed = table.filter(col("source").isin(candidates: _*))
+          .join(broadcast(updates.select(col("doc_id"))), "doc_id")
+          .select(col("source")).distinct().collect().map(_.getString(0)).toSeq
+        val insertSources = inserts.select(col("source")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        val affected = (confirmed ++ insertSources).distinct
+        val pre = table.filter(col("source").isin(affected: _*))
+        val survivors = pre.join(
+          broadcast(updates.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+        val updated = pre.select(col("doc_id"), col("source"))
+          .join(broadcast(updates), "doc_id")
+        withOverwriteMode(s, "dynamic") {
+          survivors.unionByName(updated).unionByName(inserts)
+            .write.mode("overwrite").partitionBy("source").parquet(out)
+        }
+        s.read.parquet(out)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text")).cast("long")).as("total_chars"),
+            sum(col("doc_id")).as("id_sum"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH post AS (
+             |  SELECT doc_id, source,
+             |    CASE WHEN doc_id % 20 = 1 AND doc_id % 3 = 0
+             |         THEN 'v2 ' || text ELSE text END AS text
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + (SELECT MAX(doc_id) FROM documents) + 1 AS doc_id,
+             |    source, 'new ' || text AS text
+             |  FROM documents WHERE doc_id % 20 = 3 AND doc_id % 5 = 0)
+             |SELECT source, COUNT(*) AS n_docs,
+             |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+             |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+             |FROM post GROUP BY source ORDER BY source""".stripMargin)),
+
     // ---- targeted delete (takedown / right-to-be-forgotten) ---------------
     // The deletion-side counterpart of q59's append-side refresh: purge
     // a LIST OF ROW IDS from a partitioned table while rewriting only

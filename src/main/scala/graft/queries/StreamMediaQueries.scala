@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.Multimodal
+import graft.ops.{Multimodal, Similarity}
 import graft.streaming.EventStream
 
 /** Streaming + multimodal query surface. st01/st02 run the real
@@ -130,6 +130,25 @@ object StreamMediaQueries {
         .write.format("graft.sources.DedupStoreSink")
         .option("path", store).mode("append").save()
       (store, cursor)
+    })
+
+  /** st17's staged query stream: the first 20 embedding vectors as 4
+    * parquet files (5 queries per micro-batch under
+    * maxFilesPerTrigger = 1). Immutable input under the write-once
+    * rule: query traffic pre-exists in a serving deployment, and the
+    * probe never mutates it — the timed operation is the per-batch
+    * pruned probe of the (also pre-built) s08 index. */
+  private val queryStreamDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def ensureQueryStream(s: SparkSession, d: String): String =
+    queryStreamDirs.getOrElseUpdate(d, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st17in").toString
+      Tables.load(s, d, "embeddings").filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("embedding"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(s"$tmp/in")
+      s"$tmp/in"
     })
 
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
@@ -584,6 +603,139 @@ object StreamMediaQueries {
              |SELECT keep_id, n_copies FROM agg
              |WHERE text IN (SELECT text FROM documents WHERE doc_id % 2 = 1)
              |ORDER BY keep_id""".stripMargin)),
+
+    // ---- streaming ANN serving: micro-batched probes of the s08 index -----
+    // The online half of s08's serving story: query vectors ARRIVE as a
+    // stream (4 micro-batches of 5), the IVF-int8 index is the static
+    // side, and each batch runs the same partition-pruned probe —
+    // per-batch probed-cell sets are computed from that batch's queries
+    // only, so a batch's scan cost is ∝ its own nProbe footprint, not
+    // the query history. foreachBatch is the right idiom (the probe
+    // needs a per-batch bounded collect for the static prune; a
+    // stream-static join could not express the cell pruning), with an
+    // append file sink. Query ids are disjoint across batches, so the
+    // drained union equals the one-shot batch probe over all 20
+    // queries — which is what the oracle (s08's certified IVF CTE,
+    // probe set vec_id < 20) checks.
+    ("st17_stream_index_probe",
+      (s: SparkSession, d: String) => {
+        val idx = NorthStarQueries.ensureIvfIndex(s, d)
+        val inDir = ensureQueryStream(s, d)
+        val corpus = Tables.load(s, d, "embeddings").select("vec_id", "embedding")
+        val out = java.nio.file.Files.createTempDirectory("graft_st17o").toString
+        import org.apache.spark.sql.types._
+        val qstream = s.readStream
+          .schema(StructType(Seq(StructField("vec_id", LongType),
+            StructField("embedding", ArrayType(FloatType)))))
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$inDir/part-*")
+        val q = qstream.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            Similarity.ivfIndexTopK(idx, corpus,
+                batch.select(col("vec_id").as("query_id"),
+                  col("embedding").as("q_embedding")),
+                k = 5, nProbe = 4, rescore = 32)
+              .write.mode("append").parquet(s"$out/res")
+          }
+          .option("checkpointLocation", s"$out/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$out/res")
+          .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH e AS (SELECT vec_id, v FROM
+             |        (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+             |      WHERE len(v) > 0 AND list_inner_product(v, v) > 0),
+             |c0 AS (SELECT vec_id AS cell_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+             |a0 AS (SELECT vec_id, cell_id FROM (
+             |        SELECT e.vec_id, c0.cell_id,
+             |          row_number() OVER (PARTITION BY e.vec_id
+             |            ORDER BY round(list_cosine_similarity(e.v, c0.cv), 6) DESC, c0.cell_id) AS rn
+             |        FROM e CROSS JOIN c0)
+             |      WHERE rn = 1),
+             |x1 AS (SELECT a0.cell_id, u.i, e.v[CAST(u.i AS INT)] AS xv
+             |      FROM a0 JOIN e USING (vec_id),
+             |           unnest(range(1, len(e.v) + 1)) AS u(i)),
+             |m1 AS (SELECT cell_id,
+             |        list(CAST(CAST(mx AS FLOAT) AS DOUBLE) ORDER BY i) AS mv
+             |      FROM (SELECT cell_id, i, round(avg(xv), 6) AS mx
+             |            FROM x1 GROUP BY 1, 2)
+             |      GROUP BY 1),
+             |c1 AS (SELECT c0.cell_id, coalesce(m1.mv, c0.cv) AS cv
+             |       FROM c0 LEFT JOIN m1 USING (cell_id)),
+             |a1 AS (SELECT vec_id, cell_id FROM (
+             |        SELECT e.vec_id, c1.cell_id,
+             |          row_number() OVER (PARTITION BY e.vec_id
+             |            ORDER BY round(list_cosine_similarity(e.v, c1.cv), 6) DESC, c1.cell_id) AS rn
+             |        FROM e CROSS JOIN c1)
+             |      WHERE rn = 1),
+             |x2 AS (SELECT a1.cell_id, u.i, e.v[CAST(u.i AS INT)] AS xv
+             |      FROM a1 JOIN e USING (vec_id),
+             |           unnest(range(1, len(e.v) + 1)) AS u(i)),
+             |m2 AS (SELECT cell_id,
+             |        list(CAST(CAST(mx AS FLOAT) AS DOUBLE) ORDER BY i) AS mv
+             |      FROM (SELECT cell_id, i, round(avg(xv), 6) AS mx
+             |            FROM x2 GROUP BY 1, 2)
+             |      GROUP BY 1),
+             |c AS (SELECT c1.cell_id, coalesce(m2.mv, c1.cv) AS cv
+             |      FROM c1 LEFT JOIN m2 USING (cell_id)),
+             |a AS (SELECT vec_id, cell_id FROM (
+             |        SELECT e.vec_id, c.cell_id,
+             |          row_number() OVER (PARTITION BY e.vec_id
+             |            ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell_id) AS rn
+             |        FROM e CROSS JOIN c)
+             |      WHERE rn = 1),
+             |p AS (SELECT query_id, cell_id FROM (
+             |        SELECT q.vec_id AS query_id, c.cell_id,
+             |          row_number() OVER (PARTITION BY q.vec_id
+             |            ORDER BY round(list_cosine_similarity(q.v, c.cv), 6) DESC, c.cell_id) AS rn
+             |        FROM e q CROSS JOIN c WHERE q.vec_id < 20)
+             |      WHERE rn <= 4)
+             |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+             |  SELECT p.query_id, a.vec_id AS neighbor_id,
+             |    round(list_cosine_similarity(q.v, n.v), 6) AS cos_sim,
+             |    row_number() OVER (PARTITION BY p.query_id
+             |      ORDER BY round(list_cosine_similarity(q.v, n.v), 6) DESC, a.vec_id) AS rank
+             |  FROM p JOIN a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
+             |  JOIN e q ON q.vec_id = p.query_id
+             |  JOIN e n ON n.vec_id = a.vec_id)
+             |WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    // ---- store CDC consumer: replica sync from the change feed ------------
+    // The downstream half of st16's contract, run end to end: a replica
+    // synced at `cursor` (delivery one's dedup state, recomputed here
+    // as the stale copy) catches up by applying changedSince(cursor) as
+    // KEYED UPSERTS — stale rows for re-emitted keys drop via anti-join,
+    // current rows union in — and tombstones() as deletes (empty in
+    // this fixture; the join is the contract, exercised with victims in
+    // DedupStoreReadSpec). Cost ∝ rewritten buckets + replica, never
+    // the store's history — the zero-retention CDC shape the store's
+    // eager file reclamation allows. The oracle is batch exact-dedup
+    // over the FULL corpus (d01's aggregate): equality proves the
+    // upsert+tombstone algebra reconstructs the store state exactly.
+    ("st18_store_replica_sync",
+      (s: SparkSession, d: String) => {
+        val (store, cursor) = ensureBatchStore(s, d)
+        val replica = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("text"))
+          .filter(pmod(col("doc_id"), lit(2)) === 0)
+          .groupBy(col("text"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        val changes = graft.streaming.DedupStore.changedSince(s, store, cursor)
+          .select(col("text"), col("keep_id"), col("n_copies"))
+        val tomb = graft.streaming.DedupStore.tombstones(s, store)
+        replica
+          .join(changes.select(col("text")), Seq("text"), "left_anti")
+          .unionByName(changes)
+          .join(tomb, xxhash64(col("text")) === col("text_hash"), "left_anti")
+          .select(col("keep_id"), col("n_copies"))
+          .orderBy(col("keep_id"))
+      },
+      Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+             |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
 
     // ---- multimodal: binary columns + typed metadata ----------------------
     ("m01_media_stats",

@@ -218,6 +218,72 @@ object TrainingPrepQueries {
              |  CAST(COUNT(DISTINCT unit) AS BIGINT) AS n_units
              |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- BM25 lexical retrieval (Okapi k1=1.2, b=0.75) --------------------
+    // The search primitive data curation keeps reaching for (find docs
+    // matching a topic, rank exemplars, build eval slices): classic
+    // BM25 over the house tokenizer. Corpus stats (N, Σdl) are one
+    // scalar pre-pass (the q48 config-read pattern); tf arrives
+    // map-side filtered to the query terms BEFORE the per-(doc, term)
+    // aggregate, so the shuffle carries matching postings only — at
+    // 100 TB that is |docs containing a query term|, not the corpus.
+    // Float determinism: every input to the formula is an exact
+    // integer in a double; per-term scores are 6-dp-rounded and summed
+    // in DECIMAL(18,6) (the CoreQueries rule), so term order can't
+    // leak; constants are written as the same double EXPRESSIONS on
+    // both sides ((1.2 + 1), not 2.2 — parsing vs folding could differ
+    // by an ulp). Top 10 by (score desc, doc_id).
+    ("t12_bm25_search",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val qTerms = Seq("join", "vector", "scan")
+        val toks = Tables.load(s, d, "documents")
+          .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("toks"))
+        val dl = toks.select(col("doc_id"), size(col("toks")).cast("double").as("dl"))
+        val stats = dl.agg(count(lit(1)).cast("double").as("n"),
+          sum(col("dl")).as("sdl")).collect()(0)
+        val (nDocs, avgdl) = (stats.getDouble(0), stats.getDouble(1) / stats.getDouble(0))
+        val tf = toks.select(col("doc_id"), explode(col("toks")).as("term"))
+          .filter(col("term").isin(qTerms: _*))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).cast("double").as("tf"))
+        val dfreq = tf.groupBy(col("term"))
+          .agg(count(lit(1)).cast("double").as("df"))
+        val perTerm = tf.join(broadcast(dfreq), "term").join(dl, "doc_id")
+          .select(col("doc_id"),
+            round(log(lit(1.0) + (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)) *
+              (col("tf") * (lit(1.2) + lit(1.0))) /
+              (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) +
+                lit(0.75) * col("dl") / lit(avgdl))), 6).as("ts"))
+        val w = Window.orderBy(col("score").desc, col("doc_id"))
+        perTerm.groupBy(col("doc_id"))
+          .agg(sum(col("ts").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .cast("double").as("score"))
+          .withColumn("rank", row_number().over(w).cast("int"))
+          .filter(col("rank") <= 10)
+          .orderBy(col("rank"))
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+             |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+             |dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM tk),
+             |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             |         SUM(dl) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM dl),
+             |tf AS (SELECT doc_id, u.term AS term, CAST(COUNT(*) AS DOUBLE) AS tf
+             |       FROM tk, unnest(toks) AS u(term)
+             |       WHERE u.term IN ('join', 'vector', 'scan') GROUP BY 1, 2),
+             |df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+             |sc AS (SELECT tf.doc_id,
+             |         round(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) *
+             |           (tf.tf * (1.2 + 1)) /
+             |           (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)), 6) AS ts
+             |       FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+             |agg AS (SELECT doc_id,
+             |          CAST(SUM(CAST(ts AS DECIMAL(18,6))) AS DOUBLE) AS score
+             |        FROM sc GROUP BY 1)
+             |SELECT doc_id, score, CAST(rank AS INT) AS rank FROM (
+             |  SELECT doc_id, score,
+             |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM agg)
+             |WHERE rank <= 10 ORDER BY rank""".stripMargin)),
+
     // ---- formatting-insensitive exact dedup on canonical text -------------
     ("d07_normalized_dedup",
       (s: SparkSession, d: String) => {

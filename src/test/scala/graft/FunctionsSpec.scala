@@ -131,7 +131,22 @@ class FunctionsSpec extends SparkSpec {
       Set("cosine_sim", "cosine_sim_q8", "simhash", "simhash_md5", "minhash_sig",
         "word_ngrams", "srp_sig", "space_saving_topk", "kll_quantile",
         "quantize_q8", "bloom_filter_agg", "bloom_might_contain",
-        "cms_estimate", "kmv_sketch", "kmv_estimate", "kmv_intersect"))
+        "cms_estimate", "kmv_sketch", "kmv_estimate", "kmv_intersect",
+        "token_set_count", "zorder2"))
+  }
+
+  test("token_set_count and zorder2 evaluate through the SQL registry") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT token_set_count(array('the','cat','sat','the'), array('the','a')) AS n,
+        |       zorder2(3L, 5L) AS z""".stripMargin).collect()(0)
+    assert(r.getInt(0) == 2, s"token_set_count: ${r.getInt(0)}")
+    val viaColumn = spark.range(1)
+      .select(graft.functions.ZOrder2.zorder2(
+        org.apache.spark.sql.functions.lit(3L),
+        org.apache.spark.sql.functions.lit(5L)).as("z"))
+      .collect()(0).getLong(0)
+    assert(r.getLong(1) == viaColumn, "SQL and Column zorder2 must agree")
   }
 
   test("cms_estimate reads Spark's built-in count_min_sketch aggregate") {
