@@ -698,6 +698,83 @@ object NorthStarQueries {
              |WHERE rank <= 5
              |ORDER BY label, rank""".stripMargin)),
 
+    // ---- similarity: hybrid retrieval (BM25 ⊕ cosine, RRF fusion) ---------
+    // Lexical and vector retrieval answer different failure modes
+    // (exact terms vs paraphrase), so production search fuses them.
+    // s10 runs t12's BM25 scorer (same terms, same code path via
+    // [[TrainingPrepQueries.bm25Scores]]) and a full cosine ranking
+    // against an exemplar document's embedding (vec_id 0 — doc and
+    // vector ids coincide in the fixture), then reciprocal-rank-fuses
+    // with the standard k = 60: rrf = Σ 1/(60 + rank), absent side
+    // contributes 0. Every arithmetic step is IEEE-exact (division +
+    // addition of exact ranks — no libm), so the oracle recomputes the
+    // identical fusion; ranks inherit each side's certified
+    // determinism (6-dp rounding + id tie-breaks). At 100 TB each arm
+    // keeps its own scale path (term-filtered postings; ANN via the
+    // s08 index) and the fusion joins two (doc_id, rank) frames —
+    // bytes ∝ candidates, never corpora.
+    ("s10_hybrid_search",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.functions.CosineSimilarity.cosineSim
+        val bm = TrainingPrepQueries.bm25Scores(s, d, Seq("join", "vector", "scan"))
+          .withColumn("r_bm25",
+            row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+          .select(col("doc_id"), col("r_bm25"))
+        val emb = Tables.load(s, d, "embeddings")
+        val qvec = emb.filter(col("vec_id") === 0)
+          .select(col("embedding")).collect()(0).getSeq[Float](0)
+        val cos = emb.select(col("vec_id").as("doc_id"),
+            round(cosineSim(col("embedding"), typedLit(qvec)), 6).as("cs"))
+          .filter(!isnan(col("cs")))
+          .withColumn("r_cos",
+            row_number().over(Window.orderBy(col("cs").desc, col("doc_id"))))
+          .select(col("doc_id"), col("r_cos"))
+        bm.join(cos, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            round(coalesce(lit(1.0) / (lit(60.0) + col("r_bm25")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60.0) + col("r_cos")), lit(0.0)), 6).as("rrf"))
+          .withColumn("rank",
+            row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))).cast("int"))
+          .filter(col("rank") <= 10)
+          .orderBy(col("rank"))
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+             |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+             |dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM tk),
+             |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             |         SUM(dl) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM dl),
+             |tf AS (SELECT doc_id, u.term AS term, CAST(COUNT(*) AS DOUBLE) AS tf
+             |       FROM tk, unnest(toks) AS u(term)
+             |       WHERE u.term IN ('join', 'vector', 'scan') GROUP BY 1, 2),
+             |df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+             |sc AS (SELECT tf.doc_id,
+             |         round(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) *
+             |           (tf.tf * (1.2 + 1)) /
+             |           (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)), 6) AS ts
+             |       FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+             |bm AS (SELECT doc_id,
+             |         row_number() OVER (ORDER BY score DESC, doc_id) AS r_bm25
+             |       FROM (SELECT doc_id,
+             |               CAST(SUM(CAST(ts AS DECIMAL(18,6))) AS DOUBLE) AS score
+             |             FROM sc GROUP BY 1)),
+             |e AS (SELECT vec_id, v FROM
+             |        (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+             |      WHERE len(v) > 0 AND list_inner_product(v, v) > 0),
+             |cr AS (SELECT doc_id,
+             |         row_number() OVER (ORDER BY cs DESC, doc_id) AS r_cos
+             |       FROM (SELECT e.vec_id AS doc_id,
+             |               round(list_cosine_similarity(e.v, qv.v), 6) AS cs
+             |             FROM e CROSS JOIN (SELECT v FROM e WHERE vec_id = 0) qv)),
+             |fused AS (SELECT COALESCE(bm.doc_id, cr.doc_id) AS doc_id,
+             |            round(COALESCE(1.0 / (60.0 + bm.r_bm25), 0) +
+             |                  COALESCE(1.0 / (60.0 + cr.r_cos), 0), 6) AS rrf
+             |          FROM bm FULL OUTER JOIN cr ON bm.doc_id = cr.doc_id)
+             |SELECT doc_id, rrf, CAST(rank AS INT) AS rank FROM (
+             |  SELECT doc_id, rrf,
+             |    row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank FROM fused)
+             |WHERE rank <= 10 ORDER BY rank""".stripMargin)),
+
     // ---- text analysis: per-doc features ----------------------------------
     ("t01_token_stats",
       (s: SparkSession, d: String) => {

@@ -14,6 +14,35 @@ import graft.streaming.EventStream
   */
 object TrainingPrepQueries {
 
+  /** t12's BM25 scorer, factored out so s10's hybrid fusion reuses the
+    * identical scoring path: (doc_id, score) for every document
+    * matching ≥ 1 query term. See t12's entry for the determinism and
+    * shuffle-shape notes. */
+  private[graft] def bm25Scores(s: SparkSession, d: String,
+                                qTerms: Seq[String]): DataFrame = {
+    val toks = Tables.load(s, d, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("toks"))
+    val dl = toks.select(col("doc_id"), size(col("toks")).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("dl")).as("sdl")).collect()(0)
+    val (nDocs, avgdl) = (stats.getDouble(0), stats.getDouble(1) / stats.getDouble(0))
+    val tf = toks.select(col("doc_id"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(qTerms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(dfreq), "term").join(dl, "doc_id")
+      .select(col("doc_id"),
+        round(log(lit(1.0) + (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (lit(1.2) + lit(1.0))) /
+          (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) +
+            lit(0.75) * col("dl") / lit(avgdl))), 6).as("ts"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("ts").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        .cast("double").as("score"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
     // ---- deterministic train/val split (id-hash, RNG-free) ----------------
@@ -235,29 +264,8 @@ object TrainingPrepQueries {
     ("t12_bm25_search",
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.expressions.Window
-        val qTerms = Seq("join", "vector", "scan")
-        val toks = Tables.load(s, d, "documents")
-          .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("toks"))
-        val dl = toks.select(col("doc_id"), size(col("toks")).cast("double").as("dl"))
-        val stats = dl.agg(count(lit(1)).cast("double").as("n"),
-          sum(col("dl")).as("sdl")).collect()(0)
-        val (nDocs, avgdl) = (stats.getDouble(0), stats.getDouble(1) / stats.getDouble(0))
-        val tf = toks.select(col("doc_id"), explode(col("toks")).as("term"))
-          .filter(col("term").isin(qTerms: _*))
-          .groupBy(col("doc_id"), col("term"))
-          .agg(count(lit(1)).cast("double").as("tf"))
-        val dfreq = tf.groupBy(col("term"))
-          .agg(count(lit(1)).cast("double").as("df"))
-        val perTerm = tf.join(broadcast(dfreq), "term").join(dl, "doc_id")
-          .select(col("doc_id"),
-            round(log(lit(1.0) + (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)) *
-              (col("tf") * (lit(1.2) + lit(1.0))) /
-              (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) +
-                lit(0.75) * col("dl") / lit(avgdl))), 6).as("ts"))
         val w = Window.orderBy(col("score").desc, col("doc_id"))
-        perTerm.groupBy(col("doc_id"))
-          .agg(sum(col("ts").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
-            .cast("double").as("score"))
+        bm25Scores(s, d, Seq("join", "vector", "scan"))
           .withColumn("rank", row_number().over(w).cast("int"))
           .filter(col("rank") <= 10)
           .orderBy(col("rank"))
@@ -283,6 +291,45 @@ object TrainingPrepQueries {
              |  SELECT doc_id, score,
              |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM agg)
              |WHERE rank <= 10 ORDER BY rank""".stripMargin)),
+
+    // ---- unigram-LM log-probability scoring (perplexity-style filter) -----
+    // The CCNet-shaped quality signal without a shipped KenLM: train a
+    // unigram LM on the corpus itself (p(w) = n_w / N over the house
+    // tokenizer) and score each doc by its mean token log-probability —
+    // low scores flag rare-token noise, high scores flag common-token
+    // boilerplate; real pipelines band on this (the q48/q49 mixture
+    // machinery composes downstream). Per-token log-probs round to 6 dp
+    // and sum in DECIMAL(18,6), so token order can't leak; the corpus
+    // total is one scalar pre-pass. Scale shape: the token→count join
+    // keys on the term (the vocabulary — Catalyst picks broadcast vs
+    // shuffle by its size) and everything else is map-side; the per-doc
+    // aggregate carries (doc_id, 6-dp decimal) rows only.
+    ("t13_unigram_logprob",
+      (s: SparkSession, d: String) => {
+        val toks = Tables.load(s, d, "documents")
+          .select(col("doc_id"),
+            explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+        val total = toks.count().toDouble
+        val vocab = toks.groupBy(col("term"))
+          .agg(count(lit(1)).cast("double").as("n_w"))
+        toks.join(vocab, "term")
+          .select(col("doc_id"), round(log(col("n_w") / lit(total)), 6).as("lp"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            round(sum(col("lp").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+              .cast("double") / count(lit(1)).cast("double"), 6).as("avg_logprob"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, u.term AS term FROM documents,
+             |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS u(term)),
+             |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM t),
+             |v AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS n_w FROM t GROUP BY 1),
+             |lp AS (SELECT t.doc_id, round(ln(v.n_w / tot.n), 6) AS lp
+             |       FROM t JOIN v USING (term) CROSS JOIN tot)
+             |SELECT doc_id, COUNT(*) AS n_tokens,
+             |  round(CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE)
+             |        / CAST(COUNT(*) AS DOUBLE), 6) AS avg_logprob
+             |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // ---- formatting-insensitive exact dedup on canonical text -------------
     ("d07_normalized_dedup",
