@@ -74,9 +74,19 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC pin: events.ts normalization (Tables.tsMicros) reads the
+      // fixtures' naive timestamp[us] under the session clock — the same
+      // clock Verify and the DuckDB oracle use
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fixture drift check OUTSIDE the warmup swallow: one loud diagnostic
+    // up front (the round-8 events.ts re-encode turned into 13 scattered
+    // failures precisely because nothing said this first). Non-fatal —
+    // timings for unaffected queries are still worth collecting.
+    try Fixtures.guard(spark, sfDir)
+    catch { case e: IllegalStateException => System.err.println(s"[bench] ${e.getMessage}") }
     try warmup(spark, sfDir) catch { case _: Throwable => () }
     // warmup (curation/SRP) may leave cached blocks behind on failure
     spark.catalog.clearCache()

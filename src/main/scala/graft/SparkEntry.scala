@@ -12,9 +12,14 @@ object SparkEntry {
       AdvancedQueries.all ++ TrainingPrepQueries.all ++ SourceFormatQueries.all ++
       ScaleJoinQueries.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Guards the fixture schemas first so drift (e.g. a re-encoded
+    * events.ts) surfaces as ONE loud diagnostic here, not N scattered
+    * query failures. */
+  def entry(spark: SparkSession): DataFrame = {
+    Fixtures.guard(spark, "/root/testdata/sf0.001")
     queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -17,6 +17,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // loud-but-nonfatal fixture drift diagnostic (see Fixtures.guard):
+    // per-query results below stay granular either way
+    try Fixtures.guard(spark, sfDir)
+    catch { case e: IllegalStateException => System.err.println(s"[verify] ${e.getMessage}") }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -416,6 +416,91 @@ object Similarity {
       queries, corpus, k, rescore)
   }
 
+  /** Near-dup pairs against a [[buildIvfIndex]] layout — the d05 shape
+    * served off the PERSISTED index. The index supplies the two
+    * expensive artifacts — the TRAINED codebook (no re-train) and the
+    * per-vector int8 codes (no re-quantize); only the multi-probe
+    * blocking map (each vector → its `nProbe` nearest cells, a
+    * codegen'd argmax over 16 broadcast literals) is derived in-query,
+    * as any IVF sweep must, because a recall-holding pair rule needs
+    * BOTH endpoints multi-probed: pair (a,b) is a candidate iff their
+    * nProbe-cell sets intersect — the same symmetric rule as
+    * [[ivfNearDupPairs]]. (The asymmetric alternative — join probes
+    * against the index's single stored cell — tops out at recall 0.993
+    * on this corpus even at nProbe 12, because noise-floor pairs exist
+    * whose top-1 cells fall outside each other's probe lists.)
+    * Candidates pay the fused int8 prefilter BEFORE the distinct, then
+    * the exact-cosine verify; with recall 1 at the shipped operating
+    * point (spec-gated at every driver-hashed sf) the output IS the
+    * brute pair set and the all-pairs DuckDB oracle carries over
+    * unchanged. */
+  def ivfIndexNearDupPairs(indexDir: String, corpus0: DataFrame,
+                           threshold: Double, nProbe: Int = 6,
+                           prefilterMargin: Double = 0.02): DataFrame = {
+    val spark = corpus0.sparkSession
+    val clean = cleanVectors(corpus0)
+    val codebook = spark.read.parquet(s"$indexDir/codebook").collect().map { r =>
+      (r.getInt(0), r.getSeq[Float](1).toArray)
+    }
+    val cellScores = array(codebook.map { case (cid, vec) =>
+      struct((-round(cosineSim(col("embedding"), typedlit(vec)), 6)).as("nsim"),
+        lit(cid).as("cell_id"))
+    }.toIndexedSeq: _*)
+    val topCells = transform(
+      slice(sort_array(cellScores), 1, nProbe), e => e.getField("cell_id"))
+    val probes = clean.select(col("vec_id"), col("embedding"),
+      explode(topCells).as("cell_id"))
+    // side B carries the INDEX's int8 code, joined by id (4× fewer bytes
+    // than re-quantizing the float column; one hash join on vec_id)
+    val codes = spark.read.parquet(s"$indexDir/cells")
+      .select(col("vec_id"), col("q8"), col("q_scale"))
+    val a = probes.select(col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("cell_id"))
+    val b = probes.select(col("vec_id").as("id_b"), col("cell_id"))
+      .join(codes.select(col("vec_id").as("id_b"),
+        col("q8").as("q8_b"), col("q_scale").as("scale_b")), "id_b")
+    val cands = a.join(b, "cell_id")
+      .filter(col("id_a") < col("id_b"))
+      // int8 prefilter in the join's output stage (the ivfNearDupPairs
+      // rule): candidates die before the distinct/verify shuffles
+      .filter(graft.functions.CosineSimQ8.cosineSimQ8(
+        col("emb_a"), col("q8_b"), col("scale_b")) >= threshold - prefilterMargin)
+      .select("id_a", "id_b").distinct()
+    val embA = clean.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val embB = clean.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    cands.join(embA, "id_a").join(embB, "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(cosineSim(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** SemDeDup served off the PERSISTED index: the cluster assignment is
+    * READ from [[buildIvfIndex]]'s cell-partitioned layout (vec_id →
+    * cell_id — a two-column columnar scan, no re-train, no re-assign),
+    * floats re-join from the source corpus, and the intra-cluster
+    * dedup kernel is [[semanticDedupKept]]'s unchanged. Clusters are
+    * therefore the TRAINED codebook's — the clustering a deployment
+    * actually materializes — and the oracle derives them with the s06/
+    * s02-certified SQL k-means block. */
+  def semanticDedupKeptFromIndex(indexDir: String, corpus0: DataFrame,
+                                 threshold: Double): DataFrame = {
+    val spark = corpus0.sparkSession
+    val corpus = cleanVectors(corpus0)
+    val assigned = spark.read.parquet(s"$indexDir/cells")
+      .select(col("vec_id"), col("cell_id").cast("long").as("cluster"))
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+    val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"))
+    val dropped = a.join(b, "cluster")
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(cosineSim(col("emb_a"), col("emb_b")), 6) >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cluster"))
+  }
+
   /** Exact k-NN self-join: every vector gets its k nearest neighbors —
     * the all-pairs primitive under SemDeDup-style embedding curation
     * and cluster seeding. Ships the quantized-scan shape: the n² scan

@@ -66,8 +66,8 @@ object AdvancedQueries {
     // interval PRECEDING and CURRENT ROW — every event sees the count/
     // value-sum of its user's trailing hour, peers with equal ts
     // included on both engines by RANGE semantics (deterministic
-    // without a unique sort key). Spark orders by the raw nanosecond
-    // long with a numeric rangeBetween; DuckDB orders the NANOS
+    // without a unique sort key). Spark orders by the canonical
+    // epoch-micros long with a numeric rangeBetween; DuckDB orders the
     // timestamp with INTERVAL 1 HOUR — identical inclusive [ts−1h, ts]
     // bounds. Decimal sum, cast to double at the end (the house float
     // rule). At scale this is one shuffle on user_id + a per-partition
@@ -76,7 +76,7 @@ object AdvancedQueries {
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-          .rangeBetween(-3600L * 1000 * 1000 * 1000, Window.currentRow)
+          .rangeBetween(-3600L * 1000 * 1000, Window.currentRow)
         Tables.load(s, d, "events")
           .select(col("user_id"), col("event_id"),
             count(lit(1)).over(w).as("n_1h"),

@@ -203,22 +203,25 @@ object NorthStarQueries {
              |WHERE bit_count(xor(a.fp, b.fp)) <= 3
              |ORDER BY id_a, id_b""".stripMargin)),
 
-    // ---- dedup: embedding near-dup via IVF-cell blocking ------------------
-    // Shipped path: multi-probe IVF-cell candidates, int8 prefilter
-    // BEFORE the distinct/verify shuffles, exact-cosine verify — no
-    // cartesian at any scale. SRP-LSH banding is the wrong scheme at
-    // this threshold (cos 0.45 sits on the corpus' similarity noise
-    // floor; 16-bit bands would need ~1,600 bands for recall 0.8, and
-    // narrow bands degenerate the keyspace — the round-2 defect).
-    // nProbe = 6 of 16 cells is the measured recall-1.0 operating point
-    // on this corpus (DedupSimilaritySpec asserts set EQUALITY with the
-    // brute baseline at sf0.001 and sf0.01), which upgrades d05 from a
-    // rows-only check to a full all-pairs DuckDB oracle: with recall 1
-    // and exact-verify precision 1, the output IS the brute pair set.
+    // ---- dedup: embedding near-dup off the PERSISTED IVF index -----------
+    // Shipped path: s08's on-disk index supplies the codebook AND the
+    // int8 codes — the sweep re-trains nothing and re-quantizes nothing
+    // (the r8 advice item; ivfNearDupPairs remains the index-free
+    // fallback, spec-gated). Candidates = each vector's nProbe nearest
+    // trained cells joined against the index's cell-partitioned codes;
+    // int8 prefilter BEFORE the distinct/verify shuffles; exact-cosine
+    // verify — no cartesian at any scale. SRP-LSH banding is the wrong
+    // scheme at this threshold (cos 0.45 sits on the corpus' similarity
+    // noise floor; 16-bit bands would need ~1,600 bands for recall 0.8).
+    // nProbe = 6 of 16 cells holds recall 1.0 on this corpus for the
+    // index path too (DedupSimilaritySpec asserts set EQUALITY with the
+    // brute baseline at sf0.001/0.01/0.1), which is what lets d05 keep
+    // its full all-pairs DuckDB oracle: with recall 1 and exact-verify
+    // precision 1, the output IS the brute pair set.
     ("d05_embedding_neardup",
       (s: SparkSession, d: String) => {
-        Similarity.ivfNearDupPairs(Tables.load(s, d, "embeddings"), threshold = 0.45,
-            nCells = 16, nProbe = 6)
+        Similarity.ivfIndexNearDupPairs(ensureIvfIndex(s, d),
+            Tables.load(s, d, "embeddings"), threshold = 0.45, nProbe = 6)
           .orderBy(col("id_a"), col("id_b"))
       },
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
@@ -248,28 +251,64 @@ object NorthStarQueries {
              |FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
              |ORDER BY id_a, id_b""".stripMargin)),
 
-    // ---- dedup: SemDeDup semantic dedup (cluster-blocked cosine) ----------
-    // Deterministic SemDeDup (seed centroids, 6-dp rounding, id
-    // tie-breaks — see Similarity.semanticDedupKept) so the whole
-    // pipeline, clustering included, is SQL-expressible and
-    // hash-checked against DuckDB's list_cosine_similarity — not just
-    // recall-gated like the ANN paths.
+    // ---- dedup: SemDeDup semantic dedup off the PERSISTED IVF index -------
+    // The cluster assignment is READ from s08's on-disk index (vec_id →
+    // cell_id, a two-column columnar scan — no re-train, no re-assign;
+    // the r8 advice item), so d10's clusters are now the TRAINED
+    // codebook's — the clustering a deployment actually materializes.
+    // Still fully deterministic and SQL-expressible: the oracle derives
+    // the same codebook with the s02/s06-certified SQL k-means block
+    // (c0→a0→m1→c1→a1→m2→c), then runs the unchanged intra-cluster
+    // dedup rule — hash-checked, not just recall-gated. The index-free
+    // seed-centroid path (semanticDedupKept) stays spec-covered as the
+    // no-index fallback.
     ("d10_semantic_dedup",
       (s: SparkSession, d: String) => {
-        Similarity.semanticDedupKept(Tables.load(s, d, "embeddings"),
-            threshold = 0.45, nCells = 16)
+        Similarity.semanticDedupKeptFromIndex(ensureIvfIndex(s, d),
+            Tables.load(s, d, "embeddings"), threshold = 0.45)
           .orderBy(col("vec_id"))
       },
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-             |c AS (SELECT vec_id AS cell_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
-             |s AS (SELECT e.vec_id, c.cell_id,
-             |        round(list_cosine_similarity(e.v, c.cv), 6) AS sim
-             |      FROM e CROSS JOIN c),
+      Some("""WITH e AS (SELECT vec_id, v FROM
+             |        (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+             |      WHERE len(v) > 0 AND list_inner_product(v, v) > 0),
+             |c0 AS (SELECT vec_id AS cell_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+             |a0 AS (SELECT vec_id, cell_id FROM (
+             |        SELECT e.vec_id, c0.cell_id,
+             |          row_number() OVER (PARTITION BY e.vec_id
+             |            ORDER BY round(list_cosine_similarity(e.v, c0.cv), 6) DESC, c0.cell_id) AS rn
+             |        FROM e CROSS JOIN c0)
+             |      WHERE rn = 1),
+             |x1 AS (SELECT a0.cell_id, u.i, e.v[CAST(u.i AS INT)] AS xv
+             |      FROM a0 JOIN e USING (vec_id),
+             |           unnest(range(1, len(e.v) + 1)) AS u(i)),
+             |m1 AS (SELECT cell_id,
+             |        list(CAST(CAST(mx AS FLOAT) AS DOUBLE) ORDER BY i) AS mv
+             |      FROM (SELECT cell_id, i, round(avg(xv), 6) AS mx
+             |            FROM x1 GROUP BY 1, 2)
+             |      GROUP BY 1),
+             |c1 AS (SELECT c0.cell_id, coalesce(m1.mv, c0.cv) AS cv
+             |       FROM c0 LEFT JOIN m1 USING (cell_id)),
+             |a1 AS (SELECT vec_id, cell_id FROM (
+             |        SELECT e.vec_id, c1.cell_id,
+             |          row_number() OVER (PARTITION BY e.vec_id
+             |            ORDER BY round(list_cosine_similarity(e.v, c1.cv), 6) DESC, c1.cell_id) AS rn
+             |        FROM e CROSS JOIN c1)
+             |      WHERE rn = 1),
+             |x2 AS (SELECT a1.cell_id, u.i, e.v[CAST(u.i AS INT)] AS xv
+             |      FROM a1 JOIN e USING (vec_id),
+             |           unnest(range(1, len(e.v) + 1)) AS u(i)),
+             |m2 AS (SELECT cell_id,
+             |        list(CAST(CAST(mx AS FLOAT) AS DOUBLE) ORDER BY i) AS mv
+             |      FROM (SELECT cell_id, i, round(avg(xv), 6) AS mx
+             |            FROM x2 GROUP BY 1, 2)
+             |      GROUP BY 1),
+             |c AS (SELECT c1.cell_id, coalesce(m2.mv, c1.cv) AS cv
+             |      FROM c1 LEFT JOIN m2 USING (cell_id)),
              |a AS (SELECT vec_id, cell_id AS cluster FROM (
-             |        SELECT vec_id, cell_id,
-             |          row_number() OVER (PARTITION BY vec_id
-             |                             ORDER BY sim DESC, cell_id) AS rn
-             |        FROM s)
+             |        SELECT e.vec_id, c.cell_id,
+             |          row_number() OVER (PARTITION BY e.vec_id
+             |            ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell_id) AS rn
+             |        FROM e CROSS JOIN c)
              |      WHERE rn = 1),
              |p AS (SELECT DISTINCT y.vec_id
              |      FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id

@@ -432,10 +432,13 @@ object SourceFormatQueries {
           withOverwriteMode(s, "dynamic") {
             survivors.write.mode("overwrite").partitionBy("source").parquet(out)
           }
+          // Hadoop FileSystem, not java.io.File: the same delete works on
+          // HDFS/S3A at cluster scale (the store's substrate rule,
+          // DedupStore.scala's metadata layer)
           (affected.toSet -- survived).foreach { src =>
-            val dir = new java.io.File(out, s"source=$src")
-            Option(dir.listFiles()).foreach(_.foreach(f => f.delete(): Unit))
-            dir.delete(): Unit
+            val p = new org.apache.hadoop.fs.Path(out, s"source=$src")
+            val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+            fs.delete(p, true): Unit
           }
         }
         s.read.parquet(out)

@@ -67,7 +67,7 @@ object StreamMediaQueries {
       val ranged = inDir.listFiles().filter(_.getName.startsWith("part-")).toSet
       events.select(col("user_id")).distinct()
         .select((-col("user_id") - 1).as("event_id"),
-          lit(maxTs + 24L * 3600 * 1000 * 1000 * 1000).as("ts"),
+          lit(maxTs + 24L * 3600 * 1000 * 1000).as("ts"), // +24 h in µs
           col("user_id"), lit("flush").as("event_type"),
           lit(0.0).as("value"), lit("").as("props"))
         .coalesce(1).write.mode("append").parquet(inDir.getAbsolutePath)
@@ -736,6 +736,38 @@ object StreamMediaQueries {
       },
       Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
              |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
+
+    // ---- store CDC as a Spark-native streaming SOURCE ---------------------
+    // st16's change feed consumed the Spark way: `readStream.format
+    // ("graft.sources.DedupStoreChanges")` with the store version as the
+    // offset axis — each micro-batch plans exactly the manifest-pruned
+    // changed-file set (bytes ∝ rewritten buckets) plus the new
+    // tombstone hashes as delete rows, and AvailableNow drains to the
+    // pinned tip. Same fixture, same projection, same oracle as st16:
+    // equality certifies the DSv2 source delivers changedSince's exact
+    // semantics (tombstone-suppressed upserts included) through the
+    // streaming engine — offsets, checkpointing and all — not just
+    // through the API call.
+    ("st19_store_cdc_source",
+      (s: SparkSession, d: String) => {
+        val (store, cursor) = ensureBatchStore(s, d)
+        val changes = s.readStream.format("graft.sources.DedupStoreChanges")
+          .option("path", store).option("since", cursor).load()
+        val odd = Tables.load(s, d, "documents")
+          .filter(pmod(col("doc_id"), lit(2)) === 1)
+          .select(col("text")).distinct()
+        EventStream.runToMemory(s, changes, s"st19_mem_${System.nanoTime()}",
+            org.apache.spark.sql.streaming.OutputMode.Append)
+          .filter(col("op") === "upsert")
+          .join(odd, Seq("text"), "left_semi")
+          .select(col("keep_id"), col("n_copies"))
+          .orderBy(col("keep_id"))
+      },
+      Some("""WITH agg AS (SELECT text, MIN(doc_id) AS keep_id,
+             |  COUNT(*) AS n_copies FROM documents GROUP BY text)
+             |SELECT keep_id, n_copies FROM agg
+             |WHERE text IN (SELECT text FROM documents WHERE doc_id % 2 = 1)
+             |ORDER BY keep_id""".stripMargin)),
 
     // ---- multimodal: binary columns + typed metadata ----------------------
     ("m01_media_stats",

@@ -118,7 +118,7 @@ object DedupStore {
   private def dirName(k: VKey): String =
     if (k._2 == 0) s"v${k._1}" else s"v${k._1}.${k._2}"
 
-  private def parseKey(name: String): Option[VKey] =
+  private[graft] def parseKey(name: String): Option[VKey] =
     if (!name.startsWith("v")) None
     else name.drop(1).split("\\.", 2) match {
       case Array(m) => m.toLongOption.map(_ -> 0)
@@ -166,7 +166,7 @@ object DedupStore {
   private def listDir(fs: FileSystem, p: Path): Seq[FileStatus] =
     if (!fs.exists(p)) Seq.empty else fs.listStatus(p).toSeq
 
-  private def readString(fs: FileSystem, p: Path): String = {
+  private[graft] def readString(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
     try {
       val out = new java.io.ByteArrayOutputStream()
@@ -335,7 +335,7 @@ object DedupStore {
     * OURS, created after the manifest lands — not the Spark committer's,
     * which would mark the version complete before the carried-forward
     * buckets are resolvable.) */
-  private def versions(fs: FileSystem, root: Path): Seq[(VKey, Path)] =
+  private[graft] def versions(fs: FileSystem, root: Path): Seq[(VKey, Path)] =
     listDir(fs, root)
       .filter(st => st.isDirectory &&
         fs.exists(new Path(st.getPath, "_SUCCESS")))
@@ -378,7 +378,7 @@ object DedupStore {
     * let the next commit's prune delete its (unreferenced-looking)
     * data — the silent-total-loss failure mode for a store written by
     * the pre-manifest layout or one whose manifest was lost. */
-  private def entriesOf(fs: FileSystem, root: Path,
+  private[graft] def entriesOf(fs: FileSystem, root: Path,
                         vDir: Path): Seq[(Int, Path)] = {
     val mf = new Path(vDir, "_MANIFEST")
     if (!fs.exists(mf)) {
@@ -573,11 +573,25 @@ object DedupStore {
     * partition granularity: batches rewrite only the buckets they
     * touch, so size it so a typical batch touches a minority of
     * buckets (at corpus scale: store_size / target_partition_size). */
+  /** Auto-compaction trigger: fold the tombstone log once it exceeds
+    * this many `_TOMBSTONES/t*` files. Each purge appends exactly one
+    * file and [[compactTombstones]] consolidates to ≤ 1, so the log is
+    * bounded at `threshold + purges-per-drain-cycle` files no matter
+    * how many purges the store's lifetime accumulates. Small because
+    * each file costs one metadata read on EVERY store open
+    * ([[loadTombstones]]); compaction itself stays cheap (cost ∝ the
+    * tombstone buckets' live bytes, see [[compactTombstones]]). */
+  private[graft] val AutoCompactTombstoneFiles = 4
+
+  private def tombstoneFileCount(fs: FileSystem, root: Path): Int =
+    listDir(fs, new Path(root, "_TOMBSTONES"))
+      .count(f => f.isFile && !f.getPath.getName.startsWith("."))
+
   def run(spark: SparkSession, docs: DataFrame,
           storeDir: String, ckptDir: String, nBuckets: Int = 16): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
     val (lockFs, lockRoot) = fsRoot(storeDir)
-    withWriterLock(lockFs, lockRoot, "drain") {
+    val out = withWriterLock(lockFs, lockRoot, "drain") {
     graft.Confs.withConfs(spark, Seq(
       // no watermark/stateful operator here: a no-data batch would only
       // re-reference the whole store into a duplicate version
@@ -593,6 +607,17 @@ object DedupStore {
       read(spark, storeDir)
     }
     }
+    // scheduled tombstone hygiene (after the drain lock releases —
+    // compactTombstones takes its own): every purge appends one t* file,
+    // so past the threshold the drain folds dead markers away. Safe
+    // against the frame just returned: read() resolves tombstones
+    // EAGERLY into a driver-side list at plan build, so compaction
+    // cannot race its consumption. Victims still physically present
+    // keep their (load-bearing) tombstones — only fully-erased ones
+    // fold, per the compactTombstones contract.
+    if (tombstoneFileCount(lockFs, lockRoot) > AutoCompactTombstoneFiles)
+      compactTombstones(spark, storeDir): Unit
+    out
   }
 
   /** Merge ONE delivered batch into the store as version `(batchId, 0)`

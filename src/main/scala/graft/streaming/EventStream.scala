@@ -12,13 +12,18 @@ import graft.Tables
   * the newest folder", SURVEY.md §1 — so the idiomatic Spark upgrade is a
   * file-source stream with `Trigger.AvailableNow`).
   *
-  * `events.ts` is TIMESTAMP(NANOS) parquet, declared LongType (epoch
-  * nanos) in the stream schema and converted to a microsecond timestamp
-  * column `event_time`.
+  * `events.ts` arrives in whichever physical encoding the fixture
+  * generation used (INT64 TIMESTAMP(NANOS) or timestamp[us]); a batch
+  * footer probe picks the matching stream schema, and `ts` is
+  * normalized to the engine's canonical epoch-MICROS long plus a
+  * timestamp column `event_time` (see [[graft.Tables.tsMicros]]).
   */
 object EventStream {
 
-  /** events schema as read with nanosAsLong (see [[graft.Tables.load]]). */
+  /** Canonical events schema: `ts` = epoch micros, long. This is the
+    * shape of every engine-STAGED events file (staging writes the
+    * normalized frame); raw fixture dirs go through [[readEvents]]'s
+    * footer probe instead. */
   val schema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -29,12 +34,19 @@ object EventStream {
 
   /** File-source stream over the events parquet. The glob (not a bare
     * file path) makes the source derive `basePath` = the directory, which
-    * the file-stream source requires. */
+    * the file-stream source requires. A file-stream source must DECLARE
+    * its schema, so the fixture's physical `ts` type is probed from the
+    * batch reader's footer resolution first, then normalized. */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val physical =
+      spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    val physSchema = StructType(schema.map(f =>
+      if (f.name == "ts") f.copy(dataType = physical) else f))
     spark.readStream
-      .schema(schema)
+      .schema(physSchema)
       .parquet(s"$sfDir/events.*")
+      .withColumn("ts", Tables.tsMicros(col("ts"), physical))
       .withColumn("event_time", Tables.eventTime(col("ts")))
   }
 
@@ -156,6 +168,8 @@ object EventStream {
 
   // ---- sessionization ------------------------------------------------------
 
+  /** Typed row over [[schema]]: `ts` is the canonical epoch-MICROS long
+    * (what [[graft.Tables.load]] / [[readEvents]] produce). */
   case class Event(event_id: Long, ts: Long, user_id: Long,
                    event_type: String, value: Double, props: String)
   case class Session(user_id: Long, session_id: Int, session_start: Long,
@@ -169,11 +183,11 @@ object EventStream {
     else {
       val out = scala.collection.mutable.ArrayBuffer.empty[Session]
       var sessId = 1
-      var start = sorted.head.ts / 1000 // ns → µs
+      var start = sorted.head.ts // canonical ts: already epoch µs
       var last = start
       var n = 0L
       for (e <- sorted) {
-        val us = e.ts / 1000
+        val us = e.ts
         if (us - last > SessionGapMicros) {
           out += Session(userId, sessId, start, last, n)
           sessId += 1; start = us; n = 0
@@ -240,7 +254,7 @@ object EventStream {
               val lastStart = sessions.last.session_start
               val closed = renumber(st.nextId, sessions.init)
               state.update(SessionState(st.nextId + closed.size,
-                all.filter(_.ts / 1000 >= lastStart)))
+                all.filter(_.ts >= lastStart)))
               // setting a duration under NoTimeout throws — guard it
               if (timeout) state.setTimeoutDuration("30 minutes")
               closed.iterator

@@ -251,6 +251,61 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("index-probed near-dup (shipped d05): EQUALS brute pairs at every sf") {
+    // d05 now sweeps the PERSISTED trained index (ivfIndexNearDupPairs)
+    // but keeps its all-pairs oracle — sound only with recall 1.0 at the
+    // shipped nProbe = 6 against the trained codebook. Same equality
+    // gate as the in-query fallback above, at every sf the driver
+    // hashes.
+    for (sfDir <- Seq(sf, "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val emb = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding").cache()
+      def pairSet(df: org.apache.spark.sql.DataFrame) =
+        df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = pairSet(Similarity.nearDupPairs(emb, 0.45))
+      val idx = graft.queries.NorthStarQueries.ensureIvfIndex(spark, sfDir)
+      val probedDf = Similarity.ivfIndexNearDupPairs(idx, emb, 0.45, nProbe = 6)
+      val probed = pairSet(probedDf)
+      assert(probed == brute,
+        s"$sfDir: index-probed=${probed.size} brute=${brute.size} — d05's oracle needs equality")
+      val plan = probedDf.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        "candidate generation must be cell-blocked, not all-pairs")
+      emb.unpersist()
+    }
+  }
+
+  test("index-read SemDeDup (shipped d10) equals a driver-side recomputation") {
+    // d10 reads its cluster assignment straight off the persisted index;
+    // this pins the whole kernel (trained assignment + intra-cluster
+    // drop rule) against an INDEPENDENT driver-side implementation at
+    // sf0.001 (500 vectors — trivially exhaustive).
+    val emb = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
+    val idx = graft.queries.NorthStarQueries.ensureIvfIndex(spark, sf)
+    val got = Similarity.semanticDedupKeptFromIndex(idx, emb, 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // independent recompute: assignment from the index files, cosine in
+    // plain Scala with the house 6-dp rounding
+    val assign = spark.read.parquet(s"$idx/cells")
+      .select("vec_id", "cell_id")
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      BigDecimal(dot / math.sqrt(na * nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byCluster = assign.groupBy(_._2).view.mapValues(_.keys.toSeq.sorted)
+    val dropped = byCluster.values.flatMap { ids =>
+      for (i <- ids.indices; j <- i + 1 until ids.size
+           if cos(vecs(ids(i)), vecs(ids(j))) >= 0.45) yield ids(j)
+    }.toSet
+    val expected = assign.filter { case (id, _) => !dropped(id) }
+    assert(got == expected,
+      s"kept=${got.size} expected=${expected.size} — index-read SemDeDup drifted")
+  }
+
   test("IVF-int8 scan (quantized ivfTopK) equals the float IVF path exactly") {
     // rescore ≫ k makes the int8 shortlist re-rank reproduce the float
     // path's output — the same contract quantizedTopK certifies vs

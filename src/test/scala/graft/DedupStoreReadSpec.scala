@@ -117,4 +117,67 @@ class DedupStoreReadSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("currentVersion"))
   }
+
+  private val ChangesFormat = "graft.sources.DedupStoreChanges"
+
+  test("DSv2 change source: batch read equals changedSince; deletes carry purge hashes") {
+    val (store, cursor) = twoDeliveryStore()
+    DedupStore.purge(spark, store, Seq("rd text 5"))
+    val feed = spark.read.format(ChangesFormat)
+      .option("path", store).option("since", cursor).load()
+    val ups = feed.filter(col("op") === "upsert")
+      .select(col("text"), col("keep_id"), col("n_copies"))
+    assert(rows(ups) == rows(DedupStore.changedSince(spark, store, cursor)),
+      "the DSv2 batch read must equal the changedSince API call exactly")
+    // upsert thash matches the engine's xxhash64 keying
+    val mism = feed.filter(col("op") === "upsert")
+      .filter(col("thash") =!= xxhash64(col("text"))).count()
+    assert(mism == 0L, "thash must be xxhash64(text)")
+    // tombstones landed AFTER the cursor snapshot → they surface as
+    // delete rows; the suppressed victim never surfaces as an upsert
+    val dels = feed.filter(col("op") === "delete")
+      .select(col("thash")).collect().map(_.getLong(0)).toSet
+    val victimHash = Seq("rd text 5").toDF("t")
+      .select(xxhash64(col("t"))).head.getLong(0)
+    assert(dels.contains(victimHash), s"delete rows $dels miss the victim")
+    assert(ups.filter(col("text") === "rd text 5").isEmpty,
+      "a tombstoned text must not surface as an upsert")
+  }
+
+  test("DSv2 change source: streaming drain resumes from its checkpoint") {
+    val (store, cursor) = twoDeliveryStore()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdcsrc").toString
+    // drain 1: delivery-2 changes only
+    val q1 = spark.readStream.format(ChangesFormat)
+      .option("path", store).option("since", cursor).load()
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q1.awaitTermination()
+    val got1 = rows(spark.read.parquet(s"$tmp/out")
+      .filter(col("op") === "upsert")
+      .select(col("text"), col("keep_id"), col("n_copies")))
+    assert(got1 == rows(DedupStore.changedSince(spark, store, cursor)))
+    // a THIRD delivery lands; resuming from the same checkpoint must
+    // emit only ITS changes (cursor advanced by the offset log, not the
+    // `since` option)
+    Seq((300L, "rd third")).toDF("doc_id", "text")
+      .write.format(SinkFormat).option("path", store).mode("append").save()
+    val q2 = spark.readStream.format(ChangesFormat)
+      .option("path", store).option("since", cursor).load()
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val got2 = rows(spark.read.parquet(s"$tmp/out")
+      .filter(col("op") === "upsert")
+      .select(col("text"), col("keep_id"), col("n_copies")))
+    val delta = got2 -- got1
+    assert(delta.exists(_._1 == "rd third"), s"resume missed the new delivery: $delta")
+    // bucket-granular: the delta re-emits at most the third delivery's
+    // rewritten bucket, never the whole store
+    val third = delta.map(_._1)
+    assert(third.forall(t => bucketOf(t, 8) == bucketOf("rd third", 8)),
+      s"resume re-emitted untouched buckets: $third")
+  }
 }

@@ -308,6 +308,40 @@ class StreamingSpec extends SparkSpec {
     assert(tombs == Set("t0", "t1"), s"tombstone files: $tombs")
   }
 
+  test("auto-compaction bounds the tombstone log across a 10-purge lifetime") {
+    // Nothing used to SCHEDULE compactTombstones; run() now triggers it
+    // past AutoCompactTombstoneFiles. Ten purge→ingest→drain cycles —
+    // each purge appends one _TOMBSTONES/t* file and physically erases
+    // its victim (so the marker is dead by the next drain) — must leave
+    // the log bounded, while every purged text stays gone.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_store_autoc").toString
+    def stream() = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in/part-*")
+    (0 until 60).map(i => (i.toLong, s"ac text $i")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+    graft.streaming.DedupStore.run(spark, stream(), s"$tmp/store", s"$tmp/ckpt")
+    def tombFiles() = Option(new java.io.File(s"$tmp/store/_TOMBSTONES").listFiles())
+      .map(_.count(f => f.isFile && !f.getName.startsWith("."))).getOrElse(0)
+    for (k <- 0 until 10) {
+      graft.streaming.DedupStore.purge(spark, s"$tmp/store", Seq(s"ac text $k"))
+      Seq(((100 + k).toLong, s"ac text ${100 + k}")).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+      val after = graft.streaming.DedupStore.run(
+        spark, stream(), s"$tmp/store", s"$tmp/ckpt")
+      assert(tombFiles() <= graft.streaming.DedupStore.AutoCompactTombstoneFiles + 1,
+        s"cycle $k: tombstone log unbounded (${tombFiles()} files)")
+      val texts = after.collect().map(_.getAs[String]("text")).toSet
+      (0 to k).foreach(v => assert(!texts.contains(s"ac text $v"),
+        s"cycle $k: purged 'ac text $v' resurrected"))
+      assert(texts.contains(s"ac text ${100 + k}"), s"cycle $k: ingest lost")
+    }
+  }
+
   test("fresh-checkpoint re-drain after retention pruned early versions keeps the purged state") {
     // The hardest interleaving: multi-batch drain where later batches
     // touch every bucket (so retention deletes v0/v1 entirely), then a
@@ -672,9 +706,9 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("batch sessionize: gaps > 30 min split sessions; invariants hold") {
-    val h = 3600L * 1000 * 1000 * 1000 // 1h in ns
+    val h = 3600L * 1000 * 1000 // 1h in µs (canonical Event.ts unit)
     val evs = Seq(
-      Event(1, 0L, 7L, "a", 0, ""), Event(2, 10L * 60 * 1000 * 1000 * 1000, 7L, "a", 0, ""),
+      Event(1, 0L, 7L, "a", 0, ""), Event(2, 10L * 60 * 1000 * 1000, 7L, "a", 0, ""),
       Event(3, 2 * h, 7L, "a", 0, ""), // new session after gap
       Event(4, 0L, 8L, "b", 0, "")).toDS()
     val sessions = EventStream.sessionize(evs).collect().sortBy(s => (s.user_id, s.session_id))
@@ -706,7 +740,7 @@ class StreamingSpec extends SparkSpec {
         s"timed out waiting for $n rows")
     }
     try {
-      val m = 60L * 1000 * 1000 * 1000 // 1 min in ns
+      val m = 60L * 1000 * 1000 // 1 min in µs (canonical Event.ts unit)
       // batch 1: two events 5 min apart → still one open session, nothing emitted
       mem.addData(Event(1, 0L, 1L, "a", 0, ""), Event(2, 5 * m, 1L, "a", 0, ""))
       Thread.sleep(3000)
@@ -726,8 +760,47 @@ class StreamingSpec extends SparkSpec {
       val out2 = spark.table("t_sessions").as[Session].collect().sortBy(_.session_id)
       assert(out2.length == 2)
       assert(out2.map(_.session_id).toSeq == Seq(1, 2))
-      assert(out2(1).n_events == 1 && out2(1).session_start == 95 * m / 1000)
+      assert(out2(1).n_events == 1 && out2(1).session_start == 95 * m)
     } finally q.stop()
+  }
+
+  test("append drain (st04 shape): emitted windows == watermark-finalized windows, both ts encodings") {
+    // The round-8 incident: collapsed timestamps degenerated the window
+    // count and the Append-mode drain emitted 0 rows with no independent
+    // signal. This pins the contract on a synthetic two-window stream:
+    // hour-0 is past the final watermark (max event 2:30 − 1 h = 1:30 ≥
+    // its 1:00 end) and MUST emit; hour-1 and hour-2 are still open and
+    // MUST NOT. Run once per physical ts encoding (epoch-nanos long and
+    // timestamp[us]) — both normalize through Tables.tsMicros and must
+    // drain identically.
+    import org.apache.spark.sql.functions._
+    val us = 60L * 1000 * 1000 // 1 min in µs
+    val h = 60 * us
+    val rows = Seq( // (event_id, ts µs, user_id, event_type)
+      (1L, 10 * us, 1L, "a"), (2L, 20 * us, 2L, "a"), // hour 0 → finalized
+      (3L, h + 10 * us, 1L, "b"), // hour 1 → open
+      (4L, 2 * h + 30 * us, 1L, "a")) // hour 2 → open, sets the watermark
+    import spark.implicits._
+    val base = rows.toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(0.0)).withColumn("props", lit(""))
+    val asNanos = base.withColumn("ts", col("ts") * 1000)
+    val asMicrosTs = base.withColumn("ts",
+      timestamp_micros(col("ts")).cast(org.apache.spark.sql.types.TimestampNTZType))
+    val drained = Seq("nanos" -> asNanos, "ts_ntz" -> asMicrosTs).map { case (tag, df) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_st04_$tag").toString
+      df.coalesce(1).write.parquet(s"$tmp/events.parquet")
+      val out = graft.streaming.EventStream.runToFiles(spark,
+        graft.streaming.EventStream.hourlyCounts(
+          graft.streaming.EventStream.readEvents(spark, tmp)),
+        s"$tmp/data", s"$tmp/ckpt")
+      tag -> out.collect().map(r =>
+        (r.getAs[java.sql.Timestamp]("hour").getTime, r.getAs[String]("event_type"),
+          r.getAs[Long]("n_events"))).toSet
+    }
+    val expected = Set((0L, "a", 2L)) // hour-0 epoch start, the ONLY finalized window
+    drained.foreach { case (tag, got) =>
+      assert(got == expected, s"$tag: drained $got, expected $expected")
+    }
   }
 
   test("sliding windows (st10): every event lands in exactly two aligned windows") {
