@@ -61,6 +61,9 @@ object Bench {
     // …and s08's persisted IVF index (build amortizes over probes; the
     // probe is the timed operation), plus st17's staged query stream
     graft.queries.NorthStarQueries.ensureIvfIndex(spark, sfDir): Unit
+    // …s11's grown index (build + append are the amortized operations;
+    // the probe is what the query times)
+    graft.queries.NorthStarQueries.ensureAppendedIndex(spark, sfDir): Unit
     graft.queries.StreamMediaQueries.ensureQueryStream(spark, sfDir): Unit
     // q55/q57 layouts: write-once/scan-many, same rule as q45
     graft.queries.SourceFormatQueries.ensureShipDateLayout(spark, sfDir): Unit
@@ -151,6 +154,16 @@ object Bench {
     // for consumers that select by metric name instead of taking the
     // last line.
     println(s"""{"metric":"total","trailer":true,"value":${fmt(total)},"unit":"sec","sf":"$sfDir","failed":$failed,"n_queries":${results.size}}""")
+    // …and the FULL line as a durable file artifact: the driver's
+    // stdout capture has truncated per-query detail three rounds
+    // running (r8's committed BENCH json carried only the tail), so the
+    // complete record also lands on disk where a round-end commit picks
+    // it up. Best-effort — a read-only checkout must not fail the bench.
+    val artifact = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/bench_last.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact),
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","failed":$failed,"queries":$qs}""" + "\n")
+    catch { case _: Exception => () }
     spark.stop()
   }
 }

@@ -40,13 +40,14 @@ object Fixtures {
       "p_size" -> one(IntegerType), "p_retailprice" -> one(DoubleType)),
     "orders" -> Seq("o_orderkey" -> one(LongType), "o_custkey" -> one(LongType),
       "o_orderstatus" -> one(StringType), "o_totalprice" -> one(DoubleType),
-      "o_orderdate" -> ts, "o_orderpriority" -> one(StringType)),
+      "o_orderdate" -> (ts + LongType), // nanos-as-long absorbed like events.ts
+      "o_orderpriority" -> one(StringType)),
     "lineitem" -> Seq("l_orderkey" -> one(LongType), "l_partkey" -> one(LongType),
       "l_suppkey" -> one(LongType), "l_linenumber" -> one(IntegerType),
       "l_quantity" -> one(DoubleType), "l_extendedprice" -> one(DoubleType),
       "l_discount" -> one(DoubleType), "l_tax" -> one(DoubleType),
       "l_returnflag" -> one(StringType), "l_linestatus" -> one(StringType),
-      "l_shipdate" -> ts),
+      "l_shipdate" -> (ts + LongType)), // nanos-as-long absorbed like events.ts
     "events" -> Seq("event_id" -> one(LongType),
       "ts" -> (ts + LongType), // the three encodings Tables.tsMicros absorbs
       "user_id" -> one(LongType), "event_type" -> one(StringType),

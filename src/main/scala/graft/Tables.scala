@@ -22,8 +22,24 @@ object Tables {
     // stays readable, and canonicalize whatever arrives.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") normalizeEvents(df) else df
+    name match {
+      case "events" => normalizeEvents(df)
+      // date columns that have shipped as timestamp[us]; if a future
+      // regeneration flips them to TIMESTAMP(NANOS) (surfacing as long
+      // under nanosAsLong), restore a timestamp rather than breaking
+      // every date comparison — the same drift-absorption rule as
+      // events.ts, leaving the current timestamp encodings untouched
+      case "orders" => restoreTimestamp(df, "o_orderdate")
+      case "lineitem" => restoreTimestamp(df, "l_shipdate")
+      case _ => df
+    }
   }
+
+  private def restoreTimestamp(df: DataFrame, colName: String): DataFrame =
+    if (df.schema(colName).dataType == LongType)
+      df.withColumn(colName,
+        timestamp_micros(tsMicros(col(colName), LongType)))
+    else df
 
   /** Canonical events shape: `ts` is epoch-MICROS LongType no matter
     * which physical encoding the fixture carries. Consumers (windows,

@@ -369,6 +369,29 @@ object Similarity {
       .parquet(s"$indexDir/cells")
   }
 
+  /** Incremental index maintenance: assign + quantize NEW vectors
+    * against a [[buildIvfIndex]] layout's EXISTING codebook and append
+    * their int8 codes to the cell directories — no retrain, no rewrite
+    * of existing codes, cost ∝ the batch. This is how IVF deployments
+    * actually grow (FAISS `add`, Milvus insert): the codebook is a
+    * trained artifact refreshed on rebuild cadence, while arrivals
+    * stream in continuously. Probes see appended vectors immediately
+    * (the cell scan just reads more files in the probed directories).
+    * The trade is codebook drift: appended mass the trainer never saw
+    * can unbalance cells over time — rebuild cadence owns that, and
+    * cell-size monitoring is one `count by cell_id` over the layout. */
+  def appendToIvfIndex(indexDir: String, newVectors0: DataFrame): Unit = {
+    val spark = newVectors0.sparkSession
+    val newVectors = cleanVectors(newVectors0)
+    val cents = spark.read.parquet(s"$indexDir/codebook")
+      .select(col("cell_id").cast("long").as("cell_id"), col("centroid"))
+    withQ8(ivfAssign(newVectors, cents))
+      .select(col("cell_id").cast("int").as("cell_id"),
+        col("vec_id"), col("q8"), col("q_scale"))
+      .write.mode("append").partitionBy("cell_id")
+      .parquet(s"$indexDir/cells")
+  }
+
   /** Probe a [[buildIvfIndex]] layout: identical semantics to
     * `ivfTopK(..., quantized = true)` with the SAME parameters the
     * index was built with, but the codebook and assignment come off

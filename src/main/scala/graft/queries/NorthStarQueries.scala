@@ -37,6 +37,26 @@ object NorthStarQueries {
       s"$tmp/index"
     })
 
+  /** s11's grown index: built from the EVEN vec_ids (the corpus at
+    * index-build time), then the odd half arrives as an incremental
+    * [[Similarity.appendToIvfIndex]] batch against the same trained
+    * codebook — the FAISS-add shape. Built once per (JVM, sf) under
+    * the write-once rule; the timed query is the probe of the grown
+    * index, the operation a serving deployment repeats. */
+  private val appendedIndexes =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def ensureAppendedIndex(s: SparkSession, d: String): String =
+    appendedIndexes.getOrElseUpdate(d, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s11idx").toString
+      val emb = Tables.load(s, d, "embeddings").select("vec_id", "embedding")
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0),
+        s"$tmp/index", nCells = 16, trainIters = 2)
+      Similarity.appendToIvfIndex(s"$tmp/index",
+        emb.filter(col("vec_id") % 2 === 1))
+      s"$tmp/index"
+    })
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
     // ---- JSON extraction over events.props --------------------------------
@@ -693,6 +713,90 @@ object NorthStarQueries {
              |          row_number() OVER (PARTITION BY q.vec_id
              |            ORDER BY round(list_cosine_similarity(q.v, c.cv), 6) DESC, c.cell_id) AS rn
              |        FROM e q CROSS JOIN c WHERE q.vec_id >= 10 AND q.vec_id < 20)
+             |      WHERE rn <= 4)
+             |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+             |  SELECT p.query_id, a.vec_id AS neighbor_id,
+             |    round(list_cosine_similarity(q.v, n.v), 6) AS cos_sim,
+             |    row_number() OVER (PARTITION BY p.query_id
+             |      ORDER BY round(list_cosine_similarity(q.v, n.v), 6) DESC, a.vec_id) AS rank
+             |  FROM p JOIN a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
+             |  JOIN e q ON q.vec_id = p.query_id
+             |  JOIN e n ON n.vec_id = a.vec_id)
+             |WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    // ---- similarity: INCREMENTAL index growth (append, then probe) --------
+    // How IVF deployments actually grow (FAISS add): the index is
+    // trained and built from the corpus AT BUILD TIME (the even
+    // vec_ids here), later arrivals (the odd half) are assigned +
+    // int8-quantized against the SAME codebook and their codes
+    // APPENDED to the cell directories — no retrain, no rewrite of
+    // existing files, cost ∝ the batch (the table-maintenance
+    // discipline of q59/q68 applied to the ANN index). The probe sees
+    // appended vectors immediately. Oracle: the s02-certified SQL
+    // k-means block TRAINED ON THE EVEN SUBSET ONLY, with the final
+    // assignment over ALL vectors — exactly the grown index's content
+    // — so the query certifies end to end that append-time assignment
+    // matches build-time assignment semantics.
+    ("s11_index_append_probe",
+      (s: SparkSession, d: String) => {
+        val idx = ensureAppendedIndex(s, d)
+        val emb = Tables.load(s, d, "embeddings")
+        val queries = emb
+          .filter(col("vec_id") >= 20 && col("vec_id") < 30)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+        Similarity.ivfIndexTopK(idx, emb.select("vec_id", "embedding"),
+            queries, k = 5, nProbe = 4, rescore = 32)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH e AS (SELECT vec_id, v FROM
+             |        (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+             |      WHERE len(v) > 0 AND list_inner_product(v, v) > 0),
+             |ev AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0),
+             |c0 AS (SELECT vec_id AS cell_id, v AS cv FROM ev ORDER BY vec_id LIMIT 16),
+             |a0 AS (SELECT vec_id, cell_id FROM (
+             |        SELECT ev.vec_id, c0.cell_id,
+             |          row_number() OVER (PARTITION BY ev.vec_id
+             |            ORDER BY round(list_cosine_similarity(ev.v, c0.cv), 6) DESC, c0.cell_id) AS rn
+             |        FROM ev CROSS JOIN c0)
+             |      WHERE rn = 1),
+             |x1 AS (SELECT a0.cell_id, u.i, ev.v[CAST(u.i AS INT)] AS xv
+             |      FROM a0 JOIN ev USING (vec_id),
+             |           unnest(range(1, len(ev.v) + 1)) AS u(i)),
+             |m1 AS (SELECT cell_id,
+             |        list(CAST(CAST(mx AS FLOAT) AS DOUBLE) ORDER BY i) AS mv
+             |      FROM (SELECT cell_id, i, round(avg(xv), 6) AS mx
+             |            FROM x1 GROUP BY 1, 2)
+             |      GROUP BY 1),
+             |c1 AS (SELECT c0.cell_id, coalesce(m1.mv, c0.cv) AS cv
+             |       FROM c0 LEFT JOIN m1 USING (cell_id)),
+             |a1 AS (SELECT vec_id, cell_id FROM (
+             |        SELECT ev.vec_id, c1.cell_id,
+             |          row_number() OVER (PARTITION BY ev.vec_id
+             |            ORDER BY round(list_cosine_similarity(ev.v, c1.cv), 6) DESC, c1.cell_id) AS rn
+             |        FROM ev CROSS JOIN c1)
+             |      WHERE rn = 1),
+             |x2 AS (SELECT a1.cell_id, u.i, ev.v[CAST(u.i AS INT)] AS xv
+             |      FROM a1 JOIN ev USING (vec_id),
+             |           unnest(range(1, len(ev.v) + 1)) AS u(i)),
+             |m2 AS (SELECT cell_id,
+             |        list(CAST(CAST(mx AS FLOAT) AS DOUBLE) ORDER BY i) AS mv
+             |      FROM (SELECT cell_id, i, round(avg(xv), 6) AS mx
+             |            FROM x2 GROUP BY 1, 2)
+             |      GROUP BY 1),
+             |c AS (SELECT c1.cell_id, coalesce(m2.mv, c1.cv) AS cv
+             |      FROM c1 LEFT JOIN m2 USING (cell_id)),
+             |a AS (SELECT vec_id, cell_id FROM (
+             |        SELECT e.vec_id, c.cell_id,
+             |          row_number() OVER (PARTITION BY e.vec_id
+             |            ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell_id) AS rn
+             |        FROM e CROSS JOIN c)
+             |      WHERE rn = 1),
+             |p AS (SELECT query_id, cell_id FROM (
+             |        SELECT q.vec_id AS query_id, c.cell_id,
+             |          row_number() OVER (PARTITION BY q.vec_id
+             |            ORDER BY round(list_cosine_similarity(q.v, c.cv), 6) DESC, c.cell_id) AS rn
+             |        FROM e q CROSS JOIN c WHERE q.vec_id >= 20 AND q.vec_id < 30)
              |      WHERE rn <= 4)
              |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
              |  SELECT p.query_id, a.vec_id AS neighbor_id,

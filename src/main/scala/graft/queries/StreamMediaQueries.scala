@@ -769,6 +769,61 @@ object StreamMediaQueries {
              |WHERE text IN (SELECT text FROM documents WHERE doc_id % 2 = 1)
              |ORDER BY keep_id""".stripMargin)),
 
+    // ---- native session windows (merging-window streaming state) ----------
+    // st02/st12 sessionize with explicit typed state; this is the
+    // BUILT-IN operator for the same job — `session_window(event_time,
+    // gap)` merges windows as events arrive, the engine owns the state,
+    // and the watermark closes a session once it passes last-event +
+    // gap. Append-mode memory drain: only closed sessions emit, so the
+    // oracle carries the same finalized-set predicate st04 pins for
+    // tumbling windows. Spark's merge rule starts a NEW session when
+    // the gap is >= 30 min (windows merge only on strict overlap), so
+    // the oracle's island-break predicate is >=, not st02's > — and
+    // session_end is last-event + gap by definition, both mirrored
+    // exactly in SQL. State is O(open sessions), the operator the
+    // engine picks when per-user custom logic isn't needed — the
+    // idiomatic first choice at 100 TB.
+    // Append-mode FILE drain (st04's path): closed sessions land in
+    // distributed files once the watermark passes them; a memory drain
+    // skips no-data batches, so the final watermark advance would never
+    // flush and nothing would emit.
+    ("st20_session_window",
+      (s: SparkSession, d: String) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_st20").toString
+        val sess = EventStream.readEvents(s, d)
+          .withWatermark("event_time", "1 hour")
+          .groupBy(col("user_id"),
+            session_window(col("event_time"), "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            col("w.start").as("session_start"),
+            col("w.end").as("session_end"), col("n_events"))
+        EventStream.runToFiles(s, sess, s"$out/data", s"$out/ckpt")
+          .orderBy(col("user_id"), col("session_start"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+             |m AS (
+             |  SELECT user_id, t,
+             |    CASE WHEN lag(t) OVER w IS NULL
+             |           OR t - lag(t) OVER w >= INTERVAL 30 MINUTE
+             |         THEN 1 ELSE 0 END AS brk
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+             |s AS (
+             |  SELECT user_id, t,
+             |    SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+             |                   ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM m),
+             |agg AS (
+             |  SELECT user_id, min(t) AS session_start,
+             |    max(t) + INTERVAL 30 MINUTE AS session_end,
+             |    COUNT(*) AS n_events
+             |  FROM s GROUP BY user_id, sid),
+             |wm AS (SELECT max(t) - INTERVAL 1 HOUR AS w FROM e)
+             |SELECT user_id, session_start, session_end, n_events
+             |FROM agg, wm WHERE session_end <= wm.w
+             |ORDER BY user_id, session_start""".stripMargin)),
+
     // ---- multimodal: binary columns + typed metadata ----------------------
     ("m01_media_stats",
       (s: SparkSession, d: String) => {

@@ -306,6 +306,37 @@ class DedupSimilaritySpec extends SparkSpec {
       s"kept=${got.size} expected=${expected.size} — index-read SemDeDup drifted")
   }
 
+  test("IVF index append (s11): assignment matches the codebook argmax; base files untouched") {
+    val emb = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_appidx").toString
+    val idx = s"$tmp/index"
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0), idx,
+      nCells = 16, trainIters = 2)
+    def cellFiles(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$idx/cells"))
+        .filter(_.getName.startsWith("part-")).map(_.getAbsolutePath).toSet
+    }
+    val baseFiles = cellFiles()
+    Similarity.appendToIvfIndex(idx, emb.filter(col("vec_id") % 2 === 1))
+    // append-only: every base file survives byte-identical in place
+    assert(baseFiles.subsetOf(cellFiles()), "append rewrote existing index files")
+    assert(cellFiles().size > baseFiles.size, "append added no files")
+    // the grown index's (vec_id -> cell) equals the codebook argmax over
+    // the FULL corpus — append-time assignment can't drift from
+    // build-time semantics
+    val cents = spark.read.parquet(s"$idx/codebook")
+      .select(col("cell_id").cast("long").as("cell_id"), col("centroid"))
+    val want = Similarity.ivfAssign(emb, cents)
+      .select(col("vec_id"), col("cell_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = spark.read.parquet(s"$idx/cells")
+      .select(col("vec_id"), col("cell_id"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(got == want, s"grown index assignment drifted (${got.size} vs ${want.size})")
+  }
+
   test("IVF-int8 scan (quantized ivfTopK) equals the float IVF path exactly") {
     // rescore ≫ k makes the int8 shortlist re-rank reproduce the float
     // path's output — the same contract quantizedTopK certifies vs

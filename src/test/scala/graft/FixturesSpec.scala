@@ -42,6 +42,23 @@ class FixturesSpec extends SparkSpec {
     }
   }
 
+  test("orders date column survives a nanos re-encode (restoreTimestamp)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nanodate").toString
+    val orig = spark.read.parquet(s"$sf/orders.parquet").limit(20)
+    orig.withColumn("o_orderdate",
+        unix_micros(col("o_orderdate").cast(TimestampType)) * 1000)
+      .write.parquet(s"$tmp/orders.parquet")
+    val restored = Tables.load(spark, tmp, "orders")
+    assert(restored.schema("o_orderdate").dataType == TimestampType)
+    val want = orig.select(col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast(TimestampType)).as("us"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = restored.select(col("o_orderkey"),
+        unix_micros(col("o_orderdate")).as("us"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, "restored timestamps drifted from the original instants")
+  }
+
   test("tsMicros canonicalizes all three encodings to the same micros") {
     import spark.implicits._
     val micros = 1700000000000000L // some instant, µs
