@@ -159,6 +159,72 @@ object AdvancedQueries {
              |WHERE r_name = 'ASIA' AND year(o_orderdate) = 1996
              |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)),
 
+    // ---- 7-way join + windowed ratio (TPC-H Q8 shape: market share) -------
+    // One step deeper than q60: the nation table joins TWICE (supplier
+    // nation for the output, customer nation to reach the region
+    // filter), and the answer is a RATIO of aggregates — each supplier
+    // nation's share of the ASIA-customer PROMO-part market by order
+    // year. Numerators are exact DECIMAL sums; the per-year denominator
+    // is a window sum over them (no second scan, no self-join); the
+    // share divides the two as doubles LAST, so both engines divide
+    // identical operands and IEEE 754 makes the quotient bit-equal —
+    // no rounding-rule dependence (Spark rounds HALF_UP, DuckDB
+    // half-even; dividing unrounded avoids caring). Catalyst broadcasts
+    // part/supplier/nation×2/customer/region; lineitem ⋈ orders is the
+    // one genuine fact-fact shuffle — the plan you want at 100 TB.
+    ("q69_market_share",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val p = Tables.load(s, d, "part")
+          .filter(col("p_type") === "PROMO").select("p_partkey")
+        val sup = Tables.load(s, d, "supplier").select("s_suppkey", "s_nationkey")
+        val sn = Tables.load(s, d, "nation")
+          .select(col("n_nationkey").as("s_nationkey"), col("n_name").as("supp_nation"))
+        val c = Tables.load(s, d, "customer").select("c_custkey", "c_nationkey")
+        val cn = Tables.load(s, d, "nation")
+          .select(col("n_nationkey").as("c_nationkey"), col("n_regionkey"))
+        val r = Tables.load(s, d, "region")
+          .filter(col("r_name") === "ASIA").select("r_regionkey")
+        val o = Tables.load(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")).as("yr"))
+        val l = Tables.load(s, d, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        val vol = l.join(p, col("l_partkey") === col("p_partkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(sn, "s_nationkey")
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(cn, "c_nationkey")
+          .join(r, col("n_regionkey") === col("r_regionkey"))
+          .select(col("yr"), col("supp_nation"),
+            (dec(col("l_extendedprice")) *
+              (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount")))).as("v"))
+        val w = Window.partitionBy(col("yr"))
+        vol.groupBy(col("yr"), col("supp_nation"))
+          .agg(sum(col("v")).as("num"))
+          .select(col("yr"), col("supp_nation"),
+            (col("num").cast("double") /
+              sum(col("num")).over(w).cast("double")).as("mkt_share"))
+          .orderBy(col("yr"), col("supp_nation"))
+      },
+      Some("""WITH vol AS (
+             |  SELECT year(o_orderdate) AS yr, sn.n_name AS supp_nation,
+             |    CAST(l_extendedprice AS DECIMAL(18,2))
+             |      * (1 - CAST(l_discount AS DECIMAL(18,2))) AS v
+             |  FROM lineitem
+             |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+             |  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'),
+             |n AS (SELECT yr, supp_nation, SUM(v) AS num FROM vol GROUP BY 1, 2)
+             |SELECT CAST(yr AS INT) AS yr, supp_nation,
+             |  CAST(num AS DOUBLE) / CAST(SUM(num) OVER (PARTITION BY yr) AS DOUBLE)
+             |    AS mkt_share
+             |FROM n ORDER BY yr, supp_nation""".stripMargin)),
+
     // ---- cube ---------------------------------------------------------------
     ("q21_cube",
       (s: SparkSession, d: String) => {

@@ -699,9 +699,19 @@ object DedupStore {
             // (idempotent under checkpoint replay — see baseFor)
             val base = versions(fs, root).filter(_._1._1 < batchId)
               .sortBy(_._1).lastOption.map(_._2)
-            // the buckets this batch touches — a ≤ nBuckets-row collect
-            val touched = incoming.select(col("bucket")).distinct()
-              .collect().map(_.getInt(0)).toSet
+            // ONE batch-side aggregation job computes both driver-side
+            // facts: the touched-bucket set (≤ nBuckets ints) and the
+            // replay fingerprint (count + order-insensitive XOR, the
+            // batchFingerprint definition) — they were two jobs over
+            // the same cached aggregate, and per-batch job count is
+            // the store's latency floor for small batches
+            val stat = incoming.agg(
+              collect_set(col("bucket")),
+              count(lit(1)),
+              expr("bit_xor(xxhash64(text, keep_id, n_copies))")).head
+            val touched = stat.getSeq[Int](0).toSet
+            val fingerprint =
+              (stat.getLong(1), if (stat.isNullAt(2)) 0L else stat.getLong(2))
             // the manifest prunes the base read to exactly the touched
             // buckets' files, so the job reads only the store fraction
             // it rewrites
@@ -726,7 +736,7 @@ object DedupStore {
               .agg(min(col("keep_id")).as("keep_id"),
                 sum(col("n_copies")).as("n_copies"))
             commitVersion(s, fs, root, (batchId, 0), merged, touched, base,
-              batchStat = Some(batchFingerprint(incoming)))
+              batchStat = Some(fingerprint))
           // finally: a failed batch (IOException in move) must not leave
           // the cached batch aggregate pinned in the shared session
           // after run() rethrows — the stateless house rule

@@ -225,6 +225,26 @@ class ScaleSpec extends SparkSpec {
       s"a dimension join fell back to sort-merge at fixture scale:\n$plan")
   }
 
+  test("q69 Q8-shape market share: dims broadcast, filters pushed, no degenerate joins") {
+    val q69 = SparkEntry.queries("q69_market_share")(spark, sf)
+    val plan = planOf(q69)
+    // part/supplier/nation×2/customer/region all broadcast at any
+    // realistic dim:fact ratio — at least 4 must show even after AQE
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(nBroadcast >= 4,
+      s"expected the dimension joins to broadcast, got $nBroadcast in:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$plan")
+    // both selective dimension filters reach their scans
+    assert(plan.contains("EqualTo(p_type,PROMO)"),
+      s"p_type filter not pushed to the part scan:\n$plan")
+    assert(plan.contains("EqualTo(r_name,ASIA)"),
+      s"r_name filter not pushed to the region scan:\n$plan")
+    // the share's numerator aggregate keeps its map-side partial
+    assert(plan.contains("partial_sum"),
+      s"aggregate lost its map-side partial:\n$plan")
+  }
+
   test("q28 TPC-H Q3 shape: segment filter pushed to scan, customer broadcast, partial agg") {
     val q28 = SparkEntry.queries("q28_shipping_priority")(spark, sf)
     val plan = planOf(q28)
