@@ -65,6 +65,9 @@ object Bench {
     // the probe is what the query times)
     graft.queries.NorthStarQueries.ensureAppendedIndex(spark, sfDir): Unit
     graft.queries.StreamMediaQueries.ensureQueryStream(spark, sfDir): Unit
+    // …st21's staged odd-vector arrivals (immutable input; each run
+    // still builds + grows a FRESH index, the timed operation)
+    graft.queries.StreamMediaQueries.ensureOddVectorStream(spark, sfDir): Unit
     // q55/q57 layouts: write-once/scan-many, same rule as q45
     graft.queries.SourceFormatQueries.ensureShipDateLayout(spark, sfDir): Unit
     graft.queries.SourceFormatQueries.ensureEvolvedLayout(spark, sfDir): Unit

@@ -151,6 +151,25 @@ object StreamMediaQueries {
       s"$tmp/in"
     })
 
+  /** st21's arrival fixture: the ODD-vec_id embeddings staged as 4
+    * parquet files, streamed one per micro-batch into a per-RUN fresh
+    * index (the append is the timed operation, so the input is
+    * immutable but the index is not shared). Built once per (JVM, sf)
+    * under the write-once rule. */
+  private val oddVectorStreams =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def ensureOddVectorStream(s: SparkSession, d: String): String =
+    oddVectorStreams.getOrElseUpdate(d, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st21in").toString
+      Tables.load(s, d, "embeddings")
+        .filter(pmod(col("vec_id"), lit(2)) === 1)
+        .select(col("vec_id"), col("embedding"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(s"$tmp/in")
+      s"$tmp/in"
+    })
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
     // ---- streaming: watermarked tumbling-window aggregate -----------------
@@ -768,6 +787,106 @@ object StreamMediaQueries {
              |SELECT keep_id, n_copies FROM agg
              |WHERE text IN (SELECT text FROM documents WHERE doc_id % 2 = 1)
              |ORDER BY keep_id""".stripMargin)),
+
+    // ---- streaming ANN index maintenance (continuous ingestion) -----------
+    // s11's growth path on the STREAMING engine: the index is built
+    // from the corpus at build time (even vec_ids), later arrivals
+    // stream in as 4 micro-batches, each appended to the live index via
+    // foreachBatch + appendToIvfIndex (assign + int8-quantize against
+    // the existing codebook, append to cell dirs — no retrain, no
+    // rewrite, cost ∝ the batch). Per-vector assignment is independent
+    // of batching, so the grown index — and therefore the probe — is
+    // IDENTICAL whether arrivals come as one batch (s11) or many
+    // (here): the oracle is the same trained-on-evens SQL k-means
+    // derivation with its own probe range, certifying batch-boundary
+    // invariance end to end. A fresh per-run index dir keeps the timed
+    // operation honest (append mutates the index; a shared fixture
+    // would double-append on re-runs).
+    ("st21_stream_index_append",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.types._
+        val tmp = java.nio.file.Files.createTempDirectory("graft_st21").toString
+        val idx = s"$tmp/index"
+        val emb = Tables.load(s, d, "embeddings").select("vec_id", "embedding")
+        Similarity.buildIvfIndex(emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+          idx, nCells = 16, trainIters = 2)
+        val inDir = ensureOddVectorStream(s, d)
+        val q = s.readStream
+          .schema(StructType(Seq(StructField("vec_id", LongType),
+            StructField("embedding", ArrayType(FloatType)))))
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$inDir/part-*")
+          .writeStream
+          .foreachBatch((batch: DataFrame, _: Long) =>
+            Similarity.appendToIvfIndex(idx, batch))
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val queries = emb.filter(col("vec_id") >= 30 && col("vec_id") < 40)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+        Similarity.ivfIndexTopK(idx, emb, queries, k = 5, nProbe = 4, rescore = 32)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH e AS (SELECT vec_id, v FROM
+             |        (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+             |      WHERE len(v) > 0 AND list_inner_product(v, v) > 0),
+             |ev AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0),
+             |c0 AS (SELECT vec_id AS cell_id, v AS cv FROM ev ORDER BY vec_id LIMIT 16),
+             |a0 AS (SELECT vec_id, cell_id FROM (
+             |        SELECT ev.vec_id, c0.cell_id,
+             |          row_number() OVER (PARTITION BY ev.vec_id
+             |            ORDER BY round(list_cosine_similarity(ev.v, c0.cv), 6) DESC, c0.cell_id) AS rn
+             |        FROM ev CROSS JOIN c0)
+             |      WHERE rn = 1),
+             |x1 AS (SELECT a0.cell_id, u.i, ev.v[CAST(u.i AS INT)] AS xv
+             |      FROM a0 JOIN ev USING (vec_id),
+             |           unnest(range(1, len(ev.v) + 1)) AS u(i)),
+             |m1 AS (SELECT cell_id,
+             |        list(CAST(CAST(mx AS FLOAT) AS DOUBLE) ORDER BY i) AS mv
+             |      FROM (SELECT cell_id, i, round(avg(xv), 6) AS mx
+             |            FROM x1 GROUP BY 1, 2)
+             |      GROUP BY 1),
+             |c1 AS (SELECT c0.cell_id, coalesce(m1.mv, c0.cv) AS cv
+             |       FROM c0 LEFT JOIN m1 USING (cell_id)),
+             |a1 AS (SELECT vec_id, cell_id FROM (
+             |        SELECT ev.vec_id, c1.cell_id,
+             |          row_number() OVER (PARTITION BY ev.vec_id
+             |            ORDER BY round(list_cosine_similarity(ev.v, c1.cv), 6) DESC, c1.cell_id) AS rn
+             |        FROM ev CROSS JOIN c1)
+             |      WHERE rn = 1),
+             |x2 AS (SELECT a1.cell_id, u.i, ev.v[CAST(u.i AS INT)] AS xv
+             |      FROM a1 JOIN ev USING (vec_id),
+             |           unnest(range(1, len(ev.v) + 1)) AS u(i)),
+             |m2 AS (SELECT cell_id,
+             |        list(CAST(CAST(mx AS FLOAT) AS DOUBLE) ORDER BY i) AS mv
+             |      FROM (SELECT cell_id, i, round(avg(xv), 6) AS mx
+             |            FROM x2 GROUP BY 1, 2)
+             |      GROUP BY 1),
+             |c AS (SELECT c1.cell_id, coalesce(m2.mv, c1.cv) AS cv
+             |      FROM c1 LEFT JOIN m2 USING (cell_id)),
+             |a AS (SELECT vec_id, cell_id FROM (
+             |        SELECT e.vec_id, c.cell_id,
+             |          row_number() OVER (PARTITION BY e.vec_id
+             |            ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell_id) AS rn
+             |        FROM e CROSS JOIN c)
+             |      WHERE rn = 1),
+             |p AS (SELECT query_id, cell_id FROM (
+             |        SELECT q.vec_id AS query_id, c.cell_id,
+             |          row_number() OVER (PARTITION BY q.vec_id
+             |            ORDER BY round(list_cosine_similarity(q.v, c.cv), 6) DESC, c.cell_id) AS rn
+             |        FROM e q CROSS JOIN c WHERE q.vec_id >= 30 AND q.vec_id < 40)
+             |      WHERE rn <= 4)
+             |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+             |  SELECT p.query_id, a.vec_id AS neighbor_id,
+             |    round(list_cosine_similarity(q.v, n.v), 6) AS cos_sim,
+             |    row_number() OVER (PARTITION BY p.query_id
+             |      ORDER BY round(list_cosine_similarity(q.v, n.v), 6) DESC, a.vec_id) AS rank
+             |  FROM p JOIN a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
+             |  JOIN e q ON q.vec_id = p.query_id
+             |  JOIN e n ON n.vec_id = a.vec_id)
+             |WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)),
 
     // ---- native session windows (merging-window streaming state) ----------
     // st02/st12 sessionize with explicit typed state; this is the
