@@ -162,8 +162,10 @@ object Bench {
     // running (r8's committed BENCH json carried only the tail), so the
     // complete record also lands on disk where a round-end commit picks
     // it up. Best-effort — a read-only checkout must not fail the bench.
+    // Cwd-relative default so any checkout location gets the artifact
+    // next to itself; SPARK_GRAFT_BENCH_OUT overrides.
     val artifact = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/bench_last.json")
+      new java.io.File("bench_last.json").getAbsolutePath)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact),
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","failed":$failed,"queries":$qs}""" + "\n")
     catch { case _: Exception => () }

@@ -726,15 +726,20 @@ object StreamMediaQueries {
     // ---- store CDC consumer: replica sync from the change feed ------------
     // The downstream half of st16's contract, run end to end: a replica
     // synced at `cursor` (delivery one's dedup state, recomputed here
-    // as the stale copy) catches up by applying changedSince(cursor) as
-    // KEYED UPSERTS — stale rows for re-emitted keys drop via anti-join,
-    // current rows union in — and tombstones() as deletes (empty in
-    // this fixture; the join is the contract, exercised with victims in
-    // DedupStoreReadSpec). Cost ∝ rewritten buckets + replica, never
-    // the store's history — the zero-retention CDC shape the store's
-    // eager file reclamation allows. The oracle is batch exact-dedup
-    // over the FULL corpus (d01's aggregate): equality proves the
-    // upsert+tombstone algebra reconstructs the store state exactly.
+    // as the stale copy) catches up by applying tombstones() as deletes
+    // against the STALE rows first (empty in this fixture; the join is
+    // the contract, exercised with victims in DedupStoreReadSpec), then
+    // changedSince(cursor) as KEYED UPSERTS — stale rows for re-emitted
+    // keys drop via anti-join, current rows union in. Deletes-first and
+    // scoped to the stale side is the store's documented consumer
+    // algebra: the feed can re-deliver a compaction-folded delete for a
+    // text the same sync legitimately re-upserts (purge → fold →
+    // re-ingestion), and the newer upsert must win. Cost ∝ rewritten
+    // buckets + replica, never the store's history — the zero-retention
+    // CDC shape the store's eager file reclamation allows. The oracle is
+    // batch exact-dedup over the FULL corpus (d01's aggregate): equality
+    // proves the delete+upsert algebra reconstructs the store state
+    // exactly.
     ("st18_store_replica_sync",
       (s: SparkSession, d: String) => {
         val (store, cursor) = ensureBatchStore(s, d)
@@ -747,9 +752,9 @@ object StreamMediaQueries {
           .select(col("text"), col("keep_id"), col("n_copies"))
         val tomb = graft.streaming.DedupStore.tombstones(s, store)
         replica
+          .join(tomb, xxhash64(col("text")) === col("text_hash"), "left_anti")
           .join(changes.select(col("text")), Seq("text"), "left_anti")
           .unionByName(changes)
-          .join(tomb, xxhash64(col("text")) === col("text_hash"), "left_anti")
           .select(col("keep_id"), col("n_copies"))
           .orderBy(col("keep_id"))
       },

@@ -33,16 +33,22 @@ import graft.streaming.DedupStore
   *    never surface as upserts), with `thash = xxhash64(text)` so the
   *    consumer keys deletes and upserts identically;
   *  - `op = 'delete'`: a tombstoned hash (`text`/`keep_id`/`n_copies`
-  *    NULL) from `_TOMBSTONES/t*` files the cursor has not consumed.
-  *    Applying upserts then deletes per batch reconstructs store state
-  *    (st18's algebra); both are idempotent, absorbing bucket-granular
+  *    NULL) from `_TOMBSTONES/t*` (live) and `d*` (compaction-folded,
+  *    feed-only) files the cursor has not consumed. Applying deletes
+  *    THEN upserts per batch reconstructs store state (st18/st22's
+  *    algebra — deletes-first, because a batch can carry both a folded
+  *    delete and a newer re-ingestion upsert for the same text, and the
+  *    upsert must win); both are idempotent, absorbing bucket-granular
   *    and compaction-fold re-delivery.
   *
   * Offsets: `{version, tomb-file-index}` — version names are the store's
   * own commit points (`vN[.s]`, totally ordered), tombstone files are an
-  * append-only indexed log (compaction consolidates into a HIGHER index,
-  * so the offset never moves backwards; re-emitted survivor hashes are
-  * idempotent deletes). Micro-batch (start, end] plans one partition per
+  * append-only indexed log whose index is MONOTONIC across compaction
+  * (consolidation always lands at a fresh higher index, floored by the
+  * store's `_NEXT` counter even when nothing survives, so the offset
+  * never moves backwards and a checkpointed cursor is never stranded
+  * above a reused index; re-emitted survivor hashes are idempotent
+  * deletes). Micro-batch (start, end] plans one partition per
   * changed data file — the same manifest-pruned file set `changedSince`
   * reads, bytes ∝ rewritten buckets, never store size — plus one bounded
   * partition carrying the new tombstone hashes. Batch reads (`spark.read`)
@@ -93,49 +99,91 @@ object DedupStoreChanges {
     ChangesOffset(s.substring(0, i), s.substring(i + 1).toLong)
   }
 
-  /** Highest committed tombstone file index, -1 when none. */
+  /** A tombstone-dir file's feed index — `t<i>` (live) and `d<i>`
+    * (compaction-folded, feed-only) share one monotonic index space;
+    * anything else (the `_NEXT` counter, dot-temp writes) is not a
+    * feed file. */
+  private def feedIdx(name: String): Option[Long] =
+    DedupStore.tombIdx(name, "t").orElse(DedupStore.tombIdx(name, "d"))
+
+  /** Highest committed tombstone-feed file index (both families), -1
+    * when none. */
   private[sources] def tombMax(storeDir: String): Long = {
     val (fs, root) = DedupStore.fsRoot(storeDir)
     val d = new Path(root, "_TOMBSTONES")
     if (!fs.exists(d)) -1L
     else fs.listStatus(d).toSeq
-      .filter(f => f.isFile && !f.getPath.getName.startsWith("."))
-      .flatMap(_.getPath.getName.stripPrefix("t").toLongOption)
+      .filter(_.isFile)
+      .flatMap(f => feedIdx(f.getPath.getName))
       .maxOption.getOrElse(-1L)
   }
 
-  /** Hashes in tombstone files with index in (fromExcl, toIncl]. */
+  /** Delete-feed hashes in files with index in (fromExcl, toIncl] —
+    * live `t*` lines are bare hashes, folded `d*` lines are
+    * `hash\tfoldedAt`; the first tab-field is the hash either way. */
   private[sources] def tombHashes(storeDir: String, fromExcl: Long,
                                   toIncl: Long): Array[Long] = {
     val (fs, root) = DedupStore.fsRoot(storeDir)
     val d = new Path(root, "_TOMBSTONES")
     if (!fs.exists(d)) Array.empty
     else fs.listStatus(d).toSeq
-      .filter(f => f.isFile && !f.getPath.getName.startsWith("."))
-      .filter(f => f.getPath.getName.stripPrefix("t").toLongOption
+      .filter(f => f.isFile && feedIdx(f.getPath.getName)
         .exists(i => i > fromExcl && i <= toIncl))
       .flatMap(f => DedupStore.readString(fs, f.getPath)
-        .split("\n", -1).toSeq.flatMap(_.trim.toLongOption))
+        .split("\n", -1).toSeq
+        .flatMap(_.split("\t", 2).head.trim.toLongOption))
       .distinct.toArray
   }
 
+  private def after(k: (Long, Int), s: (Long, Int)): Boolean =
+    k._1 > s._1 || (k._1 == s._1 && k._2 > s._2)
+
   /** The data files of `endVersion` whose WRITING version (embedded in
     * the manifest path — `vN[.s]/bucket=…/part-…`) orders after
-    * `sinceKey`: exactly [[DedupStore.changedSince]]'s pruned file set. */
-  private[sources] def changedFilesBetween(storeDir: String,
+    * `sinceKey`: exactly [[DedupStore.changedSince]]'s pruned file set.
+    *
+    * When the pinned end version is GONE (the store advanced and
+    * retention pruned its directory between the offset-WAL write and a
+    * crash-replay of the batch), the batch must still deliver: planning
+    * it empty would advance the offset past (start, end] and every
+    * bucket last rewritten in that window would be excluded from all
+    * later batches too — permanent silent upsert loss. The fallback
+    * reads the LATEST committed manifest restricted to files written in
+    * (since, end] — exactly the window's still-current buckets, live by
+    * retention precisely because the latest manifest references them;
+    * buckets rewritten again after `end` carry a higher writing version
+    * and re-deliver in the next batch, so nothing is missed or
+    * double-planned. A store with no committed version at all (deleted
+    * or replaced out from under the checkpoint) throws instead of
+    * silently planning nothing. */
+  private[graft] def changedFilesBetween(storeDir: String,
                                            sinceKey: (Long, Int),
                                            endVersion: String): Seq[String] = {
     val (fs, root) = DedupStore.fsRoot(storeDir)
-    DedupStore.versions(fs, root).find(v => DedupStore.parseKey(endVersion)
-        .contains(v._1)).toSeq
-      .flatMap { case (_, vDir) =>
+    val endKey = DedupStore.parseKey(new Path(endVersion).getName).getOrElse(
+      throw new IllegalArgumentException(s"bad store version '$endVersion'"))
+    val all = DedupStore.versions(fs, root)
+    all.find(_._1 == endKey) match {
+      case Some((_, vDir)) =>
         DedupStore.entriesOf(fs, root, vDir)
           .filter { case (_, f) =>
             DedupStore.parseKey(f.getParent.getParent.getName)
-              .exists(k => k._1 > sinceKey._1 ||
-                (k._1 == sinceKey._1 && k._2 > sinceKey._2)) }
+              .exists(after(_, sinceKey)) }
           .map(_._2.toString)
-      }
+      case None =>
+        val latest = all.sortBy(_._1).lastOption.getOrElse(
+          throw new IllegalStateException(
+            s"store $storeDir has no committed version but the " +
+              s"checkpointed offset pins '$endVersion' — the store was " +
+              "deleted or replaced out from under this consumer's " +
+              "checkpoint; re-sync from a fresh cursor instead of " +
+              "resuming this one"))
+        DedupStore.entriesOf(fs, root, latest._2)
+          .filter { case (_, f) =>
+            DedupStore.parseKey(f.getParent.getParent.getName)
+              .exists(k => after(k, sinceKey) && !after(k, endKey)) }
+          .map(_._2.toString)
+    }
   }
 }
 
@@ -162,10 +210,21 @@ private[sources] class StoreChangesTable(storeDir: String,
     ChangesOffset(since.map(v => new Path(v).getName).getOrElse(""),
       sinceTomb.getOrElse(-1L))
 
-  private def endOffset: ChangesOffset = ChangesOffset(
-    DedupStore.currentVersion(storeDir)
-      .map(p => new Path(p).getName).getOrElse(""),
-    tombMax(storeDir))
+  /** The store tip. The tombstone index is read BEFORE the version:
+    * purge writes its tombstone first and commits the bucket rewrite
+    * second, so reading version-then-tombs could capture the delete
+    * WITHOUT the rewrite that removed the victim from the upsert axis —
+    * under deletes-then-upserts a stale in-window upsert would then
+    * re-add the victim with nothing left to remove it. Tombs-first can
+    * only miss a tombstone the next batch delivers (transient,
+    * self-healing in the safe direction). */
+  private def endOffset: ChangesOffset = {
+    val tombs = tombMax(storeDir)
+    ChangesOffset(
+      DedupStore.currentVersion(storeDir)
+        .map(p => new Path(p).getName).getOrElse(""),
+      tombs)
+  }
 
   private def plan(start: ChangesOffset, end: ChangesOffset): Array[InputPartition] = {
     if (end.version.isEmpty) return Array.empty
@@ -180,10 +239,13 @@ private[sources] class StoreChangesTable(storeDir: String,
   }
 
   private def factory: PartitionReaderFactory = {
-    // the CURRENT tombstone set prefilters upsert rows (changedSince's
+    // the LIVE tombstone set prefilters upsert rows (changedSince's
     // withoutTombstoned, pushed to the reader) — bounded, rides the
-    // factory as plain longs
-    val suppress = tombHashes(storeDir, -1L, Long.MaxValue)
+    // factory as plain longs. Live only, not the folded feed: a folded
+    // victim is physically erased (nothing to suppress) and its text
+    // re-ingested after the fold is a legitimately new document whose
+    // upsert MUST flow.
+    val suppress = DedupStore.loadTombstones(storeDir).toArray
     new ChangesReaderFactory(
       new SerializableConfiguration(
         SparkSession.active.sessionState.newHadoopConf()),

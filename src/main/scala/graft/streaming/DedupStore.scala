@@ -87,6 +87,21 @@ import org.apache.spark.sql.streaming.Trigger
   * blocklist filter on the ingest stream (st11's shape), not in
   * deletion markers.
   *
+  * Compaction does NOT end DELETE-FEED delivery: folding a hash out of
+  * the live `t<i>` log moves it into a feed-only `d<i>` record (hash +
+  * fold timestamp) that [[tombstones]] and the DSv2 change source keep
+  * emitting as deletes until [[TombstoneFeedRetentionMs]] elapses — so
+  * a CDC consumer that last synced BEFORE a purge still receives the
+  * erasure even when compaction ran in between (the upsert axis alone
+  * cannot express removal). Both file families share one MONOTONIC
+  * index space, floored by a `_NEXT` counter that compaction never
+  * resets: a consumer's checkpointed tombstone cursor can therefore
+  * never be stranded above a reused index. Consumers must apply each
+  * batch's deletes BEFORE its upserts — a delete can only carry an
+  * already-superseded erasure for a text the same batch re-upserts
+  * (purge → fold → legitimate re-ingestion), and deletes-first lets
+  * the newer upsert win; the reverse order would clobber it.
+  *
   * Single-writer contract — ENFORCED: run(), purge()/purgeWhere(), and
   * compactTombstones() take an exclusive `_LOCK` marker at the store
   * root (exclusive create; holder + timestamp inside) and fail loudly
@@ -443,15 +458,78 @@ object DedupStore {
     loadTombstones(fs, root)
   }
 
+  /** Parse `<prefix><digits>` file names — the tombstone dir holds live
+    * `t<i>` files, feed-only `d<i>` files, the `_NEXT` counter, and
+    * in-flight dot-temp writes; everything but the first two families
+    * must parse to None so a truncated temp file can never contribute a
+    * WRONG hash and the counter is never read as a tombstone. */
+  private[graft] def tombIdx(name: String, prefix: String): Option[Long] =
+    if (name.startsWith(prefix)) name.drop(prefix.length).toLongOption else None
+
   private def loadTombstones(fs: FileSystem, root: Path): Seq[Long] = {
     val d = new Path(root, "_TOMBSTONES")
-    // dot-files are in-flight writes (.tN.tmp) — a truncated hash line
-    // in one could parse as a WRONG hash, so only committed files count
     listDir(fs, d)
-      .filter(f => f.isFile && !f.getPath.getName.startsWith("."))
+      .filter(f => f.isFile && tombIdx(f.getPath.getName, "t").isDefined)
       .flatMap(f => readString(fs, f.getPath).split("\n", -1).toSeq
         .flatMap(_.trim.toLongOption))
       .distinct
+  }
+
+  /** Feed-only records compaction left behind: (hash, foldedAtEpochMs)
+    * lines from `_TOMBSTONES/d<i>` files. These carry NO suppression
+    * semantics — their victims are physically erased — they exist so
+    * the delete FEED ([[tombstones]], the DSv2 change source) still
+    * delivers the erasure to consumers that last synced before the
+    * purge, until [[TombstoneFeedRetentionMs]] elapses. */
+  private[graft] def feedEntries(fs: FileSystem, root: Path): Seq[(Long, Long)] =
+    listDir(fs, new Path(root, "_TOMBSTONES"))
+      .filter(f => f.isFile && tombIdx(f.getPath.getName, "d").isDefined)
+      .flatMap(f => readString(fs, f.getPath).split("\n", -1).toSeq
+        .flatMap { line =>
+          line.split("\t", 2) match {
+            case Array(h, ts) =>
+              for (hv <- h.trim.toLongOption; tv <- ts.trim.toLongOption)
+                yield (hv, tv)
+            case _ => None
+          }
+        })
+      .distinct
+
+  /** Next unused tombstone-file index across BOTH families (`t*`, `d*`),
+    * floored by the `_NEXT` counter so the index stays MONOTONIC even
+    * when compaction removes every file: a CDC consumer's checkpointed
+    * tombstone cursor addresses indices, and a reused index would plan
+    * every later purge's hashes as already-consumed — a silent,
+    * permanent erasure-propagation loss. The counter is belt to the
+    * file max's suspenders: a crash between file write and counter bump
+    * leaves the file max authoritative; the reverse leaves a harmless
+    * index gap. */
+  private def nextTombIndex(fs: FileSystem, root: Path): Long = {
+    val tombDir = new Path(root, "_TOMBSTONES")
+    val fileMax = listDir(fs, tombDir)
+      .flatMap { f =>
+        if (!f.isFile) None
+        else tombIdx(f.getPath.getName, "t")
+          .orElse(tombIdx(f.getPath.getName, "d"))
+      }
+      .maxOption.getOrElse(-1L)
+    val counter = {
+      val p = new Path(tombDir, "_NEXT")
+      if (fs.exists(p)) readString(fs, p).trim.toLongOption.getOrElse(-1L)
+      else -1L
+    }
+    math.max(fileMax + 1, counter)
+  }
+
+  /** Allocate the next tombstone-file index and bump the `_NEXT` floor
+    * PAST it before the caller writes anything — the ordering that
+    * makes the index monotonic under every crash interleaving. */
+  private def allocTombIndex(fs: FileSystem, root: Path): Long = {
+    val tombDir = new Path(root, "_TOMBSTONES")
+    fs.mkdirs(tombDir)
+    val n = nextTombIndex(fs, root)
+    atomicWrite(fs, new Path(tombDir, "_NEXT"), (n + 1).toString)
+    n
   }
 
   /** Drop tombstoned texts from `df` (broadcast anti-join on the text
@@ -585,7 +663,7 @@ object DedupStore {
 
   private def tombstoneFileCount(fs: FileSystem, root: Path): Int =
     listDir(fs, new Path(root, "_TOMBSTONES"))
-      .count(f => f.isFile && !f.getPath.getName.startsWith("."))
+      .count(f => f.isFile && tombIdx(f.getPath.getName, "t").isDefined)
 
   def run(spark: SparkSession, docs: DataFrame,
           storeDir: String, ckptDir: String, nBuckets: Int = 16): DataFrame = {
@@ -863,16 +941,21 @@ object DedupStore {
 
   /** The erasure feed: every tombstoned xxhash64(text) as a one-column
     * frame — what a downstream consumer deletes by (it stores the same
-    * hashes, never the erased content). Append-only until
-    * [[compactTombstones]] folds hashes whose victims are physically
-    * absent everywhere;
-    * consumers that sync at least once per compaction interval never
-    * miss a delete (and a full re-sync from [[read]] is always a
-    * correct recovery, since every read path is tombstone-filtered). */
+    * hashes, never the erased content). Covers BOTH live tombstones and
+    * the feed-only records compaction left behind (`d<i>` files, kept
+    * for [[TombstoneFeedRetentionMs]]), so a consumer that last synced
+    * before a purge still receives the delete even when compaction ran
+    * in between. Apply these BEFORE the sync's upserts (see the class
+    * doc's lifecycle note): a re-delivered folded hash is idempotent
+    * against an absent row, and deletes-first lets a same-batch
+    * re-ingestion upsert win. Consumers lagging past the feed retention
+    * recover by a full re-sync from [[read]] — always correct, since
+    * every read path is tombstone-filtered. */
   def tombstones(spark: SparkSession, storeDir: String): DataFrame = {
     val (fs, root) = fsRoot(storeDir)
-    spark.createDataset(loadTombstones(fs, root))(Encoders.scalaLong)
-      .toDF("text_hash")
+    val all = (loadTombstones(fs, root) ++ feedEntries(fs, root).map(_._1))
+      .distinct
+    spark.createDataset(all)(Encoders.scalaLong).toDF("text_hash")
   }
 
   /** Targeted delete (takedown / right-to-be-forgotten) INSIDE the
@@ -914,11 +997,7 @@ object DedupStore {
     // re-ingestion. A crashed-and-retried purge writes a duplicate
     // file instead; loadTombstones dedups.
     val tombDir = new Path(root, "_TOMBSTONES")
-    fs.mkdirs(tombDir)
-    val nextTomb = listDir(fs, tombDir)
-      .flatMap(f => f.getPath.getName.stripPrefix("t").toLongOption)
-      .maxOption.getOrElse(-1L) + 1
-    atomicWrite(fs, new Path(tombDir, s"t$nextTomb"),
+    atomicWrite(fs, new Path(tombDir, s"t${allocTombIndex(fs, root)}"),
       hashes.map(_.toString).mkString("", "\n", "\n"))
     current match {
       case None => emptyStore(spark) // nothing committed: tombstones only
@@ -973,66 +1052,110 @@ object DedupStore {
     purge(spark, storeDir, victims)
   }
 
+  /** How long a FOLDED tombstone stays deliverable as a delete record
+    * (`d<i>` feed files) after compaction moved it out of the live log.
+    * This bounds how far a CDC consumer may lag without losing an
+    * erasure: within the window, the delete is re-delivered from the
+    * feed; past it, the consumer must full-resync from [[read]]. A
+    * week covers any sane sync cadence while keeping the feed bounded
+    * at O(takedowns-per-week). */
+  private[graft] val TombstoneFeedRetentionMs: Long = 7L * 24 * 60 * 60 * 1000
+
   /** Fold away tombstones whose victims are PHYSICALLY erased, keeping
     * the ones a crashed purge still needs — the lifecycle step that
     * caps [[loadTombstones]] at O(recent takedowns) instead of O(all
     * time). A hash is retained iff some committed version's
     * manifest-referenced data still contains a text hashing to it
     * (the tombstone is then load-bearing: it is what hides the victim
-    * until the rewrite completes or re-runs); everything else folds
-    * into deletion, ENDING re-ingestion suppression for those texts —
+    * until the rewrite completes or re-runs); everything else folds out
+    * of the LIVE log, ENDING re-ingestion suppression for those texts —
     * the documented contract (see the class doc: compact once the
     * victim is also gone upstream; permanent bans belong in a
     * blocklist, not deletion markers).
     *
+    * Folding does NOT drop the delete from the FEED: folded hashes move
+    * into a `d<i>` record (hash + fold timestamp) that [[tombstones]]
+    * and the DSv2 change source keep emitting for `feedRetentionMs`, so
+    * a lagging CDC consumer still receives every erasure (auto-
+    * compaction in [[run]] can otherwise fold a purge in the SAME drain
+    * cycle that created it — before any consumer had a chance to sync).
+    * Prior feed records re-consolidate into the new file (earliest fold
+    * time wins per hash, so retention runs from the first fold) and
+    * only age out past the window.
+    *
     * Cost ∝ the tombstone-hash buckets' live bytes, not store size:
     * the presence probe reads only manifest entries in buckets a
-    * tombstone hash maps to. Crash-safe ordering: the consolidated
-    * survivor file lands (atomically) BEFORE the old files are
-    * removed — dying in between leaves duplicate hashes, which
-    * [[loadTombstones]] dedups, never a window with suppression lost.
-    * Returns (kept, dropped) hash counts. */
-  def compactTombstones(spark: SparkSession, storeDir: String): (Int, Int) = {
+    * tombstone hash maps to. Crash-safe ordering: index allocation
+    * bumps the `_NEXT` floor first (a consumer's tombstone cursor can
+    * never be stranded above a reused index), the consolidated files
+    * land (atomically) BEFORE the old files are removed — dying in
+    * between leaves duplicate hashes, which readers dedup, never a
+    * window with suppression or feed delivery lost. Returns
+    * (kept, folded) hash counts over the live log. */
+  def compactTombstones(spark: SparkSession, storeDir: String,
+                        feedRetentionMs: Long = TombstoneFeedRetentionMs): (Int, Int) = {
     val (fs, root) = fsRoot(storeDir)
     withWriterLock(fs, root, "compact-tombstones") {
       val tombs = loadTombstones(fs, root)
-      if (tombs.isEmpty) (0, 0)
+      val oldFeed = feedEntries(fs, root)
+      if (tombs.isEmpty && oldFeed.isEmpty) (0, 0)
       else {
-        val buckets = layoutBuckets(fs, root, 16)
-        val tombBuckets = tombs
-          .map(h => (((h % buckets) + buckets) % buckets).toInt).toSet
-        // every surviving data file is referenced by some committed
-        // version's manifest (prune keeps survivor manifests accurate),
-        // so the union of manifests restricted to the tombstones'
-        // buckets is exactly the byte set that could still hold a victim
-        val files = versions(fs, root)
-          .flatMap { case (_, dir) => entriesOf(fs, root, dir) }
-          .filter { case (b, _) => tombBuckets.contains(b) }
-          .map(_._2.toString).distinct
+        val now = System.currentTimeMillis()
         val present: Set[Long] =
-          if (files.isEmpty) Set.empty
+          if (tombs.isEmpty) Set.empty
           else {
-            val tdf = spark.createDataset(tombs)(Encoders.scalaLong)
-              .toDF("__thash")
-            spark.read.parquet(files: _*)
-              .select(xxhash64(col("text")).as("__thash"))
-              .join(broadcast(tdf), Seq("__thash"), "left_semi")
-              .distinct().collect().map(_.getLong(0)).toSet
+            val buckets = layoutBuckets(fs, root, 16)
+            val tombBuckets = tombs
+              .map(h => (((h % buckets) + buckets) % buckets).toInt).toSet
+            // every surviving data file is referenced by some committed
+            // version's manifest (prune keeps survivor manifests
+            // accurate), so the union of manifests restricted to the
+            // tombstones' buckets is exactly the byte set that could
+            // still hold a victim
+            val files = versions(fs, root)
+              .flatMap { case (_, dir) => entriesOf(fs, root, dir) }
+              .filter { case (b, _) => tombBuckets.contains(b) }
+              .map(_._2.toString).distinct
+            if (files.isEmpty) Set.empty
+            else {
+              val tdf = spark.createDataset(tombs)(Encoders.scalaLong)
+                .toDF("__thash")
+              spark.read.parquet(files: _*)
+                .select(xxhash64(col("text")).as("__thash"))
+                .join(broadcast(tdf), Seq("__thash"), "left_semi")
+                .distinct().collect().map(_.getLong(0)).toSet
+            }
           }
         // a colliding innocent text keeps the tombstone alive (fail-safe
         // toward suppression — the documented ~n·2⁻⁶⁴ trade)
         val keep = tombs.filter(present.contains)
+        val folded = tombs.filterNot(present.contains)
+        val feed: Seq[(Long, Long)] =
+          (folded.map(_ -> now) ++ oldFeed)
+            .groupBy(_._1).map { case (h, es) => h -> es.map(_._2).min }
+            .toSeq
+            .filter { case (_, ts) => now - ts <= feedRetentionMs }
+            .sortBy(_._1)
         val tombDir = new Path(root, "_TOMBSTONES")
         val old = listDir(fs, tombDir)
-          .filter(f => f.isFile && !f.getPath.getName.startsWith("."))
+          .filter(f => f.isFile &&
+            (tombIdx(f.getPath.getName, "t").isDefined ||
+              tombIdx(f.getPath.getName, "d").isDefined))
           .map(_.getPath)
-        val next = old.flatMap(_.getName.stripPrefix("t").toLongOption)
-          .maxOption.getOrElse(-1L) + 1
+        // unconditional allocations: even when a family writes no file,
+        // its index is burned and `_NEXT` moves past every old file —
+        // the monotonicity that keeps checkpointed consumer cursors
+        // valid across a compaction that empties the directory
+        val ti = allocTombIndex(fs, root)
         if (keep.nonEmpty)
-          atomicWrite(fs, new Path(tombDir, s"t$next"),
+          atomicWrite(fs, new Path(tombDir, s"t$ti"),
             keep.mkString("", "\n", "\n"))
+        val di = allocTombIndex(fs, root)
+        if (feed.nonEmpty)
+          atomicWrite(fs, new Path(tombDir, s"d$di"),
+            feed.map { case (h, ts) => s"$h\t$ts" }.mkString("", "\n", "\n"))
         old.foreach(p => fs.delete(p, false): Unit)
-        (keep.size, tombs.size - keep.size)
+        (keep.size, folded.size)
       }
     }
   }

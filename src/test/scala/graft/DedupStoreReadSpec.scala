@@ -180,4 +180,108 @@ class DedupStoreReadSpec extends SparkSpec {
     assert(third.forall(t => bucketOf(t, 8) == bucketOf("rd third", 8)),
       s"resume re-emitted untouched buckets: $third")
   }
+
+  test("tombstone index stays monotonic across compaction; a checkpointed consumer misses no delete") {
+    // The erasure-propagation regression: a consumer checkpoints its
+    // tombstone cursor AFTER consuming purge A's t-file, compaction
+    // then folds A (victim physically erased) — the old layout emptied
+    // the directory, so purge B reused index t0 ≤ the cursor and B's
+    // delete was skipped forever. Now compaction burns fresh indices
+    // (folded hashes move to a d-file, the _NEXT floor never resets),
+    // so B lands ABOVE every consumed index and the resumed drain
+    // delivers it — plus A's folded delete re-delivered from the feed
+    // (idempotent for a deletes-first consumer).
+    val (store, cursor) = twoDeliveryStore()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdcmono").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format(ChangesFormat)
+        .option("path", store).option("since", cursor).load()
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    DedupStore.purge(spark, store, Seq("rd text 3"))
+    drain() // consumer's checkpoint now carries purge A's tomb index
+    val (kept, folded) = DedupStore.compactTombstones(spark, store)
+    assert(kept == 0 && folded == 1,
+      s"the erased victim's tombstone should fold: ($kept, $folded)")
+    DedupStore.purge(spark, store, Seq("rd text 9"))
+    // purge B's index must exceed every pre-compaction index
+    val tNames = new java.io.File(s"$store/_TOMBSTONES").listFiles()
+      .filter(_.isFile).map(_.getName).filter(_.matches("t\\d+"))
+    assert(tNames.nonEmpty && tNames.forall(_.drop(1).toLong > 0),
+      s"purge after compaction reused a consumed index: ${tNames.toSeq}")
+    drain() // resume: must deliver purge B's delete
+    val hashOf = (t: String) =>
+      Seq(t).toDF("t").select(xxhash64(col("t"))).head.getLong(0)
+    val dels = spark.read.parquet(s"$tmp/out")
+      .filter(col("op") === "delete")
+      .select(col("thash")).collect().map(_.getLong(0)).toSet
+    assert(dels.contains(hashOf("rd text 9")),
+      "the post-compaction purge's delete was skipped — index reuse")
+    assert(dels.contains(hashOf("rd text 3")),
+      "the folded purge's delete left the feed before retention")
+  }
+
+  test("crash-replay with a retention-pruned end version falls back to the live in-window files") {
+    // The silent-empty-batch regression: a checkpointed micro-batch
+    // pins END at a version whose directory retention later pruned
+    // (every file it WROTE got superseded, but files written by an
+    // INTERMEDIATE in-window version are still current). Planning the
+    // replay empty would skip those buckets forever — later batches
+    // filter writing-version > end. The fallback reads the latest
+    // manifest restricted to writing-version in (since, end].
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdcfall").toString
+    val store = s"$tmp/store"
+    val nB = 4
+    // pick probe texts per bucket so each delivery targets known buckets
+    val byBucket = (0 until 400).map(i => s"fb text $i")
+      .groupBy(t => bucketOf(t, nB))
+    def inBucket(b: Int, n: Int) = byBucket(b).take(n)
+    // v0: all four buckets populated
+    val d0 = (0 until nB).flatMap(b => inBucket(b, 3))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    d0.toDF("doc_id", "text").write.format(SinkFormat)
+      .option("path", store).option("nBuckets", nB.toString)
+      .mode("append").save()
+    // v1: bucket 1 only (the in-window survivor the fallback must find)
+    Seq((100L, inBucket(1, 4).last)).toDF("doc_id", "text")
+      .write.format(SinkFormat).option("path", store).mode("append").save()
+    // v2: bucket 2 only — the version a checkpoint will pin as END
+    Seq((200L, inBucket(2, 4).last)).toDF("doc_id", "text")
+      .write.format(SinkFormat).option("path", store).mode("append").save()
+    val endName = new org.apache.hadoop.fs.Path(
+      DedupStore.currentVersion(store).get).getName
+    // v3: bucket 2 again — supersedes ALL of v2's own files, so
+    // retention prunes the v2 directory while v1's file stays live
+    Seq((300L, inBucket(2, 5).last)).toDF("doc_id", "text")
+      .write.format(SinkFormat).option("path", store).mode("append").save()
+    assert(!new java.io.File(s"$store/$endName").exists(),
+      s"fixture broken: $endName should be retention-pruned")
+    val sinceKey = DedupStore.parseKey("v0").get
+    val planned = graft.sources.DedupStoreChanges.changedFilesBetween(
+      store, sinceKey, endName)
+    assert(planned.nonEmpty,
+      "pruned end version must fall back, not plan an empty batch")
+    // exactly the in-window still-current files: bucket 1's v1 write;
+    // bucket 2's current file was written AFTER end (v3) and belongs to
+    // the next batch
+    val writers = planned.map(f =>
+      new org.apache.hadoop.fs.Path(f).getParent.getParent.getName).toSet
+    assert(writers == Set("v1"),
+      s"fallback must plan exactly the in-window current files: $writers")
+    val got = rows(spark.read.parquet(planned: _*)
+      .select(col("text"), col("keep_id"), col("n_copies")))
+    assert(got.exists(_._1 == inBucket(1, 4).last),
+      s"the intermediate version's bucket was lost: $got")
+    // a store with NO committed version refuses loudly instead of
+    // planning nothing
+    val gone = java.nio.file.Files.createTempDirectory("graft_cdcgone").toString
+    val e = intercept[IllegalStateException] {
+      graft.sources.DedupStoreChanges.changedFilesBetween(
+        gone, sinceKey, "v2")
+    }
+    assert(e.getMessage.contains("no committed version"))
+  }
 }

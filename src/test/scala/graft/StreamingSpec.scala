@@ -302,9 +302,10 @@ class StreamingSpec extends SparkSpec {
     assert(rows("ilv text 10") == 2L, "duplicate merge broken by purges")
     assert(graft.streaming.DedupStore.latest(s"$tmp/store")
       .exists(_.endsWith("v1.1")))
-    // two committed tombstone files, no overwrites
+    // two committed live tombstone files, no overwrites (the dir also
+    // holds the _NEXT index counter — not a tombstone)
     val tombs = new java.io.File(s"$tmp/store/_TOMBSTONES").listFiles()
-      .filter(f => f.isFile && !f.getName.startsWith(".")).map(_.getName).toSet
+      .filter(f => f.isFile && f.getName.matches("t\\d+")).map(_.getName).toSet
     assert(tombs == Set("t0", "t1"), s"tombstone files: $tombs")
   }
 
@@ -325,8 +326,13 @@ class StreamingSpec extends SparkSpec {
     (0 until 60).map(i => (i.toLong, s"ac text $i")).toDF("doc_id", "text")
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
     graft.streaming.DedupStore.run(spark, stream(), s"$tmp/store", s"$tmp/ckpt")
+    // the live suppression log (t*) is what auto-compaction bounds; the
+    // feed-only d* records folded hashes consolidate into (one file,
+    // re-consolidated per compaction) and _NEXT are separate machinery
     def tombFiles() = Option(new java.io.File(s"$tmp/store/_TOMBSTONES").listFiles())
-      .map(_.count(f => f.isFile && !f.getName.startsWith("."))).getOrElse(0)
+      .map(_.count(f => f.isFile && f.getName.matches("t\\d+"))).getOrElse(0)
+    def feedFiles() = Option(new java.io.File(s"$tmp/store/_TOMBSTONES").listFiles())
+      .map(_.count(f => f.isFile && f.getName.matches("d\\d+"))).getOrElse(0)
     for (k <- 0 until 10) {
       graft.streaming.DedupStore.purge(spark, s"$tmp/store", Seq(s"ac text $k"))
       Seq(((100 + k).toLong, s"ac text ${100 + k}")).toDF("doc_id", "text")
@@ -335,11 +341,24 @@ class StreamingSpec extends SparkSpec {
         spark, stream(), s"$tmp/store", s"$tmp/ckpt")
       assert(tombFiles() <= graft.streaming.DedupStore.AutoCompactTombstoneFiles + 1,
         s"cycle $k: tombstone log unbounded (${tombFiles()} files)")
+      assert(feedFiles() <= 1,
+        s"cycle $k: folded-delete feed must consolidate (${feedFiles()} d files)")
       val texts = after.collect().map(_.getAs[String]("text")).toSet
       (0 to k).foreach(v => assert(!texts.contains(s"ac text $v"),
         s"cycle $k: purged 'ac text $v' resurrected"))
       assert(texts.contains(s"ac text ${100 + k}"), s"cycle $k: ingest lost")
     }
+    // compaction ended SUPPRESSION for the folded purges but not their
+    // DELETE-FEED delivery: every one of the 10 erasures is still in
+    // tombstones() (live + folded-within-retention), so a replica
+    // consumer that never synced mid-lifetime still removes them all
+    val victims = (0 until 10).map(k => s"ac text $k")
+    val victimHashes = victims.toDF("t")
+      .select(xxhash64(col("t"))).collect().map(_.getLong(0)).toSet
+    val feed = graft.streaming.DedupStore.tombstones(spark, s"$tmp/store")
+      .collect().map(_.getLong(0)).toSet
+    assert(victimHashes.subsetOf(feed),
+      s"folded deletes dropped from the feed: missing ${victimHashes -- feed}")
   }
 
   test("fresh-checkpoint re-drain after retention pruned early versions keeps the purged state") {
@@ -572,12 +591,27 @@ class StreamingSpec extends SparkSpec {
       spark, s"$tmp/store")
     assert((kept, dropped) == (1, 2),
       s"expected the crashed purge's hash kept and 2 folded, got ($kept, $dropped)")
-    // files consolidated; only the load-bearing hash remains
+    // live log consolidated; only the load-bearing hash remains
     assert(graft.streaming.DedupStore.loadTombstones(s"$tmp/store") ==
       Seq(crashedHash))
-    val tombFiles = new java.io.File(s"$tmp/store/_TOMBSTONES").listFiles()
-      .filter(f => f.isFile && !f.getName.startsWith(".")).map(_.getName).toSet
-    assert(tombFiles.size == 1, s"compaction must consolidate files: $tombFiles")
+    val byKind = new java.io.File(s"$tmp/store/_TOMBSTONES").listFiles()
+      .filter(_.isFile).map(_.getName)
+      .groupBy(n => if (n.matches("t\\d+")) "t"
+                    else if (n.matches("d\\d+")) "d" else "other")
+    assert(byKind.getOrElse("t", Array.empty).length == 1,
+      s"compaction must consolidate the live log: $byKind")
+    // the two folded erasures moved to the feed-only d record — still
+    // deliverable as deletes — at a HIGHER index than any old t file
+    // (monotonic index space: a consumer's cursor is never stranded)
+    assert(byKind.getOrElse("d", Array.empty).length == 1,
+      s"folded hashes must land in one feed record: $byKind")
+    val dIdx = byKind("d").head.drop(1).toLong
+    val tIdx = byKind("t").head.drop(1).toLong
+    assert(dIdx > 1 && tIdx > 1,
+      s"consolidated indices must exceed the consumed t0/t1 ($tIdx, $dIdx)")
+    val feedNow = graft.streaming.DedupStore.tombstones(spark, s"$tmp/store")
+      .collect().map(_.getLong(0)).toSet
+    assert(feedNow.size == 3, s"tombstones() must keep folded deletes: $feedNow")
     // the crashed victim stays hidden on every read path
     assert(!graft.streaming.DedupStore.read(spark, s"$tmp/store")
       .collect().map(_.getAs[String]("text")).contains(crashedVictim))
