@@ -261,22 +261,34 @@ object Dedup {
   }
 
   /** Connected components over undirected near-dup pair edges
-    * ((id_a, id_b) rows) via iterative min-label propagation: every node
-    * ends labeled with the smallest id in its component, so "keep the
-    * cluster minimum" dedup is exact under transitivity (A~B, B~C ⇒ one
-    * survivor for {A,B,C} even if A~C was never emitted as a pair).
+    * ((id_a, id_b) rows): every node ends labeled with the smallest id
+    * in its component, so "keep the cluster minimum" dedup is exact
+    * under transitivity (A~B, B~C ⇒ one survivor for {A,B,C} even if
+    * A~C was never emitted as a pair).
     *
-    * The loop is driver-side CONTROL flow only (the per-iteration work is
-    * a join + aggregate); near-dup clusters have tiny diameters, so
-    * convergence takes ~log(diameter) iterations. Returns (id, cluster). */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
+    * Two regimes. Below `driverThreshold` edges, a driver union-find
+    * resolves the whole pair set in one collect — 1M edges ≈ 16 MB of
+    * longs, well inside driver heap, and one job beats any iterative
+    * plan. Above it, ALTERNATING LARGE-STAR/SMALL-STAR (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014 — the
+    * public algorithm, re-expressed on DataFrames): each round rewires
+    * every node toward its neighborhood minimum, provably converging to
+    * per-component stars in O(log² n) rounds (a handful in practice,
+    * INDEPENDENT of component diameter — plain min-label propagation
+    * needs O(diameter) rounds, which a chain-shaped component turns
+    * into thousands). Per-round work is groupBy-min + equality joins —
+    * partial aggregation keeps hub nodes cheap and AQE splits the
+    * skewed join a giant component's root attracts; the edge set only
+    * shrinks as stars form. `localCheckpoint` truncates the growing
+    * loop lineage each round (the iterative-algorithm idiom — GraphX
+    * does the same).
+    *
+    * The loop is driver-side CONTROL flow only; exceeding `maxIter`
+    * THROWS rather than returning silently-unconverged labels (a wrong
+    * cluster assignment is a correctness bug downstream — q67's
+    * leakage-free split hangs off these labels). Returns (id, label). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
                           driverThreshold: Long = 1000000L): DataFrame = {
-    // Near-dup pair sets are tiny relative to the corpus (that's the
-    // point of dedup); below the threshold a driver union-find resolves
-    // them in one collect instead of a multi-job iterative loop. 1M
-    // edges ≈ 16 MB of longs (tens of MB as Rows in flight) — well
-    // inside driver heap; the distributed label-propagation path takes
-    // over beyond that.
     if (pairs.count() <= driverThreshold) {
       val spark = pairs.sparkSession
       import spark.implicits._
@@ -297,34 +309,65 @@ object Dedup {
         }
       return parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "label")
     }
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .cache()
+
+    // large-star: for each node u, hook every LARGER neighbor to the
+    // minimum of u's closed neighborhood — long chains collapse toward
+    // their minima from every node at once
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = e.select(col("a").as("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("a").as("v")))
+      val mins = und.groupBy(col("u"))
+        .agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      und.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("v"))
+        .distinct()
+    }
+    // small-star: for each node u, hook u and its SMALLER neighbors to
+    // the minimum among them — stars flatten to height one
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("a")).agg(min(col("v")).as("m"))
+      val withMin = e.join(mins, "a")
+      withMin.filter(col("v") =!= col("m"))
+        .select(col("v").as("a"), col("m").as("v"))
+        .union(withMin.select(col("a"), col("m").as("v")))
+        .distinct()
+    }
+
+    // oriented larger→smaller, self-loops dropped (re-added as
+    // singleton labels at the end for parity with the driver path)
+    var e = pairs.select(
+        greatest(col("id_a"), col("id_b")).cast("long").as("a"),
+        least(col("id_a"), col("id_b")).cast("long").as("v"))
+      .filter(col("a") =!= col("v")).distinct()
+      .localCheckpoint()
+    var n = e.count()
     var iter = 0
-    var converged = edges.isEmpty
-    while (!converged && iter < maxIter) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("label").as("dst_label")), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min(col("dst_label")).as("nbr_label"))
-      val updated = labels
-        .join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .cache()
-      converged = updated
-        .join(labels.select(col("id"), col("label").as("prev")), "id")
-        .filter(col("label") =!= col("prev"))
-        .isEmpty
-      labels.unpersist()
-      labels = updated
+    var converged = n == 0L
+    while (!converged) {
+      if (iter >= maxIter)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter large-star/" +
+            "small-star rounds — silently returning partial labels would " +
+            "mis-cluster documents downstream; raise maxIter (convergence " +
+            "is O(log² n) rounds, so this indicates a pathological input)")
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val nNext = next.count()
+      // fixpoint = identical edge set: at star convergence both rewiring
+      // steps re-emit their input, so |next| == |e| ∧ next ⊆ e ⇒ equal
+      converged = nNext == n && next.except(e).isEmpty
+      e = next
+      n = nNext
       iter += 1
     }
-    edges.unpersist()
-    labels
+    val selfLabels = pairs.filter(col("id_a") === col("id_b"))
+      .select(col("id_a").cast("long").as("id"))
+      .distinct().withColumn("label", col("id"))
+    e.select(col("a").as("id"), col("v").as("label"))
+      .union(e.select(col("v").as("id"), col("v").as("label")))
+      .union(selfLabels)
+      .distinct()
   }
 
   /** SimHash fingerprints + banded near-dup pairs with Hamming distance ≤

@@ -1037,9 +1037,11 @@ object NorthStarQueries {
     // The per-document cluster map a dedup pipeline actually consumes:
     // canonical id = min doc id reachable through the d09 exact-8-gram
     // pair graph. Deterministic (min-root union-find below the driver
-    // threshold, min-label propagation above — same fixpoint), so the
+    // threshold, large-star/small-star above — same fixpoint), so the
     // whole operator is hash-checked against a recursive-CTE transitive
-    // closure in DuckDB, not just spec-gated.
+    // closure in DuckDB, not just spec-gated; ScaleSpec forces the
+    // distributed path on a worst-case graph and DedupSimilaritySpec
+    // forces it on this exact query's pair set.
     ("c02_dup_clusters",
       (s: SparkSession, d: String) => {
         val pairs = Dedup.substringNearDupPairs(

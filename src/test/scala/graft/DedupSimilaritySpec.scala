@@ -558,7 +558,7 @@ class DedupSimilaritySpec extends SparkSpec {
     val labels = Dedup.connectedComponents(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels == expected)
-    // distributed label-propagation path (threshold 0 forces the loop)
+    // distributed large-star/small-star path (threshold 0 forces it)
     val labelsDist = Dedup.connectedComponents(pairs, driverThreshold = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labelsDist == expected)
@@ -566,6 +566,23 @@ class DedupSimilaritySpec extends SparkSpec {
     val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(none).count() == 0)
     assert(Dedup.connectedComponents(none, driverThreshold = 0).count() == 0)
+  }
+
+  test("c02's cluster map is identical through the forced distributed CC path") {
+    // the c02/c03 queries go through connectedComponents' default
+    // threshold (driver union-find at fixture scale); the 100 TB claim
+    // is that the distributed path yields the SAME clusters on the SAME
+    // pair set — forced here with cap 0 on c02's exact pair generation
+    val pairs = Dedup.substringNearDupPairs(
+      Tables.load(spark, sf, "documents"), "doc_id", "text", n = 8).cache()
+    val viaDriver = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStars = Dedup.connectedComponents(pairs, driverThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.unpersist()
+    assert(viaDriver.nonEmpty, "fixture should contain near-dup docs")
+    assert(viaStars == viaDriver,
+      "c02 clusters must not depend on which CC regime computed them")
   }
 
   test("s02 centroid choice: seed-vs-k-means recall both measured, floors hold") {

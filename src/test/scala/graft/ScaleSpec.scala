@@ -498,4 +498,40 @@ class ScaleSpec extends SparkSpec {
         "static overwrite should have replaced the whole directory")
     }
   }
+
+  test("distributed connected components equals driver union-find on a 100k-edge worst case") {
+    // The scale path for dup clustering (c02/c03): past the driver
+    // union-find's edge threshold, large-star/small-star must produce
+    // IDENTICAL clusters. The synthetic graph is adversarial for the
+    // propagation-style alternative this replaced: one 60k-node PATH
+    // (diameter 60k — min-label propagation would need 60k rounds; the
+    // star rounds collapse it in O(log)), plus 20k two-node components,
+    // plus a 10k-edge random blob sharing nodes 0..999 with the path's
+    // head so transitive merges cross generators.
+    import spark.implicits._
+    val path = (0 until 60000).map(i => (i.toLong, i + 1L))
+    val tiny = (0 until 20000).map(i => (100000 + 2 * i.toLong, 100001 + 2 * i.toLong))
+    val rnd = new scala.util.Random(7)
+    val blob = (0 until 10000).map { _ =>
+      val a = rnd.nextInt(1000).toLong
+      val b = 200000L + rnd.nextInt(5000)
+      (a, b)
+    }
+    val pairs = (path ++ tiny ++ blob).toDF("id_a", "id_b")
+      .repartition(8).cache()
+    val viaDriver = graft.ops.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStars = graft.ops.Dedup.connectedComponents(pairs, driverThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.unpersist()
+    assert(viaStars.size == viaDriver.size,
+      s"node coverage differs: ${viaStars.size} vs ${viaDriver.size}")
+    assert(viaStars == viaDriver,
+      "large-star/small-star labels must equal the union-find labels")
+    // the path, its blob attachments, and blob targets are ONE component
+    // rooted at 0 — the transitivity the clusters exist to capture
+    assert(viaStars(60000L) == 0L, "path tail must label to the head's 0")
+    assert(blob.forall { case (_, b) => viaStars(b) == 0L },
+      "blob nodes reachable through the path head must label 0")
+  }
 }
