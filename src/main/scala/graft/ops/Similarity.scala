@@ -207,6 +207,67 @@ object Similarity {
         first(col("embedding")).as("embedding"),
         max_by(col("cell_id"), struct(col("sim"), -col("cell_id"))).as("cell_id"))
 
+  /** nCells boundary between the two multi-probe derivation strategies
+    * in [[withProbeCells]]. Below it, per-row literal scoring wins (one
+    * codegen'd expression tree, no extra shuffle); past it the literal
+    * array outgrows codegen (Janino method limits, plan bloat) and the
+    * driver collect stops being "metadata", so the broadcast-join plan
+    * takes over. 256 × 128-dim floats ≈ 128 KB of literals — the upper
+    * end of what a generated method should carry. */
+  private[graft] val LiteralProbeMaxCells = 256
+
+  /** The multi-probe cell map: `vecs` (must carry `vec_id` and
+    * `embedding`; other columns pass through) exploded to one row per
+    * (vector, probed cell), `cell_id` = the vector's `nProbe` nearest
+    * centroids in `cents` (cell_id, centroid), ordered by rounded
+    * cosine desc with lowest-id tie-break.
+    *
+    * Strategy switches on |cents| — the large-nCells scale path the
+    * fixture's nCells = 16 never exercises but nCells ≈ √corpus
+    * requires:
+    *  - ≤ `literalMax`: centroids localize into ONE codegen'd
+    *    sort_array(struct(-sim, cell)) literal tree — no join, no
+    *    shuffle, the per-row argmax form.
+    *  - > `literalMax`: centroids stay a BROADCAST frame; scoring is a
+    *    broadcast nest-loop join and the top-nProbe cut is the bounded
+    *    [[graft.functions.TopCells]] aggregate, whose map-side partials
+    *    hold at most nProbe entries — the nCells-fold expansion dies in
+    *    the same stage it is born, and the exchange carries one row per
+    *    vector. The probe map then joins back to `vecs` by vec_id.
+    * Both strategies use the same 6-dp rounding and tie-break, so they
+    * produce IDENTICAL cell sets (spec-gated at nCells = 512). */
+  private[graft] def withProbeCells(vecs: DataFrame, cents: DataFrame,
+                                    nProbe: Int,
+                                    literalMax: Int = LiteralProbeMaxCells): DataFrame = {
+    val cbook = cents.select(col("cell_id").cast("long").as("cell_id"),
+      col("centroid"))
+    if (cbook.count() <= literalMax) {
+      val codebook = cbook.collect().map { r =>
+        (r.getLong(0), r.getSeq[Float](1).toArray)
+      }
+      if (codebook.isEmpty) return vecs.withColumn("cell_id", lit(0L)).limit(0)
+      val cellScores = array(codebook.map { case (cid, vec) =>
+        struct((-round(cosineSim(col("embedding"), typedlit(vec)), 6)).as("nsim"),
+          lit(cid).as("cell_id"))
+      }.toIndexedSeq: _*)
+      val topCells = transform(
+        slice(sort_array(cellScores), 1, nProbe), e => e.getField("cell_id"))
+      vecs.withColumn("cell_id", explode(topCells))
+    } else {
+      val probeMap = vecs.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(cbook.select(col("cell_id").as("__pc_cell"),
+          col("centroid").as("__pc_centroid"))))
+        .select(col("vec_id"),
+          round(cosineSim(col("embedding"), col("__pc_centroid")), 6).as("__pc_sim"),
+          col("__pc_cell"))
+        .groupBy(col("vec_id"))
+        .agg(graft.functions.TopCells.topCells(
+          col("__pc_sim"), col("__pc_cell"), nProbe).as("__pc_cells"))
+        .select(col("vec_id"), explode(col("__pc_cells")).as("cell_id"))
+      vecs.join(probeMap, "vec_id")
+    }
+  }
+
   /** IVF search: probe the query's nProbe nearest cells only.
     * `trainIters > 0` refines the seed centroids with k-means first.
     * `quantized = true` scores probed candidates with the fused int8
@@ -443,8 +504,10 @@ object Similarity {
     * served off the PERSISTED index. The index supplies the two
     * expensive artifacts — the TRAINED codebook (no re-train) and the
     * per-vector int8 codes (no re-quantize); only the multi-probe
-    * blocking map (each vector → its `nProbe` nearest cells, a
-    * codegen'd argmax over 16 broadcast literals) is derived in-query,
+    * blocking map (each vector → its `nProbe` nearest cells, via
+    * [[withProbeCells]] — literal codegen'd argmax at this fixture's
+    * 16 cells, broadcast-join + bounded top-n past
+    * [[LiteralProbeMaxCells]]) is derived in-query,
     * as any IVF sweep must, because a recall-holding pair rule needs
     * BOTH endpoints multi-probed: pair (a,b) is a candidate iff their
     * nProbe-cell sets intersect — the same symmetric rule as
@@ -462,17 +525,9 @@ object Similarity {
                            prefilterMargin: Double = 0.02): DataFrame = {
     val spark = corpus0.sparkSession
     val clean = cleanVectors(corpus0)
-    val codebook = spark.read.parquet(s"$indexDir/codebook").collect().map { r =>
-      (r.getInt(0), r.getSeq[Float](1).toArray)
-    }
-    val cellScores = array(codebook.map { case (cid, vec) =>
-      struct((-round(cosineSim(col("embedding"), typedlit(vec)), 6)).as("nsim"),
-        lit(cid).as("cell_id"))
-    }.toIndexedSeq: _*)
-    val topCells = transform(
-      slice(sort_array(cellScores), 1, nProbe), e => e.getField("cell_id"))
-    val probes = clean.select(col("vec_id"), col("embedding"),
-      explode(topCells).as("cell_id"))
+    val cents = spark.read.parquet(s"$indexDir/codebook")
+    val probes = withProbeCells(
+      clean.select(col("vec_id"), col("embedding")), cents, nProbe)
     // side B carries the INDEX's int8 code, joined by id (4× fewer bytes
     // than re-quantizing the float column; one hash join on vec_id)
     val codes = spark.read.parquet(s"$indexDir/cells")
@@ -631,23 +686,16 @@ object Similarity {
                       maxBucket: Int, cache: Boolean): (DataFrame, () => Unit) = {
     require(nProbe >= 1 && nProbe <= nCells, s"need 1 <= nProbe ($nProbe) <= nCells ($nCells)")
     val clean = cleanVectors(corpus)
-    // codebook: deterministic seed centroids, driver-collected (the IVF
-    // index's broadcast codebook — nCells · dim floats)
-    val codebook = centroids(clean, nCells).collect().map { r =>
-      (r.getLong(0), r.getSeq[Float](1).toArray)
-    }
-    val cellScores = array(codebook.map { case (cid, vec) =>
-      struct((-round(cosineSim(col("embedding"), typedlit(vec)), 6)).as("nsim"),
-        lit(cid).as("cell_id"))
-    }: _*)
-    val topCells = transform(
-      slice(sort_array(cellScores), 1, nProbe), e => e.getField("cell_id"))
+    // codebook: deterministic seed centroids, kept as a frame —
+    // withProbeCells decides whether to localize it into literals
+    // (small nCells) or broadcast-join it (large nCells)
+    val cents = centroids(clean, nCells)
     // one map-side pass: quantize + multi-probe cell assignment (cached
     // only in the WithRelease form; both self-join sides consume it)
     val assignedBase = Dedup.capBuckets(
-      withQ8(clean)
-        .select(col("vec_id"), col("embedding"), col("q_scale"), col("q8"),
-          explode(topCells).as("cell_id")),
+      withProbeCells(withQ8(clean)
+        .select(col("vec_id"), col("embedding"), col("q_scale"), col("q8")),
+        cents, nProbe),
       Seq("cell_id"), maxBucket)
     val assigned = if (cache) assignedBase.cache() else assignedBase
     val a = assigned.select(col("vec_id").as("id_a"),

@@ -568,6 +568,44 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.connectedComponents(none, driverThreshold = 0).count() == 0)
   }
 
+  test("large-nCells probe map: broadcast-join strategy equals the literal path at nCells=512") {
+    // the fixture's nCells=16 rides the codegen'd literal argmax; real
+    // deployments size nCells ≈ √corpus (thousands), where that tree
+    // outgrows codegen and the driver collect stops being metadata —
+    // the broadcast-join + bounded TopCells aggregate takes over. Both
+    // strategies are forced here on the SAME 512-centroid codebook and
+    // must emit IDENTICAL (vector, cell) probe maps.
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    def vec() = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+    val corpus = (0 until 2000).map(i => (i.toLong, vec().toSeq))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .cache()
+    val cents = (0 until 512).map(i => (i.toLong, vec().toSeq))
+      .toDF("cell_id", "embedding")
+      .select(col("cell_id"), col("embedding").cast("array<float>").as("centroid"))
+      .cache()
+    def mapOf(literalMax: Int) = Similarity.withProbeCells(
+        corpus, cents, nProbe = 4, literalMax = literalMax)
+      .select(col("vec_id"), col("cell_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaLiteral = mapOf(literalMax = 1024) // forces the codegen path at 512
+    val viaBroadcast = mapOf(literalMax = 0)  // forces the join + TopCells path
+    corpus.unpersist(); cents.unpersist()
+    assert(viaLiteral.size == 2000 * 4, s"literal map incomplete: ${viaLiteral.size}")
+    assert(viaBroadcast == viaLiteral,
+      "the two probe-map strategies must be interchangeable")
+    // ...and the aggregate's partials stay bounded: the plan must show a
+    // partial_topcells before the exchange (map-side truncation), not a
+    // window or collect_list over the expansion
+    val plan = Similarity.withProbeCells(corpus, cents, 4, literalMax = 0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topcells") || plan.toLowerCase.contains("topcells"),
+      s"expected the bounded TopCells aggregate in the plan")
+  }
+
   test("c02's cluster map is identical through the forced distributed CC path") {
     // the c02/c03 queries go through connectedComponents' default
     // threshold (driver union-find at fixture scale); the 100 TB claim
