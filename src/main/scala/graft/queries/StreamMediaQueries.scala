@@ -377,10 +377,16 @@ object StreamMediaQueries {
           .parquet(s"$inDir/part-*")
           .as[EventStream.Event]
         val out = java.nio.file.Files.createTempDirectory("graft_st12o").toString
-        EventStream.runToFiles(s,
-            EventStream.sessionizeStream(stream, timeout = false).toDF(),
-            s"$out/data", s"$out/ckpt")
-          .orderBy(col("user_id"), col("session_id"))
+        // per-user GroupState is the highest-cardinality merging state
+        // in the suite (one open session per active user): run on the
+        // RocksDB provider — the 100 TB configuration, where state is
+        // off-heap/on-disk per executor instead of an executor-heap
+        // ceiling. Provider parity is spec-gated in StreamingSpec.
+        EventStream.withRocksDBState(s) {
+          EventStream.runToFiles(s,
+              EventStream.sessionizeStream(stream, timeout = false).toDF(),
+              s"$out/data", s"$out/ckpt")
+        }.orderBy(col("user_id"), col("session_id"))
       },
       Some("""WITH e AS (
              |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t FROM events),
@@ -812,6 +818,40 @@ object StreamMediaQueries {
              |WHERE text IN (SELECT text FROM documents WHERE doc_id % 2 = 1)
              |ORDER BY keep_id""".stripMargin)),
 
+    // ---- CDC replica maintained THROUGH the streaming source --------------
+    // st18's replica-sync algebra driven end to end by the DSv2 change
+    // source instead of API calls: the stale replica (delivery one's
+    // dedup state) is seeded, then [[graft.streaming.CdcReplica]]
+    // drains the feed through checkpointed micro-batches, applying each
+    // batch's deletes first and keyed upserts second into a versioned
+    // parquet replica (`_SUCCESS`-gated, replay-idempotent — the
+    // foreachBatch exactly-once recipe). Same store-equality oracle as
+    // st18: the synced replica must equal batch exact-dedup over the
+    // full corpus, proving the source + consumer pair reconstructs
+    // store state through the streaming engine — offsets, checkpoint,
+    // crash-replay contract and all. Purge/restart interleavings are
+    // spec-covered in DedupStoreReadSpec (the shared fixture here has
+    // an empty delete axis; the join is still in the per-batch plan).
+    ("st22_store_replica_cdc",
+      (s: SparkSession, d: String) => {
+        val (store, cursor) = ensureBatchStore(s, d)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_st22").toString
+        graft.streaming.CdcReplica.seed(
+          Tables.load(s, d, "documents")
+            .select(col("doc_id"), col("text"))
+            .filter(pmod(col("doc_id"), lit(2)) === 0)
+            .groupBy(col("text"))
+            .agg(min(col("doc_id")).as("keep_id"),
+              count(lit(1)).as("n_copies")),
+          s"$tmp/replica")
+        graft.streaming.CdcReplica.sync(s, store, cursor,
+            s"$tmp/replica", s"$tmp/ckpt")
+          .select(col("keep_id"), col("n_copies"))
+          .orderBy(col("keep_id"))
+      },
+      Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+             |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
+
     // ---- streaming ANN index maintenance (continuous ingestion) -----------
     // s11's growth path on the STREAMING engine: the index is built
     // from the corpus at build time (even vec_ids), later arrivals
@@ -947,8 +987,12 @@ object StreamMediaQueries {
           .select(col("user_id"),
             col("w.start").as("session_start"),
             col("w.end").as("session_end"), col("n_events"))
-        EventStream.runToFiles(s, sess, s"$out/data", s"$out/ckpt")
-          .orderBy(col("user_id"), col("session_start"))
+        // session_window's merging state keys on (user, open window) —
+        // per-user cardinality, the RocksDB provider's case at 100 TB
+        // (see st12); parity spec-gated in StreamingSpec
+        EventStream.withRocksDBState(s) {
+          EventStream.runToFiles(s, sess, s"$out/data", s"$out/ckpt")
+        }.orderBy(col("user_id"), col("session_start"))
       },
       Some("""WITH e AS (
              |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t FROM events),

@@ -63,6 +63,51 @@ class StreamingSpec extends SparkSpec {
       .contains("HDFSBackedStateStoreProvider"))
   }
 
+  test("RocksDB provider parity: typed GroupState and session_window emit identical sessions") {
+    // the 100 TB state story for the session operators st12/st20 ship
+    // on: per-user merging state under the RocksDB provider must emit
+    // EXACTLY the sessions the default in-memory provider does — both
+    // for flatMapGroupsWithState (custom typed state) and the built-in
+    // session_window (engine-owned merging windows).
+    import spark.implicits._
+    def typedSessions(): Set[(Long, Int, Long, Long, Long)] = {
+      val inDir = graft.queries.StreamMediaQueries.ensureSessionStream(spark, sf)
+      val stream = spark.readStream.schema(EventStream.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$inDir/part-*")
+        .as[EventStream.Event]
+      val out = java.nio.file.Files.createTempDirectory("graft_rocksp").toString
+      EventStream.runToFiles(spark,
+          EventStream.sessionizeStream(stream, timeout = false).toDF(),
+          s"$out/data", s"$out/ckpt")
+        .collect().map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Int]("session_id"), r.getAs[Long]("session_start"),
+          r.getAs[Long]("session_end"), r.getAs[Long]("n_events"))).toSet
+    }
+    def windowSessions(): Set[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)] = {
+      val out = java.nio.file.Files.createTempDirectory("graft_rockssw").toString
+      val sess = EventStream.readEvents(spark, sf)
+        .withWatermark("event_time", "1 hour")
+        .groupBy(col("user_id"),
+          session_window(col("event_time"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("s"),
+          col("w.end").as("e"), col("n_events"))
+      EventStream.runToFiles(spark, sess, s"$out/data", s"$out/ckpt")
+        .collect().map(r => (r.getAs[Long]("user_id"),
+          r.getAs[java.sql.Timestamp]("s"), r.getAs[java.sql.Timestamp]("e"),
+          r.getAs[Long]("n_events"))).toSet
+    }
+    val typedDefault = typedSessions()
+    val typedRocks = EventStream.withRocksDBState(spark)(typedSessions())
+    assert(typedDefault.nonEmpty && typedRocks == typedDefault,
+      "GroupState sessions must not depend on the state store provider")
+    val swDefault = windowSessions()
+    val swRocks = EventStream.withRocksDBState(spark)(windowSessions())
+    assert(swDefault.nonEmpty && swRocks == swDefault,
+      "session_window sessions must not depend on the state store provider")
+  }
+
   test("foreachBatch dedup store: multi-batch merge equals batch dedup, versions commit") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_store_spec").toString
     // 3 texts with duplicates spread across files so merges genuinely
