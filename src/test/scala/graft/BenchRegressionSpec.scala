@@ -2,6 +2,8 @@ package graft
 
 import scala.io.Source
 
+import org.apache.spark.sql.functions._
+
 /** Per-query wall-time regression gate. Round 2 shipped a systemic
   * ~2× bench regression (pinned caches starving later queries) that no
   * test caught because correctness stayed green — this spec makes
@@ -12,22 +14,35 @@ import scala.io.Source
   * shared local[4] test session — recording in any other environment,
   * e.g. Bench's local[8], would skew every comparison); every query
   * re-runs here (same warmup and per-query cache release as Bench) and
-  * fails only past `max(3 × baseline, baseline + 2 s)` — far above
-  * machine-load variance (±25% measured) and JIT jitter on sub-second
-  * queries, far below the 5–18× signatures of a real leak. New queries
-  * without a baseline row pass with an info message until the baseline
-  * is regenerated: run with `GRAFT_WRITE_BASELINE=1`, which rewrites
-  * the resource from this very measurement loop instead of asserting.
+  * fails only past `loadFactor × max(3 × baseline, baseline + 2 s)` —
+  * far above machine-load variance and JIT jitter on sub-second
+  * queries, far below the 5–18× signatures of a real leak.
   *
-  * Portability: the baseline is absolute wall time from one machine, so
-  * on a foreign host the whole test CANCELS unless the fixture dir
-  * exists, and the multiplier is tunable via `GRAFT_BENCH_GATE_FACTOR`
-  * (e.g. 6 on shared CI hardware) rather than failing spuriously.
+  * De-flaking (the gate must not cry wolf under suite-level box
+  * contention, or it gets ignored):
+  *  - CALIBRATION: a fixed reference workload is timed in the same run
+  *    and compared to its own baseline row; the ratio (≥ 1) scales
+  *    every allowance, so a box running 2× slow — co-scheduled suites,
+  *    CI neighbors — widens the gate instead of flagging phantom
+  *    regressions. A real leak inflates queries but not the fresh
+  *    calibration workload, so the gate still fires.
+  *  - BREACH RETRY: a query over its allowance re-measures once and the
+  *    MIN counts (Bench's own min-of-two rule) — a transient stall
+  *    passes on retry, a genuine regression reproduces.
+  * Both behaviors are meta-tested below against synthetic clocks.
+  *
+  * New queries without a baseline row pass with an info message until
+  * the baseline is regenerated: run with `GRAFT_WRITE_BASELINE=1`,
+  * which rewrites the resource from this very measurement loop instead
+  * of asserting. The multiplier stays tunable via
+  * `GRAFT_BENCH_GATE_FACTOR`; the whole test CANCELS where the fixture
+  * dir is absent.
   */
 class BenchRegressionSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.01"
   private val baselinePath = "src/test/resources/bench_baseline_sf001.txt"
+  private val CalibrationKey = "__calibration"
 
   private lazy val baseline: Map[String, Double] = {
     val src = Source.fromInputStream(
@@ -42,26 +57,68 @@ class BenchRegressionSpec extends SparkSpec {
   private val gateFactor: Double =
     sys.env.get("GRAFT_BENCH_GATE_FACTOR").map(_.toDouble).getOrElse(3.0)
 
+  /** Fixed reference workload: scan + hash agg + shuffle + sort over a
+    * bounded slice — the engine paths every query shares, cheap enough
+    * to run three times. Its min is the load probe: immune to a leak in
+    * QUERY state (it touches none) but fully exposed to box slowness. */
+  private def calibrate(): Double =
+    (0 until 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .limit(20000)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("q"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
+  /** The gate decision, parameterized on the clock so the meta-tests
+    * below can drive it with synthetic timings: measure once; only a
+    * breach pays for a second measurement, and the min counts. */
+  private[graft] def gateOne(name: String, b: Double, loadFactor: Double,
+                             measure: () => Double): (Double, Option[String]) = {
+    val allowed = loadFactor * math.max(gateFactor * b, b + 2.0)
+    val t1 = measure()
+    if (t1 <= allowed) (t1, None)
+    else {
+      val t = math.min(t1, measure())
+      if (t <= allowed) (t, None)
+      else (t, Some(
+        f"$name: $t%.2fs vs baseline $b%.2fs (allowed $allowed%.2fs, load ×$loadFactor%.2f)"))
+    }
+  }
+
   test("no query grossly regresses vs the checked-in sf0.01 baseline") {
     assume(new java.io.File(sfDir).isDirectory,
       s"fixture dir $sfDir absent — wall-time gate only runs where the " +
         "driver-generated testdata exists")
     Bench.warmup(spark, sfDir)
     spark.catalog.clearCache()
+    val calib = calibrate()
+    val loadFactor = baseline.get(CalibrationKey) match {
+      case Some(cb) if cb > 0 => math.max(1.0, calib / cb)
+      case _ => 1.0
+    }
+    info(f"calibration $calib%.3fs vs baseline ${
+      baseline.getOrElse(CalibrationKey, 0.0)}%.3fs — load factor $loadFactor%.2f")
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     val measured = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
-      val t = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      measured += name -> t
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        t
+      }
       baseline.get(name) match {
         case Some(b) =>
-          val allowed = math.max(gateFactor * b, b + 2.0)
-          if (t > allowed)
-            failures += f"$name: $t%.2fs vs baseline $b%.2fs (allowed $allowed%.2fs)"
+          val (t, fail) = gateOne(name, b, loadFactor, () => once())
+          measured += name -> t
+          fail.foreach(failures += _)
         case None =>
+          measured += name -> once()
           info(s"$name has no baseline row — rerun with GRAFT_WRITE_BASELINE=1")
       }
     }
@@ -69,15 +126,20 @@ class BenchRegressionSpec extends SparkSpec {
       val header =
         """|# Per-query wall-time baseline at sf0.01, recorded by
            |# BenchRegressionSpec itself (shared local[4] test session) so the
-           |# gate compares like with like. Regenerate:
+           |# gate compares like with like. __calibration is the reference
+           |# workload's time on the recording box; at check time the gate
+           |# scales every allowance by max(1, calibration_now / this) so box
+           |# contention widens the gate instead of flagging phantoms.
+           |# Regenerate:
            |#   GRAFT_WRITE_BASELINE=1 sbt "testOnly graft.BenchRegressionSpec"
-           |# Gate: fail past max(3 x baseline, baseline + 2s) -- gross
-           |# regressions (the round-2 cache leak was 5-18x), not machine
-           |# variance (~25%).
+           |# Gate: fail past loadFactor * max(3 x baseline, baseline + 2s),
+           |# min-of-2 on breach -- gross regressions (the round-2 cache leak
+           |# was 5-18x), not machine variance.
            |""".stripMargin
-      val body = measured.sortBy(_._1).map { case (k, v) =>
-        String.format(java.util.Locale.ROOT, "%s %.3f%n", k, Double.box(v))
-      }.mkString
+      val body = ((CalibrationKey -> calib) +: measured.sortBy(_._1))
+        .map { case (k, v) =>
+          String.format(java.util.Locale.ROOT, "%s %.3f%n", k, Double.box(v))
+        }.mkString
       java.nio.file.Files.writeString(java.nio.file.Paths.get(baselinePath),
         header + body)
       info(s"baseline rewritten at $baselinePath — no assertions this run")
@@ -85,5 +147,28 @@ class BenchRegressionSpec extends SparkSpec {
       assert(failures.isEmpty,
         "per-query regressions:\n" + failures.mkString("\n"))
     }
+  }
+
+  test("meta: the gate flags a reproducing 3.5x slowdown but forgives a transient stall") {
+    // a genuine regression reproduces on the retry — must be flagged
+    val (_, caught) = gateOne("slow_q", b = 1.0, loadFactor = 1.0,
+      measure = () => 3.6)
+    assert(caught.isDefined, "a reproducing 3.5x+ slowdown must fail the gate")
+    // a transient stall vanishes on retry — min-of-2 must forgive it
+    val seq = Iterator(9.0, 0.9)
+    val (t, forgiven) = gateOne("stalled_q", b = 1.0, loadFactor = 1.0,
+      measure = () => seq.next())
+    assert(forgiven.isEmpty && t == 0.9,
+      "a one-off stall must pass via the min-of-2 retry")
+    // box contention scales the allowance: 2.5x slower box, query 2.8x
+    // over baseline (under 2.5 x 3 = 7.5x allowance) — not a regression
+    val (_, underLoad) = gateOne("loaded_q", b = 1.0, loadFactor = 2.5,
+      measure = () => 2.8)
+    assert(underLoad.isEmpty,
+      "calibrated load must widen the gate for contended runs")
+    // ...but a real leak on a loaded box still fires
+    val (_, leakOnLoad) = gateOne("leaky_q", b = 1.0, loadFactor = 2.5,
+      measure = () => 13.0)
+    assert(leakOnLoad.isDefined, "a 13x blowup must fail even under load")
   }
 }
