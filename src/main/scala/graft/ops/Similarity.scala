@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -411,6 +411,92 @@ object Similarity {
     * table remains the single float authority (no second copy to keep
     * consistent). Training determinism is s06's certified regime, so an
     * index-backed query keeps a full SQL oracle (s08). */
+  /** Observed-vs-expected guard for a [[buildIvfIndex]] layout, run at
+    * open time by every index consumer: a half-written build (crash
+    * between codebook and cells), a foreign directory, or a layout from
+    * a different engine version fails HERE with one report naming every
+    * deviation — not as a missing-column resolution error in the middle
+    * of a probe plan. Cost is two footer/schema reads the consuming
+    * query was about to pay anyway. */
+  private[graft] def guardIvfIndex(spark: SparkSession, indexDir: String): Unit = {
+    val problems = scala.collection.mutable.ArrayBuffer.empty[String]
+    def schemaOf(dir: String): Option[org.apache.spark.sql.types.StructType] =
+      try Some(spark.read.parquet(dir).schema)
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    def check(part: String, required: Seq[String]): Unit =
+      schemaOf(s"$indexDir/$part") match {
+        case None =>
+          problems += s"$part/ is missing or holds no readable parquet"
+        case Some(sch) =>
+          val have = sch.fieldNames.map(_.toLowerCase).toSet
+          val missing = required.filterNot(have.contains)
+          if (missing.nonEmpty)
+            problems += s"$part/ lacks column(s) ${missing.mkString(", ")} " +
+              s"(observed: ${sch.fieldNames.mkString(", ")})"
+      }
+    check("codebook", Seq("cell_id", "centroid"))
+    check("cells", Seq("cell_id", "vec_id", "q8", "q_scale"))
+    if (problems.nonEmpty)
+      throw new IllegalStateException(
+        s"$indexDir is not a buildIvfIndex layout:\n  - " +
+          problems.mkString("\n  - ") +
+          "\n  half-written build, foreign directory, or layout drift — " +
+          "rebuild the index before serving from it")
+  }
+
+  /** Cell-occupancy skew of a persisted index: max cell population over
+    * the MEAN population across the codebook's nCells — the one-job
+    * (`count by cell_id` columnar scan, no float reads) monitor
+    * [[appendToIvfIndex]]'s codebook-drift note calls for. 1.0 is
+    * perfectly balanced; appended mass the trainer never saw piles into
+    * few cells and drives it up, degrading probe pruning (a probe of a
+    * hot cell scans a corpus-sized fraction). Empty trained cells count
+    * in the denominator deliberately: an index whose mass collapsed
+    * into 2 of 64 cells IS skewed even if those two are equal. */
+  def indexCellSkew(spark: SparkSession, indexDir: String): Double = {
+    guardIvfIndex(spark, indexDir)
+    val nCells = spark.read.parquet(s"$indexDir/codebook").count()
+    val stat = spark.read.parquet(s"$indexDir/cells")
+      .groupBy(col("cell_id")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")), sum(col("n"))).head
+    if (stat.isNullAt(1) || stat.getLong(1) == 0L || nCells == 0L) 1.0
+    else stat.getLong(0).toDouble / (stat.getLong(1).toDouble / nCells)
+  }
+
+  /** The rebuild trigger the append path's drift trade defers to:
+    * when [[indexCellSkew]] exceeds `maxSkew`, re-train on the CURRENT
+    * corpus (the caller supplies floats — the index stores int8 codes)
+    * and swap the layout in place via a staging build + directory
+    * rename, so a crash mid-rebuild leaves either the old or the new
+    * committed layout, never a torn one. Returns true iff a rebuild
+    * ran. Single-writer maintenance op, like compaction/purge: run it
+    * from the index's maintenance schedule, not concurrently with
+    * appends. maxSkew ~4 tolerates organic imbalance (hash-partition
+    * folklore: max/mean of a few is normal) while catching drift that
+    * defeats probe pruning. */
+  def rebuildIfSkewed(corpus: DataFrame, indexDir: String,
+                      maxSkew: Double = 4.0,
+                      nCells: Int = 16, trainIters: Int = 2): Boolean = {
+    val spark = corpus.sparkSession
+    val skew = indexCellSkew(spark, indexDir)
+    if (skew <= maxSkew) false
+    else {
+      val staging = s"$indexDir.rebuild"
+      buildIvfIndex(corpus, staging, nCells, trainIters)
+      val (fs, _) = graft.streaming.DedupStore.fsRoot(indexDir)
+      val cur = new org.apache.hadoop.fs.Path(indexDir)
+      val old = new org.apache.hadoop.fs.Path(s"$indexDir.old")
+      if (fs.exists(old)) fs.delete(old, true): Unit
+      if (!fs.rename(cur, old) ||
+          !fs.rename(new org.apache.hadoop.fs.Path(staging), cur))
+        throw new java.io.IOException(
+          s"index swap failed at $indexDir — the previous layout is " +
+            s"intact at $old")
+      fs.delete(old, true): Unit
+      true
+    }
+  }
+
   def buildIvfIndex(corpus0: DataFrame, indexDir: String,
                     nCells: Int = 16, trainIters: Int = 2): Unit = {
     val corpus = cleanVectors(corpus0)
@@ -443,6 +529,7 @@ object Similarity {
     * cell-size monitoring is one `count by cell_id` over the layout. */
   def appendToIvfIndex(indexDir: String, newVectors0: DataFrame): Unit = {
     val spark = newVectors0.sparkSession
+    guardIvfIndex(spark, indexDir)
     val newVectors = cleanVectors(newVectors0)
     val cents = spark.read.parquet(s"$indexDir/codebook")
       .select(col("cell_id").cast("long").as("cell_id"), col("centroid"))
@@ -470,6 +557,7 @@ object Similarity {
   def ivfIndexTopK(indexDir: String, corpus0: DataFrame, queries0: DataFrame,
                    k: Int, nProbe: Int = 4, rescore: Int = 32): DataFrame = {
     val spark = corpus0.sparkSession
+    guardIvfIndex(spark, indexDir)
     val corpus = cleanVectors(corpus0)
     val queries = cleanQueries(queries0)
     val cents = spark.read.parquet(s"$indexDir/codebook")
@@ -524,6 +612,7 @@ object Similarity {
                            threshold: Double, nProbe: Int = 6,
                            prefilterMargin: Double = 0.02): DataFrame = {
     val spark = corpus0.sparkSession
+    guardIvfIndex(spark, indexDir)
     val clean = cleanVectors(corpus0)
     val cents = spark.read.parquet(s"$indexDir/codebook")
     val probes = withProbeCells(
@@ -563,6 +652,7 @@ object Similarity {
   def semanticDedupKeptFromIndex(indexDir: String, corpus0: DataFrame,
                                  threshold: Double): DataFrame = {
     val spark = corpus0.sparkSession
+    guardIvfIndex(spark, indexDir)
     val corpus = cleanVectors(corpus0)
     val assigned = spark.read.parquet(s"$indexDir/cells")
       .select(col("vec_id"), col("cell_id").cast("long").as("cluster"))

@@ -432,6 +432,27 @@ object DedupStore {
     atomicWrite(fs, new Path(vDir, "_MANIFEST"), body)
   }
 
+  /** Open the store's data files with an observed-vs-expected schema
+    * guard: a foreign parquet layout (or one written by a drifted
+    * engine version) fails HERE with one report naming what was found,
+    * not as a column-resolution error in the middle of a consumer's
+    * plan — the Fixtures.guard discipline applied to the engine's OWN
+    * persisted artifacts. */
+  private def storeFrame(spark: SparkSession, files: Seq[String],
+                         context: String): DataFrame = {
+    val df = spark.read.parquet(files: _*)
+    val have = df.schema.fieldNames.map(_.toLowerCase).toSet
+    val missing = Seq("text", "keep_id", "n_copies").filterNot(have.contains)
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"store data under $context lacks column(s) " +
+          s"${missing.mkString(", ")} (observed: " +
+          s"${df.schema.fieldNames.mkString(", ")}) — the directory holds " +
+          "foreign parquet or a drifted layout; this is not a readable " +
+          "dedup store")
+    df.select("text", "keep_id", "n_copies")
+  }
+
   /** Read a committed version through its manifest, tombstone-filtered
     * (see [[loadTombstones]] — normally a no-op; it matters when a
     * purge's tombstones committed but its physical rewrite crashed). */
@@ -440,7 +461,7 @@ object DedupStore {
     val files = entriesOf(fs, root, versionPath).map(_._2.toString)
     if (files.isEmpty) emptyStore(spark)
     else withoutTombstoned(spark, fs, root,
-      spark.read.parquet(files: _*).select("text", "keep_id", "n_copies"))
+      storeFrame(spark, files, versionPath.toString))
   }
 
   private def emptyStore(spark: SparkSession): DataFrame =
@@ -862,7 +883,7 @@ object DedupStore {
     val (fs, root) = fsRoot(storeDir)
     val tdf = spark.createDataset(texts.distinct)(Encoders.STRING).toDF("text")
     withoutTombstoned(spark, fs, root,
-      spark.read.parquet(files: _*).select("text", "keep_id", "n_copies"))
+      storeFrame(spark, files, s"$storeDir (lookup buckets)"))
       .join(broadcast(tdf), Seq("text"), "left_semi")
   }
 
@@ -916,7 +937,7 @@ object DedupStore {
     if (files.isEmpty) return emptyStore(spark)
     val (fs, root) = fsRoot(storeDir)
     withoutTombstoned(spark, fs, root,
-      spark.read.parquet(files: _*).select("text", "keep_id", "n_copies"))
+      storeFrame(spark, files, s"$storeDir (changed buckets)"))
   }
 
   /** The concrete data files [[changedSince]] would read: latest-

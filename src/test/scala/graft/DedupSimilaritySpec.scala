@@ -606,6 +606,93 @@ class DedupSimilaritySpec extends SparkSpec {
       s"expected the bounded TopCells aggregate in the plan")
   }
 
+  test("index skew monitor + rebuildIfSkewed: drifted appends detected, rebuild restores balance") {
+    // the appendToIvfIndex drift trade, closed: an index trained BEFORE
+    // the corpus grew a new mode takes the appended mass into few cells
+    // (assignment can only choose among the old centroids); the skew
+    // monitor flags it and rebuildIfSkewed swaps in a codebook trained
+    // on the current corpus, under which the mass spreads again.
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val dim = 8
+    def around(anchor: Array[Float], n: Int, base: Long): Seq[(Long, Seq[Float])] =
+      (0 until n).map { i =>
+        (base + i, anchor.map(a => a + (rnd.nextFloat() - 0.5f) * 0.1f).toSeq)
+      }
+    def anchor(weights: (Int, Float)*): Array[Float] = {
+      val v = Array.fill(dim)(0.0f); weights.foreach { case (i, w) => v(i) = w }; v
+    }
+    // ids 0..7 are one per region (they seed the rebuild's k-means):
+    // 0,2,4,6 in the original cluster; 1,3,5,7 in the four new
+    // sub-clusters that arrive later
+    val orig = around(anchor(0 -> 1.0f), 1, 0) ++
+      around(anchor(0 -> 1.0f), 1, 2) ++ around(anchor(0 -> 1.0f), 1, 4) ++
+      around(anchor(0 -> 1.0f), 1, 6) ++ around(anchor(0 -> 1.0f), 22, 100)
+    val subAnchors = Seq(
+      anchor(1 -> 1.0f, 2 -> 0.5f), anchor(1 -> 1.0f, 2 -> -0.5f),
+      anchor(1 -> 1.0f, 3 -> 0.5f), anchor(1 -> 1.0f, 3 -> -0.5f))
+    val appended = subAnchors.zipWithIndex.flatMap { case (a, i) =>
+      around(a, 1, 2 * i + 1) ++ around(a, 49, 1000 + 100L * i)
+    }
+    def df(rows: Seq[(Long, Seq[Float])]) = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_skew").toString
+    val idx = s"$tmp/index"
+    Similarity.buildIvfIndex(df(orig), idx, nCells = 8, trainIters = 2)
+    val balanced = Similarity.indexCellSkew(spark, idx)
+    Similarity.appendToIvfIndex(idx, df(appended))
+    val drifted = Similarity.indexCellSkew(spark, idx)
+    assert(drifted > 2.0 && drifted > balanced,
+      s"appended new-mode mass must skew the cells (before $balanced, after $drifted)")
+    val full = df(orig ++ appended)
+    assert(Similarity.rebuildIfSkewed(full, idx, maxSkew = 2.0,
+      nCells = 8, trainIters = 2), "rebuild must trigger past maxSkew")
+    val rebuilt = Similarity.indexCellSkew(spark, idx)
+    assert(rebuilt < drifted,
+      s"rebuild must restore balance (drifted $drifted, rebuilt $rebuilt)")
+    // the swapped-in index serves correctly: equals the in-query
+    // trained IVF path on the same corpus and parameters
+    val queries = full.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank"))).toSet
+    assert(rows(Similarity.ivfIndexTopK(idx, full, queries, k = 3,
+        nProbe = 4, rescore = 16)) ==
+      rows(Similarity.ivfTopK(full, queries, k = 3, nCells = 8, nProbe = 4,
+        trainIters = 2, quantized = true, rescore = 16)),
+      "probes must stay green on the rebuilt index")
+    // a balanced index refuses to rebuild
+    assert(!Similarity.rebuildIfSkewed(full, idx, maxSkew = 2.0,
+      nCells = 8, trainIters = 2), "no rebuild below the threshold")
+  }
+
+  test("index layout guard: half-written and foreign directories fail loudly at open") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_guard").toString
+    import spark.implicits._
+    val emb = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
+    // half-written: codebook landed, cells never did
+    Similarity.buildIvfIndex(emb, s"$tmp/half", nCells = 4, trainIters = 0)
+    org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(s"$tmp/half/cells"), true)
+    val e1 = intercept[IllegalStateException] {
+      Similarity.ivfIndexTopK(s"$tmp/half", emb,
+        emb.limit(2).select(col("vec_id").as("query_id"),
+          col("embedding").as("q_embedding")), k = 2).collect()
+    }
+    assert(e1.getMessage.contains("cells/") &&
+      e1.getMessage.contains("buildIvfIndex layout"), e1.getMessage)
+    // foreign: a directory of unrelated parquet
+    Seq((1, "x")).toDF("a", "b").write.parquet(s"$tmp/foreign/codebook")
+    Seq((1, "x")).toDF("a", "b").write.parquet(s"$tmp/foreign/cells")
+    val e2 = intercept[IllegalStateException] {
+      Similarity.indexCellSkew(spark, s"$tmp/foreign")
+    }
+    assert(e2.getMessage.contains("codebook/ lacks") &&
+      e2.getMessage.contains("cells/ lacks"), e2.getMessage)
+  }
+
   test("c02's cluster map is identical through the forced distributed CC path") {
     // the c02/c03 queries go through connectedComponents' default
     // threshold (driver union-find at fixture scale); the 100 TB claim

@@ -110,6 +110,32 @@ class DedupStoreReadSpec extends SparkSpec {
     assert(tombs == Set(victimHash))
   }
 
+  test("a foreign parquet layout opens with one loud schema report, not a plan error") {
+    // the Fixtures.guard discipline applied to the engine's own
+    // artifacts: a committed-looking version whose data is not store
+    // parquet (restored from the wrong backup, pointed at the wrong
+    // path) must fail at open with observed-vs-expected, not as a
+    // column-resolution error mid-plan
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rdforeign").toString
+    val store = s"$tmp/store"
+    Seq((1, "x")).toDF("a", "b").coalesce(1)
+      .write.parquet(s"$store/v0/bucket=0")
+    val part = new java.io.File(s"$store/v0/bucket=0").listFiles()
+      .map(_.getName).find(_.endsWith(".parquet")).get
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$store/_LAYOUT"), "1")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$store/v0/_MANIFEST"), s"0\tv0/bucket=0/$part\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$store/v0/_SUCCESS"), "")
+    val e = intercept[IllegalStateException] {
+      DedupStore.read(spark, store).collect()
+    }
+    assert(e.getMessage.contains("lacks column(s)") &&
+      e.getMessage.contains("not a readable dedup store"), e.getMessage)
+  }
+
   test("a cursor that is not a version name is refused loudly") {
     val (store, _) = twoDeliveryStore()
     val e = intercept[IllegalArgumentException] {
