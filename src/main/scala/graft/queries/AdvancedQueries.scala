@@ -225,6 +225,47 @@ object AdvancedQueries {
              |    AS mkt_share
              |FROM n ORDER BY yr, supp_nation""".stripMargin)),
 
+    // ---- grouped top-n via a BOUNDED aggregate (no window shuffle) --------
+    // Top-5 customers by total spend per market segment, ranked by the
+    // TopCells TypedImperativeAggregate instead of a window: row_number
+    // over (partition by segment) ships EVERY (segment, customer) row
+    // through the rank exchange and sorts each segment's full
+    // membership; the aggregate's map-side partials keep only 5 entries
+    // per segment, so the second exchange carries 5 rows per segment
+    // per map task — the top-n-per-group shape that stays flat as
+    // groups grow to 100 TB cardinalities. Ordering (spend desc,
+    // custkey asc) matches the oracle's row_number tie-break exactly;
+    // spend is exact DECIMAL summed then cast, so both sides rank the
+    // same doubles.
+    ("q70_grouped_topn",
+      (s: SparkSession, d: String) => {
+        val c = Tables.load(s, d, "customer").select("c_custkey", "c_mktsegment")
+        val o = Tables.load(s, d, "orders").select("o_custkey", "o_totalprice")
+        val spend = o.join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"), col("c_custkey"))
+          .agg(sum(dec(col("o_totalprice"))).as("spend"))
+        spend.groupBy(col("c_mktsegment"))
+          .agg(graft.functions.TopCells.topCells(
+            col("spend").cast("double"), col("c_custkey"), 5).as("top"))
+          .select(col("c_mktsegment"), posexplode(col("top")))
+          .select(col("c_mktsegment"), col("col").as("c_custkey"),
+            (col("pos") + 1).cast("int").as("rank"))
+          .orderBy(col("c_mktsegment"), col("rank"))
+      },
+      Some("""WITH sp AS (
+             |  SELECT c_mktsegment, c_custkey,
+             |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |  GROUP BY 1, 2),
+             |r AS (
+             |  SELECT c_mktsegment, c_custkey,
+             |    row_number() OVER (PARTITION BY c_mktsegment
+             |      ORDER BY CAST(spend AS DOUBLE) DESC, c_custkey) AS rank
+             |  FROM sp)
+             |SELECT c_mktsegment, c_custkey, CAST(rank AS INT) AS rank
+             |FROM r WHERE rank <= 5
+             |ORDER BY c_mktsegment, rank""".stripMargin)),
+
     // ---- cube ---------------------------------------------------------------
     ("q21_cube",
       (s: SparkSession, d: String) => {

@@ -499,6 +499,14 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("q70 grouped top-n ranks via the bounded aggregate, not a window sort") {
+    val plan = planOf(graft.SparkEntry.queries("q70_grouped_topn")(spark, sf))
+    assert(plan.toLowerCase.contains("topcells"),
+      "q70 must rank through the TopCells aggregate (bounded partials)")
+    assert(!plan.contains("Window"),
+      "the whole point of q70 is NO per-group window sort:\n" + plan)
+  }
+
   test("distributed connected components equals driver union-find on a 100k-edge worst case") {
     // The scale path for dup clustering (c02/c03): past the driver
     // union-find's edge threshold, large-star/small-star must produce
