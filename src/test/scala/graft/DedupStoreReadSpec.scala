@@ -110,6 +110,29 @@ class DedupStoreReadSpec extends SparkSpec {
     assert(tombs == Set(victimHash))
   }
 
+  test("folded-delete feed honors its retention window") {
+    // the documented lag bound: a folded erasure stays deliverable for
+    // feedRetentionMs and then ages out — consumers lagging past the
+    // window recover by full resync, not by an ever-growing feed
+    val (store, _) = twoDeliveryStore()
+    DedupStore.purge(spark, store, Seq("rd text 11"))
+    val victimHash = Seq("rd text 11").toDF("t")
+      .select(xxhash64(col("t"))).head.getLong(0)
+    // fold (victim physically erased by the purge) — default retention
+    // keeps the delete in the feed
+    val (k1, f1) = DedupStore.compactTombstones(spark, store)
+    assert((k1, f1) == (0, 1))
+    assert(DedupStore.tombstones(spark, store)
+      .collect().map(_.getLong(0)).toSet == Set(victimHash),
+      "inside retention the folded delete must stay deliverable")
+    // a later compaction past the window expires it
+    val (k2, f2) = DedupStore.compactTombstones(spark, store,
+      feedRetentionMs = -1L)
+    assert((k2, f2) == (0, 0), "nothing live to fold on the second pass")
+    assert(DedupStore.tombstones(spark, store).isEmpty,
+      "past retention the feed must be empty")
+  }
+
   test("a foreign parquet layout opens with one loud schema report, not a plan error") {
     // the Fixtures.guard discipline applied to the engine's own
     // artifacts: a committed-looking version whose data is not store

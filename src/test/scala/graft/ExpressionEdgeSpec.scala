@@ -161,6 +161,46 @@ class ExpressionEdgeSpec extends SparkSpec {
     }
   }
 
+  test("TopCells: exact top-n under random partitions, merge orders, and byte round-trips") {
+    import graft.functions.TopCells.Buf
+    // Buf-level property test (no Spark): the bounded buffer must
+    // produce EXACTLY the reference top-n — (score desc, key asc),
+    // truncated at n — for any stream partitioning, any merge topology,
+    // and with every partial round-tripped through bytes as the
+    // exchange would. Duplicate scores exercise the tie-break; n larger
+    // than the input exercises the underfilled regime.
+    val rng = new scala.util.Random(23)
+    for (trial <- 0 until 30) {
+      val n = 1 + rng.nextInt(8)
+      val m = rng.nextInt(60)
+      val entries = Seq.fill(m)(
+        (rng.nextInt(6).toDouble / 2.0, rng.nextInt(1000).toLong))
+        .distinct // duplicate (score, key) pairs would legitimately
+                  // double-insert in the buffer but not in a set model
+      val reference = entries.sortBy { case (s, c) => (-s, c) }
+        .map(_._2).take(n)
+      val nParts = 1 + rng.nextInt(5)
+      val parts = entries.zipWithIndex.groupBy(_._2 % nParts)
+        .values.map(_.map(_._1)).toVector
+      def mk(p: Seq[(Double, Long)]): Buf = {
+        val b = new Buf(n)
+        p.foreach { case (s, c) => b.offer(s, c) }
+        Buf.fromBytes(b.toBytes, n) // shuffle round-trip
+      }
+      val folded = rng.shuffle(parts).map(mk).reduceLeft { (a, b) =>
+        a.mergeIn(b); a
+      }
+      assert(folded.result.toSeq == reference,
+        s"trial $trial: fold merge diverged from the reference ranking")
+      def tree(v: Vector[Buf]): Buf =
+        if (v.size == 1) v.head
+        else { val (l, r) = v.splitAt(v.size / 2)
+               val a = tree(l); a.mergeIn(tree(r)); a }
+      assert(tree(rng.shuffle(parts).map(mk)).result.toSeq == reference,
+        s"trial $trial: tree merge diverged from the reference ranking")
+    }
+  }
+
   /** Round-trip through bytes, as shuffle does — also covers the
     * evicted-flag serialization. */
   private def reserialize(s: graft.functions.SpaceSavingTopK.Summary,
