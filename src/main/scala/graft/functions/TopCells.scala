@@ -74,8 +74,18 @@ object TopCells {
     private val cells = new Array[Long](n)
     private var size = 0
 
-    private def beats(s1: Double, c1: Long, s2: Double, c2: Long): Boolean =
-      s1 > s2 || (s1 == s2 && c1 < c2)
+    /** (score desc, cell asc) with NaN ordered WORST — the same rank a
+      * NaN gets in the literal `sort_array(struct(-score, cell))` path
+      * (Spark sorts NaN greatest, so negated-NaN lands last): a strict
+      * `>` alone would let an early NaN lodge at the top and block
+      * every later entry. */
+    private def beats(s1: Double, c1: Long, s2: Double, c2: Long): Boolean = {
+      val n1 = java.lang.Double.isNaN(s1)
+      val n2 = java.lang.Double.isNaN(s2)
+      if (n1 != n2) n2
+      else if (!n1 && s1 != s2) s1 > s2
+      else c1 < c2
+    }
 
     def offer(s: Double, c: Long): Unit = {
       var pos = size

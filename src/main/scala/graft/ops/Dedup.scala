@@ -361,13 +361,19 @@ object Dedup {
       n = nNext
       iter += 1
     }
-    val selfLabels = pairs.filter(col("id_a") === col("id_b"))
-      .select(col("id_a").cast("long").as("id"))
-      .distinct().withColumn("label", col("id"))
-    e.select(col("a").as("id"), col("v").as("label"))
+    val edgeLabels = e.select(col("a").as("id"), col("v").as("label"))
       .union(e.select(col("v").as("id"), col("v").as("label")))
-      .union(selfLabels)
       .distinct()
+    // self-loop-only nodes label themselves — but a node with BOTH a
+    // self-loop and a real edge already carries its component label
+    // above, and a second (id, id) row would split it across two
+    // clusters; the anti-join keeps the union disjoint (driver-path
+    // parity: union-find emits one row per node)
+    val selfOnly = pairs.filter(col("id_a") === col("id_b"))
+      .select(col("id_a").cast("long").as("id")).distinct()
+      .join(edgeLabels.select(col("id")), Seq("id"), "left_anti")
+      .withColumn("label", col("id"))
+    edgeLabels.union(selfOnly)
   }
 
   /** SimHash fingerprints + banded near-dup pairs with Hamming distance ≤

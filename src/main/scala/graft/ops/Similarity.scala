@@ -238,10 +238,15 @@ object Similarity {
     * produce IDENTICAL cell sets (spec-gated at nCells = 512). */
   private[graft] def withProbeCells(vecs: DataFrame, cents: DataFrame,
                                     nProbe: Int,
-                                    literalMax: Int = LiteralProbeMaxCells): DataFrame = {
+                                    literalMax: Int = LiteralProbeMaxCells,
+                                    nCellsHint: Long = -1L): DataFrame = {
     val cbook = cents.select(col("cell_id").cast("long").as("cell_id"),
       col("centroid"))
-    if (cbook.count() <= literalMax) {
+    // callers that know nCells statically pass it — counting an
+    // UNCACHED centroid derivation here would execute it once for the
+    // strategy decision and again for the collect/broadcast
+    val nCells = if (nCellsHint >= 0) nCellsHint else cbook.count()
+    if (nCells <= literalMax) {
       val codebook = cbook.collect().map { r =>
         (r.getLong(0), r.getSeq[Float](1).toArray)
       }
@@ -419,6 +424,7 @@ object Similarity {
     * of a probe plan. Cost is two footer/schema reads the consuming
     * query was about to pay anyway. */
   private[graft] def guardIvfIndex(spark: SparkSession, indexDir: String): Unit = {
+    recoverIvfSwap(indexDir)
     val problems = scala.collection.mutable.ArrayBuffer.empty[String]
     def schemaOf(dir: String): Option[org.apache.spark.sql.types.StructType] =
       try Some(spark.read.parquet(dir).schema)
@@ -487,13 +493,47 @@ object Similarity {
       val cur = new org.apache.hadoop.fs.Path(indexDir)
       val old = new org.apache.hadoop.fs.Path(s"$indexDir.old")
       if (fs.exists(old)) fs.delete(old, true): Unit
+      // two renames can't be jointly atomic: a crash between them
+      // leaves indexDir absent with BOTH neighbors present — a state
+      // [[recoverIvfSwap]] repairs on the next open (preferring the
+      // completed .rebuild, which by ordering is always fully built
+      // once the first rename ran). Readers must not race the swap:
+      // this is a stop-the-world maintenance op like compaction/purge.
       if (!fs.rename(cur, old) ||
           !fs.rename(new org.apache.hadoop.fs.Path(staging), cur))
         throw new java.io.IOException(
-          s"index swap failed at $indexDir — the previous layout is " +
-            s"intact at $old")
+          s"index swap failed at $indexDir — recoverable: the previous " +
+            s"layout is at $old, the rebuilt one at $staging; the next " +
+            "open completes the swap")
       fs.delete(old, true): Unit
       true
+    }
+  }
+
+  /** Complete a [[rebuildIfSkewed]] swap a crash left half-done: when
+    * the index directory itself is ABSENT, the crash happened between
+    * the two renames — the rebuilt layout at `.rebuild` is complete by
+    * construction (it is fully built before the first rename runs), so
+    * promote it; with only `.old` present, roll back to it. Idempotent
+    * and called from every consumer's open-time guard, so the
+    * crash-window state self-heals instead of requiring manual rename
+    * surgery. */
+  private def recoverIvfSwap(indexDir: String): Unit = {
+    val (fs, _) = graft.streaming.DedupStore.fsRoot(indexDir)
+    val cur = new org.apache.hadoop.fs.Path(indexDir)
+    if (!fs.exists(cur)) {
+      val staged = new org.apache.hadoop.fs.Path(s"$indexDir.rebuild")
+      val old = new org.apache.hadoop.fs.Path(s"$indexDir.old")
+      if (fs.exists(staged)) {
+        if (!fs.rename(staged, cur))
+          throw new java.io.IOException(
+            s"could not promote $staged to $indexDir to finish a crashed swap")
+        fs.delete(old, true): Unit
+      } else if (fs.exists(old)) {
+        if (!fs.rename(old, cur))
+          throw new java.io.IOException(
+            s"could not roll $old back to $indexDir after a crashed swap")
+      }
     }
   }
 
@@ -785,7 +825,7 @@ object Similarity {
     val assignedBase = Dedup.capBuckets(
       withProbeCells(withQ8(clean)
         .select(col("vec_id"), col("embedding"), col("q_scale"), col("q8")),
-        cents, nProbe),
+        cents, nProbe, nCellsHint = nCells.toLong),
       Seq("cell_id"), maxBucket)
     val assigned = if (cache) assignedBase.cache() else assignedBase
     val a = assigned.select(col("vec_id").as("id_a"),

@@ -102,9 +102,9 @@ object DedupStoreChanges {
   /** A tombstone-dir file's feed index — `t<i>` (live) and `d<i>`
     * (compaction-folded, feed-only) share one monotonic index space;
     * anything else (the `_NEXT` counter, dot-temp writes) is not a
-    * feed file. */
-  private def feedIdx(name: String): Option[Long] =
-    DedupStore.tombIdx(name, "t").orElse(DedupStore.tombIdx(name, "d"))
+    * feed file. One shared parser with the store's allocation floor —
+    * see [[DedupStore.feedIdx]]. */
+  private def feedIdx(name: String): Option[Long] = DedupStore.feedIdx(name)
 
   /** Highest committed tombstone-feed file index (both families), -1
     * when none. */

@@ -487,6 +487,14 @@ object DedupStore {
   private[graft] def tombIdx(name: String, prefix: String): Option[Long] =
     if (name.startsWith(prefix)) name.drop(prefix.length).toLongOption else None
 
+  /** A tombstone-dir file's index in the SHARED `t*`/`d*` space — the
+    * single definition every index consumer (allocation floor, the CDC
+    * source's offset axis, compaction's delete set) must parse with:
+    * if these drifted apart, a family one parser missed would reuse or
+    * skip indices a consumer's cursor addresses. */
+  private[graft] def feedIdx(name: String): Option[Long] =
+    tombIdx(name, "t").orElse(tombIdx(name, "d"))
+
   private def loadTombstones(fs: FileSystem, root: Path): Seq[Long] = {
     val d = new Path(root, "_TOMBSTONES")
     listDir(fs, d)
@@ -528,11 +536,7 @@ object DedupStore {
   private def nextTombIndex(fs: FileSystem, root: Path): Long = {
     val tombDir = new Path(root, "_TOMBSTONES")
     val fileMax = listDir(fs, tombDir)
-      .flatMap { f =>
-        if (!f.isFile) None
-        else tombIdx(f.getPath.getName, "t")
-          .orElse(tombIdx(f.getPath.getName, "d"))
-      }
+      .flatMap(f => if (f.isFile) feedIdx(f.getPath.getName) else None)
       .maxOption.getOrElse(-1L)
     val counter = {
       val p = new Path(tombDir, "_NEXT")
@@ -1151,17 +1155,22 @@ object DedupStore {
         // toward suppression — the documented ~n·2⁻⁶⁴ trade)
         val keep = tombs.filter(present.contains)
         val folded = tombs.filterNot(present.contains)
+        // LATEST fold time wins per hash: a text purged, folded,
+        // re-ingested, and purged AGAIN is a NEW erasure whose feed
+        // window must restart at its own fold — inheriting the first
+        // fold's age could expire the second delete inside the
+        // documented lag bound and silently strand a compliant
+        // consumer. Carried-over entries keep their stamp (nothing
+        // refreshes them but a genuine re-fold).
         val feed: Seq[(Long, Long)] =
           (folded.map(_ -> now) ++ oldFeed)
-            .groupBy(_._1).map { case (h, es) => h -> es.map(_._2).min }
+            .groupBy(_._1).map { case (h, es) => h -> es.map(_._2).max }
             .toSeq
             .filter { case (_, ts) => now - ts <= feedRetentionMs }
             .sortBy(_._1)
         val tombDir = new Path(root, "_TOMBSTONES")
         val old = listDir(fs, tombDir)
-          .filter(f => f.isFile &&
-            (tombIdx(f.getPath.getName, "t").isDefined ||
-              tombIdx(f.getPath.getName, "d").isDefined))
+          .filter(f => f.isFile && feedIdx(f.getPath.getName).isDefined)
           .map(_.getPath)
         // unconditional allocations: even when a family writes no file,
         // its index is burned and `_NEXT` moves past every old file —

@@ -73,12 +73,16 @@ class BenchRegressionSpec extends SparkSpec {
       (System.nanoTime() - t0) / 1e9
     }.min
 
-  /** The gate decision, parameterized on the clock so the meta-tests
-    * below can drive it with synthetic timings: measure once; only a
-    * breach pays for a second measurement, and the min counts. */
+  /** The gate decision, parameterized on the clock AND the multiplier
+    * so the meta-tests below can drive it with synthetic timings at a
+    * pinned factor (the real run passes the env-tunable one — a CI box
+    * exporting GRAFT_BENCH_GATE_FACTOR must not flip the meta-test's
+    * expected verdicts): measure once; only a breach pays for a second
+    * measurement, and the min counts. */
   private[graft] def gateOne(name: String, b: Double, loadFactor: Double,
-                             measure: () => Double): (Double, Option[String]) = {
-    val allowed = loadFactor * math.max(gateFactor * b, b + 2.0)
+                             measure: () => Double,
+                             factor: Double = gateFactor): (Double, Option[String]) = {
+    val allowed = loadFactor * math.max(factor * b, b + 2.0)
     val t1 = measure()
     if (t1 <= allowed) (t1, None)
     else {
@@ -152,23 +156,23 @@ class BenchRegressionSpec extends SparkSpec {
   test("meta: the gate flags a reproducing 3.5x slowdown but forgives a transient stall") {
     // a genuine regression reproduces on the retry — must be flagged
     val (_, caught) = gateOne("slow_q", b = 1.0, loadFactor = 1.0,
-      measure = () => 3.6)
+      measure = () => 3.6, factor = 3.0)
     assert(caught.isDefined, "a reproducing 3.5x+ slowdown must fail the gate")
     // a transient stall vanishes on retry — min-of-2 must forgive it
     val seq = Iterator(9.0, 0.9)
     val (t, forgiven) = gateOne("stalled_q", b = 1.0, loadFactor = 1.0,
-      measure = () => seq.next())
+      measure = () => seq.next(), factor = 3.0)
     assert(forgiven.isEmpty && t == 0.9,
       "a one-off stall must pass via the min-of-2 retry")
     // box contention scales the allowance: 2.5x slower box, query 2.8x
     // over baseline (under 2.5 x 3 = 7.5x allowance) — not a regression
     val (_, underLoad) = gateOne("loaded_q", b = 1.0, loadFactor = 2.5,
-      measure = () => 2.8)
+      measure = () => 2.8, factor = 3.0)
     assert(underLoad.isEmpty,
       "calibrated load must widen the gate for contended runs")
     // ...but a real leak on a loaded box still fires
     val (_, leakOnLoad) = gateOne("leaky_q", b = 1.0, loadFactor = 2.5,
-      measure = () => 13.0)
+      measure = () => 13.0, factor = 3.0)
     assert(leakOnLoad.isDefined, "a 13x blowup must fail even under load")
   }
 }

@@ -562,6 +562,16 @@ class DedupSimilaritySpec extends SparkSpec {
     val labelsDist = Dedup.connectedComponents(pairs, driverThreshold = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labelsDist == expected)
+    // self-loops: a node with BOTH a self-pair and a real edge must
+    // carry exactly ONE label row (its component's), a self-loop-only
+    // node labels itself — identical rows through both paths
+    val selfy = Seq((5L, 5L), (3L, 5L), (9L, 9L)).toDF("id_a", "id_b")
+    val expSelf = Seq((3L, 3L), (5L, 3L), (9L, 9L))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(rowsOf(Dedup.connectedComponents(selfy)) == expSelf)
+    assert(rowsOf(Dedup.connectedComponents(selfy, driverThreshold = 0)) == expSelf,
+      "the star path must not emit a second label for a self-looped node")
     // empty edge set → empty labels, no infinite loop (both paths)
     val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(none).count() == 0)
@@ -665,6 +675,38 @@ class DedupSimilaritySpec extends SparkSpec {
     // a balanced index refuses to rebuild
     assert(!Similarity.rebuildIfSkewed(full, idx, maxSkew = 2.0,
       nCells = 8, trainIters = 2), "no rebuild below the threshold")
+  }
+
+  test("a crashed rebuild swap self-heals at the next open") {
+    // the two renames in rebuildIfSkewed cannot be jointly atomic; a
+    // crash between them leaves the index dir ABSENT with .old and
+    // .rebuild both present — every consumer's open-time guard must
+    // complete the swap (preferring the finished rebuild), not demand
+    // rename surgery
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val corpus = (0 until 64).map(i =>
+        (i.toLong, Array.fill(8)(rnd.nextFloat()).toSeq))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_swapcrash").toString
+    val idx = s"$tmp/index"
+    Similarity.buildIvfIndex(corpus, idx, nCells = 4, trainIters = 0)
+    Similarity.buildIvfIndex(corpus, s"$idx.rebuild", nCells = 4, trainIters = 2)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(idx),
+      new org.apache.hadoop.fs.Path(s"$idx.old"))) // the crash point
+    // open through any consumer: recovery promotes .rebuild and cleans up
+    assert(Similarity.indexCellSkew(spark, idx) >= 1.0)
+    assert(new java.io.File(idx).isDirectory, "rebuilt layout promoted")
+    assert(!new java.io.File(s"$idx.rebuild").exists() &&
+      !new java.io.File(s"$idx.old").exists(), "swap leftovers cleaned")
+    // rollback direction: crash with only .old present
+    assert(fs.rename(new org.apache.hadoop.fs.Path(idx),
+      new org.apache.hadoop.fs.Path(s"$idx.old")))
+    assert(Similarity.indexCellSkew(spark, idx) >= 1.0)
+    assert(new java.io.File(idx).isDirectory, "old layout rolled back")
   }
 
   test("index layout guard: half-written and foreign directories fail loudly at open") {

@@ -110,6 +110,30 @@ class DedupStoreReadSpec extends SparkSpec {
     assert(tombs == Set(victimHash))
   }
 
+  test("a re-purged text's second fold restarts its feed retention window") {
+    // purge → fold → legitimate re-ingestion → purge AGAIN: the second
+    // erasure is new; if consolidation kept the FIRST fold's timestamp,
+    // the re-fold could age out inside the documented lag bound and a
+    // compliant consumer would silently keep the re-purged text
+    val (store, _) = twoDeliveryStore()
+    import spark.implicits._
+    DedupStore.purge(spark, store, Seq("rd text 4"))
+    assert(DedupStore.compactTombstones(spark, store) == ((0, 1)))
+    val (fs, root) = DedupStore.fsRoot(store)
+    val ts1 = DedupStore.feedEntries(fs, root).toMap
+      .values.head
+    Thread.sleep(5)
+    // suppression ended with the fold — the text legitimately returns…
+    Seq((500L, "rd text 4")).toDF("doc_id", "text")
+      .write.format(SinkFormat).option("path", store).mode("append").save()
+    // …and is purged again; the new fold must carry a FRESH timestamp
+    DedupStore.purge(spark, store, Seq("rd text 4"))
+    assert(DedupStore.compactTombstones(spark, store) == ((0, 1)))
+    val ts2 = DedupStore.feedEntries(fs, root).toMap.values.head
+    assert(ts2 > ts1,
+      s"re-fold must restart the retention clock ($ts1 -> $ts2)")
+  }
+
   test("folded-delete feed honors its retention window") {
     // the documented lag bound: a folded erasure stays deliverable for
     // feedRetentionMs and then ages out — consumers lagging past the

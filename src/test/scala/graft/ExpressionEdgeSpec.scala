@@ -201,6 +201,23 @@ class ExpressionEdgeSpec extends SparkSpec {
     }
   }
 
+  test("TopCells ranks NaN scores worst, matching the literal sort_array path") {
+    import graft.functions.TopCells.Buf
+    // a degenerate centroid can score NaN; the literal path's
+    // sort_array puts negated-NaN LAST (Spark orders NaN greatest), so
+    // the bounded buffer must too — a strict > alone would let an
+    // early NaN lodge at the top and block every later entry
+    val b = new Buf(3)
+    b.offer(Double.NaN, 7L)
+    b.offer(0.5, 2L); b.offer(0.9, 1L); b.offer(0.1, 3L)
+    assert(b.result.toSeq == Seq(1L, 2L, 3L),
+      s"NaN must not outrank real scores: ${b.result.toSeq}")
+    val onlyNaN = new Buf(2)
+    onlyNaN.offer(Double.NaN, 9L); onlyNaN.offer(Double.NaN, 4L)
+    assert(onlyNaN.result.toSeq == Seq(4L, 9L),
+      "all-NaN groups tie-break by cell id")
+  }
+
   /** Round-trip through bytes, as shuffle does — also covers the
     * evicted-flag serialization. */
   private def reserialize(s: graft.functions.SpaceSavingTopK.Summary,
