@@ -59,6 +59,121 @@ object Similarity {
     * row — measured as the difference between 9.6 s and 3.4 s on the
     * s04 scan. [[rankTopK]]'s final NaN guard still backstops the
     * (shortlist-sized) full-precision side. */
+  /** Product-quantized EXACT top-k (Jégou et al. 2011, used as a
+    * pruning bound): the corpus stores as m one-byte sub-codes + a
+    * norm + a reconstruction-error float per vector — ~21× smaller
+    * than float32 at D=64/m=8 and ~5× smaller than even the int8 path,
+    * the compression regime where a 100 TB embedding corpus's candidate
+    * scan fits in memory. Scoring is ASYMMETRIC (ADC): each bounded
+    * query precomputes its m·ks table of sub-centroid dot products
+    * driver-side (queries are broadcast-bounded on every top-k path
+    * here — the lookup()/codebook house pattern), and a candidate's
+    * approximate dot is m table lookups in the codegen'd
+    * [[graft.functions.PqAdc]] kernel — zero per-candidate float math.
+    *
+    * Unlike a fixed-depth rescore (whose recall is an empirical bet
+    * that breaks as the corpus grows), the result is PROVABLY exact:
+    * Cauchy–Schwarz bounds |dot(q,v) − adc| ≤ ‖q‖·err(v), giving each
+    * candidate a cosine interval [lb, ub]; every candidate whose ub
+    * falls below the k-th best lb cannot be in the top-k (if ub_v < τ,
+    * then cos_v < τ ≤ cos of k other candidates). Only bound-survivors
+    * pay the exact-cosine rescore, and a small fixed margin absorbs
+    * the float→double rounding in the bound arithmetic. The brute
+    * oracle therefore carries over AT ANY SCALE, not just where a
+    * rescore depth happens to cover the approximation error.
+    * Sub-codebooks are deterministic seeds (subvectors of the first
+    * `ks` corpus vectors — the centroids() discipline per subspace);
+    * trained sub-codebooks would only TIGHTEN err and prune more. */
+  def pqTopK(corpus0: DataFrame, queries0: DataFrame, k: Int,
+             m: Int = 8, ks: Int = 16): DataFrame = {
+    val corpus = cleanVectors(corpus0)
+    val queries = cleanQueries(queries0)
+    rankTopK(
+      pqSurvivors(corpus, queries, k, m, ks)
+        .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding")),
+          "neighbor_id")
+        .join(broadcast(queries.select(col("query_id"), col("q_embedding"))),
+          "query_id")
+        .select(col("query_id"), col("neighbor_id"),
+          round(cosineSim(col("embedding"), col("q_embedding")), 6).as("cos_sim")),
+      k)
+  }
+
+  /** How many candidates the PQ bound admits to the exact rescore —
+    * the pruning the "exact at any scale" claim is paid with; exposed
+    * for the spec that proves the bound genuinely cuts. */
+  private[graft] def pqSurvivorCount(corpus0: DataFrame, queries0: DataFrame,
+                                     k: Int, m: Int, ks: Int): Long =
+    pqSurvivors(cleanVectors(corpus0), cleanQueries(queries0), k, m, ks).count()
+
+  /** The bound-surviving (query_id, neighbor_id) candidate set — see
+    * [[pqTopK]] for the interval-pruning argument. */
+  private def pqSurvivors(corpus: DataFrame, queries: DataFrame, k: Int,
+                          m: Int, ks: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val seeds = corpus.orderBy(col("vec_id")).limit(ks)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(seeds.nonEmpty, "pqTopK needs a non-empty corpus")
+    val d = seeds.head.length
+    require(d % m == 0,
+      s"pqTopK: dim $d must divide into m=$m equal subspaces")
+    val sub = d / m
+    val ksEff = math.min(ks, seeds.length)
+    // flat sub-codebook in [subspace][centroid][dim] order
+    val flat: Array[Float] = Array.tabulate(m * ksEff * sub) { x =>
+      val j = x / (ksEff * sub); val c = (x / sub) % ksEff; val i = x % sub
+      seeds(c)(j * sub + i)
+    }
+    val cbLit = typedlit(flat.toSeq)
+    // the stored PQ index: m code bytes + err + the norm the cosine
+    // needs (the one HOF here runs once per corpus row at encode time —
+    // the hot O(corpus × queries) kernel below is the codegen'd ADC)
+    val encoded = corpus.select(col("vec_id"),
+        graft.functions.PqCodes.pqEncode(col("embedding"), cbLit, m, ksEff)
+          .as("pq"),
+        expr("sqrt(aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * x))")
+          .as("vnorm"))
+      .select(col("vec_id"), col("pq.codes").as("codes"),
+        col("pq.err").as("err"), col("vnorm"))
+    // per-query ADC lookup tables (double precision — the bound's
+    // correctness budget goes to the fixed margin, not table rounding)
+    val lutRows = queries.select(col("query_id"), col("q_embedding"))
+      .collect().map { r =>
+        val q = r.getSeq[Float](1).map(_.toDouble).toArray
+        val lut = Array.tabulate(m * ksEff) { x =>
+          val j = x / ksEff; val c = x % ksEff
+          var s = 0d; var i = 0
+          while (i < sub) {
+            s += q(j * sub + i) * flat((j * ksEff + c) * sub + i); i += 1
+          }
+          s
+        }
+        (r.getLong(0), lut.toSeq, math.sqrt(q.map(x => x * x).sum))
+      }.toSeq
+    import spark.implicits._
+    val lutDf = lutRows.toDF("query_id", "lut", "qnorm")
+    val adcCol = graft.functions.PqCodes.pqAdc(col("codes"), col("lut"))
+    val bounded = spread(encoded).crossJoin(broadcast(lutDf))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        ((adcCol - col("qnorm") * col("err")) /
+          (col("vnorm") * col("qnorm"))).as("lb"),
+        ((adcCol + col("qnorm") * col("err")) /
+          (col("vnorm") * col("qnorm"))).as("ub"))
+    // τ per query = the k-th best LOWER bound; ub < τ − margin proves
+    // exclusion from the top-k (margin absorbs bound-arithmetic
+    // rounding plus the final ranking's 6-dp rounding ties)
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("lb").desc)
+    val tau = bounded
+      .withColumn("rnk", row_number().over(wq)).filter(col("rnk") === k)
+      .select(col("query_id"), col("lb").as("tau"))
+    bounded
+      .join(broadcast(tau), Seq("query_id"), "left")
+      .filter(col("tau").isNull || col("ub") >= col("tau") - lit(1e-5))
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
   private def rescoredTopK(approx: DataFrame, queries: DataFrame,
                            corpus: DataFrame, k: Int, rescore: Int): DataFrame = {
     // a shortlist shallower than k would silently return < k neighbors

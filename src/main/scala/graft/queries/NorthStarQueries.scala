@@ -566,6 +566,38 @@ object NorthStarQueries {
              |WHERE rank <= 5
              |ORDER BY query_id, rank""".stripMargin)),
 
+    // ---- similarity: product-quantized scan, bound-pruned EXACT top-k -----
+    // The compression regime past int8: m=8 one-byte sub-codes + norm +
+    // reconstruction-error floats per vector (~21× smaller than
+    // float32 at D=64), scored by the asymmetric-distance kernel —
+    // each query precomputes its sub-centroid dot-product table, a
+    // candidate costs m table lookups, zero per-candidate float math.
+    // The reconstruction error turns ADC into a Cauchy–Schwarz cosine
+    // INTERVAL per candidate: anything whose upper bound falls under
+    // the k-th best lower bound provably cannot rank, and only
+    // survivors pay the exact rescore — so the result is exact AT ANY
+    // CORPUS SIZE (not an empirical rescore-depth bet) and the oracle
+    // is the same exact top-k SQL as s01/s03, on its own query range.
+    ("s12_pq_topk",
+      (s: SparkSession, d: String) => {
+        val emb = Tables.load(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+        Similarity.pqTopK(emb.select("vec_id", "embedding"), queries,
+            k = 5, m = 8, ks = 16)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+             |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    round(list_cosine_similarity(q.v, c.v), 6) AS cos_sim,
+             |    row_number() OVER (PARTITION BY q.vec_id
+             |      ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC, c.vec_id) AS rank
+             |  FROM e q JOIN e c ON q.vec_id >= 10 AND q.vec_id < 20
+             |    AND c.vec_id <> q.vec_id)
+             |WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)),
+
     // ---- similarity: exact k-NN self-join (quantized scan) ----------------
     // Every vector is a query: the SemDeDup-style all-pairs primitive.
     // The int8 scan + rescore ≫ k equals brute force exactly (spec

@@ -852,6 +852,59 @@ object StreamMediaQueries {
       Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
              |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
 
+    // ---- OUTER stream-stream join: attribution with explicit misses -------
+    // st05's view→purchase interval join, LEFT OUTER: a view with no
+    // purchase inside its 1-hour window must still emit — with a NULL
+    // purchase — but only once the watermark PROVES no future match can
+    // arrive (state for a view expires when the watermark passes
+    // view_time + 1 h, the condition's upper bound; matched pairs emit
+    // immediately, exactly as the inner join). That proof obligation is
+    // the whole operator: null emission is a watermark-certified
+    // negative, not a timeout guess. State stays bounded by the same
+    // interval arithmetic as st05. The oracle mirrors the emission rule
+    // explicitly: batch left join, keep matches plus unmatched views
+    // whose window closed before the final watermark (max event time −
+    // the 2 h delay) — st04's finalized-set discipline applied to join
+    // state. File-sink drain: the closing no-data batch is what flushes
+    // the last expirations.
+    ("st23_outer_stream_join",
+      (s: SparkSession, d: String) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_st23").toString
+        val ev = EventStream.readEvents(s, d)
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"),
+            col("event_time").as("view_time"))
+          .withWatermark("view_time", "2 hours")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+            col("event_time").as("purchase_time"))
+          .withWatermark("purchase_time", "2 hours")
+        val joined = views.join(purchases,
+            col("user_id") === col("p_user") &&
+              col("purchase_time") >= col("view_time") &&
+              col("purchase_time") <= col("view_time") + expr("INTERVAL 1 HOUR"),
+            "left_outer")
+          .select(col("user_id"), col("view_id"), col("purchase_id"),
+            col("view_time"))
+        EventStream.runToFiles(s, joined, s"$out/data", s"$out/ckpt")
+          .select(col("user_id"), col("view_id"), col("purchase_id"))
+          .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t
+             |  FROM events),
+             |v AS (SELECT user_id, event_id AS view_id, t AS vt FROM e
+             |      WHERE event_type = 'view'),
+             |p AS (SELECT user_id AS p_user, event_id AS purchase_id, t AS pt
+             |      FROM e WHERE event_type = 'purchase'),
+             |wm AS (SELECT max(t) - INTERVAL 2 HOUR AS w FROM e),
+             |j AS (SELECT v.user_id, v.view_id, p.purchase_id, v.vt
+             |      FROM v LEFT JOIN p ON v.user_id = p.p_user
+             |        AND pt >= vt AND pt <= vt + INTERVAL 1 HOUR)
+             |SELECT user_id, view_id, purchase_id FROM j, wm
+             |WHERE purchase_id IS NOT NULL OR vt + INTERVAL 1 HOUR < wm.w
+             |ORDER BY user_id, view_id, purchase_id NULLS FIRST""".stripMargin)),
+
     // ---- streaming ANN index maintenance (continuous ingestion) -----------
     // s11's growth path on the STREAMING engine: the index is built
     // from the corpus at build time (even vec_ids), later arrivals

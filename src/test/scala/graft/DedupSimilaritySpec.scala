@@ -616,6 +616,47 @@ class DedupSimilaritySpec extends SparkSpec {
       s"expected the bounded TopCells aggregate in the plan")
   }
 
+  test("PQ top-k (shipped s12): bound-pruned exact search equals brute force and genuinely prunes") {
+    val emb = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
+      .cache()
+    val queries = emb.filter(col("vec_id") < 12)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank"))).toSet
+    val brute = rows(Similarity.bruteForceTopK(emb, queries, 5))
+    val pq = rows(Similarity.pqTopK(emb, queries, 5, m = 8, ks = 16))
+    assert(pq == brute,
+      "the Cauchy–Schwarz bound must make PQ search exact, not approximate")
+    // …and the bound must actually PRUNE (otherwise "exact" is just a
+    // disguised brute force): the exact-rescore stage must touch fewer
+    // candidates than corpus × queries. Measured through the survivor
+    // count the bound admits.
+    val nQ = queries.count()
+    val nC = emb.count()
+    val survivors = Similarity.pqSurvivorCount(emb, queries, 5, m = 8, ks = 16)
+    assert(survivors < nQ * (nC - 1),
+      s"the PQ bound admitted every candidate ($survivors of ${nQ * (nC - 1)})")
+    emb.unpersist()
+    // kernel units: encode picks the nearest sub-centroid with
+    // low-index ties, err is the residual L2; ADC sums exactly the
+    // coded table entries
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val cb = new GenericArrayData(Array[Float](0f, 0f, 1f, 1f)) // m=1,ks=2,sub=2
+    val enc = graft.functions.PqCodes.encode(
+      new GenericArrayData(Array[Float](0.9f, 0.8f)), cb, 1, 2, embIsFloat = true)
+    val codes = enc.getArray(0)
+    assert(codes.getByte(0) == 1, "nearest sub-centroid is (1,1)")
+    assert(math.abs(enc.getDouble(1) -
+      math.sqrt(0.1 * 0.1 + 0.2 * 0.2)) < 1e-6, "err = residual L2 norm")
+    val tie = graft.functions.PqCodes.encode(
+      new GenericArrayData(Array[Float](0.5f, 0.5f)), cb, 1, 2, embIsFloat = true)
+    assert(tie.getArray(0).getByte(0) == 0,
+      "equidistant ties break to the lowest index")
+    val lut = new GenericArrayData(Array[Double](10d, 20d))
+    assert(graft.functions.PqCodes.adc(codes, lut, lutIsFloat = false) == 20.0)
+  }
+
   test("index skew monitor + rebuildIfSkewed: drifted appends detected, rebuild restores balance") {
     // the appendToIvfIndex drift trade, closed: an index trained BEFORE
     // the corpus grew a new mode takes the appended mass into few cells
