@@ -163,13 +163,15 @@ object Similarity {
           (col("vnorm") * col("qnorm"))).as("ub"))
     // τ per query = the k-th best LOWER bound; ub < τ − margin proves
     // exclusion from the top-k (margin absorbs bound-arithmetic
-    // rounding plus the final ranking's 6-dp rounding ties)
+    // rounding plus the final ranking's 6-dp rounding ties). nth_value
+    // in an unbounded frame reads τ in the SAME window pass that ranks
+    // the bounds — one shuffle of the (ids, lb, ub) rows, and the ADC
+    // scan runs once (a separate τ subquery would re-execute it).
+    // Fewer than k candidates → τ null → keep all.
     val wq = Window.partitionBy(col("query_id")).orderBy(col("lb").desc)
-    val tau = bounded
-      .withColumn("rnk", row_number().over(wq)).filter(col("rnk") === k)
-      .select(col("query_id"), col("lb").as("tau"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     bounded
-      .join(broadcast(tau), Seq("query_id"), "left")
+      .withColumn("tau", nth_value(col("lb"), k).over(wq))
       .filter(col("tau").isNull || col("ub") >= col("tau") - lit(1e-5))
       .select(col("query_id"), col("neighbor_id"))
   }
