@@ -45,6 +45,84 @@ object TrainingPrepQueries {
 
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
+    // ---- per-language quality-quantile filter (CCNet's shape) -------------
+    // CCNet (Wenzek et al. 2020) buckets a crawl by language and keeps
+    // each language's best fraction by a quality score — a cutoff
+    // RELATIVE to the language's own distribution, because absolute
+    // thresholds starve low-resource languages. Here: t03's language id
+    // + t02's model-free quality, per-language EXACT median as the
+    // cutoff (4-dp rounded — q32's engine-robust double rule), keep
+    // count = docs at/above their language's cutoff. The cutoff
+    // aggregation is per-language (tiny key space, map-side partials)
+    // and broadcasts back — two scans of the scored frame, no window
+    // over the corpus. Oracle composes the certified t03 + t02 SQL
+    // blocks with quantile_cont.
+    ("q71_lang_quality_filter",
+      (s: SparkSession, d: String) => {
+        val scored = Tables.load(s, d, "documents").select(
+          TextAnalysis.langId(col("text")).as("pred_lang"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        val cuts = scored.groupBy(col("pred_lang"))
+          .agg(round(expr("percentile(quality, 0.5)"), 4).as("cutoff"))
+        scored.join(broadcast(cuts), "pred_lang")
+          .groupBy(col("pred_lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("quality") >= col("cutoff"), 1)).as("n_kept"),
+            min(col("cutoff")).as("cutoff"))
+          .orderBy(col("pred_lang"))
+      },
+      Some("""WITH scored AS (
+             |  SELECT
+             |    CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+             |         WHEN len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             |             t -> list_contains(['the','a','of','and','to','in','is','it','that','on'], t)))
+             |           = greatest(
+             |             len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             |               t -> list_contains(['the','a','of','and','to','in','is','it','that','on'], t))),
+             |             len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             |               t -> list_contains(['der','die','das','und','ist','ein','zu','den','von','mit'], t))),
+             |             len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             |               t -> list_contains(['el','la','de','los','las','y','es','un','una','en'], t))),
+             |             len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             |               t -> list_contains(['le','la','les','et','est','une','des','du','dans','pour'], t)))) THEN 'en'
+             |         WHEN len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             |             t -> list_contains(['der','die','das','und','ist','ein','zu','den','von','mit'], t)))
+             |           = greatest(
+             |             len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             |               t -> list_contains(['the','a','of','and','to','in','is','it','that','on'], t))),
+             |             len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             |               t -> list_contains(['der','die','das','und','ist','ein','zu','den','von','mit'], t))),
+             |             len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             |               t -> list_contains(['el','la','de','los','las','y','es','un','una','en'], t))),
+             |             len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             |               t -> list_contains(['le','la','les','et','est','une','des','du','dans','pour'], t)))) THEN 'de'
+             |         WHEN len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             |             t -> list_contains(['el','la','de','los','las','y','es','un','una','en'], t)))
+             |           = greatest(
+             |             len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             |               t -> list_contains(['the','a','of','and','to','in','is','it','that','on'], t))),
+             |             len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             |               t -> list_contains(['der','die','das','und','ist','ein','zu','den','von','mit'], t))),
+             |             len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             |               t -> list_contains(['el','la','de','los','las','y','es','un','una','en'], t))),
+             |             len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             |               t -> list_contains(['le','la','les','et','est','une','des','du','dans','pour'], t)))) THEN 'es'
+             |         ELSE 'fr' END AS pred_lang,
+             |    round(0.4 * least(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) / 100.0, 1.0)
+             |        + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text))
+             |        + 0.3 * least(CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             |              t -> list_contains(['the','a','of','and','to','in','is','it','that','on'], t))) AS DOUBLE)
+             |            / len(regexp_extract_all(lower(text), '[a-z0-9]+')) * 5.0, 1.0),
+             |        6) AS quality
+             |  FROM documents),
+             |cuts AS (SELECT pred_lang, round(quantile_cont(quality, 0.5), 4) AS cutoff
+             |         FROM scored GROUP BY 1)
+             |SELECT s.pred_lang, COUNT(*) AS n_docs,
+             |  COUNT(CASE WHEN s.quality >= c.cutoff THEN 1 END) AS n_kept,
+             |  MIN(c.cutoff) AS cutoff
+             |FROM scored s JOIN cuts c USING (pred_lang)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- deterministic train/val split (id-hash, RNG-free) ----------------
     ("q40_train_split",
       (s: SparkSession, d: String) => {
