@@ -164,6 +164,15 @@ object PqCodes {
   def adc(codes: ArrayData, lut: ArrayData, lutIsFloat: Boolean): Double = {
     val m = codes.numElements()
     if (m == 0) return 0d
+    // a LUT built for a different (m, ks) than the encoder's would
+    // read shifted table cells and return plausible-but-wrong dots —
+    // silently corrupting the "provably exact" bound; at least the
+    // divisibility mismatch fails loudly (a same-size wrong LUT is
+    // uncatchable here and owned by the caller pairing them)
+    require(lut.numElements() % m == 0,
+      s"pq_adc: lut length ${lut.numElements()} is not a multiple of " +
+        s"m=$m code entries — codes and lut were built with different " +
+        "PQ parameters")
     val ks = lut.numElements() / m
     var sum = 0d
     var j = 0

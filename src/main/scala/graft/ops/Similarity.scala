@@ -533,15 +533,31 @@ object Similarity {
     * table remains the single float authority (no second copy to keep
     * consistent). Training determinism is s06's certified regime, so an
     * index-backed query keeps a full SQL oracle (s08). */
+  /** Directories whose layout a [[guardIvfIndex]] call already
+    * validated this JVM: the schema-resolution cost (directory listing
+    * + footer reads per call — NOT free, each `spark.read` builds its
+    * own FileIndex) is paid once per (JVM, dir), which matters on hot
+    * maintenance loops like st21's per-micro-batch append+probe.
+    * Appends and [[rebuildIfSkewed]] swaps preserve layout validity,
+    * so a validated dir stays validated; a dir replaced with foreign
+    * content mid-JVM is outside the supported lifecycle (the guard
+    * still catches it in every OTHER JVM that opens it). */
+  private val guardedIndexDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Observed-vs-expected guard for a [[buildIvfIndex]] layout, run at
     * open time by every index consumer: a half-written build (crash
     * between codebook and cells), a foreign directory, or a layout from
     * a different engine version fails HERE with one report naming every
     * deviation — not as a missing-column resolution error in the middle
-    * of a probe plan. Cost is two footer/schema reads the consuming
-    * query was about to pay anyway. */
+    * of a probe plan. Validated once per (JVM, dir) — see
+    * [[guardedIndexDirs]]. */
   private[graft] def guardIvfIndex(spark: SparkSession, indexDir: String): Unit = {
+    // swap recovery always runs — it is one fs.exists when the dir is
+    // healthy, and a crashed swap can strand a dir the cache already
+    // validated; only the schema resolution is amortized
     recoverIvfSwap(indexDir)
+    if (guardedIndexDirs.contains(indexDir)) return
     val problems = scala.collection.mutable.ArrayBuffer.empty[String]
     def schemaOf(dir: String): Option[org.apache.spark.sql.types.StructType] =
       try Some(spark.read.parquet(dir).schema)
@@ -565,6 +581,7 @@ object Similarity {
           problems.mkString("\n  - ") +
           "\n  half-written build, foreign directory, or layout drift — " +
           "rebuild the index before serving from it")
+    guardedIndexDirs.add(indexDir): Unit
   }
 
   /** Cell-occupancy skew of a persisted index: max cell population over
@@ -602,54 +619,79 @@ object Similarity {
                       nCells: Int = 16, trainIters: Int = 2): Boolean = {
     val spark = corpus.sparkSession
     val skew = indexCellSkew(spark, indexDir)
-    if (skew <= maxSkew) false
-    else {
-      val staging = s"$indexDir.rebuild"
+    val (fs, _) = graft.streaming.DedupStore.fsRoot(indexDir)
+    val staging = s"$indexDir.rebuild"
+    val stagingP = new org.apache.hadoop.fs.Path(staging)
+    if (skew <= maxSkew) {
+      // a crashed run from before its first rename may have left a
+      // complete-but-STALE staging build (appends continued into the
+      // live index since); reclaim it here so it can neither leak disk
+      // nor ever be mistaken for a recoverable swap
+      if (fs.exists(stagingP)) fs.delete(stagingP, true): Unit
+      false
+    } else {
       buildIvfIndex(corpus, staging, nCells, trainIters)
-      val (fs, _) = graft.streaming.DedupStore.fsRoot(indexDir)
       val cur = new org.apache.hadoop.fs.Path(indexDir)
       val old = new org.apache.hadoop.fs.Path(s"$indexDir.old")
       if (fs.exists(old)) fs.delete(old, true): Unit
       // two renames can't be jointly atomic: a crash between them
-      // leaves indexDir absent with BOTH neighbors present — a state
-      // [[recoverIvfSwap]] repairs on the next open (preferring the
-      // completed .rebuild, which by ordering is always fully built
-      // once the first rename ran). Readers must not race the swap:
-      // this is a stop-the-world maintenance op like compaction/purge.
-      if (!fs.rename(cur, old) ||
-          !fs.rename(new org.apache.hadoop.fs.Path(staging), cur))
+      // leaves indexDir absent with BOTH neighbors present — the state
+      // [[recoverIvfSwap]] repairs on the next open. Readers must not
+      // race the swap: this is a stop-the-world maintenance op like
+      // compaction/purge.
+      if (!fs.rename(cur, old))
         throw new java.io.IOException(
-          s"index swap failed at $indexDir — recoverable: the previous " +
-            s"layout is at $old, the rebuilt one at $staging; the next " +
-            "open completes the swap")
+          s"index swap failed at $indexDir: could not move the live " +
+            s"layout aside — it is STILL INTACT at $indexDir and the " +
+            s"rebuilt layout at $staging is unused; nothing to recover")
+      if (!fs.rename(stagingP, cur))
+        throw new java.io.IOException(
+          s"index swap failed at $indexDir mid-way — recoverable: the " +
+            s"previous layout is at $old, the rebuilt one at $staging; " +
+            "the next open completes the swap")
       fs.delete(old, true): Unit
       true
     }
   }
 
-  /** Complete a [[rebuildIfSkewed]] swap a crash left half-done: when
-    * the index directory itself is ABSENT, the crash happened between
-    * the two renames — the rebuilt layout at `.rebuild` is complete by
-    * construction (it is fully built before the first rename runs), so
-    * promote it; with only `.old` present, roll back to it. Idempotent
-    * and called from every consumer's open-time guard, so the
-    * crash-window state self-heals instead of requiring manual rename
-    * surgery. */
+  /** Complete a [[rebuildIfSkewed]] swap a crash left half-done. The
+    * ONLY state the swap can crash into with the index dir ABSENT is
+    * between its two renames — `.old` (just moved aside) and
+    * `.rebuild` (fully built before any rename runs) both present —
+    * and there the rebuilt layout is current, so promote it. `.old`
+    * alone means the second rename ran and a later crash lost `cur`
+    * out-of-band: roll back. `.rebuild` ALONE next to a missing dir is
+    * NOT a swap crash (the first rename leaves `.old` behind) — it is
+    * a stale leftover beside an index that was removed out-of-band,
+    * and promoting it would silently resurrect a pre-append snapshot;
+    * refuse loudly instead. Idempotent and called from every
+    * consumer's open-time guard. */
   private def recoverIvfSwap(indexDir: String): Unit = {
     val (fs, _) = graft.streaming.DedupStore.fsRoot(indexDir)
     val cur = new org.apache.hadoop.fs.Path(indexDir)
     if (!fs.exists(cur)) {
       val staged = new org.apache.hadoop.fs.Path(s"$indexDir.rebuild")
       val old = new org.apache.hadoop.fs.Path(s"$indexDir.old")
-      if (fs.exists(staged)) {
-        if (!fs.rename(staged, cur))
-          throw new java.io.IOException(
-            s"could not promote $staged to $indexDir to finish a crashed swap")
-        fs.delete(old, true): Unit
-      } else if (fs.exists(old)) {
-        if (!fs.rename(old, cur))
-          throw new java.io.IOException(
-            s"could not roll $old back to $indexDir after a crashed swap")
+      (fs.exists(staged), fs.exists(old)) match {
+        case (true, true) =>
+          if (!fs.rename(staged, cur))
+            throw new java.io.IOException(
+              s"could not promote $staged to $indexDir to finish a crashed swap")
+          fs.delete(old, true): Unit
+        case (false, true) =>
+          if (!fs.rename(old, cur))
+            throw new java.io.IOException(
+              s"could not roll $old back to $indexDir after a crashed swap")
+        case (true, false) =>
+          throw new IllegalStateException(
+            s"$indexDir is absent but a staging build exists at $staged " +
+              "WITHOUT a .old sibling — that is not a crashed swap (the " +
+              "swap moves the live layout to .old first); the index was " +
+              "removed out-of-band and the staging build may predate " +
+              "appends. Rebuild the index (or promote the staging dir " +
+              "manually if it is known-current) instead of silently " +
+              "serving a stale snapshot")
+        case (false, false) => () // plain missing dir: the guard reports it
       }
     }
   }

@@ -863,10 +863,13 @@ object StreamMediaQueries {
     // negative, not a timeout guess. State stays bounded by the same
     // interval arithmetic as st05. The oracle mirrors the emission rule
     // explicitly: batch left join, keep matches plus unmatched views
-    // whose window closed before the final watermark (max event time −
-    // the 2 h delay) — st04's finalized-set discipline applied to join
-    // state. File-sink drain: the closing no-data batch is what flushes
-    // the last expirations.
+    // whose window closed before the final GLOBAL watermark — which
+    // under the default multipleWatermarkPolicy=min is the LEAST of
+    // the two sides' own maxima minus the 2 h delay (each withWatermark
+    // node only sees its filtered branch, so the globally-latest event
+    // of some third type moves neither) — st04's finalized-set
+    // discipline applied to join state. File-sink drain: the closing
+    // no-data batch is what flushes the last expirations.
     ("st23_outer_stream_join",
       (s: SparkSession, d: String) => {
         val out = java.nio.file.Files.createTempDirectory("graft_st23").toString
@@ -897,7 +900,8 @@ object StreamMediaQueries {
              |      WHERE event_type = 'view'),
              |p AS (SELECT user_id AS p_user, event_id AS purchase_id, t AS pt
              |      FROM e WHERE event_type = 'purchase'),
-             |wm AS (SELECT max(t) - INTERVAL 2 HOUR AS w FROM e),
+             |wm AS (SELECT least((SELECT max(vt) FROM v), (SELECT max(pt) FROM p))
+             |         - INTERVAL 2 HOUR AS w),
              |j AS (SELECT v.user_id, v.view_id, p.purchase_id, v.vt
              |      FROM v LEFT JOIN p ON v.user_id = p.p_user
              |        AND pt >= vt AND pt <= vt + INTERVAL 1 HOUR)

@@ -1104,9 +1104,10 @@ object DedupStore {
     * a lagging CDC consumer still receives every erasure (auto-
     * compaction in [[run]] can otherwise fold a purge in the SAME drain
     * cycle that created it — before any consumer had a chance to sync).
-    * Prior feed records re-consolidate into the new file (earliest fold
-    * time wins per hash, so retention runs from the first fold) and
-    * only age out past the window.
+    * Prior feed records re-consolidate into the new file — LATEST fold
+    * time wins per hash, so a purge→fold→re-ingest→purge-again cycle
+    * restarts the second erasure's retention window at its own fold —
+    * and only age out past the window.
     *
     * Cost ∝ the tombstone-hash buckets' live bytes, not store size:
     * the presence probe reads only manifest entries in buckets a
