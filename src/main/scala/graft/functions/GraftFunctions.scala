@@ -59,6 +59,7 @@ object GraftFunctions {
     * explicitly). */
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
+    "dot_product" -> (es => DotProduct(es(0), es(1))),
     "simhash" -> (es => SimHash(es.head)),
     "simhash_md5" -> (es => SimHashMd5(es.head)),
     "minhash_sig" -> (es => MinHashSig(es(0), intArg(es(1), "minhash_sig"))),

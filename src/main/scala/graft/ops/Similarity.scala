@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.CosineSimilarity.cosineSim
+import graft.functions.DotProduct.dotProduct
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`), north-star extension.
@@ -259,6 +260,86 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cosineSim(col("embedding"), col("q_embedding")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= radius)
+
+  /** Maximum-inner-product search (MIPS) top-k, EXACT via the classic
+    * norm bound (Cauchy–Schwarz: dot(q,v) ≤ ‖q‖·‖v‖ — the pruning rule
+    * behind FEXIPRO/LEMP-style exact MIPS engines). Ranking is by raw
+    * dot product, not cosine: recommender retrieval keeps popularity
+    * signal in the embedding norm, so the cosine paths (s01/s02/s03)
+    * answer the wrong question for it.
+    *
+    * Plan shape:
+    *  1. One projection pass attaches ‖v‖ to each corpus row
+    *     (codegen'd self-dot, no shuffle).
+    *  2. A seed of the `seedN` largest-norm vectors (distributed
+    *     TakeOrdered — no full sort) is scored exactly per query; its
+    *     k-th best dot is a certified lower bound τ on the true k-th
+    *     best, because the seed is a subset of the corpus.
+    *  3. The full scan keeps only rows with ‖v‖·‖q‖ ≥ τ − margin: any
+    *     pruned row has dot ≤ ‖v‖·‖q‖ < τ ≤ true k-th best, so it
+    *     cannot be in the top-k. Survivors pay the exact dot + rank.
+    *
+    * Why high-norm seeding works: dot(q,v) ≤ ‖q‖‖v‖ means large-norm
+    * vectors are the only ones that CAN score high, so scoring them
+    * first yields a tight τ after seedN rows instead of a corpus pass.
+    * At 100 TB the norm column is persisted and the corpus files
+    * Z-ordered/sorted by norm: parquet min/max stats on ‖v‖ then prune
+    * WHOLE FILES below min_q(τ_q/‖q‖) before any row is read — the
+    * same stats-pruning contract q58 certifies for Z-order scans. The
+    * margin (1e-4) absorbs the 6-dp rounding of the final ranking so a
+    * boundary candidate the oracle would admit is never pruned.
+    *
+    * Zero/empty vectors are dropped on both sides ([[cleanVectors]]
+    * semantics; the oracle mirrors with `list_inner_product(v,v) > 0`)
+    * — a degenerate query has no meaningful MIPS answer and a
+    * degenerate corpus row scores 0 against everything.
+    */
+  def mipsTopK(corpus0: DataFrame, queries0: DataFrame, k: Int,
+               seedN: Int = 64): DataFrame = {
+    val scored = mipsSurvivors(corpus0, queries0, k, seedN)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("ip_raw"), 6).as("ip"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ip").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("ip"), col("rank"))
+  }
+
+  /** Bound-surviving candidate rows (query_id, neighbor_id, ip_raw) —
+    * exposed so the spec can prove the norm bound genuinely prunes. */
+  private[graft] def mipsSurvivors(corpus0: DataFrame, queries0: DataFrame,
+                                   k: Int, seedN: Int): DataFrame = {
+    val corpus = cleanVectors(corpus0)
+      .withColumn("nv", sqrt(dotProduct(col("embedding"), col("embedding"))))
+    val queries = cleanQueries(queries0)
+      .withColumn("nq", sqrt(dotProduct(col("q_embedding"), col("q_embedding"))))
+    // Seed pass: largest-norm vectors, scored exactly. TakeOrdered keeps
+    // this a top-seedN per partition + driver merge, never a full sort.
+    val seed = corpus.orderBy(col("nv").desc, col("vec_id"))
+      .limit(math.max(seedN, k + 1))
+      .select(col("vec_id"), col("embedding"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("seed_ip").desc, col("vec_id"))
+    val tau = broadcast(seed).crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        dotProduct(col("embedding"), col("q_embedding")).as("seed_ip"))
+      .withColumn("rnk", row_number().over(wq))
+      .filter(col("rnk") === k)
+      .select(col("query_id"), col("seed_ip").as("tau"))
+    // margin: 6-dp final rounding means scores within 5e-7 of τ can tie
+    // the oracle's k-th row; 1e-4 dominates that plus float slop.
+    val bounded = queries.join(tau, Seq("query_id"), "left")
+      .withColumn("cut",
+        coalesce(col("tau") - lit(1e-4), lit(Double.NegativeInfinity)))
+      .select(col("query_id"), col("q_embedding"), col("nq"), col("cut"))
+    spread(corpus).crossJoin(broadcast(bounded))
+      .filter(col("vec_id") =!= col("query_id") &&
+        col("nv") * col("nq") >= col("cut"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dotProduct(col("embedding"), col("q_embedding")).as("ip_raw"))
+  }
 
   /** Deterministic seed centroids: the nCells lowest-id vectors. */
   def centroids(corpus: DataFrame, nCells: Int): DataFrame =

@@ -91,6 +91,66 @@ object AdvancedQueries {
              |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
              |ORDER BY user_id, event_id""".stripMargin)),
 
+    // ---- batch sessionization: gap-based session assignment ----------------
+    // The BATCH twin of st02/st12's streaming sessionize: a new session
+    // starts where the gap to the user's previous event exceeds 30
+    // minutes (lag + running sum of boundary flags — the standard
+    // sessionization idiom). Deterministic: ties order by (ts,
+    // event_id). Scale shape: ONE shuffle on user_id total — the lag
+    // window, the running sum, the per-session groupBy(user_id,
+    // sess_id) AND the final per-user rollup all reuse the same hash
+    // partitioning (HashPartitioning(user_id) satisfies every later
+    // clustering whose keys contain user_id), so cost is one exchange
+    // plus per-partition sorts regardless of corpus size. Durations
+    // stay exact epoch-micros LONGS until the final divide, so the
+    // double outputs are order-independent.
+    ("q72_batch_sessionize",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val gapUs = 30L * 60 * 1000 * 1000
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val prev = lag(col("ts"), 1).over(w)
+        val sess = Tables.load(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("ts"))
+          .withColumn("new_sess",
+            when(prev.isNull || col("ts") - prev > gapUs, 1L).otherwise(0L))
+          .withColumn("sess_id", sum(col("new_sess"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        sess.groupBy(col("user_id"), col("sess_id"))
+          .agg(count(lit(1)).as("n_ev"),
+            (max(col("ts")) - min(col("ts"))).as("dur_us"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(col("n_ev")).as("n_events"),
+            (sum(col("n_ev")).cast("double") / count(lit(1)))
+              .as("avg_sess_events"),
+            (sum(col("dur_us")).cast("double") / count(lit(1)) / lit(1e6))
+              .as("avg_sess_dur_s"),
+            (max(col("dur_us")).cast("double") / lit(1e6))
+              .as("max_sess_dur_s"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH x AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |y AS (
+             |  SELECT user_id, ts,
+             |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                        ROWS UNBOUNDED PRECEDING) AS sess_id
+             |  FROM x),
+             |s AS (
+             |  SELECT user_id, sess_id, COUNT(*) AS n_ev,
+             |    epoch_us(max(ts) - min(ts)) AS dur_us
+             |  FROM y GROUP BY 1, 2)
+             |SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n_ev) AS BIGINT) AS n_events,
+             |  CAST(SUM(n_ev) AS DOUBLE)/COUNT(*) AS avg_sess_events,
+             |  CAST(SUM(dur_us) AS DOUBLE)/COUNT(*)/1e6 AS avg_sess_dur_s,
+             |  CAST(MAX(dur_us) AS DOUBLE)/1e6 AS max_sess_dur_s
+             |FROM s GROUP BY 1 ORDER BY user_id""".stripMargin)),
+
     // ---- TPC-H Q3 shape: 3-way join + agg + top-k revenue -------------------
     ("q28_shipping_priority",
       (s: SparkSession, d: String) => {

@@ -598,6 +598,38 @@ object NorthStarQueries {
              |WHERE rank <= 5
              |ORDER BY query_id, rank""".stripMargin)),
 
+    // ---- similarity: exact MIPS top-k (norm-bound pruned) -----------------
+    // Ranking by RAW INNER PRODUCT, not cosine — the recommender
+    // retrieval semantics where popularity lives in the embedding norm.
+    // Exact at any corpus size via the Cauchy–Schwarz norm bound: a
+    // high-norm seed's k-th best dot is a certified lower bound τ, and
+    // the full scan skips every row with ‖v‖·‖q‖ < τ (it provably
+    // cannot rank). At 100 TB the persisted norm column + norm-sorted
+    // files turn the same bound into parquet min/max FILE pruning. The
+    // oracle is brute-force exact top-k by list_inner_product — safe
+    // because the prune is a proof, not a recall bet.
+    ("s13_mips_topk",
+      (s: SparkSession, d: String) => {
+        val emb = Tables.load(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") >= 20 && col("vec_id") < 30)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+        Similarity.mipsTopK(emb.select("vec_id", "embedding"), queries,
+            k = 5, seedN = 64)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH e AS (SELECT vec_id, v FROM
+             |        (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+             |      WHERE len(v) > 0 AND list_inner_product(v, v) > 0)
+             |SELECT query_id, neighbor_id, ip, CAST(rank AS INT) AS rank FROM (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    round(list_inner_product(q.v, c.v), 6) AS ip,
+             |    row_number() OVER (PARTITION BY q.vec_id
+             |      ORDER BY round(list_inner_product(q.v, c.v), 6) DESC, c.vec_id) AS rank
+             |  FROM e q JOIN e c ON q.vec_id >= 20 AND q.vec_id < 30
+             |    AND c.vec_id <> q.vec_id)
+             |WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)),
+
     // ---- similarity: exact k-NN self-join (quantized scan) ----------------
     // Every vector is a query: the SemDeDup-style all-pairs primitive.
     // The int8 scan + rescore ≫ k equals brute force exactly (spec

@@ -657,6 +657,79 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(graft.functions.PqCodes.adc(codes, lut, lutIsFloat = false) == 20.0)
   }
 
+  test("MIPS top-k (shipped s13): norm-bound exact search equals brute force and genuinely prunes") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.DotProduct.dotProduct
+    val emb = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
+      .cache()
+    val queries = emb.filter(col("vec_id") < 12)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    // brute-force ground truth: every pair, ranked by rounded raw dot
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ip").desc, col("neighbor_id"))
+    val brute = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .filter(dotProduct(col("embedding"), col("embedding")) > 0 &&
+        dotProduct(col("q_embedding"), col("q_embedding")) > 0)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dotProduct(col("embedding"), col("q_embedding")), 6).as("ip"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank"))).toSet
+    val mips = Similarity.mipsTopK(emb, queries, k = 5, seedN = 64)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank"))).toSet
+    assert(mips == brute,
+      "the Cauchy–Schwarz norm bound must make MIPS exact, not approximate")
+    emb.unpersist()
+    // ...and the bound must actually PRUNE where norms spread. The
+    // fixture's random embeddings have CONCENTRATED norms (isotropic
+    // gaussians — every ‖v‖‖q‖ clears a small-dot τ, so the bound
+    // admits everything; exactness above still holds, which is the
+    // contract). Real MIPS corpora are the opposite regime: recommender
+    // item norms follow popularity power laws, and there the bound cuts
+    // hard. Synthesize that regime and require a deep cut.
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val dim = 8
+    def unit(): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val scaled = (0 until 400).map { i =>
+      val s = 10.0f / (1 + i) // power-law norms: 10, 5, 3.3, ... 0.025
+      (i.toLong, unit().map(_ * s).toSeq)
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .cache()
+    val sq = scaled.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val wS = Window.partitionBy(col("query_id"))
+      .orderBy(col("ip").desc, col("neighbor_id"))
+    val bruteS = scaled.crossJoin(broadcast(sq))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dotProduct(col("embedding"), col("q_embedding")), 6).as("ip"))
+      .withColumn("rank", row_number().over(wS)).filter(col("rank") <= 5)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank"))).toSet
+    val mipsS = Similarity.mipsTopK(scaled, sq, k = 5, seedN = 64)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank"))).toSet
+    assert(mipsS == bruteS, "exactness must hold in the pruning regime too")
+    val full = 5L * 399
+    val survivors = Similarity.mipsSurvivors(scaled, sq, k = 5, seedN = 64)
+      .count()
+    scaled.unpersist()
+    assert(survivors < full / 2,
+      s"power-law norms should prune most candidates ($survivors of $full admitted)")
+  }
+
   test("index skew monitor + rebuildIfSkewed: drifted appends detected, rebuild restores balance") {
     // the appendToIvfIndex drift trade, closed: an index trained BEFORE
     // the corpus grew a new mode takes the appended mass into few cells

@@ -93,6 +93,11 @@ class FunctionsSpec extends SparkSpec {
         |FROM emb_sql a JOIN emb_sql b ON a.vec_id = 0 AND b.vec_id = 1""".stripMargin)
       .collect()(0).getDouble(0)
     assert(r > -1.0 && r < 1.0)
+    val rDot = spark.sql(
+      """SELECT dot_product(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                   array(CAST(3.0 AS FLOAT), CAST(-0.5 AS FLOAT))) AS d""".stripMargin)
+      .collect()(0).getDouble(0)
+    assert(math.abs(rDot - 2.0) < 1e-12)
     val r2 = spark.sql(
       """SELECT simhash(split('a b c', ' ')) AS h,
         |       minhash_sig(word_ngrams(split('a b c d', ' '), 2), 4) AS sig""".stripMargin)
@@ -128,7 +133,7 @@ class FunctionsSpec extends SparkSpec {
     // from the same canonical list register() uses — pin its contents
     // so a function added to one path can't silently miss the other
     assert(graft.functions.GraftFunctions.functions.map(_._1).toSet ==
-      Set("cosine_sim", "cosine_sim_q8", "simhash", "simhash_md5", "minhash_sig",
+      Set("cosine_sim", "dot_product", "cosine_sim_q8", "simhash", "simhash_md5", "minhash_sig",
         "word_ngrams", "srp_sig", "space_saving_topk", "kll_quantile",
         "quantize_q8", "bloom_filter_agg", "bloom_might_contain",
         "cms_estimate", "kmv_sketch", "kmv_estimate", "kmv_intersect",
