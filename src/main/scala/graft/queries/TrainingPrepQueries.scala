@@ -209,6 +209,59 @@ object TrainingPrepQueries {
              |      * n_lang < (SELECT cap FROM c) * 1000000) AS BIGINT) AS n_kept
              |FROM n GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // ---- temperature-based mixture sampling (derived rates) ---------------
+    // The XLM-R/mT5 mixing rule (Conneau et al. 2020): sampling
+    // probabilities p_l ∝ c_l^α (α = 0.3) flatten the language
+    // distribution so high-resource languages stop drowning the rest —
+    // unlike q49, the rates are DERIVED FROM THE CORPUS, not fixed
+    // weights. Target budget: half the corpus. Per-language rate =
+    // min(1, N·p_l / c_l), quantized to basis points (round-to-nearest
+    // of rate·10⁴) so the keep decision is an exact INTEGER compare of
+    // the shared LCG bucket — the pow/sum double arithmetic can drift
+    // by ulps between engines, but a half-integer landing of rate·10⁴
+    // would be astronomically unlucky, and everything downstream of
+    // the rounding is engine-exact. Scale shape: the rate table is
+    // |langs|-bounded (tiny partial-agg'd count + broadcast back, the
+    // q71 pattern) and the keep decision is map-side — the corpus
+    // never shuffles.
+    ("q73_temperature_mix",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, d, "documents")
+        val wAll = Window.partitionBy() // |langs| rows — bounded
+        val rates = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+          .withColumn("w", pow(col("n_docs").cast("double"), lit(0.3)))
+          .withColumn("thresh",
+            round(least(lit(1.0),
+              lit(0.5) * sum(col("n_docs")).over(wAll) *
+                (col("w") / sum(col("w")).over(wAll)) / col("n_docs"))
+              * 10000).cast("long"))
+          .select(col("lang"), col("n_docs"), col("thresh"))
+        val sampled = docs.join(broadcast(rates), "lang")
+          .filter(TrainingPrep.hashBucket(col("doc_id"), 10000) < col("thresh"))
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+        rates.join(sampled, Seq("lang"), "left")
+          .select(col("lang"), col("n_docs"),
+            (col("thresh") / lit(10000.0)).as("sample_rate"),
+            coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+             |r AS (SELECT lang, n_docs,
+             |        CAST(round(LEAST(1.0, 0.5 * SUM(n_docs) OVER () *
+             |             (POW(CAST(n_docs AS DOUBLE), 0.3) /
+             |              SUM(POW(CAST(n_docs AS DOUBLE), 0.3)) OVER ()) / n_docs)
+             |           * 10000) AS BIGINT) AS thresh
+             |      FROM c),
+             |k AS (SELECT d.lang, COUNT(*) AS n_sampled
+             |      FROM documents d JOIN r USING (lang)
+             |      WHERE (((d.doc_id * 48271) % 2147483647 + 2147483647) % 2147483647) % 10000
+             |            < r.thresh
+             |      GROUP BY 1)
+             |SELECT r.lang, r.n_docs, r.thresh / 10000.0 AS sample_rate,
+             |  COALESCE(k.n_sampled, CAST(0 AS BIGINT)) AS n_sampled
+             |FROM r LEFT JOIN k USING (lang) ORDER BY r.lang""".stripMargin)),
+
     // ---- fractional-epoch upsampling (data-mix weighting) -----------------
     // The complementary mix primitive: under-represented languages
     // repeat fractionally (2.5 epochs = every doc twice, a

@@ -469,6 +469,36 @@ class ScaleSpec extends SparkSpec {
       s"expected exactly one hash exchange (the window's), got $hashExchanges:\n$finalPlan")
   }
 
+  test("q72 batch sessionize: ONE hash exchange serves window, session agg and user rollup") {
+    // the scale claim in the query's comment: HashPartitioning(user_id)
+    // from the lag/running-sum window satisfies the groupBy(user_id,
+    // sess_id) AND the final groupBy(user_id) clustering, so the whole
+    // pipeline is one shuffle + per-partition work at any corpus size
+    val plan = planOf(SparkEntry.queries("q72_batch_sessionize")(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan).length
+    assert(hashExchanges == 1,
+      s"expected exactly one hash exchange, got $hashExchanges:\n$finalPlan")
+    assert(plan.contains("Window"), s"no window operator:\n$plan")
+  }
+
+  test("s13 MIPS: corpus scan joins only against broadcasts — no corpus shuffle") {
+    // the norm bound's scale story: the corpus side must stream through
+    // broadcast joins (seed + thresholds are tiny); a hash exchange of
+    // the corpus would mean the prune shuffles what it should skip. The
+    // only shuffle is the final per-query ranking window over survivors.
+    val emb = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val plan = planOf(graft.ops.Similarity.mipsTopK(emb, queries, k = 5))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert("BroadcastHashJoin|BroadcastNestedLoopJoin".r
+      .findFirstIn(finalPlan).isDefined, s"no broadcast join:\n$finalPlan")
+    assert(!finalPlan.contains("SortMergeJoin") &&
+      !finalPlan.contains("ShuffledHashJoin"),
+      s"corpus side got shuffled into a join:\n$finalPlan")
+  }
+
   test("dynamic partition overwrite (q59): untouched partitions keep their files") {
     import graft.queries.SourceFormatQueries.withOverwriteMode
     val out = Files.createTempDirectory("graft_dynspec").toString

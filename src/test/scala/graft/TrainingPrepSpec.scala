@@ -227,4 +227,30 @@ class TrainingPrepSpec extends SparkSpec {
     assert(got(2L) == ((0.0, 0.25)))
     assert(got(3L) == ((1.0, 0.5)))
   }
+
+  test("q73 temperature mix: rates flatten the distribution, never upsample, hold the budget") {
+    // the α<1 contract: sampling rate is ANTITONE in corpus share (the
+    // biggest language gets the smallest rate), rates stay ≤ 1 (this is
+    // a downsampling mix — q49 owns upsampling), and the realized
+    // sample stays near the declared half-corpus budget
+    val out = SparkEntry.queries("q73_temperature_mix")(
+        spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_docs"),
+        r.getAs[Double]("sample_rate"), r.getAs[Long]("n_sampled")))
+    assert(out.nonEmpty)
+    out.foreach { case (l, _, rate, _) =>
+      assert(rate > 0 && rate <= 1.0, s"$l rate $rate out of range") }
+    val byCount = out.sortBy(_._2)
+    byCount.sliding(2).foreach {
+      case Array((l1, c1, r1, _), (l2, c2, r2, _)) if c1 < c2 =>
+        assert(r1 >= r2, s"rate must not grow with corpus share: " +
+          s"$l1($c1)→$r1 vs $l2($c2)→$r2")
+      case _ =>
+    }
+    val total = out.map(_._2).sum.toDouble
+    val sampled = out.map(_._4).sum.toDouble
+    assert(math.abs(sampled / total - 0.5) < 0.1,
+      s"budget drift: sampled ${sampled / total} of corpus, wanted ~0.5")
+  }
 }
