@@ -76,6 +76,44 @@ object Dedup {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
+  /** Directional near-CONTAINMENT pairs: (id_a, id_b, containment)
+    * where containment = |grams(a) ∩ grams(b)| / |grams(a)| ≥
+    * `threshold` — doc a is (mostly) inside doc b. The asymmetric
+    * sibling of Jaccard dedup: a short document wrapped in boilerplate
+    * (header + quoted original + footer) scores LOW Jaccard against its
+    * source (the union is inflated by the wrapper) but containment ≈ 1,
+    * which is why quote/wrapper dups survive d02/d03-style filters.
+    * Broder's (1997) containment measure, served by the same
+    * inverted-index join as [[substringNearDupPairs]]: candidates meet
+    * through gram equality (never a cartesian), shared-gram counts come
+    * from the pair groupBy, and the denominator joins back from a
+    * per-doc gram count — all linear in the posting lists. `maxDf`
+    * drops grams appearing in more than that many docs (0 disables):
+    * the boilerplate-gram guard that bounds posting-list length at
+    * 100 TB, where a stop-gram's list would otherwise dominate the
+    * pair shuffle. Both directions emit when both clear the threshold
+    * (a ⊑ b and b ⊑ a for exact dups). */
+  def containmentNearDups(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int = 5, threshold: Double = 0.9,
+                          maxDf: Int = 0): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc_id"),
+        wordNGrams(words(col(textCol)), n).as("g"))
+      .filter(size(col("g")) > 0)
+    val posting = capBuckets(
+      grams.select(col("doc_id"), explode(col("g")).as("gram")),
+      Seq("gram"), maxDf)
+    val shared = posting.select(col("gram"), col("doc_id").as("id_a"))
+      .join(posting.select(col("gram"), col("doc_id").as("id_b")), "gram")
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
+    shared
+      .join(grams.select(col("doc_id").as("id_a"), size(col("g")).as("n_a")),
+        "id_a")
+      .select(col("id_a"), col("id_b"),
+        round(col("shared").cast("double") / col("n_a"), 6).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Set Jaccard of two string arrays (distinct-element semantics, same
     * as DuckDB `list_intersect` / distinct-union cardinalities). */
   def jaccard(a: Column, b: Column): Column =

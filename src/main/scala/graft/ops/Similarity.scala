@@ -679,7 +679,7 @@ object Similarity {
     val nCells = spark.read.parquet(s"$indexDir/codebook").count()
     val stat = spark.read.parquet(s"$indexDir/cells")
       .groupBy(col("cell_id")).agg(count(lit(1)).as("n"))
-      .agg(max(col("n")), sum(col("n"))).head
+      .agg(max(col("n")), sum(col("n"))).head()
     if (stat.isNullAt(1) || stat.getLong(1) == 0L || nCells == 0L) 1.0
     else stat.getLong(0).toDouble / (stat.getLong(1).toDouble / nCells)
   }

@@ -52,7 +52,7 @@ object Sketches {
     * drop the whole probed side. */
   def buildBloom(keys: DataFrame, keyCol: String, expectedItems: Long): Array[Byte] = {
     val bytes = keys.agg(bloomAgg(col(keyCol), expectedItems).as("bf"))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
     if (bytes != null) bytes
     else {
       val empty = org.apache.spark.util.sketch.BloomFilter.create(1)

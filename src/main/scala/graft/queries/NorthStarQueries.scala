@@ -143,6 +143,38 @@ object NorthStarQueries {
              |WHERE levenshtein(a.text, c.text) <= 5
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ---- dedup: directional n-gram CONTAINMENT ----------------------------
+    // Broder's containment |A∩B|/|A| — the asymmetric dup the Jaccard
+    // family structurally misses: a doc quoted inside a boilerplate
+    // wrapper scores low Jaccard against its source (union inflated by
+    // the wrapper) but containment ≈ 1. Inverted-index join on word
+    // 5-grams (candidates meet through gram equality — never a
+    // cartesian), shared counts from the pair groupBy, denominator
+    // joined back per doc; maxDf (off here, the exact-oracle regime)
+    // bounds boilerplate posting lists at scale. Integer-exact inputs
+    // to one double divide, rounded 6 dp on both engines.
+    ("d12_containment_dedup",
+      (s: SparkSession, d: String) => {
+        Dedup.containmentNearDups(Tables.load(s, d, "documents"),
+            "doc_id", "text", n = 5, threshold = 0.9, maxDf = 0)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH grams AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 3),
+             |    i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4])) AS g
+             |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+             |        FROM documents)
+             |  WHERE len(w) >= 5),
+             |e AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+             |sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+             |       FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+             |       GROUP BY 1, 2)
+             |SELECT sh.id_a, sh.id_b,
+             |  round(CAST(shared AS DOUBLE) / len(g), 6) AS containment
+             |FROM sh JOIN grams ON sh.id_a = grams.doc_id
+             |WHERE round(CAST(shared AS DOUBLE) / len(g), 6) >= 0.9
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // ---- dedup: MinHash + LSH banding ------------------------------------
     // Oracled: the exact trigram-Jaccard ≥ 0.5 pair set, via shared-
     // gram COUNTS (|A∩B| from an inverted-index join, |A∪B| =

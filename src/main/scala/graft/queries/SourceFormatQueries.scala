@@ -528,7 +528,7 @@ object SourceFormatQueries {
         .select(col("l_partkey"), col("l_suppkey"),
           col("l_quantity"), col("l_returnflag"))
       val r = li.agg(min(col("l_partkey")), max(col("l_partkey")),
-        min(col("l_suppkey")), max(col("l_suppkey"))).head
+        min(col("l_suppkey")), max(col("l_suppkey"))).head()
       val bounds = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
       li.withColumn("__z", graft.ops.ScaleJoins.zValue16(
           col("l_partkey"), bounds._1, bounds._2,

@@ -59,7 +59,7 @@ object StreamMediaQueries {
     sessionStreamDirs.getOrElseUpdate(d, {
       val tmp = java.nio.file.Files.createTempDirectory("graft_st12").toString
       val events = Tables.load(s, d, "events")
-      val maxTs = events.agg(max(col("ts"))).head.getLong(0)
+      val maxTs = events.agg(max(col("ts"))).head().getLong(0)
       val inDir = new java.io.File(s"$tmp/in")
       events.select("event_id", "ts", "user_id", "event_type", "value", "props")
         .repartitionByRange(3, col("ts"))

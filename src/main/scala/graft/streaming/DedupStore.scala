@@ -667,7 +667,7 @@ object DedupStore {
     * can't self-cancel systematically. */
   private def batchFingerprint(agg: DataFrame): (Long, Long) = {
     val r = agg.agg(count(lit(1)),
-      expr("bit_xor(xxhash64(text, keep_id, n_copies))")).head
+      expr("bit_xor(xxhash64(text, keep_id, n_copies))")).head()
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
@@ -811,7 +811,7 @@ object DedupStore {
             val stat = incoming.agg(
               collect_set(col("bucket")),
               count(lit(1)),
-              expr("bit_xor(xxhash64(text, keep_id, n_copies))")).head
+              expr("bit_xor(xxhash64(text, keep_id, n_copies))")).head()
             val touched = stat.getSeq[Int](0).toSet
             val fingerprint =
               (stat.getLong(1), if (stat.isNullAt(2)) 0L else stat.getLong(2))

@@ -657,6 +657,45 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(graft.functions.PqCodes.adc(codes, lut, lutIsFloat = false) == 20.0)
   }
 
+  test("containment dedup (shipped d12): catches the wrapper dup Jaccard misses; maxDf bounds postings") {
+    import spark.implicits._
+    // doc 1 = original; doc 2 = the same text inside a big boilerplate
+    // wrapper — the asymmetric dup: low Jaccard (union inflated), but
+    // doc 1 is ~fully contained in doc 2
+    val core = (1 to 30).map(i => s"core$i").mkString(" ")
+    val header = (1 to 60).map(i => s"head$i").mkString(" ")
+    val footer = (1 to 60).map(i => s"foot$i").mkString(" ")
+    val docs = Seq(
+      (1L, core),
+      (2L, s"$header $core $footer"),
+      (3L, (1 to 40).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentNearDups(docs, "doc_id", "text",
+        n = 5, threshold = 0.9, maxDf = 0)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("containment")))
+    // direction matters: 1 ⊑ 2 flagged, 2 ⊑ 1 is NOT (2's wrapper grams
+    // have no match in 1), and 3 matches nothing
+    assert(pairs.exists { case (a, b, c) => a == 1L && b == 2L && c == 1.0 },
+      s"wrapper dup missed: ${pairs.mkString(",")}")
+    assert(!pairs.exists { case (a, b, _) => a == 2L && b == 1L },
+      "containment must stay directional")
+    assert(!pairs.exists { case (a, b, _) => a == 3L || b == 3L })
+    // ...and the Jaccard family indeed misses it at its own threshold:
+    // |grams(1)| = 26, |grams(2)| = 146 → J = 26/146 ≈ 0.18
+    val j = Dedup.jaccard(
+      graft.ops.Dedup.wordNGrams(Dedup.words(lit(core)), 5),
+      graft.ops.Dedup.wordNGrams(Dedup.words(lit(s"$header $core $footer")), 5))
+    val jv = docs.limit(1).select(j.as("j")).collect()(0).getDouble(0)
+    assert(jv < 0.2, s"fixture not asymmetric enough: J=$jv")
+    // maxDf guard: capping postings at 1 doc kills every cross-doc gram
+    // (each shared gram appears in 2 docs), so nothing survives
+    val capped = Dedup.containmentNearDups(docs, "doc_id", "text",
+      n = 5, threshold = 0.9, maxDf = 1)
+    assert(capped.count() == 0)
+  }
+
   test("MIPS top-k (shipped s13): norm-bound exact search equals brute force and genuinely prunes") {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.DotProduct.dotProduct
