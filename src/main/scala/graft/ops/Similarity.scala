@@ -107,38 +107,51 @@ object Similarity {
                                      k: Int, m: Int, ks: Int): Long =
     pqSurvivors(cleanVectors(corpus0), cleanQueries(queries0), k, m, ks).count()
 
-  /** The bound-surviving (query_id, neighbor_id) candidate set — see
-    * [[pqTopK]] for the interval-pruning argument. */
-  private def pqSurvivors(corpus: DataFrame, queries: DataFrame, k: Int,
-                          m: Int, ks: Int): DataFrame = {
-    val spark = corpus.sparkSession
+  /** Deterministic flat sub-codebook (subvectors of the first `ks`
+    * corpus vectors, [subspace][centroid][dim] order) plus the
+    * effective ks and subspace width — the shared PQ trainer for
+    * [[pqTopK]] and [[ivfPqTopK]]. */
+  private def pqCodebook(corpus: DataFrame, m: Int,
+                         ks: Int): (Array[Float], Int, Int) = {
     val seeds = corpus.orderBy(col("vec_id")).limit(ks)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray)
-    require(seeds.nonEmpty, "pqTopK needs a non-empty corpus")
+    require(seeds.nonEmpty, "PQ needs a non-empty corpus")
     val d = seeds.head.length
     require(d % m == 0,
-      s"pqTopK: dim $d must divide into m=$m equal subspaces")
+      s"PQ: dim $d must divide into m=$m equal subspaces")
     val sub = d / m
     val ksEff = math.min(ks, seeds.length)
-    // flat sub-codebook in [subspace][centroid][dim] order
     val flat: Array[Float] = Array.tabulate(m * ksEff * sub) { x =>
       val j = x / (ksEff * sub); val c = (x / sub) % ksEff; val i = x % sub
       seeds(c)(j * sub + i)
     }
+    (flat, ksEff, sub)
+  }
+
+  /** The stored PQ index: m code bytes + reconstruction error + the
+    * norm the cosine needs (the one HOF here runs once per corpus row
+    * at encode time — the hot O(corpus × queries) kernel downstream is
+    * the codegen'd ADC). */
+  private def pqEncoded(corpus: DataFrame, flat: Array[Float], m: Int,
+                        ksEff: Int): DataFrame = {
     val cbLit = typedlit(flat.toSeq)
-    // the stored PQ index: m code bytes + err + the norm the cosine
-    // needs (the one HOF here runs once per corpus row at encode time —
-    // the hot O(corpus × queries) kernel below is the codegen'd ADC)
-    val encoded = corpus.select(col("vec_id"),
+    corpus.select(col("vec_id"),
         graft.functions.PqCodes.pqEncode(col("embedding"), cbLit, m, ksEff)
           .as("pq"),
         expr("sqrt(aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * x))")
           .as("vnorm"))
       .select(col("vec_id"), col("pq.codes").as("codes"),
         col("pq.err").as("err"), col("vnorm"))
-    // per-query ADC lookup tables (double precision — the bound's
-    // correctness budget goes to the fixed margin, not table rounding)
+  }
+
+  /** Per-query ADC lookup tables (double precision — the bound's
+    * correctness budget goes to the fixed margin, not table rounding).
+    * Queries are broadcast-bounded on every top-k path here, so the
+    * driver-side table build is the house codebook pattern. */
+  private def pqLuts(queries: DataFrame, flat: Array[Float], m: Int,
+                     ksEff: Int, sub: Int): DataFrame = {
+    val spark = queries.sparkSession
     val lutRows = queries.select(col("query_id"), col("q_embedding"))
       .collect().map { r =>
         val q = r.getSeq[Float](1).map(_.toDouble).toArray
@@ -153,7 +166,32 @@ object Similarity {
         (r.getLong(0), lut.toSeq, math.sqrt(q.map(x => x * x).sum))
       }.toSeq
     import spark.implicits._
-    val lutDf = lutRows.toDF("query_id", "lut", "qnorm")
+    lutRows.toDF("query_id", "lut", "qnorm")
+  }
+
+  /** τ per query = the k-th best LOWER bound; ub < τ − margin proves
+    * exclusion from the top-k (margin absorbs bound-arithmetic
+    * rounding plus the final ranking's 6-dp rounding ties). nth_value
+    * in an unbounded frame reads τ in the SAME window pass that ranks
+    * the bounds — one shuffle of the (ids, lb, ub) rows, and the ADC
+    * scan runs once (a separate τ subquery would re-execute it).
+    * Fewer than k candidates → τ null → keep all. */
+  private def pqTauFilter(bounded: DataFrame, k: Int): DataFrame = {
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("lb").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    bounded
+      .withColumn("tau", nth_value(col("lb"), k).over(wq))
+      .filter(col("tau").isNull || col("ub") >= col("tau") - lit(1e-5))
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
+  /** The bound-surviving (query_id, neighbor_id) candidate set — see
+    * [[pqTopK]] for the interval-pruning argument. */
+  private def pqSurvivors(corpus: DataFrame, queries: DataFrame, k: Int,
+                          m: Int, ks: Int): DataFrame = {
+    val (flat, ksEff, sub) = pqCodebook(corpus, m, ks)
+    val encoded = pqEncoded(corpus, flat, m, ksEff)
+    val lutDf = pqLuts(queries, flat, m, ksEff, sub)
     val adcCol = graft.functions.PqCodes.pqAdc(col("codes"), col("lut"))
     val bounded = spread(encoded).crossJoin(broadcast(lutDf))
       .filter(col("vec_id") =!= col("query_id"))
@@ -162,19 +200,59 @@ object Similarity {
           (col("vnorm") * col("qnorm"))).as("lb"),
         ((adcCol + col("qnorm") * col("err")) /
           (col("vnorm") * col("qnorm"))).as("ub"))
-    // τ per query = the k-th best LOWER bound; ub < τ − margin proves
-    // exclusion from the top-k (margin absorbs bound-arithmetic
-    // rounding plus the final ranking's 6-dp rounding ties). nth_value
-    // in an unbounded frame reads τ in the SAME window pass that ranks
-    // the bounds — one shuffle of the (ids, lb, ub) rows, and the ADC
-    // scan runs once (a separate τ subquery would re-execute it).
-    // Fewer than k candidates → τ null → keep all.
-    val wq = Window.partitionBy(col("query_id")).orderBy(col("lb").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    bounded
-      .withColumn("tau", nth_value(col("lb"), k).over(wq))
-      .filter(col("tau").isNull || col("ub") >= col("tau") - lit(1e-5))
-      .select(col("query_id"), col("neighbor_id"))
+    pqTauFilter(bounded, k)
+  }
+
+  /** IVF + PQ composed search — the production FAISS IVFPQ shape: the
+    * query probes its nProbe nearest cells (IVF pruning, ~nProbe/nCells
+    * of the corpus touched) and the probed cells are scanned as the
+    * COMPRESSED PQ index (m code bytes + 2 floats per vector — the
+    * candidate bytes through the cell join are ~21× smaller than
+    * float32 at D=64/m=8), scored by the codegen'd ADC kernel, interval-
+    * pruned by the Cauchy–Schwarz bound, and only bound-survivors pay
+    * the full-precision rescore. EXACT AMONG THE PROBED CELLS: output
+    * equals [[ivfTopK]] (same cells, untrained seed codebook) row for
+    * row, so the s02-style SQL oracle — which re-runs the IVF algorithm
+    * itself — carries over unchanged. At 100 TB this is the layout that
+    * makes the candidate scan memory-resident: cells partition the
+    * corpus, the PQ index is the bytes that move, floats are touched
+    * only for the shortlist. */
+  def ivfPqTopK(corpus0: DataFrame, queries0: DataFrame, k: Int,
+                nCells: Int = 16, nProbe: Int = 4,
+                m: Int = 8, ks: Int = 16): DataFrame = {
+    val corpus = cleanVectors(corpus0)
+    val queries = cleanQueries(queries0)
+    val cents = centroids(corpus, nCells)
+    val assigned = ivfAssign(corpus, cents).select(col("vec_id"), col("cell_id"))
+    val (flat, ksEff, sub) = pqCodebook(corpus, m, ks)
+    val encoded = pqEncoded(corpus, flat, m, ksEff).join(assigned, "vec_id")
+    val lutDf = pqLuts(queries, flat, m, ksEff, sub)
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cell_id"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("cell_id"),
+        round(cosineSim(col("q_embedding"), col("centroid")), 6).as("sim"))
+      .withColumn("rnk", row_number().over(wq))
+      .filter(col("rnk") <= nProbe)
+      .select(col("query_id"), col("cell_id"))
+    val adcCol = graft.functions.PqCodes.pqAdc(col("codes"), col("lut"))
+    val bounded = encoded.join(broadcast(probes), "cell_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(lutDf), "query_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        ((adcCol - col("qnorm") * col("err")) /
+          (col("vnorm") * col("qnorm"))).as("lb"),
+        ((adcCol + col("qnorm") * col("err")) /
+          (col("vnorm") * col("qnorm"))).as("ub"))
+    rankTopK(
+      pqTauFilter(bounded, k)
+        .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding")),
+          "neighbor_id")
+        .join(broadcast(queries.select(col("query_id"), col("q_embedding"))),
+          "query_id")
+        .select(col("query_id"), col("neighbor_id"),
+          round(cosineSim(col("embedding"), col("q_embedding")), 6).as("cos_sim")),
+      k)
   }
 
   private def rescoredTopK(approx: DataFrame, queries: DataFrame,

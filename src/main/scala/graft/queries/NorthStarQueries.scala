@@ -662,6 +662,51 @@ object NorthStarQueries {
              |WHERE rank <= 5
              |ORDER BY query_id, rank""".stripMargin)),
 
+    // ---- similarity: IVF + PQ composed search (the FAISS IVFPQ shape) -----
+    // The two scale levers stacked: IVF cell pruning bounds WHICH
+    // vectors are touched (~nProbe/nCells of the corpus), the PQ index
+    // bounds the BYTES per touched vector (m codes + 2 floats, ~21×
+    // smaller than float32), and the Cauchy–Schwarz interval keeps the
+    // composition EXACT among the probed cells — so the result equals
+    // s02's plain IVF row for row and the oracle re-runs the IVF
+    // algorithm itself (seed centroids, 6-dp argmax assignment, probe,
+    // ranked tail — the untrained half of the s02 playbook).
+    ("s14_ivfpq_topk",
+      (s: SparkSession, d: String) => {
+        val emb = Tables.load(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") >= 30 && col("vec_id") < 40)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+        Similarity.ivfPqTopK(emb.select("vec_id", "embedding"), queries,
+            k = 5, nCells = 16, nProbe = 4, m = 8, ks = 16)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH e AS (SELECT vec_id, v FROM
+             |        (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+             |      WHERE len(v) > 0 AND list_inner_product(v, v) > 0),
+             |c AS (SELECT vec_id AS cell_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+             |a AS (SELECT vec_id, cell_id FROM (
+             |        SELECT e.vec_id, c.cell_id,
+             |          row_number() OVER (PARTITION BY e.vec_id
+             |            ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell_id) AS rn
+             |        FROM e CROSS JOIN c)
+             |      WHERE rn = 1),
+             |p AS (SELECT query_id, cell_id FROM (
+             |        SELECT q.vec_id AS query_id, c.cell_id,
+             |          row_number() OVER (PARTITION BY q.vec_id
+             |            ORDER BY round(list_cosine_similarity(q.v, c.cv), 6) DESC, c.cell_id) AS rn
+             |        FROM e q CROSS JOIN c WHERE q.vec_id >= 30 AND q.vec_id < 40)
+             |      WHERE rn <= 4)
+             |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+             |  SELECT p.query_id, a.vec_id AS neighbor_id,
+             |    round(list_cosine_similarity(q.v, n.v), 6) AS cos_sim,
+             |    row_number() OVER (PARTITION BY p.query_id
+             |      ORDER BY round(list_cosine_similarity(q.v, n.v), 6) DESC, a.vec_id) AS rank
+             |  FROM p JOIN a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
+             |  JOIN e q ON q.vec_id = p.query_id
+             |  JOIN e n ON n.vec_id = a.vec_id)
+             |WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)),
+
     // ---- similarity: exact k-NN self-join (quantized scan) ----------------
     // Every vector is a query: the SemDeDup-style all-pairs primitive.
     // The int8 scan + rescore ≫ k equals brute force exactly (spec

@@ -769,6 +769,27 @@ class DedupSimilaritySpec extends SparkSpec {
       s"power-law norms should prune most candidates ($survivors of $full admitted)")
   }
 
+  test("IVFPQ (shipped s14): composed search equals plain IVF row for row") {
+    // the composition contract: PQ scoring + interval prune inside the
+    // probed cells must be invisible in the result — IVFPQ == IVF on
+    // the same (untrained) codebook, cells and probes. If this drifts,
+    // the s14 oracle (which re-runs plain IVF in SQL) breaks with it.
+    val emb = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
+      .cache()
+    val queries = emb.filter(col("vec_id") < 12)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cos_sim"), r.getAs[Int]("rank"))).toSet
+    val ivf = rows(Similarity.ivfTopK(emb, queries, k = 5,
+      nCells = 16, nProbe = 4, trainIters = 0))
+    val ivfpq = rows(Similarity.ivfPqTopK(emb, queries, k = 5,
+      nCells = 16, nProbe = 4, m = 8, ks = 16))
+    emb.unpersist()
+    assert(ivfpq == ivf,
+      "PQ bound-pruning inside probed cells must be exact, not approximate")
+  }
+
   test("index skew monitor + rebuildIfSkewed: drifted appends detected, rebuild restores balance") {
     // the appendToIvfIndex drift trade, closed: an index trained BEFORE
     // the corpus grew a new mode takes the appended mass into few cells
