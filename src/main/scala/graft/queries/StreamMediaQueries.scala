@@ -82,6 +82,55 @@ object StreamMediaQueries {
       inDir.getAbsolutePath
     })
 
+  /** st24's arrival fixture: the events corpus as three deterministic
+    * ntile-of-(ts, event_id) files arriving MIDDLE → NEWEST → OLDEST (a
+    * backfill landing behind live traffic) plus a +24 h flush sentinel,
+    * mtimes pinning the batch order under maxFilesPerTrigger = 1.
+    * ntile (not repartitionByRange) because the ORACLE must reproduce
+    * the batch composition row for row — range boundaries come from
+    * Spark-internal sampling, ntile over a total order is engine-
+    * portable SQL. The global window is staging-only cost (fixture
+    * scale); a production backfill arrives as its own dated folder and
+    * needs no synthetic split. Built once per (JVM, sf) — write-once
+    * rule, the drain never mutates its input. */
+  private val lateAuditDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def ensureLateAuditStream(s: SparkSession, d: String): String =
+    lateAuditDirs.getOrElseUpdate(d, {
+      import org.apache.spark.sql.expressions.Window
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st24").toString
+      val inDir = new java.io.File(s"$tmp/in")
+      val events = Tables.load(s, d, "events")
+      val maxTs = events.agg(max(col("ts"))).head().getLong(0)
+      val tiled = events
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("tile",
+          ntile(3).over(Window.orderBy(col("ts"), col("event_id"))))
+      def partsOf(dir: java.io.File): Set[String] =
+        Option(dir.listFiles()).map(_.map(_.getName).toSet).getOrElse(Set.empty)
+          .filter(_.startsWith("part-"))
+      def stage(df: DataFrame): java.io.File = {
+        val before = partsOf(inDir)
+        df.coalesce(1).write.mode("append").parquet(inDir.getAbsolutePath)
+        val added = (partsOf(inDir) -- before).toSeq
+        require(added.size == 1, s"expected one staged file, got $added")
+        new java.io.File(inDir, added.head)
+      }
+      val fMid = stage(tiled.filter(col("tile") === 2).drop("tile"))
+      val fNew = stage(tiled.filter(col("tile") === 3).drop("tile"))
+      val fOld = stage(tiled.filter(col("tile") === 1).drop("tile"))
+      val fFlush = stage(events.sparkSession.range(1).select(
+        lit(-1L).as("event_id"),
+        lit(maxTs + 24L * 3600 * 1000 * 1000).as("ts"),
+        lit(-1L).as("user_id"), lit("flush").as("event_type"),
+        lit(0.0).as("value"), lit("").as("props")))
+      val now = System.currentTimeMillis()
+      Seq(fMid, fNew, fOld, fFlush).zipWithIndex
+        .foreach { case (f, i) => f.setLastModified(now - 60000 + i * 1000) }
+      inDir.getAbsolutePath
+    })
+
   /** st07/st13's arrival fixture: the documents corpus staged as 4
     * parquet files, streamed one per micro-batch so the store merges 4
     * genuine incremental deliveries. Built once per (JVM, sf) — the
@@ -406,6 +455,70 @@ object StreamMediaQueries {
              |  COUNT(*) AS n_events
              |FROM s GROUP BY user_id, session_id
              |ORDER BY user_id, session_id""".stripMargin)),
+
+    // ---- watermark late-drop AUDIT: out-of-order backfill accounting ------
+    // The data-loss ledger a 100 TB streaming pipeline needs: when a
+    // backfill folder lands BEHIND live traffic, the watermark has
+    // already passed its windows and the engine silently drops the rows
+    // — this query makes the silent drop a first-class, oracle-checked
+    // number. Arrival order (mtime-forced, one file per micro-batch):
+    // the MIDDLE ntile of the corpus, then the NEWEST (watermark jumps
+    // to corpus max − 1 h), then the OLDEST (now almost entirely late —
+    // its windows are finalized, so the stateful agg drops the rows),
+    // then a +24 h flush sentinel that finalizes every real window.
+    // Emitted counts therefore EXCLUDE the dropped backfill, and the
+    // '_late_dropped' audit row is total − Σemitted. The oracle
+    // re-simulates the engine exactly: same ntile(3) batching, per-
+    // batch watermark = running max of prior batches − 1 h, drop rule
+    // window_end ≤ wm (st04's finalized-set predicate applied per
+    // batch). Deterministic because ntile over (ts, event_id) is a
+    // total order and file mtimes pin the batch sequence.
+    ("st24_stream_late_audit",
+      (s: SparkSession, d: String) => {
+        val inDir = ensureLateAuditStream(s, d)
+        val out = java.nio.file.Files.createTempDirectory("graft_st24o").toString
+        val stream = s.readStream.schema(EventStream.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$inDir/part-*")
+          .withColumn("event_time", Tables.eventTime(col("ts")))
+        val drained = EventStream.runToFiles(s,
+          EventStream.hourlyCounts(stream), s"$out/data", s"$out/ckpt")
+        val totalReal = Tables.load(s, d, "events").count()
+        val emitted = drained
+          .agg(coalesce(sum(col("n_events")), lit(0L))).head().getLong(0)
+        drained.select(col("hour"), col("event_type"), col("n_events"))
+          .unionAll(s.range(1).select(
+            timestamp_micros(lit(0L)).as("hour"),
+            lit("_late_dropped").as("event_type"),
+            lit(totalReal - emitted).as("n_events")))
+          .orderBy(col("hour"), col("event_type"))
+      },
+      Some("""WITH r AS (
+             |  SELECT CAST(ts AS TIMESTAMP) AS t, event_type,
+             |    ntile(3) OVER (ORDER BY ts, event_id) AS tile
+             |  FROM events),
+             |b AS (SELECT t, event_type,
+             |        CASE tile WHEN 2 THEN 0 WHEN 3 THEN 1 ELSE 2 END AS batch
+             |      FROM r),
+             |m AS (SELECT batch, max(t) AS bmax FROM b GROUP BY 1),
+             |w AS (SELECT batch,
+             |        max(bmax) OVER (ORDER BY batch
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |          - INTERVAL 1 HOUR AS wm
+             |      FROM m),
+             |acc AS (SELECT b.t, b.event_type
+             |        FROM b JOIN w USING (batch)
+             |        WHERE w.wm IS NULL
+             |           OR date_trunc('hour', b.t) + INTERVAL 1 HOUR > w.wm),
+             |agg AS (SELECT date_trunc('hour', t) AS hour, event_type,
+             |          COUNT(*) AS n_events
+             |        FROM acc GROUP BY 1, 2)
+             |SELECT hour, event_type, n_events FROM agg
+             |UNION ALL
+             |SELECT TIMESTAMP '1970-01-01 00:00:00', '_late_dropped',
+             |  (SELECT COUNT(*) FROM events)
+             |    - (SELECT CAST(COALESCE(SUM(n_events), 0) AS BIGINT) FROM agg)
+             |ORDER BY hour, event_type""".stripMargin)),
 
     // ---- stream-stream join: view → purchase attribution within 1 hour ----
     // Watermarks on both sides + a time-range condition bound the join
