@@ -626,6 +626,34 @@ object StreamMediaQueries {
       Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
              |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
 
+    // ---- snapshot export: pin a training dataset off the live store -------
+    // The publish primitive reproducible training needs: freeze the
+    // store's current deduplicated state as an immutable, version-
+    // stamped parquet export (temp-dir + atomic rename; the source
+    // version travels inside as _SOURCE_VERSION). The live store keeps
+    // merging/purging/compacting; the training run's input never moves.
+    // Deliberately an EXPORT, not old-version time travel — this
+    // store's file-level retention patches superseded manifests, so
+    // "read v_old" would silently present a partial snapshot
+    // (exportSnapshot's scaladoc owns the argument and the compliance
+    // boundary; the purge-vs-export drill is spec-pinned). Oracle: the
+    // export equals batch exact-dedup of everything delivered.
+    ("st25_store_snapshot",
+      (s: SparkSession, d: String) => {
+        val (store, _) = ensureBatchStore(s, d)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_st25").toString
+        val dest = s"$tmp/snapshot"
+        val version = graft.streaming.DedupStore.exportSnapshot(s, store, dest)
+        val stamped = graft.streaming.DedupStore.snapshotSourceVersion(dest)
+        require(stamped.contains(version),
+          s"export stamp $stamped disagrees with returned version $version")
+        s.read.parquet(dest)
+          .select(col("keep_id"), col("n_copies"))
+          .orderBy(col("keep_id"))
+      },
+      Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+             |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
+
     // ---- targeted delete INSIDE the dedup store (takedown + versioning) ---
     // q64's takedown semantics composed with st07's versioned store: the
     // corpus drains into the store, then a bounded takedown list of raw

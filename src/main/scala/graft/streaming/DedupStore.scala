@@ -858,6 +858,59 @@ object DedupStore {
       .getOrElse(emptyStore(spark))
   }
 
+  /** Publish the store's CURRENT deduplicated state as an IMMUTABLE
+    * snapshot export at `destDir` — the "pin a training dataset"
+    * primitive. A training run reads the frozen export while the live
+    * store keeps merging, purging and compacting underneath; the
+    * export's content never moves under the run. Returns the source
+    * version name, also stamped INSIDE the export (`_SOURCE_VERSION`,
+    * written before the atomic rename) so provenance travels with the
+    * data. Publication is temp-dir + rename: a reader never observes a
+    * half-written snapshot, and a crashed export leaves only an
+    * `.inprogress` dir the next attempt clears.
+    *
+    * Deliberately an EXPORT, not a time-travel read of an old version:
+    * retention here is file-level and rewrite-aggressive (see
+    * [[prune]]'s scaladoc) — a superseded version's manifest is patched
+    * down to its carried-forward files the moment a newer commit
+    * lands, so "read version v_old through its manifest" would silently
+    * present a partial snapshot. An export copies the rows out while
+    * they are provably current; that is the honest pinning contract
+    * under this store's purge semantics.
+    *
+    * Compliance note: an export is OUTSIDE the store's erasure
+    * boundary. A later [[purge]] erases the text from the store and
+    * every future export, but NOT from snapshots already published —
+    * takedown pipelines must track exports and re-export (the spec
+    * drills exactly this: purge → old export unchanged, re-export
+    * clean). */
+  def exportSnapshot(spark: SparkSession, storeDir: String,
+                     destDir: String): String = {
+    val version = currentVersion(storeDir).getOrElse(
+      throw new IllegalStateException(
+        s"nothing committed at $storeDir to snapshot"))
+    val (fs, dest) = fsRoot(destDir)
+    require(!fs.exists(dest),
+      s"snapshot dest $destDir already exists — exports are immutable; " +
+        "publish each snapshot to a fresh path")
+    val tmp = new Path(dest.getParent, dest.getName + ".inprogress")
+    fs.delete(tmp, true)
+    read(spark, storeDir).write.mode("overwrite").parquet(tmp.toString)
+    atomicWrite(fs, new Path(tmp, "_SOURCE_VERSION"), version)
+    if (!fs.rename(tmp, dest))
+      throw new IllegalStateException(
+        s"snapshot publish failed: rename $tmp -> $dest")
+    version
+  }
+
+  /** The `_SOURCE_VERSION` stamp a published export carries — None for
+    * a directory that is not a snapshot export. */
+  def snapshotSourceVersion(destDir: String): Option[String] = {
+    val (fs, dest) = fsRoot(destDir)
+    val p = new Path(dest, "_SOURCE_VERSION")
+    if (fs.exists(p)) Some(readString(fs, p).trim) else None
+  }
+
   /** The current version's directory NAME (e.g. `v3` / `v3.1`) — the
     * CURSOR an incremental consumer records after a sync and later
     * hands to [[changedSince]]. A name stays a valid cursor even after

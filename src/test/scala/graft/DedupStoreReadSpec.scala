@@ -90,6 +90,38 @@ class DedupStoreReadSpec extends SparkSpec {
     assert(DedupStore.changedSince(spark, store, head).isEmpty)
   }
 
+  test("snapshot export: immutable under store mutation, stamped, and re-export honors a purge") {
+    val (store, _) = twoDeliveryStore()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    val v1 = DedupStore.exportSnapshot(spark, store, s"$tmp/snap1")
+    assert(DedupStore.snapshotSourceVersion(s"$tmp/snap1").contains(v1))
+    assert(DedupStore.snapshotSourceVersion(store).isEmpty,
+      "a store dir is not a snapshot")
+    val snap1 = rows(spark.read.parquet(s"$tmp/snap1"))
+    assert(snap1 == rows(DedupStore.read(spark, store)))
+    // exports are immutable: refuse to overwrite an existing one
+    intercept[IllegalArgumentException] {
+      DedupStore.exportSnapshot(spark, store, s"$tmp/snap1")
+    }
+    // the live store mutates (a takedown purge); the PUBLISHED export
+    // must not move under a reader — which is exactly why the scaladoc
+    // declares exports outside the erasure boundary
+    DedupStore.purge(spark, store, Seq("rd text 0"))
+    assert(rows(spark.read.parquet(s"$tmp/snap1")) == snap1,
+      "a published export changed under its readers")
+    assert(rows(DedupStore.read(spark, store))
+      .forall(_._1 != "rd text 0"), "purge missed the store")
+    // the compliance half: a RE-export after the purge is clean, and
+    // its stamp names the purge's newer version
+    val v2 = DedupStore.exportSnapshot(spark, store, s"$tmp/snap2")
+    val snap2 = rows(spark.read.parquet(s"$tmp/snap2"))
+    assert(snap2.forall(_._1 != "rd text 0"),
+      "re-export resurrected a purged text")
+    assert(v2 != v1 &&
+      DedupStore.snapshotSourceVersion(s"$tmp/snap2").contains(v2))
+    assert(snap2 == rows(DedupStore.read(spark, store)))
+  }
+
   test("a purge propagates downstream through the change + tombstone feeds") {
     val (store, _) = twoDeliveryStore()
     val cursor = DedupStore.currentVersion(store).get
