@@ -499,6 +499,28 @@ class ScaleSpec extends SparkSpec {
       s"corpus side got shuffled into a join:\n$finalPlan")
   }
 
+  test("d12 containment: candidates meet through the gram join — no cartesian, no nested loop") {
+    // the inverted-index claim: every candidate pair arrives through an
+    // equality join on the gram posting lists; a cartesian or broadcast
+    // nested loop here would mean the operator degenerates to all-pairs
+    val plan = planOf(SparkEntry.queries("d12_containment_dedup")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"containment went all-pairs:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), s"no equi-join in plan:\n$plan")
+  }
+
+  test("q73 temperature mix: the corpus-side keep decision joins only a broadcast rate table") {
+    // the rate table is |langs|-bounded and must broadcast back; the
+    // documents scan side never shuffles into the sampling join
+    val plan = planOf(SparkEntry.queries("q73_temperature_mix")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rate table not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$plan")
+  }
+
   test("dynamic partition overwrite (q59): untouched partitions keep their files") {
     import graft.queries.SourceFormatQueries.withOverwriteMode
     val out = Files.createTempDirectory("graft_dynspec").toString
