@@ -209,6 +209,42 @@ object TrainingPrepQueries {
              |      * n_lang < (SELECT cap FROM c) * 1000000) AS BIGINT) AS n_kept
              |FROM n GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // ---- stratified EXACT-k sample (bounded grouped top-k by hash) --------
+    // The third sampling primitive beside q48 (rate-capped, approximate
+    // stratum size, append-stable) and q73 (derived rates): EXACTLY k
+    // docs per stratum, picked as the k smallest LCG hashes — a uniform
+    // without-replacement draw, deterministic on both engines. Runs
+    // through the bounded TopCells aggregate (q70's machinery): map-side
+    // partials hold ≤ k entries per stratum, the exchange carries
+    // ≤ k·|strata| rows — never a corpus-wide window sort, the property
+    // that makes exact-k feasible at 100 TB. The trade vs q40/q48's
+    // hash-threshold membership: exact stratum sizes, but a corpus
+    // append can displace a previously-picked doc (k-th smallest hash
+    // moves) — pipelines wanting both pin the sample via st25-style
+    // snapshot exports.
+    ("q74_stratified_sample",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.load(s, d, "documents")
+        docs.select(col("source"), col("doc_id"),
+            (-TrainingPrep.hashBucket(col("doc_id"), 1000000).cast("double"))
+              .as("nscore"))
+          .groupBy(col("source"))
+          .agg(graft.functions.TopCells.topCells(
+            col("nscore"), col("doc_id"), 10).as("pick"))
+          .select(col("source"), posexplode(col("pick")))
+          .select(col("source"), col("col").as("doc_id"),
+            (col("pos") + 1).cast("int").as("rank"))
+          .orderBy(col("source"), col("rank"))
+      },
+      Some("""WITH r AS (
+             |  SELECT source, doc_id,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY (((doc_id * 48271) % 2147483647 + 2147483647)
+             |                 % 2147483647) % 1000000, doc_id) AS rank
+             |  FROM documents)
+             |SELECT source, doc_id, CAST(rank AS INT) AS rank
+             |FROM r WHERE rank <= 10 ORDER BY source, rank""".stripMargin)),
+
     // ---- temperature-based mixture sampling (derived rates) ---------------
     // The XLM-R/mT5 mixing rule (Conneau et al. 2020): sampling
     // probabilities p_l ∝ c_l^α (α = 0.3) flatten the language

@@ -499,6 +499,15 @@ class ScaleSpec extends SparkSpec {
       s"corpus side got shuffled into a join:\n$finalPlan")
   }
 
+  test("q74 stratified sample: picks via the bounded aggregate, not a window sort") {
+    // exact-k per stratum must stay map-side-bounded: partial TopCells
+    // before the exchange, never a corpus-wide row_number sort
+    val plan = planOf(SparkEntry.queries("q74_stratified_sample")(spark, sf))
+    assert(plan.toLowerCase.contains("topcells"),
+      s"expected the bounded TopCells aggregate:\n$plan")
+    assert(!plan.contains("Window"), s"fell back to a window sort:\n$plan")
+  }
+
   test("d12 containment: candidates meet through the gram join — no cartesian, no nested loop") {
     // the inverted-index claim: every candidate pair arrives through an
     // equality join on the gram posting lists; a cartesian or broadcast
