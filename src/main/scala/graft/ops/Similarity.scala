@@ -339,6 +339,78 @@ object Similarity {
         round(cosineSim(col("embedding"), col("q_embedding")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= radius)
 
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998):
+    * greedily pick k results that balance relevance to the query
+    * against redundancy with what's already picked —
+    * argmax λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s). The serving-time
+    * diversifier every retrieval stack ends with: without it, a near-dup
+    * cluster close to the query monopolizes the whole top-k.
+    *
+    * Split of labor at scale: candidate GENERATION is the distributed
+    * part (brute-force scoring here; the IVF index probe once the
+    * corpus outgrows a scan — either way the output is nCand rows,
+    * fixed by the caller, independent of corpus size). The greedy
+    * selection itself is inherently sequential (each pick changes the
+    * next argmax) and runs on the driver over the nCand-bounded
+    * candidate set — O(k·nCand) compares over nCand + nCand² collected
+    * SCORES (never vectors), the same bounded-metadata class as the
+    * IVF codebook collects. Pair similarities are computed by the same
+    * codegen'd [[graft.functions.CosineSimilarity]] expression as the
+    * relevance scores, so both carry the certified 6-dp round that
+    * keeps the greedy's compares engine-reproducible; the combined
+    * score re-rounds to 6 dp before compare, ties break on vec_id. */
+  def mmrDiversify(corpus: DataFrame, queryVecId: Long, nCand: Int, k: Int,
+                   lambda: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val emb = cleanVectors(corpus)
+    val q = emb.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_embedding"))
+    val rel = spread(emb).crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"),
+        round(cosineSim(col("embedding"), col("q_embedding")), 6).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(nCand)
+    val cand = emb.join(broadcast(rel), "vec_id")
+    val pairs = cand.select(col("vec_id").as("ia"), col("embedding").as("va"))
+      .crossJoin(broadcast(
+        cand.select(col("vec_id").as("ib"), col("embedding").as("vb"))))
+      .filter(col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"),
+        round(cosineSim(col("va"), col("vb")), 6).as("s"))
+
+    // Bounded driver state: nCand (id, rel) rows + nCand·(nCand−1) sims.
+    val relRows: Seq[(Long, Double)] = rel.collect().toSeq
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val sim: Map[(Long, Long), Double] = pairs.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    val picked = Seq.newBuilder[(Int, Long, Double)]
+    var selected = Vector.empty[Long]
+    var step = 1
+    while (step <= k && selected.size < relRows.size) {
+      var bestId = -1L
+      var bestScore = Double.NegativeInfinity
+      relRows.foreach { case (id, r) =>
+        if (!selected.contains(id)) {
+          val pen = if (selected.isEmpty) 0.0
+                    else selected.map(s => sim((id, s))).max
+          val score = round6(lambda * r - (1 - lambda) * pen)
+          // relRows is id-ascending, so strict > keeps the smallest id on ties
+          if (score > bestScore) { bestId = id; bestScore = score }
+        }
+      }
+      picked += ((step, bestId, bestScore))
+      selected :+= bestId
+      step += 1
+    }
+    picked.result().toDF("rank", "vec_id", "mmr_score")
+  }
+
   /** Maximum-inner-product search (MIPS) top-k, EXACT via the classic
     * norm bound (Cauchy–Schwarz: dot(q,v) ≤ ‖q‖·‖v‖ — the pruning rule
     * behind FEXIPRO/LEMP-style exact MIPS engines). Ranking is by raw

@@ -707,6 +707,56 @@ object NorthStarQueries {
              |WHERE rank <= 5
              |ORDER BY query_id, rank""".stripMargin)),
 
+    // ---- similarity: MMR diversified top-k (serving-time re-rank) ---------
+    // Maximal marginal relevance (Carbonell & Goldstein 1998) over the
+    // top-32 cosine candidates of query vec 0: greedy
+    // argmax 0.7·rel − 0.3·max-sim-to-picked, k = 8. The distributed
+    // part is candidate generation (the s01 scan shape; the index probe
+    // at scale); the greedy runs on the driver over nCand-BOUNDED
+    // scores — see [[graft.ops.Similarity.mmrDiversify]]. The oracle
+    // replays the same greedy as a recursive CTE carrying the picked
+    // list, on identically 6-dp-rounded similarities.
+    ("s15_mmr_diversify",
+      (s: SparkSession, d: String) => {
+        Similarity.mmrDiversify(
+            Tables.load(s, d, "embeddings").select("vec_id", "embedding"),
+            queryVecId = 0L, nCand = 32, k = 8, lambda = 0.7)
+          .orderBy(col("rank"))
+      },
+      Some("""WITH RECURSIVE
+             |e AS (SELECT vec_id, v FROM
+             |        (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+             |      WHERE len(v) > 0 AND list_inner_product(v, v) > 0),
+             |cand AS (
+             |  SELECT c.vec_id, round(list_cosine_similarity(q.v, c.v), 6) AS rel, c.v
+             |  FROM e c, (SELECT v FROM e WHERE vec_id = 0) q
+             |  WHERE c.vec_id <> 0
+             |  ORDER BY rel DESC, c.vec_id LIMIT 32),
+             |pair AS (
+             |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+             |    round(list_cosine_similarity(a.v, b.v), 6) AS s
+             |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+             |sel(step, picked, last_score) AS (
+             |  SELECT 1, [(SELECT vec_id FROM cand ORDER BY rel DESC, vec_id LIMIT 1)],
+             |    (SELECT round(0.7*rel, 6) FROM cand ORDER BY rel DESC, vec_id LIMIT 1)
+             |  UNION ALL
+             |  SELECT step+1,
+             |    list_append(picked, (
+             |      SELECT c.vec_id FROM cand c
+             |      WHERE NOT list_contains(picked, c.vec_id)
+             |      ORDER BY round(0.7*c.rel - 0.3*(SELECT MAX(p.s) FROM pair p
+             |        WHERE p.ia = c.vec_id AND list_contains(picked, p.ib)), 6) DESC,
+             |        c.vec_id
+             |      LIMIT 1)),
+             |    (SELECT round(0.7*c.rel - 0.3*(SELECT MAX(p.s) FROM pair p
+             |        WHERE p.ia = c.vec_id AND list_contains(picked, p.ib)), 6) AS m
+             |     FROM cand c WHERE NOT list_contains(picked, c.vec_id)
+             |     ORDER BY m DESC, c.vec_id LIMIT 1)
+             |  FROM sel WHERE step < 8)
+             |SELECT CAST(f.step AS INT) AS rank, f.picked[f.step] AS vec_id,
+             |  f.last_score AS mmr_score
+             |FROM sel f ORDER BY rank""".stripMargin)),
+
     // ---- similarity: exact k-NN self-join (quantized scan) ----------------
     // Every vector is a query: the SemDeDup-style all-pairs primitive.
     // The int8 scan + rescore ≫ k equals brute force exactly (spec

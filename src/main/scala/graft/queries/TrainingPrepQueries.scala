@@ -245,6 +245,50 @@ object TrainingPrepQueries {
              |SELECT source, doc_id, CAST(rank AS INT) AS rank
              |FROM r WHERE rank <= 10 ORDER BY source, rank""".stripMargin)),
 
+    // ---- deterministic shuffle-and-shard (training-order assignment) ------
+    // The last step before a training run reads the corpus: a GLOBAL
+    // pseudo-random order, materialized as nShards shard files read
+    // sequentially by data loaders. Order key = the shared LCG hash of
+    // doc_id (seeded, engine-exact); shard = key mod nShards, so a
+    // doc's (shard, position) is a pure function of its id — reshuffling
+    // for a new epoch is just a different seed, never a data move of
+    // the old layout. Scale shape: shard assignment is map-side; the
+    // within-shard order is the sortWithinPartitions a sharded WRITE
+    // pays anyway (repartition by shard + sort by key), expressed here
+    // as a per-shard window because the fixture check wants positions.
+    // nShards scales with corpus/target-file-size at 100 TB (here 8),
+    // keeping each shard's sort bounded; the LCG spreads doc_ids
+    // uniformly, so shards stay balanced without sampling ranges. The
+    // per-shard POSITIONAL checksum Σ doc_id·pos pins the exact order
+    // on both engines — a swap of any two docs changes it.
+    ("q75_shuffle_shard",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val nShards = 8
+        val keyed = Tables.load(s, d, "documents")
+          .select(col("doc_id"),
+            TrainingPrep.hashBucket(col("doc_id"), 1000000).as("k"))
+          .withColumn("shard", pmod(col("k"), lit(nShards)).cast("int"))
+        val w = Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
+        keyed.withColumn("pos", row_number().over(w).cast("long"))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id") * col("pos")).as("ord_checksum"),
+            min_by(col("doc_id"), col("pos")).as("first_doc"),
+            max_by(col("doc_id"), col("pos")).as("last_doc"))
+          .orderBy(col("shard"))
+      },
+      Some("""WITH k AS (SELECT doc_id,
+             |    (((doc_id*48271)%2147483647+2147483647)%2147483647)%1000000 AS k
+             |  FROM documents),
+             |p AS (SELECT doc_id, k, CAST(k%8 AS INT) AS shard,
+             |    row_number() OVER (PARTITION BY k%8 ORDER BY k, doc_id) AS pos
+             |  FROM k)
+             |SELECT shard, COUNT(*) AS n_docs,
+             |  CAST(SUM(doc_id*pos) AS BIGINT) AS ord_checksum,
+             |  arg_min(doc_id,pos) AS first_doc, arg_max(doc_id,pos) AS last_doc
+             |FROM p GROUP BY shard ORDER BY shard""".stripMargin)),
+
     // ---- temperature-based mixture sampling (derived rates) ---------------
     // The XLM-R/mT5 mixing rule (Conneau et al. 2020): sampling
     // probabilities p_l ∝ c_l^α (α = 0.3) flatten the language

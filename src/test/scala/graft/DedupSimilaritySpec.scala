@@ -1051,4 +1051,57 @@ class DedupSimilaritySpec extends SparkSpec {
       } finally release()
     } finally { kept.unpersist(); () }
   }
+
+  test("MMR (s15): rank 1 is the relevance top-1 and scores never increase") {
+    // MMR's greedy invariants: the first pick ignores the (empty-set)
+    // penalty so it must equal plain top-1; and because the penalty is
+    // monotone in the picked set while rel is fixed, the winning score
+    // can only fall step over step.
+    val emb = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
+    val got = Similarity.mmrDiversify(emb, queryVecId = 0L, nCand = 32,
+        k = 8, lambda = 0.7)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val top1 = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") === 0L)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding")),
+        k = 1)
+      .collect().head.getAs[Long]("neighbor_id")
+    assert(got.head._2 == top1, "first MMR pick must be the relevance top-1")
+    assert(got.map(_._3).sliding(2).forall(p => p(1) <= p(0)),
+      s"MMR scores must be non-increasing: ${got.map(_._3).mkString(", ")}")
+    assert(got.map(_._2).distinct.length == got.length, "picks must be distinct")
+  }
+
+  test("MMR (s15): a near-dup cluster next to the query cannot monopolize the picks") {
+    import spark.implicits._
+    // 4 clones of the query direction (rel = 1, pairwise sim = 1) + 4
+    // mutually-distinct leaners (rel ≈ 0.62, pairwise sim ≈ 0.39):
+    // plain top-4 is all clones. At λ=0.3 a second clone scores
+    // 0.3·1 − 0.7·1 = −0.4 while an unpicked leaner stays ≥ −0.09
+    // (0.3·0.62 − 0.7·0.39), so exactly ONE clone survives the re-rank.
+    val base = Array.fill(8)(0f)
+    def v(hot: Int, lean: Float): Array[Float] = {
+      val a = base.clone(); a(hot) = 1f; a(0) = (if (hot == 0) 1f else lean); a
+    }
+    val rows = Seq(
+      (0L, v(0, 1f)),               // the query itself
+      (1L, v(0, 1f)), (2L, v(0, 1f)), (3L, v(0, 1f)), (4L, v(0, 1f)), // clones
+      (5L, v(1, 0.8f)), (6L, v(2, 0.8f)), (7L, v(3, 0.8f)), (8L, v(4, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val plain = Similarity.bruteForceTopK(rows,
+        rows.filter(col("vec_id") === 0L)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding")),
+        k = 4)
+      .collect().map(_.getAs[Long]("neighbor_id"))
+    assert(plain.forall(id => id >= 1L && id <= 4L),
+      s"fixture broken: plain top-4 should be all clones, got ${plain.mkString(", ")}")
+    val picked = Similarity.mmrDiversify(rows, queryVecId = 0L, nCand = 8,
+        k = 4, lambda = 0.3)
+      .orderBy(col("rank")).collect().map(_.getLong(1))
+    val clonesPicked = picked.count(id => id >= 1L && id <= 4L)
+    assert(clonesPicked == 1,
+      s"expected exactly one clone in the diversified top-4, got $clonesPicked " +
+        s"(picked ${picked.mkString(", ")})")
+  }
 }

@@ -508,6 +508,20 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"fell back to a window sort:\n$plan")
   }
 
+  test("q75 shuffle-shard: one shard exchange serves order, positions and stats") {
+    // the shard hash exchange must be the ONLY corpus shuffle: the
+    // within-shard sort, the positional window and both aggregate
+    // phases all run on that partitioning (the final 8-row orderBy is
+    // a range exchange over shard stats, not the corpus), and the scan
+    // prunes to doc_id — the order key derives from the id alone
+    val plan = planOf(SparkEntry.queries("q75_shuffle_shard")(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(finalPlan).length == 1,
+      s"expected exactly one corpus shuffle on shard:\n$finalPlan")
+    assert(finalPlan.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"scan must prune to doc_id:\n$finalPlan")
+  }
+
   test("d12 containment: candidates meet through the gram join — no cartesian, no nested loop") {
     // the inverted-index claim: every candidate pair arrives through an
     // equality join on the gram posting lists; a cartesian or broadcast
