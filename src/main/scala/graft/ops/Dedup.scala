@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.SimHash
@@ -279,6 +279,88 @@ object Dedup {
         round(jaccard(col("grams_a"), col("grams_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
     (pairs, () => { if (cache) grams.unpersist(); () })
+  }
+
+  /** Banded MinHash rows (id, band, bkey) straight from text — the
+    * persistable form of [[minhashCandidates]]' blocking keys: bands ×
+    * one row per non-empty doc, each key the xxhash64 of one signature
+    * band. Deterministic per (text, n, k, bands), so index rows built
+    * today and rows computed for tomorrow's batch collide iff the
+    * signatures collide — the property incremental LSH rests on. */
+  def minhashBandKeys(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int, k: Int, bands: Int): DataFrame = {
+    val r = k / bands
+    require(bands * r == k, s"bands ($bands) must divide k ($k)")
+    val sig = minhashSignature(col("grams"), k)
+    val bandStructs = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(lit(b), slice(sig, b * r + 1, r)).as("bkey"))
+    }: _*)
+    docs.select(col(idCol).as("id"),
+        wordNGrams(words(col(textCol)), n).as("grams"))
+      .filter(size(col("grams")) > 0) // sentinel sigs collide everywhere
+      .select(col("id"), explode(bandStructs).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
+  /** Materialize the band index for a corpus snapshot: the state that
+    * turns LSH dedup INCREMENTAL. Band-partitioned parquet of
+    * [[minhashBandKeys]]; [[appendMinhashBandIndex]] folds a new
+    * batch's keys in (pure file append — band rows are immutable facts
+    * about a doc, so no rewrite, no merge). At 100 TB the index is
+    * ~bands × corpus rows of 24 B — small next to the corpus — and the
+    * append cost is ∝ the batch, never the index. */
+  def buildMinhashBandIndex(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int, k: Int, bands: Int, dir: String): Unit =
+    minhashBandKeys(docs, idCol, textCol, n, k, bands)
+      .write.mode("overwrite").partitionBy("band").parquet(dir)
+
+  def appendMinhashBandIndex(docs: DataFrame, idCol: String, textCol: String,
+                             n: Int, k: Int, bands: Int, dir: String): Unit =
+    minhashBandKeys(docs, idCol, textCol, n, k, bands)
+      .write.mode("append").partitionBy("band").parquet(dir)
+
+  /** Incremental MinHash-LSH near-dup detection: verified pairs that
+    * TOUCH the new batch — new×index candidates through the persisted
+    * band index plus new×new candidates from the batch alone, then the
+    * same exact-Jaccard verify as [[minhashNearDups]]. The daily-crawl
+    * shape: yesterday's corpus never re-pairs with itself (those pairs
+    * were emitted when THEY were new), so per-batch work is
+    * ∝ |batch| band rows joined against the index — with AQE the batch
+    * side broadcasts below the threshold — and the verify join pulls
+    * only candidate ids' shingles out of `corpusAll`. Recall equals the
+    * from-scratch run restricted to new-touching pairs: a band
+    * collision is a pairwise fact, indifferent to which side arrived
+    * first (spec-asserted against the batch-split replay).
+    *
+    * `corpusAll` must contain BOTH old and new docs (shingle source for
+    * verification); ids across batches must be distinct. */
+  def incrementalMinhashNearDups(spark: SparkSession, indexDir: String,
+                                 corpusAll: DataFrame, newDocs: DataFrame,
+                                 idCol: String, textCol: String,
+                                 n: Int = 3, k: Int = 16, bands: Int = 4,
+                                 threshold: Double = 0.7): DataFrame = {
+    val newKeys = minhashBandKeys(newDocs, idCol, textCol, n, k, bands)
+    val idxKeys = spark.read.parquet(indexDir)
+    val newB = newKeys.select(col("id").as("id_b"), col("band"), col("bkey"))
+    val cross = idxKeys.select(col("id").as("id_a"), col("band"), col("bkey"))
+      .join(newB, Seq("band", "bkey"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+    val intra = newKeys.select(col("id").as("id_a"), col("band"), col("bkey"))
+      .join(newB, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val cands = cross.union(intra).distinct()
+    val grams = corpusAll.select(col(idCol).as("gid"),
+      wordNGrams(words(col(textCol)), n).as("grams"))
+    cands
+      .join(grams.select(col("gid").as("id_a"), col("grams").as("grams_a")), "id_a")
+      .join(grams.select(col("gid").as("id_b"), col("grams").as("grams_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("grams_a"), col("grams_b")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Benchmark decontamination: training docs sharing at least one word

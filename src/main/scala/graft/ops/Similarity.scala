@@ -640,6 +640,62 @@ object Similarity {
     * granularity, not the rule. Hot cells (a skewed codebook) are a
     * join-skew problem, handled by AQE skew-join exactly as q65
     * demonstrates — not by this operator. */
+  /** The nProbe nearest cells per query — the query side of every IVF
+    * search: (query_id, q_embedding, cell_id) with one row per probed
+    * cell. The centroid frame broadcasts; the rank window partitions by
+    * query, so its state is nCells rows per query, never corpus-sized. */
+  private def queryProbes(queries: DataFrame, cents: DataFrame,
+                          nProbe: Int): DataFrame = {
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cell_id"))
+    queries.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("q_embedding"), col("cell_id"),
+        round(cosineSim(col("q_embedding"), col("centroid")), 6).as("sim"))
+      .withColumn("rnk", row_number().over(wq))
+      .filter(col("rnk") <= nProbe)
+      .select(col("query_id"), col("q_embedding"), col("cell_id"))
+  }
+
+  /** Filtered ANN: top-k by cosine among corpus vectors that satisfy a
+    * METADATA predicate — "nearest docs with label ∈ L / licence =
+    * permissive / date > cutoff", the serving-shape every production
+    * vector store exposes alongside plain search.
+    *
+    * The assignment is built on the FULL corpus (one index serves every
+    * predicate — rebuilding per filter is the anti-pattern), metadata
+    * columns ride through it, and the predicate applies to the
+    * candidate rows BEFORE scoring: at 100 TB the assignment is the
+    * cell-partitioned index table carrying its metadata columns, so the
+    * predicate is a plain pushed-down row filter on the probed cells'
+    * scan — candidate bytes shrink by the filter's selectivity and no
+    * similarity is computed for rows the filter rejects. (Post-filtering
+    * RESULTS instead would pay full scoring and then starve k on
+    * selective filters.) The known filtered-ANN recall caveat applies
+    * as to any IVF engine: a highly selective predicate can empty the
+    * probed cells; the mitigation is raising nProbe with selectivity,
+    * which composes here as a parameter, not a redesign.
+    *
+    * `corpus0` carries (vec_id, embedding, + metadata columns the
+    * predicate references); the assignment path keeps them (it is
+    * [[withProbeCells]] at nProbe = 1, which tags rows rather than
+    * re-projecting them — identical cell choice to [[ivfAssign]],
+    * spec-certified). */
+  def ivfFilteredTopK(corpus0: DataFrame, queries0: DataFrame, pred: Column,
+                      k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val corpus = cleanVectors(corpus0)
+    val queries = cleanQueries(queries0)
+    val cents = centroids(corpus.select(col("vec_id"), col("embedding")), nCells)
+    val assigned = withProbeCells(corpus, cents, nProbe = 1,
+      nCellsHint = nCells.toLong)
+    val candidates = assigned.filter(pred)
+    rankTopK(
+      queryProbes(queries, cents, nProbe).join(candidates, "cell_id")
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(cosineSim(col("embedding"), col("q_embedding")), 6).as("cos_sim")),
+      k)
+  }
+
   def ivfTopK(corpus0: DataFrame, queries0: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4, trainIters: Int = 0,
               quantized: Boolean = false, rescore: Int = 32): DataFrame = {
@@ -653,15 +709,7 @@ object Similarity {
       if (trainIters > 0) kmeansCentroids(corpus, nCells, trainIters)
       else centroids(corpus, nCells)
     val assigned = ivfAssign(corpus, cents)
-    // nProbe nearest cells per query
-    val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("cell_id"))
-    val probes = queries.crossJoin(broadcast(cents))
-      .select(col("query_id"), col("q_embedding"), col("cell_id"),
-        round(cosineSim(col("q_embedding"), col("centroid")), 6).as("sim"))
-      .withColumn("rnk", row_number().over(wq))
-      .filter(col("rnk") <= nProbe)
-      .select(col("query_id"), col("q_embedding"), col("cell_id"))
+    val probes = queryProbes(queries, cents, nProbe)
     if (!quantized) {
       // score only vectors in probed cells (NaN guard inside rankTopK)
       rankTopK(

@@ -43,6 +43,23 @@ object NorthStarQueries {
     * codebook — the FAISS-add shape. Built once per (JVM, sf) under
     * the write-once rule; the timed query is the probe of the grown
     * index, the operation a serving deployment repeats. */
+  /** d13's persisted MinHash band index over the "yesterday" 80% of
+    * documents (LCG bucket < 8) — built once per (JVM, sf): the index
+    * is the amortized state of incremental LSH; what a pipeline repeats
+    * is the new-batch join against it, which is what d13 times. */
+  private val bandIndexes =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def ensureBandIndex(s: SparkSession, d: String): String =
+    bandIndexes.getOrElseUpdate(d, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_d13idx").toString
+      Dedup.buildMinhashBandIndex(
+        Tables.load(s, d, "documents").filter(
+          graft.ops.TrainingPrep.hashBucket(col("doc_id"), 10) < 8),
+        "doc_id", "text", n = 3, k = 16, bands = 4, s"$tmp/bands")
+      s"$tmp/bands"
+    })
+
   private val appendedIndexes =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -173,6 +190,46 @@ object NorthStarQueries {
              |  round(CAST(shared AS DOUBLE) / len(g), 6) AS containment
              |FROM sh JOIN grams ON sh.id_a = grams.doc_id
              |WHERE round(CAST(shared AS DOUBLE) / len(g), 6) >= 0.9
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- dedup: INCREMENTAL MinHash-LSH against the persisted band index --
+    // The daily-crawl shape: ~80% of the corpus is "yesterday" (LCG
+    // bucket < 8), its band keys live in a band-partitioned parquet
+    // index built once per (JVM, sf); the timed query is the NEW 20%
+    // arriving as a batch — new×index candidates through the index,
+    // new×new from the batch, exact-Jaccard verify, pairs touching the
+    // batch only. Yesterday's docs never re-pair with each other.
+    // Oracle = d03's certified exact-Jaccard pair set restricted to
+    // new-touching pairs: a band collision is a pairwise fact
+    // indifferent to arrival order, so incremental recall equals
+    // from-scratch recall on exactly that restriction (the same
+    // deterministic-recall regime d03's oracle rests on).
+    ("d13_incremental_lsh",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.load(s, d, "documents")
+        val newDocs = docs.filter(
+          graft.ops.TrainingPrep.hashBucket(col("doc_id"), 10) >= 8)
+        Dedup.incrementalMinhashNearDups(s, ensureBandIndex(s, d),
+            docs, newDocs, "doc_id", "text",
+            n = 3, k = 16, bands = 4, threshold = 0.5)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH w AS (SELECT doc_id,
+             |    string_split_regex(lower(text), '\s+') AS w FROM documents),
+             |g AS (SELECT doc_id,
+             |    list_distinct(list_transform(range(1, greatest(len(w)-1, 1)),
+             |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g FROM w),
+             |g2 AS (SELECT doc_id, unnest(g) AS gram FROM g),
+             |ix AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+             |       FROM g2 a JOIN g2 b ON a.gram = b.gram AND a.doc_id < b.doc_id
+             |       GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |  round(CAST(i AS DOUBLE) / (la.l + lb.l - i), 6) AS jaccard
+             |FROM ix JOIN (SELECT doc_id, len(g) AS l FROM g) la ON la.doc_id = id_a
+             |        JOIN (SELECT doc_id, len(g) AS l FROM g) lb ON lb.doc_id = id_b
+             |WHERE round(CAST(i AS DOUBLE) / (la.l + lb.l - i), 6) >= 0.5
+             |  AND ((((id_a*48271)%2147483647+2147483647)%2147483647)%10 >= 8
+             |    OR (((id_b*48271)%2147483647+2147483647)%2147483647)%10 >= 8)
              |ORDER BY id_a, id_b""".stripMargin)),
 
     // ---- dedup: MinHash + LSH banding ------------------------------------
@@ -756,6 +813,52 @@ object NorthStarQueries {
              |SELECT CAST(f.step AS INT) AS rank, f.picked[f.step] AS vec_id,
              |  f.last_score AS mmr_score
              |FROM sel f ORDER BY rank""".stripMargin)),
+
+    // ---- similarity: filtered ANN (metadata predicate + vector search) ----
+    // Top-5 by cosine among vectors with label < 3 only, served off the
+    // UNFILTERED seed-centroid assignment — one index, any predicate,
+    // filter applied to candidate rows before scoring (see
+    // [[graft.ops.Similarity.ivfFilteredTopK]]). The oracle re-runs the
+    // deterministic IVF (s14's untrained playbook) and applies the same
+    // label cut before ranking.
+    ("s16_filtered_ann",
+      (s: SparkSession, d: String) => {
+        val emb = Tables.load(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") >= 40 && col("vec_id") < 50)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+        Similarity.ivfFilteredTopK(
+            emb.select("vec_id", "embedding", "label"), queries,
+            pred = col("label") < 3, k = 5, nCells = 16, nProbe = 4)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH e AS (SELECT vec_id, label, v FROM
+             |        (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+             |         FROM embeddings)
+             |      WHERE len(v) > 0 AND list_inner_product(v, v) > 0),
+             |c AS (SELECT vec_id AS cell_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+             |a AS (SELECT vec_id, label, cell_id FROM (
+             |        SELECT e.vec_id, e.label, c.cell_id,
+             |          row_number() OVER (PARTITION BY e.vec_id
+             |            ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell_id) AS rn
+             |        FROM e CROSS JOIN c)
+             |      WHERE rn = 1),
+             |p AS (SELECT query_id, cell_id FROM (
+             |        SELECT q.vec_id AS query_id, c.cell_id,
+             |          row_number() OVER (PARTITION BY q.vec_id
+             |            ORDER BY round(list_cosine_similarity(q.v, c.cv), 6) DESC, c.cell_id) AS rn
+             |        FROM e q CROSS JOIN c WHERE q.vec_id >= 40 AND q.vec_id < 50)
+             |      WHERE rn <= 4)
+             |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+             |  SELECT p.query_id, a.vec_id AS neighbor_id,
+             |    round(list_cosine_similarity(q.v, n.v), 6) AS cos_sim,
+             |    row_number() OVER (PARTITION BY p.query_id
+             |      ORDER BY round(list_cosine_similarity(q.v, n.v), 6) DESC, a.vec_id) AS rank
+             |  FROM p JOIN a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
+             |    AND a.label < 3
+             |  JOIN e q ON q.vec_id = p.query_id
+             |  JOIN e n ON n.vec_id = a.vec_id)
+             |WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)),
 
     // ---- similarity: exact k-NN self-join (quantized scan) ----------------
     // Every vector is a query: the SemDeDup-style all-pairs primitive.

@@ -1052,6 +1052,65 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally { kept.unpersist(); () }
   }
 
+  test("incremental LSH equals from-scratch restricted to new-touching pairs") {
+    import graft.ops.TrainingPrep
+    // the arrival-order-indifference claim d13's oracle rests on: band
+    // collisions are pairwise facts, so (index(old) ⋈ new) ∪ (new ⋈ new)
+    // candidates — verified — must equal the from-scratch pair set
+    // restricted to pairs touching the new batch
+    val docs = Tables.load(spark, sf, "documents")
+    val isNew = TrainingPrep.hashBucket(col("doc_id"), 10) >= 8
+    val dir = java.nio.file.Files.createTempDirectory("graft_inclsh").toString
+    Dedup.buildMinhashBandIndex(docs.filter(!isNew), "doc_id", "text",
+      n = 3, k = 16, bands = 4, s"$dir/bands")
+    val inc = Dedup.incrementalMinhashNearDups(spark, s"$dir/bands",
+        docs, docs.filter(isNew), "doc_id", "text",
+        n = 3, k = 16, bands = 4, threshold = 0.5)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val newIds = docs.filter(isNew).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val full = Dedup.minhashNearDups(docs, "doc_id", "text",
+        n = 3, k = 16, bands = 4, threshold = 0.5)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullNewTouching = full.filter { case (a, b) => newIds(a) || newIds(b) }
+    assert(inc == fullNewTouching,
+      s"incremental ${inc.size} pairs vs restricted from-scratch " +
+        s"${fullNewTouching.size}: diff ${(inc diff fullNewTouching) ++
+          (fullNewTouching diff inc)}")
+  }
+
+  test("band-index append: a later wave pairs against everything before it") {
+    import graft.ops.TrainingPrep
+    // two-wave lifecycle: wave1 processed incrementally, its keys
+    // APPENDED, then wave2 must see old ∪ wave1 as its index — the
+    // union of the two incremental outputs equals the from-scratch
+    // pair set minus old×old pairs
+    val docs = Tables.load(spark, sf, "documents")
+    val bucket = TrainingPrep.hashBucket(col("doc_id"), 10)
+    val old = docs.filter(bucket < 6)
+    val w1 = docs.filter(bucket >= 6 && bucket < 8)
+    val w2 = docs.filter(bucket >= 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_inclsh2").toString
+    Dedup.buildMinhashBandIndex(old, "doc_id", "text", 3, 16, 4, s"$dir/b")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc1 = pairs(Dedup.incrementalMinhashNearDups(spark, s"$dir/b",
+      docs, w1, "doc_id", "text", 3, 16, 4, 0.5))
+    Dedup.appendMinhashBandIndex(w1, "doc_id", "text", 3, 16, 4, s"$dir/b")
+    val inc2 = pairs(Dedup.incrementalMinhashNearDups(spark, s"$dir/b",
+      docs, w2, "doc_id", "text", 3, 16, 4, 0.5))
+    val oldIds = old.select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = pairs(Dedup.minhashNearDups(docs, "doc_id", "text", 3, 16, 4, 0.5))
+    val wanted = full.filterNot { case (a, b) => oldIds(a) && oldIds(b) }
+    assert((inc1 ++ inc2) == wanted,
+      s"waves ${inc1.size}+${inc2.size} vs expected ${wanted.size}")
+    assert((inc1 intersect inc2).isEmpty,
+      "a pair must be emitted by exactly one wave")
+  }
+
   test("MMR (s15): rank 1 is the relevance top-1 and scores never increase") {
     // MMR's greedy invariants: the first pick ignores the (empty-set)
     // penalty so it must equal plain top-1; and because the penalty is

@@ -522,6 +522,22 @@ class ScaleSpec extends SparkSpec {
       s"scan must prune to doc_id:\n$finalPlan")
   }
 
+  test("s16 filtered ANN: the metadata predicate reaches the parquet scan") {
+    // the filtered-search claim: the label cut is a pushed-down scan
+    // filter on the candidate side — rejected rows are never assigned
+    // or scored, so candidate work shrinks by the filter's selectivity
+    // BEFORE any similarity arithmetic; the cell join stays an
+    // equality hash join, never a cartesian
+    val plan = planOf(SparkEntry.queries("s16_filtered_ann")(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("LessThan(label,3)"),
+      s"label predicate not pushed to the scan:\n${finalPlan.take(4000)}")
+    assert(finalPlan.contains("BroadcastHashJoin [cell_id"),
+      s"cell join is not a broadcast equality join:\n${finalPlan.take(4000)}")
+    assert(!finalPlan.contains("CartesianProduct"),
+      "filtered ANN degenerated to all-pairs")
+  }
+
   test("d12 containment: candidates meet through the gram join — no cartesian, no nested loop") {
     // the inverted-index claim: every candidate pair arrives through an
     // equality join on the gram posting lists; a cartesian or broadcast
