@@ -356,5 +356,73 @@ object ScaleJoinQueries {
              |FROM g JOIN e USING (gram)
              |WHERE g.doc_id % 23 <> 0
              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- declarative data-quality gate (expectations report) --------------
+    // The Deequ-shape contract check a warehouse runs before promoting
+    // a table: a battery of declared constraints — non-empty, composite
+    // key unique, value ranges, non-null, referential integrity —
+    // evaluated as ONE aggregate pass over the fact table (every metric
+    // is an algebraic sum/count with map-side partials) plus ONE
+    // anti-join for the FK orphan count; the report is a constant-size
+    // frame of (constraint, metric, passed). At 100 TB the cost is a
+    // single scan + one join pruned to the FK columns — the gate never
+    // materializes violating rows (a debugging query does that on
+    // demand, filtered by the failing constraint's predicate).
+    ("q76_quality_gate",
+      (s: SparkSession, d: String) => {
+        val li = Tables.load(s, d, "lineitem")
+        val orders = Tables.load(s, d, "orders")
+        val m = li.agg(
+          count(lit(1)).as("n"),
+          (count(lit(1)) -
+            count_distinct(col("l_orderkey"), col("l_linenumber"))).as("dup"),
+          sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+            .otherwise(0L)).as("qty_oob"),
+          sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("ship_null"),
+          sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+            .otherwise(0L)).as("disc_oob"))
+        val orphans = li.select(col("l_orderkey"))
+          .join(orders.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("orphans"))
+        m.crossJoin(orphans)
+          .select(explode(array(
+            struct(lit("disc_in_range").as("rule"),
+              col("disc_oob").as("metric"), (col("disc_oob") === 0).as("passed")),
+            struct(lit("fk_orders").as("rule"),
+              col("orphans").as("metric"), (col("orphans") === 0).as("passed")),
+            struct(lit("pk_unique").as("rule"),
+              col("dup").as("metric"), (col("dup") === 0).as("passed")),
+            struct(lit("qty_in_range").as("rule"),
+              col("qty_oob").as("metric"), (col("qty_oob") === 0).as("passed")),
+            struct(lit("row_count").as("rule"),
+              col("n").as("metric"), (col("n") > 0).as("passed")),
+            struct(lit("shipdate_not_null").as("rule"),
+              col("ship_null").as("metric"), (col("ship_null") === 0).as("passed"))
+          )).as("c"))
+          .select(col("c.rule").as("rule"),
+            col("c.metric").as("metric"), col("c.passed").as("passed"))
+          .orderBy(col("rule"))
+      },
+      Some("""WITH m AS (SELECT COUNT(*) AS n,
+             |    COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS dup,
+             |    CAST(COALESCE(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+             |                      THEN 1 ELSE 0 END), 0) AS BIGINT) AS qty_oob,
+             |    CAST(COALESCE(SUM(CASE WHEN l_shipdate IS NULL
+             |                      THEN 1 ELSE 0 END), 0) AS BIGINT) AS ship_null,
+             |    CAST(COALESCE(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+             |                      THEN 1 ELSE 0 END), 0) AS BIGINT) AS disc_oob
+             |  FROM lineitem),
+             |o AS (SELECT COUNT(*) AS orphans FROM lineitem
+             |      WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+             |SELECT rule, metric, passed FROM (
+             |  SELECT 'disc_in_range' AS rule, disc_oob AS metric,
+             |    disc_oob = 0 AS passed FROM m
+             |  UNION ALL SELECT 'fk_orders', orphans, orphans = 0 FROM o
+             |  UNION ALL SELECT 'pk_unique', dup, dup = 0 FROM m
+             |  UNION ALL SELECT 'qty_in_range', qty_oob, qty_oob = 0 FROM m
+             |  UNION ALL SELECT 'row_count', n, n > 0 FROM m
+             |  UNION ALL SELECT 'shipdate_not_null', ship_null, ship_null = 0 FROM m)
+             |ORDER BY rule""".stripMargin)),
   )
 }
