@@ -689,6 +689,125 @@ object AdvancedQueries {
              |FROM nation JOIN region ON n_regionkey = r_regionkey
              |GROUP BY r_name ORDER BY region""".stripMargin)),
 
+    // ---- global concurrency sweep (distributed prefix sum) ----------------
+    // Max concurrent activity per hour: each event opens a 30-min
+    // activity lease, ticks are (+1 at start, -1 at end), and the
+    // concurrency at any tick is the GLOBAL running sum of deltas —
+    // the classic sweep-line. A global running sum is the one window
+    // shape a naive plan serializes (Window.orderBy with no partition
+    // = every row through ONE task), so this runs the textbook
+    // two-phase distributed prefix sum instead: per-hour-bucket
+    // partial sums (map-side combinable, |buckets| rows), an exclusive
+    // cumulative offset over that TINY frame (the only unpartitioned
+    // window, bounded by hours-in-corpus, never by rows), broadcast
+    // back, then a within-bucket running sum partitioned by bucket.
+    // Every corpus-sized operation is partitioned; the serial step
+    // touches |hours| rows. Tick order (t, delta, eid) puts -1 before
+    // +1 at equal t — [start, end) lease semantics — and eid makes the
+    // order total, so per-row concurrency is deterministic. All-long
+    // arithmetic; the oracle runs the naive single-window form and
+    // must land on identical peaks.
+    ("q77_concurrency_sweep",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val leaseUs = 30L * 60 * 1000 * 1000
+        val hourUs = 3600L * 1000 * 1000
+        val ev = Tables.load(s, d, "events").select(col("ts"), col("event_id"))
+        val ticks = ev.select(col("ts").as("t"), lit(1L).as("delta"),
+            col("event_id").as("eid"))
+          .unionAll(ev.select((col("ts") + leaseUs).as("t"),
+            lit(-1L).as("delta"), col("event_id").as("eid")))
+          .withColumn("bucket", expr(s"t DIV $hourUs"))
+        val offsets = ticks.groupBy(col("bucket"))
+          .agg(sum(col("delta")).as("bsum"))
+          .withColumn("offset", coalesce(
+            sum(col("bsum")).over(Window.orderBy(col("bucket"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("bucket"), col("offset"))
+        val wIn = Window.partitionBy(col("bucket"))
+          .orderBy(col("t"), col("delta"), col("eid"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ticks.join(broadcast(offsets), "bucket")
+          .withColumn("conc", col("offset") + sum(col("delta")).over(wIn))
+          .groupBy(col("bucket"))
+          .agg(max(col("conc")).as("peak"),
+            sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"))
+          .select((col("bucket") * hourUs).as("hour_us"), col("peak"),
+            col("n_starts"))
+          .orderBy(col("hour_us"))
+      },
+      Some("""WITH ticks AS (
+             |  SELECT epoch_us(ts) AS t, 1 AS delta, event_id AS eid FROM events
+             |  UNION ALL
+             |  SELECT epoch_us(ts + INTERVAL 30 MINUTE), -1, event_id FROM events),
+             |run AS (
+             |  SELECT t, delta,
+             |    SUM(delta) OVER (ORDER BY t, delta, eid
+             |                     ROWS UNBOUNDED PRECEDING) AS conc
+             |  FROM ticks)
+             |SELECT (t // 3600000000) * 3600000000 AS hour_us,
+             |  CAST(MAX(conc) AS BIGINT) AS peak,
+             |  CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts
+             |FROM run GROUP BY 1 ORDER BY hour_us""".stripMargin)),
+
+    // ---- robust outlier report (median + MAD, integer-exact compare) ------
+    // Per-brand price anomalies by the robust z-score: a point is an
+    // outlier when |x − median| > 3·1.4826·MAD (the normal-consistent
+    // MAD scale). Exactness discipline: prices move to integer CENTS
+    // first, so the exact medians (Spark `percentile`, DuckDB
+    // quantile_cont — q32's certified pair) land on integers or exact
+    // halves/quarters, the deviation |x − med| is an exactly-
+    // representable double, and the single threshold multiply
+    // 4.4478·mad is one IEEE product of identical operands on both
+    // engines — the outlier COUNT cannot flap on a borderline row.
+    // Two passes over the frame (med, then MAD of deviations), each a
+    // per-brand aggregate behind one broadcast part join; the brand
+    // medians broadcast back (25 rows). At 100 TB the exact per-group
+    // percentile is the bounded-cardinality path (group values shuffle
+    // to their brand); unbounded groups swap in q50's KLL sketch.
+    ("q78_mad_outliers",
+      (s: SparkSession, d: String) => {
+        val p = Tables.load(s, d, "part").select(col("p_partkey"), col("p_brand"))
+        val x = Tables.load(s, d, "lineitem")
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand"),
+            round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        val med = x.groupBy(col("p_brand"))
+          .agg(expr("percentile(cents, 0.5)").as("med_c"))
+        val dev = x.join(broadcast(med), "p_brand")
+          .withColumn("adev", abs(col("cents") - col("med_c")))
+        val mad = dev.groupBy(col("p_brand"))
+          .agg(expr("percentile(adev, 0.5)").as("mad_c"))
+        dev.join(broadcast(mad), "p_brand")
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n"),
+            round(max(col("med_c")) / 100.0, 4).as("median_price"),
+            round(max(col("mad_c")) / 100.0, 4).as("mad_price"),
+            sum(when(col("adev") > lit(3 * 1.4826) * col("mad_c"), 1L)
+              .otherwise(0L)).as("n_outliers"))
+          .orderBy(col("p_brand"))
+      },
+      Some("""WITH x AS (
+             |  SELECT p_brand,
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+             |med AS (
+             |  SELECT p_brand, quantile_cont(cents, 0.5) AS med_c
+             |  FROM x GROUP BY 1),
+             |dev AS (
+             |  SELECT x.p_brand, abs(x.cents - med.med_c) AS adev
+             |  FROM x JOIN med USING (p_brand)),
+             |mad AS (
+             |  SELECT p_brand, quantile_cont(adev, 0.5) AS mad_c
+             |  FROM dev GROUP BY 1)
+             |SELECT dev.p_brand, COUNT(*) AS n,
+             |  round(MAX(med.med_c) / 100.0, 4) AS median_price,
+             |  round(MAX(mad.mad_c) / 100.0, 4) AS mad_price,
+             |  CAST(SUM(CASE WHEN dev.adev > 3 * 1.4826 * mad.mad_c
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM dev JOIN mad USING (p_brand) JOIN med USING (p_brand)
+             |GROUP BY dev.p_brand ORDER BY dev.p_brand""".stripMargin)),
+
     // ---- approximate distinct (HLL sketch, exact-regime oracle) ------------
     // Side-by-side sketch-vs-exact distinct counts — the cardinality
     // twin of q46, oracled via the q47/q50/q56/q61 exact-regime

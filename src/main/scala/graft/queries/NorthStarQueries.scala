@@ -74,6 +74,63 @@ object NorthStarQueries {
       s"$tmp/index"
     })
 
+  /** The certified IVF oracle derivation (s02's SQL), factored as a CTE
+    * prefix so s17's recall evaluation composes the IDENTICAL algorithm
+    * text instead of a drifting copy: cleaned corpus `e`, seed
+    * centroids c0, two Lloyd iterations (a0→x1→m1→c1→a1→x2→m2→c),
+    * final assignment `a`, and the nProbe=4 probe set `p`. Any change
+    * here changes BOTH oracles together — exactly the invariant the
+    * recall eval needs (it must probe the same index s02 ships). */
+  private val IvfOracleCtes =
+    """WITH e AS (SELECT vec_id, v FROM
+      |        (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |      WHERE len(v) > 0 AND list_inner_product(v, v) > 0),
+      |c0 AS (SELECT vec_id AS cell_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+      |a0 AS (SELECT vec_id, cell_id FROM (
+      |        SELECT e.vec_id, c0.cell_id,
+      |          row_number() OVER (PARTITION BY e.vec_id
+      |            ORDER BY round(list_cosine_similarity(e.v, c0.cv), 6) DESC, c0.cell_id) AS rn
+      |        FROM e CROSS JOIN c0)
+      |      WHERE rn = 1),
+      |x1 AS (SELECT a0.cell_id, u.i, e.v[CAST(u.i AS INT)] AS xv
+      |      FROM a0 JOIN e USING (vec_id),
+      |           unnest(range(1, len(e.v) + 1)) AS u(i)),
+      |m1 AS (SELECT cell_id,
+      |        list(CAST(CAST(mx AS FLOAT) AS DOUBLE) ORDER BY i) AS mv
+      |      FROM (SELECT cell_id, i, round(avg(xv), 6) AS mx
+      |            FROM x1 GROUP BY 1, 2)
+      |      GROUP BY 1),
+      |c1 AS (SELECT c0.cell_id, coalesce(m1.mv, c0.cv) AS cv
+      |       FROM c0 LEFT JOIN m1 USING (cell_id)),
+      |a1 AS (SELECT vec_id, cell_id FROM (
+      |        SELECT e.vec_id, c1.cell_id,
+      |          row_number() OVER (PARTITION BY e.vec_id
+      |            ORDER BY round(list_cosine_similarity(e.v, c1.cv), 6) DESC, c1.cell_id) AS rn
+      |        FROM e CROSS JOIN c1)
+      |      WHERE rn = 1),
+      |x2 AS (SELECT a1.cell_id, u.i, e.v[CAST(u.i AS INT)] AS xv
+      |      FROM a1 JOIN e USING (vec_id),
+      |           unnest(range(1, len(e.v) + 1)) AS u(i)),
+      |m2 AS (SELECT cell_id,
+      |        list(CAST(CAST(mx AS FLOAT) AS DOUBLE) ORDER BY i) AS mv
+      |      FROM (SELECT cell_id, i, round(avg(xv), 6) AS mx
+      |            FROM x2 GROUP BY 1, 2)
+      |      GROUP BY 1),
+      |c AS (SELECT c1.cell_id, coalesce(m2.mv, c1.cv) AS cv
+      |      FROM c1 LEFT JOIN m2 USING (cell_id)),
+      |a AS (SELECT vec_id, cell_id FROM (
+      |        SELECT e.vec_id, c.cell_id,
+      |          row_number() OVER (PARTITION BY e.vec_id
+      |            ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell_id) AS rn
+      |        FROM e CROSS JOIN c)
+      |      WHERE rn = 1),
+      |p AS (SELECT query_id, cell_id FROM (
+      |        SELECT q.vec_id AS query_id, c.cell_id,
+      |          row_number() OVER (PARTITION BY q.vec_id
+      |            ORDER BY round(list_cosine_similarity(q.v, c.cv), 6) DESC, c.cell_id) AS rn
+      |        FROM e q CROSS JOIN c WHERE q.vec_id < 10)
+      |      WHERE rn <= 4)""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
     // ---- JSON extraction over events.props --------------------------------
@@ -499,64 +556,77 @@ object NorthStarQueries {
             k = 5, nCells = 16, nProbe = 4, trainIters = 2)
           .orderBy(col("query_id"), col("rank"))
       },
-      Some("""WITH e AS (SELECT vec_id, v FROM
-             |        (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-             |      WHERE len(v) > 0 AND list_inner_product(v, v) > 0),
-             |c0 AS (SELECT vec_id AS cell_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
-             |a0 AS (SELECT vec_id, cell_id FROM (
-             |        SELECT e.vec_id, c0.cell_id,
-             |          row_number() OVER (PARTITION BY e.vec_id
-             |            ORDER BY round(list_cosine_similarity(e.v, c0.cv), 6) DESC, c0.cell_id) AS rn
-             |        FROM e CROSS JOIN c0)
-             |      WHERE rn = 1),
-             |x1 AS (SELECT a0.cell_id, u.i, e.v[CAST(u.i AS INT)] AS xv
-             |      FROM a0 JOIN e USING (vec_id),
-             |           unnest(range(1, len(e.v) + 1)) AS u(i)),
-             |m1 AS (SELECT cell_id,
-             |        list(CAST(CAST(mx AS FLOAT) AS DOUBLE) ORDER BY i) AS mv
-             |      FROM (SELECT cell_id, i, round(avg(xv), 6) AS mx
-             |            FROM x1 GROUP BY 1, 2)
-             |      GROUP BY 1),
-             |c1 AS (SELECT c0.cell_id, coalesce(m1.mv, c0.cv) AS cv
-             |       FROM c0 LEFT JOIN m1 USING (cell_id)),
-             |a1 AS (SELECT vec_id, cell_id FROM (
-             |        SELECT e.vec_id, c1.cell_id,
-             |          row_number() OVER (PARTITION BY e.vec_id
-             |            ORDER BY round(list_cosine_similarity(e.v, c1.cv), 6) DESC, c1.cell_id) AS rn
-             |        FROM e CROSS JOIN c1)
-             |      WHERE rn = 1),
-             |x2 AS (SELECT a1.cell_id, u.i, e.v[CAST(u.i AS INT)] AS xv
-             |      FROM a1 JOIN e USING (vec_id),
-             |           unnest(range(1, len(e.v) + 1)) AS u(i)),
-             |m2 AS (SELECT cell_id,
-             |        list(CAST(CAST(mx AS FLOAT) AS DOUBLE) ORDER BY i) AS mv
-             |      FROM (SELECT cell_id, i, round(avg(xv), 6) AS mx
-             |            FROM x2 GROUP BY 1, 2)
-             |      GROUP BY 1),
-             |c AS (SELECT c1.cell_id, coalesce(m2.mv, c1.cv) AS cv
-             |      FROM c1 LEFT JOIN m2 USING (cell_id)),
-             |a AS (SELECT vec_id, cell_id FROM (
-             |        SELECT e.vec_id, c.cell_id,
-             |          row_number() OVER (PARTITION BY e.vec_id
-             |            ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell_id) AS rn
-             |        FROM e CROSS JOIN c)
-             |      WHERE rn = 1),
-             |p AS (SELECT query_id, cell_id FROM (
-             |        SELECT q.vec_id AS query_id, c.cell_id,
-             |          row_number() OVER (PARTITION BY q.vec_id
-             |            ORDER BY round(list_cosine_similarity(q.v, c.cv), 6) DESC, c.cell_id) AS rn
-             |        FROM e q CROSS JOIN c WHERE q.vec_id < 10)
-             |      WHERE rn <= 4)
-             |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
-             |  SELECT p.query_id, a.vec_id AS neighbor_id,
-             |    round(list_cosine_similarity(q.v, n.v), 6) AS cos_sim,
-             |    row_number() OVER (PARTITION BY p.query_id
-             |      ORDER BY round(list_cosine_similarity(q.v, n.v), 6) DESC, a.vec_id) AS rank
-             |  FROM p JOIN a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
-             |  JOIN e q ON q.vec_id = p.query_id
-             |  JOIN e n ON n.vec_id = a.vec_id)
-             |WHERE rank <= 5
-             |ORDER BY query_id, rank""".stripMargin)),
+      Some(IvfOracleCtes + "\n" +
+        """SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+          |  SELECT p.query_id, a.vec_id AS neighbor_id,
+          |    round(list_cosine_similarity(q.v, n.v), 6) AS cos_sim,
+          |    row_number() OVER (PARTITION BY p.query_id
+          |      ORDER BY round(list_cosine_similarity(q.v, n.v), 6) DESC, a.vec_id) AS rank
+          |  FROM p JOIN a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
+          |  JOIN e q ON q.vec_id = p.query_id
+          |  JOIN e n ON n.vec_id = a.vec_id)
+          |WHERE rank <= 5
+          |ORDER BY query_id, rank""".stripMargin)),
+
+    // ---- similarity: ANN recall evaluation harness ------------------------
+    // "Measure, don't guess" as a first-class operator: recall@5 of the
+    // s02 IVF probe against the exact brute-force ranking, per query —
+    // the number every ANN deployment must monitor before trusting an
+    // index (the spec suite asserts recall bounds; THIS makes the
+    // measurement itself an oracle-checked, schedulable query). Both
+    // sides run over the identically cleaned corpus so recall deficits
+    // are attributable to the probe, never to basis drift. Outputs are
+    // INTEGER (matched count, basis points = matched·2000) — no float
+    // can decide or perturb a row. Scale shape: brute side is one
+    // broadcast-queries scan (s01's plan), IVF side probes nProbe/
+    // nCells of the corpus (s02's plan), the compare joins two
+    // (nQueries·k)-row frames — evaluation cost is dominated by the
+    // brute scan, which is exactly why recall is measured on a query
+    // SAMPLE (here: the 10 fixture queries) rather than the corpus.
+    // Oracle composes the shared IvfOracleCtes (the certified s02
+    // derivation) with the s01 brute-force block, so the evaluated
+    // index is provably the one s02 ships.
+    ("s17_recall_eval",
+      (s: SparkSession, d: String) => {
+        import graft.functions.CosineSimilarity.cosineSim
+        val emb = Tables.load(s, d, "embeddings").select("vec_id", "embedding")
+        val clean = emb.filter(size(col("embedding")) > 0 &&
+          !isnan(cosineSim(col("embedding"), col("embedding"))))
+        val queries = clean.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+        val exact = Similarity.bruteForceTopK(clean, queries, k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val approx = Similarity.ivfTopK(emb, queries,
+            k = 5, nCells = 16, nProbe = 4, trainIters = 2)
+          .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+        exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(col("hit")).as("n_matched"))
+          .select(col("query_id"), lit(5).cast("int").as("k"),
+            col("n_matched"), (col("n_matched") * 2000L).as("recall_bp"))
+          .orderBy(col("query_id"))
+      },
+      Some(IvfOracleCtes + ",\n" +
+        """brute AS (SELECT query_id, neighbor_id FROM (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |    row_number() OVER (PARTITION BY q.vec_id
+          |      ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC, c.vec_id) AS rank
+          |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+          |  WHERE rank <= 5),
+          |ivf AS (SELECT query_id, neighbor_id FROM (
+          |  SELECT p.query_id, a.vec_id AS neighbor_id,
+          |    row_number() OVER (PARTITION BY p.query_id
+          |      ORDER BY round(list_cosine_similarity(q.v, n.v), 6) DESC, a.vec_id) AS rank
+          |  FROM p JOIN a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
+          |  JOIN e q ON q.vec_id = p.query_id
+          |  JOIN e n ON n.vec_id = a.vec_id)
+          |  WHERE rank <= 5)
+          |SELECT b.query_id, CAST(5 AS INT) AS k,
+          |  CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_matched,
+          |  CAST(COUNT(i.neighbor_id) * 2000 AS BIGINT) AS recall_bp
+          |FROM brute b LEFT JOIN ivf i
+          |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+          |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin)),
 
     // ---- similarity: k-means (Lloyd) clustering as a query ----------------
     // The trainer in isolation (s02 now SHIPS this trained codebook in
@@ -1424,5 +1494,84 @@ object NorthStarQueries {
              |                     i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
              |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- dataset card (datasheet rollup over certified signal blocks) -----
+    // The "Datasheets for Datasets" (Gebru et al. 2021) summary a
+    // training corpus publishes: per (source, predicted language) —
+    // doc count, corpus share in integer BASIS POINTS (share math is
+    // `DIV`, never a float), token totals, mean quality, and how many
+    // docs are byte-exact duplicates of some other doc. Every signal
+    // is a certified block reused verbatim: t03's language id, t01's
+    // token count, t02's quality, d01's hash-group duplicate rule.
+    // Mean quality follows the bm25/t12 float discipline — the round-6
+    // per-doc quality is DECIMAL(18,6)-exact, so the SUM is exact and
+    // the single final divide is one IEEE op on identical operands.
+    // Scale shape: one scan computes all per-doc signals in the same
+    // projection (no second pass per metric), the dup side groups by
+    // md5(text) — d01's shuffle key: 16 bytes, not the document — and
+    // the rollup key space is |sources|×|langs|, map-side combinable.
+    ("c04_dataset_card",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.load(s, d, "documents")
+        val scored = docs.select(col("source"),
+          TextAnalysis.langId(col("text")).as("pred_lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"),
+          TextAnalysis.qualityScore(col("text"))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("q"),
+          md5(col("text")).as("h"))
+        val dups = docs.groupBy(md5(col("text")).as("h"))
+          .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
+          .select(col("h"), lit(1L).as("isdup"))
+        val tot = docs.agg(count(lit(1)).as("total_docs"))
+        scored.join(dups, Seq("h"), "left")
+          .groupBy(col("source"), col("pred_lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_toks")).as("total_tokens"),
+            round(sum(col("q")).cast("double") / count(lit(1)), 4)
+              .as("mean_quality"),
+            sum(coalesce(col("isdup"), lit(0L))).as("n_dup_docs"))
+          .crossJoin(broadcast(tot))
+          .select(col("source"), col("pred_lang"), col("n_docs"),
+            expr("(n_docs * 10000) DIV total_docs").as("pct_bp"),
+            col("total_tokens"), col("mean_quality"), col("n_dup_docs"))
+          .orderBy(col("source"), col("pred_lang"))
+      },
+      Some("""WITH sc AS (
+             |  SELECT source, text,
+             |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             |      t -> list_contains(['the','a','of','and','to','in','is','it','that','on'], t))) AS s_en,
+             |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             |      t -> list_contains(['der','die','das','und','ist','ein','zu','den','von','mit'], t))) AS s_de,
+             |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             |      t -> list_contains(['el','la','de','los','las','y','es','un','una','en'], t))) AS s_es,
+             |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             |      t -> list_contains(['le','la','les','et','est','une','des','du','dans','pour'], t))) AS s_fr,
+             |    regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS has_cjk,
+             |    len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_toks,
+             |    CAST(round(0.4 * least(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) / 100.0, 1.0)
+             |      + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text))
+             |      + 0.3 * least(CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             |            t -> list_contains(['the','a','of','and','to','in','is','it','that','on'], t))) AS DOUBLE)
+             |          / len(regexp_extract_all(lower(text), '[a-z0-9]+')) * 5.0, 1.0),
+             |      6) AS DECIMAL(18,6)) AS q
+             |  FROM documents),
+             |lx AS (
+             |  SELECT source, text, n_toks, q,
+             |    CASE WHEN has_cjk THEN 'zh'
+             |         WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+             |         WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+             |         WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+             |         ELSE 'fr' END AS pred_lang
+             |  FROM sc),
+             |dup AS (SELECT text FROM documents GROUP BY text HAVING COUNT(*) > 1),
+             |tot AS (SELECT COUNT(*) AS total_docs FROM documents)
+             |SELECT lx.source, lx.pred_lang,
+             |  COUNT(*) AS n_docs,
+             |  CAST((COUNT(*) * 10000) // MAX(tot.total_docs) AS BIGINT) AS pct_bp,
+             |  CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+             |  round(CAST(SUM(q) AS DOUBLE) / COUNT(*), 4) AS mean_quality,
+             |  CAST(SUM(CASE WHEN dup.text IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+             |FROM lx LEFT JOIN dup ON lx.text = dup.text CROSS JOIN tot
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
   )
 }

@@ -828,6 +828,77 @@ object TrainingPrepQueries {
              |FROM g JOIN f USING (gram)
              |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin)),
 
+    // ---- collocation mining (bigram PMI — vocabulary induction) -----------
+    // The tokenizer/phrase-mining primitive: top adjacent word pairs
+    // by corpus frequency, scored with pointwise mutual information
+    // ln(P(ab) / (P(a)·P(b))). Ranking and row MEMBERSHIP are
+    // INTEGER-exact — (pair count desc, a, b) — the float PMI is
+    // display-only (t08's discipline: no float ever decides a row's
+    // presence, and the t08-measured ln headroom argument carries
+    // over). Scale shape: the bigram explode is map-side (transform
+    // over the token array — no self-join on position), pair counts
+    // are one map-side-combinable aggregate, and the global top-k is
+    // TakeOrdered (bounded, never a full sort). The unigram joins
+    // happen AFTER the top-k prune, so the broadcast side is the 20
+    // surviving pairs — the vocabulary-sized unigram table is never
+    // broadcast or collected. PMI operands cast to double BEFORE
+    // multiplying (token-count products overflow int64 at corpus
+    // scale), in identical association order on both engines.
+    ("t14_collocations",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = Tables.load(s, d, "documents")
+          .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("w"))
+        val uni = toks.select(explode(col("w")).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("n_term"))
+        val tot = toks.agg(
+          sum(size(col("w"))).cast("long").as("n_uni"),
+          sum(when(size(col("w")) >= 2, size(col("w")) - 1).otherwise(0))
+            .cast("long").as("n_pairs"))
+        val top = toks.filter(size(col("w")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(w)-1), i -> struct(w[i-1] AS a, w[i] AS b))"))
+            .as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_pair"))
+          .orderBy(col("n_pair").desc, col("a"), col("b")).limit(20)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("n_pair").desc, col("a"), col("b"))).cast("int"))
+        val ua = uni.select(col("term").as("a"), col("n_term").as("n_a"))
+        val ub = uni.select(col("term").as("b"), col("n_term").as("n_b"))
+        broadcast(top).join(ua, "a").join(ub, "b")
+          .crossJoin(broadcast(tot))
+          .select(col("rank"), col("a"), col("b"), col("n_pair"),
+            col("n_a"), col("n_b"),
+            round(log((col("n_pair").cast("double") * col("n_uni") * col("n_uni"))
+              / (col("n_pairs").cast("double") * col("n_a") * col("n_b"))), 6)
+              .as("pmi"))
+          .orderBy(col("rank"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+             |  FROM documents),
+             |uni AS (SELECT u.term, COUNT(*) AS n_term
+             |        FROM toks, unnest(w) AS u(term) GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(len(w)) AS BIGINT) AS n_uni,
+             |          CAST(SUM(CASE WHEN len(w) >= 2 THEN len(w) - 1 ELSE 0 END)
+             |            AS BIGINT) AS n_pairs
+             |        FROM toks),
+             |pr AS (SELECT w[CAST(u.i AS INT)] AS a, w[CAST(u.i AS INT) + 1] AS b
+             |       FROM toks, unnest(range(1, len(w))) AS u(i)
+             |       WHERE len(w) >= 2),
+             |pc AS (SELECT a, b, COUNT(*) AS n_pair FROM pr GROUP BY 1, 2),
+             |top AS (SELECT a, b, n_pair,
+             |          row_number() OVER (ORDER BY n_pair DESC, a, b) AS rank
+             |        FROM pc QUALIFY rank <= 20)
+             |SELECT CAST(rank AS INT) AS rank, a, b, n_pair,
+             |  ua.n_term AS n_a, ub.n_term AS n_b,
+             |  round(ln((CAST(n_pair AS DOUBLE) * n_uni * n_uni)
+             |        / (CAST(n_pairs AS DOUBLE) * ua.n_term * ub.n_term)), 6) AS pmi
+             |FROM top JOIN uni ua ON top.a = ua.term
+             |JOIN uni ub ON top.b = ub.term CROSS JOIN tot
+             |ORDER BY rank""".stripMargin)),
+
     // ---- streaming drain to a parquet file sink (Append + watermark) ------
     // The scale-path streaming story as an oracle-checked query: only
     // watermark-finalized windows land in the sink.

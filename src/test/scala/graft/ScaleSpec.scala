@@ -633,4 +633,116 @@ class ScaleSpec extends SparkSpec {
     assert(blob.forall { case (_, b) => viaStars(b) == 0L },
       "blob nodes reachable through the path head must label 0")
   }
+
+  test("q77 sweep: two-phase prefix sum equals the naive global window, corpus windows partitioned") {
+    // the scale claim: the ONLY unpartitioned window runs over |hour
+    // buckets| rows; every corpus-sized window is partitioned by
+    // bucket, and the offsets come back via a broadcast join. Equality
+    // against the naive single-partition sweep certifies the
+    // decomposition (the DuckDB oracle re-proves it at sf0.01).
+    val twoPhase = SparkEntry.queries("q77_concurrency_sweep")(spark, sf)
+    val leaseUs = 30L * 60 * 1000 * 1000
+    val hourUs = 3600L * 1000 * 1000
+    val ev = Tables.load(spark, sf, "events").select(col("ts"), col("event_id"))
+    val ticks = ev.select(col("ts").as("t"), lit(1L).as("delta"),
+        col("event_id").as("eid"))
+      .unionAll(ev.select((col("ts") + leaseUs).as("t"),
+        lit(-1L).as("delta"), col("event_id").as("eid")))
+    val wNaive = org.apache.spark.sql.expressions.Window
+      .orderBy(col("t"), col("delta"), col("eid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val naive = ticks.withColumn("conc", sum(col("delta")).over(wNaive))
+      .groupBy(expr(s"t DIV $hourUs").as("bucket"))
+      .agg(max(col("conc")).as("peak"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"))
+      .select((col("bucket") * hourUs).as("hour_us"), col("peak"), col("n_starts"))
+    assert(twoPhase.exceptAll(naive).isEmpty && naive.exceptAll(twoPhase).isEmpty,
+      "two-phase prefix sum must equal the naive global sweep")
+    val plan = planOf(SparkEntry.queries("q77_concurrency_sweep")(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert("Window \\[[^\\]]*\\], \\[bucket".r.findFirstIn(finalPlan).isDefined,
+      s"corpus running sum must be a bucket-partitioned window:\n$finalPlan")
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"bucket offsets must come back via broadcast:\n$finalPlan")
+  }
+
+  test("q78 MAD outliers: dimension and stat joins all broadcast, no corpus-side merge join") {
+    // part (25 brands), the per-brand medians and the per-brand MADs
+    // are all tiny frames: every join against the lineitem-sized side
+    // must be broadcast — a SortMergeJoin would shuffle the corpus
+    // three times for 25-row lookup tables
+    val plan = planOf(SparkEntry.queries("q78_mad_outliers")(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("SortMergeJoin") &&
+      !finalPlan.contains("ShuffledHashJoin"),
+      s"a stat lookup join shuffled the corpus:\n$finalPlan")
+    assert("BroadcastHashJoin".r.findAllIn(finalPlan).length >= 3,
+      s"expected 3 broadcast joins (part, med, mad):\n$finalPlan")
+  }
+
+  test("t14 collocations: bounded top-k prune before the unigram joins") {
+    // the vocabulary-sized unigram table must never broadcast: the
+    // top-20 pairs are TakeOrdered (bounded, no full sort) and THEY are
+    // the broadcast side of both count lookups
+    val plan = planOf(SparkEntry.queries("t14_collocations")(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("TakeOrderedAndProject"),
+      s"global top-k must be TakeOrdered, not a full sort:\n$finalPlan")
+    assert(!finalPlan.contains("SortMergeJoin") &&
+      !finalPlan.contains("ShuffledHashJoin"),
+      s"unigram lookups must be broadcast joins:\n$finalPlan")
+  }
+
+  test("s17 recall eval: internally consistent with its own two rankings") {
+    // the harness must report exactly |exact ∩ approx| per query — no
+    // more, no less — and basis points stay in [0, 10000]
+    import graft.functions.CosineSimilarity.cosineSim
+    val rows = SparkEntry.queries("s17_recall_eval")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (matched, bp) = (r.getAs[Long]("n_matched"), r.getAs[Long]("recall_bp"))
+      assert(matched >= 0 && matched <= 5, s"matched out of range: $matched")
+      assert(bp == matched * 2000, s"bp must be integer-derived: $bp")
+    }
+    val emb = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
+    val clean = emb.filter(size(col("embedding")) > 0 &&
+      !isnan(cosineSim(col("embedding"), col("embedding"))))
+    val queries = clean.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val exact = graft.ops.Similarity.bruteForceTopK(clean, queries, k = 5)
+      .select("query_id", "neighbor_id")
+    val approx = graft.ops.Similarity.ivfTopK(emb, queries,
+        k = 5, nCells = 16, nProbe = 4, trainIters = 2)
+      .select("query_id", "neighbor_id")
+    val inter = exact.intersect(approx).groupBy("query_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      assert(r.getAs[Long]("n_matched") == inter.getOrElse(q, 0L),
+        s"query $q: reported matches differ from the direct intersection")
+    }
+  }
+
+  test("c04 dataset card: counts conserve against the corpus") {
+    val docs = Tables.load(spark, sf, "documents")
+    val total = docs.count()
+    val card = SparkEntry.queries("c04_dataset_card")(spark, sf).collect()
+    assert(card.map(_.getAs[Long]("n_docs")).sum == total,
+      "card rows must partition the corpus")
+    val bp = card.map(_.getAs[Long]("pct_bp")).sum
+    assert(bp <= 10000 && bp > 10000 - card.length,
+      s"DIV-floored shares must sum to (10000 - #rows, 10000]: $bp")
+    card.foreach { r =>
+      assert(r.getAs[Long]("n_dup_docs") <= r.getAs[Long]("n_docs"))
+      val mq = r.getAs[Double]("mean_quality")
+      assert(mq >= 0.0 && mq <= 1.0, s"quality out of range: $mq")
+    }
+    val dupTotal = card.map(_.getAs[Long]("n_dup_docs")).sum
+    val direct = docs.groupBy(md5(col("text"))).count()
+      .filter(col("count") > 1).agg(sum(col("count"))).collect()(0)
+    val expected = if (direct.isNullAt(0)) 0L else direct.getLong(0)
+    assert(dupTotal == expected,
+      s"dup docs must equal the direct hash-group count: $dupTotal vs $expected")
+  }
 }
