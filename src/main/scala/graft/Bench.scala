@@ -65,6 +65,9 @@ object Bench {
     // the probe is what the query times)
     graft.queries.NorthStarQueries.ensureAppendedIndex(spark, sfDir): Unit
     graft.queries.StreamMediaQueries.ensureQueryStream(spark, sfDir): Unit
+    // …st27's staged document-card stream (immutable input; the query
+    // times the incremental rollup drain)
+    graft.queries.StreamMediaQueries.ensureDocCardStream(spark, sfDir): Unit
     // …st21's staged odd-vector arrivals and trained base index
     // (immutable inputs; each run copies the base and grows its OWN
     // index — the append+probe is the timed operation, not training)

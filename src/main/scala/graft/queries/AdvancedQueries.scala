@@ -808,6 +808,122 @@ object AdvancedQueries {
              |FROM dev JOIN mad USING (p_brand) JOIN med USING (p_brand)
              |GROUP BY dev.p_brand ORDER BY dev.p_brand""".stripMargin)),
 
+    // ---- table diff / reconciliation report -------------------------------
+    // The anti-entropy primitive behind replica validation and
+    // migration sign-off: classify every key across two table versions
+    // as added / removed / changed / same and emit a bounded summary
+    // with an exact integer key checksum per class (a single
+    // misclassified row breaks the checksum, so the summary can't hide
+    // offsetting errors). The second version is a deterministic
+    // mutated twin derived IN-QUERY by both engines (t09's synthesis
+    // discipline: the oracle certifies the diff, not the synthesis):
+    // keys ≡0 (mod 97) dropped, prices bumped at ≡0 (mod 101), new
+    // keys added at ≡0 (mod 103). Scale shape: ONE full-outer
+    // equi-join on the key — co-partitioned for free when both sides
+    // are bucketed (q45's layout) — then a 4-group combinable
+    // aggregate; row-level differences never leave their partition.
+    ("q79_table_diff",
+      (s: SparkSession, d: String) => {
+        val v1 = Tables.load(s, d, "orders")
+          .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
+            col("o_orderstatus").as("st"), col("o_totalprice").as("p"))
+        val v2 = v1.filter(col("k") % 97 =!= 0)
+          .withColumn("p",
+            when(col("k") % 101 === 0, col("p") + 1.0).otherwise(col("p")))
+          .unionAll(v1.filter(col("k") % 103 === 0)
+            .select((col("k") + 100000000L).as("k"), col("c"),
+              lit("N").as("st"), col("p")))
+        val a = v1.select(col("k").as("k1"), col("c").as("c1"),
+          col("st").as("st1"), col("p").as("p1"))
+        val b = v2.select(col("k").as("k2"), col("c").as("c2"),
+          col("st").as("st2"), col("p").as("p2"))
+        a.join(b, col("k1") === col("k2"), "full_outer")
+          .select(when(col("k1").isNull, "added")
+            .when(col("k2").isNull, "removed")
+            .when(col("p1") =!= col("p2") || col("st1") =!= col("st2") ||
+              col("c1") =!= col("c2"), "changed")
+            .otherwise("same").as("change_type"),
+            coalesce(col("k1"), col("k2")).as("k"))
+          .groupBy(col("change_type"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("key_checksum"))
+          .orderBy(col("change_type"))
+      },
+      Some("""WITH v1 AS (SELECT o_orderkey AS k, o_custkey AS c,
+             |              o_orderstatus AS st, o_totalprice AS p FROM orders),
+             |v2 AS (
+             |  SELECT k, c, st,
+             |    CASE WHEN k % 101 = 0 THEN p + 1.0 ELSE p END AS p
+             |  FROM v1 WHERE k % 97 <> 0
+             |  UNION ALL
+             |  SELECT k + 100000000, c, 'N', p FROM v1 WHERE k % 103 = 0),
+             |d AS (SELECT v1.k AS k1, v2.k AS k2,
+             |        CASE WHEN v1.k IS NULL THEN 'added'
+             |             WHEN v2.k IS NULL THEN 'removed'
+             |             WHEN v1.p <> v2.p OR v1.st <> v2.st OR v1.c <> v2.c
+             |               THEN 'changed'
+             |             ELSE 'same' END AS change_type
+             |      FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k)
+             |SELECT change_type, COUNT(*) AS n_rows,
+             |  CAST(SUM(COALESCE(k1, k2)) AS BIGINT) AS key_checksum
+             |FROM d GROUP BY 1 ORDER BY change_type""".stripMargin)),
+
+    // ---- ANALYZE-style column statistics (one-pass profile) ---------------
+    // The stats-collection operator behind every cost-based decision
+    // (CBO row estimates, partition sizing, data profiling): count /
+    // nulls / exact NDV / min / max for three measure columns in ONE
+    // aggregation pass, unpivoted to a row per column. Spark plans the
+    // multi-distinct via Expand (3× the input rows through the partial
+    // aggregate — the documented cost of exactness); at 100 TB the
+    // same report swaps exact NDV for q46's HLL sketch, which this
+    // exact-regime twin certifies against. All counters are integers;
+    // min/max are raw column values — nothing is derived in float.
+    ("q80_column_stats",
+      (s: SparkSession, d: String) => {
+        val a = Tables.load(s, d, "lineitem").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("null_q"),
+          countDistinct(col("l_quantity")).as("ndv_q"),
+          min(col("l_quantity")).as("min_q"), max(col("l_quantity")).as("max_q"),
+          sum(when(col("l_extendedprice").isNull, 1L).otherwise(0L)).as("null_p"),
+          countDistinct(col("l_extendedprice")).as("ndv_p"),
+          min(col("l_extendedprice")).as("min_p"),
+          max(col("l_extendedprice")).as("max_p"),
+          sum(when(col("l_discount").isNull, 1L).otherwise(0L)).as("null_d"),
+          countDistinct(col("l_discount")).as("ndv_d"),
+          min(col("l_discount")).as("min_d"), max(col("l_discount")).as("max_d"))
+        a.selectExpr(
+          """stack(3,
+             |'l_quantity', n, null_q, ndv_q, min_q, max_q,
+             |'l_extendedprice', n, null_p, ndv_p, min_p, max_p,
+             |'l_discount', n, null_d, ndv_d, min_d, max_d)
+             |AS (column_name, n_rows, n_null, ndv, min_val, max_val)"""
+            .stripMargin.replace("\n", " "))
+          .orderBy(col("column_name"))
+      },
+      Some("""WITH a AS (
+             |  SELECT COUNT(*) AS n,
+             |    SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_q,
+             |    COUNT(DISTINCT l_quantity) AS ndv_q,
+             |    MIN(l_quantity) AS min_q, MAX(l_quantity) AS max_q,
+             |    SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS null_p,
+             |    COUNT(DISTINCT l_extendedprice) AS ndv_p,
+             |    MIN(l_extendedprice) AS min_p, MAX(l_extendedprice) AS max_p,
+             |    SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS null_d,
+             |    COUNT(DISTINCT l_discount) AS ndv_d,
+             |    MIN(l_discount) AS min_d, MAX(l_discount) AS max_d
+             |  FROM lineitem)
+             |SELECT column_name, CAST(n AS BIGINT) AS n_rows,
+             |  CAST(n_null AS BIGINT) AS n_null, CAST(ndv AS BIGINT) AS ndv,
+             |  min_val, max_val
+             |FROM (
+             |  SELECT 'l_quantity' AS column_name, n, null_q AS n_null,
+             |    ndv_q AS ndv, min_q AS min_val, max_q AS max_val FROM a
+             |  UNION ALL
+             |  SELECT 'l_extendedprice', n, null_p, ndv_p, min_p, max_p FROM a
+             |  UNION ALL
+             |  SELECT 'l_discount', n, null_d, ndv_d, min_d, max_d FROM a)
+             |ORDER BY column_name""".stripMargin)),
+
     // ---- approximate distinct (HLL sketch, exact-regime oracle) ------------
     // Side-by-side sketch-vs-exact distinct counts — the cardinality
     // twin of q46, oracled via the q47/q50/q56/q61 exact-regime

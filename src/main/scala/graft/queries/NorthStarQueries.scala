@@ -628,6 +628,57 @@ object NorthStarQueries {
           |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
           |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin)),
 
+    // ---- similarity: kNN majority-vote classification ---------------------
+    // The embedding-serving workload on top of top-k search: label the
+    // 10 unlabeled queries by majority vote among their 5 nearest
+    // LABELED neighbors (corpus = vec_id ≥ 10 — the train split;
+    // queries never vote for each other). Every decision is
+    // INTEGER-exact: neighbor membership comes from the certified
+    // round-6 ranking (s01's rule), the vote is a count, and ties
+    // break to the smallest label — no float decides a row. Scale
+    // shape: the neighbor frame is (nQueries·k) rows, so the label
+    // join broadcasts THE NEIGHBOR SIDE against the corpus labels and
+    // the vote window is over ≤ k rows per query. The brute scan is
+    // the s01 plan; at index scale the same vote composes over the
+    // s08 probe instead.
+    ("s18_knn_classify",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables.load(s, d, "embeddings")
+        val corpus = emb.filter(col("vec_id") >= 10).select("vec_id", "embedding")
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+        val nn = Similarity.bruteForceTopK(corpus, queries, k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val labels = emb.select(col("vec_id").as("neighbor_id"), col("label"))
+        val votes = labels.join(broadcast(nn), "neighbor_id")
+          .groupBy(col("query_id"), col("label"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("n").desc, col("label"))
+        votes.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("query_id"), col("label").cast("int").as("pred_label"),
+            col("n").as("n_votes"))
+          .orderBy(col("query_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+             |           FROM embeddings),
+             |nn AS (SELECT query_id, label FROM (
+             |  SELECT q.vec_id AS query_id, c.label,
+             |    row_number() OVER (PARTITION BY q.vec_id
+             |      ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC, c.vec_id) AS rank
+             |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id >= 10)
+             |  WHERE rank <= 5),
+             |v AS (SELECT query_id, label, COUNT(*) AS n FROM nn GROUP BY 1, 2)
+             |SELECT query_id, CAST(label AS INT) AS pred_label,
+             |  CAST(n AS BIGINT) AS n_votes FROM (
+             |  SELECT query_id, label, n,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY n DESC, label) AS rn
+             |  FROM v)
+             |WHERE rn = 1 ORDER BY query_id""".stripMargin)),
+
     // ---- similarity: k-means (Lloyd) clustering as a query ----------------
     // The trainer in isolation (s02 now SHIPS this trained codebook in
     // its ANN path; this certifies the trainer through the oracle gate):
@@ -1573,5 +1624,102 @@ object NorthStarQueries {
              |  CAST(SUM(CASE WHEN dup.text IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
              |FROM lx LEFT JOIN dup ON lx.text = dup.text CROSS JOIN tot
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- PageRank centrality over the near-dup graph ----------------------
+    // Iterative link analysis (Page et al. 1999) as a curation signal:
+    // rank docs by centrality in d02's certified similarity graph —
+    // the web-crawl curation move (authority-weight a source before
+    // trusting its documents). THREE fixed power iterations at damping
+    // 0.85 over the symmetrized pair graph. Float discipline is the
+    // Lloyd-iteration playbook (s02/s06): every per-edge contribution
+    // is rounded to 6 dp and summed as DECIMAL(18,6) — exact,
+    // order-independent — and each new rank is ONE IEEE expression
+    // (0.15/n + 0.85·sum) on identical operands, re-rounded to 6 dp,
+    // so the oracle re-runs the algorithm itself iteration by
+    // iteration. Scale shape: each iteration is one equi-join
+    // (edges ⋈ ranks on src — both hash-partitioned on the same key
+    // across iterations) plus one combinable groupBy(dst); |nodes|/
+    // |edges| frames only, documents never shuffle. The 1M-edge-cap
+    // driver fallback c02 needed does not arise: there is no
+    // transitive closure here, just K bounded passes.
+    ("c05_pagerank_centrality",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.types.DecimalType
+        val pairs = Dedup.prefixJaccardPairs(Tables.load(s, d, "documents"),
+            "doc_id", "text", n = 2, prefixLen = 50, maxBucket = 0)
+          .filter(col("jaccard") >= 0.3)
+          .select(col("id_a"), col("id_b"))
+        val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+          .cache()
+        val nodes = edges.select(col("src").as("id")).distinct()
+        val nN = nodes.count()
+        val e2 = edges.join(
+          edges.groupBy(col("src")).agg(count(lit(1)).as("odeg")), "src")
+        var ranks = nodes.select(col("id"),
+          round(lit(1.0) / nN, 6).as("rank"))
+        (1 to 3).foreach { _ =>
+          val inbound = e2.join(ranks, col("src") === col("id"))
+            .select(col("dst"),
+              round(col("rank") / col("odeg"), 6)
+                .cast(DecimalType(18, 6)).as("c"))
+            .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+          ranks = nodes.join(inbound, col("id") === col("dst"), "left")
+            .select(col("id"),
+              round(lit(0.15) / nN +
+                lit(0.85) * coalesce(col("sc").cast("double"), lit(0.0)), 6)
+                .as("rank"))
+        }
+        val out = ranks.select(col("id").as("doc_id"), col("rank"))
+          .orderBy(col("doc_id"))
+        edges.unpersist()
+        out
+      },
+      Some("""WITH grams AS (
+             |  SELECT doc_id, substr(text, 1, 50) AS pfx,
+             |    list_distinct(list_transform(range(1, greatest(len(w), 2)),
+             |                  i -> w[i] || ' ' || w[i+1])) AS g
+             |  FROM (SELECT doc_id, text,
+             |          string_split_regex(lower(text), '\s+') AS w FROM documents)),
+             |pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM grams a JOIN grams b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+             |        / len(list_distinct(a.g || b.g)) >= 0.3),
+             |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |      UNION ALL SELECT id_b, id_a FROM pairs),
+             |nodes AS (SELECT DISTINCT src AS id FROM e),
+             |nn AS (SELECT COUNT(*) AS n FROM nodes),
+             |od AS (SELECT src, COUNT(*) AS odeg FROM e GROUP BY 1),
+             |r0 AS (SELECT id, round(1.0 / nn.n, 6) AS rank
+             |       FROM nodes CROSS JOIN nn),
+             |r1 AS (SELECT nodes.id,
+             |         round(0.15 / MAX(nn.n) + 0.85 * COALESCE(CAST(SUM(
+             |           CAST(round(r.rank / od.odeg, 6) AS DECIMAL(18,6))
+             |         ) AS DOUBLE), 0.0), 6) AS rank
+             |       FROM nodes CROSS JOIN nn
+             |       LEFT JOIN e ON e.dst = nodes.id
+             |       LEFT JOIN od ON od.src = e.src
+             |       LEFT JOIN r0 r ON r.id = e.src
+             |       GROUP BY nodes.id),
+             |r2 AS (SELECT nodes.id,
+             |         round(0.15 / MAX(nn.n) + 0.85 * COALESCE(CAST(SUM(
+             |           CAST(round(r.rank / od.odeg, 6) AS DECIMAL(18,6))
+             |         ) AS DOUBLE), 0.0), 6) AS rank
+             |       FROM nodes CROSS JOIN nn
+             |       LEFT JOIN e ON e.dst = nodes.id
+             |       LEFT JOIN od ON od.src = e.src
+             |       LEFT JOIN r1 r ON r.id = e.src
+             |       GROUP BY nodes.id),
+             |r3 AS (SELECT nodes.id,
+             |         round(0.15 / MAX(nn.n) + 0.85 * COALESCE(CAST(SUM(
+             |           CAST(round(r.rank / od.odeg, 6) AS DECIMAL(18,6))
+             |         ) AS DOUBLE), 0.0), 6) AS rank
+             |       FROM nodes CROSS JOIN nn
+             |       LEFT JOIN e ON e.dst = nodes.id
+             |       LEFT JOIN od ON od.src = e.src
+             |       LEFT JOIN r2 r ON r.id = e.src
+             |       GROUP BY nodes.id)
+             |SELECT id AS doc_id, rank FROM r3 ORDER BY doc_id""".stripMargin)),
   )
 }

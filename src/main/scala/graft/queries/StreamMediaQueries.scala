@@ -46,6 +46,23 @@ object StreamMediaQueries {
       tmp
     })
 
+  /** st27's arrival fixture: (doc_id, text, source) staged as 4 files
+    * — the document crawl as it lands. Write-once per (JVM, sf), same
+    * rule as [[ensureDedupStreamInput]]: the stream pre-exists, st27
+    * times the incremental rollup drain. */
+  private val docCardStreamDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def ensureDocCardStream(s: SparkSession, d: String): String =
+    docCardStreamDirs.getOrElseUpdate(d, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st27in").toString
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(s"$tmp/in")
+      s"$tmp/in"
+    })
+
   /** st12's arrival fixture: the events corpus as 3 time-range-ordered
     * files plus a final per-user sentinel-flush file, mtimes forcing
     * FileStreamSource to deliver them in that order. Built once per
@@ -1451,5 +1468,79 @@ object StreamMediaQueries {
              |         LEFT JOIN g ON g.doc_id = grid.doc_id)
              |SELECT doc_id AS media_id, string_agg(bit, '' ORDER BY blk) AS phash
              |FROM bits GROUP BY doc_id ORDER BY media_id""".stripMargin)),
+
+    // ---- streaming dataset-card maintenance (incremental rollup) ----------
+    // c04's datasheet kept CURRENT as the crawl streams in: per-doc
+    // scoring (t03 lang-id, t01 tokens, t02 quality) happens in the
+    // micro-batch projection — stateless, map-side — and the rollup is
+    // a streaming aggregation whose state is |sources|×|langs| rows of
+    // ALGEBRAIC accumulators (count, long sum, DECIMAL(18,6)-exact
+    // quality sum): per-batch cost tracks the batch, state never grows
+    // with the corpus, and the final snapshot equals the batch rollup
+    // regardless of how arrival batched the docs. The mean is derived
+    // from the exact sums at READ time (one IEEE divide) — never
+    // averaged across batches, which would be order-dependent. The
+    // dup/pct columns stay batch-only (c04): byte-exact dup counting
+    // needs per-hash state ∝ corpus — that is the dedup STORE's job
+    // (st07), not an aggregation's.
+    ("st27_stream_card",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.types._
+        import graft.ops.TextAnalysis
+        val inDir = ensureDocCardStream(s, d)
+        val docSchema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("source", StringType)))
+        val stream = s.readStream.schema(docSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$inDir/part-*")
+        val rollup = stream.select(col("source"),
+            TextAnalysis.langId(col("text")).as("pred_lang"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"),
+            TextAnalysis.qualityScore(col("text"))
+              .cast(DecimalType(18, 6)).as("q"))
+          .groupBy(col("source"), col("pred_lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_toks")).as("total_tokens"),
+            sum(col("q")).as("q_sum"))
+        EventStream.runToMemory(s, rollup, s"st27_mem_${System.nanoTime()}")
+          .select(col("source"), col("pred_lang"), col("n_docs"),
+            col("total_tokens"),
+            round(col("q_sum").cast("double") / col("n_docs"), 4)
+              .as("mean_quality"))
+          .orderBy(col("source"), col("pred_lang"))
+      },
+      Some("""WITH sc AS (
+             |  SELECT source, text,
+             |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             |      t -> list_contains(['the','a','of','and','to','in','is','it','that','on'], t))) AS s_en,
+             |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             |      t -> list_contains(['der','die','das','und','ist','ein','zu','den','von','mit'], t))) AS s_de,
+             |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             |      t -> list_contains(['el','la','de','los','las','y','es','un','una','en'], t))) AS s_es,
+             |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             |      t -> list_contains(['le','la','les','et','est','une','des','du','dans','pour'], t))) AS s_fr,
+             |    regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS has_cjk,
+             |    len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_toks,
+             |    CAST(round(0.4 * least(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) / 100.0, 1.0)
+             |      + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text))
+             |      + 0.3 * least(CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             |            t -> list_contains(['the','a','of','and','to','in','is','it','that','on'], t))) AS DOUBLE)
+             |          / len(regexp_extract_all(lower(text), '[a-z0-9]+')) * 5.0, 1.0),
+             |      6) AS DECIMAL(18,6)) AS q
+             |  FROM documents),
+             |lx AS (
+             |  SELECT source, n_toks, q,
+             |    CASE WHEN has_cjk THEN 'zh'
+             |         WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+             |         WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+             |         WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+             |         ELSE 'fr' END AS pred_lang
+             |  FROM sc)
+             |SELECT source, pred_lang,
+             |  COUNT(*) AS n_docs,
+             |  CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+             |  round(CAST(SUM(q) AS DOUBLE) / COUNT(*), 4) AS mean_quality
+             |FROM lx GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
   )
 }

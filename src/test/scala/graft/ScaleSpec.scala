@@ -745,4 +745,88 @@ class ScaleSpec extends SparkSpec {
     assert(dupTotal == expected,
       s"dup docs must equal the direct hash-group count: $dupTotal vs $expected")
   }
+
+  test("c05 pagerank: distributed iterations equal a driver re-run, mass conserved") {
+    // the iterative-join decomposition must reproduce the textbook
+    // power iteration exactly (same per-edge round-6 contributions,
+    // same decimal-exact sums), and on a symmetric graph — every node
+    // has outdegree ≥ 1 — total rank mass stays ≈ 1 (up to the per-node
+    // 6-dp rounding the oracle shares)
+    val ranks = SparkEntry.queries("c05_pagerank_centrality")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ranks.nonEmpty)
+    val mass = ranks.values.sum
+    assert(math.abs(mass - 1.0) < 1e-3 + ranks.size * 1e-6,
+      s"rank mass must conserve: $mass over ${ranks.size} nodes")
+    assert(ranks.values.forall(_ > 0), "every node keeps the 0.15/n floor")
+    // driver re-run with identical rounding discipline
+    val pairs = graft.ops.Dedup.prefixJaccardPairs(
+        Tables.load(spark, sf, "documents"), "doc_id", "text",
+        n = 2, prefixLen = 50, maxBucket = 0)
+      .filter(col("jaccard") >= 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val nodes = edges.map(_._1).distinct.sorted
+    val n = nodes.length
+    val odeg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var r = nodes.map(_ -> r6(1.0 / n)).toMap
+    (1 to 3).foreach { _ =>
+      val in = edges.groupBy(_._2).view.mapValues { es =>
+        // decimal-exact sum of round-6 contributions, like the query
+        es.map { case (src, _) =>
+          BigDecimal(r6(r(src) / odeg(src)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP) }.sum
+      }.toMap
+      r = nodes.map { id =>
+        id -> r6(0.15 / n + 0.85 * in.get(id).map(_.toDouble).getOrElse(0.0))
+      }.toMap
+    }
+    assert(ranks == r, "distributed ranks must equal the driver power iteration")
+  }
+
+  test("q79 table diff: class counts conserve both table versions") {
+    // same+changed+removed must partition v1, same+changed+added must
+    // partition v2 — the conservation that makes the summary trustable
+    val byClass = SparkEntry.queries("q79_table_diff")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val v1 = Tables.load(spark, sf, "orders").count()
+    val nSame = byClass.getOrElse("same", 0L)
+    val nChanged = byClass.getOrElse("changed", 0L)
+    val nRemoved = byClass.getOrElse("removed", 0L)
+    val nAdded = byClass.getOrElse("added", 0L)
+    assert(nSame + nChanged + nRemoved == v1,
+      s"v1 not partitioned: $byClass vs $v1")
+    val v2 = v1 - nRemoved + nAdded
+    assert(nSame + nChanged + nAdded == v2,
+      s"v2 not partitioned: $byClass vs $v2")
+    assert(nChanged > 0 && nRemoved > 0 && nAdded > 0,
+      s"the synthetic twin must exercise every class: $byClass")
+  }
+
+  test("s18 kNN classify: label lookup broadcasts the neighbor frame, votes sum to k") {
+    val plan = planOf(SparkEntry.queries("s18_knn_classify")(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"the (queries·k)-row neighbor frame must broadcast:\n$finalPlan")
+    val rows = SparkEntry.queries("s18_knn_classify")(spark, sf).collect()
+    rows.foreach { r =>
+      val votes = r.getAs[Long]("n_votes")
+      assert(votes >= 1 && votes <= 5, s"votes out of [1, k]: $votes")
+    }
+  }
+
+  test("q80 column stats: one pass, exact NDV via Expand, counters conserve") {
+    val plan = planOf(SparkEntry.queries("q80_column_stats")(spark, sf))
+    assert(plan.contains("Expand"),
+      s"multi-distinct must plan via Expand (one input pass):\n$plan")
+    val rows = SparkEntry.queries("q80_column_stats")(spark, sf).collect()
+    val n = Tables.load(spark, sf, "lineitem").count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == n)
+      assert(r.getAs[Long]("ndv") + r.getAs[Long]("n_null") <= n)
+      assert(r.getAs[Double]("min_val") <= r.getAs[Double]("max_val"))
+    }
+  }
 }

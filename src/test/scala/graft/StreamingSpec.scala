@@ -921,4 +921,43 @@ class StreamingSpec extends SparkSpec {
     assert(keptAll.count() == events.count(),
       "empty blocklist must keep every event")
   }
+
+  test("st27 stream card: snapshot is batching-invariant and equals the batch rollup") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import graft.ops.TextAnalysis
+    // the algebraic-state claim: draining 1 file per micro-batch and
+    // draining everything in one batch must produce the identical
+    // snapshot, and both must equal the plain batch aggregation
+    val inDir = graft.queries.StreamMediaQueries.ensureDocCardStream(spark, sf)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("source", StringType)))
+    def drain(maxFiles: Option[Int]): Array[org.apache.spark.sql.Row] = {
+      val rd = spark.readStream.schema(docSchema)
+      val stream = maxFiles.fold(rd)(m =>
+        rd.option("maxFilesPerTrigger", m.toString)).parquet(s"$inDir/part-*")
+      val rollup = stream.select(col("source"),
+          TextAnalysis.langId(col("text")).as("pred_lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
+        .groupBy(col("source"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_tokens"))
+      graft.streaming.EventStream.runToMemory(spark, rollup,
+          s"st27spec_${System.nanoTime()}")
+        .orderBy(col("source"), col("pred_lang")).collect()
+    }
+    val perFile = drain(Some(1))
+    val oneShot = drain(None)
+    assert(perFile.sameElements(oneShot),
+      "rollup snapshot must not depend on arrival batching")
+    val batch = Tables.load(spark, sf, "documents")
+      .select(col("source"),
+        TextAnalysis.langId(col("text")).as("pred_lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
+      .groupBy(col("source"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_tokens"))
+      .orderBy(col("source"), col("pred_lang")).collect()
+    assert(perFile.sameElements(batch),
+      "streaming snapshot must equal the batch rollup")
+  }
 }
