@@ -1469,6 +1469,55 @@ object StreamMediaQueries {
              |SELECT doc_id AS media_id, string_agg(bit, '' ORDER BY blk) AS phash
              |FROM bits GROUP BY doc_id ORDER BY media_id""".stripMargin)),
 
+    // ---- streaming dead-letter routing (quarantine sink) ------------------
+    // The ingestion-quality pattern q76 gates batches with, applied
+    // row-level on a stream: every micro-batch splits into the main
+    // sink and a quarantine (dead-letter) sink by a declared validity
+    // rule — bad rows are never dropped silently and never poison the
+    // main table, and BOTH sinks are written in the same foreachBatch
+    // so a row lands in exactly one. Exactly-once via the
+    // checkpoint + per-batch directory recipe: a replayed batch
+    // OVERWRITES its own batch_N dir (idempotent), never appends a
+    // duplicate. Routing is row-level, so the final sink contents are
+    // arrival-batching-invariant — which is exactly what the batch
+    // oracle certifies. The summary reports per-sink row counts and an
+    // exact event_id checksum (one misrouted row breaks it).
+    ("st28_stream_dead_letter",
+      (s: SparkSession, d: String) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_st28").toString
+        val mainDir = s"$tmp/main"; val dlqDir = s"$tmp/dlq"
+        val q = EventStream.readEvents(s, d)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val bad = col("event_type") === "error" || col("value") < 1.0
+            batch.filter(bad).write.mode("overwrite")
+              .parquet(s"$dlqDir/batch_$batchId")
+            batch.filter(!bad).write.mode("overwrite")
+              .parquet(s"$mainDir/batch_$batchId")
+          }
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val main = s.read.parquet(s"$mainDir/batch_*")
+          .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("id_checksum"))
+          .select(lit("main").as("sink"), col("n_rows"), col("id_checksum"))
+        val dlq = s.read.parquet(s"$dlqDir/batch_*")
+          .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("id_checksum"))
+          .select(lit("dlq").as("sink"), col("n_rows"), col("id_checksum"))
+        dlq.unionAll(main).orderBy(col("sink"))
+      },
+      Some("""SELECT sink, n_rows, id_checksum FROM (
+             |  SELECT 'dlq' AS sink, COUNT(*) AS n_rows,
+             |    CAST(SUM(event_id) AS BIGINT) AS id_checksum
+             |  FROM events WHERE event_type = 'error' OR value < 1.0
+             |  UNION ALL
+             |  SELECT 'main', COUNT(*),
+             |    CAST(SUM(event_id) AS BIGINT)
+             |  FROM events WHERE NOT (event_type = 'error' OR value < 1.0))
+             |ORDER BY sink""".stripMargin)),
+
     // ---- streaming dataset-card maintenance (incremental rollup) ----------
     // c04's datasheet kept CURRENT as the crawl streams in: per-doc
     // scoring (t03 lang-id, t01 tokens, t02 quality) happens in the

@@ -513,7 +513,12 @@ class ScaleSpec extends SparkSpec {
     // within-shard sort, the positional window and both aggregate
     // phases all run on that partitioning (the final 8-row orderBy is
     // a range exchange over shard stats, not the corpus), and the scan
-    // prunes to doc_id — the order key derives from the id alone
+    // prunes to doc_id — the order key derives from the id alone.
+    // clearCache first: a documents frame cached by ANOTHER suite in
+    // the shared session replaces the parquet scan with an
+    // InMemoryTableScan and the ReadSchema assertion below reads a
+    // plan this test didn't shape (the one full-suite flake of r10)
+    spark.catalog.clearCache()
     val plan = planOf(SparkEntry.queries("q75_shuffle_shard")(spark, sf))
     val finalPlan = plan.split("== Initial Plan ==").head
     assert("Exchange hashpartitioning".r.findAllIn(finalPlan).length == 1,
@@ -527,7 +532,11 @@ class ScaleSpec extends SparkSpec {
     // filter on the candidate side — rejected rows are never assigned
     // or scored, so candidate work shrinks by the filter's selectivity
     // BEFORE any similarity arithmetic; the cell join stays an
-    // equality hash join, never a cartesian
+    // equality hash join, never a cartesian.
+    // clearCache: a cached embeddings frame from another suite would
+    // replace the parquet scan (and its PushedFilters line) with an
+    // InMemoryTableScan — same shared-session hazard as q75's test
+    spark.catalog.clearCache()
     val plan = planOf(SparkEntry.queries("s16_filtered_ann")(spark, sf))
     val finalPlan = plan.split("== Initial Plan ==").head
     assert(finalPlan.contains("LessThan(label,3)"),
