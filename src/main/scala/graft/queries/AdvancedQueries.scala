@@ -867,6 +867,60 @@ object AdvancedQueries {
              |  CAST(SUM(COALESCE(k1, k2)) AS BIGINT) AS key_checksum
              |FROM d GROUP BY 1 ORDER BY change_type""".stripMargin)),
 
+    // ---- SCD type-2 merge (dimension history maintenance) -----------------
+    // The warehouse MERGE that keeps history: reconcile the customer
+    // dimension against an incoming version (q79's deterministic-twin
+    // discipline — churned keys ≡0 mod 13, segment updates mod 7, new
+    // customers mod 11) into slowly-changing-dimension rows: unchanged
+    // rows stay open at their original validity, a VALUE-changed or
+    // churned row is closed (valid_to = the new batch), and changed/
+    // new keys open fresh rows. Change detection compares VALUES, not
+    // the update feed — an update that rewrites the same segment is
+    // correctly a no-op, so re-delivered feeds don't fork history.
+    // Scale shape: one full-outer equi-join on the key (the same
+    // co-partitionable shape as q79) and two projections unioned —
+    // history rows are derived, never driver-materialized.
+    ("q81_scd2_merge",
+      (s: SparkSession, d: String) => {
+        val v1 = Tables.load(s, d, "customer")
+          .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+        val v2 = v1.filter(col("k") % 13 =!= 0)
+          .withColumn("seg",
+            when(col("k") % 7 === 0, "MACHINERY").otherwise(col("seg")))
+          .unionAll(v1.filter(col("k") % 11 === 0)
+            .select((col("k") + 1000000L).as("k"), lit("BUILDING").as("seg")))
+        val j = v1.select(col("k").as("k1"), col("seg").as("s1"))
+          .join(v2.select(col("k").as("k2"), col("seg").as("s2")),
+            col("k1") === col("k2"), "full_outer")
+        val closed = j
+          .filter(col("k1").isNotNull && (col("k2").isNull || col("s1") =!= col("s2")))
+          .select(col("k1").as("c_custkey"), col("s1").as("c_mktsegment"),
+            lit(1L).as("valid_from"), lit(2L).as("valid_to"))
+        val open = j.filter(col("k2").isNotNull)
+          .select(col("k2").as("c_custkey"), col("s2").as("c_mktsegment"),
+            when(col("k1").isNull || col("s1") =!= col("s2"), 2L).otherwise(1L)
+              .as("valid_from"),
+            lit(null).cast("long").as("valid_to"))
+        closed.unionAll(open).orderBy(col("c_custkey"), col("valid_from"))
+      },
+      Some("""WITH v1 AS (SELECT c_custkey AS k, c_mktsegment AS s FROM customer),
+             |v2 AS (SELECT k, CASE WHEN k % 7 = 0 THEN 'MACHINERY' ELSE s END AS s
+             |       FROM v1 WHERE k % 13 <> 0
+             |       UNION ALL
+             |       SELECT k + 1000000, 'BUILDING' FROM v1 WHERE k % 11 = 0),
+             |j AS (SELECT v1.k AS k1, v1.s AS s1, v2.k AS k2, v2.s AS s2
+             |      FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k)
+             |SELECT c_custkey, c_mktsegment, valid_from, valid_to FROM (
+             |  SELECT k1 AS c_custkey, s1 AS c_mktsegment,
+             |    CAST(1 AS BIGINT) AS valid_from, CAST(2 AS BIGINT) AS valid_to
+             |  FROM j WHERE k1 IS NOT NULL AND (k2 IS NULL OR s1 <> s2)
+             |  UNION ALL
+             |  SELECT k2, s2,
+             |    CAST(CASE WHEN k1 IS NULL OR s1 <> s2 THEN 2 ELSE 1 END AS BIGINT),
+             |    CAST(NULL AS BIGINT)
+             |  FROM j WHERE k2 IS NOT NULL)
+             |ORDER BY c_custkey, valid_from""".stripMargin)),
+
     // ---- ANALYZE-style column statistics (one-pass profile) ---------------
     // The stats-collection operator behind every cost-based decision
     // (CBO row estimates, partition sizing, data profiling): count /

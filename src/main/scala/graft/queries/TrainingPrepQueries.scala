@@ -899,6 +899,89 @@ object TrainingPrepQueries {
              |JOIN uni ub ON top.b = ub.term CROSS JOIN tot
              |ORDER BY rank""".stripMargin)),
 
+    // ---- Gopher rule filter (integer-exact quality gates) -----------------
+    // The Rae et al. 2021 (Gopher §A1.1) rule family as a per-rule
+    // failure report plus the surviving-doc count: word-count range,
+    // mean-word-length range, symbol-to-word ratio, alphabetic-word
+    // fraction, stopword presence. EVERY threshold compare is
+    // cross-multiplied into pure integer arithmetic (10·symbols <
+    // words instead of symbols/words < 0.1), so no ratio is ever a
+    // float and no rule can flap on a borderline doc — the q76/q78
+    // discipline applied to the classic LLM-corpus filter. One scan
+    // computes all rule counters in the same projection; the report is
+    // a constant-size unpivot (6 rows). Failing docs never materialize
+    // — at 100 TB the same predicates gate the write path directly.
+    ("t15_gopher_rules",
+      (s: SparkSession, d: String) => {
+        val words = split(col("text"), "\\s+")
+        val nWords = size(words).cast("long")
+        val wordChars = aggregate(transform(words, w => length(w)),
+          lit(0L), (acc, x) => acc + x)
+        val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long")
+        val nHash = (length(col("text")) -
+          length(regexp_replace(col("text"), "#", ""))).cast("long")
+        val nEllipsis = ((length(col("text")) -
+          length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3).cast("long")
+        val symbols = nHash + nEllipsis
+        val stopHits = size(array_intersect(
+          array_distinct(TextAnalysis.tokens(lower(col("text")))),
+          array(TextAnalysis.StopEn.map(lit): _*))).cast("long")
+        val f1 = nWords < 50L || nWords > 100000L
+        val f2 = wordChars < nWords * 3L || wordChars > nWords * 10L
+        val f3 = symbols * 10L >= nWords
+        val f4 = alphaWords * 5L <= nWords * 4L
+        val f5 = stopHits < 2L
+        val a = Tables.load(s, d, "documents").agg(
+          sum(when(f1, 1L).otherwise(0L)).as("n1"),
+          sum(when(f2, 1L).otherwise(0L)).as("n2"),
+          sum(when(f3, 1L).otherwise(0L)).as("n3"),
+          sum(when(f4, 1L).otherwise(0L)).as("n4"),
+          sum(when(f5, 1L).otherwise(0L)).as("n5"),
+          sum(when(!f1 && !f2 && !f3 && !f4 && !f5, 1L).otherwise(0L)).as("nk"))
+        a.selectExpr(
+          """stack(6,
+             |'1_word_count', n1, '2_mean_word_len', n2, '3_symbol_ratio', n3,
+             |'4_alpha_fraction', n4, '5_stopwords', n5, 'all_pass', nk)
+             |AS (rule, n_docs)""".stripMargin.replace("\n", " "))
+          .orderBy(col("rule"))
+      },
+      Some("""WITH x AS (
+             |  SELECT len(string_split_regex(text, '\s+')) AS w,
+             |    list_sum(list_transform(string_split_regex(text, '\s+'),
+             |      s -> length(s))) AS wc,
+             |    len(list_filter(string_split_regex(text, '\s+'),
+             |      s -> regexp_matches(s, '[A-Za-z]'))) AS aw,
+             |    (length(text) - length(replace(text, '#', '')))
+             |      + (length(text) - length(replace(text, '...', ''))) // 3 AS sy,
+             |    len(list_intersect(
+             |      list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')),
+             |      ['the','a','of','and','to','in','is','it','that','on'])) AS sh
+             |  FROM documents),
+             |f AS (
+             |  SELECT w < 50 OR w > 100000 AS f1,
+             |    wc < w * 3 OR wc > w * 10 AS f2,
+             |    sy * 10 >= w AS f3,
+             |    aw * 5 <= w * 4 AS f4,
+             |    sh < 2 AS f5
+             |  FROM x),
+             |a AS (
+             |  SELECT CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             |    CAST(SUM(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             |    CAST(SUM(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             |    CAST(SUM(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+             |    CAST(SUM(CASE WHEN f5 THEN 1 ELSE 0 END) AS BIGINT) AS n5,
+             |    CAST(SUM(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 AND NOT f4
+             |                  AND NOT f5 THEN 1 ELSE 0 END) AS BIGINT) AS nk
+             |  FROM f)
+             |SELECT rule, n_docs FROM (
+             |  SELECT '1_word_count' AS rule, n1 AS n_docs FROM a
+             |  UNION ALL SELECT '2_mean_word_len', n2 FROM a
+             |  UNION ALL SELECT '3_symbol_ratio', n3 FROM a
+             |  UNION ALL SELECT '4_alpha_fraction', n4 FROM a
+             |  UNION ALL SELECT '5_stopwords', n5 FROM a
+             |  UNION ALL SELECT 'all_pass', nk FROM a)
+             |ORDER BY rule""".stripMargin)),
+
     // ---- streaming drain to a parquet file sink (Append + watermark) ------
     // The scale-path streaming story as an oracle-checked query: only
     // watermark-finalized windows land in the sink.

@@ -814,6 +814,34 @@ class ScaleSpec extends SparkSpec {
       s"the synthetic twin must exercise every class: $byClass")
   }
 
+  test("q81 SCD2 merge: one open row per live key, closed rows precede it") {
+    // the history invariants a dimension consumer relies on: every key
+    // present in the new version has EXACTLY one open row carrying the
+    // new value; churned keys have no open row; validity never inverts
+    val rows = SparkEntry.queries("q81_scd2_merge")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val byKey = rows.groupBy(_._1)
+    byKey.foreach { case (k, rs) =>
+      val open = rs.filter(_._4.isEmpty)
+      assert(open.length <= 1, s"key $k has ${open.length} open rows")
+      rs.foreach { case (_, _, from, to) =>
+        to.foreach(t => assert(from < t, s"key $k validity inverted"))
+      }
+    }
+    val v1 = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+    val v2 = v1.filter(col("k") % 13 =!= 0)
+      .withColumn("seg",
+        when(col("k") % 7 === 0, "MACHINERY").otherwise(col("seg")))
+      .unionAll(v1.filter(col("k") % 11 === 0)
+        .select((col("k") + 1000000L).as("k"), lit("BUILDING").as("seg")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val openByKey = rows.filter(_._4.isEmpty).map(r => r._1 -> r._2).toMap
+    assert(openByKey == v2,
+      "open rows must carry exactly the new version's keys and values")
+  }
+
   test("s18 kNN classify: label lookup broadcasts the neighbor frame, votes sum to k") {
     val plan = planOf(SparkEntry.queries("s18_knn_classify")(spark, sf))
     val finalPlan = plan.split("== Initial Plan ==").head
