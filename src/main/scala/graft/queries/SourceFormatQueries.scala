@@ -135,6 +135,43 @@ object SourceFormatQueries {
              |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // ---- DYNAMIC partition pruning (runtime join-driven skipping) ---------
+    // q55's static month-range prune needs the predicate in the query
+    // text; the 100 TB fact-dim reality is the months arrive through a
+    // JOIN — here the distinct order months of a Q1-1996 dim filter (3
+    // of ~83 fact partitions). No static rule can push a dim filter
+    // across the join, so Spark's dynamic partition pruning broadcasts
+    // the filtered dim, evaluates the month set at RUNTIME, and the
+    // fact scan skips every non-qualifying partition directory before
+    // reading a row — the difference between scanning 3 months and 83
+    // at any corpus size. ScaleSpec asserts the dynamicpruning
+    // expression sits in the scan's PartitionFilters and the dim
+    // broadcasts. Oracle runs the same join unpartitioned: equal
+    // aggregates certify runtime pruning dropped no qualifying row.
+    ("q82_dpp_scan",
+      (s: SparkSession, d: String) => {
+        val fact = s.read.parquet(ensureShipDateLayout(s, d))
+        val dim = Tables.load(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+          .select(date_format(col("o_orderdate"), "yyyy-MM").as("m"))
+          .distinct()
+        fact.join(dim, col("ship_month") === col("m"))
+          .groupBy(col("ship_month"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("ship_month"))
+      },
+      Some("""WITH m AS (
+             |  SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS m FROM orders
+             |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             |    AND o_orderdate < TIMESTAMP '1996-04-01')
+             |SELECT ship_month, COUNT(*) AS n_items, SUM(l_quantity) AS sum_qty
+             |FROM (SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, l_quantity
+             |      FROM lineitem) l
+             |JOIN m ON l.ship_month = m.m
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- date-partitioned layout + pruned scan ----------------------------
     // The canonical 100 TB fact-table layout: partition directories by
     // ship month, rows sorted by l_shipdate within each file so parquet

@@ -814,6 +814,19 @@ class ScaleSpec extends SparkSpec {
       s"the synthetic twin must exercise every class: $byClass")
   }
 
+  test("q82 DPP: the dim-derived month set prunes fact partitions at runtime") {
+    // the dynamic pruning expression must sit in the fact scan's
+    // partition filters (no static predicate can cross the join), and
+    // the filtered dim must broadcast — otherwise every partition
+    // directory is read before the join discards 80/83 of them
+    spark.catalog.clearCache()
+    val plan = planOf(SparkEntry.queries("q82_dpp_scan")(spark, sf))
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in the fact scan:\n${plan.take(4000)}")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"the 3-row month dim must broadcast:\n${plan.take(4000)}")
+  }
+
   test("q81 SCD2 merge: one open row per live key, closed rows precede it") {
     // the history invariants a dimension consumer relies on: every key
     // present in the new version has EXACTLY one open row carrying the
