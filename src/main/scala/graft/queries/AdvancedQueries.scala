@@ -867,6 +867,153 @@ object AdvancedQueries {
              |  CAST(SUM(COALESCE(k1, k2)) AS BIGINT) AS key_checksum
              |FROM d GROUP BY 1 ORDER BY change_type""".stripMargin)),
 
+    // ---- latest-record-per-key squash (CDC compaction, no window sort) ----
+    // The change-log squash every CDC consumer runs: keep each key's
+    // newest record. The textbook row_number window sorts EVERY key's
+    // full history; this runs it as ONE max_by aggregate — map-side
+    // partials keep a single (ordering, payload) pair per key per
+    // task, so the exchange carries one row per key per task and
+    // nothing is ever sorted (the TopCells/q70 state-bounding argument
+    // at n = 1, via the built-in). The ordering key is (ship ts,
+    // linenumber, price, quantity) packed into a struct compare —
+    // total over the emitted payload (the synthetic fixture DOES carry
+    // duplicate (shipdate, linenumber) pairs inside an order, so a
+    // two-column tie-break picks a nondeterministic survivor; any
+    // residual tie now means byte-identical payloads). Payload rides
+    // inside the max_by struct: one aggregate carries every column out.
+    ("q84_latest_by_key",
+      (s: SparkSession, d: String) => {
+        val li = Tables.load(s, d, "lineitem")
+        li.groupBy(col("l_orderkey"))
+          .agg(max_by(
+            struct(col("l_linenumber"), col("l_quantity"),
+              col("l_extendedprice"), col("l_shipdate")),
+            struct(col("l_shipdate"), col("l_linenumber"),
+              col("l_extendedprice"), col("l_quantity"))).as("r"),
+            count(lit(1)).as("n_versions"))
+          .select(col("l_orderkey"),
+            col("r.l_linenumber").as("l_linenumber"),
+            col("r.l_quantity").as("l_quantity"),
+            col("r.l_extendedprice").as("l_extendedprice"),
+            col("n_versions"))
+          .orderBy(col("l_orderkey"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+             |  n_versions
+             |FROM (
+             |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+             |    COUNT(*) OVER (PARTITION BY l_orderkey) AS n_versions,
+             |    row_number() OVER (PARTITION BY l_orderkey
+             |      ORDER BY l_shipdate DESC, l_linenumber DESC,
+             |               l_extendedprice DESC, l_quantity DESC) AS rn
+             |  FROM lineitem)
+             |WHERE rn = 1 ORDER BY l_orderkey""".stripMargin)),
+
+    // ---- equi-depth histogram (CBO distribution profile) ------------------
+    // q80 profiles min/max/NDV; selectivity estimation needs the SHAPE:
+    // a k-bucket equi-depth histogram (ANALYZE ... FOR COLUMNS'
+    // summary statistic) — bucket upper bounds at the exact k-quantiles
+    // plus per-bucket row counts. Bounds come from ONE exact percentile
+    // aggregate (q32's certified pair, k+1 cuts in one pass over the
+    // grouped values); counts assign each row to its bucket by
+    // comparing against the BROADCAST 8-row bound table — one scan, one
+    // tiny join, one combinable aggregate, never a global sort. Prices
+    // move to integer cents (q78's rule) so quantile interpolation
+    // lands on exact halves and bucket-edge membership cannot flap.
+    ("q85_equi_depth_histogram",
+      (s: SparkSession, d: String) => {
+        val k = 8
+        val cents = Tables.load(s, d, "lineitem")
+          .select(round(col("l_extendedprice") * 100).cast("long").as("c"))
+        val cuts = cents.agg(expr(
+          s"percentile(c, array(${(1 to k).map(i => s"${i.toDouble / k}").mkString(",")}))")
+          .as("cuts"))
+        val bounds = cuts.select(posexplode(col("cuts")))
+          .select((col("pos") + 1).cast("int").as("bucket"), col("col").as("ub"))
+        val lbs = bounds.select(col("bucket"), col("ub"),
+          lag(col("ub"), 1).over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("bucket"))).as("lb"))
+        cents.crossJoin(broadcast(lbs))
+          .filter(col("c") <= col("ub") &&
+            (col("lb").isNull || col("c") > col("lb")))
+          .groupBy(col("bucket"), col("ub"))
+          .agg(count(lit(1)).as("n_rows"))
+          .select(col("bucket"), round(col("ub") / 100.0, 4).as("upper_bound"),
+            col("n_rows"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+             |           FROM lineitem),
+             |cuts AS (
+             |  SELECT CAST(1 AS INT) AS bucket, quantile_cont(c, 0.125) AS ub FROM c
+             |  UNION ALL SELECT 2, quantile_cont(c, 0.25) FROM c
+             |  UNION ALL SELECT 3, quantile_cont(c, 0.375) FROM c
+             |  UNION ALL SELECT 4, quantile_cont(c, 0.5) FROM c
+             |  UNION ALL SELECT 5, quantile_cont(c, 0.625) FROM c
+             |  UNION ALL SELECT 6, quantile_cont(c, 0.75) FROM c
+             |  UNION ALL SELECT 7, quantile_cont(c, 0.875) FROM c
+             |  UNION ALL SELECT 8, quantile_cont(c, 1.0) FROM c),
+             |b AS (SELECT bucket, ub,
+             |        lag(ub) OVER (ORDER BY bucket) AS lb
+             |      FROM cuts)
+             |SELECT b.bucket, round(b.ub / 100.0, 4) AS upper_bound,
+             |  COUNT(*) AS n_rows
+             |FROM c JOIN b ON c.c <= b.ub AND (b.lb IS NULL OR c.c > b.lb)
+             |GROUP BY 1, 2 ORDER BY bucket""".stripMargin)),
+
+    // ---- time-series gap fill + LOCF interpolation ------------------------
+    // The sensor/metrics-prep operator the window family lacks: densify
+    // each user's hourly series over their own [first, last] observed
+    // hour (sequence + explode — generated map-side, no driver loop),
+    // mark synthesized hours, and carry the last observed hourly value
+    // forward (LOCF via last(ignoreNulls) over the user's time order).
+    // The first grid hour is always observed (the lower bound IS the
+    // user's min), so LOCF never reads before the series starts. Value
+    // sums follow q63's decimal discipline; the carried value is an
+    // EXISTING exact value, never an average, so no float is derived.
+    // Scale shape: the grid is |users|·span rows generated beside the
+    // data, the fill join and the LOCF window both cluster on user_id,
+    // and the per-user span bound (their own min/max) keeps a sparse
+    // user from exploding into the global time range.
+    ("q83_gap_fill",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourUs = 3600L * 1000 * 1000
+        val hourly = Tables.load(s, d, "events")
+          .filter(col("user_id") < 20)
+          .groupBy(col("user_id"), expr(s"ts DIV $hourUs").as("h"))
+          .agg(count(lit(1)).as("n_ev"),
+            sum(dec(col("value"))).cast("double").as("sum_v"))
+        val grid = hourly.groupBy(col("user_id"))
+          .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+          .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("h"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(hourly, Seq("user_id", "h"), "left")
+          .select(col("user_id"), (col("h") * hourUs).as("hour_us"),
+            coalesce(col("n_ev"), lit(0L)).as("n_ev"),
+            last(col("sum_v"), ignoreNulls = true).over(w).as("locf_v"),
+            when(col("n_ev").isNull, 1).otherwise(0).cast("int").as("filled"))
+          .orderBy(col("user_id"), col("hour_us"))
+      },
+      Some("""WITH hourly AS (
+             |  SELECT user_id, epoch_us(ts) // 3600000000 AS h,
+             |    COUNT(*) AS n_ev,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+             |  FROM events WHERE user_id < 20 GROUP BY 1, 2),
+             |b AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1
+             |      FROM hourly GROUP BY 1),
+             |grid AS (SELECT user_id, u.h FROM b, unnest(range(h0, h1 + 1)) AS u(h))
+             |SELECT g.user_id, g.h * 3600000000 AS hour_us,
+             |  COALESCE(hourly.n_ev, 0) AS n_ev,
+             |  last_value(hourly.sum_v IGNORE NULLS) OVER (
+             |    PARTITION BY g.user_id ORDER BY g.h
+             |    ROWS UNBOUNDED PRECEDING) AS locf_v,
+             |  CAST(CASE WHEN hourly.n_ev IS NULL THEN 1 ELSE 0 END AS INT) AS filled
+             |FROM grid g LEFT JOIN hourly
+             |  ON g.user_id = hourly.user_id AND g.h = hourly.h
+             |ORDER BY g.user_id, hour_us""".stripMargin)),
+
     // ---- SCD type-2 merge (dimension history maintenance) -----------------
     // The warehouse MERGE that keeps history: reconcile the customer
     // dimension against an incoming version (q79's deterministic-twin

@@ -814,6 +814,61 @@ class ScaleSpec extends SparkSpec {
       s"the synthetic twin must exercise every class: $byClass")
   }
 
+  test("q84 latest-by-key: squash is a map-side-bounded aggregate, never a window sort") {
+    val plan = planOf(SparkEntry.queries("q84_latest_by_key")(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("Window"),
+      s"CDC squash fell back to a per-key history sort:\n$finalPlan")
+    assert(finalPlan.contains("partial_max_by") ||
+      finalPlan.contains("partial_maxby"),
+      s"max_by lost its map-side partial:\n$finalPlan")
+  }
+
+  test("q85 equi-depth histogram: buckets partition the table, bounds broadcast") {
+    val rows = SparkEntry.queries("q85_equi_depth_histogram")(spark, sf).collect()
+    val total = Tables.load(spark, sf, "lineitem").count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == total,
+      "bucket counts must sum to the table")
+    val bounds = rows.map(_.getAs[Double]("upper_bound"))
+    assert(bounds.sameElements(bounds.sorted), "bounds must be monotone")
+    // equi-depth: no bucket is more than 2x the ideal depth on this
+    // near-uniform fixture (ties at bucket edges shift a few rows)
+    val ideal = total.toDouble / rows.length
+    assert(rows.map(_.getAs[Long]("n_rows")).max <= 2 * ideal,
+      s"a bucket is grossly over-deep: ${rows.map(_.getAs[Long]("n_rows")).toSeq}")
+    val plan = planOf(SparkEntry.queries("q85_equi_depth_histogram")(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"the 8-row bound table must broadcast:\n$plan")
+  }
+
+  test("q83 gap fill: dense per-user grid, LOCF carries the last observed value") {
+    val rows = SparkEntry.queries("q83_gap_fill")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4)))
+    val byUser = rows.groupBy(_._1)
+    byUser.foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_._2)
+      // dense: hours form an unbroken sequence over [min, max]
+      val hours = sorted.map(_._2)
+      assert(hours.last - hours.head ==
+        (hours.length - 1) * 3600L * 1000 * 1000,
+        s"user $u grid has holes")
+      // the first grid hour is observed by construction
+      assert(sorted.head._5 == 0, s"user $u first hour marked filled")
+      // LOCF: a filled row carries the previous row's value; an
+      // observed row resets it
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, prevV, _), (_, _, n, v, filled)) =>
+          if (filled == 1) {
+            assert(n == 0L, "filled row claims events")
+            assert(v == prevV, s"user $u LOCF broke: $v vs $prevV")
+          }
+        case _ => ()
+      }
+    }
+  }
+
   test("q82 DPP: the dim-derived month set prunes fact partitions at runtime") {
     // the dynamic pruning expression must sit in the fact scan's
     // partition filters (no static predicate can cross the join), and
