@@ -68,6 +68,8 @@ object Bench {
     // …st27's staged document-card stream (immutable input; the query
     // times the incremental rollup drain)
     graft.queries.StreamMediaQueries.ensureDocCardStream(spark, sfDir): Unit
+    // …st29's pinned dimension-update waves (same rule)
+    graft.queries.StreamMediaQueries.ensureDimUpdateStream(spark, sfDir): Unit
     // …st21's staged odd-vector arrivals and trained base index
     // (immutable inputs; each run copies the base and grows its OWN
     // index — the append+probe is the timed operation, not training)

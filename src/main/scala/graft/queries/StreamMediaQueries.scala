@@ -63,6 +63,41 @@ object StreamMediaQueries {
       s"$tmp/in"
     })
 
+  /** st29's arrival fixture: two dimension-update batches against the
+    * customer dim — (key, new segment) files whose mtimes pin delivery
+    * order under maxFilesPerTrigger = 1 (batch 0: keys ≡0 mod 7 →
+    * MACHINERY; batch 1: keys ≡0 mod 5 → HOUSEHOLD). SCD2 history
+    * DEPENDS on batch boundaries by design (which batch closed a row
+    * is the recorded fact), so the fixture pins them exactly like
+    * st12/st24's arrival fixtures, and the oracle replays the same two
+    * waves in order. Write-once per (JVM, sf). */
+  private val dimUpdateStreamDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def ensureDimUpdateStream(s: SparkSession, d: String): String =
+    dimUpdateStreamDirs.getOrElseUpdate(d, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st29").toString
+      val inDir = new java.io.File(s"$tmp/in"); inDir.mkdirs()
+      val cust = Tables.load(s, d, "customer")
+      def stage(df: org.apache.spark.sql.DataFrame, name: String): java.io.File = {
+        val stageDir = s"$tmp/stage_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(stageDir)
+        val part = new java.io.File(stageDir).listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        val dst = new java.io.File(inDir, s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst
+      }
+      val b0 = stage(cust.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey").as("k"), lit("MACHINERY").as("new_seg")), "b0")
+      val b1 = stage(cust.filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey").as("k"), lit("HOUSEHOLD").as("new_seg")), "b1")
+      val now = System.currentTimeMillis()
+      b0.setLastModified(now - 60000)
+      b1.setLastModified(now)
+      inDir.getAbsolutePath
+    })
+
   /** st12's arrival fixture: the events corpus as 3 time-range-ordered
     * files plus a final per-user sentinel-flush file, mtimes forcing
     * FileStreamSource to deliver them in that order. Built once per
@@ -1468,6 +1503,58 @@ object StreamMediaQueries {
              |         LEFT JOIN g ON g.doc_id = grid.doc_id)
              |SELECT doc_id AS media_id, string_agg(bit, '' ORDER BY blk) AS phash
              |FROM bits GROUP BY doc_id ORDER BY media_id""".stripMargin)),
+
+    // ---- streaming SCD2 dimension maintenance -----------------------------
+    // q81's history merge run THROUGH the streaming engine: two pinned
+    // update waves (the [[ensureDimUpdateStream]] fixture — SCD2
+    // history depends on batch boundaries BY DESIGN, which batch closed
+    // a row is the recorded fact, so arrival is mtime-pinned like
+    // st12/st24) drain into a versioned dimension via
+    // [[graft.streaming.Scd2Dim]]: value-changed rows close at
+    // batchId+1 and reopen there, same-value updates are no-ops, and
+    // every batch reads the newest committed version below its own id —
+    // crash-replay rewrites identically (CdcReplica's recipe). The
+    // oracle replays the same two waves in order over the base dim.
+    ("st29_stream_scd2",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.types._
+        val tmp = java.nio.file.Files.createTempDirectory("graft_st29q").toString
+        val in = ensureDimUpdateStream(s, d)
+        val base = Tables.load(s, d, "customer")
+          .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+            lit(0L).as("vf"), lit(null).cast("long").as("vt"))
+        val updSchema = StructType(Seq(
+          StructField("k", LongType), StructField("new_seg", StringType)))
+        val stream = s.readStream.schema(updSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$in/*.parquet")
+        graft.streaming.Scd2Dim.run(s, stream, base, s"$tmp/dim", s"$tmp/ckpt")
+          .select(col("k").as("c_custkey"), col("seg").as("c_mktsegment"),
+            col("vf").as("valid_from"), col("vt").as("valid_to"))
+          .orderBy(col("c_custkey"), col("valid_from"))
+      },
+      Some("""WITH base AS (SELECT c_custkey AS k, c_mktsegment AS s FROM customer),
+             |o1 AS (
+             |  SELECT k, CASE WHEN k % 7 = 0 THEN 'MACHINERY' ELSE s END AS s,
+             |    CASE WHEN k % 7 = 0 AND s <> 'MACHINERY' THEN 1 ELSE 0 END AS vf
+             |  FROM base),
+             |c1 AS (
+             |  SELECT k, s, 0 AS vf, 1 AS vt FROM base
+             |  WHERE k % 7 = 0 AND s <> 'MACHINERY'),
+             |o2 AS (
+             |  SELECT k, CASE WHEN k % 5 = 0 THEN 'HOUSEHOLD' ELSE s END AS s,
+             |    CASE WHEN k % 5 = 0 AND s <> 'HOUSEHOLD' THEN 2 ELSE vf END AS vf
+             |  FROM o1),
+             |c2 AS (
+             |  SELECT k, s, vf, 2 AS vt FROM o1
+             |  WHERE k % 5 = 0 AND s <> 'HOUSEHOLD')
+             |SELECT k AS c_custkey, s AS c_mktsegment,
+             |  CAST(vf AS BIGINT) AS valid_from, CAST(vt AS BIGINT) AS valid_to
+             |FROM (
+             |  SELECT k, s, vf, NULL AS vt FROM o2
+             |  UNION ALL SELECT k, s, vf, vt FROM c1
+             |  UNION ALL SELECT k, s, vf, vt FROM c2)
+             |ORDER BY c_custkey, valid_from""".stripMargin)),
 
     // ---- streaming dead-letter routing (quarantine sink) ------------------
     // The ingestion-quality pattern q76 gates batches with, applied

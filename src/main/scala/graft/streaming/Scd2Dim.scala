@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming SCD type-2 dimension maintenance (st29): q81's history
+  * merge applied per micro-batch through the streaming engine, into a
+  * VERSIONED dimension directory.
+  *
+  * State shape: `(k, seg, vf, vt)` — one open row (`vt` null) per live
+  * key plus its closed history. A batch of `(k, new_seg)` updates
+  * closes every open row whose key receives a DIFFERENT value (at
+  * `vf = batchId + 1`) and opens the replacement there; a same-value
+  * update is a no-op, so re-delivered feeds cannot fork history (q81's
+  * value-compare discipline).
+  *
+  * Exactly-once is the CdcReplica recipe: each batch reads the newest
+  * `_SUCCESS`-committed version STRICTLY BELOW its own batch id (the
+  * base dimension when none) and overwrites its own `v_<batchId>` dir —
+  * a crash-replay re-reads the original input state and rewrites the
+  * identical output; a half-written version has no `_SUCCESS` and is
+  * invisible. Dimension tables are small beside their facts, so the
+  * per-batch rewrite is the right trade (the store's manifest machinery
+  * exists for the corpus-sized case).
+  *
+  * Scale shape: the update batch is the BROADCAST side of the merge
+  * join (a batch touches few keys; the dimension streams through), and
+  * the closed-history rows pass through untouched — per-batch cost is
+  * one broadcast join over the dimension, never a shuffle of history.
+  */
+object Scd2Dim {
+
+  private def versions(root: java.io.File): Seq[Long] =
+    Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.startsWith("v_") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .map(_.getName.stripPrefix("v_").toLong).sorted.toSeq
+
+  /** One SCD2 merge step over the `(k, seg, vf, vt)` state. */
+  def applyBatch(state: DataFrame, updates: DataFrame,
+                 batchId: Long): DataFrame = {
+    val vf = batchId + 1
+    val open = state.filter(col("vt").isNull)
+    val closed = state.filter(col("vt").isNotNull)
+    val u = updates.select(col("k").as("uk"), col("new_seg"))
+    val j = open.join(broadcast(u), col("k") === col("uk"), "left")
+    // never null: the conjunction short-circuits a null compare to false
+    val changed = col("uk").isNotNull && col("seg") =!= col("new_seg")
+    val nowClosed = j.filter(changed)
+      .select(col("k"), col("seg"), col("vf"), lit(vf).as("vt"))
+    val stillOpen = j.filter(!changed)
+      .select(col("k"), col("seg"), col("vf"), col("vt"))
+    val newOpen = j.filter(changed)
+      .select(col("k"), col("new_seg").as("seg"), lit(vf).as("vf"),
+        lit(null).cast("long").as("vt"))
+    closed.unionByName(nowClosed).unionByName(stillOpen).unionByName(newOpen)
+  }
+
+  /** Drain the update stream into `dimDir` and return the final SCD2
+    * table (the newest committed version). */
+  def run(spark: SparkSession, updates: DataFrame, base: DataFrame,
+          dimDir: String, ckptDir: String): DataFrame = {
+    val root = new java.io.File(dimDir); root.mkdirs()
+    val q = updates.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val state = versions(root).filter(_ < batchId).lastOption match {
+          case Some(v) => spark.read.parquet(s"$dimDir/v_$v")
+          case None => base
+        }
+        applyBatch(state, batch, batchId)
+          .write.mode("overwrite").parquet(s"$dimDir/v_$batchId")
+      }
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$dimDir/v_${versions(root).last}")
+  }
+}

@@ -922,6 +922,50 @@ class StreamingSpec extends SparkSpec {
       "empty blocklist must keep every event")
   }
 
+  test("st29 SCD2 stream: a restarted drain continues history from its checkpoint") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    // wave 1 arrives, the job drains and stops; wave 2 lands later and
+    // a RESTARTED job (same checkpoint) must continue the history —
+    // the dimension must equal the single-run pinned drain
+    val tmp = java.nio.file.Files.createTempDirectory("graft_st29spec").toString
+    val in = new java.io.File(s"$tmp/in"); in.mkdirs()
+    val cust = Tables.load(spark, sf, "customer")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val sd = s"$tmp/stage_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(sd)
+      val part = new java.io.File(sd).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(in, s"$name.parquet").toPath)
+    }
+    val updSchema = StructType(Seq(
+      StructField("k", LongType), StructField("new_seg", StringType)))
+    val base = cust.select(col("c_custkey").as("k"),
+      col("c_mktsegment").as("seg"), lit(0L).as("vf"),
+      lit(null).cast("long").as("vt"))
+    def drain(): org.apache.spark.sql.DataFrame = {
+      val stream = spark.readStream.schema(updSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$in/*.parquet")
+      graft.streaming.Scd2Dim.run(spark, stream, base,
+        s"$tmp/dim", s"$tmp/ckpt")
+    }
+    stage(cust.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey").as("k"), lit("MACHINERY").as("new_seg")), "b0")
+    val afterWave1 = drain().collect()
+    assert(afterWave1.exists(r => !r.isNullAt(3)),
+      "wave 1 must close at least one row")
+    stage(cust.filter(col("c_custkey") % 5 === 0)
+      .select(col("c_custkey").as("k"), lit("HOUSEHOLD").as("new_seg")), "b1")
+    val resumed = drain()
+      .select("k", "seg", "vf", "vt").orderBy("k", "vf").collect()
+    val oneShot = SparkEntry.queries("st29_stream_scd2")(spark, sf).collect()
+    assert(resumed.length == oneShot.length,
+      s"${resumed.length} rows resumed vs ${oneShot.length} one-shot")
+    assert(resumed.map(_.toString).sameElements(oneShot.map(_.toString)),
+      "resumed history must equal the single-run drain")
+  }
+
   test("st27 stream card: snapshot is batching-invariant and equals the batch rollup") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
