@@ -867,6 +867,69 @@ object AdvancedQueries {
              |  CAST(SUM(COALESCE(k1, k2)) AS BIGINT) AS key_checksum
              |FROM d GROUP BY 1 ORDER BY change_type""".stripMargin)),
 
+    // ---- item co-occurrence + lift (market-basket analysis) ---------------
+    // The collaborative-filtering/market-basket shape: which item pairs
+    // are viewed by the same users more than independence predicts.
+    // Items = the props.k payload of view events; the basket self-join
+    // meets on user_id (ONE co-partitioned shuffle — both sides hash
+    // the same key) and a<b halves the pair space; pair counts are a
+    // combinable aggregate and the global top-20 is TakeOrdered. Lift
+    // n_ab·N / (n_a·n_b) follows t14's discipline exactly: membership
+    // and ranking are INTEGER (count desc, a, b), the item-count joins
+    // happen AFTER the 20-row prune with the pairs as the broadcast
+    // side (the item-frequency table is never broadcast), and the lift
+    // operands cast to double before multiplying in identical
+    // association order on both engines — the float is display-only.
+    ("q86_item_cooccurrence",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.load(s, d, "events")
+          .filter(col("event_type") === "view")
+          .select(col("user_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("item"))
+          .filter(col("item").isNotNull).distinct()
+        val tot = ev.agg(countDistinct(col("user_id")).as("n_users"))
+        val ic = ev.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+        val top = ev.select(col("user_id"), col("item").as("a"))
+          .join(ev.select(col("user_id"), col("item").as("b")), "user_id")
+          .filter(col("a") < col("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+          .orderBy(col("n_ab").desc, col("a"), col("b")).limit(20)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("n_ab").desc, col("a"), col("b"))).cast("int"))
+        val ia = ic.select(col("item").as("a"), col("n_item").as("n_a"))
+        val ib = ic.select(col("item").as("b"), col("n_item").as("n_b"))
+        broadcast(top).join(ia, "a").join(ib, "b")
+          .crossJoin(broadcast(tot))
+          .select(col("rank"), col("a"), col("b"), col("n_ab"),
+            col("n_a"), col("n_b"),
+            round((col("n_ab").cast("double") * col("n_users"))
+              / (col("n_a").cast("double") * col("n_b")), 6).as("lift"))
+          .orderBy(col("rank"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT DISTINCT user_id,
+             |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+             |  FROM events
+             |  WHERE event_type = 'view'
+             |    AND json_extract_string(props, '$.k') IS NOT NULL),
+             |tot AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ev),
+             |ic AS (SELECT item, COUNT(*) AS n_item FROM ev GROUP BY 1),
+             |pc AS (SELECT x.item AS a, y.item AS b, COUNT(*) AS n_ab
+             |       FROM ev x JOIN ev y
+             |         ON x.user_id = y.user_id AND x.item < y.item
+             |       GROUP BY 1, 2),
+             |top AS (SELECT a, b, n_ab,
+             |          row_number() OVER (ORDER BY n_ab DESC, a, b) AS rank
+             |        FROM pc QUALIFY rank <= 20)
+             |SELECT CAST(rank AS INT) AS rank, a, b, n_ab,
+             |  ia.n_item AS n_a, ib.n_item AS n_b,
+             |  round((CAST(n_ab AS DOUBLE) * n_users)
+             |        / (CAST(ia.n_item AS DOUBLE) * ib.n_item), 6) AS lift
+             |FROM top JOIN ic ia ON top.a = ia.item
+             |JOIN ic ib ON top.b = ib.item CROSS JOIN tot
+             |ORDER BY rank""".stripMargin)),
+
     // ---- latest-record-per-key squash (CDC compaction, no window sort) ----
     // The change-log squash every CDC consumer runs: keep each key's
     // newest record. The textbook row_number window sorts EVERY key's

@@ -814,6 +814,27 @@ class ScaleSpec extends SparkSpec {
       s"the synthetic twin must exercise every class: $byClass")
   }
 
+  test("q86 co-occurrence: basket join co-partitions on user, lookups after the prune") {
+    val plan = planOf(SparkEntry.queries("q86_item_cooccurrence")(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("TakeOrderedAndProject"),
+      s"global top-k must be TakeOrdered:\n$finalPlan")
+    // the pruned 20-row pair frame is the broadcast side of the item-
+    // count lookups — the vocabulary-sized frequency table never
+    // broadcasts; the basket self-join may hash- or sort-merge on
+    // user_id (co-partitioned either way), so only assert the lookups
+    val afterPrune = finalPlan.split("TakeOrderedAndProject").last
+    assert(afterPrune.contains("BroadcastHashJoin") ||
+      finalPlan.contains("BroadcastHashJoin"),
+      s"item-count lookups must broadcast the pruned pairs:\n$finalPlan")
+    val rows = SparkEntry.queries("q86_item_cooccurrence")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_ab") <= math.min(r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b")), "pair support exceeds an item's support")
+      assert(r.getAs[Double]("lift") > 0.0)
+    }
+  }
+
   test("q84 latest-by-key: squash is a map-side-bounded aggregate, never a window sort") {
     val plan = planOf(SparkEntry.queries("q84_latest_by_key")(spark, sf))
     val finalPlan = plan.split("== Initial Plan ==").head
