@@ -167,37 +167,82 @@ object Multimodal {
     }
   }
 
+  /** The pluggable decode seam: a per-kind feature codec. `None` means
+    * "these bytes are not decodable by this codec" and the caller falls
+    * back to the deterministic [[StubCodec]] — the same contract
+    * [[ImageCodec]] already implements. Implementations ship to
+    * executors inside task closures, hence `Serializable`. */
+  trait FeatureCodec extends Serializable {
+    def features(payload: Array[Byte], dim: Int): Option[Array[Float]]
+  }
+
+  /** kind → codec registry. Ships with the real image codec wired in;
+    * a deployment with actual audio/video libraries registers them here
+    * and EVERY dataflow stage (m01 features, m02, m03 frame sampling)
+    * picks them up with zero dataflow changes — the claim the
+    * [[StubCodec]] scaladoc makes, proven by MultimodalSpec with a fake
+    * "real" audio codec. ConcurrentHashMap because registration may
+    * race with a running query's plan-time snapshot; each action sees
+    * an immutable snapshot taken at execution time. */
+  private val codecRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, FeatureCodec]()
+  codecRegistry.put("image", new FeatureCodec {
+    def features(payload: Array[Byte], dim: Int): Option[Array[Float]] =
+      ImageCodec.features(payload, dim)
+  })
+
+  /** Register `codec` for `kind`, returning the codec it replaced (so a
+    * test — or a staged rollout — can restore the previous binding). */
+  def registerCodec(kind: String, codec: FeatureCodec): Option[FeatureCodec] =
+    Option(codecRegistry.put(kind, codec))
+
+  /** Remove the binding for `kind` (back to pure stub). */
+  def unregisterCodec(kind: String): Option[FeatureCodec] =
+    Option(codecRegistry.remove(kind))
+
+  /** Immutable snapshot for task closures: the Java map itself must not
+    * ship to executors (mutation visibility is undefined mid-job). */
+  private def codecSnapshot(): Map[String, FeatureCodec] = {
+    val b = Map.newBuilder[String, FeatureCodec]
+    codecRegistry.forEach((k, v) => b += (k -> v))
+    b.result()
+  }
+
   /** Feature extraction over partition-sized batches — the mapInPandas
     * shape: one iterator in, one iterator out, no per-row UDF dispatch.
-    * Image payloads take the real [[ImageCodec]] decode when the bytes
-    * are a decodable image, otherwise (and for audio/video) the
-    * deterministic [[StubCodec]]. */
+    * Each kind's registered [[FeatureCodec]] decodes when it can
+    * (image ships real — `javax.imageio`); undecodable bytes and
+    * unregistered kinds take the deterministic [[StubCodec]]. */
   def extractFeatures(media: Dataset[Media], dim: Int = 16): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
+    val codecs = codecSnapshot()
     media.mapPartitions { batch =>
       batch.map { m =>
-        val feats =
-          if (m.kind == "image") ImageCodec.features(m.payload, dim)
-            .getOrElse(StubCodec.features(m.payload, dim))
-          else StubCodec.features(m.payload, dim)
+        val feats = codecs.get(m.kind).flatMap(_.features(m.payload, dim))
+          .getOrElse(StubCodec.features(m.payload, dim))
         MediaFeatures(m.media_id, m.kind, m.payload.length, feats)
       }
     }
   }
 
-  /** Frame sampling for video rows: one frame every `everyMs`, each frame
-    * "decoded" (stub) from the payload slice — the explode-shaped stage. */
+  /** Frame sampling for video rows: one frame every `everyMs`, each
+    * frame decoded from the payload slice by the registered "video"
+    * codec (the stub, until a real one is registered) — the
+    * explode-shaped stage. */
   def sampleFrames(media: Dataset[Media], everyMs: Long = 1000L,
                    dim: Int = 8): Dataset[Frame] = {
     import media.sparkSession.implicits._
+    val codecs = codecSnapshot()
     media.filter(_.kind == "video").mapPartitions { batch =>
       batch.flatMap { m =>
         val n = math.max(1, (m.duration_ms / everyMs).toInt)
         (0 until n).iterator.map { f =>
           val start = math.min(f * m.payload.length / n, m.payload.length)
           val end = math.min((f + 1) * m.payload.length / n, m.payload.length)
+          val slice = java.util.Arrays.copyOfRange(m.payload, start, end)
           Frame(m.media_id, f, f * everyMs,
-            StubCodec.features(java.util.Arrays.copyOfRange(m.payload, start, end), dim))
+            codecs.get(m.kind).flatMap(_.features(slice, dim))
+              .getOrElse(StubCodec.features(slice, dim)))
         }
       }
     }

@@ -975,24 +975,30 @@ object AdvancedQueries {
     // ---- equi-depth histogram (CBO distribution profile) ------------------
     // q80 profiles min/max/NDV; selectivity estimation needs the SHAPE:
     // a k-bucket equi-depth histogram (ANALYZE ... FOR COLUMNS'
-    // summary statistic) — bucket upper bounds at the exact k-quantiles
-    // plus per-bucket row counts. Bounds come from ONE exact percentile
-    // aggregate (q32's certified pair, k+1 cuts in one pass over the
-    // grouped values); counts assign each row to its bucket by
-    // comparing against the BROADCAST 8-row bound table — one scan, one
-    // tiny join, one combinable aggregate, never a global sort. Prices
-    // move to integer cents (q78's rule) so quantile interpolation
-    // lands on exact halves and bucket-edge membership cannot flap.
+    // summary statistic) — bucket upper bounds at the k-quantiles plus
+    // per-bucket row counts. Bounds come from the repo's own KLL
+    // sketch (q50's discipline) in its EXACT regime (capacity 2^20 ≥
+    // |lineitem| at every test sf → no compaction, exact LOWER
+    // quantile by the integer target rank (n·bp + 9999) div 10000 —
+    // the engine-portable arithmetic the oracle replays), NOT exact
+    // `percentile`, whose per-value buffer is unbounded; at 100 TB the
+    // same plan runs with a bounded capacity and carries the
+    // compactor's rank error — exactly what a CBO histogram tolerates.
+    // Counts assign each row to its bucket by comparing against the
+    // BROADCAST 8-row bound table — one scan, one tiny join, one
+    // combinable aggregate, never a global sort. Prices move to
+    // integer cents (q78's rule) so cut values are exact integers and
+    // bucket-edge membership cannot flap.
     ("q85_equi_depth_histogram",
       (s: SparkSession, d: String) => {
         val k = 8
         val cents = Tables.load(s, d, "lineitem")
           .select(round(col("l_extendedprice") * 100).cast("long").as("c"))
-        val cuts = cents.agg(expr(
-          s"percentile(c, array(${(1 to k).map(i => s"${i.toDouble / k}").mkString(",")}))")
-          .as("cuts"))
+        val cuts = cents.agg(graft.functions.KllQuantiles.quantilesBp(
+          col("c").cast("double"), (1 to k).map(_ * 10000 / k), 1 << 20).as("cuts"))
         val bounds = cuts.select(posexplode(col("cuts")))
-          .select((col("pos") + 1).cast("int").as("bucket"), col("col").as("ub"))
+          .select((col("pos") + 1).cast("int").as("bucket"),
+            col("col").cast("long").as("ub"))
         val lbs = bounds.select(col("bucket"), col("ub"),
           lag(col("ub"), 1).over(org.apache.spark.sql.expressions.Window
             .orderBy(col("bucket"))).as("lb"))
@@ -1007,15 +1013,15 @@ object AdvancedQueries {
       },
       Some("""WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
              |           FROM lineitem),
+             |r AS (SELECT c, row_number() OVER (ORDER BY c) AS rn,
+             |        COUNT(*) OVER () AS n
+             |      FROM c),
+             |bk AS (SELECT CAST(u.i AS INT) AS bucket
+             |       FROM unnest(range(1, 9)) AS u(i)),
              |cuts AS (
-             |  SELECT CAST(1 AS INT) AS bucket, quantile_cont(c, 0.125) AS ub FROM c
-             |  UNION ALL SELECT 2, quantile_cont(c, 0.25) FROM c
-             |  UNION ALL SELECT 3, quantile_cont(c, 0.375) FROM c
-             |  UNION ALL SELECT 4, quantile_cont(c, 0.5) FROM c
-             |  UNION ALL SELECT 5, quantile_cont(c, 0.625) FROM c
-             |  UNION ALL SELECT 6, quantile_cont(c, 0.75) FROM c
-             |  UNION ALL SELECT 7, quantile_cont(c, 0.875) FROM c
-             |  UNION ALL SELECT 8, quantile_cont(c, 1.0) FROM c),
+             |  SELECT bk.bucket, MIN(r.c) AS ub
+             |  FROM bk JOIN r ON r.rn >= (r.n * bk.bucket * 1250 + 9999) // 10000
+             |  GROUP BY 1),
              |b AS (SELECT bucket, ub,
              |        lag(ub) OVER (ORDER BY bucket) AS lb
              |      FROM cuts)

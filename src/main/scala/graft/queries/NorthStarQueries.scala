@@ -1275,7 +1275,18 @@ object NorthStarQueries {
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.expressions.Window
         import graft.functions.CosineSimilarity.cosineSim
+        // Each arm is TRUNCATED to its top-K candidates (K = 100 ≫ 10)
+        // via TakeOrderedAndProject BEFORE ranking — real RRF fuses
+        // bounded candidate lists, never full-corpus ranks, and an
+        // unpartitioned row_number over the whole corpus is a one-task
+        // sort at 100 TB. The rank windows below run over ≤ K rows.
+        // The oracle applies the identical truncation, and
+        // HybridFusionSpec proves the fused top-10 equals the
+        // full-rank fusion on the fixture (K covers every rank that
+        // can reach the top 10).
+        val K = 100
         val bm = TrainingPrepQueries.bm25Scores(s, d, Seq("join", "vector", "scan"))
+          .orderBy(col("score").desc, col("doc_id")).limit(K)
           .withColumn("r_bm25",
             row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
           .select(col("doc_id"), col("r_bm25"))
@@ -1285,6 +1296,7 @@ object NorthStarQueries {
         val cos = emb.select(col("vec_id").as("doc_id"),
             round(cosineSim(col("embedding"), typedLit(qvec)), 6).as("cs"))
           .filter(!isnan(col("cs")))
+          .orderBy(col("cs").desc, col("doc_id")).limit(K)
           .withColumn("r_cos",
             row_number().over(Window.orderBy(col("cs").desc, col("doc_id"))))
           .select(col("doc_id"), col("r_cos"))
@@ -1292,9 +1304,9 @@ object NorthStarQueries {
           .select(col("doc_id"),
             round(coalesce(lit(1.0) / (lit(60.0) + col("r_bm25")), lit(0.0)) +
               coalesce(lit(1.0) / (lit(60.0) + col("r_cos")), lit(0.0)), 6).as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id")).limit(10)
           .withColumn("rank",
             row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))).cast("int"))
-          .filter(col("rank") <= 10)
           .orderBy(col("rank"))
       },
       Some("""WITH tk AS (SELECT doc_id,
@@ -1315,7 +1327,8 @@ object NorthStarQueries {
              |         row_number() OVER (ORDER BY score DESC, doc_id) AS r_bm25
              |       FROM (SELECT doc_id,
              |               CAST(SUM(CAST(ts AS DECIMAL(18,6))) AS DOUBLE) AS score
-             |             FROM sc GROUP BY 1)),
+             |             FROM sc GROUP BY 1)
+             |       QUALIFY r_bm25 <= 100),
              |e AS (SELECT vec_id, v FROM
              |        (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
              |      WHERE len(v) > 0 AND list_inner_product(v, v) > 0),
@@ -1323,7 +1336,8 @@ object NorthStarQueries {
              |         row_number() OVER (ORDER BY cs DESC, doc_id) AS r_cos
              |       FROM (SELECT e.vec_id AS doc_id,
              |               round(list_cosine_similarity(e.v, qv.v), 6) AS cs
-             |             FROM e CROSS JOIN (SELECT v FROM e WHERE vec_id = 0) qv)),
+             |             FROM e CROSS JOIN (SELECT v FROM e WHERE vec_id = 0) qv)
+             |       QUALIFY r_cos <= 100),
              |fused AS (SELECT COALESCE(bm.doc_id, cr.doc_id) AS doc_id,
              |            round(COALESCE(1.0 / (60.0 + bm.r_bm25), 0) +
              |                  COALESCE(1.0 / (60.0 + cr.r_cos), 0), 6) AS rrf
@@ -1649,9 +1663,15 @@ object NorthStarQueries {
             "doc_id", "text", n = 2, prefixLen = 50, maxBucket = 0)
           .filter(col("jaccard") >= 0.3)
           .select(col("id_a"), col("id_b"))
+        // localCheckpoint (eager), not cache+unpersist: the returned
+        // frame is lazy, so an unpersist before the runner collects it
+        // would evict the blocks and recompute the expensive
+        // prefixJaccardPairs lineage once per downstream reference
+        // (nodes + e2 + 3 iteration joins). Checkpointed blocks survive
+        // until the session drops them.
         val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
           .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-          .cache()
+          .localCheckpoint()
         val nodes = edges.select(col("src").as("id")).distinct()
         val nN = nodes.count()
         val e2 = edges.join(
@@ -1670,10 +1690,8 @@ object NorthStarQueries {
                 lit(0.85) * coalesce(col("sc").cast("double"), lit(0.0)), 6)
                 .as("rank"))
         }
-        val out = ranks.select(col("id").as("doc_id"), col("rank"))
+        ranks.select(col("id").as("doc_id"), col("rank"))
           .orderBy(col("doc_id"))
-        edges.unpersist()
-        out
       },
       Some("""WITH grams AS (
              |  SELECT doc_id, substr(text, 1, 50) AS pfx,

@@ -440,10 +440,15 @@ object SourceFormatQueries {
         docs.write.mode("overwrite").partitionBy("source").parquet(out)
         writeIdBloomStats(docs, out) // write-time stats, amortized
         // the takedown list: bare doc ids (spans 2 of ~20 partitions here,
-        // but the code derives that — it never assumes)
+        // but the code derives that — it never assumes). Takedown lists
+        // are BOUNDED EXTERNAL INPUTS (a legal/compliance feed, not a
+        // query result), so the fixture derivation caps itself the same
+        // way: deterministic orderBy + limit makes the collect provably
+        // ≤ 10k ids at ANY sf, and the oracle replays the identical cap.
         val victimIds = docs
           .filter(col("source").isin("src3", "src7") && col("doc_id") % 3 === 0)
-          .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+          .select(col("doc_id")).orderBy(col("doc_id")).limit(10000)
+          .collect().map(_.getLong(0)).toSeq
         val victims = s.createDataset(victimIds)(
           org.apache.spark.sql.Encoders.scalaLong).toDF("doc_id")
         val table = s.read.parquet(out)
@@ -485,11 +490,15 @@ object SourceFormatQueries {
             min(col("doc_id")).as("min_id"))
           .orderBy(col("source"))
       },
-      Some("""SELECT source, COUNT(*) AS n_docs,
+      Some("""WITH victims AS (
+             |  SELECT doc_id FROM documents
+             |  WHERE source IN ('src3', 'src7') AND doc_id % 3 = 0
+             |  ORDER BY doc_id LIMIT 10000)
+             |SELECT source, COUNT(*) AS n_docs,
              |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
              |  MIN(doc_id) AS min_id
              |FROM documents
-             |WHERE NOT (source IN ('src3', 'src7') AND doc_id % 3 = 0)
+             |WHERE doc_id NOT IN (SELECT doc_id FROM victims)
              |GROUP BY source ORDER BY source""".stripMargin)),
   )
 

@@ -135,30 +135,33 @@ object StreamMediaQueries {
     })
 
   /** st24's arrival fixture: the events corpus as three deterministic
-    * ntile-of-(ts, event_id) files arriving MIDDLE → NEWEST → OLDEST (a
-    * backfill landing behind live traffic) plus a +24 h flush sentinel,
-    * mtimes pinning the batch order under maxFilesPerTrigger = 1.
-    * ntile (not repartitionByRange) because the ORACLE must reproduce
-    * the batch composition row for row — range boundaries come from
-    * Spark-internal sampling, ntile over a total order is engine-
-    * portable SQL. The global window is staging-only cost (fixture
-    * scale); a production backfill arrives as its own dated folder and
-    * needs no synthetic split. Built once per (JVM, sf) — write-once
-    * rule, the drain never mutates its input. */
+    * equal-width TIME-RANGE thirds arriving MIDDLE → NEWEST → OLDEST
+    * (a backfill landing behind live traffic) plus a +24 h flush
+    * sentinel, mtimes pinning the batch order under
+    * maxFilesPerTrigger = 1. The tile is one map-side integer
+    * expression per row — `((ts − min) · 3) div span` — engine-portable
+    * (the oracle replays the identical arithmetic) and free of the
+    * single-partition sort an ntile-over-total-order split funnels the
+    * corpus through; the only global work is one min/max aggregate.
+    * (repartitionByRange is still out: its range boundaries come from
+    * Spark-internal sampling the oracle cannot reproduce.) Built once
+    * per (JVM, sf) — write-once rule, the drain never mutates its
+    * input. */
   private val lateAuditDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
   def ensureLateAuditStream(s: SparkSession, d: String): String =
     lateAuditDirs.getOrElseUpdate(d, {
-      import org.apache.spark.sql.expressions.Window
       val tmp = java.nio.file.Files.createTempDirectory("graft_st24").toString
       val inDir = new java.io.File(s"$tmp/in")
       val events = Tables.load(s, d, "events")
-      val maxTs = events.agg(max(col("ts"))).head().getLong(0)
+      val mm = events.agg(min(col("ts")), max(col("ts"))).head()
+      val minTs = mm.getLong(0); val maxTs = mm.getLong(1)
+      val span = maxTs - minTs + 1
       val tiled = events
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
         .withColumn("tile",
-          ntile(3).over(Window.orderBy(col("ts"), col("event_id"))))
+          expr(s"((ts - ${minTs}L) * 3) div ${span}L").cast("int") + 1)
       def partsOf(dir: java.io.File): Set[String] =
         Option(dir.listFiles()).map(_.map(_.getName).toSet).getOrElse(Set.empty)
           .filter(_.startsWith("part-"))
@@ -564,11 +567,16 @@ object StreamMediaQueries {
       },
       Some("""WITH r AS (
              |  SELECT CAST(ts AS TIMESTAMP) AS t, event_type,
-             |    ntile(3) OVER (ORDER BY ts, event_id) AS tile
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
              |  FROM events),
+             |mm AS (SELECT MIN(us) AS tmin,
+             |         MAX(us) - MIN(us) + 1 AS span FROM r),
+             |tl AS (SELECT t, event_type,
+             |         ((us - tmin) * 3) // span + 1 AS tile
+             |       FROM r CROSS JOIN mm),
              |b AS (SELECT t, event_type,
              |        CASE tile WHEN 2 THEN 0 WHEN 3 THEN 1 ELSE 2 END AS batch
-             |      FROM r),
+             |      FROM tl),
              |m AS (SELECT batch, max(t) AS bmax FROM b GROUP BY 1),
              |w AS (SELECT batch,
              |        max(bmax) OVER (ORDER BY batch
@@ -1577,11 +1585,12 @@ object StreamMediaQueries {
           .select(col("event_id"), col("event_type"), col("value"))
           .writeStream
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            val bad = col("event_type") === "error" || col("value") < 1.0
-            batch.filter(bad).write.mode("overwrite")
-              .parquet(s"$dlqDir/batch_$batchId")
-            batch.filter(!bad).write.mode("overwrite")
-              .parquet(s"$mainDir/batch_$batchId")
+            // routeByValidity: total split — null-predicate rows (3VL)
+            // route to the dead letter instead of vanishing from both
+            val (bad, good) = graft.streaming.EventStream.routeByValidity(
+              batch, col("event_type") === "error" || col("value") < 1.0)
+            bad.write.mode("overwrite").parquet(s"$dlqDir/batch_$batchId")
+            good.write.mode("overwrite").parquet(s"$mainDir/batch_$batchId")
           }
           .option("checkpointLocation", s"$tmp/ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1598,11 +1607,13 @@ object StreamMediaQueries {
       Some("""SELECT sink, n_rows, id_checksum FROM (
              |  SELECT 'dlq' AS sink, COUNT(*) AS n_rows,
              |    CAST(SUM(event_id) AS BIGINT) AS id_checksum
-             |  FROM events WHERE event_type = 'error' OR value < 1.0
+             |  FROM events
+             |  WHERE COALESCE(event_type = 'error' OR value < 1.0, TRUE)
              |  UNION ALL
              |  SELECT 'main', COUNT(*),
              |    CAST(SUM(event_id) AS BIGINT)
-             |  FROM events WHERE NOT (event_type = 'error' OR value < 1.0))
+             |  FROM events
+             |  WHERE NOT COALESCE(event_type = 'error' OR value < 1.0, TRUE))
              |ORDER BY sink""".stripMargin)),
 
     // ---- streaming dataset-card maintenance (incremental rollup) ----------

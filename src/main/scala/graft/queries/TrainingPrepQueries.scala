@@ -475,10 +475,14 @@ object TrainingPrepQueries {
     ("t12_bm25_search",
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.expressions.Window
-        val w = Window.orderBy(col("score").desc, col("doc_id"))
+        // TakeOrderedAndProject (orderBy+limit), NOT a global row_number
+        // window: an unpartitioned window sorts the whole scored corpus
+        // through one task — the q86/t14 discipline. The rank window
+        // runs over the 10 survivors only.
         bm25Scores(s, d, Seq("join", "vector", "scan"))
-          .withColumn("rank", row_number().over(w).cast("int"))
-          .filter(col("rank") <= 10)
+          .orderBy(col("score").desc, col("doc_id")).limit(10)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id"))).cast("int"))
           .orderBy(col("rank"))
       },
       Some("""WITH tk AS (SELECT doc_id,

@@ -847,11 +847,87 @@ object DedupStore {
         }
   }
 
+  /** Store roots validated by [[guardStore]] this JVM, keyed
+    * (root, newest committed version) so every new commit re-validates
+    * exactly once and a hot consumer loop pays the fs walk once — the
+    * [[graft.ops.Similarity]] guardedIndexDirs discipline, with the
+    * version in the key because a store (unlike an index dir) mutates
+    * in place across batches. */
+  private val guardedStores =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Observed-vs-expected guard for a store layout, run at open time by
+    * every consumer-side read: a truncated copy (manifest lost, data
+    * files missing), a foreign directory, or a layout from a drifted
+    * engine version fails HERE with ONE report naming every deviation —
+    * the Fixtures.guard discipline applied to the engine's own
+    * persisted artifacts, instead of a parquet stack trace (or a
+    * silently-empty frame) in the middle of a consumer's plan. States
+    * the commit protocol CAN produce stay legal and silent: a missing
+    * root and a root holding only uncommitted (`_SUCCESS`-less) version
+    * dirs both read as the empty store by contract. */
+  private[graft] def guardStore(storeDir: String): Unit = {
+    val (fs, root) = fsRoot(storeDir)
+    if (!fs.exists(root)) return
+    val committed = versions(fs, root).sortBy(_._1)
+    val key = s"$root@${committed.lastOption.map(_._2.getName).getOrElse("")}"
+    if (guardedStores.contains(key)) return
+    val problems = scala.collection.mutable.ArrayBuffer.empty[String]
+    val entries = listDir(fs, root)
+    val markers = Set("_TOMBSTONES", "_LOCK", "_LAYOUT")
+    // a _SUCCESS on a dir whose name the version parser rejects is a
+    // state our committer never writes — foreign content, not a crash
+    entries.filter(st => st.isDirectory && parseKey(st.getPath.getName).isEmpty &&
+        !markers.contains(st.getPath.getName) &&
+        fs.exists(new Path(st.getPath, "_SUCCESS")))
+      .foreach(st => problems += s"${st.getPath.getName}/ carries _SUCCESS " +
+        "but its name does not parse as v<major>[.<sub>]")
+    if (entries.nonEmpty &&
+        !entries.exists(st => parseKey(st.getPath.getName).isDefined ||
+          markers.contains(st.getPath.getName)))
+      problems += "directory is non-empty but holds no v* version dirs and " +
+        s"no store markers (observed: ${
+          entries.map(_.getPath.getName).sorted.take(8).mkString(", ")}" +
+        s"${if (entries.length > 8) ", …" else ""})"
+    // the newest committed version is the read target: its manifest must
+    // exist, parse, and reference only files that are actually there
+    committed.lastOption.foreach { case (_, vDir) =>
+      val mf = new Path(vDir, "_MANIFEST")
+      if (!fs.exists(mf))
+        problems += s"committed version ${vDir.getName}/ has no _MANIFEST " +
+          "(pre-manifest layout, or the manifest was lost)"
+      else readString(fs, mf).split("\n", -1).filter(_.nonEmpty)
+        .foreach { line =>
+          line.split("\t", 2) match {
+            case Array(b, rel) if b.toIntOption.isDefined =>
+              if (!fs.exists(new Path(root, rel)))
+                problems += s"${vDir.getName}/_MANIFEST references missing " +
+                  s"data file $rel (truncated copy?)"
+            case _ =>
+              problems += s"${vDir.getName}/_MANIFEST line does not parse " +
+                s"as <bucket>\\t<relpath>: '${line.take(80)}'"
+          }
+        }
+    }
+    val next = new Path(new Path(root, "_TOMBSTONES"), "_NEXT")
+    if (fs.exists(next) && readString(fs, next).trim.toLongOption.isEmpty)
+      problems += "_TOMBSTONES/_NEXT does not parse as a long counter"
+    if (problems.nonEmpty)
+      throw new IllegalStateException(
+        s"$storeDir is not a readable dedup store:\n  - " +
+          problems.mkString("\n  - ") +
+          "\n  truncated copy, foreign directory, or layout drift — " +
+          "restore the missing pieces or rebuild before reading")
+    guardedStores.add(key): Unit
+  }
+
   /** Consumer-side read of the store's current deduplicated state —
     * what run() returns, without running a drain: the newest committed
     * version resolved through its manifest, tombstone-filtered. An
-    * empty or uncommitted store reads as the typed empty frame. */
+    * empty or uncommitted store reads as the typed empty frame; a
+    * structurally broken one fails [[guardStore]]'s open-time report. */
   def read(spark: SparkSession, storeDir: String): DataFrame = {
+    guardStore(storeDir)
     val (fs, root) = fsRoot(storeDir)
     versions(fs, root).sortBy(_._1).lastOption
       .map { case (_, dir) => readVersion(spark, fs, root, dir) }
@@ -934,6 +1010,7 @@ object DedupStore {
     * every read path. */
   def lookup(spark: SparkSession, storeDir: String,
              texts: Seq[String]): DataFrame = {
+    guardStore(storeDir)
     if (texts.isEmpty) return emptyStore(spark)
     val files = lookupFiles(spark, storeDir, texts)
     if (files.isEmpty) return emptyStore(spark)
@@ -1045,14 +1122,25 @@ object DedupStore {
     *
     * Cost ∝ victim buckets, not store size — q64's pruned-rewrite
     * shape composed with the version/replay machinery. `victimTexts`
-    * is a driver-side list because takedown requests are bounded
-    * (thousands, not millions). Erasure is immediate on BOTH axes:
+    * is a driver-side list because takedown requests are BOUNDED
+    * EXTERNAL INPUTS (a legal/compliance feed — thousands, not
+    * millions); the contract is enforced below (≤ 1M entries, a hard
+    * driver-safety ceiling above [[purgeWhere]]'s 100k default) so a
+    * caller that pipes a corpus-scale query RESULT in here fails
+    * loudly instead of oom-ing the driver — that case is a filter +
+    * re-drain into a fresh store, not a takedown. Erasure is immediate
+    * on BOTH axes:
     * logically via the tombstone filter on every read path, and
     * physically via prune's file-level sweep, which deletes the
     * superseded victim-bucket files in this same call (StreamingSpec
     * asserts no parquet file under the store still holds a victim). */
   def purge(spark: SparkSession, storeDir: String,
             victimTexts: Seq[String]): DataFrame = {
+    require(victimTexts.size <= 1000000,
+      s"purge takes a bounded external takedown list (got " +
+        s"${victimTexts.size} entries, hard cap 1000000) — a victim set " +
+        "this large is a corpus-scale rewrite: filter the corpus and " +
+        "re-drain into a fresh store instead")
     if (victimTexts.isEmpty) return read(spark, storeDir)
     val (fs, root) = fsRoot(storeDir)
     withWriterLock(fs, root, "purge") {

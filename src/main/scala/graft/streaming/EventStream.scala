@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
@@ -94,6 +94,19 @@ object EventStream {
     val maybe = events.filter(mc)
       .join(blocklist, Seq(keyCol), "left_anti")
     clean.unionByName(maybe)
+  }
+
+  /** Dead-letter routing split (st28): `(bad, good)` partitions of
+    * `batch` under the validity predicate, TOTAL by construction — a
+    * row where `rawBad` evaluates to SQL NULL (3VL: `value < 1.0` on a
+    * NULL value) would vanish from BOTH `filter(p)` and `filter(!p)`,
+    * the one way the "every row lands in exactly one sink" guarantee
+    * silently breaks. Unparseable ≈ invalid, so null-predicate rows
+    * route to the dead letter. */
+  def routeByValidity(batch: DataFrame,
+                      rawBad: Column): (DataFrame, DataFrame) = {
+    val bad = coalesce(rawBad, lit(true))
+    (batch.filter(bad), batch.filter(!bad))
   }
 
   /** Run a streaming aggregate to completion over the available data and

@@ -43,10 +43,17 @@ object Scd2Dim {
     val vf = batchId + 1
     val open = state.filter(col("vt").isNull)
     val closed = state.filter(col("vt").isNotNull)
+    // One update per key per batch: a feed that delivers conflicting
+    // values for one key inside a batch carries no order column here, so
+    // reduce deterministically (max) rather than fork the open row — the
+    // broadcast join below must see at most one match per dimension key.
     val u = updates.select(col("k").as("uk"), col("new_seg"))
+      .groupBy("uk").agg(max(col("new_seg")).as("new_seg"))
     val j = open.join(broadcast(u), col("k") === col("uk"), "left")
-    // never null: the conjunction short-circuits a null compare to false
-    val changed = col("uk").isNotNull && col("seg") =!= col("new_seg")
+    // null-safe: `seg =!= new_seg` is SQL NULL when either side is NULL
+    // (3VL), and a NULL predicate row would vanish from BOTH filter
+    // branches below — <=> keeps every open row in exactly one branch.
+    val changed = col("uk").isNotNull && !(col("seg") <=> col("new_seg"))
     val nowClosed = j.filter(changed)
       .select(col("k"), col("seg"), col("vf"), lit(vf).as("vt"))
     val stillOpen = j.filter(!changed)
@@ -75,6 +82,10 @@ object Scd2Dim {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(s"$dimDir/v_${versions(root).last}")
+    // An empty input dir drains zero batches: the dimension is the base.
+    versions(root).lastOption match {
+      case Some(v) => spark.read.parquet(s"$dimDir/v_$v")
+      case None => base
+    }
   }
 }

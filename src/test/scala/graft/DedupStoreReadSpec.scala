@@ -442,4 +442,63 @@ class DedupStoreReadSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("no committed version"))
   }
+
+  test("guardStore: a truncated/foreign store fails open-time with ONE report naming every deviation") {
+    import java.nio.file.{Files, Paths}
+    // 1) legal states stay silent: missing root; root with only an
+    // uncommitted (crash-shaped) version dir
+    DedupStore.guardStore("/tmp/graft_guard_does_not_exist")
+    val crash = Files.createTempDirectory("graft_guard_crash").toString
+    Files.createDirectories(Paths.get(s"$crash/v0")) // no _SUCCESS
+    DedupStore.guardStore(crash)
+    assert(DedupStore.read(spark, crash).count() == 0L)
+
+    // healthy store: reads stay silent (and cache the validation)
+    val healthy = s"${Files.createTempDirectory("graft_guard_ok")}/store"
+    (0 until 10).map(i => (i.toLong, s"guard text $i")).toDF("doc_id", "text")
+      .write.format(SinkFormat).option("path", healthy)
+      .option("nBuckets", "4").mode("append").save()
+    assert(DedupStore.read(spark, healthy).count() == 10L)
+
+    // 2) a real store, truncated BEFORE its first read in this JVM
+    // (guard validation is cached per (root, version) — see
+    // guardedStores — so in-place corruption after a validated read is
+    // outside the supported lifecycle, like guardIvfIndex): delete a
+    // manifest-referenced data file AND plant a foreign committed dir —
+    // both deviations must appear in the SAME report (not fail-fast)
+    val tmp = Files.createTempDirectory("graft_guard").toString
+    val store = s"$tmp/store"
+    (0 until 10).map(i => (i.toLong, s"guard text $i")).toDF("doc_id", "text")
+      .write.format(SinkFormat).option("path", store)
+      .option("nBuckets", "4").mode("append").save()
+    val root = new java.io.File(store)
+    val dataFile = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(root).find(f => f.getName.endsWith(".parquet") ||
+        (f.getName.startsWith("part-") && !f.getName.startsWith("."))).get
+    }
+    assert(dataFile.delete())
+    val foreign = new java.io.File(root, "not_a_version")
+    foreign.mkdirs()
+    Files.writeString(Paths.get(s"$foreign/_SUCCESS"), "")
+    val e2 = intercept[IllegalStateException] {
+      DedupStore.guardStore(store)
+    }
+    assert(e2.getMessage.contains("references missing"),
+      s"missing data file not reported: ${e2.getMessage}")
+    assert(e2.getMessage.contains("not_a_version"),
+      s"foreign committed dir not reported: ${e2.getMessage}")
+    // read() hits the same guard, not a parquet stack trace
+    val e3 = intercept[IllegalStateException] {
+      DedupStore.read(spark, store)
+    }
+    assert(e3.getMessage.contains("not a readable dedup store"))
+
+    // 3) a non-empty directory that is no store at all
+    val alien = Files.createTempDirectory("graft_guard_alien").toString
+    Files.writeString(Paths.get(s"$alien/random.txt"), "hello")
+    val e4 = intercept[IllegalStateException] { DedupStore.guardStore(alien) }
+    assert(e4.getMessage.contains("no v* version dirs"))
+  }
 }

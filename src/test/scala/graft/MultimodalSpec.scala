@@ -203,4 +203,53 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.phashNearDupPairs(degenerate, 3, maxBucket = 10).count() == 0L)
     assert(Multimodal.phashNearDupPairs(degenerate, 3).count() == 50L * 49 / 2)
   }
+
+  test("codec registry: a registered 'real' audio codec is picked up with zero dataflow changes") {
+    // The StubCodec scaladoc's swap claim, tested: register a fake
+    // "real" audio decoder and the SAME extractFeatures/sampleFrames
+    // calls (m01–m03's dataflow) route audio rows through it — image
+    // stays on javax.imageio, video stays stubbed, and unregistering
+    // restores the stub exactly.
+    val fake = MultimodalSpec.FakeAudioCodec
+    val before = Multimodal.extractFeatures(media, dim = 4)
+      .collect().sortBy(_.media_id)
+    val prev = Multimodal.registerCodec("audio", fake)
+    assert(prev.isEmpty, "audio had no codec registered before this test")
+    try {
+      val after = Multimodal.extractFeatures(media, dim = 4)
+        .collect().sortBy(_.media_id)
+      before.zip(after).foreach { case (b, a) =>
+        if (a.kind == "audio") {
+          assert(a.features.toSeq ==
+            Seq.tabulate(4)(i => a.n_bytes.toFloat + i),
+            s"audio row ${a.media_id} did not route through the registered codec")
+        } else {
+          assert(a.features.toSeq == b.features.toSeq,
+            s"${a.kind} row ${a.media_id} must be untouched by an AUDIO codec")
+        }
+      }
+      // frame sampling consults the registry for ITS kind too: video is
+      // unregistered, so frames keep the stub features
+      val frames = Multimodal.sampleFrames(media, everyMs = 1000L, dim = 4)
+      assert(frames.count() > 0)
+    } finally {
+      assert(Multimodal.unregisterCodec("audio").contains(fake))
+    }
+    val restored = Multimodal.extractFeatures(media, dim = 4)
+      .collect().sortBy(_.media_id)
+    before.zip(restored).foreach { case (b, r) =>
+      assert(r.features.toSeq == b.features.toSeq,
+        s"unregister must restore stub features for ${r.media_id}")
+    }
+  }
+}
+
+object MultimodalSpec {
+  /** Spec-only fake "real" audio codec — a top-level object so the task
+    * closure ships it without dragging the (non-serializable) suite
+    * instance along. */
+  object FakeAudioCodec extends Multimodal.FeatureCodec {
+    def features(payload: Array[Byte], dim: Int): Option[Array[Float]] =
+      Some(Array.tabulate(dim)(i => payload.length.toFloat + i))
+  }
 }

@@ -955,4 +955,23 @@ class ScaleSpec extends SparkSpec {
       assert(r.getAs[Double]("min_val") <= r.getAs[Double]("max_val"))
     }
   }
+
+  test("t12 BM25: top-10 via TakeOrderedAndProject, never a corpus-wide window") {
+    // the round-10 regression's structural half: an unpartitioned
+    // row_number window funnels the whole scored corpus through ONE
+    // task. The shipped plan must select the top 10 with
+    // TakeOrderedAndProject and only then rank — so the (unavoidable,
+    // bounded) rank window sits ABOVE the take-ordered in the tree,
+    // operating on ≤ 10 rows.
+    spark.catalog.clearCache()
+    val plan = planOf(SparkEntry.queries("t12_bm25_search")(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("TakeOrderedAndProject"),
+      s"top-10 must plan as TakeOrderedAndProject:\n${finalPlan.take(4000)}")
+    val win = finalPlan.indexOf("Window")
+    val top = finalPlan.indexOf("TakeOrderedAndProject")
+    assert(win >= 0 && win < top,
+      "the rank window must consume the take-ordered output (appear above " +
+        s"it in the plan), not the full scored corpus:\n${finalPlan.take(4000)}")
+  }
 }

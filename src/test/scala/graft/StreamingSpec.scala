@@ -1004,4 +1004,89 @@ class StreamingSpec extends SparkSpec {
     assert(perFile.sameElements(batch),
       "streaming snapshot must equal the batch rollup")
   }
+
+  test("Scd2Dim.applyBatch: NULL segments route null-safely (no silent row loss)") {
+    import spark.implicits._
+    // Spark 3VL: `seg =!= new_seg` is SQL NULL when either side is
+    // NULL, and a NULL predicate row vanishes from BOTH filter
+    // branches — the state-maintenance hazard ADVICE r10 flagged.
+    // Open rows: k=1 seg NULL, k=2 seg "B", k=3 seg NULL.
+    // Updates:   k=1 -> "A" (change), k=2 -> NULL (change),
+    //            k=3 -> NULL (no-op: null <=> null).
+    val state = Seq(
+      (1L, Option.empty[String], 0L, Option.empty[Long]),
+      (2L, Option("B"), 0L, Option.empty[Long]),
+      (3L, Option.empty[String], 0L, Option.empty[Long]))
+      .toDF("k", "seg", "vf", "vt")
+    val updates = Seq(
+      (1L, Option("A")), (2L, Option.empty[String]),
+      (3L, Option.empty[String]))
+      .toDF("k", "new_seg")
+    val out = graft.streaming.Scd2Dim.applyBatch(state, updates, batchId = 4L)
+      .collect()
+    // conservation: no open row may vanish — 3 keys in, each key's
+    // history present, 2 closed + 3 open rows out
+    assert(out.length == 5, s"expected 5 rows (2 closed + 3 open), got " +
+      s"${out.length}: ${out.mkString("; ")}")
+    val open = out.filter(_.isNullAt(3))
+    assert(open.map(_.getLong(0)).sorted.sameElements(Array(1L, 2L, 3L)),
+      "every live key must still have exactly one open row")
+    val k1 = open.find(_.getLong(0) == 1L).get
+    assert(k1.getString(1) == "A" && k1.getLong(2) == 5L,
+      s"k=1 must reopen as A at vf=5, got $k1")
+    assert(open.find(_.getLong(0) == 2L).get.isNullAt(1),
+      "k=2 must reopen with the NULL segment (a real update to NULL)")
+    val k3 = open.find(_.getLong(0) == 3L).get
+    assert(k3.getLong(2) == 0L,
+      s"k=3 NULL->NULL is a no-op; its open row must keep vf=0, got $k3")
+  }
+
+  test("Scd2Dim.applyBatch: conflicting same-key updates in one batch cannot fork history") {
+    import spark.implicits._
+    val state = Seq((7L, "A", 0L, Option.empty[Long])).toDF("k", "seg", "vf", "vt")
+    val updates = Seq((7L, "X"), (7L, "Y")).toDF("k", "new_seg")
+    val out = graft.streaming.Scd2Dim.applyBatch(state, updates, batchId = 1L)
+      .collect()
+    val open = out.filter(_.isNullAt(3))
+    assert(open.length == 1,
+      s"a batch with 2 updates for one key must open exactly 1 row, got " +
+        s"${open.length}: ${out.mkString("; ")}")
+    // deterministic reduction: max(new_seg) wins absent an order column
+    assert(open.head.getString(1) == "Y")
+    assert(out.count(_.getLong(0) == 7L) == 2, "one closed + one open row")
+  }
+
+  test("Scd2Dim.run: an empty update stream returns the base dimension") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scd2empty").toString
+    val in = new java.io.File(s"$tmp/in"); in.mkdirs()
+    val base = Seq((1L, "A", 0L, Option.empty[Long])).toDF("k", "seg", "vf", "vt")
+    val stream = spark.readStream.schema(StructType(Seq(
+        StructField("k", LongType), StructField("new_seg", StringType))))
+      .parquet(s"$in/*.parquet")
+    val out = graft.streaming.Scd2Dim.run(spark, stream, base,
+      s"$tmp/dim", s"$tmp/ckpt")
+    assert(out.collect().map(_.getLong(0)).sameElements(Array(1L)),
+      "zero drained batches must fall back to the base dimension, not throw")
+  }
+
+  test("routeByValidity (st28): null-predicate rows land in exactly one sink — the dead letter") {
+    import spark.implicits._
+    val batch = Seq(
+      (1L, "view", Option(5.0)),   // good
+      (2L, "error", Option(5.0)),  // bad: error type
+      (3L, "view", Option(0.5)),   // bad: low value
+      (4L, "view", Option.empty[Double]), // NULL value -> 3VL NULL predicate
+      (5L, Option.empty[String].orNull, Option(5.0))) // NULL type -> same
+      .toDF("event_id", "event_type", "value")
+    val (bad, good) = graft.streaming.EventStream.routeByValidity(
+      batch, col("event_type") === "error" || col("value") < 1.0)
+    assert(bad.count() + good.count() == batch.count(),
+      "the split must be total: every row in exactly one sink")
+    assert(bad.select("event_id").as[Long].collect().sorted
+      .sameElements(Array(2L, 3L, 4L, 5L)),
+      "null-predicate rows must route to the dead letter (unparseable ≈ invalid)")
+    assert(good.select("event_id").as[Long].collect().sameElements(Array(1L)))
+  }
 }
