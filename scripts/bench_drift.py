@@ -25,27 +25,50 @@ import sys
 
 
 def load(path):
-    with open(path) as f:
-        # artifacts are one JSON object per line; the full record is the
-        # line that carries "queries" (truncation-surviving trailer lines
-        # don't)
-        for line in f:
-            line = line.strip()
-            if not line:
-                continue
-            try:
-                obj = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            if "queries" in obj:
-                return obj
+    # Three artifact shapes exist:
+    #  1. Bench.scala's own file/stdout record: one JSON object per line,
+    #     the full record is the line carrying "queries".
+    #  2. The driver's BENCH_r*.json wrapper: a multi-line object whose
+    #     "tail" field holds a (possibly truncated) fragment of the
+    #     per-query map — recover what pairs survive via regex.
+    #  3. A pretty-printed full record (whole-file json with "queries").
+    text = open(path).read()
+    try:
+        obj = json.loads(text)
+        if "queries" in obj:
+            return obj
+        if "tail" in obj:
+            qs = {m.group(1): float(m.group(2)) for m in re.finditer(
+                r'"([A-Za-z0-9_]+)":(-?\d+\.\d+)', obj["tail"])}
+            qs.pop("value", None)
+            if qs:
+                return {"queries": qs, "value": obj.get("total", "?"),
+                        "partial": True}
+    except json.JSONDecodeError:
+        pass
+    for line in text.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            obj = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if "queries" in obj:
+            return obj
     raise SystemExit(f"no bench record with per-query detail in {path}")
 
 
 def newest_round_artifact(root):
+    # prefer the maintained clean-box reference; fall back to the newest
+    # driver round artifact (whose per-query detail may be partial)
+    ref = os.path.join(root, "BENCH_REF.json")
+    if os.path.exists(ref):
+        return ref
     arts = glob.glob(os.path.join(root, "BENCH_r*.json"))
     if not arts:
-        raise SystemExit("no committed BENCH_r*.json to compare against")
+        raise SystemExit("no committed BENCH_REF.json or BENCH_r*.json "
+                         "to compare against")
 
     def rnum(p):
         m = re.search(r"BENCH_r(\d+)\.json$", p)

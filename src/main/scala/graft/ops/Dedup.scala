@@ -76,6 +76,43 @@ object Dedup {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
+  /** Cross-document boilerplate chunks (the paragraph-dedup step of
+    * CCNet / RefinedWeb — Wenzek et al. 2020, Penedo et al. 2023,
+    * applied at chunk granularity because the synthetic fixture has no
+    * line structure): split every document into consecutive
+    * NON-OVERLAPPING `chunkWords`-word chunks and return each chunk
+    * occurrence tagged with its corpus-wide document frequency —
+    * `(doc_id, chunk_idx, chunk, df)`. Chunks recurring across ≥ k
+    * documents are navigation/header/footer boilerplate; callers
+    * filter on `df` to strip them (removal is ALL occurrences — the
+    * order-free rule that needs no global first-occurrence sort).
+    *
+    * Scale shape: chunking is one map-side `transform` over the token
+    * array (no explode-then-window); the only shuffle is the
+    * chunk-frequency aggregate, which carries DISTINCT (chunk, doc)
+    * rows; the df join back is chunk-keyed and reuses the same hash
+    * partitioning. Partial trailing chunks (< chunkWords words) are
+    * excluded so a short tail can't alias a full chunk. */
+  def boilerplateChunks(docs: DataFrame, idCol: String, textCol: String,
+                        chunkWords: Int = 10): DataFrame = {
+    val w = words(col(textCol))
+    // guard the empty case explicitly: sequence(1, 0) DESCENDS in Spark
+    // ([1, 0]), it does not produce an empty array
+    val nChunks = floor(size(w) / lit(chunkWords)).cast("int")
+    val chunks = docs.select(col(idCol).as("doc_id"),
+        posexplode(when(nChunks >= 1, transform(
+            sequence(lit(1), nChunks),
+            i => array_join(
+              slice(w, (i - 1) * chunkWords + 1, lit(chunkWords)), " ")))
+          .otherwise(array().cast("array<string>"))))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("chunk_idx"),
+        col("col").as("chunk"))
+    val df = chunks.select(col("chunk"), col("doc_id")).distinct()
+      .groupBy(col("chunk")).agg(count(lit(1)).as("df"))
+    chunks.join(df, "chunk")
+      .select(col("doc_id"), col("chunk_idx"), col("chunk"), col("df"))
+  }
+
   /** Directional near-CONTAINMENT pairs: (id_a, id_b, containment)
     * where containment = |grams(a) ∩ grams(b)| / |grams(a)| ≥
     * `threshold` — doc a is (mostly) inside doc b. The asymmetric

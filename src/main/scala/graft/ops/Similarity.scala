@@ -1018,6 +1018,60 @@ object Similarity {
       .parquet(s"$indexDir/cells")
   }
 
+  /** Targeted delete from a [[buildIvfIndex]] layout — the missing leg
+    * of index CRUD (build / append / DELETE / probe): remove `victimIds`
+    * by rewriting ONLY the cell partitions that contain them (q64's
+    * pruned-partition rewrite applied to the index layout); untouched
+    * cells keep their files byte-for-byte, probes see the removal
+    * immediately, and the codebook is untouched (deletion never
+    * retrains — rebuild cadence owns codebook refresh, exactly as for
+    * append drift). No tombstones: an index is DERIVED data whose
+    * source of truth is the corpus table, so a deleted id cannot
+    * "resurrect" except by an explicit re-append, which is a
+    * legitimate re-add. `victimIds` is a bounded external list (the
+    * [[graft.streaming.DedupStore.purge]] contract): takedowns are
+    * thousands, not millions — corpus-scale removal is a rebuild. */
+  def deleteFromIvfIndex(indexDir: String, victimIds: Seq[Long]): Unit = {
+    val spark = SparkSession.active
+    guardIvfIndex(spark, indexDir)
+    require(victimIds.size <= 1000000,
+      s"deleteFromIvfIndex takes a bounded takedown list (got " +
+        s"${victimIds.size} ids, hard cap 1000000) — removing a " +
+        "corpus-scale id set is a rebuild, not a delete")
+    if (victimIds.isEmpty) return
+    val victims = spark.createDataset(victimIds.distinct)(
+      org.apache.spark.sql.Encoders.scalaLong).toDF("vec_id")
+    val cells = spark.read.parquet(s"$indexDir/cells")
+    // discovery: victim buckets only — the broadcast semi-join touches
+    // |victims| rows' cells, the collect is ≤ nCells ints
+    val affected = cells.join(broadcast(victims), "vec_id")
+      .select(col("cell_id")).distinct().collect().map(_.getInt(0)).toSeq
+    if (affected.isEmpty) return
+    val survivors = cells.filter(col("cell_id").isin(affected: _*))
+      .join(broadcast(victims), Seq("vec_id"), "left_anti")
+      .select(col("cell_id"), col("vec_id"), col("q8"), col("q_scale"))
+    // collect surviving partitions BEFORE the rewrite (afterwards the
+    // frame's file listing points at replaced files — q64's lesson),
+    // then dynamic overwrite replaces only affected cell dirs and
+    // fully-purged cells are deleted explicitly
+    val survived = survivors.select(col("cell_id")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      survivors.write.mode("overwrite").partitionBy("cell_id")
+        .parquet(s"$indexDir/cells")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val (fs, _) = graft.streaming.DedupStore.fsRoot(indexDir)
+    (affected.toSet -- survived).foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$indexDir/cells/cell_id=$c"), true): Unit
+    }
+  }
+
   /** Probe a [[buildIvfIndex]] layout: identical semantics to
     * `ivfTopK(..., quantized = true)` with the SAME parameters the
     * index was built with, but the codebook and assignment come off

@@ -1222,5 +1222,113 @@ object AdvancedQueries {
              |  COUNT(DISTINCT l_partkey) AS approx_parts,
              |  COUNT(DISTINCT l_partkey) AS exact_parts
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- sole-blocking supplier (TPC-H Q21 shape: EXISTS + NOT EXISTS) ----
+    // The hardest TPC-H join pattern — two correlated quantifiers over
+    // the fact table's self-relation — adapted to this schema's columns
+    // (no commit/receipt dates): for finalized ('F') orders, a supplier
+    // "blocks" an order when it shipped LATE (> 60 days after the order
+    // date), at least one OTHER supplier contributed to the same order
+    // (EXISTS), and NO other contributor was also late (NOT EXISTS) —
+    // the sole culprit. Both quantifiers compile to the right join
+    // types: EXISTS → left_semi, NOT EXISTS → left_anti, all keyed on
+    // l_orderkey so the three passes co-partition on one exchange
+    // family; the supplier name lookup broadcasts; top-10 via the
+    // TakeOrdered + bounded-rank pattern (q86/t12). Counts are
+    // integer-exact; (order, supplier) pairs are DISTINCT'd first so a
+    // multi-line shipment can't double-count.
+    ("q87_waiting_suppliers",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = Tables.load(s, d, "lineitem")
+        val ord = Tables.load(s, d, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        val late = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        val contributors = li
+          .select(col("l_orderkey").as("c_orderkey"),
+            col("l_suppkey").as("c_suppkey")).distinct()
+        val withOther = late.join(contributors,
+          col("l_orderkey") === col("c_orderkey") &&
+            col("l_suppkey") =!= col("c_suppkey"), "left_semi")
+        val lateOther = late.select(col("l_orderkey").as("x_orderkey"),
+          col("l_suppkey").as("x_suppkey"))
+        val sole = withOther.join(lateOther,
+          col("l_orderkey") === col("x_orderkey") &&
+            col("l_suppkey") =!= col("x_suppkey"), "left_anti")
+        sole.join(broadcast(Tables.load(s, d, "supplier")
+            .select(col("s_suppkey"), col("s_name"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name")).limit(10)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("numwait").desc, col("s_name"))).cast("int"))
+          .orderBy(col("rank"))
+      },
+      Some("""WITH f AS (SELECT o_orderkey, o_orderdate FROM orders
+             |           WHERE o_orderstatus = 'F'),
+             |late AS (SELECT DISTINCT l_orderkey, l_suppkey
+             |         FROM lineitem JOIN f ON l_orderkey = o_orderkey
+             |         WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY),
+             |alls AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+             |sole AS (SELECT late.l_orderkey, late.l_suppkey FROM late
+             |         WHERE EXISTS (SELECT 1 FROM alls a
+             |                       WHERE a.l_orderkey = late.l_orderkey
+             |                         AND a.l_suppkey <> late.l_suppkey)
+             |           AND NOT EXISTS (SELECT 1 FROM late l2
+             |                       WHERE l2.l_orderkey = late.l_orderkey
+             |                         AND l2.l_suppkey <> late.l_suppkey)),
+             |agg AS (SELECT s_name, COUNT(*) AS numwait
+             |        FROM sole JOIN supplier ON l_suppkey = s_suppkey
+             |        GROUP BY 1)
+             |SELECT s_name, numwait, CAST(rank AS INT) AS rank FROM (
+             |  SELECT s_name, numwait,
+             |    row_number() OVER (ORDER BY numwait DESC, s_name) AS rank
+             |  FROM agg)
+             |WHERE rank <= 10 ORDER BY rank""".stripMargin)),
+
+    // ---- small-quantity revenue (TPC-H Q17 shape: correlated avg) ---------
+    // The "fringe order" revenue probe: lineitems of one brand's parts
+    // whose quantity is below 20% of that PART's average quantity —
+    // Q17's correlated scalar subquery, planned Spark-style as a
+    // per-part (sum, count) aggregate joined back to the brand's
+    // lineitems (both sides pre-pruned by the BROADCAST part filter,
+    // so the fact table is scanned once and only brand rows shuffle).
+    // The 0.2·avg compare never materializes a float: quantities are
+    // integral, so qty < sum/(5·cnt) cross-multiplies to
+    // 5·qty·cnt < sum — the q76/t15 integer-gate discipline. Revenue
+    // sums in DECIMAL(18,2) with ONE final IEEE divide by 7.0 (the
+    // c04 rule), so the oracle reproduces the float bit-for-bit.
+    ("q88_small_qty_revenue",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.types.DecimalType
+        val parts = Tables.load(s, d, "part")
+          .filter(col("p_brand") === "Brand#1").select(col("p_partkey"))
+        val brandLi = Tables.load(s, d, "lineitem")
+          .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+          .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+            col("l_extendedprice"))
+        val stats = brandLi.groupBy(col("l_partkey"))
+          .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("cnt"))
+        brandLi.join(stats, "l_partkey")
+          .filter(col("qty") * 5L * col("cnt") < col("sum_qty"))
+          .agg(count(lit(1)).as("n_small"),
+            round(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+              .cast("double") / 7.0, 2).as("avg_yearly"))
+      },
+      Some("""WITH p AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'),
+             |bl AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+             |         l_extendedprice
+             |       FROM lineitem JOIN p ON l_partkey = p_partkey),
+             |st AS (SELECT l_partkey, SUM(qty) AS sum_qty, COUNT(*) AS cnt
+             |       FROM bl GROUP BY 1)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+             |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             |        / 7.0, 2) AS avg_yearly
+             |FROM bl JOIN st USING (l_partkey)
+             |WHERE qty * 5 * cnt < sum_qty""".stripMargin)),
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Curation, Dedup, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, Similarity, TextAnalysis, TrainingPrep}
 
 /** North-star operator inventory: dedup family, similarity search, text
   * analysis, JSON extraction, rollup (builder prompt; SURVEY.md §0/§7.2
@@ -1140,6 +1140,104 @@ object NorthStarQueries {
              |WHERE rank <= 5
              |ORDER BY query_id, rank""".stripMargin)),
 
+    // ---- similarity: index DELETE, then probe (takedown on the index) -----
+    // The missing leg of index CRUD after s08 (build+probe) and s11
+    // (append): a takedown list of vec_ids is REMOVED from the
+    // persisted index by rewriting only the cell partitions that
+    // contain victims (Similarity.deleteFromIvfIndex — q64's pruned
+    // partition rewrite on the index layout; untouched cells keep
+    // their files, spec-asserted), and the probe immediately stops
+    // returning them. The codebook never retrains on delete — same
+    // rebuild-cadence contract as append drift. Each run COPIES the
+    // shared base index (st21's rule: mutation stays per-run, training
+    // stays amortized). Oracle: s08's certified codebook CTE with
+    // victims (vec_id ≡ 3 mod 10) excluded from the candidate
+    // assignment — exactly the post-delete index content.
+    ("s19_index_delete_probe",
+      (s: SparkSession, d: String) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_s19").toString
+        val idx = s"$tmp/index"
+        val base = ensureIvfIndex(s, d)
+        val conf = s.sessionState.newHadoopConf()
+        val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
+        org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(base),
+          fs, new org.apache.hadoop.fs.Path(idx), false, conf)
+        val emb = Tables.load(s, d, "embeddings")
+        // bounded external takedown list (the q64/purge contract),
+        // fixture-derived deterministically
+        val victims = emb.filter(col("vec_id") % 10 === 3)
+          .select(col("vec_id")).orderBy(col("vec_id")).limit(10000)
+          .collect().map(_.getLong(0)).toSeq
+        Similarity.deleteFromIvfIndex(idx, victims)
+        val queries = emb
+          .filter(col("vec_id") >= 40 && col("vec_id") < 50 &&
+            col("vec_id") % 10 =!= 3)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+        Similarity.ivfIndexTopK(idx, emb.select("vec_id", "embedding"),
+            queries, k = 5, nProbe = 4, rescore = 32)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH e AS (SELECT vec_id, v FROM
+             |        (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+             |      WHERE len(v) > 0 AND list_inner_product(v, v) > 0),
+             |c0 AS (SELECT vec_id AS cell_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+             |a0 AS (SELECT vec_id, cell_id FROM (
+             |        SELECT e.vec_id, c0.cell_id,
+             |          row_number() OVER (PARTITION BY e.vec_id
+             |            ORDER BY round(list_cosine_similarity(e.v, c0.cv), 6) DESC, c0.cell_id) AS rn
+             |        FROM e CROSS JOIN c0)
+             |      WHERE rn = 1),
+             |x1 AS (SELECT a0.cell_id, u.i, e.v[CAST(u.i AS INT)] AS xv
+             |      FROM a0 JOIN e USING (vec_id),
+             |           unnest(range(1, len(e.v) + 1)) AS u(i)),
+             |m1 AS (SELECT cell_id,
+             |        list(CAST(CAST(mx AS FLOAT) AS DOUBLE) ORDER BY i) AS mv
+             |      FROM (SELECT cell_id, i, round(avg(xv), 6) AS mx
+             |            FROM x1 GROUP BY 1, 2)
+             |      GROUP BY 1),
+             |c1 AS (SELECT c0.cell_id, coalesce(m1.mv, c0.cv) AS cv
+             |       FROM c0 LEFT JOIN m1 USING (cell_id)),
+             |a1 AS (SELECT vec_id, cell_id FROM (
+             |        SELECT e.vec_id, c1.cell_id,
+             |          row_number() OVER (PARTITION BY e.vec_id
+             |            ORDER BY round(list_cosine_similarity(e.v, c1.cv), 6) DESC, c1.cell_id) AS rn
+             |        FROM e CROSS JOIN c1)
+             |      WHERE rn = 1),
+             |x2 AS (SELECT a1.cell_id, u.i, e.v[CAST(u.i AS INT)] AS xv
+             |      FROM a1 JOIN e USING (vec_id),
+             |           unnest(range(1, len(e.v) + 1)) AS u(i)),
+             |m2 AS (SELECT cell_id,
+             |        list(CAST(CAST(mx AS FLOAT) AS DOUBLE) ORDER BY i) AS mv
+             |      FROM (SELECT cell_id, i, round(avg(xv), 6) AS mx
+             |            FROM x2 GROUP BY 1, 2)
+             |      GROUP BY 1),
+             |c AS (SELECT c1.cell_id, coalesce(m2.mv, c1.cv) AS cv
+             |      FROM c1 LEFT JOIN m2 USING (cell_id)),
+             |a AS (SELECT vec_id, cell_id FROM (
+             |        SELECT e.vec_id, c.cell_id,
+             |          row_number() OVER (PARTITION BY e.vec_id
+             |            ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell_id) AS rn
+             |        FROM e CROSS JOIN c)
+             |      WHERE rn = 1),
+             |p AS (SELECT query_id, cell_id FROM (
+             |        SELECT q.vec_id AS query_id, c.cell_id,
+             |          row_number() OVER (PARTITION BY q.vec_id
+             |            ORDER BY round(list_cosine_similarity(q.v, c.cv), 6) DESC, c.cell_id) AS rn
+             |        FROM e q CROSS JOIN c
+             |        WHERE q.vec_id >= 40 AND q.vec_id < 50 AND q.vec_id % 10 <> 3)
+             |      WHERE rn <= 4)
+             |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+             |  SELECT p.query_id, a.vec_id AS neighbor_id,
+             |    round(list_cosine_similarity(q.v, n.v), 6) AS cos_sim,
+             |    row_number() OVER (PARTITION BY p.query_id
+             |      ORDER BY round(list_cosine_similarity(q.v, n.v), 6) DESC, a.vec_id) AS rank
+             |  FROM p JOIN a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
+             |               AND a.vec_id % 10 <> 3
+             |  JOIN e q ON q.vec_id = p.query_id
+             |  JOIN e n ON n.vec_id = a.vec_id)
+             |WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)),
+
     // ---- similarity: INCREMENTAL index growth (append, then probe) --------
     // How IVF deployments actually grow (FAISS add): the index is
     // trained and built from the corpus AT BUILD TIME (the even
@@ -1739,5 +1837,50 @@ object NorthStarQueries {
              |       LEFT JOIN r2 r ON r.id = e.src
              |       GROUP BY nodes.id)
              |SELECT id AS doc_id, rank FROM r3 ORDER BY doc_id""".stripMargin)),
+
+    // ---- split-leakage audit (the measurement that motivates q67) ---------
+    // How contaminated is a NAIVE per-document train/val split? Count
+    // near-duplicate pairs (d09's exact-substring criterion) whose two
+    // members land on opposite sides of the q40-style hash split — each
+    // such pair is a val document whose near-copy was trained on, i.e.
+    // leaked evaluation signal. q67 fixes this by splitting on duplicate
+    // CLUSTERS; c06 is the audit a pipeline runs to prove it needed to.
+    // Integer-only output (pair counts); the split arithmetic is
+    // TrainingPrep.splitAssign's certified Lehmer hash, replayed
+    // verbatim by the oracle. Scale shape: pair generation is the
+    // bounded d09 gram join, the split tag is one map-side expression
+    // per pair side, and the audit aggregate is a single row.
+    ("c06_split_leakage_audit",
+      (s: SparkSession, d: String) => {
+        val pairs = Dedup.substringNearDupPairs(
+          Tables.load(s, d, "documents"), "doc_id", "text", n = 8)
+        val sa = TrainingPrep.splitAssign(col("id_a"), 90)
+        val sb = TrainingPrep.splitAssign(col("id_b"), 90)
+        pairs.agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(sa =!= sb, 1L).otherwise(0L)).as("n_cross"),
+          sum(when(sa === "val" && sb === "val", 1L).otherwise(0L))
+            .as("n_val_only"))
+      },
+      Some("""WITH w AS (SELECT doc_id,
+             |    string_split_regex(lower(text), '\s+') AS w FROM documents),
+             |g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+             |      FROM w, unnest(range(1, greatest(len(w)-6, 1))) AS u(i)),
+             |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+             |sp AS (SELECT
+             |    CASE WHEN (((id_a * 48271) % 2147483647 + 2147483647)
+             |               % 2147483647) % 100 < 90
+             |      THEN 'train' ELSE 'val' END AS sa,
+             |    CASE WHEN (((id_b * 48271) % 2147483647 + 2147483647)
+             |               % 2147483647) % 100 < 90
+             |      THEN 'train' ELSE 'val' END AS sb
+             |  FROM p)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             |  CAST(SUM(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_cross,
+             |  CAST(SUM(CASE WHEN sa = 'val' AND sb = 'val' THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_val_only
+             |FROM sp""".stripMargin)),
   )
 }

@@ -1616,6 +1616,73 @@ object StreamMediaQueries {
              |  WHERE NOT COALESCE(event_type = 'error' OR value < 1.0, TRUE))
              |ORDER BY sink""".stripMargin)),
 
+    // ---- streaming decontamination gate (q51 at ingest time) --------------
+    // q51 decontaminates a corpus at rest; a production crawl gates at
+    // INGEST so a contaminated doc never lands in the training table at
+    // all. Per micro-batch: the arriving docs' 5-grams join the
+    // broadcast eval gram set (the bounded external benchmark — q51's
+    // fixture slice), hits route to quarantine, the rest to the main
+    // table — st28's two-sink exactly-once recipe (per-batch overwrite
+    // dirs). The decision is per-document against a FIXED eval set, so
+    // sink contents are arrival-batching-invariant — which is exactly
+    // what the batch oracle certifies. At 100 TB the per-batch cost is
+    // one map-side broadcast join over the batch, never a corpus scan:
+    // the gate's work tracks the crawl rate, not the corpus size.
+    ("st30_stream_decontaminate",
+      (s: SparkSession, d: String) => {
+        import graft.ops.Dedup
+        val tmp = java.nio.file.Files.createTempDirectory("graft_st30").toString
+        val mainDir = s"$tmp/main"; val qDir = s"$tmp/quarantine"
+        val evalSet = Tables.load(s, d, "documents")
+          .filter(col("doc_id") % 23 === 0).select("doc_id", "text")
+        val inDir = ensureDedupStreamInput(s, d)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType)))
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$inDir/part-*")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val flagged = Dedup.contaminatedDocs(
+              batch, evalSet, "doc_id", "text", n = 5).select(col("doc_id"))
+            batch.join(flagged, Seq("doc_id"), "left_semi")
+              .write.mode("overwrite").parquet(s"$qDir/batch_$batchId")
+            batch.join(flagged, Seq("doc_id"), "left_anti")
+              .write.mode("overwrite").parquet(s"$mainDir/batch_$batchId")
+          }
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val main = s.read.parquet(s"$mainDir/batch_*")
+          .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_checksum"))
+          .select(lit("main").as("sink"), col("n_docs"), col("id_checksum"))
+        val quar = s.read.parquet(s"$qDir/batch_*")
+          .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_checksum"))
+          .select(lit("quarantine").as("sink"), col("n_docs"), col("id_checksum"))
+        main.unionAll(quar).orderBy(col("sink"))
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id,
+             |    unnest(list_distinct(list_transform(
+             |      range(1, greatest(len(w) - 3, 1)),
+             |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS gram
+             |  FROM (SELECT doc_id,
+             |          string_split_regex(lower(text), '\s+') AS w FROM documents)),
+             |e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 23 = 0),
+             |bad AS (SELECT DISTINCT g.doc_id FROM g JOIN e USING (gram))
+             |SELECT sink, n_docs, id_checksum FROM (
+             |  SELECT 'main' AS sink, COUNT(*) AS n_docs,
+             |    CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+             |  FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+             |  UNION ALL
+             |  SELECT 'quarantine', COUNT(*),
+             |    CAST(SUM(doc_id) AS BIGINT)
+             |  FROM documents WHERE doc_id IN (SELECT doc_id FROM bad))
+             |ORDER BY sink""".stripMargin)),
+
     // ---- streaming dataset-card maintenance (incremental rollup) ----------
     // c04's datasheet kept CURRENT as the crawl streams in: per-doc
     // scoring (t03 lang-id, t01 tokens, t02 quality) happens in the

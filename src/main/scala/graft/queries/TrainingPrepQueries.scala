@@ -986,6 +986,46 @@ object TrainingPrepQueries {
              |  UNION ALL SELECT 'all_pass', nk FROM a)
              |ORDER BY rule""".stripMargin)),
 
+    // ---- cross-document boilerplate chunk report (paragraph dedup) --------
+    // The CCNet/RefinedWeb line-dedup step (Wenzek et al. 2020, Penedo
+    // et al. 2023) at chunk granularity — the fixture has no newline
+    // structure, so consecutive non-overlapping 10-word chunks stand in
+    // for lines: a chunk recurring across ≥ 3 documents is
+    // navigation/header boilerplate and every occurrence is flagged
+    // (the order-free removal rule — no global first-occurrence sort).
+    // Distinct from q51 (eval-set contamination) and d09 (doc-level dup
+    // pairs): this finds INTRA-corpus repeated fragments inside
+    // otherwise-distinct documents. Scale shape (Dedup
+    // .boilerplateChunks): chunking is map-side transform over the
+    // token array, the one shuffle is the chunk-df aggregate over
+    // DISTINCT (chunk, doc) rows, and the df join back is chunk-keyed.
+    // All counts integer-exact.
+    ("t16_boilerplate_chunks",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.load(s, d, "documents")
+        Dedup.boilerplateChunks(docs, "doc_id", "text", chunkWords = 10)
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("df") >= 3, 1L).otherwise(0L)).as("n_boiler_chunks"),
+            countDistinct(when(col("df") >= 3, col("doc_id"))).as("n_docs_hit"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH w AS (SELECT doc_id, source,
+             |    string_split_regex(lower(text), '\s+') AS w FROM documents),
+             |ch AS (SELECT doc_id, source,
+             |         array_to_string(w[(i-1)*10+1 : (i-1)*10+10], ' ') AS chunk
+             |       FROM w, unnest(range(1, len(w)//10 + 1)) AS u(i)),
+             |df AS (SELECT chunk, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+             |       FROM ch GROUP BY 1)
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             |  CAST(SUM(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_boiler_chunks,
+             |  CAST(COUNT(DISTINCT CASE WHEN df >= 3 THEN doc_id END) AS BIGINT)
+             |    AS n_docs_hit
+             |FROM ch JOIN df USING (chunk)
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
     // ---- streaming drain to a parquet file sink (Append + watermark) ------
     // The scale-path streaming story as an oracle-checked query: only
     // watermark-finalized windows land in the sink.

@@ -909,6 +909,63 @@ class DedupSimilaritySpec extends SparkSpec {
       e2.getMessage.contains("cells/ lacks"), e2.getMessage)
   }
 
+  test("index delete: victims vanish from probes, untouched cells keep their files") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val corpus = (0 until 96).map(i =>
+        (i.toLong, Array.fill(8)(rnd.nextFloat()).toSeq))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_idxdel").toString
+    val idx = s"$tmp/index"
+    Similarity.buildIvfIndex(corpus, idx, nCells = 8, trainIters = 2)
+    def files(): Map[String, Set[String]] = {
+      val cells = new java.io.File(s"$idx/cells")
+      cells.listFiles().filter(_.getName.startsWith("cell_id=")).map { d =>
+        d.getName -> d.listFiles().map(_.getName)
+          .filter(n => !n.startsWith(".") && !n.startsWith("_")).toSet
+      }.toMap
+    }
+    val before = files()
+    val assigned = spark.read.parquet(s"$idx/cells")
+      .select(col("vec_id"), col("cell_id")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // victims: every vector in ONE chosen cell plus a couple elsewhere —
+    // exercises both the fully-purged-cell path and the partial rewrite
+    val fullCell = assigned.groupBy(_._2).minBy { case (c, m) => (m.size, c) }._1
+    val victims = (assigned.filter(_._2 == fullCell).keys.toSeq ++
+      assigned.filterNot(_._2 == fullCell).keys.toSeq.sorted.take(2)).distinct
+    Similarity.deleteFromIvfIndex(idx, victims)
+    val after = files()
+    // 1) the fully-victim cell directory is GONE (no silent survival)
+    assert(!after.contains(s"cell_id=$fullCell"),
+      s"fully-purged cell cell_id=$fullCell must be deleted: ${after.keys}")
+    // 2) untouched cells keep their files byte-for-byte (by name)
+    val touched = victims.map(assigned).toSet
+    before.foreach { case (cell, fs0) =>
+      val c = cell.stripPrefix("cell_id=").toInt
+      if (!touched.contains(c))
+        assert(after(cell) == fs0, s"untouched $cell was rewritten")
+    }
+    // 3) the index no longer contains any victim
+    val left = spark.read.parquet(s"$idx/cells")
+      .select("vec_id").as[Long].collect().toSet
+    assert(victims.forall(v => !left.contains(v)), "victim survived the delete")
+    assert(left.size == 96 - victims.size, "a non-victim was lost")
+    // 4) probes never return a victim
+    val queries = corpus.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val hits = Similarity.ivfIndexTopK(idx, corpus, queries,
+        k = 5, nProbe = 4, rescore = 32)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(victims.forall(v => !hits.contains(v)),
+      "a deleted vector came back from a probe")
+    // 5) empty + unknown-id deletes are no-ops
+    Similarity.deleteFromIvfIndex(idx, Seq.empty)
+    Similarity.deleteFromIvfIndex(idx, Seq(99999L))
+    assert(files() == after)
+  }
+
   test("c02's cluster map is identical through the forced distributed CC path") {
     // the c02/c03 queries go through connectedComponents' default
     // threshold (driver union-find at fixture scale); the 100 TB claim
@@ -996,6 +1053,33 @@ class DedupSimilaritySpec extends SparkSpec {
     val plan = realDf.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"substring dedup must block on the gram key:\n$plan")
+  }
+
+  test("boilerplate chunks: df counts documents, partial tails excluded, empty docs safe") {
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"nav$i").mkString(" ") // one exact chunk
+    val corpus = Seq(
+      (1L, s"$boiler unique one two three four five six seven eight nine"),
+      (2L, s"$boiler different tail that is not a full chunk"),
+      (3L, s"$boiler $boiler"), // boilerplate twice in ONE doc
+      (4L, "totally fresh words with no shared fragment at all right here"),
+      (5L, "short doc"), // < 10 words: zero chunks
+      (6L, "")) // empty: zero chunks, must not explode sequence(1, 0)
+      .toDF("doc_id", "text")
+    val ch = Dedup.boilerplateChunks(corpus, "doc_id", "text", chunkWords = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    // df counts DOCUMENTS (3), not occurrences (4)
+    val b = ch.filter(_._3 == boiler)
+    assert(b.length == 4 && b.forall(_._4 == 3L),
+      s"boiler chunk must appear 4 times with df=3: ${b.mkString(",")}")
+    // doc 3: two chunk instances, idx 1 and 2
+    assert(ch.filter(_._1 == 3L).map(_._2).sorted.sameElements(Array(1, 2)))
+    // partial tails never become chunks: doc 2 has exactly one chunk
+    assert(ch.count(_._1 == 2L) == 1)
+    // short/empty docs contribute nothing and nothing throws
+    assert(!ch.exists(r => r._1 == 5L || r._1 == 6L))
+    // a clean doc's chunks all have df = 1
+    assert(ch.filter(_._1 == 4L).forall(_._4 == 1L))
   }
 
   test("kNN self-join (shipped s04): quantized scan equals brute force exactly") {
