@@ -1330,5 +1330,85 @@ object AdvancedQueries {
              |        / 7.0, 2) AS avg_yearly
              |FROM bl JOIN st USING (l_partkey)
              |WHERE qty * 5 * cnt < sum_qty""".stripMargin)),
+
+    // ---- deterministic weighted sample (priority sampling) ----------------
+    // Token-weighted corpus subsampling — "sample k docs, long docs
+    // proportionally more likely" — as PRIORITY SAMPLING (Duffield,
+    // Lund & Thorup, JACM 2007): priority = w/u with u uniform in
+    // (0, 1], take the top k priorities. u comes from the house Lehmer
+    // hash ((bucket+1)/10⁶ — RNG-free, stable under corpus append,
+    // engine-portable), so the sample is reproducible across runs AND
+    // engines. Float discipline: w·10⁶ is an exact double (≪ 2^53),
+    // the single IEEE divide by (bucket+1) is bit-identical in DuckDB,
+    // ties break by doc_id. Scale shape: priority is one map-side
+    // expression, selection is TakeOrderedAndProject — no shuffle
+    // beyond the top-k tree aggregate, the q74/t12 discipline.
+    ("q89_priority_sample",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = graft.ops.TextAnalysis.tokenCount(col("text")).cast("long")
+        val u = graft.ops.TrainingPrep.hashBucket(col("doc_id"), 1000000) + 1L
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), w.as("n_tokens"),
+            (w.cast("double") * 1000000.0 / u.cast("double")).as("priority"))
+          .orderBy(col("priority").desc, col("doc_id")).limit(20)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("priority").desc, col("doc_id"))).cast("int"))
+          .select(col("rank"), col("doc_id"), col("n_tokens"))
+          .orderBy(col("rank"))
+      },
+      Some("""WITH x AS (
+             |  SELECT doc_id,
+             |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+             |      AS n_tokens,
+             |    (((doc_id * 48271) % 2147483647 + 2147483647) % 2147483647)
+             |      % 1000000 + 1 AS u
+             |  FROM documents),
+             |p AS (SELECT doc_id, n_tokens,
+             |        CAST(n_tokens AS DOUBLE) * 1000000.0 / CAST(u AS DOUBLE)
+             |          AS priority
+             |      FROM x)
+             |SELECT CAST(rank AS INT) AS rank, doc_id, n_tokens FROM (
+             |  SELECT doc_id, n_tokens,
+             |    row_number() OVER (ORDER BY priority DESC, doc_id) AS rank
+             |  FROM p)
+             |WHERE rank <= 20 ORDER BY rank""".stripMargin)),
+
+    // ---- supply-concentration profile (Q20-family nested aggregates) ------
+    // Single-source-risk audit: for every part, the TOP supplier's
+    // share of that part's shipped quantity, reported as a percent
+    // histogram across parts — the shape a procurement/risk dashboard
+    // wants ("how many parts are >N% single-sourced?"). The
+    // Q20-family nested-aggregate pattern: an inner per-(part,
+    // supplier) rollup, a per-part total + max over it (both reuse the
+    // l_partkey exchange — the second aggregate is a subset-key
+    // regroup, no new shuffle of the fact table), and an integer share
+    // (permille via `div`, so no float ever forms) bucketed to
+    // percent-deciles. Output is ≤ 11 rows at any scale.
+    ("q90_supply_concentration",
+      (s: SparkSession, d: String) => {
+        val li = Tables.load(s, d, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"),
+            col("l_quantity").cast("long").as("qty"))
+        val sq = li.groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(col("qty")).as("sq"))
+        val top = sq.groupBy(col("l_partkey"))
+          .agg(max(col("sq")).as("maxsq"), sum(col("sq")).as("tq"))
+        top.select(expr("(maxsq * 1000) div tq").as("permille"))
+          .select((expr("permille div 100") * 10).cast("int").as("pct_bucket"))
+          .groupBy(col("pct_bucket"))
+          .agg(count(lit(1)).as("n_parts"))
+          .orderBy(col("pct_bucket"))
+      },
+      Some("""WITH li AS (SELECT l_partkey, l_suppkey,
+             |         CAST(l_quantity AS BIGINT) AS qty FROM lineitem),
+             |sq AS (SELECT l_partkey, l_suppkey, SUM(qty) AS sq
+             |       FROM li GROUP BY 1, 2),
+             |top AS (SELECT l_partkey, MAX(sq) AS maxsq, SUM(sq) AS tq
+             |        FROM sq GROUP BY 1)
+             |SELECT CAST(((maxsq * 1000) // tq // 100) * 10 AS INT)
+             |         AS pct_bucket,
+             |  CAST(COUNT(*) AS BIGINT) AS n_parts
+             |FROM top GROUP BY 1 ORDER BY pct_bucket""".stripMargin)),
   )
 }

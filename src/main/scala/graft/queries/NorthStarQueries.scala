@@ -1838,6 +1838,61 @@ object NorthStarQueries {
              |       GROUP BY nodes.id)
              |SELECT id AS doc_id, rank FROM r3 ORDER BY doc_id""".stripMargin)),
 
+    // ---- triangle count over the near-dup graph ---------------------------
+    // The clustering-coefficient numerator: triangles in c05's
+    // similarity graph separate tight duplicate CLIQUES (template
+    // families — every pair similar) from star-shaped chains (one hub
+    // loosely similar to many spokes), which CC alone cannot tell
+    // apart — a curation signal for "remove the whole template family"
+    // vs "keep the spokes". Plan is the canonical distributed
+    // triangle join (each edge oriented LOW id → HIGH id once, so
+    // every triangle a<b<c is counted exactly once): wedges from
+    // e ⋈ e on the middle node, closed by a semi join back to the
+    // edge set — three hash joins on node keys, never a cartesian. At
+    // 100 TB-graph scale the orientation would flip to degree order
+    // (low-degree source), the standard skew bound for the wedge join
+    // (Suri & Vassilvitskii, WWW'11); id order is the fixture regime
+    // and keeps the oracle in plain SQL.
+    ("c07_triangle_count",
+      (s: SparkSession, d: String) => {
+        val pairs = Dedup.prefixJaccardPairs(Tables.load(s, d, "documents"),
+            "doc_id", "text", n = 2, prefixLen = 50, maxBucket = 0)
+          .filter(col("jaccard") >= 0.3)
+          .select(col("id_a"), col("id_b"))
+          .localCheckpoint()
+        val e = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+        val wedges = e.join(
+          e.select(col("a").as("b"), col("b").as("c")), "b")
+        val triangles = wedges.join(
+          e.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+        val nodes = pairs.select(col("id_a").as("id"))
+          .unionAll(pairs.select(col("id_b").as("id"))).distinct()
+        nodes.agg(count(lit(1)).as("n_nodes"))
+          .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+          .crossJoin(triangles.agg(count(lit(1)).as("n_triangles")))
+      },
+      Some("""WITH grams AS (
+             |  SELECT doc_id, substr(text, 1, 50) AS pfx,
+             |    list_distinct(list_transform(range(1, greatest(len(w), 2)),
+             |                  i -> w[i] || ' ' || w[i+1])) AS g
+             |  FROM (SELECT doc_id, text,
+             |          string_split_regex(lower(text), '\s+') AS w FROM documents)),
+             |pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM grams a JOIN grams b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+             |        / len(list_distinct(a.g || b.g)) >= 0.3),
+             |e AS (SELECT id_a AS a, id_b AS b FROM pairs),
+             |tri AS (SELECT e1.a, e1.b, e2.b AS c
+             |        FROM e e1 JOIN e e2 ON e2.a = e1.b
+             |        WHERE EXISTS (SELECT 1 FROM e e3
+             |                      WHERE e3.a = e1.a AND e3.b = e2.b))
+             |SELECT
+             |  (SELECT CAST(COUNT(DISTINCT id) AS BIGINT) FROM
+             |    (SELECT a AS id FROM e UNION ALL SELECT b FROM e)) AS n_nodes,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS n_triangles""".stripMargin)),
+
     // ---- split-leakage audit (the measurement that motivates q67) ---------
     // How contaminated is a NAIVE per-document train/val split? Count
     // near-duplicate pairs (d09's exact-substring criterion) whose two

@@ -956,6 +956,36 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("q87 sole-blocking supplier: quantifiers plan as semi/anti joins, name lookup broadcasts") {
+    spark.catalog.clearCache()
+    val plan = planOf(SparkEntry.queries("q87_waiting_suppliers")(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("LeftSemi"),
+      s"EXISTS must compile to a semi join:\n${finalPlan.take(4000)}")
+    assert(finalPlan.contains("LeftAnti"),
+      s"NOT EXISTS must compile to an anti join:\n${finalPlan.take(4000)}")
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"the supplier-name lookup must broadcast:\n${finalPlan.take(4000)}")
+    // no quantifier may degenerate into a nested-loop scan of the fact
+    assert(!finalPlan.contains("CartesianProduct"),
+      s"cartesian product in the quantifier plan:\n${finalPlan.take(4000)}")
+  }
+
+  test("q88 small-qty revenue: brand prune broadcasts before the fact scan shuffles") {
+    spark.catalog.clearCache()
+    val plan = planOf(SparkEntry.queries("q88_small_qty_revenue")(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"the brand part-key filter must broadcast into the lineitem scan:\n${
+        finalPlan.take(4000)}")
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoopJoin"),
+      s"degenerate join in the plan:\n${finalPlan.take(4000)}")
+    // the result itself: one row, integer count, 2-dp revenue
+    val r = SparkEntry.queries("q88_small_qty_revenue")(spark, sf).head()
+    assert(r.getLong(0) >= 0L)
+  }
+
   test("t12 BM25: top-10 via TakeOrderedAndProject, never a corpus-wide window") {
     // the round-10 regression's structural half: an unpartitioned
     // row_number window funnels the whole scored corpus through ONE
