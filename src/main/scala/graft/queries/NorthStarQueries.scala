@@ -1354,6 +1354,59 @@ object NorthStarQueries {
              |WHERE rank <= 5
              |ORDER BY label, rank""".stripMargin)),
 
+    // ---- similarity: multi-vector MaxSim retrieval (late interaction) -----
+    // The ColBERT-family scoring shape (Khattab & Zaharia, SIGIR'20):
+    // a query is a SET of vectors and a document's score is the MAX
+    // similarity over them — paraphrase coverage a single pooled
+    // vector loses. Fixture: vec_ids 0–8 form three 3-vector queries
+    // (query_id = vec_id div 3) against the rest of the corpus. Plan:
+    // the query set is broadcast (bounded — real query batches are),
+    // the corpus is scanned ONCE, per-(query, doc) max folds the
+    // |query vectors| factor map-side before any shuffle, and the
+    // per-query rank window partitions on query_id over the scored
+    // frame (at index scale the candidates arrive cell-pruned via s08
+    // first — the window's input is bounded either way). Per-vector
+    // similarities round to 6 dp BEFORE the max, so reduction order
+    // cannot leak a float difference.
+    ("s20_maxsim_topk",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.functions.CosineSimilarity.cosineSim
+        val emb = Tables.load(s, d, "embeddings")
+        val qv = emb.filter(col("vec_id") < 9)
+          .select(expr("vec_id div 3").as("query_id"),
+            col("embedding").as("q_emb"))
+        val scored = emb.filter(col("vec_id") >= 9)
+          .crossJoin(broadcast(qv))
+          .select(col("query_id"), col("vec_id"),
+            round(cosineSim(col("embedding"), col("q_emb")), 6).as("cs"))
+          .filter(!isnan(col("cs")))
+          .groupBy(col("query_id"), col("vec_id"))
+          .agg(max(col("cs")).as("maxsim"))
+        scored.withColumn("rank", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("maxsim").desc, col("vec_id"))).cast("int"))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            col("maxsim"), col("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH e AS (SELECT vec_id, v FROM
+             |        (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+             |      WHERE len(v) > 0 AND list_inner_product(v, v) > 0),
+             |qv AS (SELECT vec_id // 3 AS query_id, v FROM e WHERE vec_id < 9),
+             |sc AS (SELECT qv.query_id, e.vec_id,
+             |         MAX(round(list_cosine_similarity(e.v, qv.v), 6)) AS maxsim
+             |       FROM e CROSS JOIN qv WHERE e.vec_id >= 9
+             |       GROUP BY 1, 2)
+             |SELECT query_id, vec_id AS neighbor_id, maxsim,
+             |  CAST(rank AS INT) AS rank FROM (
+             |  SELECT query_id, vec_id, maxsim,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY maxsim DESC, vec_id) AS rank
+             |  FROM sc)
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     // ---- similarity: hybrid retrieval (BM25 ⊕ cosine, RRF fusion) ---------
     // Lexical and vector retrieval answer different failure modes
     // (exact terms vs paraphrase), so production search fuses them.

@@ -47,6 +47,63 @@ object SourceFormatQueries {
              |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // ---- malformed-CSV quarantine read (PERMISSIVE + corrupt column) ------
+    // Real crawls deliver broken records; the ingest contract is
+    // q76/st28's: count them, keep them inspectable, never let them
+    // poison the table OR vanish. The fixture stages a CSV in which
+    // doc_id ≡ 0 (mod 13) rows carry an unparseable numeric field;
+    // the read runs PERMISSIVE with columnNameOfCorruptRecord, so a
+    // malformed row surfaces as (parsed-what-we-could, raw record) and
+    // the summary splits good/quarantined with an id checksum — one
+    // misrouted row breaks the hash. localCheckpoint before filtering
+    // on the corrupt column: Spark (correctly) refuses plans that
+    // filter a lazily-parsed corrupt column in place. Parsing is
+    // per-file map-side; the oracle never reads the CSV — it replays
+    // the corruption rule from the source table, certifying the
+    // PERMISSIVE parse recovered every parseable field.
+    ("q91_corrupt_csv_quarantine",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.types._
+        val dir = java.nio.file.Files.createTempDirectory("graft_badcsv").toString
+        val docs = Tables.load(s, d, "documents")
+        docs.select(concat_ws(",",
+            col("doc_id"),
+            when(col("doc_id") % 13 === 0, lit("NOT_A_NUMBER"))
+              .otherwise(graft.ops.TextAnalysis.tokenCount(col("text"))
+                .cast("long").cast("string")),
+            col("lang")).as("value"))
+          .write.mode("overwrite").text(dir)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("n_tokens", LongType),
+          StructField("lang", StringType),
+          StructField("_corrupt_record", StringType)))
+        val parsed = s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .csv(dir)
+          .localCheckpoint()
+        parsed.agg(
+          sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L))
+            .as("n_good"),
+          sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+            .as("n_quarantined"),
+          sum(when(col("_corrupt_record").isNull, col("doc_id")))
+            .as("good_id_sum"),
+          sum(when(col("_corrupt_record").isNull, col("n_tokens")))
+            .as("good_token_sum"))
+      },
+      Some("""SELECT
+             |  CAST(SUM(CASE WHEN doc_id % 13 <> 0 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_good,
+             |  CAST(SUM(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_quarantined,
+             |  CAST(SUM(CASE WHEN doc_id % 13 <> 0 THEN doc_id END)
+             |    AS BIGINT) AS good_id_sum,
+             |  CAST(SUM(CASE WHEN doc_id % 13 <> 0 THEN
+             |    len(regexp_extract_all(text, '[A-Za-z0-9]+')) END)
+             |    AS BIGINT) AS good_token_sum
+             |FROM documents""".stripMargin)),
+
     // ---- ORC sink + source ------------------------------------------------
     // The round-trip is projected to exactly the aggregation's columns:
     // format fidelity per column is what the oracle certifies, and

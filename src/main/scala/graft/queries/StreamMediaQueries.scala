@@ -1683,6 +1683,80 @@ object StreamMediaQueries {
              |  FROM documents WHERE doc_id IN (SELECT doc_id FROM bad))
              |ORDER BY sink""".stripMargin)),
 
+    // ---- streaming weighted sample maintenance (q89 kept current) ---------
+    // q89's priority sample maintained AS THE CRAWL STREAMS IN: per
+    // micro-batch, arriving docs are scored (the same Lehmer-hash
+    // priority — deterministic per doc, so arrival order cannot change
+    // any priority) and merged into a 20-row top-priority state; the
+    // top-k operator is a MONOID (top20(top20(A) ∪ B) = top20(A ∪ B)),
+    // so the final state equals the batch sample regardless of
+    // batching — which is exactly what the q89-identical oracle
+    // certifies. State is k rows — constant, never corpus-sized.
+    // Exactly-once via the CdcReplica/Scd2 version recipe: each batch
+    // reads the newest committed version strictly below its id and
+    // overwrites its own v_<id> dir, so crash-replay rewrites an
+    // identical version and a half-written one (no _SUCCESS) is
+    // invisible.
+    ("st31_stream_priority_sample",
+      (s: SparkSession, d: String) => {
+        import graft.ops.{TextAnalysis, TrainingPrep}
+        val tmp = java.nio.file.Files.createTempDirectory("graft_st31").toString
+        val root = new java.io.File(s"$tmp/state"); root.mkdirs()
+        def versions(): Seq[Long] =
+          Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+            .filter(f => f.getName.startsWith("v_") &&
+              new java.io.File(f, "_SUCCESS").exists())
+            .map(_.getName.stripPrefix("v_").toLong).sorted.toSeq
+        val inDir = ensureDedupStreamInput(s, d)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType)))
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$inDir/part-*")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val w = TextAnalysis.tokenCount(col("text")).cast("long")
+            val u = TrainingPrep.hashBucket(col("doc_id"), 1000000) + 1L
+            val scored = batch.select(col("doc_id"), w.as("n_tokens"),
+              (w.cast("double") * 1000000.0 / u.cast("double")).as("priority"))
+            val state = versions().filter(_ < batchId).lastOption match {
+              case Some(v) => batch.sparkSession.read.parquet(s"$root/v_$v")
+              case None => scored.limit(0)
+            }
+            state.unionByName(scored)
+              .orderBy(col("priority").desc, col("doc_id")).limit(20)
+              .write.mode("overwrite").parquet(s"$root/v_$batchId")
+          }
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        import org.apache.spark.sql.expressions.Window
+        s.read.parquet(s"$root/v_${versions().last}")
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("priority").desc, col("doc_id"))).cast("int"))
+          .select(col("rank"), col("doc_id"), col("n_tokens"))
+          .orderBy(col("rank"))
+      },
+      Some("""WITH x AS (
+             |  SELECT doc_id,
+             |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+             |      AS n_tokens,
+             |    (((doc_id * 48271) % 2147483647 + 2147483647) % 2147483647)
+             |      % 1000000 + 1 AS u
+             |  FROM documents),
+             |p AS (SELECT doc_id, n_tokens,
+             |        CAST(n_tokens AS DOUBLE) * 1000000.0 / CAST(u AS DOUBLE)
+             |          AS priority
+             |      FROM x)
+             |SELECT CAST(rank AS INT) AS rank, doc_id, n_tokens FROM (
+             |  SELECT doc_id, n_tokens,
+             |    row_number() OVER (ORDER BY priority DESC, doc_id) AS rank
+             |  FROM p)
+             |WHERE rank <= 20 ORDER BY rank""".stripMargin)),
+
     // ---- streaming dataset-card maintenance (incremental rollup) ----------
     // c04's datasheet kept CURRENT as the crawl streams in: per-doc
     // scoring (t03 lang-id, t01 tokens, t02 quality) happens in the
