@@ -55,12 +55,14 @@ object SourceFormatQueries {
     // the read runs PERMISSIVE with columnNameOfCorruptRecord, so a
     // malformed row surfaces as (parsed-what-we-could, raw record) and
     // the summary splits good/quarantined with an id checksum — one
-    // misrouted row breaks the hash. localCheckpoint before filtering
-    // on the corrupt column: Spark (correctly) refuses plans that
-    // filter a lazily-parsed corrupt column in place. Parsing is
-    // per-file map-side; the oracle never reads the CSV — it replays
-    // the corruption rule from the source table, certifying the
-    // PERMISSIVE parse recovered every parseable field.
+    // misrouted row breaks the hash. (Spark's corrupt-column
+    // restriction — no queries referencing ONLY the corrupt column
+    // straight off the files — does not bite: the aggregate reads data
+    // columns beside it, so no cache/checkpoint materialization is
+    // needed and the plan stays one map-side parse + aggregate.)
+    // The oracle never reads the CSV — it replays the corruption rule
+    // from the source table, certifying the PERMISSIVE parse
+    // recovered every parseable field.
     ("q91_corrupt_csv_quarantine",
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.types._
@@ -81,7 +83,6 @@ object SourceFormatQueries {
           .option("mode", "PERMISSIVE")
           .option("columnNameOfCorruptRecord", "_corrupt_record")
           .csv(dir)
-          .localCheckpoint()
         parsed.agg(
           sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L))
             .as("n_good"),
