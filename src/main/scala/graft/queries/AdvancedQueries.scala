@@ -1410,5 +1410,110 @@ object AdvancedQueries {
              |         AS pct_bucket,
              |  CAST(COUNT(*) AS BIGINT) AS n_parts
              |FROM top GROUP BY 1 ORDER BY pct_bucket""".stripMargin)),
+
+    // ---- fuzzy dictionary lookup join (entity canonicalization) -----------
+    // The entity-resolution primitive d11 (self-dedup) doesn't give
+    // you: canonicalize NOISY incoming names against a reference
+    // dictionary — probe names carrying a typo resolve to their best
+    // dictionary entry by edit distance. Fixture: the distinct part
+    // names ARE the dictionary, and each probe is a name with its 3rd
+    // character dropped (a deterministic typo both engines replay).
+    // Plan shape at scale: the dictionary is the BOUNDED side
+    // (reference vocabularies are thousands of entries — broadcast);
+    // the probe stream is blocked on a typo-stable prefix (first 2
+    // chars) so each probe meets a handful of candidates, never the
+    // dictionary; the thresholded `levenshtein(_, _, 2)` bails out of
+    // the DP past the budget (d11's kernel); and best-match-per-probe
+    // is a rank over the per-probe candidate handful, not a global
+    // sort. Output is the canonical mapping with its evidence.
+    ("q92_fuzzy_lookup_join",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val dict = Tables.load(s, d, "part")
+          .select(col("p_name").as("name")).distinct()
+        val probes = dict.select(col("name").as("orig"),
+          concat(substring(col("name"), 1, 2), substring(col("name"), 4, 1000))
+            .as("probe"))
+        val cand = probes.join(broadcast(dict),
+            substring(col("probe"), 1, 2) === substring(col("name"), 1, 2))
+          .select(col("orig"), col("probe"), col("name"),
+            levenshtein(col("probe"), col("name"), 2).as("dist"))
+          .filter(col("dist") >= 0)
+        cand.withColumn("rn", row_number().over(
+            Window.partitionBy(col("orig"))
+              .orderBy(col("dist"), col("name"))))
+          .filter(col("rn") === 1)
+          .select(col("orig"), col("probe"), col("name").as("matched_name"),
+            col("dist").cast("int").as("edit_dist"))
+          .orderBy(col("orig"))
+      },
+      Some("""WITH dict AS (SELECT DISTINCT p_name AS name FROM part),
+             |probes AS (SELECT name AS orig,
+             |             substr(name, 1, 2) || substr(name, 4) AS probe
+             |           FROM dict),
+             |cand AS (SELECT orig, probe, name,
+             |           levenshtein(probe, name) AS dist
+             |         FROM probes JOIN dict
+             |           ON substr(probe, 1, 2) = substr(name, 1, 2)
+             |         WHERE levenshtein(probe, name) <= 2),
+             |best AS (SELECT orig, probe, name, dist,
+             |           row_number() OVER (PARTITION BY orig
+             |             ORDER BY dist, name) AS rn
+             |         FROM cand)
+             |SELECT orig, probe, name AS matched_name,
+             |  CAST(dist AS INT) AS edit_dist
+             |FROM best WHERE rn = 1 ORDER BY orig""".stripMargin)),
+
+    // ---- categorical distribution drift (PSI between timeline halves) ----
+    // The data-drift monitor every serving/training pipeline runs:
+    // compare the event-type MIX between a reference period and the
+    // current one via per-category population-stability terms,
+    // psi = (p − q)·ln(p/q). The split point is pure integer
+    // arithmetic on epoch-micros ((min+max) div 2 — no float
+    // boundary to flap); counts are exact integers; p/q enters ln as
+    // ONE divide of integer cross-products (n_ref·N_cur)/(N_ref·n_cur)
+    // and each term rounds to 6 dp — the engine-parity float
+    // discipline throughout. Scale shape: one scan + one
+    // (type, period) aggregate whose output is |categories| rows; the
+    // totals join is a broadcast of that same tiny frame.
+    ("q93_category_drift",
+      (s: SparkSession, d: String) => {
+        val ev = Tables.load(s, d, "events")
+        val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
+        val mid = (mm.getLong(0) + mm.getLong(1)) / 2
+        val counts = ev.select(col("event_type"),
+            when(col("ts") <= mid, lit("ref")).otherwise(lit("cur")).as("period"))
+          .groupBy(col("event_type"))
+          .agg(sum(when(col("period") === "ref", 1L).otherwise(0L)).as("n_ref"),
+            sum(when(col("period") === "cur", 1L).otherwise(0L)).as("n_cur"))
+        val totals = counts.agg(sum(col("n_ref")).as("tr"), sum(col("n_cur")).as("tc"))
+        counts.crossJoin(broadcast(totals))
+          .filter(col("n_ref") > 0 && col("n_cur") > 0)
+          .select(col("event_type"), col("n_ref"), col("n_cur"),
+            round((col("n_ref").cast("double") / col("tr").cast("double") -
+              col("n_cur").cast("double") / col("tc").cast("double")) *
+              log((col("n_ref") * col("tc")).cast("double") /
+                (col("tr") * col("n_cur")).cast("double")), 6).as("psi_term"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH mm AS (SELECT (MIN(epoch_us(CAST(ts AS TIMESTAMP)))
+             |         + MAX(epoch_us(CAST(ts AS TIMESTAMP)))) // 2 AS mid
+             |       FROM events),
+             |c AS (SELECT event_type,
+             |        SUM(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) <= mm.mid
+             |            THEN 1 ELSE 0 END) AS n_ref,
+             |        SUM(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) > mm.mid
+             |            THEN 1 ELSE 0 END) AS n_cur
+             |      FROM events CROSS JOIN mm GROUP BY 1),
+             |t AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM c)
+             |SELECT event_type, CAST(n_ref AS BIGINT) AS n_ref,
+             |  CAST(n_cur AS BIGINT) AS n_cur,
+             |  round((CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE)
+             |         - CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE))
+             |    * ln(CAST(n_ref * tc AS DOUBLE)
+             |          / CAST(tr * n_cur AS DOUBLE)), 6) AS psi_term
+             |FROM c CROSS JOIN t
+             |WHERE n_ref > 0 AND n_cur > 0
+             |ORDER BY event_type""".stripMargin)),
   )
 }

@@ -428,6 +428,36 @@ object StreamMediaQueries {
              |  MIN(CASE WHEN rn >= (n * 9900 + 9999) // 10000 THEN v END) AS p99
              |FROM r GROUP BY hour ORDER BY hour""".stripMargin)),
 
+    // ---- streaming sketch state: per-hour distinct users ------------------
+    // The CARDINALITY member of the streaming-sketch family (counts
+    // st01, heavy hitters st08, quantiles st09): per-hour DISTINCT
+    // user counts with the Datasketches HLL aggregate as streaming
+    // state — O(sketch) per window where exact countDistinct state
+    // grows with the user set, which is the whole point at
+    // 100 TB-a-day event volume. Oracled via d06's exact-regime
+    // discipline: lgConfigK 18 keeps the sketch in its
+    // hash-deterministic sparse/coupon mode far past the fixture's
+    // per-hour user cardinality, so the estimate IS the exact count
+    // and DuckDB's plain COUNT(DISTINCT) is the oracle; production
+    // cardinalities go dense with ~0.4% error (ScaleSpec's gated
+    // regime).
+    ("st32_stream_windowed_distinct",
+      (s: SparkSession, d: String) => {
+        val agg = EventStream.readEvents(s, d)
+          .withWatermark("event_time", "1 hour")
+          .groupBy(window(col("event_time"), "1 hour").as("w"))
+          .agg(hll_sketch_estimate(
+            hll_sketch_agg(col("user_id"), lit(18))).as("n_users"),
+            count(lit(1)).as("n_events"))
+          .select(col("w.start").as("hour"), col("n_users"), col("n_events"))
+        EventStream.runToMemory(s, agg, s"st32_mem_${System.nanoTime()}")
+          .orderBy(col("hour"))
+      },
+      Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+             |  COUNT(DISTINCT user_id) AS n_users,
+             |  COUNT(*) AS n_events
+             |FROM events GROUP BY 1 ORDER BY hour""".stripMargin)),
+
     // ---- stream-static join: enrich the event stream with a dimension ----
     ("st03_stream_static_join",
       (s: SparkSession, d: String) => {

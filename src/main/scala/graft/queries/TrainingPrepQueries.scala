@@ -986,6 +986,67 @@ object TrainingPrepQueries {
              |  UNION ALL SELECT 'all_pass', nk FROM a)
              |ORDER BY rule""".stripMargin)),
 
+    // ---- bigram-LM log-probability scoring (order-2 perplexity filter) ----
+    // t13's quality signal one model order up — the step toward the
+    // CCNet 5-gram KenLM without shipping a model: an add-one-smoothed
+    // bigram LM trained on the corpus itself, p(w₂|w₁) =
+    // (c(w₁w₂)+1)/(c(w₁)+V), scoring each doc by its mean bigram
+    // log-probability. Catches wrong-ORDER token salads t13's unigram
+    // model scores as fluent (same tokens, shuffled). Float discipline
+    // is t13's: per-bigram log-probs round to 6 dp and sum in
+    // DECIMAL(18,6) so position order can't leak; V and nothing else
+    // is a driver scalar (one distinct-count pre-pass, the q48 rule).
+    // Scale shape: the bigram→count join keys on the bigram (the
+    // order-2 vocabulary — Catalyst sizes broadcast vs shuffle), the
+    // unigram join on the term, and the per-doc aggregate carries
+    // (doc_id, 6-dp decimal) rows only.
+    ("t17_bigram_logprob",
+      (s: SparkSession, d: String) => {
+        val toks = Tables.load(s, d, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.tokens(lower(col("text"))).as("toks"))
+        val uni = toks.select(explode(col("toks")).as("term"))
+          .groupBy(col("term"))
+          .agg(count(lit(1)).cast("double").as("c1"))
+        val vocab = uni.count().toDouble
+        val bg = toks.filter(size(col("toks")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(toks) - 1), " +
+              "i -> struct(concat(toks[i-1], ' ', toks[i]) AS bg, " +
+              "toks[i-1] AS term))")).as("x"))
+          .select(col("doc_id"), col("x.bg").as("bg"), col("x.term").as("term"))
+        val cb = bg.groupBy(col("bg"))
+          .agg(count(lit(1)).cast("double").as("c12"))
+        bg.join(cb, "bg").join(uni, "term")
+          .select(col("doc_id"),
+            round(log((col("c12") + 1.0) / (col("c1") + vocab)), 6).as("lp"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(sum(col("lp").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+              .cast("double") / count(lit(1)).cast("double"), 6).as("avg_logprob"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+             |  FROM documents),
+             |un AS (SELECT u.term AS term, CAST(COUNT(*) AS DOUBLE) AS c1
+             |       FROM t, unnest(toks) AS u(term) GROUP BY 1),
+             |vv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM un),
+             |bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg,
+             |         toks[i] AS term
+             |       FROM t, unnest(range(1, len(toks))) AS u(i)
+             |       WHERE len(toks) >= 2),
+             |cb AS (SELECT bg, CAST(COUNT(*) AS DOUBLE) AS c12
+             |       FROM bg GROUP BY 1),
+             |lp AS (SELECT bg.doc_id,
+             |         round(ln((cb.c12 + 1.0) / (un.c1 + vv.v)), 6) AS lp
+             |       FROM bg JOIN cb USING (bg) JOIN un USING (term)
+             |       CROSS JOIN vv)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             |  round(CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE)
+             |        / CAST(COUNT(*) AS DOUBLE), 6) AS avg_logprob
+             |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- cross-document boilerplate chunk report (paragraph dedup) --------
     // The CCNet/RefinedWeb line-dedup step (Wenzek et al. 2020, Penedo
     // et al. 2023) at chunk granularity — the fixture has no newline
