@@ -628,6 +628,69 @@ object NorthStarQueries {
           |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
           |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin)),
 
+    // ---- similarity: recall CURVE across the probe-width sweep ------------
+    // s17 measures recall at ONE operating point; tuning an ANN
+    // deployment needs the CURVE — recall@5 as nProbe sweeps 1 → 2 →
+    // 4 against the exact top-5 — the measurement that picks the
+    // probe width for a latency budget. The sweep probes the
+    // PERSISTED index (ensureIvfIndex — the identical deterministic
+    // training regime the oracle CTEs replay), so no arm retrains
+    // anything: three cell-pruned probes of one codebook, which is
+    // exactly how a deployment tunes. The oracle parameterizes the
+    // certified probe CTE by a 3-row sweep frame and replays all
+    // three arms in one SQL query. Output is 3 rows: nProbe, total
+    // matched@5 over the 10-query batch, recall in basis points
+    // (integer cross-multiplication, no float).
+    ("s21_recall_curve",
+      (s: SparkSession, d: String) => {
+        import graft.functions.CosineSimilarity.cosineSim
+        val idx = ensureIvfIndex(s, d)
+        val emb = Tables.load(s, d, "embeddings").select("vec_id", "embedding")
+        val clean = emb.filter(size(col("embedding")) > 0 &&
+          !isnan(cosineSim(col("embedding"), col("embedding"))))
+        val queries = clean.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+        val exact = Similarity.bruteForceTopK(clean, queries, k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        Seq(1, 2, 4).map { np =>
+          val approx = Similarity.ivfIndexTopK(idx, emb, queries,
+              k = 5, nProbe = np, rescore = 32)
+            .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+          exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+            .agg(count(col("hit")).as("n_matched"))
+            .select(lit(np).cast("int").as("n_probe"), col("n_matched"),
+              (col("n_matched") * 200L).as("recall_bp"))
+        }.reduce(_.unionAll(_)).orderBy(col("n_probe"))
+      },
+      Some(IvfOracleCtes + ",\n" +
+        """pr AS (SELECT q.vec_id AS query_id, c.cell_id,
+          |         row_number() OVER (PARTITION BY q.vec_id
+          |           ORDER BY round(list_cosine_similarity(q.v, c.cv), 6) DESC, c.cell_id) AS rn
+          |       FROM e q CROSS JOIN c WHERE q.vec_id < 10),
+          |sweep AS (SELECT 1 AS np UNION ALL SELECT 2 UNION ALL SELECT 4),
+          |brute AS (SELECT query_id, neighbor_id FROM (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |    row_number() OVER (PARTITION BY q.vec_id
+          |      ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC, c.vec_id) AS rank
+          |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+          |  WHERE rank <= 5),
+          |ivf AS (SELECT np, query_id, neighbor_id FROM (
+          |  SELECT s.np, pr.query_id, a.vec_id AS neighbor_id,
+          |    row_number() OVER (PARTITION BY s.np, pr.query_id
+          |      ORDER BY round(list_cosine_similarity(q.v, n.v), 6) DESC, a.vec_id) AS rank
+          |  FROM sweep s JOIN pr ON pr.rn <= s.np
+          |  JOIN a ON a.cell_id = pr.cell_id AND a.vec_id <> pr.query_id
+          |  JOIN e q ON q.vec_id = pr.query_id
+          |  JOIN e n ON n.vec_id = a.vec_id)
+          |  WHERE rank <= 5)
+          |SELECT CAST(s.np AS INT) AS n_probe,
+          |  CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_matched,
+          |  CAST(COUNT(i.neighbor_id) * 200 AS BIGINT) AS recall_bp
+          |FROM sweep s CROSS JOIN brute b
+          |LEFT JOIN ivf i ON i.np = s.np AND i.query_id = b.query_id
+          |  AND i.neighbor_id = b.neighbor_id
+          |GROUP BY s.np ORDER BY n_probe""".stripMargin)),
+
     // ---- similarity: kNN majority-vote classification ---------------------
     // The embedding-serving workload on top of top-k search: label the
     // 10 unlabeled queries by majority vote among their 5 nearest

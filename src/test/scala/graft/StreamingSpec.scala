@@ -1071,6 +1071,78 @@ class StreamingSpec extends SparkSpec {
       "zero drained batches must fall back to the base dimension, not throw")
   }
 
+  test("st31 priority sample: a restarted drain continues from its checkpoint to the batch answer") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    // the monoid-state claim under a RESTART: drain wave 1, stop,
+    // deliver wave 2, drain again on the SAME checkpoint — the final
+    // top-20 must equal the one-shot batch sample over everything
+    val tmp = java.nio.file.Files.createTempDirectory("graft_st31spec").toString
+    val in = new java.io.File(s"$tmp/in"); in.mkdirs()
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val sd = s"$tmp/stage_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(sd)
+      val part = new java.io.File(sd).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(in, s"$name.parquet").toPath)
+    }
+    val root = new java.io.File(s"$tmp/state"); root.mkdirs()
+    def versions(): Seq[Long] =
+      Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.getName.startsWith("v_") &&
+          new java.io.File(f, "_SUCCESS").exists())
+        .map(_.getName.stripPrefix("v_").toLong).sorted.toSeq
+    def drain(): Unit = {
+      val q = spark.readStream.schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))))
+        .option("maxFilesPerTrigger", "1").parquet(s"$in/*.parquet")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          val w = graft.ops.TextAnalysis.tokenCount(col("text")).cast("long")
+          val u = graft.ops.TrainingPrep.hashBucket(col("doc_id"), 1000000) + 1L
+          val scored = batch.select(col("doc_id"), w.as("n_tokens"),
+            (w.cast("double") * 1000000.0 / u.cast("double")).as("priority"))
+          val state = versions().filter(_ < batchId).lastOption match {
+            case Some(v) => batch.sparkSession.read.parquet(s"$root/v_$v")
+            case None => scored.limit(0)
+          }
+          state.unionByName(scored)
+            .orderBy(col("priority").desc, col("doc_id")).limit(20)
+            .write.mode("overwrite").parquet(s"$root/v_$batchId")
+        }
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    stage(docs.filter(col("doc_id") % 2 === 0), "w0")
+    drain()
+    val afterWave1 = spark.read.parquet(s"$root/v_${versions().last}")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    stage(docs.filter(col("doc_id") % 2 === 1), "w1")
+    drain()
+    val resumed = spark.read.parquet(s"$root/v_${versions().last}")
+      .orderBy(col("priority").desc, col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val u = graft.ops.TrainingPrep.hashBucket(col("doc_id"), 1000000) + 1L
+    val w = graft.ops.TextAnalysis.tokenCount(col("text")).cast("long")
+    val batchTop = docs.select(col("doc_id"),
+        (w.cast("double") * 1000000.0 / u.cast("double")).as("priority"))
+      .orderBy(col("priority").desc, col("doc_id")).limit(20)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(resumed == batchTop,
+      s"restart-continued sample diverged from the batch sample:\n" +
+        s"  resumed: $resumed\n  batch:   $batchTop")
+    // the restart genuinely continued (wave 2 committed new versions
+    // beyond wave 1's)
+    assert(versions().size >= 2,
+      s"second drain committed no new version: ${versions()}")
+    assert(afterWave1.forall(_ % 2 == 0),
+      "wave-1 state must only contain wave-1 (even) docs")
+  }
+
   test("routeByValidity (st28): null-predicate rows land in exactly one sink — the dead letter") {
     import spark.implicits._
     val batch = Seq(
