@@ -1542,6 +1542,47 @@ object StreamMediaQueries {
              |SELECT doc_id AS media_id, string_agg(bit, '' ORDER BY blk) AS phash
              |FROM bits GROUP BY doc_id ORDER BY media_id""".stripMargin)),
 
+    // ---- multimodal shard packing (WebDataset-style training shards) ------
+    // Training loaders stream media as size-bounded SHARDS, not files:
+    // pack each kind's payloads, in deterministic media_id order, into
+    // ~16 KiB shards (production: 0.1–1 GiB tar shards — the
+    // WebDataset/tfrecord layout) and report each shard's manifest
+    // row. Reuses q41's packedBin kernel with BYTES as the budget unit
+    // and kind as the shard-parallel key: one partitioned window sum,
+    // no driver loop, shard boundaries are pure integer arithmetic the
+    // oracle replays. At 100 TB the kind key generalizes to
+    // (kind, date, hash-prefix) so the cumulative sums parallelize
+    // across thousands of groups — q41's documented scale rule.
+    ("m07_shard_pack",
+      (s: SparkSession, d: String) => {
+        val media = Multimodal.fromDocuments(
+          Tables.load(s, d, "documents")).toDF()
+        media.select(col("kind"), col("media_id"),
+            octet_length(col("payload")).cast("long").as("n_bytes"))
+          .withColumn("shard_id", graft.ops.TrainingPrep.packedBin(
+            col("n_bytes"), col("kind"), col("media_id"), budget = 16 * 1024))
+          .groupBy(col("kind"), col("shard_id"))
+          .agg(count(lit(1)).as("n_items"), sum(col("n_bytes")).as("total_bytes"),
+            min(col("media_id")).as("first_id"), max(col("media_id")).as("last_id"))
+          .orderBy(col("kind"), col("shard_id"))
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+             |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             |         ELSE 'video' END AS kind,
+             |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+             |  FROM documents),
+             |c AS (SELECT kind, media_id, n_bytes,
+             |        SUM(n_bytes) OVER (PARTITION BY kind ORDER BY media_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |          - n_bytes AS cum_before
+             |      FROM m)
+             |SELECT kind, CAST(cum_before // 16384 AS BIGINT) AS shard_id,
+             |  CAST(COUNT(*) AS BIGINT) AS n_items,
+             |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+             |  MIN(media_id) AS first_id, MAX(media_id) AS last_id
+             |FROM c GROUP BY kind, cum_before // 16384
+             |ORDER BY kind, shard_id""".stripMargin)),
+
     // ---- streaming SCD2 dimension maintenance -----------------------------
     // q81's history merge run THROUGH the streaming engine: two pinned
     // update waves (the [[ensureDimUpdateStream]] fixture — SCD2
@@ -1663,8 +1704,15 @@ object StreamMediaQueries {
         import graft.ops.Dedup
         val tmp = java.nio.file.Files.createTempDirectory("graft_st30").toString
         val mainDir = s"$tmp/main"; val qDir = s"$tmp/quarantine"
-        val evalSet = Tables.load(s, d, "documents")
-          .filter(col("doc_id") % 23 === 0).select("doc_id", "text")
+        // the benchmark gram set is derived ONCE per run (localCheckpoint
+        // materializes it — eval sets are bounded) and broadcast into
+        // every micro-batch's join: per-batch work is the batch's own
+        // grams only, never a re-derivation of the eval side
+        val evalGrams = Tables.load(s, d, "documents")
+          .filter(col("doc_id") % 23 === 0)
+          .select(explode(Dedup.wordNGrams(
+            Dedup.words(col("text")), 5)).as("gram"))
+          .distinct().localCheckpoint()
         val inDir = ensureDedupStreamInput(s, d)
         val schema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("doc_id",
@@ -1675,8 +1723,11 @@ object StreamMediaQueries {
           .option("maxFilesPerTrigger", "1").parquet(s"$inDir/part-*")
           .writeStream
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            val flagged = Dedup.contaminatedDocs(
-              batch, evalSet, "doc_id", "text", n = 5).select(col("doc_id"))
+            val flagged = batch.select(col("doc_id"),
+                explode(Dedup.wordNGrams(
+                  Dedup.words(col("text")), 5)).as("gram"))
+              .join(broadcast(evalGrams), "gram")
+              .select(col("doc_id")).distinct()
             batch.join(flagged, Seq("doc_id"), "left_semi")
               .write.mode("overwrite").parquet(s"$qDir/batch_$batchId")
             batch.join(flagged, Seq("doc_id"), "left_anti")
