@@ -986,6 +986,33 @@ class ScaleSpec extends SparkSpec {
     assert(r.getLong(0) >= 0L)
   }
 
+  test("m07 shard pack: the kind exchange serves both the window and the shard aggregate") {
+    // packedBin partitions the window on kind; the downstream
+    // groupBy(kind, shard_id) clusters on a SUPERSET key, so hash
+    // partitioning by kind already co-locates every (kind, shard)
+    // group — the plan must reuse that one exchange, not add a second
+    spark.catalog.clearCache()
+    val plan = planOf(SparkEntry.queries("m07_shard_pack")(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllMatchIn(finalPlan).length
+    assert(exchanges <= 1,
+      s"shard packing must reuse the kind exchange ($exchanges found):\n${
+        finalPlan.take(4000)}")
+  }
+
+  test("q92 fuzzy lookup: the dictionary side broadcasts, no cartesian") {
+    spark.catalog.clearCache()
+    val plan = planOf(SparkEntry.queries("q92_fuzzy_lookup_join")(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"the reference dictionary must broadcast:\n${finalPlan.take(4000)}")
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoopJoin"),
+      s"prefix blocking must keep the probe-candidate join keyed:\n${
+        finalPlan.take(4000)}")
+  }
+
   test("t12 BM25: top-10 via TakeOrderedAndProject, never a corpus-wide window") {
     // the round-10 regression's structural half: an unpartitioned
     // row_number window funnels the whole scored corpus through ONE
