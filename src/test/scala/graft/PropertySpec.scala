@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{KllQuantiles, TopCells, ZOrder2}
+import graft.ops.Multimodal
+
+/** Property-based checks (scalacheck) over the PURE kernels the custom
+  * Catalyst expressions delegate to — driver-side, no Spark session:
+  * randomized inputs hunt the edge cases example tests encode by hand
+  * (ties, NaN ordering, empty/degenerate sizes, arbitrary merge
+  * splits). Each property runs 200+ generated cases per `sbt test`. */
+class PropertySpec extends AnyFunSuite {
+
+  private def checkProp(p: Prop, cases: Int = 200): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(cases), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val genVals: Gen[List[Double]] =
+    Gen.nonEmptyListOf(Gen.chooseNum(-1000000.0, 1000000.0))
+
+  test("KLL exact regime: lower quantile equals the sorted integer-rank answer") {
+    checkProp(Prop.forAll(genVals, Gen.choose(1, 10000)) { (vs, qbp) =>
+      val s = new KllQuantiles.Summary(math.max(vs.size, 2))
+      vs.foreach(s.update)
+      val sorted = vs.sorted
+      val target = ((vs.size.toLong * qbp + 9999L) / 10000L).toInt
+      s.quantile(qbp) == sorted(target - 1)
+    })
+  }
+
+  test("KLL exact regime: merging any split equals the single-pass summary") {
+    checkProp(Prop.forAll(genVals, Gen.choose(0, 1000), Gen.choose(1, 10000)) {
+      (vs, cutRaw, qbp) =>
+        val cut = cutRaw % (vs.size + 1)
+        val (l, r) = vs.splitAt(cut)
+        val cap = math.max(vs.size, 2)
+        val a = new KllQuantiles.Summary(cap)
+        l.foreach(a.update)
+        val b = new KllQuantiles.Summary(cap)
+        r.foreach(b.update)
+        a.mergeIn(b)
+        val whole = new KllQuantiles.Summary(cap)
+        vs.foreach(whole.update)
+        a.quantile(qbp) == whole.quantile(qbp)
+    })
+  }
+
+  test("KLL approximate regime: every reported quantile is a genuine input value") {
+    // the compactor discards values but never invents them — the
+    // safety property that makes a sketch answer explainable
+    checkProp(Prop.forAll(genVals, Gen.choose(1, 10000)) { (vs, qbp) =>
+      val s = new KllQuantiles.Summary(4) // far below |vs|: compaction runs
+      vs.foreach(s.update)
+      vs.toSet.contains(s.quantile(qbp))
+    })
+  }
+
+  test("word n-grams: fused expression kernel equals naive sliding-window distinct") {
+    val token = Gen.oneOf("a", "b", "c", "ab", "xy", "q1")
+    checkProp(Prop.forAll(Gen.listOf(token), Gen.choose(1, 5)) { (toks, n) =>
+      val arr = new GenericArrayData(
+        toks.map(t => UTF8String.fromString(t): Any).toArray)
+      val got = graft.functions.WordNGrams.distinctGrams(arr, n)
+        .array.map(_.toString).toSeq
+      val want =
+        if (toks.size < n) Seq.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSeq.distinct
+      got == want
+    })
+  }
+
+  test("z-order: per-dimension order is preserved when the other coordinate is fixed") {
+    val coord = Gen.choose(0L, 0x7fffffffL)
+    checkProp(Prop.forAll(coord, coord, coord) { (a1, a2, b) =>
+      (a1 == a2) || {
+        val (lo, hi) = if (a1 < a2) (a1, a2) else (a2, a1)
+        ZOrder2.interleave(lo, b) < ZOrder2.interleave(hi, b) &&
+          ZOrder2.interleave(b, lo) < ZOrder2.interleave(b, hi)
+      }
+    })
+  }
+
+  test("z-order: interleave is injective on 31-bit pairs") {
+    val coord = Gen.choose(0L, 0x7fffffffL)
+    checkProp(Prop.forAll(coord, coord, coord, coord) { (a1, b1, a2, b2) =>
+      ((a1, b1) == (a2, b2)) ==
+        (ZOrder2.interleave(a1, b1) == ZOrder2.interleave(a2, b2))
+    })
+  }
+
+  test("TopCells: any offer order and any merge split yield sort-take semantics") {
+    val entry = for {
+      s <- Gen.oneOf(Gen.chooseNum(-100.0, 100.0), Gen.const(Double.NaN))
+      c <- Gen.choose(0L, 50L)
+    } yield (s, c)
+    checkProp(Prop.forAll(Gen.listOf(entry), Gen.choose(1, 8),
+      Gen.choose(0, 1000)) { (es, n, cutRaw) =>
+      val cut = cutRaw % (es.size + 1)
+      val (l, r) = es.splitAt(cut)
+      val a = new TopCells.Buf(n)
+      l.foreach { case (s, c) => a.offer(s, c) }
+      val b = new TopCells.Buf(n)
+      r.foreach { case (s, c) => b.offer(s, c) }
+      a.mergeIn(b)
+      // reference: (score desc, cell asc) with NaN worst — Spark's
+      // sort_array(struct(-score, cell)) rank
+      val want = es.sortWith { case ((s1, c1), (s2, c2)) =>
+        val n1 = java.lang.Double.isNaN(s1)
+        val n2 = java.lang.Double.isNaN(s2)
+        if (n1 != n2) n2
+        else if (!n1 && s1 != s2) s1 > s2
+        else c1 < c2
+      }.take(n).map(_._2)
+      a.result.toSeq == want
+    })
+  }
+
+  test("byteAHash: 64 bits of '0'/'1', deterministic, equal payloads equal hashes") {
+    val bytesGen = Gen.listOf(Gen.choose(-128, 127).map(_.toByte))
+    checkProp(Prop.forAll(bytesGen) { bs =>
+      val p = bs.toArray
+      val h1 = Multimodal.byteAHash(p)
+      val h2 = Multimodal.byteAHash(p.clone())
+      h1.length == 64 && h1.forall(ch => ch == '0' || ch == '1') && h1 == h2
+    })
+  }
+}
