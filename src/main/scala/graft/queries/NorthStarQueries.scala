@@ -1676,6 +1676,98 @@ object NorthStarQueries {
              |    (SELECT COUNT(*) FROM e) - (SELECT COUNT(*) FROM losers))
              |ORDER BY n_docs DESC, stage""".stripMargin)),
 
+    // ---- per-document provenance ledger (curation auditability) -----------
+    // Every doc in (or out of) the curated set can answer "why": the
+    // c01 chain re-expressed as a PER-DOCUMENT decision record —
+    // rejected_quality (failed the gate), absorbed_exact (byte-equal
+    // to a lower-id survivor; ref = that survivor), absorbed_near
+    // (near-dup cluster non-canonical; ref = the cluster canonical),
+    // kept (ref = itself). The audit/debug/compliance artifact a
+    // training-data pipeline publishes beside the dataset card (c04) —
+    // and the input takedown/contestation workflows need ("which doc
+    // absorbed mine?"). Same stages, parameters and certified SQL
+    // blocks as c01 (quality ≥ 0.45 → exact min-id dedup → 3-gram
+    // Jaccard ≥ 0.5 LSH-verified clusters), so the ledger provably
+    // RECONCILES with the funnel counts; scale shape is c01's — the
+    // per-doc joins add one broadcast-sized cluster map and an
+    // exact-dup window keyed on text, nothing corpus-quadratic.
+    ("c08_provenance_ledger",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, d, "documents")
+        val scored = docs.select(col("doc_id"), col("text"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        val passed = scored.filter(col("quality") >= 0.45)
+        val ek = passed.withColumn("keep_id",
+          min(col("doc_id")).over(Window.partitionBy(col("text"))))
+        val exactKept = ek.filter(col("doc_id") === col("keep_id"))
+          .select("doc_id", "text")
+        val (pairsRaw, release) = Dedup.minhashNearDupsWithRelease(
+          exactKept, "doc_id", "text", n = 3, threshold = 0.5)
+        val cc = Dedup.connectedComponents(pairsRaw)
+          .select(col("id"), col("label"))
+        val out = docs.select(col("doc_id"))
+          .join(ek.select(col("doc_id"), col("keep_id")), Seq("doc_id"), "left")
+          .join(cc, col("doc_id") === col("id"), "left")
+          .select(col("doc_id"),
+            when(col("keep_id").isNull, "rejected_quality")
+              .when(col("keep_id") =!= col("doc_id"), "absorbed_exact")
+              .when(col("label").isNotNull && col("label") =!= col("doc_id"),
+                "absorbed_near")
+              .otherwise("kept").as("status"),
+            when(col("keep_id").isNull, col("doc_id"))
+              .when(col("keep_id") =!= col("doc_id"), col("keep_id"))
+              .when(col("label").isNotNull, col("label"))
+              .otherwise(col("doc_id")).as("ref_id"))
+          .orderBy(col("doc_id"))
+        val rows = out.localCheckpoint()
+        release()
+        rows
+      },
+      Some("""WITH q AS (SELECT doc_id, text FROM documents
+             |  WHERE round(0.4 * least(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) / 100.0, 1.0)
+             |      + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text))
+             |      + 0.3 * least(CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             |            t -> list_contains(['the','a','of','and','to','in','is','it','that','on'], t))) AS DOUBLE)
+             |          / len(regexp_extract_all(lower(text), '[a-z0-9]+')) * 5.0, 1.0),
+             |      6) >= 0.45),
+             |ek AS (SELECT doc_id, text,
+             |         MIN(doc_id) OVER (PARTITION BY text) AS keep_id FROM q),
+             |e AS (SELECT doc_id, text FROM ek WHERE doc_id = keep_id),
+             |w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM e),
+             |g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws)-1, 1)),
+             |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g FROM w),
+             |g2 AS (SELECT doc_id, unnest(g) AS gram FROM g),
+             |ix AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+             |       FROM g2 a JOIN g2 b ON a.gram = b.gram AND a.doc_id < b.doc_id
+             |       GROUP BY 1, 2),
+             |p AS (SELECT id_a, id_b
+             |      FROM ix JOIN (SELECT doc_id, len(g) AS l FROM g) la ON la.doc_id = id_a
+             |              JOIN (SELECT doc_id, len(g) AS l FROM g) lb ON lb.doc_id = id_b
+             |      WHERE round(CAST(i AS DOUBLE) / (la.l + lb.l - i), 6) >= 0.5),
+             |e2 AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),
+             |nodes AS (SELECT DISTINCT src AS id FROM e2),
+             |reach AS (
+             |  WITH RECURSIVE r(id, v) AS (
+             |    SELECT id, id FROM nodes
+             |    UNION
+             |    SELECT r.id, e2.dst FROM r JOIN e2 ON e2.src = r.v)
+             |  SELECT id, min(v) AS label FROM r GROUP BY id)
+             |SELECT d.doc_id,
+             |  CASE WHEN ek.keep_id IS NULL THEN 'rejected_quality'
+             |       WHEN ek.keep_id <> d.doc_id THEN 'absorbed_exact'
+             |       WHEN reach.label IS NOT NULL AND reach.label <> d.doc_id
+             |         THEN 'absorbed_near'
+             |       ELSE 'kept' END AS status,
+             |  CASE WHEN ek.keep_id IS NULL THEN d.doc_id
+             |       WHEN ek.keep_id <> d.doc_id THEN ek.keep_id
+             |       WHEN reach.label IS NOT NULL THEN reach.label
+             |       ELSE d.doc_id END AS ref_id
+             |FROM documents d
+             |LEFT JOIN ek ON ek.doc_id = d.doc_id
+             |LEFT JOIN reach ON reach.id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // ---- dup-cluster assignment (oracle-checked connected components) -----
     // The per-document cluster map a dedup pipeline actually consumes:
     // canonical id = min doc id reachable through the d09 exact-8-gram

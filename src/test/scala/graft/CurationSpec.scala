@@ -48,4 +48,34 @@ class CurationSpec extends SparkSpec {
     val en = back.filter(col("pred_lang") === "en")
     assert(en.count() > 0)
   }
+
+  test("c08 ledger reconciles with c01's funnel and its refs are well-formed") {
+    val ledger = SparkEntry.queries("c08_provenance_ledger")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byStatus = ledger.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val funnel = SparkEntry.queries("c01_curation_report")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the ledger partitions the corpus, and each funnel stage's count
+    // falls out of the status counts — the reconciliation claim
+    assert(byStatus.values.sum == funnel("input"))
+    assert(funnel("quality_filtered") ==
+      funnel("input") - byStatus.getOrElse("rejected_quality", 0L))
+    assert(funnel("exact_deduped") ==
+      funnel("quality_filtered") - byStatus.getOrElse("absorbed_exact", 0L))
+    assert(funnel("near_deduped") == byStatus.getOrElse("kept", 0L))
+    // ref invariants: kept docs reference themselves; a near-absorbed
+    // doc's canonical SURVIVED curation (status kept); an
+    // exact-absorbed doc references its exact keeper (itself possibly
+    // near-absorbed later — the chain, not the final survivor)
+    val status = ledger.map(r => r._1 -> r._2).toMap
+    ledger.foreach {
+      case (id, "kept", ref) => assert(ref == id)
+      case (id, "rejected_quality", ref) => assert(ref == id)
+      case (_, "absorbed_near", ref) => assert(status(ref) == "kept",
+        s"near-dup canonical $ref must itself be kept, was ${status(ref)}")
+      case (id, "absorbed_exact", ref) =>
+        assert(ref < id && status(ref) != "rejected_quality")
+      case other => fail(s"unknown ledger status: $other")
+    }
+  }
 }
