@@ -1866,6 +1866,55 @@ object NorthStarQueries {
              |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- language-ID evaluation (confusion matrix vs the labeled truth) ---
+    // The classifier-eval harness for the TEXT side (s17/s21 are the
+    // ANN side): t03's n-gram language detector scored against the
+    // fixture's labeled `lang` column as a (true, predicted, count)
+    // confusion matrix plus per-cell basis-point share of the true
+    // class — how a pipeline decides whether the cheap heuristic is
+    // good enough to gate on, and per (true, pred) cell WHERE it
+    // fails. Integer counts; the share is integer cross-multiplied
+    // basis points (n·10000 div class total) — no float. One scan +
+    // one tiny aggregate; the per-class total joins back from a
+    // regroup of the same frame.
+    ("t18_langid_eval",
+      (s: SparkSession, d: String) => {
+        val cm = Tables.load(s, d, "documents")
+          .groupBy(col("lang"), TextAnalysis.langId(col("text")).as("pred_lang"))
+          .agg(count(lit(1)).as("n_docs"))
+        val tot = cm.groupBy(col("lang")).agg(sum(col("n_docs")).as("n_class"))
+        cm.join(tot, "lang")
+          .select(col("lang"), col("pred_lang"), col("n_docs"),
+            expr("(n_docs * 10000) div n_class").as("share_bp"))
+          .orderBy(col("lang"), col("pred_lang"))
+      },
+      Some("""WITH scored AS (
+             |  SELECT lang,
+             |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             |      t -> list_contains(['the','a','of','and','to','in','is','it','that','on'], t))) AS s_en,
+             |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             |      t -> list_contains(['der','die','das','und','ist','ein','zu','den','von','mit'], t))) AS s_de,
+             |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             |      t -> list_contains(['el','la','de','los','las','y','es','un','una','en'], t))) AS s_es,
+             |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             |      t -> list_contains(['le','la','les','et','est','une','des','du','dans','pour'], t))) AS s_fr,
+             |    regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS has_cjk
+             |  FROM documents),
+             |cm AS (
+             |  SELECT lang,
+             |    CASE WHEN has_cjk THEN 'zh'
+             |         WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+             |         WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+             |         WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+             |         ELSE 'fr' END AS pred_lang,
+             |    COUNT(*) AS n_docs
+             |  FROM scored GROUP BY 1, 2),
+             |tot AS (SELECT lang, SUM(n_docs) AS n_class FROM cm GROUP BY 1)
+             |SELECT cm.lang, cm.pred_lang, CAST(cm.n_docs AS BIGINT) AS n_docs,
+             |  CAST((cm.n_docs * 10000) // tot.n_class AS BIGINT) AS share_bp
+             |FROM cm JOIN tot USING (lang)
+             |ORDER BY lang, pred_lang""".stripMargin)),
+
     // ---- dataset card (datasheet rollup over certified signal blocks) -----
     // The "Datasheets for Datasets" (Gebru et al. 2021) summary a
     // training corpus publishes: per (source, predicted language) —
