@@ -1515,5 +1515,197 @@ object AdvancedQueries {
              |FROM c CROSS JOIN t
              |WHERE n_ref > 0 AND n_cur > 0
              |ORDER BY event_type""".stripMargin)),
+
+    // ---- bilateral nation-pair trade volume (TPC-H Q7 shape) --------------
+    // Revenue shipped from supplier-nation to customer-nation per
+    // year, restricted to a 5-nation bloc with domestic trade
+    // excluded — the classic two-role dimension query (nation joins
+    // in TWICE, once per role). Distinct from q69 (Q8 market SHARE of
+    // one nation within a region): this is the bilateral volume
+    // MATRIX. Scale shape: the nation filter is applied to supplier/
+    // customer BEFORE the fact joins (broadcast of the 25-row
+    // filtered nation dim prunes both sides early — semi-join
+    // reduction a CNF pushdown can't do across two roles); lineitem ⋈
+    // orders is the single fact-fact shuffle; the group output is
+    // ≤ pairs × years rows at any scale. Money is DECIMAL(18,2)-exact
+    // and cast to double once at the end (q69's discipline).
+    ("q94_nation_trade",
+      (s: SparkSession, d: String) => {
+        val bloc = Seq("NATION_0", "NATION_1", "NATION_2", "NATION_3", "NATION_4")
+        def nats(role: String) = Tables.load(s, d, "nation")
+          .filter(col("n_name").isin(bloc: _*))
+          .select(col("n_nationkey").as(s"${role}_nk"), col("n_name").as(s"${role}_nation"))
+        val sup = Tables.load(s, d, "supplier").select("s_suppkey", "s_nationkey")
+          .join(broadcast(nats("supp")), col("s_nationkey") === col("supp_nk"))
+          .select("s_suppkey", "supp_nation")
+        val cust = Tables.load(s, d, "customer").select("c_custkey", "c_nationkey")
+          .join(broadcast(nats("cust")), col("c_nationkey") === col("cust_nk"))
+          .select("c_custkey", "cust_nation")
+        val o = Tables.load(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")).as("yr"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+        Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (dec(col("l_extendedprice")) *
+              (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount")))).as("v"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"), col("yr"))
+          .agg(count(lit(1)).as("n_items"), sum(col("v")).cast("double").as("revenue"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("yr"))
+      },
+      Some("""WITH bloc AS (
+             |  SELECT n_nationkey, n_name FROM nation
+             |  WHERE n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3','NATION_4'))
+             |SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             |  CAST(year(o_orderdate) AS INT) AS yr,
+             |  CAST(COUNT(*) AS BIGINT) AS n_items,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN bloc sn ON s_nationkey = sn.n_nationkey
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN bloc cn ON c_nationkey = cn.n_nationkey
+             |WHERE sn.n_name <> cn.n_name
+             |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // ---- large-volume orders: HAVING on the fact, join-back (Q18) ---------
+    // TPC-H Q18's shape — aggregate the fact table per order key,
+    // keep the heavy tail (sum qty > 150), then join the few
+    // survivors BACK to orders/customer for their descriptive rows.
+    // The scale property is that the expensive side runs first and
+    // the join-back carries only survivors (~2% of orders here);
+    // the survivors frame re-keys on the SAME l_orderkey the
+    // aggregate just shuffled on, and AQE converts the join-back to
+    // broadcast when the tail is small. Top-100 is TakeOrdered
+    // (sum_qty desc, o_orderkey tie-break — deterministic), never a
+    // global window. Quantity sums in DECIMAL(18,2), cast once.
+    ("q95_big_orders",
+      (s: SparkSession, d: String) => {
+        val qual = Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"))
+          .groupBy(col("l_orderkey"))
+          .agg(sum(dec(col("l_quantity"))).as("sq"))
+          .filter(col("sq") > 150)
+        Tables.load(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .join(qual, col("o_orderkey") === col("l_orderkey"))
+          .join(Tables.load(s, d, "customer").select("c_custkey", "c_name"),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("o_orderkey"), col("o_totalprice"),
+            col("sq").cast("double").as("sum_qty"))
+          .orderBy(col("sum_qty").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""WITH qual AS (
+             |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+             |  FROM lineitem GROUP BY 1 HAVING sq > 150)
+             |SELECT c_name, o_orderkey, o_totalprice, CAST(sq AS DOUBLE) AS sum_qty
+             |FROM qual JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |ORDER BY sum_qty DESC, o_orderkey LIMIT 100""".stripMargin)),
+
+    // ---- disjunctive multi-branch predicate with hoisted bounds (Q19) -----
+    // TPC-H Q19's OR-of-conjunct-blocks: three (brand, size-range,
+    // qty-range) branches over lineitem ⋈ part. The full disjunction
+    // references BOTH sides so no engine can push it through the join
+    // as-is; the scale move is hoisting each column's weakest
+    // precondition (qty ∈ [1,30] on lineitem; brand ∈ the 3-set and
+    // size ∈ [1,15] on part) as explicit conjuncts — exactly what a
+    // CNF-through-join rewrite derives — so the parquet scans get
+    // real PushedFilters and the join input shrinks BEFORE the
+    // residual OR runs. part is the broadcast side; output is one
+    // row per branch (revenue per brand), DECIMAL-exact money.
+    ("q96_disjunctive_scan",
+      (s: SparkSession, d: String) => {
+        val p = Tables.load(s, d, "part")
+          .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+            col("p_size").between(1, 15))
+          .select("p_partkey", "p_brand", "p_size")
+        Tables.load(s, d, "lineitem")
+          .filter(col("l_quantity").between(1, 30))
+          .select(col("l_partkey"), col("l_quantity"),
+            (dec(col("l_extendedprice")) *
+              (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount")))).as("v"))
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+              col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+              col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(20, 30)))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_items"), sum(col("v")).cast("double").as("revenue"))
+          .orderBy(col("p_brand"))
+      },
+      Some("""SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_items,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+             |         AND l_quantity BETWEEN 1 AND 11)
+             |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+             |         AND l_quantity BETWEEN 10 AND 20)
+             |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+             |         AND l_quantity BETWEEN 20 AND 30)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- sketch-driven join-size estimation (AMS F2 / CMS inner product) --
+    // What a cost-based planner wants BEFORE committing to a join
+    // strategy: the self-join size of lineitem on l_partkey
+    // (F2 = Σ f(k)², Alon-Matias-Szegedy '96) estimated from a 3×8192
+    // count-min sketch's row-wise inner products with a min across
+    // rows (Cormode-Muthukrishnan '05: est ≥ exact always, collisions
+    // only ADD) — the sketch shuffles 3·8192 integer cells no matter
+    // the key cardinality, vs the exact pass whose shuffle carries
+    // every distinct key. The exact arm ships here as the eval
+    // harness (s17's pattern); a planner would run only the sketch.
+    // Hashes are seeded multiplicative mod-prime (p = 2^31−1) —
+    // replayed verbatim by the oracle, so est/exact/err are all
+    // integer-deterministic. Key domain must stay below ~2^32 for the
+    // 64-bit a·k product; partition keys do.
+    ("q97_join_size_estimate",
+      (s: SparkSession, d: String) => {
+        val P = 2147483647L
+        val W = 8192L
+        val seeds = Seq((0, 1103515245L, 12345L), (1, 69069L, 362437L),
+          (2, 1664525L, 1013904223L))
+        val keys = Tables.load(s, d, "lineitem").select(col("l_partkey").as("k"))
+        val ip = keys.select(explode(array(seeds.map { case (i, a, b) =>
+              struct(lit(i).as("row_i"),
+                (((lit(a) * col("k") + lit(b)) % P) % W).as("bucket"))
+            }: _*)).as("rb"))
+          .select(col("rb.row_i").as("row_i"), col("rb.bucket").as("bucket"))
+          .groupBy(col("row_i"), col("bucket"))
+          .agg(count(lit(1)).as("f"))
+          .groupBy(col("row_i"))
+          .agg(sum(col("f") * col("f")).as("ip"))
+        val est = ip.agg(min(col("ip")).as("est_f2"))
+        val exact = keys.groupBy(col("k")).agg(count(lit(1)).as("f"))
+          .agg(sum(col("f") * col("f")).as("exact_f2"))
+        est.crossJoin(exact)
+          .select(col("est_f2"), col("exact_f2"),
+            expr("((est_f2 - exact_f2) * 10000) div exact_f2").as("err_bp"))
+      },
+      Some("""WITH k AS (SELECT l_partkey AS k FROM lineitem),
+             |b AS (SELECT i.row_i,
+             |    CASE i.row_i
+             |      WHEN 0 THEN ((1103515245 * k + 12345) % 2147483647) % 8192
+             |      WHEN 1 THEN ((69069 * k + 362437) % 2147483647) % 8192
+             |      ELSE ((1664525 * k + 1013904223) % 2147483647) % 8192
+             |    END AS bucket
+             |  FROM k CROSS JOIN (VALUES (0), (1), (2)) AS i(row_i)),
+             |f AS (SELECT row_i, bucket, COUNT(*) AS f FROM b GROUP BY 1, 2),
+             |ip AS (SELECT row_i, CAST(SUM(f * f) AS BIGINT) AS ip FROM f GROUP BY 1),
+             |e AS (SELECT MIN(ip) AS est_f2 FROM ip),
+             |x AS (SELECT CAST(SUM(f * f) AS BIGINT) AS exact_f2
+             |      FROM (SELECT COUNT(*) AS f FROM k GROUP BY k))
+             |SELECT est_f2, exact_f2,
+             |  CAST(((est_f2 - exact_f2) * 10000) // exact_f2 AS BIGINT) AS err_bp
+             |FROM e CROSS JOIN x""".stripMargin)),
   )
 }

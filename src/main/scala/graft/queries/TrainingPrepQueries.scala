@@ -1108,5 +1108,55 @@ object TrainingPrepQueries {
              |GROUP BY hour, event_type, wm.w
              |HAVING hour + INTERVAL 1 HOUR <= wm.w
              |ORDER BY hour, event_type""".stripMargin)),
+
+    // ---- vocabulary growth curve (Heaps'-law corpus diagnostic) -----------
+    // Distinct-vocabulary size vs cumulative token count at ingest
+    // checkpoints (doc_id div 50 buckets) — the corpus-health curve
+    // that tells a pipeline whether new data still contributes new
+    // vocabulary (Heaps' law: V ∝ N^β) or has gone stale/duplicated.
+    // Distinct from t07 (top terms) and t10 (entropy): this measures
+    // GROWTH across the ingest order, not a point distribution.
+    // Scale shape: first-occurrence per term is a min-aggregate keyed
+    // on the term (the shuffle carries the distinct vocabulary, not
+    // the token stream); the cumulative window then runs over the
+    // BOUNDED checkpoint frame (≤ max_doc/50 rows — not the corpus,
+    // the t12 lesson), and the bucket id is pure integer arithmetic
+    // on doc_id, so no global sort anywhere. All counts integer.
+    ("t19_vocab_growth",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val words = Tables.load(s, d, "documents")
+          .select(expr("doc_id div 50").as("b"),
+            explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+        val toks = words.groupBy(col("b")).agg(count(lit(1)).as("n_tokens"))
+        val novel = words.groupBy(col("term")).agg(min(col("b")).as("fb"))
+          .groupBy(col("fb")).agg(count(lit(1)).as("n_new"))
+        val w = Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        toks.join(novel, col("b") === col("fb"), "left")
+          .select(col("b").as("bucket"), col("n_tokens"),
+            coalesce(col("n_new"), lit(0L)).as("n_new"))
+          .select(col("bucket"),
+            sum(col("n_tokens")).over(w).as("cum_tokens"),
+            sum(col("n_new")).over(w).as("vocab"),
+            col("n_new"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH w AS (SELECT doc_id // 50 AS b, u.term AS term
+             |  FROM documents,
+             |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS u(term)),
+             |tk AS (SELECT b, COUNT(*) AS n_tokens FROM w GROUP BY 1),
+             |nv AS (SELECT fb, COUNT(*) AS n_new FROM
+             |         (SELECT term, MIN(b) AS fb FROM w GROUP BY 1) GROUP BY 1)
+             |SELECT CAST(b AS BIGINT) AS bucket,
+             |  CAST(SUM(n_tokens) OVER (ORDER BY b
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |    AS cum_tokens,
+             |  CAST(SUM(COALESCE(n_new, 0)) OVER (ORDER BY b
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |    AS vocab,
+             |  CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new
+             |FROM tk LEFT JOIN nv ON b = fb
+             |ORDER BY bucket""".stripMargin)),
   )
 }

@@ -1031,4 +1031,39 @@ class ScaleSpec extends SparkSpec {
       "the rank window must consume the take-ordered output (appear above " +
         s"it in the plan), not the full scored corpus:\n${finalPlan.take(4000)}")
   }
+
+  test("q96 disjunctive branches: hoisted bounds reach both parquet scans") {
+    // the weakest preconditions of the OR-of-conjuncts must be pushed
+    // to the scans (qty bounds on lineitem, brand set + size bound on
+    // part) so the join input shrinks before the residual disjunction
+    spark.catalog.clearCache()
+    val plan = planOf(SparkEntry.queries("q96_disjunctive_scan")(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("LessThanOrEqual(l_quantity,30.0)"),
+      s"qty upper bound not pushed to the lineitem scan:\n${finalPlan.take(4000)}")
+    assert(finalPlan.contains("In(p_brand"),
+      s"brand set not pushed to the part scan:\n${finalPlan.take(4000)}")
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"filtered part must broadcast:\n${finalPlan.take(4000)}")
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoopJoin"),
+      s"degenerate join:\n${finalPlan.take(4000)}")
+    assert(finalPlan.contains("partial_sum"),
+      s"revenue aggregate lost its map-side partial:\n${finalPlan.take(4000)}")
+  }
+
+  test("q95 Q18 shape: top-100 is TakeOrdered over the HAVING survivors, no window") {
+    spark.catalog.clearCache()
+    val plan = planOf(SparkEntry.queries("q95_big_orders")(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("TakeOrderedAndProject"),
+      s"top-100 must plan as top-k, not a full sort:\n${finalPlan.take(4000)}")
+    assert(!finalPlan.contains("Window"),
+      s"no window should appear anywhere in the Q18 shape:\n${finalPlan.take(4000)}")
+    assert(finalPlan.contains("partial_sum"),
+      s"the per-order qty aggregate lost its map-side partial:\n${finalPlan.take(4000)}")
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoopJoin"),
+      s"degenerate join:\n${finalPlan.take(4000)}")
+  }
 }
