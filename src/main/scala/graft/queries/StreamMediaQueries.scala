@@ -1635,6 +1635,72 @@ object StreamMediaQueries {
              |  UNION ALL SELECT k, s, vf, vt FROM c2)
              |ORDER BY c_custkey, valid_from""".stripMargin)),
 
+    // ---- point-in-time (AS OF) enrichment against the SCD2 dimension ------
+    // The lookup side of st29's contract: facts carry a version epoch
+    // (o_orderkey mod 3 here — at 100 TB, the ingest batch id) and
+    // each joins the dimension row valid AT that epoch
+    // (vf <= epoch < vt, open rows valid forever) — how a warehouse
+    // reports revenue under the segment a customer was in WHEN the
+    // order landed, not the segment they hold today. The join
+    // (Scd2Dim.enrichAsOf) is an equi-join on the key with the
+    // validity window as residual predicate, dimension broadcast, so
+    // the fact table never shuffles; output is (epoch, segment) cells.
+    // Revenue is DECIMAL-exact, cast once.
+    ("st33_temporal_enrich",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.types._
+        val tmp = java.nio.file.Files.createTempDirectory("graft_st33q").toString
+        val in = ensureDimUpdateStream(s, d)
+        val base = Tables.load(s, d, "customer")
+          .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+            lit(0L).as("vf"), lit(null).cast("long").as("vt"))
+        val updSchema = StructType(Seq(
+          StructField("k", LongType), StructField("new_seg", StringType)))
+        val stream = s.readStream.schema(updSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$in/*.parquet")
+        val dim = graft.streaming.Scd2Dim.run(s, stream, base,
+          s"$tmp/dim", s"$tmp/ckpt")
+        val facts = Tables.load(s, d, "orders")
+          .select(col("o_custkey"), (col("o_orderkey") % 3).as("epoch"),
+            col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+              .as("v"))
+        graft.streaming.Scd2Dim.enrichAsOf(facts, dim, "o_custkey", "epoch",
+            joinType = "inner")
+          .groupBy(col("epoch"), col("seg"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("v")).cast("double").as("revenue"))
+          .orderBy(col("epoch"), col("seg"))
+      },
+      Some("""WITH base AS (SELECT c_custkey AS k, c_mktsegment AS s FROM customer),
+             |o1 AS (
+             |  SELECT k, CASE WHEN k % 7 = 0 THEN 'MACHINERY' ELSE s END AS s,
+             |    CASE WHEN k % 7 = 0 AND s <> 'MACHINERY' THEN 1 ELSE 0 END AS vf
+             |  FROM base),
+             |c1 AS (
+             |  SELECT k, s, 0 AS vf, 1 AS vt FROM base
+             |  WHERE k % 7 = 0 AND s <> 'MACHINERY'),
+             |o2 AS (
+             |  SELECT k, CASE WHEN k % 5 = 0 THEN 'HOUSEHOLD' ELSE s END AS s,
+             |    CASE WHEN k % 5 = 0 AND s <> 'HOUSEHOLD' THEN 2 ELSE vf END AS vf
+             |  FROM o1),
+             |c2 AS (
+             |  SELECT k, s, vf, 2 AS vt FROM o1
+             |  WHERE k % 5 = 0 AND s <> 'HOUSEHOLD'),
+             |dim AS (
+             |  SELECT k, s, vf, NULL AS vt FROM o2
+             |  UNION ALL SELECT k, s, vf, vt FROM c1
+             |  UNION ALL SELECT k, s, vf, vt FROM c2),
+             |f AS (SELECT o_custkey, o_orderkey % 3 AS epoch,
+             |        CAST(o_totalprice AS DECIMAL(18,2)) AS v
+             |      FROM orders)
+             |SELECT CAST(epoch AS BIGINT) AS epoch, s AS seg,
+             |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+             |  CAST(SUM(v) AS DOUBLE) AS revenue
+             |FROM f JOIN dim ON o_custkey = dim.k
+             |  AND dim.vf <= epoch AND (dim.vt IS NULL OR epoch < dim.vt)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ---- streaming dead-letter routing (quarantine sink) ------------------
     // The ingestion-quality pattern q76 gates batches with, applied
     // row-level on a stream: every micro-batch splits into the main

@@ -64,6 +64,27 @@ object Scd2Dim {
     closed.unionByName(nowClosed).unionByName(stillOpen).unionByName(newOpen)
   }
 
+  /** Point-in-time (AS OF) enrichment: attach to each fact row the
+    * dimension attributes valid at the fact's version epoch — the
+    * lookup side of the SCD2 contract (`vf <= epoch < vt`, open rows
+    * `vt` null valid forever).
+    *
+    * Scale shape: the join is an EQUI-join on the dimension key with
+    * the validity window as a residual predicate — never a range-only
+    * join — and the dimension (small beside its facts, same trade as
+    * the per-batch rewrite above) is the broadcast side, so the fact
+    * table streams through with no shuffle. */
+  def enrichAsOf(facts: DataFrame, dim: DataFrame, factKey: String,
+                 epochCol: String, joinType: String = "left"): DataFrame = {
+    val d = dim.select(col("k"), col("seg"), col("vf"), col("vt"))
+    facts.join(broadcast(d),
+      facts(factKey) === d("k") &&
+        d("vf") <= facts(epochCol) &&
+        (d("vt").isNull || facts(epochCol) < d("vt")),
+      joinType)
+      .drop("k", "vf", "vt")
+  }
+
   /** Drain the update stream into `dimDir` and return the final SCD2
     * table (the newest committed version). */
   def run(spark: SparkSession, updates: DataFrame, base: DataFrame,

@@ -1071,6 +1071,29 @@ class StreamingSpec extends SparkSpec {
       "zero drained batches must fall back to the base dimension, not throw")
   }
 
+  test("Scd2Dim.enrichAsOf: each fact joins the dimension row valid AT its epoch") {
+    import spark.implicits._
+    // k=1 history: A over [0,2), B over [2,∞); k=2: C over [0,∞).
+    val dim = Seq(
+      (1L, "A", 0L, Option(2L)),
+      (1L, "B", 2L, Option.empty[Long]),
+      (2L, "C", 0L, Option.empty[Long]))
+      .toDF("k", "seg", "vf", "vt")
+    val facts = Seq((1L, 0L, 10.0), (1L, 1L, 20.0), (1L, 2L, 30.0),
+      (1L, 5L, 40.0), (2L, 3L, 50.0), (9L, 0L, 60.0))
+      .toDF("fk", "epoch", "v")
+    val out = graft.streaming.Scd2Dim.enrichAsOf(facts, dim, "fk", "epoch")
+      .select("fk", "epoch", "seg").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2))).sorted.toSeq
+    assert(out == Seq((1L, 0L, "A"), (1L, 1L, "A"), (1L, 2L, "B"),
+      (1L, 5L, "B"), (2L, 3L, "C"), (9L, 0L, null)),
+      s"point-in-time lookup mismatch: $out")
+    // exactly one dim row matches any epoch — the left join never
+    // multiplies facts
+    assert(out.length == 6, "row conservation: one output row per fact")
+  }
+
   test("st31 priority sample: a restarted drain continues from its checkpoint to the batch answer") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
