@@ -2194,5 +2194,85 @@ object NorthStarQueries {
              |  CAST(SUM(CASE WHEN sa = 'val' AND sb = 'val' THEN 1 ELSE 0 END)
              |    AS BIGINT) AS n_val_only
              |FROM sp""".stripMargin)),
+
+    // ---- similarity: index health report (cell occupancy + load) ----------
+    // The monitoring face of [[Similarity.indexCellSkew]] as a query:
+    // per-cell occupancy of the PERSISTED index (empty trained cells
+    // included — an index collapsed into 2 of 16 cells is skewed even
+    // if those two are equal), each cell's corpus share in basis
+    // points and its load vs the mean in permille — the report a
+    // maintenance schedule reads before deciding rebuildIfSkewed. One
+    // columnar scan of the cells partition projecting (cell_id,
+    // vec_id) only — no float codes read; the codebook join is a
+    // broadcast of nCells rows. All outputs integer (cross-multiplied
+    // div). Oracle: s08's certified 2-iteration codebook CTEs down to
+    // the final assignment, then the same occupancy arithmetic.
+    ("s22_index_health",
+      (s: SparkSession, d: String) => {
+        val idx = ensureIvfIndex(s, d)
+        val occ = s.read.parquet(s"$idx/codebook").select("cell_id")
+          .join(s.read.parquet(s"$idx/cells").select("cell_id", "vec_id"),
+            Seq("cell_id"), "left")
+          .groupBy(col("cell_id"))
+          .agg(sum(when(col("vec_id").isNotNull, 1L).otherwise(0L)).as("n_vecs"))
+        val tot = occ.agg(sum(col("n_vecs")).as("n_total"),
+          count(lit(1)).as("n_cells"))
+        occ.crossJoin(broadcast(tot))
+          .select(col("cell_id").cast("long").as("cell_id"), col("n_vecs"),
+            expr("(n_vecs * 10000) div n_total").as("share_bp"),
+            expr("(n_vecs * n_cells * 1000) div n_total").as("load_pm"))
+          .orderBy(col("cell_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, v FROM
+             |        (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+             |      WHERE len(v) > 0 AND list_inner_product(v, v) > 0),
+             |c0 AS (SELECT vec_id AS cell_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+             |a0 AS (SELECT vec_id, cell_id FROM (
+             |        SELECT e.vec_id, c0.cell_id,
+             |          row_number() OVER (PARTITION BY e.vec_id
+             |            ORDER BY round(list_cosine_similarity(e.v, c0.cv), 6) DESC, c0.cell_id) AS rn
+             |        FROM e CROSS JOIN c0)
+             |      WHERE rn = 1),
+             |x1 AS (SELECT a0.cell_id, u.i, e.v[CAST(u.i AS INT)] AS xv
+             |      FROM a0 JOIN e USING (vec_id),
+             |           unnest(range(1, len(e.v) + 1)) AS u(i)),
+             |m1 AS (SELECT cell_id,
+             |        list(CAST(CAST(mx AS FLOAT) AS DOUBLE) ORDER BY i) AS mv
+             |      FROM (SELECT cell_id, i, round(avg(xv), 6) AS mx
+             |            FROM x1 GROUP BY 1, 2)
+             |      GROUP BY 1),
+             |c1 AS (SELECT c0.cell_id, coalesce(m1.mv, c0.cv) AS cv
+             |       FROM c0 LEFT JOIN m1 USING (cell_id)),
+             |a1 AS (SELECT vec_id, cell_id FROM (
+             |        SELECT e.vec_id, c1.cell_id,
+             |          row_number() OVER (PARTITION BY e.vec_id
+             |            ORDER BY round(list_cosine_similarity(e.v, c1.cv), 6) DESC, c1.cell_id) AS rn
+             |        FROM e CROSS JOIN c1)
+             |      WHERE rn = 1),
+             |x2 AS (SELECT a1.cell_id, u.i, e.v[CAST(u.i AS INT)] AS xv
+             |      FROM a1 JOIN e USING (vec_id),
+             |           unnest(range(1, len(e.v) + 1)) AS u(i)),
+             |m2 AS (SELECT cell_id,
+             |        list(CAST(CAST(mx AS FLOAT) AS DOUBLE) ORDER BY i) AS mv
+             |      FROM (SELECT cell_id, i, round(avg(xv), 6) AS mx
+             |            FROM x2 GROUP BY 1, 2)
+             |      GROUP BY 1),
+             |c AS (SELECT c1.cell_id, coalesce(m2.mv, c1.cv) AS cv
+             |      FROM c1 LEFT JOIN m2 USING (cell_id)),
+             |a AS (SELECT vec_id, cell_id FROM (
+             |        SELECT e.vec_id, c.cell_id,
+             |          row_number() OVER (PARTITION BY e.vec_id
+             |            ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell_id) AS rn
+             |        FROM e CROSS JOIN c)
+             |      WHERE rn = 1),
+             |occ AS (SELECT c.cell_id, COUNT(a.vec_id) AS n_vecs
+             |        FROM c LEFT JOIN a USING (cell_id) GROUP BY 1),
+             |t AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_total,
+             |        CAST(COUNT(*) AS BIGINT) AS n_cells FROM occ)
+             |SELECT CAST(cell_id AS BIGINT) AS cell_id,
+             |  CAST(n_vecs AS BIGINT) AS n_vecs,
+             |  CAST((n_vecs * 10000) // n_total AS BIGINT) AS share_bp,
+             |  CAST((n_vecs * n_cells * 1000) // n_total AS BIGINT) AS load_pm
+             |FROM occ CROSS JOIN t ORDER BY cell_id""".stripMargin)),
   )
 }

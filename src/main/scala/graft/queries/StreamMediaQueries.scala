@@ -1583,6 +1583,51 @@ object StreamMediaQueries {
              |FROM c GROUP BY kind, cum_before // 16384
              |ORDER BY kind, shard_id""".stripMargin)),
 
+    // ---- multimodal shard integrity digest (read-back audit) --------------
+    // The verification leg of m07's packing: per shard, the sha-256 of
+    // the payloads CONCATENATED in manifest order — what a training
+    // loader checks against the manifest before trusting a shard, and
+    // what an archival job re-computes after transport. Composes m07's
+    // bin assignment with m05's digest discipline; the order-sensitive
+    // concat makes it stronger than m05's per-file digests (it catches
+    // reordering and truncation inside a shard, not just payload
+    // corruption). Scale shape: one shuffle keyed on (kind, shard) —
+    // shards are size-bounded by construction, so each group's
+    // collect_list is bounded by the shard budget, never corpus-scale;
+    // the digest is 32 bytes per shard out.
+    ("m08_shard_digest",
+      (s: SparkSession, d: String) => {
+        val media = Multimodal.fromDocuments(
+          Tables.load(s, d, "documents")).toDF()
+        media.select(col("kind"), col("media_id"), col("payload"),
+            octet_length(col("payload")).cast("long").as("n_bytes"))
+          .withColumn("shard_id", graft.ops.TrainingPrep.packedBin(
+            col("n_bytes"), col("kind"), col("media_id"), budget = 16 * 1024))
+          .groupBy(col("kind"), col("shard_id"))
+          .agg(count(lit(1)).as("n_items"), sum(col("n_bytes")).as("total_bytes"),
+            collect_list(struct(col("media_id"), col("payload"))).as("ps"))
+          .select(col("kind"), col("shard_id"), col("n_items"), col("total_bytes"),
+            sha2(expr("aggregate(sort_array(ps), CAST('' AS BINARY), " +
+              "(acc, x) -> concat(acc, x.payload))"), 256).as("shard_sha"))
+          .orderBy(col("kind"), col("shard_id"))
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+             |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             |         ELSE 'video' END AS kind,
+             |    text, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+             |  FROM documents),
+             |c AS (SELECT kind, media_id, text, n_bytes,
+             |        SUM(n_bytes) OVER (PARTITION BY kind ORDER BY media_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |          - n_bytes AS cum_before
+             |      FROM m)
+             |SELECT kind, CAST(cum_before // 16384 AS BIGINT) AS shard_id,
+             |  CAST(COUNT(*) AS BIGINT) AS n_items,
+             |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+             |  sha256(string_agg(text, '' ORDER BY media_id)) AS shard_sha
+             |FROM c GROUP BY kind, cum_before // 16384
+             |ORDER BY kind, shard_id""".stripMargin)),
+
     // ---- streaming SCD2 dimension maintenance -----------------------------
     // q81's history merge run THROUGH the streaming engine: two pinned
     // update waves (the [[ensureDimUpdateStream]] fixture — SCD2
