@@ -1707,5 +1707,69 @@ object AdvancedQueries {
              |SELECT est_f2, exact_f2,
              |  CAST(((est_f2 - exact_f2) * 10000) // exact_f2 AS BIGINT) AS err_bp
              |FROM e CROSS JOIN x""".stripMargin)),
+
+    // ---- product-line profit by supplier nation and year (TPC-H Q9) -------
+    // Q9's star shape: lineitem at the center, part (name-filtered),
+    // supplier, nation and orders around it, rolled up to
+    // (nation, year) with a profit measure. The fixture has no
+    // partsupp, so supply cost is a declared stand-in — one tenth of
+    // retail, floored in integer cents (q78's cents rule:
+    // round(×100) → BIGINT, so the cost sum is exact and both engines
+    // floor the same integers). Revenue stays DECIMAL-exact (q69's
+    // rule); profit is ONE double subtraction of two identically
+    // derived doubles. Scale shape: the name filter prunes part
+    // before broadcast; supplier/nation broadcast; lineitem ⋈ orders
+    // is the only fact-fact shuffle; output is |nations|·|years|.
+    ("q98_product_profit",
+      (s: SparkSession, d: String) => {
+        val p = Tables.load(s, d, "part")
+          .filter(col("p_name").like("%bolt%"))
+          .select(col("p_partkey"),
+            round(col("p_retailprice") * 100).cast("long").as("retail_c"))
+        val sup = Tables.load(s, d, "supplier").select("s_suppkey", "s_nationkey")
+        val nat = Tables.load(s, d, "nation")
+          .select(col("n_nationkey"), col("n_name").as("nation"))
+        val o = Tables.load(s, d, "orders")
+          .select(col("o_orderkey"), year(col("o_orderdate")).as("yr"))
+        Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            col("l_quantity").cast("long").as("qty"),
+            (dec(col("l_extendedprice")) *
+              (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount")))).as("v"))
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(col("nation"), col("yr"), col("v"),
+            expr("(qty * retail_c) div 10").as("cost_c"))
+          .groupBy(col("nation"), col("yr"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("v")).cast("double").as("revenue"),
+            sum(col("cost_c")).as("cc"))
+          .select(col("nation"), col("yr"), col("n_items"), col("revenue"),
+            (col("cc").cast("double") / 100.0).as("cost"))
+          .withColumn("profit", col("revenue") - col("cost"))
+          .orderBy(col("nation"), col("yr"))
+      },
+      Some("""WITH l AS (
+             |  SELECT n_name AS nation, year(o_orderdate) AS yr,
+             |    CAST(l_extendedprice AS DECIMAL(18,2))
+             |      * (1 - CAST(l_discount AS DECIMAL(18,2))) AS v,
+             |    (CAST(l_quantity AS BIGINT)
+             |      * CAST(round(p_retailprice * 100) AS BIGINT)) // 10 AS cost_c
+             |  FROM lineitem
+             |  JOIN part ON l_partkey = p_partkey AND p_name LIKE '%bolt%'
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  JOIN orders ON l_orderkey = o_orderkey),
+             |g AS (SELECT nation, CAST(yr AS INT) AS yr,
+             |        CAST(COUNT(*) AS BIGINT) AS n_items,
+             |        CAST(SUM(v) AS DOUBLE) AS revenue,
+             |        CAST(SUM(cost_c) AS BIGINT) AS cc
+             |      FROM l GROUP BY 1, 2)
+             |SELECT nation, yr, n_items, revenue,
+             |  CAST(cc AS DOUBLE) / 100.0 AS cost,
+             |  revenue - CAST(cc AS DOUBLE) / 100.0 AS profit
+             |FROM g ORDER BY nation, yr""".stripMargin)),
   )
 }

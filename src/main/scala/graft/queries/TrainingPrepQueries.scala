@@ -1158,5 +1158,46 @@ object TrainingPrepQueries {
              |  CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new
              |FROM tk LEFT JOIN nv ON b = fb
              |ORDER BY bucket""".stripMargin)),
+
+    // ---- context-length truncation-loss sweep -----------------------------
+    // The report that picks max_seq_len: for each candidate context
+    // length, how many tokens are LOST if every document is truncated
+    // there, and how many documents are cut at all — parts-per-million
+    // by integer cross-multiplication, no float. Complements q41
+    // (which PACKS at one budget) and t05 (which chunks with overlap):
+    // this is the cheap aggregate diagnostic run before either.
+    // Scale shape: one scan computing the per-doc token count, a
+    // 3-way explode of the candidate lengths (map-side), and one
+    // combinable aggregate per length — output is |lengths| rows.
+    ("t20_truncation_loss",
+      (s: SparkSession, d: String) => {
+        Tables.load(s, d, "documents")
+          .select(TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+          .select(explode(array(lit(512L), lit(1024L), lit(2048L))).as("ctx"),
+            col("n"))
+          .groupBy(col("ctx"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n")).as("total_tokens"),
+            sum(greatest(col("n") - col("ctx"), lit(0L))).as("lost_tokens"),
+            sum(when(col("n") > col("ctx"), 1L).otherwise(0L)).as("n_truncated"))
+          .select(col("ctx"), col("n_docs"), col("total_tokens"),
+            col("lost_tokens"), col("n_truncated"),
+            expr("(lost_tokens * 1000000) div total_tokens").as("lost_ppm"))
+          .orderBy(col("ctx"))
+      },
+      Some("""WITH n AS (SELECT
+             |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n
+             |  FROM documents),
+             |g AS (SELECT ctx, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |        CAST(SUM(n) AS BIGINT) AS total_tokens,
+             |        CAST(SUM(greatest(n - ctx, 0)) AS BIGINT) AS lost_tokens,
+             |        CAST(SUM(CASE WHEN n > ctx THEN 1 ELSE 0 END) AS BIGINT)
+             |          AS n_truncated
+             |      FROM n CROSS JOIN (VALUES (512), (1024), (2048)) AS c(ctx)
+             |      GROUP BY 1)
+             |SELECT CAST(ctx AS BIGINT) AS ctx, n_docs, total_tokens,
+             |  lost_tokens, n_truncated,
+             |  CAST((lost_tokens * 1000000) // total_tokens AS BIGINT) AS lost_ppm
+             |FROM g ORDER BY ctx""".stripMargin)),
   )
 }
