@@ -1771,5 +1771,49 @@ object AdvancedQueries {
              |  CAST(cc AS DOUBLE) / 100.0 AS cost,
              |  revenue - CAST(cc AS DOUBLE) / 100.0 AS profit
              |FROM g ORDER BY nation, yr""".stripMargin)),
+
+    // ---- stable global sequence ids without a global sort ------------------
+    // Distributed zipWithIndex, deterministically: exporting a corpus
+    // with stable line numbers (training-shard offsets, audit ids)
+    // must NOT funnel every row through one sorted partition. Two-pass
+    // bucket-offset assignment instead: bucket on the leading key's
+    // integer prefix (l_orderkey div 1024 — width chosen so |buckets|
+    // stays ~1e5 at target scale), per-bucket counts roll into prefix
+    // offsets through ONE window over the |buckets|-row frame (bounded
+    // by construction, the t19 rule), and each bucket ranks its own
+    // rows in parallel: seq = bucket offset + local rank. The order
+    // key extends to the unique 4-tuple — a tie under the declared
+    // sort would make ids layout-dependent. Output spot-checks every
+    // 1000th id against the oracle's true global row_number.
+    ("q99_global_sequence",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val l = Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"))
+          .withColumn("b", expr("l_orderkey div 1024"))
+        val offsets = l.groupBy(col("b")).agg(count(lit(1)).as("n"))
+          .withColumn("off",
+            sum(col("n")).over(Window.orderBy(col("b"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              - col("n"))
+        val wb = Window.partitionBy(col("b"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"))
+        l.join(broadcast(offsets.select("b", "off")), "b")
+          .withColumn("seq", col("off") + row_number().over(wb) - 1)
+          .filter(col("seq") % 1000 === 0)
+          .select(col("seq"), col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"))
+          .orderBy(col("seq"))
+      },
+      Some("""WITH r AS (
+             |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             |    row_number() OVER (ORDER BY l_orderkey, l_linenumber,
+             |      l_partkey, l_suppkey) - 1 AS seq
+             |  FROM lineitem)
+             |SELECT CAST(seq AS BIGINT) AS seq, l_orderkey,
+             |  CAST(l_linenumber AS INT) AS l_linenumber, l_partkey, l_suppkey
+             |FROM r WHERE seq % 1000 = 0 ORDER BY seq""".stripMargin)),
   )
 }

@@ -130,4 +130,27 @@ class PropertySpec extends AnyFunSuite {
       h1.length == 64 && h1.forall(ch => ch == '0' || ch == '1') && h1 == h2
     })
   }
+
+  test("CMS row inner products never underestimate exact self-join size (q97's invariant)") {
+    // q97's estimator arithmetic, replicated driver-side: for ANY key
+    // multiset, each sketch row's inner product Σ f_bucket² is the
+    // exact F2 plus non-negative collision cross-terms, so the min
+    // across rows is a one-sided (over-)estimate. Width is shrunk to 64
+    // here to FORCE collisions — the property must hold because of the
+    // algebra, not because the fixture happens to be collision-free.
+    val seeds = Seq((1103515245L, 12345L), (69069L, 362437L),
+      (1664525L, 1013904223L))
+    val p = 2147483647L
+    val w = 64L
+    val keysGen = Gen.nonEmptyListOf(Gen.chooseNum(0L, 100000L))
+    checkProp(Prop.forAll(keysGen) { keys =>
+      val exact = keys.groupBy(identity).values
+        .map(g => g.size.toLong * g.size).sum
+      val est = seeds.map { case (a, b) =>
+        keys.groupBy(k => ((a * k + b) % p) % w).values
+          .map(g => g.size.toLong * g.size).sum
+      }.min
+      est >= exact
+    })
+  }
 }
