@@ -2274,5 +2274,54 @@ object NorthStarQueries {
              |  CAST((n_vecs * 10000) // n_total AS BIGINT) AS share_bp,
              |  CAST((n_vecs * n_cells * 1000) // n_total AS BIGINT) AS load_pm
              |FROM occ CROSS JOIN t ORDER BY cell_id""".stripMargin)),
+
+    // ---- curation threshold sweep (the tuning curve that picks τ) ---------
+    // c01 runs the funnel AT one quality threshold; this is the curve
+    // a curator reads to CHOOSE it: per candidate τ, documents and
+    // tokens surviving the quality gate, with the keep rate in integer
+    // basis points — s21's parameter-sweep pattern applied to the
+    // curation side. Scale shape: the score computes ONCE per doc in
+    // one scan (the sweep is a 3-way map-side explode, not three
+    // scoring passes) and each τ's row aggregates combinably; output
+    // is |τ| rows. The τ comparison uses the same round-6 score and
+    // plain >= both engines share (c01's discipline).
+    ("c09_quality_sweep",
+      (s: SparkSession, d: String) => {
+        val scored = Tables.load(s, d, "documents").select(
+          TextAnalysis.qualityScore(col("text")).as("q"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+        scored.select(
+            explode(array(lit(0.35), lit(0.45), lit(0.55))).as("tau"),
+            col("q"), col("n"))
+          .groupBy(col("tau"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("q") >= col("tau"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("q") >= col("tau"), col("n")).otherwise(0L))
+              .as("tokens_kept"))
+          .select(col("tau"), col("n_docs"), col("n_kept"), col("tokens_kept"),
+            expr("(n_kept * 10000) div n_docs").as("kept_bp"))
+          .orderBy(col("tau"))
+      },
+      Some("""WITH sc AS (SELECT
+             |    round(0.4 * least(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) / 100.0, 1.0)
+             |      + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text))
+             |      + 0.3 * least(CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             |            t -> list_contains(['the','a','of','and','to','in','is','it','that','on'], t))) AS DOUBLE)
+             |          / len(regexp_extract_all(lower(text), '[a-z0-9]+')) * 5.0, 1.0),
+             |      6) AS q,
+             |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n
+             |  FROM documents),
+             |g AS (SELECT CAST(tau AS DOUBLE) AS tau,
+             |        CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |        CAST(SUM(CASE WHEN q >= tau THEN 1 ELSE 0 END) AS BIGINT)
+             |          AS n_kept,
+             |        CAST(SUM(CASE WHEN q >= tau THEN n ELSE 0 END) AS BIGINT)
+             |          AS tokens_kept
+             |      FROM sc CROSS JOIN (VALUES (CAST(0.35 AS DOUBLE)),
+             |        (CAST(0.45 AS DOUBLE)), (CAST(0.55 AS DOUBLE))) t(tau)
+             |      GROUP BY 1)
+             |SELECT tau, n_docs, n_kept, tokens_kept,
+             |  CAST((n_kept * 10000) // n_docs AS BIGINT) AS kept_bp
+             |FROM g ORDER BY tau""".stripMargin)),
   )
 }

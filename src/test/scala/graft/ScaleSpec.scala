@@ -1066,4 +1066,36 @@ class ScaleSpec extends SparkSpec {
       !finalPlan.contains("BroadcastNestedLoopJoin"),
       s"degenerate join:\n${finalPlan.take(4000)}")
   }
+
+  test("q94 Q7 shape: nation bloc broadcasts, one fact-fact shuffle, clean joins") {
+    spark.catalog.clearCache()
+    val plan = planOf(SparkEntry.queries("q94_nation_trade")(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // the filtered nation dim must broadcast into supplier AND customer
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"nation bloc must broadcast:\n${finalPlan.take(4000)}")
+    // the bloc membership filter reaches a scan, not a post-join filter only
+    assert(finalPlan.contains("In(n_name"),
+      s"nation bloc filter not pushed to the nation scan:\n${finalPlan.take(4000)}")
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoopJoin"),
+      s"degenerate join:\n${finalPlan.take(4000)}")
+    assert(finalPlan.contains("partial_sum"),
+      s"revenue aggregate lost its map-side partial:\n${finalPlan.take(4000)}")
+  }
+
+  test("q98 Q9 star: part name filter pushed, dims broadcast, partial aggregation") {
+    spark.catalog.clearCache()
+    val plan = planOf(SparkEntry.queries("q98_product_profit")(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("StringContains(p_name,bolt)"),
+      s"LIKE '%%bolt%%' not pushed to the part scan:\n${finalPlan.take(4000)}")
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"star dimensions must broadcast:\n${finalPlan.take(4000)}")
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoopJoin"),
+      s"degenerate join:\n${finalPlan.take(4000)}")
+    assert(finalPlan.contains("partial_sum"),
+      s"profit aggregate lost its map-side partial:\n${finalPlan.take(4000)}")
+  }
 }
