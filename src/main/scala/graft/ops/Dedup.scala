@@ -417,6 +417,80 @@ object Dedup {
       .agg(count_distinct(col("gram")).as("n_shared"))
   }
 
+  /** k-core of an undirected pair set ((id_a, id_b) rows, each edge
+    * once) by `rounds` rounds of synchronous peeling: drop every node
+    * whose degree within the surviving set is < k, re-count, repeat
+    * (Matula & Beck '83; the distributed formulation is Montresor et
+    * al., TPDS'13). Returns (doc_id, deg) for nodes surviving all
+    * rounds, deg = degree inside the survivor set.
+    *
+    * Fixed-round, not run-to-fixpoint, so an exact SQL oracle can
+    * replay the identical computation unrolled (c05's fixed-iteration
+    * rule); callers pick `rounds` ≥ the peeling depth of their graph
+    * (spec-asserted at fixture scale — one extra round is a no-op once
+    * converged, so over-provisioning is safe, and each round costs one
+    * aggregate + two semi joins on node id, never a cartesian).
+    * Lineage is truncated per round (localCheckpoint) — 4 rounds of
+    * join-on-join otherwise compounds the plan the way
+    * [[connectedComponents]]' iterations would. */
+  def kcore(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var und = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var i = 0
+    while (i < rounds) {
+      val keep = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("kid"))
+      und = und
+        .join(keep, col("src") === col("kid"), "left_semi")
+        .join(keep, col("dst") === col("kid"), "left_semi")
+        .localCheckpoint()
+      i += 1
+    }
+    und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("doc_id"), col("deg"))
+  }
+
+  /** Cross-source duplication matrix: distinct word-n-gram Jaccard
+    * between every pair of sources — the mixture-design diagnostic
+    * ("how much of source B is already in source A") that doc-pair
+    * dedup ([[containmentNearDups]]) never rolls up. Returns
+    * (src_a, src_b, grams_a, grams_b, shared, jaccard) for source
+    * pairs sharing ≥ 1 gram, jaccard rounded 6 dp from integer-exact
+    * counts (one final double divide).
+    *
+    * Scale shape: grams dedup to (source, gram) FIRST (map-side via
+    * the gram-set expression, then one distinct shuffle keyed by
+    * gram), so the pair join fans out per gram only over the ≤
+    * |sources| holders of that gram — never doc×doc. `maxDf` caps
+    * ubiquitous grams' posting lists (boilerplate appears everywhere
+    * and contributes equally to every cell; 0 = exact, the oracle
+    * regime). Output is |sources|² cells at most — tiny at any corpus
+    * scale. */
+  def sourceOverlap(docs: DataFrame, srcCol: String, textCol: String,
+                    n: Int = 5, maxDf: Int = 0): DataFrame = {
+    val sg = docs
+      .select(col(srcCol).as("source"),
+        wordNGrams(words(col(textCol)), n).as("g"))
+      .filter(size(col("g")) > 0)
+      .select(col("source"), explode(col("g")).as("gram"))
+      .distinct()
+    val sz = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val posting = capBuckets(sg, Seq("gram"), maxDf)
+    posting.select(col("gram"), col("source").as("src_a"))
+      .join(posting.select(col("gram"), col("source").as("src_b")), "gram")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sz.select(col("source").as("src_a"), col("n").as("grams_a")), "src_a")
+      .join(sz.select(col("source").as("src_b"), col("n").as("grams_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("grams_a"), col("grams_b"),
+        col("shared"),
+        round(col("shared").cast("double") /
+          (col("grams_a") + col("grams_b") - col("shared")), 6).as("jaccard"))
+  }
+
   /** Connected components over undirected near-dup pair edges
     * ((id_a, id_b) rows): every node ends labeled with the smallest id
     * in its component, so "keep the cluster minimum" dedup is exact

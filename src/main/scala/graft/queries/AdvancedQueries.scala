@@ -1815,5 +1815,87 @@ object AdvancedQueries {
              |SELECT CAST(seq AS BIGINT) AS seq, l_orderkey,
              |  CAST(l_linenumber AS INT) AS l_linenumber, l_partkey, l_suppkey
              |FROM r WHERE seq % 1000 = 0 ORDER BY seq""".stripMargin)),
+
+    // ---- returned-item revenue by customer (TPC-H Q10 shape) --------------
+    // The lost-revenue report: which customers returned the most value
+    // in a quarter. Shape Q3 lacks: a QUARTER window on orders plus a
+    // fact-side flag filter (l_returnflag = 'R') that prunes lineitem
+    // to ~1/3 before the join, a customer-grain aggregate carrying
+    // descriptive columns, and a wide top-20. Scale: nation broadcasts;
+    // orders is date-pruned before the customer join; the only
+    // fact-fact shuffle is orders ⋈ lineitem on orderkey; the final
+    // top-20 is TakeOrderedAndProject (no global sort). Revenue is
+    // DECIMAL-exact with one final double cast (q69's rule); ties
+    // broken on c_custkey.
+    ("q100_returned_items",
+      (s: SparkSession, d: String) => {
+        val c = Tables.load(s, d, "customer")
+          .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+        val o = Tables.load(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey")
+        val l = Tables.load(s, d, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"),
+            (dec(col("l_extendedprice")) *
+              (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount")))).as("v"))
+        val n = Tables.load(s, d, "nation")
+          .select(col("n_nationkey"), col("n_name"))
+        o.join(l, col("o_orderkey") === col("l_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+          .agg(sum(col("v")).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal, n_name,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+             |FROM customer
+             |JOIN orders ON o_custkey = c_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1996-04-01'
+             |  AND l_returnflag = 'R'
+             |GROUP BY c_custkey, c_name, c_acctbal, n_name
+             |ORDER BY revenue DESC, c_custkey
+             |LIMIT 20""".stripMargin)),
+
+    // ---- customer order-count distribution (TPC-H Q13 shape) --------------
+    // The distribution-of-a-distribution: how many customers placed
+    // exactly k qualifying orders, INCLUDING k = 0 — the zero bucket
+    // only exists because the join is LEFT OUTER (an inner join
+    // silently drops never-ordered customers; Q13's whole point).
+    // o_orderpriority <> '1-URGENT' stands in for Q13's comment
+    // filter (fixture has no o_comment). Scale: one shuffle on
+    // custkey for the outer join + first-level count; the second
+    // aggregate groups ~|distinct counts| rows — tiny. count(col)
+    // counts non-null order keys only, so no-match rows land at 0 in
+    // both engines.
+    ("q101_cust_order_histogram",
+      (s: SparkSession, d: String) => {
+        val c = Tables.load(s, d, "customer").select("c_custkey")
+        val o = Tables.load(s, d, "orders")
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select("o_orderkey", "o_custkey")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+             |FROM (
+             |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+             |  FROM customer
+             |  LEFT OUTER JOIN orders ON c_custkey = o_custkey
+             |    AND o_orderpriority <> '1-URGENT'
+             |  GROUP BY c_custkey)
+             |GROUP BY c_count
+             |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
   )
 }

@@ -2323,5 +2323,85 @@ object NorthStarQueries {
              |SELECT tau, n_docs, n_kept, tokens_kept,
              |  CAST((n_kept * 10000) // n_docs AS BIGINT) AS kept_bp
              |FROM g ORDER BY tau""".stripMargin)),
+
+    // ---- 2-core of the near-dup graph (peeling) ---------------------------
+    // The third graph lens over c05/c07's similarity graph: PageRank
+    // finds hubs, triangles find cliques, the 2-CORE separates
+    // cyclically-connected duplicate families (template clusters that
+    // survive peeling) from tree-shaped chains (pairwise accidents
+    // that dissolve once their leaf is peeled) — the standard "is this
+    // cluster structurally dense or just transitively glued" curation
+    // signal. 4 peeling rounds, fixed both sides (the fixture
+    // converges in 1 — spec-asserted headroom), each round one
+    // degree aggregate + two semi joins on node id.
+    ("c10_kcore",
+      (s: SparkSession, d: String) => {
+        val pairs = Dedup.prefixJaccardPairs(Tables.load(s, d, "documents"),
+            "doc_id", "text", n = 2, prefixLen = 50, maxBucket = 0)
+          .filter(col("jaccard") >= 0.3)
+          .select(col("id_a"), col("id_b"))
+        Dedup.kcore(pairs, k = 2, rounds = 4)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH grams AS (
+             |  SELECT doc_id, substr(text, 1, 50) AS pfx,
+             |    list_distinct(list_transform(range(1, greatest(len(w), 2)),
+             |                  i -> w[i] || ' ' || w[i+1])) AS g
+             |  FROM (SELECT doc_id, text,
+             |          string_split_regex(lower(text), '\s+') AS w FROM documents)),
+             |pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM grams a JOIN grams b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+             |        / len(list_distinct(a.g || b.g)) >= 0.3),
+             |e0 AS (SELECT id_a AS a, id_b AS b FROM pairs
+             |       UNION ALL SELECT id_b, id_a FROM pairs),
+             |k1 AS (SELECT a FROM e0 GROUP BY a HAVING COUNT(*) >= 2),
+             |e1 AS (SELECT e.a, e.b FROM e0 e
+             |       JOIN k1 x ON e.a = x.a JOIN k1 y ON e.b = y.a),
+             |k2 AS (SELECT a FROM e1 GROUP BY a HAVING COUNT(*) >= 2),
+             |e2 AS (SELECT e.a, e.b FROM e1 e
+             |       JOIN k2 x ON e.a = x.a JOIN k2 y ON e.b = y.a),
+             |k3 AS (SELECT a FROM e2 GROUP BY a HAVING COUNT(*) >= 2),
+             |e3 AS (SELECT e.a, e.b FROM e2 e
+             |       JOIN k3 x ON e.a = x.a JOIN k3 y ON e.b = y.a),
+             |k4 AS (SELECT a FROM e3 GROUP BY a HAVING COUNT(*) >= 2),
+             |e4 AS (SELECT e.a, e.b FROM e3 e
+             |       JOIN k4 x ON e.a = x.a JOIN k4 y ON e.b = y.a)
+             |SELECT a AS doc_id, CAST(COUNT(*) AS BIGINT) AS deg
+             |FROM e4 GROUP BY a ORDER BY doc_id""".stripMargin)),
+
+    // ---- cross-source duplication matrix ----------------------------------
+    // Source-level 5-gram Jaccard between every pair of sources: the
+    // mixture-design diagnostic that tells a data curator "source B is
+    // 6% the same shingles as source A" BEFORE epoch weights (q49) or
+    // temperature mixing (q73) multiply that overlap into effective
+    // duplication. Doc-pair dedup (d02/d12) can't see this — it reports
+    // pairs, not the source-grain rollup. Integer-exact counts, one
+    // final rounded divide; plan never pairs docs, only (source, gram)
+    // postings.
+    ("c11_source_overlap",
+      (s: SparkSession, d: String) => {
+        Dedup.sourceOverlap(Tables.load(s, d, "documents"),
+            "source", "text", n = 5, maxDf = 0)
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some("""WITH grams AS (
+             |  SELECT doc_id, source, list_distinct(list_transform(range(1, len(w) - 3),
+             |    i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4])) AS g
+             |  FROM (SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS w
+             |        FROM documents)
+             |  WHERE len(w) >= 5),
+             |sg AS (SELECT DISTINCT source, unnest(g) AS gram FROM grams),
+             |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sg GROUP BY 1),
+             |sh AS (SELECT a.source AS src_a, b.source AS src_b,
+             |         CAST(COUNT(*) AS BIGINT) AS shared
+             |       FROM sg a JOIN sg b ON a.gram = b.gram AND a.source < b.source
+             |       GROUP BY 1, 2)
+             |SELECT src_a, src_b, za.n AS grams_a, zb.n AS grams_b, shared,
+             |  round(CAST(shared AS DOUBLE) / (za.n + zb.n - shared), 6) AS jaccard
+             |FROM sh JOIN sz za ON za.source = src_a
+             |        JOIN sz zb ON zb.source = src_b
+             |ORDER BY src_a, src_b""".stripMargin)),
   )
 }

@@ -1098,4 +1098,53 @@ class ScaleSpec extends SparkSpec {
     assert(finalPlan.contains("partial_sum"),
       s"profit aggregate lost its map-side partial:\n${finalPlan.take(4000)}")
   }
+
+  test("q100 Q10 shape: returnflag pushed, date-pruned orders, top-20 TakeOrdered") {
+    spark.catalog.clearCache()
+    val plan = planOf(SparkEntry.queries("q100_returned_items")(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // the R-only filter must reach the lineitem scan (prunes ~2/3 pre-join)
+    assert(finalPlan.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag filter not pushed to the lineitem scan:\n${finalPlan.take(4000)}")
+    // the quarter window must reach the orders scan
+    assert(finalPlan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"order-date window not pushed to the orders scan:\n${finalPlan.take(4000)}")
+    // top-20 must never plan as a global sort of every customer
+    assert(finalPlan.contains("TakeOrderedAndProject"),
+      s"top-20 must plan as TakeOrderedAndProject:\n${finalPlan.take(4000)}")
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoopJoin"),
+      s"degenerate join:\n${finalPlan.take(4000)}")
+  }
+
+  test("q101 Q13 shape: outer join keeps zero-order customers, two-level agg") {
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q101_cust_order_histogram")(spark, sf)
+    val plan = planOf(df)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // the priority filter prunes orders BEFORE the outer join
+    assert(finalPlan.contains("Not(EqualTo(o_orderpriority,1-URGENT))"),
+      s"priority filter not pushed to the orders scan:\n${finalPlan.take(4000)}")
+    // outer-join preservation: the histogram covers EVERY customer (an
+    // inner join would drop zero-order customers and undercount). The
+    // sf0.001 fixture has no zero-order customer, so assert coverage,
+    // and force the zero bucket with a filter no order passes.
+    val total = df.agg(sum(col("custdist"))).collect().head.getLong(0)
+    val nCust = Tables.load(spark, sf, "customer").count()
+    assert(total == nCust,
+      s"histogram covers $total customers, expected $nCust — outer join dropped rows")
+    val allFiltered = Tables.load(spark, sf, "customer").select("c_custkey")
+      .join(Tables.load(spark, sf, "orders")
+          .filter(col("o_orderpriority") === "NO_SUCH_PRIORITY")
+          .select("o_orderkey", "o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey")).agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+      .collect()
+    assert(allFiltered.length == 1 && allFiltered.head.getLong(0) == 0L &&
+      allFiltered.head.getLong(1) == nCust,
+      "zero-order customers must land in the k=0 bucket, not vanish")
+    assert(finalPlan.contains("partial_count"),
+      s"first-level count lost its map-side partial:\n${finalPlan.take(4000)}")
+  }
 }
