@@ -1897,5 +1897,97 @@ object AdvancedQueries {
              |  GROUP BY c_custkey)
              |GROUP BY c_count
              |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // ---- Pareto frontier (2-D skyline: cheapest-per-size parts) -----------
+    // The skyline operator: parts no other part dominates (≤ price AND
+    // ≥ size, strict in one) — price/performance shortlists, catalog
+    // curation. NOT the naive O(n²) dominance self-join: the sweep
+    // formulation reduces it to (1) a per-price max-size aggregate,
+    // (2) a prefix max over the DISTINCT-PRICE frame — bounded by the
+    // value domain (cents grid), the q99 offsets-frame rule; an
+    // unbounded price domain would swap in q99's bucket-offset prefix
+    // machinery — and (3) one join back. A point survives iff it tops
+    // its own price's sizes AND beats every cheaper price's best.
+    // Oracle is the INDEPENDENT dominance formulation (NOT EXISTS), so
+    // the hash match proves sweep ≡ dominance, not replay. Integer
+    // cents (q78's rule) keep the compare exact; equal (price, size)
+    // twins both survive in both formulations (no strict dominator).
+    ("q102_pareto_frontier",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val pts = Tables.load(s, d, "part").select(col("p_partkey"),
+          round(col("p_retailprice") * 100).cast("long").as("price_c"),
+          col("p_size"))
+        val perPrice = pts.groupBy(col("price_c")).agg(max(col("p_size")).as("msz"))
+        val swept = perPrice.withColumn("pmax",
+          max(col("msz")).over(Window.orderBy(col("price_c"))
+            .rowsBetween(Window.unboundedPreceding, -1)))
+        pts.join(broadcast(swept), "price_c")
+          .filter(col("p_size") === col("msz") &&
+            (col("pmax").isNull || col("p_size") > col("pmax")))
+          .select(col("p_partkey"), col("price_c"), col("p_size"))
+          .orderBy(col("price_c"), col("p_partkey"))
+      },
+      Some("""SELECT p_partkey,
+             |  CAST(round(p_retailprice*100) AS BIGINT) AS price_c,
+             |  CAST(p_size AS INT) AS p_size
+             |FROM part p
+             |WHERE NOT EXISTS (SELECT 1 FROM part q
+             |  WHERE round(q.p_retailprice*100) <= round(p.p_retailprice*100)
+             |    AND q.p_size >= p.p_size
+             |    AND (round(q.p_retailprice*100) < round(p.p_retailprice*100)
+             |         OR q.p_size > p.p_size))
+             |ORDER BY price_c, p_partkey""".stripMargin)),
+
+    // ---- frequency-weighted exact percentiles -----------------------------
+    // q32's missing axis: percentiles where each row carries a WEIGHT
+    // (quantity-weighted price says "what does the median UNIT sell
+    // at", not "the median line item") — the exact-regime tool for
+    // weighted medians, fee schedules, token-weighted length stats.
+    // Spark's exact `percentile(col, p, freq)` aggregates a
+    // value→weight map (mergeable, map-side combinable; bounded here
+    // by the cents value domain — beyond that regime q50's KLL is the
+    // sketch path). The oracle CANNOT call a builtin (DuckDB has no
+    // weighted percentile): it replays the expanded-multiset
+    // definition — rank p·(Σw−1), floor/ceil lookups via cumulative
+    // weights, linear interpolation — so the hash match certifies
+    // Spark's interpolation semantics against the definition itself.
+    // Integer cents in, one rounded double out (q78's rule).
+    ("q103_weighted_percentile",
+      (s: SparkSession, d: String) => {
+        Tables.load(s, d, "lineitem").select(col("l_returnflag").as("flag"),
+            round(col("l_extendedprice") * 100).cast("long").as("pc"),
+            col("l_quantity").cast("long").as("q"))
+          .groupBy(col("flag"))
+          .agg(round(expr("percentile(pc, 0.5D, q)"), 6).as("wm50"),
+            round(expr("percentile(pc, 0.9D, q)"), 6).as("wm90"),
+            sum(col("q")).as("total_w"))
+          .orderBy(col("flag"))
+      },
+      Some("""WITH l AS (SELECT l_returnflag AS flag,
+             |    CAST(round(l_extendedprice*100) AS BIGINT) AS pc,
+             |    CAST(l_quantity AS BIGINT) AS q FROM lineitem),
+             |a AS (SELECT flag, pc, SUM(q) AS w FROM l GROUP BY 1, 2),
+             |c AS (SELECT flag, pc, w,
+             |    SUM(w) OVER (PARTITION BY flag ORDER BY pc) AS cum,
+             |    SUM(w) OVER (PARTITION BY flag) AS tot FROM a),
+             |pos AS (SELECT flag, tot, p,
+             |    CAST(floor(p*(tot-1)) AS BIGINT) AS lo,
+             |    CAST(ceiling(p*(tot-1)) AS BIGINT) AS hi, p*(tot-1) AS x
+             |  FROM (SELECT DISTINCT flag, tot FROM c)
+             |  CROSS JOIN (VALUES (CAST(0.5 AS DOUBLE)),
+             |    (CAST(0.9 AS DOUBLE))) t(p)),
+             |vlo AS (SELECT pos.flag, pos.p, MIN(c.pc) AS v FROM pos
+             |        JOIN c ON c.flag = pos.flag AND c.cum > pos.lo GROUP BY 1, 2),
+             |vhi AS (SELECT pos.flag, pos.p, MIN(c.pc) AS v FROM pos
+             |        JOIN c ON c.flag = pos.flag AND c.cum > pos.hi GROUP BY 1, 2),
+             |f AS (SELECT pos.flag, pos.p, pos.tot,
+             |    round(vlo.v + (pos.x - pos.lo) * (vhi.v - vlo.v), 6) AS val
+             |  FROM pos JOIN vlo ON vlo.flag = pos.flag AND vlo.p = pos.p
+             |           JOIN vhi ON vhi.flag = pos.flag AND vhi.p = pos.p)
+             |SELECT flag, MAX(CASE WHEN p = 0.5 THEN val END) AS wm50,
+             |  MAX(CASE WHEN p = 0.9 THEN val END) AS wm90,
+             |  CAST(MAX(tot) AS BIGINT) AS total_w
+             |FROM f GROUP BY flag ORDER BY flag""".stripMargin)),
   )
 }

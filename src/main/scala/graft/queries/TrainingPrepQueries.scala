@@ -1199,5 +1199,68 @@ object TrainingPrepQueries {
              |  lost_tokens, n_truncated,
              |  CAST((lost_tokens * 1000000) // total_tokens AS BIGINT) AS lost_ppm
              |FROM g ORDER BY ctx""".stripMargin)),
+
+    // ---- Zipf rank-frequency fit (corpus naturalness diagnostic) ----------
+    // t19's sibling: Heaps' law tracks vocabulary GROWTH, Zipf's law
+    // tracks the rank-frequency SLOPE — natural text sits near −1;
+    // machine-generated or template-heavy corpora flatten or steepen
+    // it, so the fitted slope is a one-number corpus-health signal.
+    // OLS over (log10 rank, log10 freq) of the top-100 terms: the
+    // top-100 is a TakeOrdered (never a global sort), ranking happens
+    // on the bounded 100-row survivor frame (t12's rule), and each
+    // point rounds to 6 dp BEFORE entering DECIMAL(18,6) sums — exact,
+    // order-independent accumulation (c05's discipline) feeding one
+    // final double formula both engines evaluate on identical inputs.
+    ("t21_zipf_slope",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.DecimalType
+        val top = Tables.load(s, d, "documents")
+          .select(explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("term")).limit(100)
+        val pts = top
+          .withColumn("rank",
+            row_number().over(Window.orderBy(col("n").desc, col("term"))))
+          .select(
+            round(log10(col("rank").cast("double")), 6)
+              .cast(DecimalType(18, 6)).as("x"),
+            round(log10(col("n").cast("double")), 6)
+              .cast(DecimalType(18, 6)).as("y"))
+        pts.agg(count(lit(1)).as("k"),
+            sum(col("x")).cast("double").as("sx"),
+            sum(col("y")).cast("double").as("sy"),
+            sum(col("x") * col("y")).cast("double").as("sxy"),
+            sum(col("x") * col("x")).cast("double").as("sxx"))
+          .select(col("k").as("n_terms"),
+            round((col("k").cast("double") * col("sxy") - col("sx") * col("sy")) /
+              (col("k").cast("double") * col("sxx") - col("sx") * col("sx")), 6)
+              .as("slope"),
+            round((col("sy") * col("sxx") - col("sx") * col("sxy")) /
+              (col("k").cast("double") * col("sxx") - col("sx") * col("sx")), 6)
+              .as("intercept"))
+      },
+      Some("""WITH t AS (
+             |  SELECT u.term AS term, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM documents,
+             |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS u(term)
+             |  GROUP BY 1),
+             |top AS (SELECT term, n FROM t ORDER BY n DESC, term LIMIT 100),
+             |r AS (SELECT n,
+             |    row_number() OVER (ORDER BY n DESC, term) AS rank FROM top),
+             |p AS (SELECT
+             |    CAST(round(log10(CAST(rank AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+             |    CAST(round(log10(CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+             |  FROM r),
+             |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             |    CAST(SUM(x*y) AS DOUBLE) AS sxy, CAST(SUM(x*x) AS DOUBLE) AS sxx
+             |  FROM p)
+             |SELECT k AS n_terms,
+             |  round((CAST(k AS DOUBLE)*sxy - sx*sy)
+             |        / (CAST(k AS DOUBLE)*sxx - sx*sx), 6) AS slope,
+             |  round((sy*sxx - sx*sxy)
+             |        / (CAST(k AS DOUBLE)*sxx - sx*sx), 6) AS intercept
+             |FROM s""".stripMargin)),
   )
 }
