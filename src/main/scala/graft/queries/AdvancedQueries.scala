@@ -1989,5 +1989,150 @@ object AdvancedQueries {
              |  MAX(CASE WHEN p = 0.9 THEN val END) AS wm90,
              |  CAST(MAX(tot) AS BIGINT) AS total_w
              |FROM f GROUP BY flag ORDER BY flag""".stripMargin)),
+
+    // ---- position-based multi-touch attribution ---------------------------
+    // st05/q62's missing economics: st05 attributes a purchase to ONE
+    // view, q62 counts funnel stages; position-based (U-shaped)
+    // attribution SPLITS each purchase's credit across every touch in
+    // its 1-hour lookback — 40% first touch, 40% last, 20% shared by
+    // the middles — the standard marketing-mix shape. All credit is
+    // integer BASIS POINTS (10000 per purchase): middles get
+    // 2000 div (k−2) each, the integer remainder goes to the earliest
+    // middle, so every purchase's credit sums to exactly 10000 and no
+    // float ever decides a row. Scale: the lookback join is an
+    // equi-join on user + a 1-hour band (hour-bucketed at 100 TB,
+    // q24's pattern); ranking windows partition per purchase —
+    // unbounded-safe.
+    ("q104_multitouch_attribution",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.load(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+            col("ts").as("p_ts"))
+        val touches = ev.filter(col("event_type").isin("view", "click"))
+          .select(col("event_id").as("t_id"), col("user_id").as("t_user"),
+            col("ts").as("t_ts"), col("event_type").as("touch_type"))
+        val joined = purchases.join(touches,
+          col("t_user") === col("p_user") &&
+            col("t_ts") >= col("p_ts") - lit(3600L * 1000 * 1000) &&
+            col("t_ts") < col("p_ts"))
+        val ranked = joined
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("p_id")).orderBy(col("t_ts"), col("t_id"))))
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("p_id"))))
+        ranked
+          .withColumn("pos",
+            when(col("cnt") === 1, "solo")
+              .when(col("rn") === 1, "first")
+              .when(col("rn") === col("cnt"), "last")
+              .otherwise("middle"))
+          .withColumn("credit_bp",
+            when(col("pos") === "solo", lit(10000L))
+              .when(col("pos") === "first" || col("pos") === "last", lit(4000L))
+              .otherwise(expr("2000 div (cnt - 2)") +
+                when(col("rn") === 2, expr("2000 % (cnt - 2)")).otherwise(lit(0L))))
+          .groupBy(col("touch_type"), col("pos"))
+          .agg(count(lit(1)).as("n_touches"),
+            sum(col("credit_bp")).as("credit_bp_total"))
+          .orderBy(col("touch_type"), col("pos"))
+      },
+      Some("""WITH p AS (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts
+             |  FROM events WHERE event_type = 'purchase'),
+             |t AS (SELECT event_id AS t_id, user_id, ts, event_type
+             |  FROM events WHERE event_type IN ('view', 'click')),
+             |j AS (SELECT p_id, event_type AS touch_type,
+             |    row_number() OVER (PARTITION BY p_id ORDER BY ts, t_id) AS rn,
+             |    COUNT(*) OVER (PARTITION BY p_id) AS cnt
+             |  FROM p JOIN t ON user_id = p_user
+             |    AND ts >= p_ts - INTERVAL 1 HOUR AND ts < p_ts),
+             |c AS (SELECT touch_type,
+             |    CASE WHEN cnt = 1 THEN 'solo' WHEN rn = 1 THEN 'first'
+             |         WHEN rn = cnt THEN 'last' ELSE 'middle' END AS pos,
+             |    CASE WHEN cnt = 1 THEN 10000
+             |         WHEN rn = 1 OR rn = cnt THEN 4000
+             |         ELSE 2000 // (cnt - 2)
+             |           + CASE WHEN rn = 2 THEN 2000 % (cnt - 2) ELSE 0 END
+             |    END AS credit_bp
+             |  FROM j)
+             |SELECT touch_type, pos, CAST(COUNT(*) AS BIGINT) AS n_touches,
+             |  CAST(SUM(credit_bp) AS BIGINT) AS credit_bp_total
+             |FROM c GROUP BY 1, 2 ORDER BY touch_type, pos""".stripMargin)),
+
+    // ---- merkle-bucket anti-entropy diff ----------------------------------
+    // q79 diffs two replicas ROW by row — correct, but at 100 TB the
+    // replicas live in different clusters and shipping every row to
+    // compare is the bottleneck. The anti-entropy shape (Dynamo-style
+    // replica repair, m08's digest made actionable): (1) each side
+    // computes one order-insensitive sha-256 digest per key bucket —
+    // a KB-scale exchange; (2) only buckets whose digests disagree get
+    // the row-level drill-down. v2 is a deterministic corruption of v1
+    // (sparse deletes k%1024, sparse 1-cent flips k%1021), so most
+    // buckets digest-match and the drill touches ~13% of them. The
+    // oracle computes differing buckets from the ROW diff directly —
+    // independent of any digest — so the hash match proves the
+    // digest-pruned path finds exactly the truly-differing buckets.
+    ("q105_merkle_diff",
+      (s: SparkSession, d: String) => {
+        val base = Tables.load(s, d, "orders").select(
+          col("o_orderkey").as("k"), col("o_custkey").as("c"),
+          col("o_orderstatus").as("st"),
+          round(col("o_totalprice") * 100).cast("long").as("p"))
+        val v2 = base.filter(col("k") % 1024 =!= 0)
+          .withColumn("p",
+            when(col("k") % 1021 === 0, col("p") + 1L).otherwise(col("p")))
+        def digests(df: DataFrame) = df
+          .withColumn("bucket", expr("k div 64"))
+          .withColumn("s", concat_ws("|", col("k"), col("c"), col("st"), col("p")))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sha2(expr("aggregate(sort_array(collect_list(s)), '', " +
+              "(acc, x) -> concat(acc, x))"), 256).as("dg"))
+        val b1 = digests(base)
+          .select(col("bucket"), col("n").as("n_v1"), col("dg").as("dg1"))
+        val b2 = digests(v2)
+          .select(col("bucket"), col("n").as("n_v2"), col("dg").as("dg2"))
+        val diffb = b1.join(b2, Seq("bucket"), "full_outer")
+          .filter(!(col("dg1") <=> col("dg2")))
+          .select(col("bucket"), coalesce(col("n_v1"), lit(0L)).as("n_v1"),
+            coalesce(col("n_v2"), lit(0L)).as("n_v2"))
+        val keys = diffb.select("bucket")
+        val r1 = base.withColumn("bucket", expr("k div 64"))
+          .join(broadcast(keys), Seq("bucket"), "left_semi")
+          .select(col("bucket"), col("k"),
+            concat_ws("|", col("c"), col("st"), col("p")).as("s1"))
+        val r2 = v2.withColumn("bucket", expr("k div 64"))
+          .join(broadcast(keys), Seq("bucket"), "left_semi")
+          .select(col("k"), concat_ws("|", col("c"), col("st"), col("p")).as("s2"))
+        r1.join(r2, Seq("k"), "left_outer")
+          .groupBy(col("bucket"))
+          .agg(sum(when(col("s2").isNull, 1L).otherwise(0L)).as("n_missing"),
+            sum(when(col("s2").isNotNull && col("s1") =!= col("s2"), 1L)
+              .otherwise(0L)).as("n_changed"))
+          .join(diffb, "bucket")
+          .select(col("bucket"), col("n_v1"), col("n_v2"),
+            col("n_missing"), col("n_changed"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH v1 AS (SELECT o_orderkey AS k, o_custkey AS c,
+             |    o_orderstatus AS st,
+             |    CAST(round(o_totalprice*100) AS BIGINT) AS p FROM orders),
+             |v2 AS (SELECT k, c, st,
+             |    CASE WHEN k % 1021 = 0 THEN p + 1 ELSE p END AS p
+             |  FROM v1 WHERE k % 1024 <> 0),
+             |r AS (SELECT v1.k // 64 AS bucket, v1.k,
+             |    v1.c || '|' || v1.st || '|' || v1.p AS s1,
+             |    v2.c || '|' || v2.st || '|' || v2.p AS s2
+             |  FROM v1 LEFT JOIN v2 ON v1.k = v2.k),
+             |g AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_v1,
+             |    CAST(SUM(CASE WHEN s2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_v2,
+             |    CAST(SUM(CASE WHEN s2 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_missing,
+             |    CAST(SUM(CASE WHEN s2 IS NOT NULL AND s1 <> s2 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_changed
+             |  FROM r GROUP BY 1)
+             |SELECT bucket, n_v1, n_v2, n_missing, n_changed FROM g
+             |WHERE n_missing > 0 OR n_changed > 0 ORDER BY bucket""".stripMargin)),
   )
 }
