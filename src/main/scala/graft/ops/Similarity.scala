@@ -323,6 +323,26 @@ object Similarity {
           round(cosineSim(col("embedding"), col("q_embedding")), 6).as("cos_sim")),
       k)
 
+  /** Hard-negative mining (two-tower/contrastive training prep): per
+    * query, the top-k most-similar corpus vectors whose LABEL differs
+    * from the query's — the near-misses a contrastive loss learns the
+    * most from (easy negatives are already far; hard ones sit at the
+    * decision boundary). Same broadcast-queries scan shape as
+    * [[bruteForceTopK]] with the label-inequality applied BEFORE
+    * ranking (it's join-dependent — each query excludes a different
+    * label — which static-predicate filtered ANN (s16) cannot
+    * express). The IVF scale path composes unchanged: probe cells,
+    * drop same-label candidates, rank the remainder. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    rankTopK(
+      spread(corpus).crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("query_id") &&
+          col("label") =!= col("q_label"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("label").cast("int").as("neg_label"),
+          round(cosineSim(col("embedding"), col("q_embedding")), 6).as("cos_sim")),
+      k)
+
   /** Range query: all corpus vectors within cosine ≥ `radius` of each
     * query — the fixed-radius member of the search family (top-k
     * s01/s02/s03, all-pairs s04/d05). Same broadcast-queries shape as

@@ -2134,5 +2134,52 @@ object AdvancedQueries {
              |  FROM r GROUP BY 1)
              |SELECT bucket, n_v1, n_v2, n_missing, n_changed FROM g
              |WHERE n_missing > 0 OR n_changed > 0 ORDER BY bucket""".stripMargin)),
+
+    // ---- dormant high-balance customers (TPC-H Q22 shape) -----------------
+    // The last expressible TPC-H family member (Q2/Q4/Q11/Q12/Q16/Q20
+    // need partsupp/commitdate/shipmode columns the fixture lacks;
+    // nation stands in for Q22's phone country code): customers whose
+    // balance beats the positive-balance average but who placed NO
+    // order since 1999 — the sales-opportunity report. Composes the
+    // uncorrelated scalar aggregate (q30's family) with an anti join
+    // (q06) under a date predicate. The above-average threshold is
+    // INTEGER cross-multiplication (bal·n > Σbal, t15's rule) — no
+    // float ever decides membership; balances stay integer cents end
+    // to end. Scale: the threshold is one tiny broadcast row; the anti
+    // join shuffles on custkey with the date filter pushed to the
+    // orders scan; output is |nations| rows.
+    ("q106_global_sales_opportunity",
+      (s: SparkSession, d: String) => {
+        val c = Tables.load(s, d, "customer").select(col("c_custkey"),
+          col("c_nationkey"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_c"))
+        val thr = c.filter(col("bal_c") > 0)
+          .agg(sum(col("bal_c")).as("s"), count(lit(1)).as("n"))
+        val recent = Tables.load(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+          .select("o_custkey")
+        val nat = Tables.load(s, d, "nation")
+          .select(col("n_nationkey"), col("n_name"))
+        c.crossJoin(broadcast(thr))
+          .filter(col("bal_c") * col("n") > col("s"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("numcust"), sum(col("bal_c")).as("totacctbal_c"))
+          .orderBy(col("n_name"))
+      },
+      Some("""WITH c AS (SELECT c_custkey, c_nationkey,
+             |    CAST(round(c_acctbal*100) AS BIGINT) AS bal_c FROM customer),
+             |t AS (SELECT CAST(SUM(bal_c) AS BIGINT) AS s,
+             |    CAST(COUNT(*) AS BIGINT) AS n FROM c WHERE bal_c > 0),
+             |sel AS (SELECT c.c_nationkey, c.bal_c FROM c, t
+             |  WHERE c.bal_c * t.n > t.s
+             |    AND NOT EXISTS (SELECT 1 FROM orders o
+             |      WHERE o.o_custkey = c.c_custkey
+             |        AND o.o_orderdate >= TIMESTAMP '1999-01-01'))
+             |SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
+             |  CAST(SUM(bal_c) AS BIGINT) AS totacctbal_c
+             |FROM sel JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY 1 ORDER BY n_name""".stripMargin)),
   )
 }

@@ -2403,5 +2403,40 @@ object NorthStarQueries {
              |FROM sh JOIN sz za ON za.source = src_a
              |        JOIN sz zb ON zb.source = src_b
              |ORDER BY src_a, src_b""".stripMargin)),
+
+    // ---- similarity: hard-negative mining (contrastive training prep) -----
+    // Per query, the 5 most-similar OTHER-label vectors — the
+    // boundary cases a two-tower/contrastive loss learns from. The
+    // label inequality is JOIN-dependent (each query bans its own
+    // label), which s16's static-predicate filtered ANN cannot
+    // express; it applies before ranking so every returned negative is
+    // genuinely hard. s18's query/corpus split (vec_id < 10 queries,
+    // rest corpus), s01's round-6 cosine and (score, id) ranking.
+    ("s23_hard_negatives",
+      (s: SparkSession, d: String) => {
+        val emb = Tables.load(s, d, "embeddings")
+        val corpus = emb.filter(col("vec_id") >= 10)
+          .select("vec_id", "embedding", "label")
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("q_embedding"), col("label").as("q_label"))
+        Similarity.hardNegatives(corpus, queries, k = 5)
+          .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+            col("cos_sim"), col("rank").cast("int").as("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+             |           FROM embeddings),
+             |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    CAST(c.label AS INT) AS neg_label,
+             |    round(list_cosine_similarity(q.v, c.v), 6) AS cos_sim,
+             |    row_number() OVER (PARTITION BY q.vec_id
+             |      ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC,
+             |        c.vec_id) AS rank
+             |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id >= 10
+             |    AND c.label <> q.label)
+             |SELECT query_id, neighbor_id, neg_label, cos_sim,
+             |  CAST(rank AS INT) AS rank
+             |FROM sc WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
   )
 }
