@@ -2181,5 +2181,77 @@ object AdvancedQueries {
              |  CAST(SUM(bal_c) AS BIGINT) AS totacctbal_c
              |FROM sel JOIN nation ON c_nationkey = n_nationkey
              |GROUP BY 1 ORDER BY n_name""".stripMargin)),
+
+    // ---- supplier variety per part family (TPC-H Q16 shape) ---------------
+    // How many DISTINCT suppliers can ship each (brand, size) family,
+    // excluding flagged suppliers — Q16's supplier-diversity report
+    // with lineitem standing in for the missing partsupp (a part's
+    // suppliers = whoever has shipped it) and negative balance for the
+    // complaints filter. The shape q46/d06 don't cover: EXACT
+    // count(DISTINCT) grouped over a fact-dim join — Spark plans it as
+    // the two-level expand/partial-distinct aggregate, so the shuffle
+    // carries (brand, size, suppkey) triples, never raw lineitem rows.
+    // Exclusion is an anti join against the tiny flagged-supplier
+    // frame (broadcast).
+    ("q107_supplier_variety",
+      (s: SparkSession, d: String) => {
+        val flagged = Tables.load(s, d, "supplier")
+          .filter(col("s_acctbal") < 0).select("s_suppkey")
+        val p = Tables.load(s, d, "part").select("p_partkey", "p_brand", "p_size")
+        Tables.load(s, d, "lineitem").select("l_partkey", "l_suppkey")
+          .join(flagged, col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("p_size"))
+          .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+      },
+      Some("""SELECT p_brand, CAST(p_size AS INT) AS p_size,
+             |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+             |FROM lineitem
+             |JOIN part ON l_partkey = p_partkey
+             |WHERE NOT EXISTS (SELECT 1 FROM supplier
+             |  WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
+             |GROUP BY 1, 2
+             |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin)),
+
+    // ---- event-type transition matrix (first-order Markov profile) --------
+    // What follows what: counts and probabilities of consecutive
+    // event-type pairs per user timeline — the behavioral fingerprint
+    // that funnel (q62) and sessionization (q72) both flatten away. A
+    // shifted self-comparison via lead() over (user, time) — one
+    // shuffle on user_id; the |types|² transition frame is bounded by
+    // construction, so the per-row probability denominators come from
+    // a window over that tiny frame (the t19 rule). Probabilities are
+    // integer basis points (n·10000 div row-total) — no float decides
+    // anything.
+    ("q108_event_transitions",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val m = Tables.load(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("from_type"))
+          .withColumn("to_type", lead(col("from_type"), 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+        m.withColumn("row_total",
+            sum(col("n")).over(Window.partitionBy(col("from_type"))))
+          .select(col("from_type"), col("to_type"), col("n"),
+            expr("(n * 10000) div row_total").as("p_bp"))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some("""WITH x AS (
+             |  SELECT event_type AS from_type,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS to_type
+             |  FROM events),
+             |m AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM x WHERE to_type IS NOT NULL GROUP BY 1, 2)
+             |SELECT from_type, to_type, n,
+             |  CAST((n * 10000) // SUM(n) OVER (PARTITION BY from_type)
+             |    AS BIGINT) AS p_bp
+             |FROM m ORDER BY from_type, to_type""".stripMargin)),
   )
 }
