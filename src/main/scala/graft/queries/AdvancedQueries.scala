@@ -2253,5 +2253,121 @@ object AdvancedQueries {
              |  CAST((n * 10000) // SUM(n) OVER (PARTITION BY from_type)
              |    AS BIGINT) AS p_bp
              |FROM m ORDER BY from_type, to_type""".stripMargin)),
+
+    // ---- revenue concentration: exact Gini + top-decile share -------------
+    // The inequality profile of customer revenue (how concentrated is
+    // the book of business), computed EXACTLY at any scale: Gini needs
+    // every row's global VALUE RANK — the textbook computation is a
+    // single-partition sort — so this reuses q99's distributed-rank
+    // machinery (value-range buckets, per-bucket counts rolled into
+    // prefix offsets through one bounded window, local rank per
+    // bucket; bucket count is bounded by the VALUE DOMAIN, not the row
+    // count). All accumulations are integer (Σ rank·cents and the
+    // decile share fit comfortably in long at any plausible scale);
+    // the closed-form G = 2Σi·xᵢ/(nΣx) − (n+1)/n is evaluated once in
+    // double on identical exact inputs, round 6 (c05's discipline).
+    ("q109_gini_concentration",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val rev = Tables.load(s, d, "orders")
+          .select(col("o_custkey"),
+            round(col("o_totalprice") * 100).cast("long").as("oc"))
+          .groupBy(col("o_custkey")).agg(sum(col("oc")).as("rev_c"))
+          .withColumn("bucket", expr("rev_c div 10000000"))
+        val offs = rev.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
+          .withColumn("off",
+            sum(col("bn")).over(Window.orderBy(col("bucket"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              - col("bn"))
+        val ranked = rev.join(broadcast(offs.select("bucket", "off")), "bucket")
+          .withColumn("rank", col("off") + row_number().over(
+            Window.partitionBy(col("bucket"))
+              .orderBy(col("rev_c"), col("o_custkey"))))
+        val stats = ranked.agg(count(lit(1)).as("n"), sum(col("rev_c")).as("s"))
+        ranked.crossJoin(broadcast(stats))
+          .agg(max(col("n")).as("n"), max(col("s")).as("s"),
+            sum(col("rank") * col("rev_c")).as("a"),
+            sum(when(col("rank") > col("n") - expr("n div 10"), col("rev_c"))
+              .otherwise(0L)).as("td"))
+          .select(col("n").as("n_customers"), col("s").as("total_revenue_c"),
+            round(lit(2.0) * col("a").cast("double")
+                / (col("n") * col("s")).cast("double")
+              - (col("n") + lit(1)).cast("double") / col("n").cast("double"), 6)
+              .as("gini"),
+            expr("(td * 10000) div s").as("top_decile_bp"))
+      },
+      Some("""WITH rev AS (SELECT o_custkey,
+             |    CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             |      AS rev_c
+             |  FROM orders GROUP BY 1),
+             |r AS (SELECT rev_c,
+             |    row_number() OVER (ORDER BY rev_c, o_custkey) AS rank FROM rev),
+             |r2 AS (SELECT rev_c, rank, COUNT(*) OVER () AS n,
+             |    SUM(rev_c) OVER () AS s FROM r),
+             |f AS (SELECT CAST(MAX(n) AS BIGINT) AS n, CAST(MAX(s) AS BIGINT) AS s,
+             |    CAST(SUM(rank * rev_c) AS BIGINT) AS a,
+             |    CAST(SUM(CASE WHEN rank > n - n // 10 THEN rev_c ELSE 0 END)
+             |      AS BIGINT) AS td
+             |  FROM r2)
+             |SELECT n AS n_customers, s AS total_revenue_c,
+             |  round(2.0 * CAST(a AS DOUBLE) / CAST(n * s AS DOUBLE)
+             |    - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini,
+             |  CAST((td * 10000) // s AS BIGINT) AS top_decile_bp
+             |FROM f""".stripMargin)),
+
+    // ---- join-key skew report ---------------------------------------------
+    // The measurement that DECIDES between q44's salting, q45's
+    // bucketing and q65's AQE skew handling: the per-key row
+    // distribution of a prospective join key. One groupBy gives
+    // per-key counts; the count-OF-counts frame (distinct multiplicity
+    // values — bounded by the multiplicity domain, the t19 rule)
+    // yields exact integer percentiles via cumulative coverage
+    // (smallest multiplicity m with ⌈q·keys⌉ keys at or below m — no
+    // interpolation, no float). The skew ratio max/p50 in basis
+    // points is the one number a pipeline alerts on. Never shuffles
+    // more than (key, count) pairs.
+    ("q110_key_skew_report",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = Tables.load(s, d, "lineitem")
+          .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+        val cc = counts.groupBy(col("n")).agg(count(lit(1)).as("keys"))
+        val cum = cc.withColumn("cum",
+          sum(col("keys")).over(Window.orderBy(col("n"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val tot = cc.agg(sum(col("keys")).as("total_keys"),
+          sum(col("n") * col("keys")).as("total_rows"), max(col("n")).as("max_n"))
+        cum.crossJoin(broadcast(tot))
+          .agg(max(col("total_keys")).as("n_keys"),
+            max(col("total_rows")).as("total_rows"),
+            max(col("max_n")).as("max_per_key"),
+            min(when(col("cum") >= expr("(total_keys * 50 + 99) div 100"),
+              col("n"))).as("p50_per_key"),
+            min(when(col("cum") >= expr("(total_keys * 99 + 99) div 100"),
+              col("n"))).as("p99_per_key"))
+          .select(col("n_keys"), col("total_rows"), col("max_per_key"),
+            col("p50_per_key"), col("p99_per_key"),
+            expr("(max_per_key * 10000) div p50_per_key").as("skew_ratio_bp"))
+      },
+      Some("""WITH c AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM lineitem GROUP BY 1),
+             |cc AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS keys FROM c GROUP BY 1),
+             |cum AS (SELECT n, keys,
+             |    SUM(keys) OVER (ORDER BY n ROWS UNBOUNDED PRECEDING) AS cum,
+             |    SUM(keys) OVER () AS total_keys,
+             |    SUM(n * keys) OVER () AS total_rows,
+             |    MAX(n) OVER () AS max_n
+             |  FROM cc)
+             |SELECT CAST(MAX(total_keys) AS BIGINT) AS n_keys,
+             |  CAST(MAX(total_rows) AS BIGINT) AS total_rows,
+             |  CAST(MAX(max_n) AS BIGINT) AS max_per_key,
+             |  CAST(MIN(CASE WHEN cum >= (total_keys * 50 + 99) // 100
+             |    THEN n END) AS BIGINT) AS p50_per_key,
+             |  CAST(MIN(CASE WHEN cum >= (total_keys * 99 + 99) // 100
+             |    THEN n END) AS BIGINT) AS p99_per_key,
+             |  CAST((MAX(max_n) * 10000) // MIN(CASE WHEN
+             |    cum >= (total_keys * 50 + 99) // 100 THEN n END) AS BIGINT)
+             |    AS skew_ratio_bp
+             |FROM cum""".stripMargin)),
   )
 }

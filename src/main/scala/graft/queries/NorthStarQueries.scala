@@ -2438,5 +2438,63 @@ object NorthStarQueries {
              |SELECT query_id, neighbor_id, neg_label, cos_sim,
              |  CAST(rank AS INT) AS rank
              |FROM sc WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // ---- takedown blast radius through dup clusters -----------------------
+    // q64 purges the LISTED documents; a real takedown must also purge
+    // their near-copies, or the removed content survives verbatim
+    // under other ids. Blast radius = the seed set EXPANDED through
+    // c02's connected components (any cluster containing a victim is
+    // purged whole; seeds outside the pair graph stay singletons),
+    // rolled up per source — the report legal/curation reviews BEFORE
+    // executing the q64-style delete. Integer counts only. Scale: the
+    // victim set is contract-bounded (q64's external-list rule; the
+    // fixture derives it as doc_id % 97 = 0), cluster labels come from
+    // the same CC operator c02 certifies, and the expansion is two
+    // joins on label — no new pairwise work anywhere.
+    ("c12_takedown_blast_radius",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.load(s, d, "documents").select(col("doc_id"), col("source"))
+        val victims = docs.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id").as("vid"))
+        val cc = Dedup.connectedComponents(Dedup.substringNearDupPairs(
+          Tables.load(s, d, "documents"), "doc_id", "text", n = 8))
+        val vclusters = cc.join(victims, col("id") === col("vid"))
+          .select(col("label")).distinct()
+        val mates = cc.join(broadcast(vclusters), "label")
+          .select(col("id").as("doc_id"))
+        val blast = victims.select(col("vid").as("doc_id"))
+          .unionAll(mates).distinct()
+        blast.join(docs, "doc_id")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_blast"),
+            sum(when(col("doc_id") % 97 === 0, 1L).otherwise(0L)).as("n_seed"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH w AS (SELECT doc_id,
+             |    string_split_regex(lower(text), '\s+') AS w FROM documents),
+             |g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+             |      FROM w, unnest(range(1, greatest(len(w)-6, 1))) AS u(i)),
+             |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+             |e AS (SELECT id_a AS src, id_b AS dst FROM p
+             |      UNION ALL SELECT id_b, id_a FROM p),
+             |nodes AS (SELECT DISTINCT src AS id FROM e),
+             |reach AS (
+             |  WITH RECURSIVE r(id, v) AS (
+             |    SELECT id, id FROM nodes
+             |    UNION
+             |    SELECT r.id, e.dst FROM r JOIN e ON e.src = r.v)
+             |  SELECT id, min(v) AS cluster FROM r GROUP BY id),
+             |v AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 0),
+             |vc AS (SELECT DISTINCT reach.cluster FROM reach
+             |       JOIN v ON reach.id = v.doc_id),
+             |mates AS (SELECT id AS doc_id FROM reach
+             |          JOIN vc ON reach.cluster = vc.cluster),
+             |blast AS (SELECT doc_id FROM v UNION SELECT doc_id FROM mates)
+             |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_blast,
+             |  CAST(SUM(CASE WHEN d.doc_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_seed
+             |FROM blast b JOIN documents d ON d.doc_id = b.doc_id
+             |GROUP BY 1 ORDER BY d.source""".stripMargin)),
   )
 }
