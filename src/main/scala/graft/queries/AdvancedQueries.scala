@@ -2369,5 +2369,67 @@ object AdvancedQueries {
              |    cum >= (total_keys * 50 + 99) // 100 THEN n END) AS BIGINT)
              |    AS skew_ratio_bp
              |FROM cum""".stripMargin)),
+
+    // ---- recursive CTE: running total with reset (budget batching) --------
+    // Spark 4's ANSI recursive CTE, exercised on the computation class
+    // that actually NEEDS it: a running accumulator that RESETS on a
+    // condition (cut a new shipment batch when cumulative order value
+    // would top $1M) — state at step k depends on the reset decision
+    // at k−1, so no window frame expresses it (q08's running sums
+    // can't reset; q72's gap sessions depend only on adjacent rows).
+    // The recursion is per-customer linear (each level joins level-k
+    // rows to the rn = k+1 orders — ALL customers advance in
+    // parallel); depth = max orders per customer (24 at sf0.1, bound
+    // asserted by the level-limit conf below at 1000 for scale
+    // headroom). Everything is integer cents; the oracle runs the
+    // IDENTICAL recursion in DuckDB (arg_max ↔ max_by), so the hash
+    // certifies Spark's recursive-CTE fixpoint semantics themselves.
+    ("q111_recursive_budget_batches",
+      (s: SparkSession, d: String) => {
+        s.conf.set("spark.sql.cteRecursionLevelLimit", "1000")
+        Tables.load(s, d, "orders").createOrReplaceTempView("q111_orders")
+        s.sql("""WITH RECURSIVE o AS (
+          |  SELECT o_custkey AS cust,
+          |    CAST(round(o_totalprice*100) AS BIGINT) AS p,
+          |    row_number() OVER (PARTITION BY o_custkey
+          |      ORDER BY o_orderdate, o_orderkey) AS rn
+          |  FROM q111_orders),
+          |walk(cust, rn, acc, batches) AS (
+          |  SELECT cust, rn, p, CAST(1 AS BIGINT) FROM o WHERE rn = 1
+          |  UNION ALL
+          |  SELECT o.cust, o.rn,
+          |    CASE WHEN w.acc + o.p > 100000000 THEN o.p
+          |         ELSE w.acc + o.p END,
+          |    w.batches + CASE WHEN w.acc + o.p > 100000000 THEN 1
+          |                     ELSE 0 END
+          |  FROM walk w JOIN o ON o.cust = w.cust AND o.rn = w.rn + 1),
+          |f AS (SELECT cust, MAX(rn) AS n_orders,
+          |        max_by(batches, rn) AS n_batches
+          |      FROM walk GROUP BY cust)
+          |SELECT n_batches, CAST(COUNT(*) AS BIGINT) AS n_customers,
+          |  CAST(SUM(n_orders) AS BIGINT) AS n_orders
+          |FROM f GROUP BY n_batches ORDER BY n_batches""".stripMargin)
+      },
+      Some("""WITH RECURSIVE o AS (
+             |  SELECT o_custkey AS cust,
+             |    CAST(round(o_totalprice*100) AS BIGINT) AS p,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderdate, o_orderkey) AS rn
+             |  FROM orders),
+             |walk(cust, rn, acc, batches) AS (
+             |  SELECT cust, rn, p, CAST(1 AS BIGINT) FROM o WHERE rn = 1
+             |  UNION ALL
+             |  SELECT o.cust, o.rn,
+             |    CASE WHEN w.acc + o.p > 100000000 THEN o.p
+             |         ELSE w.acc + o.p END,
+             |    w.batches + CASE WHEN w.acc + o.p > 100000000 THEN 1
+             |                     ELSE 0 END
+             |  FROM walk w JOIN o ON o.cust = w.cust AND o.rn = w.rn + 1),
+             |f AS (SELECT cust, MAX(rn) AS n_orders,
+             |        arg_max(batches, rn) AS n_batches
+             |      FROM walk GROUP BY cust)
+             |SELECT n_batches, CAST(COUNT(*) AS BIGINT) AS n_customers,
+             |  CAST(SUM(n_orders) AS BIGINT) AS n_orders
+             |FROM f GROUP BY n_batches ORDER BY n_batches""".stripMargin)),
   )
 }

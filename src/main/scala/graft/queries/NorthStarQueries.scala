@@ -2496,5 +2496,64 @@ object NorthStarQueries {
              |    AS n_seed
              |FROM blast b JOIN documents d ON d.doc_id = b.doc_id
              |GROUP BY 1 ORDER BY d.source""".stripMargin)),
+
+    // ---- dedup removal-bias report ----------------------------------------
+    // What would cluster-canonical dedup DELETE, per source — the bias
+    // audit run before shipping a dedup config (does it gut one source
+    // while barely touching another?). c04 measures exact-dup
+    // INCIDENCE (md5 twins); this measures near-dup REMOVAL under
+    // c02's clusters with the id-canonical survivor rule (keep the
+    // cluster-min id — c02's label IS that id, so removal is one
+    // filter on the certified CC output; c03's quality-canonical rule
+    // is the shipped alternative). Token loss uses t01's integer token
+    // counts — all-integer output, removal rate in ppm. Scale: one CC
+    // reuse + two source-grain aggregates; nothing pairwise added.
+    ("c13_dedup_removal_bias",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.load(s, d, "documents").select(col("doc_id"),
+          col("source"), TextAnalysis.tokenCount(col("text")).cast("long").as("toks"))
+        val cc = Dedup.connectedComponents(Dedup.substringNearDupPairs(
+          Tables.load(s, d, "documents"), "doc_id", "text", n = 8))
+        val removed = cc.filter(col("id") =!= col("label"))
+          .select(col("id").as("doc_id"), lit(1L).as("rm"))
+        docs.join(removed, Seq("doc_id"), "left_outer")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("toks_total"),
+            sum(coalesce(col("rm"), lit(0L))).as("n_removed"),
+            sum(when(col("rm").isNotNull, col("toks")).otherwise(0L))
+              .as("toks_removed"))
+          .select(col("source"), col("n_docs"), col("toks_total"),
+            col("n_removed"), col("toks_removed"),
+            expr("(n_removed * 1000000) div n_docs").as("removed_ppm"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH w AS (SELECT doc_id,
+             |    string_split_regex(lower(text), '\s+') AS w FROM documents),
+             |g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+             |      FROM w, unnest(range(1, greatest(len(w)-6, 1))) AS u(i)),
+             |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+             |e AS (SELECT id_a AS src, id_b AS dst FROM p
+             |      UNION ALL SELECT id_b, id_a FROM p),
+             |nodes AS (SELECT DISTINCT src AS id FROM e),
+             |reach AS (
+             |  WITH RECURSIVE r(id, v) AS (
+             |    SELECT id, id FROM nodes
+             |    UNION
+             |    SELECT r.id, e.dst FROM r JOIN e ON e.src = r.v)
+             |  SELECT id, min(v) AS cluster FROM r GROUP BY id),
+             |rm AS (SELECT id AS doc_id FROM reach WHERE id <> cluster),
+             |t AS (SELECT d.doc_id, d.source,
+             |    CAST(len(regexp_extract_all(d.text, '[A-Za-z0-9]+')) AS BIGINT)
+             |      AS toks,
+             |    CASE WHEN rm.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_rm
+             |  FROM documents d LEFT JOIN rm ON rm.doc_id = d.doc_id)
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(toks) AS BIGINT) AS toks_total,
+             |  CAST(SUM(is_rm) AS BIGINT) AS n_removed,
+             |  CAST(SUM(CASE WHEN is_rm = 1 THEN toks ELSE 0 END) AS BIGINT)
+             |    AS toks_removed,
+             |  CAST((SUM(is_rm) * 1000000) // COUNT(*) AS BIGINT) AS removed_ppm
+             |FROM t GROUP BY 1 ORDER BY source""".stripMargin)),
   )
 }
