@@ -107,6 +107,35 @@ object StreamMediaQueries {
   private val sessionStreamDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** st34's arrival fixture: the q83 hourly aggregate (user_id < 20,
+    * DECIMAL-exact sums) as 3 HOUR-range-ordered files, mtimes pinning
+    * FileStreamSource order — each (user, hour) row exists once
+    * globally, so hour-ordered files give every user in-order arrival
+    * with no sentinel (a user's last hour is its grid end). Built once
+    * per (JVM, sf), same write-once rule as [[ensureSessionStream]]. */
+  private val locfStreamDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def ensureLocfStream(s: SparkSession, d: String): String =
+    locfStreamDirs.getOrElseUpdate(d, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st34").toString
+      val hourUs = EventStream.HourMicros
+      val inDir = new java.io.File(s"$tmp/in")
+      Tables.load(s, d, "events")
+        .filter(col("user_id") < 20)
+        .groupBy(col("user_id"), expr(s"ts DIV $hourUs").as("h"))
+        .agg(count(lit(1)).as("n_ev"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_v"))
+        .repartitionByRange(3, col("h"))
+        .write.mode("overwrite").parquet(inDir.getAbsolutePath)
+      val parts = inDir.listFiles().filter(_.getName.startsWith("part-"))
+      val now = System.currentTimeMillis()
+      parts.toSeq.sortBy(_.getName).zipWithIndex
+        .foreach { case (f, i) => f.setLastModified(now - 60000 + i * 1000) }
+      inDir.getAbsolutePath
+    })
+
   def ensureSessionStream(s: SparkSession, d: String): String =
     sessionStreamDirs.getOrElseUpdate(d, {
       val tmp = java.nio.file.Files.createTempDirectory("graft_st12").toString
@@ -2022,5 +2051,55 @@ object StreamMediaQueries {
              |  CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
              |  round(CAST(SUM(q) AS DOUBLE) / COUNT(*), 4) AS mean_quality
              |FROM lx GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- streaming LOCF gap fill (q83 maintained incrementally) -----------
+    // q83 recomputes the whole filled grid per run; the streaming twin
+    // carries (lastH, lastV) per user and emits only the hours each
+    // micro-batch touches — the sensor/metrics-pipeline shape where
+    // the filled series must stay current without grid rescans. The
+    // staged fixture pre-aggregates hourly rows WITH q83's exact
+    // expressions (DECIMAL value sums) and range-splits them by hour
+    // (no global sort — st24's lesson), so the stateful walk only
+    // carries certified numbers in hour order. Oracle is q83's SQL
+    // verbatim: batch certifies streaming, the st02/st12 discipline.
+    ("st34_stream_gap_fill",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val inDir = ensureLocfStream(s, d)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("h",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_ev",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sum_v",
+            org.apache.spark.sql.types.DoubleType)))
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$inDir/part-*")
+          .as[EventStream.Hourly]
+        val out = java.nio.file.Files.createTempDirectory("graft_st34o").toString
+        EventStream.runToFiles(s, EventStream.locfStream(stream).toDF(),
+            s"$out/data", s"$out/ckpt")
+          .orderBy(col("user_id"), col("hour_us"))
+      },
+      Some("""WITH hourly AS (
+             |  SELECT user_id, epoch_us(ts) // 3600000000 AS h,
+             |    COUNT(*) AS n_ev,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+             |  FROM events WHERE user_id < 20 GROUP BY 1, 2),
+             |b AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1
+             |      FROM hourly GROUP BY 1),
+             |grid AS (SELECT user_id, u.h FROM b, unnest(range(h0, h1 + 1)) AS u(h))
+             |SELECT g.user_id, g.h * 3600000000 AS hour_us,
+             |  COALESCE(hourly.n_ev, 0) AS n_ev,
+             |  last_value(hourly.sum_v IGNORE NULLS) OVER (
+             |    PARTITION BY g.user_id ORDER BY g.h
+             |    ROWS UNBOUNDED PRECEDING) AS locf_v,
+             |  CAST(CASE WHEN hourly.n_ev IS NULL THEN 1 ELSE 0 END AS INT) AS filled
+             |FROM grid g LEFT JOIN hourly
+             |  ON g.user_id = hourly.user_id AND g.h = hourly.h
+             |ORDER BY g.user_id, hour_us""".stripMargin)),
   )
 }

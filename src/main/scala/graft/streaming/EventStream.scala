@@ -221,6 +221,73 @@ object EventStream {
     events.groupByKey(_.user_id).flatMapGroups((uid, evs) => toSessions(uid, evs))
   }
 
+  // ---- LOCF gap fill -------------------------------------------------------
+
+  /** One per-user HOURLY aggregate row (staged upstream with the q83
+    * expressions — count + DECIMAL-exact value sum — so the stateful
+    * walk only CARRIES numbers, never re-derives them). */
+  case class Hourly(user_id: Long, h: Long, n_ev: Long, sum_v: Double)
+
+  /** One output hour: observed (`filled` = 0, locf_v = that hour's own
+    * sum) or gap-filled (`filled` = 1, n_ev = 0, locf_v carried from
+    * the last observed hour). */
+  case class LocfRow(user_id: Long, hour_us: Long, n_ev: Long,
+                     locf_v: Double, filled: Int)
+
+  /** Last observed (hour, value) per user — two fields of state, the
+    * whole LOCF memory. */
+  case class LocfState(lastH: Long, lastV: Double)
+
+  val HourMicros: Long = 3600L * 1000 * 1000
+
+  /** Streaming LOCF gap fill (q83's batch semantics, maintained
+    * incrementally): emit every hour from each user's first observed
+    * hour to its latest, carrying the last observed hourly sum across
+    * silent hours. State is (lastH, lastV) per user; each micro-batch
+    * emits its observed hours plus the fills BETWEEN state and the new
+    * observations — per-batch output cost ∝ hours touched, never a
+    * re-scan. Requires per-user hour-ordered arrival (the staged
+    * range-split fixture guarantees it; a production deployment gets
+    * it from watermark-ordered upstream bucketing). No trailing fill:
+    * a user's last observed hour IS its grid end (q83's per-user
+    * min..max grid), so no sentinel batch is needed. */
+  def locfStream(hourly: Dataset[Hourly]): Dataset[LocfRow] = {
+    import hourly.sparkSession.implicits._
+    hourly.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LocfState, LocfRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Hourly], state: GroupState[LocfState]) =>
+          val sorted = rows.toSeq.sortBy(_.h)
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[LocfRow]
+            var cur = state.getOption
+            for (r <- sorted) {
+              // An hour at or before the carried state means the upstream
+              // ordering contract broke: emitting would double-count the
+              // hour or regress the carry. Fail LOUD (the st28 rule: rows
+              // never vanish silently) — the caller's staging/bucketing
+              // is what must be fixed.
+              cur.foreach { st =>
+                if (r.h <= st.lastH) throw new IllegalStateException(
+                  s"locfStream: out-of-order hourly arrival for user $uid " +
+                    s"(got hour ${r.h} after ${st.lastH}) — upstream must " +
+                    "deliver per-user hours in order")
+                var hh = st.lastH + 1
+                while (hh < r.h) {
+                  out += LocfRow(uid, hh * HourMicros, 0L, st.lastV, 1)
+                  hh += 1
+                }
+              }
+              out += LocfRow(uid, r.h * HourMicros, r.n_ev, r.sum_v, 0)
+              cur = Some(LocfState(r.h, r.sum_v))
+            }
+            state.update(cur.get)
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming state: next session id to assign for this user + the
     * events of the still-open session. */
   case class SessionState(nextId: Int, open: List[Event])

@@ -1184,4 +1184,46 @@ class StreamingSpec extends SparkSpec {
       "null-predicate rows must route to the dead letter (unparseable ≈ invalid)")
     assert(good.select("event_id").as[Long].collect().sameElements(Array(1L)))
   }
+
+  test("streaming LOCF fills gaps across micro-batch boundaries from state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.Hourly]
+    val q = EventStream.locfStream(mem.toDS()).writeStream
+      .outputMode(OutputMode.Append).format("memory").queryName("t_locf").start()
+    try {
+      mem.addData(EventStream.Hourly(1L, 10L, 2L, 5.0))
+      q.processAllAvailable()
+      // the gap hours 11 and 12 are only discoverable when hour 13
+      // arrives IN THE NEXT BATCH — the fill must come from state
+      mem.addData(EventStream.Hourly(1L, 13L, 1L, 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("t_locf")
+        .orderBy("hour_us")
+        .select("hour_us", "n_ev", "locf_v", "filled")
+        .collect()
+        .map(r => (r.getLong(0) / EventStream.HourMicros, r.getLong(1),
+          r.getDouble(2), r.getInt(3)))
+      assert(rows.toSeq == Seq(
+        (10L, 2L, 5.0, 0), (11L, 0L, 5.0, 1), (12L, 0L, 5.0, 1),
+        (13L, 1L, 7.0, 0)),
+        s"cross-batch LOCF wrong: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
+  test("streaming LOCF fails loudly on out-of-order hourly arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.Hourly]
+    val q = EventStream.locfStream(mem.toDS()).writeStream
+      .outputMode(OutputMode.Append).format("memory").queryName("t_locf_ooo").start()
+    try {
+      mem.addData(EventStream.Hourly(1L, 10L, 1L, 5.0))
+      q.processAllAvailable()
+      mem.addData(EventStream.Hourly(1L, 9L, 1L, 4.0)) // regressed hour
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.getMessage +: chain(t.getCause)
+      assert(chain(ex).exists(m => m != null && m.contains("out-of-order")),
+        s"expected the loud ordering diagnostic, got: ${chain(ex)}")
+    } finally q.stop()
+  }
 }
