@@ -2431,5 +2431,38 @@ object AdvancedQueries {
              |SELECT n_batches, CAST(COUNT(*) AS BIGINT) AS n_customers,
              |  CAST(SUM(n_orders) AS BIGINT) AS n_orders
              |FROM f GROUP BY n_batches ORDER BY n_batches""".stripMargin)),
+
+    // ---- exact rolling 24-hour distinct users -----------------------------
+    // Sliding-window COUNT DISTINCT — the analytic windows can't do
+    // (distinct isn't frame-mergeable) and sketches only approximate
+    // (st32's HLL face). The exact scale path: each (user, hour)
+    // presence covers the 24 window-ends it can influence — a BOUNDED
+    // ×24 map-side fan-out — then one distinct + count per window-end;
+    // no window function ever sees more than its own hour. The oracle
+    // is the INDEPENDENT brute formulation (window-end × presence
+    // range join, COUNT DISTINCT per end), so the hash certifies
+    // expansion ≡ definition. Window-ends are restricted to hours
+    // with activity (both sides), keeping output = |active hours|.
+    ("q112_rolling_distinct_users",
+      (s: SparkSession, d: String) => {
+        val hourUs = 3600L * 1000 * 1000
+        val p = Tables.load(s, d, "events")
+          .select(col("user_id"), expr(s"ts DIV $hourUs").as("h")).distinct()
+        val hours = p.select(col("h").as("hour_end")).distinct()
+        val cov = p.select(col("user_id"),
+            explode(sequence(col("h"), col("h") + 23)).as("hour_end"))
+          .distinct()
+        cov.join(hours, "hour_end")
+          .groupBy(col("hour_end"))
+          .agg(count_distinct(col("user_id")).as("n_users_24h"))
+          .orderBy(col("hour_end"))
+      },
+      Some("""WITH p AS (SELECT DISTINCT user_id,
+             |    epoch_us(ts) // 3600000000 AS h FROM events),
+             |hours AS (SELECT DISTINCT h FROM p)
+             |SELECT w.h AS hour_end,
+             |  CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_users_24h
+             |FROM hours w JOIN p ON p.h BETWEEN w.h - 23 AND w.h
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

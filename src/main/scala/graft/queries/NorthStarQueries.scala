@@ -2555,5 +2555,44 @@ object NorthStarQueries {
              |    AS toks_removed,
              |  CAST((SUM(is_rm) * 1000000) // COUNT(*) AS BIGINT) AS removed_ppm
              |FROM t GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // ---- similarity: per-dimension embedding health -----------------------
+    // The ingest QC s09's outlier lens can't see: a DEAD dimension
+    // (all near zero) or a collapsed one (no spread) degrades every
+    // downstream cosine equally, invisibly. Per-dimension component
+    // stats via posexplode — the fan-out is ×dim (bounded by the
+    // embedding width), the aggregate is per dim index, and the
+    // per-row array order makes every arithmetic path deterministic.
+    // Means accumulate as round-6 DECIMALs (c05's rule); min/max are
+    // exact float pass-throughs; the near-zero count is an exact
+    // threshold compare on stored values.
+    ("s24_embedding_dim_stats",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.types.DecimalType
+        Tables.load(s, d, "embeddings")
+          .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+          .select(col("dim"),
+            round(col("x").cast("double"), 6)
+              .cast(DecimalType(18, 6)).as("xr"),
+            col("x").cast("double").as("xd"))
+          .groupBy(col("dim"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("xr")).cast("double") / count(lit(1)), 6).as("mean"),
+            min(col("xd")).as("min_x"), max(col("xd")).as("max_x"),
+            sum(when(abs(col("xd")) < 0.001, 1L).otherwise(0L))
+              .as("n_near_zero"))
+          .orderBy(col("dim"))
+      },
+      Some("""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |c AS (
+             |  SELECT CAST(u.i - 1 AS INT) AS dim, v[u.i] AS xd
+             |  FROM e, unnest(range(1, len(v) + 1)) AS u(i))
+             |SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+             |  round(CAST(SUM(CAST(round(xd, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             |    / COUNT(*), 6) AS mean,
+             |  MIN(xd) AS min_x, MAX(xd) AS max_x,
+             |  CAST(SUM(CASE WHEN abs(xd) < 0.001 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_near_zero
+             |FROM c GROUP BY 1 ORDER BY dim""".stripMargin)),
   )
 }
