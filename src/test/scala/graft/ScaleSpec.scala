@@ -1147,4 +1147,50 @@ class ScaleSpec extends SparkSpec {
     assert(finalPlan.contains("partial_count"),
       s"first-level count lost its map-side partial:\n${finalPlan.take(4000)}")
   }
+
+  test("c11 source overlap: gram-keyed postings join, never doc x doc") {
+    spark.catalog.clearCache()
+    val plan = planOf(SparkEntry.queries("c11_source_overlap")(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoopJoin"),
+      s"source overlap degenerated to a cross product:\n${finalPlan.take(4000)}")
+    // candidates meet through gram equality (posting-list join)
+    assert(finalPlan.contains("[gram"),
+      s"pair join must key on gram:\n${finalPlan.take(4000)}")
+  }
+
+  test("q105 merkle diff: row drill-down is bucket-semi-join pruned") {
+    spark.catalog.clearCache()
+    val plan = planOf(SparkEntry.queries("q105_merkle_diff")(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // both replicas' row scans must be gated by the differing-bucket
+    // set (broadcast LeftSemi), not diffed wholesale
+    assert("LeftSemi".r.findAllIn(finalPlan).size >= 2,
+      s"drill-down lost its bucket pruning semi joins:\n${finalPlan.take(4000)}")
+    assert(!finalPlan.contains("CartesianProduct"),
+      s"degenerate join:\n${finalPlan.take(4000)}")
+  }
+
+  test("q107 grouped count-distinct plans as the two-level distinct aggregate") {
+    spark.catalog.clearCache()
+    val plan = planOf(SparkEntry.queries("q107_supplier_variety")(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("partial_count(distinct"),
+      s"count(DISTINCT) lost its partial/distinct split:\n${finalPlan.take(4000)}")
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"part dim must broadcast:\n${finalPlan.take(4000)}")
+  }
+
+  test("q112 rolling distinct: bounded fan-out, no window over the event stream") {
+    spark.catalog.clearCache()
+    val plan = planOf(SparkEntry.queries("q112_rolling_distinct_users")(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // the sliding distinct must come from Generate(+distinct agg), not
+    // a window function dragging a 24h frame over raw events
+    assert(!finalPlan.contains("WindowExec") && !finalPlan.contains("Window "),
+      s"rolling distinct regressed to a window plan:\n${finalPlan.take(4000)}")
+    assert(finalPlan.contains("Generate explode"),
+      s"coverage fan-out missing:\n${finalPlan.take(4000)}")
+  }
 }
