@@ -2464,5 +2464,46 @@ object AdvancedQueries {
              |  CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_users_24h
              |FROM hours w JOIN p ON p.h BETWEEN w.h - 23 AND w.h
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- temporal event debounce ------------------------------------------
+    // The hygiene dedup st06 (exact event_id replay) can't do: drop
+    // REPEATED (user, type) firings within a 5-minute debounce window
+    // — double-clicks, retry storms, sensor chatter. An event is kept
+    // iff it's the first of its (user, type) or ≥ 5 min after its
+    // predecessor; chained duplicates each compare to their immediate
+    // predecessor (debounce, not throttle — a long burst collapses to
+    // one event per quiet gap, same gaps-and-islands family as q72 but
+    // keyed per (user, type) and emitting a keep/drop verdict, not
+    // session ids). One lag() per (user, type) partition — unbounded-
+    // safe; tie-break on event_id makes equal-ts chains deterministic.
+    ("q113_event_debounce",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.load(s, d, "events")
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("kept",
+            (col("prev_ts").isNull ||
+              col("ts") - col("prev_ts") >= lit(300L * 1000 * 1000))
+              .cast("int"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("kept")).cast("long").as("n_kept"),
+            (count(lit(1)) - sum(col("kept"))).cast("long").as("n_debounced"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH x AS (
+             |  SELECT event_type,
+             |    CASE WHEN lag(ts) OVER (PARTITION BY user_id, event_type
+             |           ORDER BY ts, event_id) IS NULL
+             |      OR ts - lag(ts) OVER (PARTITION BY user_id, event_type
+             |           ORDER BY ts, event_id) >= INTERVAL 5 MINUTE
+             |    THEN 1 ELSE 0 END AS kept
+             |  FROM events)
+             |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+             |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+             |  CAST(COUNT(*) - SUM(kept) AS BIGINT) AS n_debounced
+             |FROM x GROUP BY 1 ORDER BY event_type""".stripMargin)),
   )
 }

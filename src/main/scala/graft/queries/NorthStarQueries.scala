@@ -2556,6 +2556,88 @@ object NorthStarQueries {
              |  CAST((SUM(is_rm) * 1000000) // COUNT(*) AS BIGINT) AS removed_ppm
              |FROM t GROUP BY 1 ORDER BY source""".stripMargin)),
 
+    // ---- dedup: banding quality eval (recall + candidate precision) -------
+    // s17 evaluates ANN recall; nothing evaluated the DEDUP blocking.
+    // For the md5-SimHash scheme the whole eval is SQL-replayable
+    // (d04's oracle already reconstructs the fingerprints bit by bit):
+    // truth = all-pairs hamming ≤ 3, candidates = raw 16-bit band
+    // collisions BEFORE the hamming verify. Recall is 10000 bp by
+    // pigeonhole (4 bands, ≤ 3 flipped — the d04 premise, now
+    // MEASURED through the oracle gate); candidate precision is the
+    // real operating number: how much verify work the banding buys.
+    // Counts are exact integers; ratios integer basis points.
+    ("d14_banding_eval",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.load(s, d, "documents")
+        val width = 16
+        val fp = docs.select(col("doc_id").as("sid"),
+          graft.functions.SimHash.simhashMd5(Dedup.words(col("text"))).as("fp"))
+        val bandStructs = array((0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("fp"), b * width)
+              .bitwiseAND(lit((1L << width) - 1)).as("bits"))
+        }: _*)
+        val banded = fp.select(col("sid"), explode(bandStructs).as("bk"))
+          .select(col("sid"), col("bk.band").as("band"), col("bk.bits").as("bits"))
+        val cand = banded.select(col("sid").as("id_a"), col("band"), col("bits"))
+          .join(banded.select(col("sid").as("id_b"), col("band"), col("bits")),
+            Seq("band", "bits"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+          .localCheckpoint()
+        val truth = Dedup.simhashNearDupsMd5(docs, "doc_id", "text",
+            bands = 4, maxHamming = 3, maxBucket = 0)
+          .select("id_a", "id_b").localCheckpoint()
+        val hit = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+        truth.agg(count(lit(1)).as("n_truth"))
+          .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+          .select(col("n_truth"), col("n_candidates"), col("n_hit"),
+            expr("(n_hit * 10000) div n_truth").as("recall_bp"),
+            expr("(n_hit * 10000) div n_candidates").as("precision_bp"))
+      },
+      Some("""WITH w AS (SELECT doc_id,
+             |    string_split_regex(lower(text), '\s+') AS w FROM documents),
+             |tok AS (SELECT doc_id, unnest(w) AS t FROM w),
+             |hx AS (SELECT doc_id, substr(md5(t), 1, 16) AS h FROM tok),
+             |bits AS (SELECT doc_id, CAST(u.j AS INT) AS j,
+             |    CASE WHEN ((strpos('0123456789abcdef',
+             |                  substr(h, 16 - CAST(u.j AS INT) // 4, 1)) - 1)
+             |               // (1 << (CAST(u.j AS INT) % 4))) % 2 = 1
+             |         THEN 1 ELSE -1 END AS vote
+             |  FROM hx, unnest(range(0, 64)) AS u(j)),
+             |fpb AS (SELECT doc_id, j,
+             |    CASE WHEN SUM(vote) > 0 THEN 1 ELSE 0 END AS bit
+             |  FROM bits GROUP BY 1, 2),
+             |fp AS (SELECT doc_id,
+             |    CAST(SUM(CASE WHEN j = 63 THEN -(1::HUGEINT << 63)
+             |                  ELSE (1::HUGEINT << j) END * bit) AS BIGINT) AS fp
+             |  FROM fpb GROUP BY 1),
+             |ufp AS (SELECT doc_id,
+             |    CASE WHEN fp < 0 THEN CAST(fp AS HUGEINT) + (1::HUGEINT << 64)
+             |         ELSE CAST(fp AS HUGEINT) END AS u
+             |  FROM fp),
+             |banded AS (SELECT doc_id, CAST(u2.b AS INT) AS band,
+             |    CAST((ufp.u >> (16 * CAST(u2.b AS INT))) & 65535 AS BIGINT)
+             |      AS bits
+             |  FROM ufp, unnest(range(0, 4)) AS u2(b)),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM banded a JOIN banded b
+             |    ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id),
+             |truth AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+             |  WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+             |hit AS (SELECT * FROM truth t WHERE EXISTS (SELECT 1 FROM cand c
+             |  WHERE c.id_a = t.id_a AND c.id_b = t.id_b))
+             |SELECT
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_hit,
+             |  CAST(((SELECT COUNT(*) FROM hit) * 10000)
+             |    // (SELECT COUNT(*) FROM truth) AS BIGINT) AS recall_bp,
+             |  CAST(((SELECT COUNT(*) FROM hit) * 10000)
+             |    // (SELECT COUNT(*) FROM cand) AS BIGINT) AS precision_bp""".stripMargin)),
+
     // ---- similarity: per-dimension embedding health -----------------------
     // The ingest QC s09's outlier lens can't see: a DEAD dimension
     // (all near zero) or a collapsed one (no spread) degrades every
