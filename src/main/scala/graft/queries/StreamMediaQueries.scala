@@ -2062,6 +2062,47 @@ object StreamMediaQueries {
     // (no global sort — st24's lesson), so the stateful walk only
     // carries certified numbers in hour order. Oracle is q83's SQL
     // verbatim: batch certifies streaming, the st02/st12 discipline.
+    // ---- streaming temporal debounce (q113 maintained incrementally) ------
+    // st06 replays exact event_id dedup; this suppresses REPEATED
+    // (user, type) firings within 5 minutes as they stream in — the
+    // retry-storm/double-click gate at ingest, one long of state per
+    // active key. Rides st12's time-range-ordered arrival fixture
+    // (flush sentinels filtered out before the walk — debounce has no
+    // open state to flush: every event's verdict is immediate). The
+    // drained verdicts roll up batch-side; oracle is q113's SQL
+    // verbatim — batch certifies streaming, the st02/st12 discipline.
+    ("st35_stream_debounce",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val inDir = ensureSessionStream(s, d)
+        val stream = s.readStream.schema(EventStream.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$inDir/part-*")
+          .as[EventStream.Event]
+          .filter(_.event_type != "flush")
+        val out = java.nio.file.Files.createTempDirectory("graft_st35o").toString
+        EventStream.runToFiles(s,
+            EventStream.debounceStream(stream, 300L * 1000 * 1000).toDF(),
+            s"$out/data", s"$out/ckpt")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("kept")).cast("long").as("n_kept"),
+            (count(lit(1)) - sum(col("kept"))).cast("long").as("n_debounced"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH x AS (
+             |  SELECT event_type,
+             |    CASE WHEN lag(ts) OVER (PARTITION BY user_id, event_type
+             |           ORDER BY ts, event_id) IS NULL
+             |      OR ts - lag(ts) OVER (PARTITION BY user_id, event_type
+             |           ORDER BY ts, event_id) >= INTERVAL 5 MINUTE
+             |    THEN 1 ELSE 0 END AS kept
+             |  FROM events)
+             |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+             |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+             |  CAST(COUNT(*) - SUM(kept) AS BIGINT) AS n_debounced
+             |FROM x GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
     ("st34_stream_gap_fill",
       (s: SparkSession, d: String) => {
         import s.implicits._

@@ -288,6 +288,48 @@ object EventStream {
       }
   }
 
+  // ---- temporal debounce ---------------------------------------------------
+
+  /** One debounce verdict: kept = 1 iff this event is its (user, type)
+    * key's first, or ≥ `gap` after its immediate predecessor (kept OR
+    * dropped — debounce compares to the raw predecessor, q113's lag()
+    * semantics, so a long burst stays suppressed until a quiet gap). */
+  case class Debounced(user_id: Long, event_type: String, event_id: Long,
+                       ts: Long, kept: Int)
+
+  /** Streaming temporal debounce (q113's batch semantics maintained
+    * incrementally): state is ONE long per (user, type) — the last
+    * seen event time. Emits a verdict per event, so the drained output
+    * is aggregation-ready batch-side (the st12 drain-then-rollup
+    * shape). Requires per-key time-ordered arrival across batches
+    * (same contract as [[locfStream]]); a regressed timestamp fails
+    * loudly rather than mis-verdicting silently. */
+  def debounceStream(events: Dataset[Event],
+                     gapMicros: Long): Dataset[Debounced] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[Long, Debounced](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), evs: Iterator[Event], state: GroupState[Long]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts, e.event_id))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            var last = state.getOption.getOrElse(Long.MinValue)
+            val out = sorted.map { e =>
+              if (last != Long.MinValue && e.ts < last)
+                throw new IllegalStateException(
+                  s"debounceStream: out-of-order arrival for key $key " +
+                    s"(got ts ${e.ts} after $last)")
+              val keep = last == Long.MinValue || e.ts - last >= gapMicros
+              last = e.ts
+              Debounced(key._1, key._2, e.event_id, e.ts, if (keep) 1 else 0)
+            }
+            state.update(last)
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming state: next session id to assign for this user + the
     * events of the still-open session. */
   case class SessionState(nextId: Int, open: List[Event])
