@@ -558,6 +558,37 @@ object SourceFormatQueries {
              |FROM documents
              |WHERE doc_id NOT IN (SELECT doc_id FROM victims)
              |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- gzip-compressed JSONL sink + source ------------------------------
+    // q42's codec face: real corpora ship as .jsonl.gz (CommonCrawl,
+    // most hub datasets), where gzip's non-splittability is THE scale
+    // decision — one file is one task no matter its size, so the
+    // writer keeps many medium files (the upstream repartition) rather
+    // than a few giant ones, and reader parallelism is capped by the
+    // file count. The staged write lands as .json.gz (ScaleSpec
+    // asserts the layout); the read is schema-explicit
+    // (q42's rule — no inference scan) and aggregates per source with
+    // token totals, certifying values survive the codec byte-exactly.
+    ("q114_compressed_jsonl",
+      (s: SparkSession, d: String) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_jsgz").toString
+        val docs = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+        docs.repartition(4).write.mode("overwrite")
+          .option("compression", "gzip").json(out)
+        s.read.schema(docs.schema).json(out)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(graft.ops.TextAnalysis.tokenCount(col("text")).cast("long"))
+              .as("total_tokens"),
+            sum(col("doc_id")).as("id_checksum"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, COUNT(*) AS n_docs,
+             |  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT)
+             |    AS total_tokens,
+             |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
   )
 
   /** q64's write-time partition stats: one row per `source` partition

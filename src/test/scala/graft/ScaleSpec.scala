@@ -1193,4 +1193,20 @@ class ScaleSpec extends SparkSpec {
     assert(finalPlan.contains("Generate explode"),
       s"coverage fan-out missing:\n${finalPlan.take(4000)}")
   }
+
+  test("q114 gzip jsonl: staged layout is .json.gz and values survive the codec") {
+    val out = Files.createTempDirectory("graft_jsgz_spec").toString
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    docs.repartition(4).write.mode("overwrite")
+      .option("compression", "gzip").json(out)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(files.nonEmpty && files.forall(_.getName.endsWith(".json.gz")),
+      s"expected .json.gz parts, got: ${files.map(_.getName).toSeq}")
+    val rd = spark.read.schema(docs.schema).json(out)
+    assert(rd.count() == docs.count(), "row loss through the gzip codec")
+    assert(rd.exceptAll(docs).isEmpty && docs.exceptAll(rd).isEmpty,
+      "values changed through the gzip codec")
+  }
 }
