@@ -2505,5 +2505,56 @@ object AdvancedQueries {
              |  CAST(SUM(kept) AS BIGINT) AS n_kept,
              |  CAST(COUNT(*) - SUM(kept) AS BIGINT) AS n_debounced
              |FROM x GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // ---- histogram join-size estimate (System R family) -------------------
+    // q97 estimates join size with SKETCHES (AMS/CMS inner product);
+    // this is the other classic estimator — equi-width key histograms
+    // with the per-bucket containment formula n₁·n₂ / max(d₁, d₂)
+    // (Selinger '79 lineage, what CBO statistics actually store) —
+    // over genuinely filtered sides (urgent orders ⋈ returned items),
+    // where estimation is nontrivial. Histograms are one aggregate per
+    // side (key div 256 buckets, count + exact distinct); the estimate
+    // is integer floor arithmetic end to end, the error in basis
+    // points against the true (computed) join size. At 100 TB the
+    // histograms are the cheap pre-pass; the true join runs here only
+    // because the fixture can afford the ground truth.
+    ("q115_histogram_join_estimate",
+      (s: SparkSession, d: String) => {
+        val o = Tables.load(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey").as("k"))
+        val l = Tables.load(s, d, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("k"))
+        def hist(df: DataFrame) = df
+          .groupBy(expr("k div 256").as("b"))
+          .agg(count(lit(1)).as("n"), count_distinct(col("k")).as("dk"))
+        val est = hist(o).select(col("b"), col("n").as("n1"), col("dk").as("d1"))
+          .join(hist(l).select(col("b"), col("n").as("n2"), col("dk").as("d2")),
+            "b")
+          .select(expr("(n1 * n2) div greatest(d1, d2)").as("e"))
+          .agg(sum(col("e")).as("est_size"))
+        val truth = o.join(l, "k").agg(count(lit(1)).as("true_size"))
+        est.crossJoin(truth)
+          .select(col("true_size"), col("est_size"),
+            expr("(abs(est_size - true_size) * 10000) div true_size")
+              .as("err_bp"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey AS k FROM orders
+             |  WHERE o_orderpriority = '1-URGENT'),
+             |l AS (SELECT l_orderkey AS k FROM lineitem
+             |  WHERE l_returnflag = 'R'),
+             |h1 AS (SELECT k // 256 AS b, CAST(COUNT(*) AS BIGINT) AS n1,
+             |    CAST(COUNT(DISTINCT k) AS BIGINT) AS d1 FROM o GROUP BY 1),
+             |h2 AS (SELECT k // 256 AS b, CAST(COUNT(*) AS BIGINT) AS n2,
+             |    CAST(COUNT(DISTINCT k) AS BIGINT) AS d2 FROM l GROUP BY 1),
+             |e AS (SELECT CAST(SUM((n1 * n2) // greatest(d1, d2)) AS BIGINT)
+             |    AS est_size FROM h1 JOIN h2 USING (b)),
+             |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS true_size
+             |  FROM o JOIN l USING (k))
+             |SELECT true_size, est_size,
+             |  CAST((abs(est_size - true_size) * 10000) // true_size AS BIGINT)
+             |    AS err_bp
+             |FROM e, t""".stripMargin)),
   )
 }
