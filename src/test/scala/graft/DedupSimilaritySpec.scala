@@ -1247,4 +1247,40 @@ class DedupSimilaritySpec extends SparkSpec {
       s"expected exactly one clone in the diversified top-4, got $clonesPicked " +
         s"(picked ${picked.mkString(", ")})")
   }
+
+  test("kcore: peels tails and isolated pairs, keeps the cycle, fixpoint-stable") {
+    import spark.implicits._
+    // triangle {1,2,3} (the 2-core) + tail 3-4-5 (peels leaf-first) +
+    // isolated edge 6-7 (peels immediately)
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (6L, 7L))
+      .toDF("id_a", "id_b")
+    val core = Dedup.kcore(pairs, k = 2, rounds = 4)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(core.toSeq == Seq((1L, 2L), (2L, 2L), (3L, 2L)),
+      s"2-core of triangle+tail+pair wrong: ${core.toSeq}")
+    // rounds headroom: once converged, extra rounds are no-ops — the
+    // over-provisioning safety c10's fixed-round oracle rests on
+    val more = Dedup.kcore(pairs, k = 2, rounds = 8)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(more.toSeq == core.toSeq, "extra peeling rounds changed a fixpoint")
+  }
+
+  test("sourceOverlap: hand-computed gram sets give exact counts and jaccard") {
+    import spark.implicits._
+    // a: 6 tokens -> 2 distinct 5-grams; b: same first 5 tokens -> shares
+    // exactly gram1; c: disjoint text -> no row with a or b
+    val docs = Seq(
+      (1L, "A", "w1 w2 w3 w4 w5 w6"),
+      (2L, "B", "w1 w2 w3 w4 w5"),
+      (3L, "C", "x1 x2 x3 x4 x5")).toDF("doc_id", "src", "text")
+    val out = Dedup.sourceOverlap(docs, "src", "text", n = 5, maxDf = 0)
+      .orderBy(col("src_a"), col("src_b")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    // A has grams {w1..w5, w2..w6}, B has {w1..w5}: shared 1, union 2
+    assert(out.toSeq == Seq(("A", "B", 2L, 1L, 1L, 0.5)),
+      s"source overlap matrix wrong: ${out.toSeq}")
+  }
 }
