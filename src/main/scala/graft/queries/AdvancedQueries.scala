@@ -2556,5 +2556,38 @@ object AdvancedQueries {
              |  CAST((abs(est_size - true_size) * 10000) // true_size AS BIGINT)
              |    AS err_bp
              |FROM e, t""".stripMargin)),
+
+    // ---- LATERAL correlated top-N -----------------------------------------
+    // The ANSI LATERAL surface (q111's sibling capability check):
+    // per-customer top-2 orders expressed as a correlated LATERAL
+    // subquery — the form analysts write when a window feels indirect.
+    // Catalyst DECORRELATES it (DecorrelateInnerQuery): the executed
+    // plan is a window rank over a join, not one subquery execution
+    // per customer row — which is exactly what makes the construct
+    // scale-safe to expose; a truly iterative evaluation would be a
+    // 100 TB disaster. DuckDB runs the IDENTICAL LATERAL SQL, so the
+    // hash certifies the decorrelation preserves semantics, ties
+    // (price DESC, orderkey) included. Integer cents (q78's rule).
+    ("q116_lateral_topn",
+      (s: SparkSession, d: String) => {
+        Tables.load(s, d, "customer").createOrReplaceTempView("q116_customer")
+        Tables.load(s, d, "orders").createOrReplaceTempView("q116_orders")
+        s.sql("""SELECT c.c_custkey, o.o_orderkey, o.tp
+          |FROM q116_customer c,
+          |LATERAL (SELECT o_orderkey,
+          |           CAST(round(o_totalprice*100) AS BIGINT) AS tp
+          |         FROM q116_orders
+          |         WHERE o_custkey = c.c_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+          |ORDER BY c.c_custkey, tp DESC, o.o_orderkey""".stripMargin)
+      },
+      Some("""SELECT c.c_custkey, o.o_orderkey, o.tp
+             |FROM customer c,
+             |LATERAL (SELECT o_orderkey,
+             |           CAST(round(o_totalprice*100) AS BIGINT) AS tp
+             |         FROM orders
+             |         WHERE o_custkey = c.c_custkey
+             |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+             |ORDER BY c.c_custkey, tp DESC, o.o_orderkey""".stripMargin)),
   )
 }

@@ -1209,4 +1209,17 @@ class ScaleSpec extends SparkSpec {
     assert(rd.exceptAll(docs).isEmpty && docs.exceptAll(rd).isEmpty,
       "values changed through the gzip codec")
   }
+
+  test("q116 LATERAL decorrelates to a windowed join, not per-row subqueries") {
+    spark.catalog.clearCache()
+    val plan = planOf(SparkEntry.queries("q116_lateral_topn")(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // the scale guarantee: Catalyst rewrote the correlated LATERAL into
+    // a rank-filtered join — no nested-loop evaluation per outer row
+    assert(finalPlan.contains("Window"),
+      s"decorrelation should produce a window rank:\n${finalPlan.take(4000)}")
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoopJoin"),
+      s"LATERAL fell back to a nested-loop plan:\n${finalPlan.take(4000)}")
+  }
 }
