@@ -2557,6 +2557,68 @@ object AdvancedQueries {
              |    AS err_bp
              |FROM e, t""".stripMargin)),
 
+    // ---- RFM customer segmentation ----------------------------------------
+    // The classic recency/frequency/monetary quintile grid (direct-
+    // marketing's workhorse): per-customer integer metrics (days since
+    // last order vs the corpus max date, order count, lifetime cents),
+    // quintile CUTPOINTS from one exact-percentile aggregate over the
+    // customer frame (q32's interpolation — q103 certified the
+    // expanded-multiset definition matches DuckDB's quantile_cont on
+    // identical integer inputs), segments by comparing each integer
+    // metric against the four broadcast cutpoints. No global rank, no
+    // corpus-wide window — the cut table is 1 row, the segmentation is
+    // map-side. Output is the ≤125-cell segment grid.
+    ("q117_rfm_segmentation",
+      (s: SparkSession, d: String) => {
+        val o = Tables.load(s, d, "orders")
+        val m = o.groupBy(col("o_custkey"))
+          .agg(max(col("o_orderdate")).as("last_dt"),
+            count(lit(1)).as("f"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("m"))
+          .crossJoin(broadcast(o.agg(max(col("o_orderdate")).as("max_dt"))))
+          .select(col("o_custkey"),
+            datediff(col("max_dt"), col("last_dt")).cast("long").as("r"),
+            col("f"), col("m"))
+        val cuts = m.agg(
+          expr("percentile(r, array(0.2D, 0.4D, 0.6D, 0.8D))").as("rc"),
+          expr("percentile(f, array(0.2D, 0.4D, 0.6D, 0.8D))").as("fc"),
+          expr("percentile(m, array(0.2D, 0.4D, 0.6D, 0.8D))").as("mc"))
+        def seg(v: String, c: String) =
+          (lit(1) + (col(v) > expr(s"$c[0]")).cast("int")
+            + (col(v) > expr(s"$c[1]")).cast("int")
+            + (col(v) > expr(s"$c[2]")).cast("int")
+            + (col(v) > expr(s"$c[3]")).cast("int"))
+        m.crossJoin(broadcast(cuts))
+          .select(seg("r", "rc").as("r_seg"), seg("f", "fc").as("f_seg"),
+            seg("m", "mc").as("m_seg"))
+          .groupBy(col("r_seg"), col("f_seg"), col("m_seg"))
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy(col("r_seg"), col("f_seg"), col("m_seg"))
+      },
+      Some("""WITH m AS (
+             |  SELECT o_custkey,
+             |    date_diff('day', MAX(o_orderdate),
+             |      (SELECT MAX(o_orderdate) FROM orders)) AS r,
+             |    CAST(COUNT(*) AS BIGINT) AS f,
+             |    CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             |      AS m
+             |  FROM orders GROUP BY 1),
+             |c AS (SELECT
+             |    quantile_cont(r, [0.2, 0.4, 0.6, 0.8]) AS rc,
+             |    quantile_cont(f, [0.2, 0.4, 0.6, 0.8]) AS fc,
+             |    quantile_cont(m, [0.2, 0.4, 0.6, 0.8]) AS mc
+             |  FROM m),
+             |segs AS (SELECT
+             |    1 + CAST(r > rc[1] AS INT) + CAST(r > rc[2] AS INT)
+             |      + CAST(r > rc[3] AS INT) + CAST(r > rc[4] AS INT) AS r_seg,
+             |    1 + CAST(f > fc[1] AS INT) + CAST(f > fc[2] AS INT)
+             |      + CAST(f > fc[3] AS INT) + CAST(f > fc[4] AS INT) AS f_seg,
+             |    1 + CAST(m > mc[1] AS INT) + CAST(m > mc[2] AS INT)
+             |      + CAST(m > mc[3] AS INT) + CAST(m > mc[4] AS INT) AS m_seg
+             |  FROM m, c)
+             |SELECT r_seg, f_seg, m_seg, CAST(COUNT(*) AS BIGINT) AS n_customers
+             |FROM segs GROUP BY 1, 2, 3 ORDER BY r_seg, f_seg, m_seg""".stripMargin)),
+
     // ---- LATERAL correlated top-N -----------------------------------------
     // The ANSI LATERAL surface (q111's sibling capability check):
     // per-customer top-2 orders expressed as a correlated LATERAL

@@ -2103,6 +2103,40 @@ object StreamMediaQueries {
              |  CAST(COUNT(*) - SUM(kept) AS BIGINT) AS n_debounced
              |FROM x GROUP BY 1 ORDER BY event_type""".stripMargin)),
 
+    // ---- streaming per-user sequence assignment ---------------------------
+    // q99 assigns stable global ids to data at REST (two-pass bucket
+    // offsets); this stamps per-user ordinals as events ARRIVE — the
+    // per-entity version counter (optimistic concurrency, audit
+    // ordinals) that a global auto-increment would serialize through
+    // one state key but per-user counters keep embarrassingly
+    // parallel. Rides st12's ordered-arrival fixture (flush sentinels
+    // filtered); output spot-checks every 7th ordinal per user
+    // against the oracle's true row_number — one misnumbered event
+    // anywhere shifts a sampled row and breaks the hash.
+    ("st36_stream_user_seq",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val inDir = ensureSessionStream(s, d)
+        val stream = s.readStream.schema(EventStream.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$inDir/part-*")
+          .as[EventStream.Event]
+          .filter(_.event_type != "flush")
+        val out = java.nio.file.Files.createTempDirectory("graft_st36o").toString
+        EventStream.runToFiles(s, EventStream.userSeqStream(stream).toDF(),
+            s"$out/data", s"$out/ckpt")
+          .filter(col("user_seq") % 7 === 0)
+          .select(col("user_id"), col("user_seq"), col("event_id"))
+          .orderBy(col("user_id"), col("user_seq"))
+      },
+      Some("""WITH r AS (SELECT user_id, event_id,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS user_seq
+             |  FROM events)
+             |SELECT user_id, CAST(user_seq AS BIGINT) AS user_seq, event_id
+             |FROM r WHERE user_seq % 7 = 0
+             |ORDER BY user_id, user_seq""".stripMargin)),
+
     ("st34_stream_gap_fill",
       (s: SparkSession, d: String) => {
         import s.implicits._

@@ -330,6 +330,47 @@ object EventStream {
       }
   }
 
+  // ---- per-user sequence assignment ---------------------------------------
+
+  /** One assigned id: `user_seq` is this user's 1-based arrival ordinal
+    * — the per-entity version counter an ingest pipeline stamps on
+    * every event (optimistic-concurrency versions, audit ordinals). */
+  case class SeqAssigned(user_id: Long, user_seq: Long, event_id: Long)
+
+  /** Per-user counter + last seen ts (the ordering guard). */
+  case class SeqState(n: Long, lastTs: Long)
+
+  /** Streaming per-user sequence numbers (q99's stable-id idea at
+    * INGEST time, parallel by construction): state is one counter per
+    * user — no global coordination point, unlike a global auto-
+    * increment — and each micro-batch extends its users' sequences
+    * from state. Same ordered-arrival contract and loud guard as
+    * [[locfStream]]/[[debounceStream]]: a regressed timestamp would
+    * mis-number silently, so it throws instead. */
+  def userSeqStream(events: Dataset[Event]): Dataset[SeqAssigned] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SeqState, SeqAssigned](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Event], state: GroupState[SeqState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts, e.event_id))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption.getOrElse(SeqState(0L, Long.MinValue))
+            val out = sorted.map { e =>
+              if (st.lastTs != Long.MinValue && e.ts < st.lastTs)
+                throw new IllegalStateException(
+                  s"userSeqStream: out-of-order arrival for user $uid " +
+                    s"(got ts ${e.ts} after ${st.lastTs})")
+              st = SeqState(st.n + 1, e.ts)
+              SeqAssigned(uid, st.n, e.event_id)
+            }
+            state.update(st)
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming state: next session id to assign for this user + the
     * events of the still-open session. */
   case class SessionState(nextId: Int, open: List[Event])
