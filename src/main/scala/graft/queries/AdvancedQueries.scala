@@ -2651,5 +2651,314 @@ object AdvancedQueries {
              |         WHERE o_custkey = c.c_custkey
              |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
              |ORDER BY c.c_custkey, tp DESC, o.o_orderkey""".stripMargin)),
+
+    // ---- forecast revenue change (TPC-H Q6 family) ------------------------
+    // The canonical selective scan-aggregate: one year of shipments in
+    // a discount band under a quantity cap, revenue = price x discount.
+    // The whole query is ONE scan with every predicate pushed to the
+    // parquet reader (shipdate range is min/max-prunable per row group,
+    // quantity/discount are PushedFilters) and a partial-aggregated
+    // single row out — the shape where 100 TB cost is pure I/O and the
+    // scan is the only stage. Revenue in integer cent x percent units
+    // (round(price*100) x round(disc*100)) so the sum is exact and
+    // order-independent in both engines; the double comparisons
+    // themselves are parity-safe (same parquet doubles, same IEEE
+    // literals, identical compare in Spark and DuckDB).
+    ("q118_forecast_revenue",
+      (s: SparkSession, d: String) => {
+        Tables.load(s, d, "lineitem")
+          .filter(col("l_shipdate") >= "1996-01-01" &&
+            col("l_shipdate") < "1997-01-01" &&
+            col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+            col("l_quantity") < 24)
+          .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+              round(col("l_discount") * 100).cast("long")).as("revenue_cp"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+             |         * CAST(round(l_discount*100) AS BIGINT)) AS BIGINT)
+             |    AS revenue_cp,
+             |  CAST(COUNT(*) AS BIGINT) AS n_items
+             |FROM lineitem
+             |WHERE l_shipdate >= DATE '1996-01-01'
+             |  AND l_shipdate < DATE '1997-01-01'
+             |  AND l_discount >= 0.05 AND l_discount <= 0.07
+             |  AND l_quantity < 24""".stripMargin)),
+
+    // ---- promotion revenue share (TPC-H Q14 family) -----------------------
+    // Share of shipment revenue attributable to PROMO parts in one
+    // month: lineitem scans with the date range pushed down, part is
+    // the BROADCAST dimension (the classic fact x small-dim shape —
+    // no shuffle of the fact side at any scale), and the share is a
+    // single conditional aggregate in basis points via integer floor
+    // division — no floating ratio to drift between engines.
+    ("q119_promo_revenue",
+      (s: SparkSession, d: String) => {
+        val l = Tables.load(s, d, "lineitem")
+          .filter(col("l_shipdate") >= "1997-03-01" &&
+            col("l_shipdate") < "1997-04-01")
+        val p = Tables.load(s, d, "part").select(col("p_partkey"), col("p_type"))
+        val rev = (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+        l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type") === "PROMO", rev).otherwise(0L))
+              .as("promo_cp"),
+            sum(rev).as("total_cp"))
+          .select(col("promo_cp"), col("total_cp"),
+            expr("(promo_cp * 10000) div total_cp").as("promo_share_bp"))
+      },
+      Some("""WITH j AS (
+             |  SELECT p_type,
+             |    CAST(round(l_extendedprice*100) AS BIGINT)
+             |      * (100 - CAST(round(l_discount*100) AS BIGINT)) AS rev
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  WHERE l_shipdate >= DATE '1997-03-01'
+             |    AND l_shipdate < DATE '1997-04-01'),
+             |a AS (SELECT
+             |    CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+             |      AS BIGINT) AS promo_cp,
+             |    CAST(SUM(rev) AS BIGINT) AS total_cp
+             |  FROM j)
+             |SELECT promo_cp, total_cp,
+             |  (promo_cp * 10000) // total_cp AS promo_share_bp
+             |FROM a""".stripMargin)),
+
+    // ---- top supplier by quarter revenue (TPC-H Q15 family) ---------------
+    // Revenue per supplier over one quarter, then the supplier(s)
+    // achieving the MAX — Q15's view + max-subquery shape. The
+    // per-supplier aggregate shuffles once on s_suppkey; the max is a
+    // 1-row broadcast joined back (never a global rank window), so ties
+    // surface as multiple rows exactly like the spec's view form.
+    // Supplier names attach AFTER the aggregate, dimension broadcast.
+    ("q120_top_supplier",
+      (s: SparkSession, d: String) => {
+        val rev = Tables.load(s, d, "lineitem")
+          .filter(col("l_shipdate") >= "1996-01-01" &&
+            col("l_shipdate") < "1996-04-01")
+          .groupBy(col("l_suppkey"))
+          .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+              (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .as("total_cp"))
+
+        val top = rev.agg(max(col("total_cp")).as("mx"))
+        val sup = Tables.load(s, d, "supplier")
+          .select(col("s_suppkey"), col("s_name"))
+        rev.join(broadcast(top), col("total_cp") === col("mx"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_cp"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_suppkey,
+             |    CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+             |      * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+             |      AS total_cp
+             |  FROM lineitem
+             |  WHERE l_shipdate >= DATE '1996-01-01'
+             |    AND l_shipdate < DATE '1996-04-01'
+             |  GROUP BY 1)
+             |SELECT s_suppkey, s_name, total_cp
+             |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+             |WHERE total_cp = (SELECT MAX(total_cp) FROM rev)
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // ---- late-shipment priority audit (TPC-H Q4 family) -------------------
+    // Orders per priority that shipped LATE — at least one line item
+    // more than 60 days after the order date (the fixture schema has
+    // no commitdate, so lateness is shipdate vs orderdate + 60; same
+    // EXISTS shape as the spec query). The EXISTS is a LEFT SEMI join
+    // on the order key: the lineitem side is pre-filtered by the date
+    // predicate BEFORE the join (predicate pushed below the semi
+    // join), the semi join short-circuits per key, and the final
+    // aggregate is over the small orders slice — no fact-x-fact
+    // retention of matched rows at any scale.
+    ("q121_late_priority_audit",
+      (s: SparkSession, d: String) => {
+        val o = Tables.load(s, d, "orders")
+          .filter(col("o_orderdate") >= "1996-01-01" &&
+            col("o_orderdate") < "1996-07-01")
+        val l = Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_shipdate"))
+        val late = o.join(l, col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > date_add(col("o_orderdate"), 60), "left_semi")
+        late.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_late_orders"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority,
+             |  CAST(COUNT(*) AS BIGINT) AS n_late_orders
+             |FROM orders o
+             |WHERE o_orderdate >= DATE '1996-01-01'
+             |  AND o_orderdate < DATE '1996-07-01'
+             |  AND EXISTS (SELECT 1 FROM lineitem l
+             |              WHERE l.l_orderkey = o.o_orderkey
+             |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+             |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- rolling z-score anomaly flags ------------------------------------
+    // Streaming-metrics anomaly detection in batch form: each event is
+    // scored against the PRECEDING-only window of its user's last 20
+    // values (no lookahead — the online-scoring semantics), flagged
+    // when it sits more than 2 sigma from the window mean. All integer:
+    // with v in cents, s = SUM(prev), q = SUM(prev^2), n = COUNT(prev),
+    // |z| > 2  <=>  (n*v - s)^2 > 4*(n*q - s^2)  — the z-test cleared
+    // of division and sqrt, so both engines compare exact BIGINTs (a
+    // zero-variance window flags any deviation, 0 > 0 never). The
+    // window is PARTITIONED by user (thousands of concurrent frames,
+    // each a bounded 20-row state) — the scale-safe shape, in contrast
+    // to the global-window trap t12 retired. Warm-up rows (n < 5)
+    // score as not-anomalous. Output: per event_type counts.
+    ("q122_rolling_zscore",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-20, -1)
+        val scored = Tables.load(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+            round(col("value") * 100).cast("long").as("v"))
+          .select(col("event_type"), col("v"),
+            count(lit(1)).over(w).as("n"),
+            sum(col("v")).over(w).as("sm"),
+            sum(col("v") * col("v")).over(w).as("q"))
+          .select(col("event_type"),
+            (col("n") >= 5 &&
+              (col("n") * col("v") - col("sm")) *
+                (col("n") * col("v") - col("sm")) >
+              lit(4L) * (col("n") * col("q") - col("sm") * col("sm")))
+              .cast("long").as("anom"),
+            (col("n") >= 5).cast("long").as("scored"))
+        scored.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"), sum(col("scored")).as("n_scored"),
+            sum(col("anom")).as("n_anomalies"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH v AS (SELECT user_id, ts, event_id, event_type,
+             |    CAST(round(value*100) AS BIGINT) AS v FROM events),
+             |sc AS (SELECT event_type, v,
+             |    COUNT(*) OVER w AS n, SUM(v) OVER w AS sm,
+             |    SUM(v*v) OVER w AS q
+             |  FROM v
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+             |f AS (SELECT event_type,
+             |    CASE WHEN n >= 5 AND (n*v - sm)*(n*v - sm) > 4*(n*q - sm*sm)
+             |      THEN 1 ELSE 0 END AS anom,
+             |    CASE WHEN n >= 5 THEN 1 ELSE 0 END AS scored
+             |  FROM sc)
+             |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+             |  CAST(SUM(scored) AS BIGINT) AS n_scored,
+             |  CAST(SUM(anom) AS BIGINT) AS n_anomalies
+             |FROM f GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // ---- incremental join-view maintenance (Blakeley-style IVM) -----------
+    // A materialized fact-fact join view (orders ⋈ lineitem, monthly
+    // rollup) updated by DELTA ALGEBRA instead of recomputation: with
+    // O = O₀ ∪ ΔO and L = L₀ ∪ ΔL, the view delta is
+    // ΔV = ΔO⋈L₀ ∪ O₀⋈ΔL ∪ ΔO⋈ΔL (Blakeley et al., SIGMOD'86), and
+    // the refreshed view is the MERGE of the materialized old rollup
+    // with the rollup of ΔV — partial aggregates summed group-wise,
+    // never a rescan of the old join. The old rollup is
+    // localCheckpoint'd to stand in for the view at rest; at 100 TB
+    // refresh cost is ∝ |Δ| · join-fanout + |view|, while the oracle
+    // (and only the oracle) pays the full recompute — the hash match
+    // IS the IVM correctness proof. Quantities in integer units.
+    ("q123_incremental_join_view",
+      (s: SparkSession, d: String) => {
+        val o = Tables.load(s, d, "orders")
+          .select(col("o_orderkey").as("k"),
+            date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+            (col("o_orderdate") < "1998-01-01").as("is_old"))
+        val l = Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey").as("k"),
+            round(col("l_quantity")).cast("long").as("qty"),
+            (col("l_shipdate") < "1998-01-01").as("is_old"))
+        val oOld = o.filter(col("is_old")).drop("is_old")
+        val oNew = o.filter(!col("is_old")).drop("is_old")
+        val lOld = l.filter(col("is_old")).drop("is_old")
+        val lNew = l.filter(!col("is_old")).drop("is_old")
+        def roll(v: DataFrame) = v.groupBy(col("month"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
+        // the view at rest: materialized once, never re-joined
+        val viewOld = roll(oOld.join(lOld, "k")).localCheckpoint()
+        val deltaV = oNew.join(lOld, "k")
+          .unionByName(oOld.join(lNew, "k"))
+          .unionByName(oNew.join(lNew, "k"))
+        viewOld.unionByName(roll(deltaV))
+          .groupBy(col("month"))
+          .agg(sum(col("n_rows")).as("n_rows"), sum(col("sum_qty")).as("sum_qty"))
+          .orderBy(col("month"))
+      },
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY 1 ORDER BY month""".stripMargin)),
+
+    // ---- SCD2 point-in-time enrichment (AS OF lookup, outer face) ---------
+    // The read side of the SCD2 contract q81 writes and st29 maintains:
+    // attach to each fact the dimension attributes valid AT ITS EPOCH
+    // (`vf <= epoch < vt`, open rows valid forever) via
+    // [[graft.streaming.Scd2Dim.enrichAsOf]] — an EQUI-join on the
+    // dimension key with the validity window as residual predicate,
+    // dimension broadcast, so the fact side streams through unshuffled
+    // at any scale. st33 exercises the INNER face off the streamed
+    // dimension; this is the LEFT face over q81's exact two-version
+    // batch derivation, aimed at the boundary st33 cannot see:
+    // DELETED keys (closed at epoch 2 with no successor) must surface
+    // as NULL segments for epoch-2 facts rather than dropping the
+    // fact row — the hash certifies the window boundary semantics and
+    // the outer-join retention together.
+    ("q124_scd2_asof_enrich",
+      (s: SparkSession, d: String) => {
+        val v1 = Tables.load(s, d, "customer")
+          .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+        val v2 = v1.filter(col("k") % 13 =!= 0)
+          .withColumn("seg",
+            when(col("k") % 7 === 0, "MACHINERY").otherwise(col("seg")))
+        val j = v1.select(col("k").as("k1"), col("seg").as("s1"))
+          .join(v2.select(col("k").as("k2"), col("seg").as("s2")),
+            col("k1") === col("k2"), "full_outer")
+        val dim = j
+          .filter(col("k1").isNotNull && (col("k2").isNull || col("s1") =!= col("s2")))
+          .select(col("k1").as("k"), col("s1").as("seg"),
+            lit(1L).as("vf"), lit(2L).as("vt"))
+          .unionAll(j.filter(col("k2").isNotNull)
+            .select(col("k2").as("k"), col("s2").as("seg"),
+              when(col("k1").isNull || col("s1") =!= col("s2"), 2L).otherwise(1L)
+                .as("vf"),
+              lit(null).cast("long").as("vt")))
+        val facts = Tables.load(s, d, "orders")
+          .select(col("o_custkey").as("fk"),
+            when(col("o_orderdate") < "1998-07-01", 1L).otherwise(2L)
+              .as("epoch"))
+        graft.streaming.Scd2Dim.enrichAsOf(facts, dim, "fk", "epoch")
+          .groupBy(col("seg"), col("epoch"))
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy(col("seg"), col("epoch"))
+      },
+      Some("""WITH v1 AS (SELECT c_custkey AS k, c_mktsegment AS s FROM customer),
+             |v2 AS (SELECT k, CASE WHEN k % 7 = 0 THEN 'MACHINERY' ELSE s END AS s
+             |       FROM v1 WHERE k % 13 <> 0),
+             |j AS (SELECT v1.k AS k1, v1.s AS s1, v2.k AS k2, v2.s AS s2
+             |      FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k),
+             |dim AS (
+             |  SELECT k1 AS k, s1 AS seg, CAST(1 AS BIGINT) AS vf,
+             |    CAST(2 AS BIGINT) AS vt
+             |  FROM j WHERE k1 IS NOT NULL AND (k2 IS NULL OR s1 <> s2)
+             |  UNION ALL
+             |  SELECT k2, s2,
+             |    CAST(CASE WHEN k1 IS NULL OR s1 <> s2 THEN 2 ELSE 1 END AS BIGINT),
+             |    CAST(NULL AS BIGINT)
+             |  FROM j WHERE k2 IS NOT NULL),
+             |f AS (SELECT o_custkey AS fk,
+             |    CAST(CASE WHEN o_orderdate < DATE '1998-07-01' THEN 1 ELSE 2 END
+             |      AS BIGINT) AS epoch
+             |  FROM orders)
+             |SELECT dim.seg, f.epoch, CAST(COUNT(*) AS BIGINT) AS n_orders
+             |FROM f LEFT JOIN dim ON f.fk = dim.k AND dim.vf <= f.epoch
+             |  AND (dim.vt IS NULL OR f.epoch < dim.vt)
+             |GROUP BY 1, 2 ORDER BY seg, epoch""".stripMargin)),
   )
 }

@@ -2676,5 +2676,81 @@ object NorthStarQueries {
              |  CAST(SUM(CASE WHEN abs(xd) < 0.001 THEN 1 ELSE 0 END) AS BIGINT)
              |    AS n_near_zero
              |FROM c GROUP BY 1 ORDER BY dim""".stripMargin)),
+
+    // ---- bounded-hop BFS reach from a source slice ------------------------
+    // Curation blast-radius companion to c12: how far does influence
+    // propagate from ONE source's documents through the near-dup graph
+    // (c07's certified edge derivation) in <= 3 hops? Per-hop counts
+    // plus the unreached remainder (dist -1). Semantics: min-distance
+    // (a node joins the frontier at its FIRST reachable hop, the
+    // growing reached set subtracted by anti-join each round), so the
+    // result is order-independent. Scale shape: each hop is one
+    // equi-join frontier x edges plus a distinct and an anti-join —
+    // all key-partitioned shuffles on doc_id, no global structure —
+    // with localCheckpoint truncating the iterative lineage (the
+    // connected-components discipline from Dedup.scala); hop count is
+    // a CONSTANT, so plan depth is fixed regardless of corpus size.
+    // Unbounded reachability is deliberately NOT this query — that is
+    // c02's large-star/small-star connectedComponents.
+    ("c14_bfs_reach",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.load(s, d, "documents")
+        val pairs = Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+            n = 2, prefixLen = 50, maxBucket = 0)
+          .filter(col("jaccard") >= 0.3)
+          .select(col("id_a"), col("id_b"))
+          .localCheckpoint()
+        val e = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        var reached = docs.filter(col("source") === "src0")
+          .select(col("doc_id").as("id"), lit(0).as("dist"))
+          .localCheckpoint()
+        var frontier = reached.select(col("id"))
+        for (h <- 1 to 3) {
+          val nxt = frontier.join(e, col("id") === col("src"))
+            .select(col("dst").as("id")).distinct()
+            .join(reached.select(col("id")), Seq("id"), "left_anti")
+            .localCheckpoint()
+          reached = reached.unionAll(
+            nxt.select(col("id"), lit(h).as("dist"))).localCheckpoint()
+          frontier = nxt
+        }
+        docs.select(col("doc_id").as("id"))
+          .join(reached, Seq("id"), "left")
+          .select(coalesce(col("dist"), lit(-1)).as("dist"))
+          .groupBy(col("dist")).agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("dist"))
+      },
+      Some("""WITH grams AS (
+             |  SELECT doc_id, substr(text, 1, 50) AS pfx,
+             |    list_distinct(list_transform(range(1, greatest(len(w), 2)),
+             |                  i -> w[i] || ' ' || w[i+1])) AS g
+             |  FROM (SELECT doc_id, text,
+             |          string_split_regex(lower(text), '\s+') AS w FROM documents)),
+             |pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM grams a JOIN grams b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+             |        / len(list_distinct(a.g || b.g)) >= 0.3),
+             |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |      UNION ALL SELECT id_b, id_a FROM pairs),
+             |d0 AS (SELECT doc_id AS id FROM documents WHERE source = 'src0'),
+             |d1 AS (SELECT DISTINCT e.dst AS id FROM e JOIN d0 ON e.src = d0.id
+             |       WHERE e.dst NOT IN (SELECT id FROM d0)),
+             |d2 AS (SELECT DISTINCT e.dst AS id FROM e JOIN d1 ON e.src = d1.id
+             |       WHERE e.dst NOT IN (SELECT id FROM d0 UNION ALL
+             |                           SELECT id FROM d1)),
+             |d3 AS (SELECT DISTINCT e.dst AS id FROM e JOIN d2 ON e.src = d2.id
+             |       WHERE e.dst NOT IN (SELECT id FROM d0 UNION ALL
+             |                           SELECT id FROM d1 UNION ALL
+             |                           SELECT id FROM d2)),
+             |r AS (SELECT id, 0 AS dist FROM d0
+             |      UNION ALL SELECT id, 1 FROM d1
+             |      UNION ALL SELECT id, 2 FROM d2
+             |      UNION ALL SELECT id, 3 FROM d3)
+             |SELECT CAST(coalesce(r.dist, -1) AS INT) AS dist,
+             |  CAST(COUNT(*) AS BIGINT) AS n_docs
+             |FROM documents LEFT JOIN r ON documents.doc_id = r.id
+             |GROUP BY 1 ORDER BY dist""".stripMargin)),
   )
 }

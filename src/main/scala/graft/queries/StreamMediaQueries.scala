@@ -2137,6 +2137,53 @@ object StreamMediaQueries {
              |FROM r WHERE user_seq % 7 = 0
              |ORDER BY user_id, user_seq""".stripMargin)),
 
+    // ---- streaming rolling z-score anomalies (q122 maintained live) -------
+    // q122 scores anomalies over data at rest; this scores each event
+    // AS IT ARRIVES against its user's last-20 window carried in
+    // state — the live-metrics alerting shape, where the verdict must
+    // exist the moment the event lands, not at the next batch scan.
+    // Rides st12's time-range-ordered arrival fixture (flush
+    // sentinels filtered — scoring has no open state to flush). The
+    // drained per-event verdicts roll up batch-side; oracle is q122's
+    // SQL verbatim — batch certifies streaming, the st02/st12
+    // discipline, and the division-free integer z-test makes the
+    // agreement exact rather than tolerance-based.
+    ("st37_stream_zscore",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val inDir = ensureSessionStream(s, d)
+        val stream = s.readStream.schema(EventStream.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$inDir/part-*")
+          .as[EventStream.Event]
+          .filter(_.event_type != "flush")
+        val out = java.nio.file.Files.createTempDirectory("graft_st37o").toString
+        EventStream.runToFiles(s, EventStream.zscoreStream(stream).toDF(),
+            s"$out/data", s"$out/ckpt")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("scored")).cast("long").as("n_scored"),
+            sum(col("anom")).cast("long").as("n_anomalies"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH v AS (SELECT user_id, ts, event_id, event_type,
+             |    CAST(round(value*100) AS BIGINT) AS v FROM events),
+             |sc AS (SELECT event_type, v,
+             |    COUNT(*) OVER w AS n, SUM(v) OVER w AS sm,
+             |    SUM(v*v) OVER w AS q
+             |  FROM v
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+             |f AS (SELECT event_type,
+             |    CASE WHEN n >= 5 AND (n*v - sm)*(n*v - sm) > 4*(n*q - sm*sm)
+             |      THEN 1 ELSE 0 END AS anom,
+             |    CASE WHEN n >= 5 THEN 1 ELSE 0 END AS scored
+             |  FROM sc)
+             |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+             |  CAST(SUM(scored) AS BIGINT) AS n_scored,
+             |  CAST(SUM(anom) AS BIGINT) AS n_anomalies
+             |FROM f GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
     ("st34_stream_gap_fill",
       (s: SparkSession, d: String) => {
         import s.implicits._

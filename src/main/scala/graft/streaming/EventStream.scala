@@ -371,6 +371,63 @@ object EventStream {
       }
   }
 
+  // ---- rolling z-score anomaly scoring ------------------------------------
+
+  /** One scored event: `scored` = 1 once the user's window held at
+    * least 5 values, `anom` = 1 when the integer z-test flagged it. */
+  case class ZVerdict(user_id: Long, event_id: Long, event_type: String,
+                      scored: Int, anom: Int)
+
+  /** Per-user state: the last <= 20 cent values (oldest first) + the
+    * ordering guard. */
+  case class ZState(window: List[Long], lastTs: Long)
+
+  /** Streaming rolling z-score anomaly flags (q122's batch semantics
+    * maintained incrementally): each event is scored against its
+    * user's PRECEDING-only window of the last 20 cent values — with
+    * v in cents, s = sum(prev), q = sum(prev²), n = count(prev),
+    * |z| > 2  <=>  (n·v − s)² > 4·(n·q − s²), the same
+    * division-free integer test q122 certifies against DuckDB, so
+    * stream and batch agree bit for bit. State is one bounded 20-long
+    * deque per user — thousands of concurrent users stay
+    * embarrassingly parallel, and state size is constant per key
+    * regardless of history length. Cents use the same HALF_UP
+    * `BigDecimal.valueOf` rounding as Spark's `round(col * 100)`, so
+    * the stream's arithmetic IS the batch expression's. Same
+    * ordered-arrival contract and loud guard as [[debounceStream]]. */
+  def zscoreStream(events: Dataset[Event]): Dataset[ZVerdict] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ZState, ZVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Event], state: GroupState[ZState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts, e.event_id))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption.getOrElse(ZState(Nil, Long.MinValue))
+            val out = sorted.map { e =>
+              if (st.lastTs != Long.MinValue && e.ts < st.lastTs)
+                throw new IllegalStateException(
+                  s"zscoreStream: out-of-order arrival for user $uid " +
+                    s"(got ts ${e.ts} after ${st.lastTs})")
+              val v = java.math.BigDecimal.valueOf(e.value * 100)
+                .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+              val n = st.window.size.toLong
+              val s = st.window.sum
+              val q = st.window.iterator.map(x => x * x).sum
+              val scored = n >= 5
+              val dev = n * v - s
+              val anom = scored && dev * dev > 4L * (n * q - s * s)
+              st = ZState((st.window :+ v).takeRight(20), e.ts)
+              ZVerdict(uid, e.event_id, e.event_type,
+                if (scored) 1 else 0, if (anom) 1 else 0)
+            }
+            state.update(st)
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming state: next session id to assign for this user + the
     * events of the still-open session. */
   case class SessionState(nextId: Int, open: List[Event])

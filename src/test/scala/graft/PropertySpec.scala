@@ -153,4 +153,35 @@ class PropertySpec extends AnyFunSuite {
       est >= exact
     })
   }
+
+  test("integer z-test: (n·v−s)² > 4(n·q−s²) agrees with the floating |z| > 2 test") {
+    // q122/st37's division-free anomaly predicate, proven against the
+    // definition it compresses: with population variance over the
+    // window, |z| > 2  <=>  (v−μ)² > 4σ²  <=>  (n·v−s)² > 4(n·q−s²).
+    // Windows are random cent values (bounded like the fixtures'), and
+    // the comparison is run where σ > 0 AND the two sides are not
+    // borderline-equal under float rounding — the integer form is the
+    // EXACT one, so near-ties are precisely where the engines must use
+    // it rather than floats; zero-variance windows assert the exact
+    // rule directly (any deviation flags, equality never).
+    val winGen = Gen.nonEmptyListOf(Gen.chooseNum(0L, 40000L))
+    val vGen = Gen.chooseNum(0L, 40000L)
+    checkProp(Prop.forAll(winGen, vGen) { (win, v) =>
+      val n = win.size.toLong
+      val s = win.sum
+      val q = win.iterator.map(x => x * x).sum
+      val intFlag = (n * v - s) * (n * v - s) > 4L * (n * q - s * s)
+      val mu = s.toDouble / n
+      val variance = (q.toDouble / n) - mu * mu
+      if (n * q == s * s) {
+        // zero variance: flags iff v deviates at all
+        intFlag == (n * v != s)
+      } else {
+        val z2 = (v - mu) * (v - mu) / variance
+        // only compare away from the float-rounding boundary; the
+        // integer predicate IS the ground truth at the boundary
+        math.abs(z2 - 4.0) < 1e-9 || intFlag == (z2 > 4.0)
+      }
+    })
+  }
 }

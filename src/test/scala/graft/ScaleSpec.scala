@@ -1222,4 +1222,103 @@ class ScaleSpec extends SparkSpec {
       !finalPlan.contains("BroadcastNestedLoopJoin"),
       s"LATERAL fell back to a nested-loop plan:\n${finalPlan.take(4000)}")
   }
+
+  test("q118 Q6 shape: every predicate reaches the scan, one partial-agg row out") {
+    spark.catalog.clearCache()
+    // default maxMetadataStringLength (100) truncates the PushedFilters
+    // list mid-predicate; widen it so the asserts see every filter
+    val prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val plan = try planOf(SparkEntry.queries("q118_forecast_revenue")(spark, sf))
+      finally spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // the whole query must be scan-side: date range, discount band, and
+    // quantity cap all pushed, so 100 TB cost is I/O on a pruned scan
+    assert(finalPlan.contains("GreaterThanOrEqual(l_shipdate"),
+      s"shipdate lower bound not pushed:\n${finalPlan.take(4000)}")
+    assert(finalPlan.contains("LessThan(l_quantity,24.0)"),
+      s"quantity cap not pushed:\n${finalPlan.take(4000)}")
+    assert(finalPlan.contains("GreaterThanOrEqual(l_discount,0.05)"),
+      s"discount band not pushed:\n${finalPlan.take(4000)}")
+    assert(finalPlan.contains("partial_sum"),
+      s"revenue sum lost its map-side partial:\n${finalPlan.take(4000)}")
+    assert(!finalPlan.contains("Window") && !finalPlan.contains("SortMergeJoin"),
+      s"Q6 must be a pure scan-aggregate:\n${finalPlan.take(4000)}")
+  }
+
+  test("q119 Q14 shape: part broadcasts, the fact side never shuffles") {
+    spark.catalog.clearCache()
+    val plan = planOf(SparkEntry.queries("q119_promo_revenue")(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"part must be the broadcast side:\n${finalPlan.take(4000)}")
+    assert(finalPlan.contains("GreaterThanOrEqual(l_shipdate"),
+      s"month range not pushed to the lineitem scan:\n${finalPlan.take(4000)}")
+    assert(!finalPlan.contains("Exchange hashpartitioning"),
+      s"the fact side must stream through without a key shuffle:\n${finalPlan.take(4000)}")
+    assert(finalPlan.contains("partial_sum"),
+      s"conditional sums lost their map-side partials:\n${finalPlan.take(4000)}")
+  }
+
+  test("q120 Q15 shape: max revenue joins back as a broadcast, never a global rank") {
+    spark.catalog.clearCache()
+    val plan = planOf(SparkEntry.queries("q120_top_supplier")(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("Window"),
+      s"the view+max form must not plan a rank window:\n${finalPlan.take(4000)}")
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"the 1-row max and the supplier dim must broadcast:\n${finalPlan.take(4000)}")
+    assert(finalPlan.contains("partial_sum"),
+      s"per-supplier revenue lost its map-side partial:\n${finalPlan.take(4000)}")
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoopJoin"),
+      s"degenerate join:\n${finalPlan.take(4000)}")
+  }
+
+  test("q121 Q4 shape: lateness EXISTS plans as a semi join, date prune reaches orders") {
+    spark.catalog.clearCache()
+    val plan = planOf(SparkEntry.queries("q121_late_priority_audit")(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("LeftSemi"),
+      s"EXISTS must plan as a left-semi join:\n${finalPlan.take(4000)}")
+    assert(finalPlan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"order-date window not pushed to the orders scan:\n${finalPlan.take(4000)}")
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoopJoin"),
+      s"the date-arithmetic join condition degenerated:\n${finalPlan.take(4000)}")
+  }
+
+  test("q122 rolling z-score: the scoring window is per-user, never global") {
+    spark.catalog.clearCache()
+    val plan = planOf(SparkEntry.queries("q122_rolling_zscore")(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // the t12 lesson as a standing guarantee for every new window query:
+    // the window must carry a partition key (user_id), so scoring runs
+    // thousands of bounded frames in parallel instead of one task
+    assert(finalPlan.contains("windowspecdefinition(user_id"),
+      s"scoring window lost its user partition:\n${finalPlan.take(4000)}")
+    assert(finalPlan.contains("partial_sum") || finalPlan.contains("partial_count"),
+      s"the rollup lost its map-side partial:\n${finalPlan.take(4000)}")
+  }
+
+  test("c14 BFS: constant plan depth, counts conserve, no cartesian hop") {
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("c14_bfs_reach")(spark, sf)
+    val rows = df.collect().map(r => (r.getInt(0), r.getLong(1)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"a BFS hop degenerated:\n${plan.take(4000)}")
+    // min-distance semantics: every doc in exactly one distance class
+    val total = rows.map(_._2).sum
+    val docs = Tables.load(spark, sf, "documents").count()
+    assert(total == docs, s"distance classes must partition the corpus: $total != $docs")
+    assert(rows.map(_._1).forall(d => d >= -1 && d <= 3),
+      s"distances outside the 3-hop bound: ${rows.toSeq}")
+    // the seed slice itself is dist 0
+    val seed = Tables.load(spark, sf, "documents")
+      .filter(col("source") === "src0").count()
+    assert(rows.toMap.getOrElse(0, 0L) == seed,
+      s"dist-0 class must be exactly the source slice")
+  }
 }

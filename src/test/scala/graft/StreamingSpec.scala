@@ -1210,6 +1210,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming z-score scores across micro-batch boundaries from state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.Event]
+    val q = EventStream.zscoreStream(mem.toDS()).writeStream
+      .outputMode(OutputMode.Append).format("memory").queryName("t_zscore").start()
+    try {
+      // batch 1: five identical values — all warm-up (n < 5 when scored)
+      mem.addData((1L to 5L).map(i =>
+        EventStream.Event(i, i * 1000L, 7L, "view", 1.0, "")))
+      q.processAllAvailable()
+      // batch 2: the window LIVES IN STATE — a 5.00 against five 1.00s
+      // is a zero-variance deviation (anomalous); a sixth 1.00 against
+      // the now-mixed window is well inside 2 sigma (not anomalous)
+      mem.addData(
+        EventStream.Event(6L, 6000L, 7L, "view", 5.0, ""),
+        EventStream.Event(7L, 7000L, 7L, "view", 1.0, ""))
+      q.processAllAvailable()
+      val rows = spark.table("t_zscore").orderBy("event_id")
+        .select("event_id", "scored", "anom")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      assert(rows.toSeq == Seq(
+        (1L, 0, 0), (2L, 0, 0), (3L, 0, 0), (4L, 0, 0), (5L, 0, 0),
+        (6L, 1, 1), (7L, 1, 0)),
+        s"cross-batch z-score verdicts wrong: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming LOCF fails loudly on out-of-order hourly arrival") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStream.Hourly]
