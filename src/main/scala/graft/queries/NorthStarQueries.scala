@@ -2752,5 +2752,59 @@ object NorthStarQueries {
              |  CAST(COUNT(*) AS BIGINT) AS n_docs
              |FROM documents LEFT JOIN r ON documents.doc_id = r.id
              |GROUP BY 1 ORDER BY dist""".stripMargin)),
+
+    // ---- int8 quantization error report -----------------------------------
+    // The quality-loss accounting for the int8 ANN path: per-label mean
+    // and max ABSOLUTE reconstruction error |x − q·scale| of the
+    // [[Similarity.withQ8]] codes — the number an operator checks
+    // before trusting the 4×-smaller scan (s03's speed is a trade; this
+    // query prices it). The oracle replays the quantization arithmetic
+    // ITSELF — float max-abs, double scale = maxabs/127, and the
+    // kernel's exact floor(x+0.5)/ceil(x−0.5) half-away rounding (NOT
+    // SQL round(), whose half-ulp tie behavior may differ) — so the
+    // hash certifies the shipped codes bit for bit, not a float
+    // approximation of them. Scale shape: one codegen'd quantize pass,
+    // a posexplode whose partial aggregates fold map-side before the
+    // per-vector exchange, and a |labels|-row report.
+    ("s25_q8_reconstruction_error",
+      (s: SparkSession, d: String) => {
+        val qz = Similarity.withQ8(Tables.load(s, d, "embeddings"))
+        val perVec = qz
+          .select(col("vec_id"), col("label"), col("q_scale"),
+            posexplode(arrays_zip(col("embedding"), col("q8")))
+              .as(Seq("i", "z")))
+          .select(col("vec_id"), col("label"),
+            abs(col("z.embedding").cast("double") -
+              col("z.q8").cast("double") * col("q_scale")).as("err"))
+          .groupBy(col("vec_id"), col("label"))
+          .agg((sum(col("err")) / count(lit(1))).as("me"),
+            max(col("err")).as("mx"))
+        perVec.groupBy(col("label"))
+          .agg(count(lit(1)).as("n_vecs"),
+            round(avg(col("me")), 6).as("mean_abs_err"),
+            round(max(col("mx")), 6).as("max_abs_err"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding AS vf,
+             |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |m AS (SELECT vec_id, label, v,
+             |    CAST(list_max(list_transform(vf, x -> abs(x))) AS DOUBLE) / 127
+             |      AS sc
+             |  FROM e),
+             |t AS (SELECT vec_id, label, sc, v[CAST(u.i AS INT)] AS x
+             |  FROM m, unnest(range(1, len(v) + 1)) AS u(i)),
+             |r AS (SELECT vec_id, label,
+             |    CASE WHEN sc > 0 THEN abs(x -
+             |        (CASE WHEN x / sc >= 0 THEN floor(x / sc + 0.5)
+             |              ELSE ceil(x / sc - 0.5) END) * sc)
+             |      ELSE abs(x) END AS err
+             |  FROM t),
+             |pv AS (SELECT vec_id, label, SUM(err) / COUNT(*) AS me,
+             |    MAX(err) AS mx
+             |  FROM r GROUP BY 1, 2)
+             |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             |  round(AVG(me), 6) AS mean_abs_err,
+             |  round(MAX(mx), 6) AS max_abs_err
+             |FROM pv GROUP BY 1 ORDER BY label""".stripMargin)),
   )
 }

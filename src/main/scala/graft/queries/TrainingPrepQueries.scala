@@ -1262,5 +1262,75 @@ object TrainingPrepQueries {
              |  round((sy*sxx - sx*sxy)
              |        / (CAST(k AS DOUBLE)*sxx - sx*sx), 6) AS intercept
              |FROM s""".stripMargin)),
+
+    // ---- per-source Jensen–Shannon vocabulary divergence ------------------
+    // The distributional drift monitor for TEXT (q93's PSI is its
+    // numeric sibling): JSD in bits (Lin '91) between each source's
+    // word distribution P and the rest-of-corpus distribution Q —
+    // symmetric, bounded [0,1], zero iff identical. Everything derives
+    // from ONE (source, word) count aggregate: per-word corpus totals
+    // give Q by integer subtraction (ct − c over n_tot − n_s, never a
+    // second scan), source totals broadcast, and the sum runs over the
+    // source's own POSTINGS only — words absent from a source
+    // contribute q·ln2 each, folded in closed form from 1 − Σq (the
+    // `missing-mass` correction), so cost is ∝ corpus postings, never
+    // |vocab| × |sources| dense. Terms are per-row deterministic
+    // doubles; the 6-dp round absorbs sub-1e-12 summation-order noise
+    // (t10's certified discipline).
+    ("t22_source_js_divergence",
+      (s: SparkSession, d: String) => {
+        val w = Tables.load(s, d, "documents")
+          .select(col("source"), explode(Dedup.words(col("text"))).as("w"))
+          .filter(length(col("w")) > 0)
+        val wc = w.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+        val tot = wc.groupBy(col("w")).agg(sum(col("c")).as("ct"))
+        val ns = wc.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+        val nt = ns.agg(sum(col("n_s")).as("n_tot"))
+        val m = (col("p") + col("q")) / 2
+        val terms = wc.join(tot, "w")
+          .join(broadcast(ns), "source")
+          .crossJoin(broadcast(nt))
+          .select(col("source"),
+            (col("c").cast("double") / col("n_s")).as("p"),
+            ((col("ct") - col("c")).cast("double") /
+              (col("n_tot") - col("n_s"))).as("q"))
+          .select(col("source"), col("q"),
+            (lit(0.5) *
+              (when(col("p") > 0, col("p") * log(col("p") / m)).otherwise(0.0) +
+               when(col("q") > 0, col("q") * log(col("q") / m)).otherwise(0.0)))
+              .as("term"))
+        terms.groupBy(col("source"))
+          .agg(sum(col("term")).as("st"), sum(col("q")).as("sq"))
+          .join(broadcast(ns), "source")
+          .select(col("source"), col("n_s").as("n_words"),
+            round((col("st") +
+              lit(0.5) * (lit(1.0) - col("sq")) * log(lit(2.0))) /
+              log(lit(2.0)), 6).as("jsd_bits"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH w AS (SELECT source, u.w AS w
+             |  FROM (SELECT source, string_split_regex(lower(text), '\s+') AS ws
+             |        FROM documents), unnest(ws) AS u(w)
+             |  WHERE len(u.w) > 0),
+             |wc AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+             |       FROM w GROUP BY 1, 2),
+             |tot AS (SELECT w, CAST(SUM(c) AS BIGINT) AS ct FROM wc GROUP BY 1),
+             |ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s
+             |       FROM wc GROUP BY 1),
+             |nt AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_tot FROM ns),
+             |t AS (SELECT wc.source,
+             |        CAST(c AS DOUBLE) / n_s AS p,
+             |        CAST(ct - c AS DOUBLE) / (n_tot - n_s) AS q
+             |      FROM wc JOIN tot USING (w) JOIN ns USING (source), nt),
+             |terms AS (SELECT source, q,
+             |        0.5 * (CASE WHEN p > 0 THEN p * ln(p / ((p+q)/2)) ELSE 0 END
+             |             + CASE WHEN q > 0 THEN q * ln(q / ((p+q)/2)) ELSE 0 END)
+             |          AS term
+             |      FROM t)
+             |SELECT terms.source, ns.n_s AS n_words,
+             |  round((SUM(term) + 0.5 * (1.0 - SUM(q)) * ln(2.0)) / ln(2.0), 6)
+             |    AS jsd_bits
+             |FROM terms JOIN ns ON terms.source = ns.source
+             |GROUP BY 1, 2 ORDER BY terms.source""".stripMargin)),
   )
 }
