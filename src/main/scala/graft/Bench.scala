@@ -92,6 +92,8 @@ object Bench {
       // clock Verify and the DuckDB oracle use
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // match Verify: extensions installed like a cluster deployment
+      .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // fixture drift check OUTSIDE the warmup swallow: one loud diagnostic

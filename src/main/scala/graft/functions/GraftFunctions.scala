@@ -106,11 +106,17 @@ object GraftFunctions {
 
 /** `SparkSessionExtensions` installer (see [[GraftFunctions]]). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name),
         builder))
     }
+    // semantics-preserving rewrites (each proves its implication in its
+    // own spec): length guards ahead of edit-distance and substring
+    // predicates
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinLengthGuard)
+    ext.injectOptimizerRule(_ => graft.plans.SubstringLengthGuard)
+  }
 }

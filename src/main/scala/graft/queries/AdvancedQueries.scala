@@ -2960,5 +2960,137 @@ object AdvancedQueries {
              |FROM f LEFT JOIN dim ON f.fk = dim.k AND dim.vf <= f.epoch
              |  AND (dim.vt IS NULL OR f.epoch < dim.vt)
              |GROUP BY 1, 2 ORDER BY seg, epoch""".stripMargin)),
+
+    // ---- edit-distance join under the optimizer's length guard ------------
+    // q92's fuzzy lookup written the way an analyst writes it — the
+    // edit-distance threshold INLINE in the join condition,
+    // `levenshtein(probe, name) <= 2`, no hand-tuned bailout — and
+    // made scale-safe by the library's own optimizer rule instead of
+    // query-author discipline: [[graft.plans.LevenshteinLengthGuard]]
+    // (installed via GraftExtensions in Verify/Bench/test sessions)
+    // conjoins the implied `abs(length(probe) − length(name)) <= 2`
+    // guard ahead of the DP, so short-circuit evaluation rejects
+    // length-mismatched candidates in O(1) before any O(k·n) edit
+    // computation runs — the classic length-blocking optimization,
+    // applied automatically (ScaleSpec asserts the guard in the
+    // executed plan). The DuckDB oracle runs the UN-rewritten
+    // predicate, so the hash match is the semantics-preservation
+    // proof. Output: per probe, its candidate count within distance 2
+    // and the best (minimum) distance.
+    ("q125_guarded_edit_join",
+      (s: SparkSession, d: String) => {
+        val dict = Tables.load(s, d, "part")
+          .select(col("p_name").as("name")).distinct()
+        val probes = dict.select(col("name").as("orig"),
+          concat(substring(col("name"), 1, 2), substring(col("name"), 4, 1000))
+            .as("probe"))
+        probes.join(broadcast(dict),
+            substring(col("probe"), 1, 2) === substring(col("name"), 1, 2) &&
+              levenshtein(col("probe"), col("name")) <= 2)
+          .groupBy(col("orig"), col("probe"))
+          .agg(count(lit(1)).as("n_within2"),
+            min(levenshtein(col("probe"), col("name"))).cast("int")
+              .as("best_dist"))
+          .orderBy(col("orig"))
+      },
+      Some("""WITH dict AS (SELECT DISTINCT p_name AS name FROM part),
+             |probes AS (SELECT name AS orig,
+             |             substr(name, 1, 2) || substr(name, 4) AS probe
+             |           FROM dict),
+             |j AS (SELECT orig, probe, name,
+             |        levenshtein(probe, name) AS dist
+             |      FROM probes JOIN dict
+             |        ON substr(probe, 1, 2) = substr(name, 1, 2)
+             |      WHERE levenshtein(probe, name) <= 2)
+             |SELECT orig, probe, CAST(COUNT(*) AS BIGINT) AS n_within2,
+             |  CAST(MIN(dist) AS INT) AS best_dist
+             |FROM j GROUP BY 1, 2 ORDER BY orig""".stripMargin)),
+
+    // ---- full-text containment verify (directional, guard-assisted) -------
+    // d09 finds pairs sharing an 8-gram; d12 scores gram-level
+    // containment. This answers the STRICTER question those
+    // approximate: which candidate pairs are FULL substring
+    // containments (one document literally embedded in the other) —
+    // the wrapper/quote relation a curation pipeline uses to keep the
+    // container and drop the contained copy. Shape: candidates come
+    // from d09's gram blocking (never doc × doc), texts join back by
+    // id, and each directional `contains(container, contained)`
+    // verify runs under [[graft.plans.SubstringLengthGuard]]'s
+    // optimizer-injected `length(hay) >= length(needle)` reject —
+    // O(1) per candidate before the O(n·m) substring scan, with no
+    // author-side discipline (ScaleSpec asserts the guard in the
+    // plan). The DuckDB oracle runs the UN-guarded predicate — the
+    // hash match is the semantics-preservation proof, q125's rule.
+    ("q126_containment_verify",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("text"))
+        val pairs = graft.ops.Dedup.substringNearDupPairs(
+          docs, "doc_id", "text", n = 8)
+        val tx = pairs
+          .join(docs.select(col("doc_id").as("id_a"), lower(col("text")).as("ta")),
+            "id_a")
+          .join(docs.select(col("doc_id").as("id_b"), lower(col("text")).as("tb")),
+            "id_b")
+        tx.filter(col("ta").contains(col("tb")))
+          .select(col("id_a").as("container_id"), col("id_b").as("contained_id"))
+          .unionAll(tx.filter(col("tb").contains(col("ta")))
+            .select(col("id_b").as("container_id"), col("id_a").as("contained_id")))
+          .orderBy(col("container_id"), col("contained_id"))
+      },
+      Some("""WITH w AS (SELECT doc_id,
+             |    string_split_regex(lower(text), '\s+') AS w FROM documents),
+             |g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+             |      FROM w, unnest(range(1, greatest(len(w)-6, 1))) AS u(i)),
+             |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+             |tx AS (SELECT p.id_a, p.id_b,
+             |         lower(a.text) AS ta, lower(b.text) AS tb
+             |       FROM p JOIN documents a ON a.doc_id = p.id_a
+             |              JOIN documents b ON b.doc_id = p.id_b)
+             |SELECT container_id, contained_id FROM (
+             |  SELECT id_a AS container_id, id_b AS contained_id
+             |  FROM tx WHERE contains(ta, tb)
+             |  UNION ALL
+             |  SELECT id_b, id_a FROM tx WHERE contains(tb, ta))
+             |ORDER BY container_id, contained_id""".stripMargin)),
+
+    // ---- UNPIVOT / melt (wide metrics to long form) -----------------------
+    // The inverse of q22's pivot and the standard hand-off shape for
+    // metric stores and plotting layers: per-flag aggregates computed
+    // WIDE (one scan, three measures), then melted to (flag, metric,
+    // value) rows via `Dataset.unpivot` — Catalyst's Expand under the
+    // hood, the same bounded ×3 row fan-out q80's stack() uses, never
+    // a re-aggregation per metric. Integer cents keep every measure in
+    // one BIGINT value column (unpivot requires a common type — the
+    // practical reason metric tables standardize on integer units).
+    // The oracle replays the melt as the portable 3-way UNION ALL.
+    ("q127_unpivot",
+      (s: SparkSession, d: String) => {
+        val wide = Tables.load(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(sum(round(col("l_quantity")).cast("long")).as("qty"),
+            sum(round(col("l_extendedprice") * 100).cast("long")).as("price_c"),
+            count(lit(1)).as("n_items"))
+        wide.unpivot(
+            Array(col("l_returnflag")),
+            Array(col("qty"), col("price_c"), col("n_items")),
+            "metric", "value")
+          .orderBy(col("l_returnflag"), col("metric"))
+      },
+      Some("""WITH a AS (
+             |  SELECT l_returnflag,
+             |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+             |    CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+             |      AS price_c,
+             |    CAST(COUNT(*) AS BIGINT) AS n_items
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_returnflag, metric, value FROM (
+             |  SELECT l_returnflag, 'qty' AS metric, qty AS value FROM a
+             |  UNION ALL
+             |  SELECT l_returnflag, 'price_c', price_c FROM a
+             |  UNION ALL
+             |  SELECT l_returnflag, 'n_items', n_items FROM a)
+             |ORDER BY l_returnflag, metric""".stripMargin)),
   )
 }

@@ -1301,6 +1301,37 @@ class ScaleSpec extends SparkSpec {
       s"the rollup lost its map-side partial:\n${finalPlan.take(4000)}")
   }
 
+  test("q125 edit join: the optimizer injects the length guard ahead of the DP") {
+    spark.catalog.clearCache()
+    val plan = planOf(SparkEntry.queries("q125_guarded_edit_join")(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // the load-bearing claim: the author wrote only `levenshtein <= 2`;
+    // LevenshteinLengthGuard (via GraftExtensions) added the O(1)
+    // abs-length-difference reject ahead of the O(k·n) edit DP
+    assert(finalPlan.contains("abs((length(probe") ||
+      finalPlan.contains("abs((length("),
+      s"length guard missing from the executed join plan:\n${finalPlan.take(4000)}")
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"dictionary must broadcast on the prefix block key:\n${finalPlan.take(4000)}")
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoopJoin"),
+      s"edit join degenerated:\n${finalPlan.take(4000)}")
+  }
+
+  test("q126 containment verify: the substring length guard lands in the plan") {
+    spark.catalog.clearCache()
+    val plan = planOf(SparkEntry.queries("q126_containment_verify")(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // the author wrote only `contains(ta, tb)`; SubstringLengthGuard
+    // added the O(1) haystack-length reject ahead of the O(n·m) scan
+    assert(finalPlan.contains("length(ta") && finalPlan.contains(">= length(tb"),
+      s"substring length guard missing:\n${finalPlan.take(4000)}")
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoopJoin"),
+      s"containment verify degenerated (candidates must come from the " +
+        s"gram block, never doc x doc):\n${finalPlan.take(4000)}")
+  }
+
   test("c14 BFS: constant plan depth, counts conserve, no cartesian hop") {
     spark.catalog.clearCache()
     val df = SparkEntry.queries("c14_bfs_reach")(spark, sf)

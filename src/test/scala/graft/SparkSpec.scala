@@ -19,6 +19,9 @@ object SparkSpec {
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .config("spark.ui.enabled", "false")
+      // same posture as Verify/Bench: extensions (custom SQL functions +
+      // the semantics-preserving optimizer rules) active in every spec
+      .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

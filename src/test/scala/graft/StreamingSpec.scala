@@ -1237,6 +1237,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming z-score: a restarted drain resumes per-user windows from the state store") {
+    import spark.implicits._
+    // the memory-stream test proves cross-BATCH state; this proves
+    // cross-RESTART state: drain wave 1 (exactly the 5 warm-up values),
+    // stop, stage wave 2, drain again on the SAME checkpoint — wave 2's
+    // first event can only score scored=1/anom=1 if the 5-value window
+    // was restored from the state store, not recomputed
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zsrestart").toString
+    val in = new java.io.File(s"$tmp/in"); in.mkdirs()
+    def stage(rows: Seq[(Long, Long, Long, String, Double, String)],
+              name: String): Unit = {
+      val sd = s"$tmp/stage_$name"
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(sd)
+      val part = new java.io.File(sd).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(in, s"$name.parquet").toPath)
+    }
+    def drain(): org.apache.spark.sql.DataFrame = {
+      val stream = spark.readStream.schema(graft.streaming.EventStream.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$in/*.parquet")
+        .as[graft.streaming.EventStream.Event]
+      graft.streaming.EventStream.runToFiles(spark,
+        graft.streaming.EventStream.zscoreStream(stream).toDF(),
+        s"$tmp/data", s"$tmp/ckpt")
+    }
+    stage((1L to 5L).map(i => (i, i * 1000L, 7L, "view", 1.0, "")), "w0")
+    drain()
+    stage(Seq((6L, 6000L, 7L, "view", 5.0, ""),
+      (7L, 7000L, 7L, "view", 1.0, ""),
+      (8L, 1000L, 9L, "view", 3.0, "")), "w1") // fresh key starts clean
+    val rows = drain().orderBy("event_id")
+      .select("event_id", "user_id", "scored", "anom")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    assert(rows.toSeq == Seq(
+      (1L, 7L, 0, 0), (2L, 7L, 0, 0), (3L, 7L, 0, 0), (4L, 7L, 0, 0),
+      (5L, 7L, 0, 0),
+      (6L, 7L, 1, 1), // scored against the RESTORED 5-value window
+      (7L, 7L, 1, 0),
+      (8L, 9L, 0, 0)), // new user after restart: warm-up, no stale state
+      s"restart-continued z-score verdicts wrong: ${rows.toSeq}")
+  }
+
   test("streaming LOCF fails loudly on out-of-order hourly arrival") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStream.Hourly]
