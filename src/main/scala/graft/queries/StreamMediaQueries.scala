@@ -215,6 +215,46 @@ object StreamMediaQueries {
       inDir.getAbsolutePath
     })
 
+  /** st38's arrival fixture: the orders table staged as THREE
+    * deterministic order-date thirds (the same engine-portable integer
+    * tile arithmetic as [[ensureLateAuditStream]] — no global sort),
+    * each wave one parquet file, mtimes pinning the batch order. Rows
+    * carry (k, month) pre-derived so the drain joins and rolls up
+    * without re-parsing dates. Built once per (JVM, sf) — write-once
+    * rule; every run drains into its own versioned view. */
+  private val orderStreamDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def ensureOrderStream(s: SparkSession, d: String): String =
+    orderStreamDirs.getOrElseUpdate(d, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st38").toString
+      val inDir = new java.io.File(s"$tmp/in")
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey").as("k"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          datediff(col("o_orderdate"), lit("1990-01-01")).cast("long").as("dd"))
+      val mm = o.agg(min(col("dd")), max(col("dd"))).head()
+      val minD = mm.getLong(0); val span = mm.getLong(1) - minD + 1
+      val tiled = o.withColumn("tile",
+        expr(s"((dd - ${minD}L) * 3) div ${span}L").cast("int") + 1)
+      def partsOf(dir: java.io.File): Set[String] =
+        Option(dir.listFiles()).map(_.map(_.getName).toSet).getOrElse(Set.empty)
+          .filter(_.startsWith("part-"))
+      def stage(df: DataFrame): java.io.File = {
+        val before = partsOf(inDir)
+        df.coalesce(1).write.mode("append").parquet(inDir.getAbsolutePath)
+        val added = (partsOf(inDir) -- before).toSeq
+        require(added.size == 1, s"expected one staged file, got $added")
+        new java.io.File(inDir, added.head)
+      }
+      val waves = (1 to 3).map(t =>
+        stage(tiled.filter(col("tile") === t).select("k", "month")))
+      val now = System.currentTimeMillis()
+      waves.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(now - 60000 + i * 1000) }
+      inDir.getAbsolutePath
+    })
+
   /** st07/st13's arrival fixture: the documents corpus staged as 4
     * parquet files, streamed one per micro-batch so the store merges 4
     * genuine incremental deliveries. Built once per (JVM, sf) — the
@@ -2136,6 +2176,66 @@ object StreamMediaQueries {
              |SELECT user_id, CAST(user_seq AS BIGINT) AS user_seq, event_id
              |FROM r WHERE user_seq % 7 = 0
              |ORDER BY user_id, user_seq""".stripMargin)),
+
+    // ---- streaming join-view maintenance (q123's IVM, one-sided live) -----
+    // q123 refreshes the orders ⋈ lineitem monthly view by batch delta
+    // algebra; this maintains the SAME view as order waves STREAM in —
+    // the materialized-view-over-CDC shape. One-sided IVM: the arriving
+    // batch is ΔO, lineitem is at rest, so ΔV = ΔO ⋈ L exactly (no
+    // O₀⋈ΔL / ΔO⋈ΔL terms), and the refreshed view is the group-wise
+    // sum-merge of the previous version with ΔV's rollup — per-batch
+    // cost ∝ |Δ| · join-fanout + |view|, the old join never rescans.
+    // Exactly-once is the CdcReplica recipe (read newest `_SUCCESS`
+    // version strictly below the batch id, overwrite own) — a crash
+    // replay rewrites the identical version. At 100 TB ΔO is the small
+    // side: broadcast it against bucketed/DPP-pruned lineitem. Oracle
+    // is q123's full-recompute SQL verbatim — batch certifies
+    // streaming, and both certify the delta algebra.
+    ("st38_stream_join_view",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.types._
+        val in = ensureOrderStream(s, d)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_st38q").toString
+        val root = new java.io.File(s"$tmp/view"); root.mkdirs()
+        val li = Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey").as("k"),
+            round(col("l_quantity")).cast("long").as("qty"))
+        def versions(): Seq[Long] =
+          Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+            .filter(f => f.getName.startsWith("v_") &&
+              new java.io.File(f, "_SUCCESS").exists())
+            .map(_.getName.stripPrefix("v_").toLong).sorted.toSeq
+        val stream = s.readStream.schema(StructType(Seq(
+            StructField("k", LongType), StructField("month", StringType))))
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$in/part-*")
+        val q = stream.writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val delta = batch.join(li, "k")
+              .groupBy(col("month"))
+              .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
+            val prev = versions().filter(_ < batchId).lastOption match {
+              case Some(v) => batch.sparkSession.read.parquet(s"$root/v_$v")
+              case None => delta.limit(0)
+            }
+            prev.unionByName(delta)
+              .groupBy(col("month"))
+              .agg(sum(col("n_rows")).as("n_rows"),
+                sum(col("sum_qty")).as("sum_qty"))
+              .write.mode("overwrite").parquet(s"$root/v_$batchId")
+          }
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$root/v_${versions().last}")
+          .orderBy(col("month"))
+      },
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY 1 ORDER BY month""".stripMargin)),
 
     // ---- streaming rolling z-score anomalies (q122 maintained live) -------
     // q122 scores anomalies over data at rest; this scores each event
