@@ -26,9 +26,12 @@ import org.apache.spark.sql.util.QueryExecutionListener
   */
 object Observe {
 
-  /** Attach named aggregate metrics to the frame's executions. */
-  def withMetrics(df: DataFrame, name: String, exprs: Column*): DataFrame =
-    df.observe(name, exprs.head, exprs.tail: _*)
+  /** Attach named aggregate metrics to the frame's executions.
+    * Mirrors `Dataset.observe`'s (first, rest*) shape so the
+    * zero-metrics call is unrepresentable, not a runtime error. */
+  def withMetrics(df: DataFrame, name: String,
+                  first: Column, rest: Column*): DataFrame =
+    df.observe(name, first, rest: _*)
 
   /** The observed metrics row from the frame's OWN execution (populated
     * by `collect()`-style actions that run through `df.queryExecution`;

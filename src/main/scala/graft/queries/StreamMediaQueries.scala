@@ -1962,40 +1962,30 @@ object StreamMediaQueries {
       (s: SparkSession, d: String) => {
         import graft.ops.{TextAnalysis, TrainingPrep}
         val tmp = java.nio.file.Files.createTempDirectory("graft_st31").toString
-        val root = new java.io.File(s"$tmp/state"); root.mkdirs()
-        def versions(): Seq[Long] =
-          Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
-            .filter(f => f.getName.startsWith("v_") &&
-              new java.io.File(f, "_SUCCESS").exists())
-            .map(_.getName.stripPrefix("v_").toLong).sorted.toSeq
         val inDir = ensureDedupStreamInput(s, d)
         val schema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("doc_id",
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("text",
             org.apache.spark.sql.types.StringType)))
-        val q = s.readStream.schema(schema)
+        def scoredOf(df: DataFrame): DataFrame = {
+          val w = TextAnalysis.tokenCount(col("text")).cast("long")
+          val u = TrainingPrep.hashBucket(col("doc_id"), 1000000) + 1L
+          df.select(col("doc_id"), w.as("n_tokens"),
+            (w.cast("double") * 1000000.0 / u.cast("double")).as("priority"))
+        }
+        val stream = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(s"$inDir/part-*")
-          .writeStream
-          .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            val w = TextAnalysis.tokenCount(col("text")).cast("long")
-            val u = TrainingPrep.hashBucket(col("doc_id"), 1000000) + 1L
-            val scored = batch.select(col("doc_id"), w.as("n_tokens"),
-              (w.cast("double") * 1000000.0 / u.cast("double")).as("priority"))
-            val state = versions().filter(_ < batchId).lastOption match {
-              case Some(v) => batch.sparkSession.read.parquet(s"$root/v_$v")
-              case None => scored.limit(0)
-            }
-            state.unionByName(scored)
+        val emptyState = scoredOf(s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
+        val finalState = graft.streaming.VersionedView.run(
+            s, stream, s"$tmp/state", s"$tmp/ckpt", emptyState) {
+          (state, batch, _) =>
+            state.unionByName(scoredOf(batch))
               .orderBy(col("priority").desc, col("doc_id")).limit(20)
-              .write.mode("overwrite").parquet(s"$root/v_$batchId")
-          }
-          .option("checkpointLocation", s"$tmp/ckpt")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        }
         import org.apache.spark.sql.expressions.Window
-        s.read.parquet(s"$root/v_${versions().last}")
+        finalState
           .withColumn("rank", row_number().over(
             Window.orderBy(col("priority").desc, col("doc_id"))).cast("int"))
           .select(col("rank"), col("doc_id"), col("n_tokens"))
@@ -2092,16 +2082,6 @@ object StreamMediaQueries {
              |  round(CAST(SUM(q) AS DOUBLE) / COUNT(*), 4) AS mean_quality
              |FROM lx GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
-    // ---- streaming LOCF gap fill (q83 maintained incrementally) -----------
-    // q83 recomputes the whole filled grid per run; the streaming twin
-    // carries (lastH, lastV) per user and emits only the hours each
-    // micro-batch touches — the sensor/metrics-pipeline shape where
-    // the filled series must stay current without grid rescans. The
-    // staged fixture pre-aggregates hourly rows WITH q83's exact
-    // expressions (DECIMAL value sums) and range-splits them by hour
-    // (no global sort — st24's lesson), so the stateful walk only
-    // carries certified numbers in hour order. Oracle is q83's SQL
-    // verbatim: batch certifies streaming, the st02/st12 discipline.
     // ---- streaming temporal debounce (q113 maintained incrementally) ------
     // st06 replays exact event_id dedup; this suppresses REPEATED
     // (user, type) firings within 5 minutes as they stream in — the
@@ -2196,40 +2176,26 @@ object StreamMediaQueries {
         import org.apache.spark.sql.types._
         val in = ensureOrderStream(s, d)
         val tmp = java.nio.file.Files.createTempDirectory("graft_st38q").toString
-        val root = new java.io.File(s"$tmp/view"); root.mkdirs()
         val li = Tables.load(s, d, "lineitem")
           .select(col("l_orderkey").as("k"),
             round(col("l_quantity")).cast("long").as("qty"))
-        def versions(): Seq[Long] =
-          Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
-            .filter(f => f.getName.startsWith("v_") &&
-              new java.io.File(f, "_SUCCESS").exists())
-            .map(_.getName.stripPrefix("v_").toLong).sorted.toSeq
+        def rollup(joined: DataFrame): DataFrame = joined
+          .groupBy(col("month"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
         val stream = s.readStream.schema(StructType(Seq(
             StructField("k", LongType), StructField("month", StringType))))
           .option("maxFilesPerTrigger", "1")
           .parquet(s"$in/part-*")
-        val q = stream.writeStream
-          .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            val delta = batch.join(li, "k")
-              .groupBy(col("month"))
-              .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
-            val prev = versions().filter(_ < batchId).lastOption match {
-              case Some(v) => batch.sparkSession.read.parquet(s"$root/v_$v")
-              case None => delta.limit(0)
-            }
-            prev.unionByName(delta)
+        val emptyView = rollup(li.limit(0)
+          .withColumn("month", lit("")))
+        graft.streaming.VersionedView.run(
+            s, stream, s"$tmp/view", s"$tmp/ckpt", emptyView) {
+          (prev, batch, _) =>
+            prev.unionByName(rollup(batch.join(li, "k")))
               .groupBy(col("month"))
               .agg(sum(col("n_rows")).as("n_rows"),
                 sum(col("sum_qty")).as("sum_qty"))
-              .write.mode("overwrite").parquet(s"$root/v_$batchId")
-          }
-          .option("checkpointLocation", s"$tmp/ckpt")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        s.read.parquet(s"$root/v_${versions().last}")
-          .orderBy(col("month"))
+        }.orderBy(col("month"))
       },
       Some("""SELECT strftime(o_orderdate, '%Y-%m') AS month,
              |  CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -2284,6 +2250,16 @@ object StreamMediaQueries {
              |  CAST(SUM(anom) AS BIGINT) AS n_anomalies
              |FROM f GROUP BY 1 ORDER BY event_type""".stripMargin)),
 
+    // ---- streaming LOCF gap fill (q83 maintained incrementally) -----------
+    // q83 recomputes the whole filled grid per run; the streaming twin
+    // carries (lastH, lastV) per user and emits only the hours each
+    // micro-batch touches — the sensor/metrics-pipeline shape where
+    // the filled series must stay current without grid rescans. The
+    // staged fixture pre-aggregates hourly rows WITH q83's exact
+    // expressions (DECIMAL value sums) and range-splits them by hour
+    // (no global sort — st24's lesson), so the stateful walk only
+    // carries certified numbers in hour order. Oracle is q83's SQL
+    // verbatim: batch certifies streaming, the st02/st12 discipline.
     ("st34_stream_gap_fill",
       (s: SparkSession, d: String) => {
         import s.implicits._

@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
 
 /** Streaming SCD type-2 dimension maintenance (st29): q81's history
   * merge applied per micro-batch through the streaming engine, into a
@@ -31,11 +30,8 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object Scd2Dim {
 
-  private def versions(root: java.io.File): Seq[Long] =
-    Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.getName.startsWith("v_") &&
-        new java.io.File(f, "_SUCCESS").exists())
-      .map(_.getName.stripPrefix("v_").toLong).sorted.toSeq
+  // version listing/commit live in [[VersionedView]] — the one shared
+  // copy of the exactly-once recipe
 
   /** One SCD2 merge step over the `(k, seg, vf, vt)` state. */
   def applyBatch(state: DataFrame, updates: DataFrame,
@@ -88,25 +84,9 @@ object Scd2Dim {
   /** Drain the update stream into `dimDir` and return the final SCD2
     * table (the newest committed version). */
   def run(spark: SparkSession, updates: DataFrame, base: DataFrame,
-          dimDir: String, ckptDir: String): DataFrame = {
-    val root = new java.io.File(dimDir); root.mkdirs()
-    val q = updates.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val state = versions(root).filter(_ < batchId).lastOption match {
-          case Some(v) => spark.read.parquet(s"$dimDir/v_$v")
-          case None => base
-        }
-        applyBatch(state, batch, batchId)
-          .write.mode("overwrite").parquet(s"$dimDir/v_$batchId")
-      }
-      .option("checkpointLocation", ckptDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    // An empty input dir drains zero batches: the dimension is the base.
-    versions(root).lastOption match {
-      case Some(v) => spark.read.parquet(s"$dimDir/v_$v")
-      case None => base
+          dimDir: String, ckptDir: String): DataFrame =
+    // an empty input drains zero batches: the dimension stays the base
+    VersionedView.run(spark, updates, dimDir, ckptDir, base) {
+      (state, batch, batchId) => applyBatch(state, batch, batchId)
     }
-  }
 }

@@ -130,4 +130,20 @@ class LengthGuardSpec extends SparkSpec {
     assert(plain == 1 && plain == guarded,
       s"null handling diverged: $plain vs $guarded")
   }
+
+  test("non-binary collation disables the substring guard (ICU matches aren't length-preserving)") {
+    // under UNICODE_CI a haystack can match a LONGER needle (ß ~ ss),
+    // so length(hay) >= length(needle) is NOT implied — the rule must
+    // leave collated predicates alone
+    val df = spark.range(2)
+      .select(collate(concat(lit("a"), col("id").cast("string")), "UNICODE_CI")
+          .as("hay"),
+        collate(concat(lit("b"), col("id").cast("string")), "UNICODE_CI")
+          .as("needle"))
+      .filter(col("hay").contains(col("needle")))
+    val once = SubstringLengthGuard(df.queryExecution.analyzed)
+    val cond = once.collectFirst { case Filter(c, _) => c }.get
+    assert(!containsLenGe(cond),
+      s"guard wrongly injected under a non-binary collation: $cond")
+  }
 }
