@@ -118,5 +118,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // predicates
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinLengthGuard)
     ext.injectOptimizerRule(_ => graft.plans.SubstringLengthGuard)
+    // whole-operator extensions (logical node + physical exec)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -30,8 +30,13 @@ object AsOfJoin {
            rightKey: String, rightTime: String,
            valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    // tagged union: side 0 = right (visible at equal ts), side 1 = left
-    val rightSide = right.select(
+    // tagged union: side 0 = right (visible at equal ts), side 1 = left.
+    // Null-timed right rows are dropped FIRST: `time <= leftTime` is
+    // never true for them, but NULLS FIRST ordering would sort them
+    // ahead of every real row and the running `last` would carry their
+    // values into the whole key group (caught by AsOfNativeSpec parity
+    // against the native exec's SQL-correct null handling).
+    val rightSide = right.filter(col(rightTime).isNotNull).select(
       Seq(col(rightKey).as("__key"), col(rightTime).as("__t"), lit(0).as("__side")) ++
         valueCols.map(col) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
@@ -51,5 +56,37 @@ object AsOfJoin {
     }
     carried.filter(col("__side") === 1)
       .select(leftCols.map(col) ++ valueCols.map(col): _*)
+  }
+
+  /** The whole-operator route: same semantics as [[asOf]], executed by
+    * the native sort-merge [[graft.plans.AsOfJoinExec]] (one shuffle +
+    * one sort per side at each side's own width, O(1) merge state —
+    * see the plan's scaladoc for the cost comparison). Requires the
+    * session to carry `GraftExtensions` (Verify/Bench/SparkSpec all do);
+    * without the injected strategy the plan cannot be executed.
+    *
+    * Same contract as [[asOf]]: right unique per (key, time), inclusive
+    * match, null keys/times never match. Left and right must be
+    * DISTINCT frames (an as-of self-join needs a re-analyzed copy —
+    * the custom node is invisible to the analyzer's relation dedup). */
+  def asOfNative(left: DataFrame, right: DataFrame,
+                 leftKey: String, leftTime: String,
+                 rightKey: String, rightTime: String,
+                 valueCols: Seq[String]): DataFrame = {
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"asOfNative: no column '$name' in ${plan.output.map(_.name)}"))
+    require(lPlan.outputSet.intersect(rPlan.outputSet).isEmpty,
+      "asOfNative: left and right share attribute ids (self-join) — " +
+        "pass independently-built frames")
+    org.apache.spark.sql.graft.DatasetBridge.ofRows(left.sparkSession,
+      graft.plans.AsOfJoinPlan(lPlan, rPlan,
+        Seq(attr(lPlan, leftKey)), attr(lPlan, leftTime),
+        Seq(attr(rPlan, rightKey)), attr(rPlan, rightTime),
+        valueCols.map(attr(rPlan, _))))
   }
 }

@@ -3092,5 +3092,314 @@ object AdvancedQueries {
              |  UNION ALL
              |  SELECT l_returnflag, 'n_items', n_items FROM a)
              |ORDER BY l_returnflag, metric""".stripMargin)),
+
+    // ---- priority split by line status (TPC-H Q12 family) -----------------
+    // Q12's shape on the fixture schema (no l_shipmode column, so
+    // l_linestatus plays the grouping role): one fact-fact equi-join,
+    // both sides pre-projected to join key + needed column, the date
+    // slice pushed to the lineitem scan, and the two-way priority
+    // split as conditional aggregation — ONE pass, not two filtered
+    // aggregates. At scale the join shuffles two narrow columns per
+    // side; the partial aggregation collapses each map task to a
+    // handful of (status, hi, lo) rows before the exchange.
+    ("q128_priority_by_linestatus",
+      (s: SparkSession, d: String) => {
+        val hi = Seq("1-URGENT", "2-HIGH")
+        val l = Tables.load(s, d, "lineitem")
+          .filter(col("l_shipdate") >= "1995-01-01" &&
+            col("l_shipdate") < "1996-01-01")
+          .select(col("l_orderkey"), col("l_linestatus"))
+        val o = Tables.load(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_linestatus"))
+          .agg(
+            sum(when(col("o_orderpriority").isin(hi: _*), 1L).otherwise(0L))
+              .as("high_line_count"),
+            sum(when(col("o_orderpriority").isin(hi: _*), 0L).otherwise(1L))
+              .as("low_line_count"))
+          .orderBy(col("l_linestatus"))
+      },
+      Some("""SELECT l_linestatus,
+             |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_shipdate >= DATE '1995-01-01'
+             |  AND l_shipdate < DATE '1996-01-01'
+             |GROUP BY 1 ORDER BY l_linestatus""".stripMargin)),
+
+    // ---- large-volume customers (TPC-H Q18 family) -------------------------
+    // The classic HAVING-over-fact shape: aggregate lineitem per order
+    // FIRST (map-side partials make this cheap), keep only orders past
+    // the volume threshold — a tiny surviving set — then enrich via
+    // joins that Spark can broadcast BECAUSE the reduction came first.
+    // The anti-pattern Q18 punishes is joining fact-to-fact before
+    // aggregating; this plan never holds more than (orderkey, qty)
+    // per group. Integer quantities keep both engines exact.
+    ("q129_large_volume_customers",
+      (s: SparkSession, d: String) => {
+        val big = Tables.load(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(round(col("l_quantity")).cast("long")).as("total_qty"))
+          .filter(col("total_qty") > 150)
+        val o = Tables.load(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+        val c = Tables.load(s, d, "customer")
+          .select(col("c_custkey"), col("c_name"))
+        big.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_date"), col("total_qty"))
+          .orderBy(col("total_qty").desc, col("o_orderkey"))
+      },
+      Some("""WITH big AS (
+             |  SELECT l_orderkey,
+             |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+             |      AS total_qty
+             |  FROM lineitem GROUP BY 1
+             |  HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 150)
+             |SELECT c_name, c_custkey, o_orderkey,
+             |  strftime(o_orderdate, '%Y-%m-%d') AS o_date, total_qty
+             |FROM big
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |ORDER BY total_qty DESC, o_orderkey""".stripMargin)),
+
+    // ---- bracketed discount revenue (TPC-H Q19 family) ---------------------
+    // Q19's disjunctive join: three (brand, size-range, qty-range)
+    // brackets OR-ed together across the part/lineitem boundary. The
+    // scale move is splitting the predicate by side: the part-only
+    // disjunction (brand+size) prunes part to a bounded slice — made
+    // explicit with broadcast() — while the per-bracket quantity
+    // correlation stays in the join condition. A naive translation
+    // that keeps the whole OR above the join forces a full fact
+    // retention; this one scans lineitem once against a broadcast of
+    // a few hundred parts. Cents arithmetic end-to-end.
+    ("q130_bracket_revenue",
+      (s: SparkSession, d: String) => {
+        val brackets = Seq(
+          ("Brand#12", 1, 5, 1L, 11L),
+          ("Brand#23", 1, 10, 10L, 20L),
+          ("Brand#34", 1, 15, 20L, 30L))
+        val partSide = brackets.map { case (b, s0, s1, _, _) =>
+          col("p_brand") === b && col("p_size").between(s0, s1) }
+          .reduce(_ || _)
+        val p = broadcast(Tables.load(s, d, "part")
+          .filter(partSide).select(col("p_partkey"), col("p_brand"), col("p_size")))
+        val li = Tables.load(s, d, "lineitem")
+          .select(col("l_partkey"),
+            round(col("l_quantity")).cast("long").as("qty"),
+            round(col("l_extendedprice") * 100).cast("long").as("price_c"),
+            round(col("l_discount") * 100).cast("long").as("disc"))
+        val joinCond = brackets.map { case (b, s0, s1, q0, q1) =>
+          col("p_brand") === b && col("p_size").between(s0, s1) &&
+            col("qty").between(q0, q1) }.reduce(_ || _)
+        li.join(p, col("l_partkey") === col("p_partkey") && joinCond)
+          .agg(sum(col("price_c") * (lit(100L) - col("disc")))
+            .as("revenue_cp"))
+      },
+      Some("""SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+             |    * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+             |    AS revenue_cp
+             |FROM lineitem JOIN part ON p_partkey = l_partkey
+             |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+             |       AND round(l_quantity) BETWEEN 1 AND 11)
+             |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+             |       AND round(l_quantity) BETWEEN 10 AND 20)
+             |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+             |       AND round(l_quantity) BETWEEN 20 AND 30)""".stripMargin)),
+
+    // ---- native as-of join (whole-operator plan) ---------------------------
+    // q23's point-in-time lookup executed by the custom sort-merge
+    // operator (AsOfJoinPlan -> AsOfJoinStrategy -> AsOfJoinExec,
+    // injected by GraftExtensions) instead of the union-window
+    // composition. Same DuckDB ASOF LEFT JOIN oracle as q23: one
+    // oracle certifying both routes is the point — the exec's scaladoc
+    // carries the cost argument (each side shuffled once at its own
+    // width, O(1) merge state, output exactly |left| rows).
+    ("q131_asof_native",
+      (s: SparkSession, d: String) => {
+        val events = Tables.load(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            Tables.eventTime(col("ts")).as("event_time"))
+        val orders = Tables.load(s, d, "orders")
+          .groupBy(col("o_custkey"), col("o_orderdate"))
+          .agg(max(col("o_orderkey")).as("o_orderkey"))
+        graft.ops.AsOfJoin.asOfNative(events, orders,
+            leftKey = "user_id", leftTime = "event_time",
+            rightKey = "o_custkey", rightTime = "o_orderdate",
+            valueCols = Seq("o_orderkey"))
+          .select(col("event_id"), col("user_id"),
+            col("o_orderkey").as("last_orderkey"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+             |o AS (
+             |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+             |  FROM orders GROUP BY o_custkey, o_orderdate)
+             |SELECT e.event_id, e.user_id, o.o_orderkey AS last_orderkey
+             |FROM e ASOF LEFT JOIN o
+             |  ON e.user_id = o.o_custkey AND e.t >= o.o_orderdate
+             |ORDER BY e.event_id""".stripMargin)),
+
+    // ---- min-cost supplier per part (TPC-H Q2 family) ----------------------
+    // The fixture has no partsupp table, so the supply relation is
+    // DERIVED from observed lineitems: per (part, supplier), cost =
+    // the cheapest extended price ever quoted (integer cents — both
+    // engines aggregate the same BIGINTs). Q2's correlated
+    // `cost = (SELECT MIN(cost) ... WHERE pk = outer.pk)` becomes a
+    // min-over-key window on the candidate set — ONE shuffle on
+    // partkey, no per-row subquery re-evaluation, ties kept on both
+    // sides. The supplier->nation->region dimension chain is
+    // broadcast (bounded at any corpus scale); the p_size slice of
+    // part is broadcast after its pushed filter.
+    ("q132_min_cost_supplier",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val ps = Tables.load(s, d, "lineitem")
+          .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+          .agg(min(round(col("l_extendedprice") * 100).cast("long"))
+            .as("cost_c"))
+        val eu = Tables.load(s, d, "supplier")
+          .join(broadcast(Tables.load(s, d, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.load(s, d, "region")
+            .filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name"))
+        val parts = Tables.load(s, d, "part")
+          .filter(col("p_size") === 15)
+          .select(col("p_partkey"), col("p_name"))
+        val cand = ps.join(broadcast(eu), col("sk") === col("s_suppkey"))
+          .join(broadcast(parts), col("pk") === col("p_partkey"))
+        cand.withColumn("mc",
+            min(col("cost_c")).over(Window.partitionBy(col("pk"))))
+          .filter(col("cost_c") === col("mc"))
+          .select(col("p_partkey"), col("p_name"), col("s_name"),
+            col("n_name"), col("cost_c"))
+          .orderBy(col("p_partkey"), col("s_name"))
+      },
+      Some("""WITH ps AS (
+             |  SELECT l_partkey AS pk, l_suppkey AS sk,
+             |    CAST(MIN(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+             |      AS cost_c
+             |  FROM lineitem GROUP BY 1, 2),
+             |eu AS (
+             |  SELECT s_suppkey, s_name, n_name
+             |  FROM supplier
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+             |cand AS (
+             |  SELECT pk, p_name, s_name, n_name, cost_c
+             |  FROM ps
+             |  JOIN eu ON sk = s_suppkey
+             |  JOIN part ON pk = p_partkey AND p_size = 15)
+             |SELECT pk AS p_partkey, p_name, s_name, n_name, cost_c
+             |FROM cand c
+             |WHERE cost_c = (SELECT MIN(cost_c) FROM cand m WHERE m.pk = c.pk)
+             |ORDER BY p_partkey, s_name""".stripMargin)),
+
+    // ---- important supply stock by nation (TPC-H Q11 family) ---------------
+    // Per (nation, part) supply value from the derived supply relation
+    // (cost x observed quantity, integer cents), keeping only parts
+    // whose value exceeds 0.1% of their nation's total — Q11's scalar
+    // subquery per group, expressed as a nation-partitioned window sum
+    // so the threshold never becomes a second aggregation pass or a
+    // driver-side scalar. Fractions compare as exact integer cross
+    // products (value * 10000 > total * 10), never doubles.
+    ("q133_supply_value_by_nation",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val ps = Tables.load(s, d, "lineitem")
+          .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+          .agg(min(round(col("l_extendedprice") * 100).cast("long")).as("cost_c"),
+            sum(round(col("l_quantity")).cast("long")).as("avail"))
+        val sn = Tables.load(s, d, "supplier")
+          .join(broadcast(Tables.load(s, d, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name"))
+        val value = ps.join(broadcast(sn), col("sk") === col("s_suppkey"))
+          .groupBy(col("n_name"), col("pk"))
+          .agg(sum(col("cost_c") * col("avail")).as("value_c"))
+        value.withColumn("total_c",
+            sum(col("value_c")).over(Window.partitionBy(col("n_name"))))
+          .filter(col("value_c") * 10000L > col("total_c") * 10L)
+          .select(col("n_name"), col("pk").as("p_partkey"), col("value_c"))
+          .orderBy(col("n_name"), col("value_c").desc, col("p_partkey"))
+      },
+      Some("""WITH ps AS (
+             |  SELECT l_partkey AS pk, l_suppkey AS sk,
+             |    MIN(CAST(round(l_extendedprice*100) AS BIGINT)) AS cost_c,
+             |    SUM(CAST(round(l_quantity) AS BIGINT)) AS avail
+             |  FROM lineitem GROUP BY 1, 2),
+             |v AS (
+             |  SELECT n_name, pk,
+             |    CAST(SUM(cost_c * avail) AS BIGINT) AS value_c
+             |  FROM ps
+             |  JOIN supplier ON sk = s_suppkey
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  GROUP BY 1, 2)
+             |SELECT n_name, pk AS p_partkey, value_c
+             |FROM v
+             |WHERE value_c * 10000 >
+             |  (SELECT SUM(value_c) * 10 FROM v t WHERE t.n_name = v.n_name)
+             |ORDER BY n_name, value_c DESC, p_partkey""".stripMargin)),
+
+    // ---- overstocked suppliers (TPC-H Q20 family) ---------------------------
+    // Suppliers holding more than 4x the whole market's 1995 shipments
+    // of some 'small%' part — Q20's nested EXISTS chain. (The fixture's
+    // derived stock is all-time flow, so the multiplier is what makes
+    // the predicate selective: 57 of 100 suppliers qualify at sf0.01.)
+    // Scale shape: both fact aggregates reduce lineitem FIRST (the
+    // derived stock per (part, supplier); the 1995 shipped total per
+    // part), the part-name slice is broadcast into both, and the
+    // final supplier qualification is a LEFT SEMI join — no row
+    // explosion anywhere, and the doubled-comparison stays integer
+    // (avail * 2 > shipped).
+    ("q134_overstocked_suppliers",
+      (s: SparkSession, d: String) => {
+        val parts = Tables.load(s, d, "part")
+          .filter(col("p_name").startsWith("small"))
+          .select(col("p_partkey"))
+        val li = Tables.load(s, d, "lineitem")
+        val stock = li.groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+          .agg(sum(round(col("l_quantity")).cast("long")).as("avail"))
+          .join(broadcast(parts), col("pk") === col("p_partkey"))
+        val shipped = li
+          .filter(col("l_shipdate") >= "1995-01-01" &&
+            col("l_shipdate") < "1996-01-01")
+          .groupBy(col("l_partkey").as("spk"))
+          .agg(sum(round(col("l_quantity")).cast("long")).as("shipped_qty"))
+        val over = stock.join(shipped, col("pk") === col("spk"))
+          .filter(col("avail") > col("shipped_qty") * 4L)
+          .select(col("sk")).distinct()
+        Tables.load(s, d, "supplier")
+          .join(over, col("s_suppkey") === col("sk"), "left_semi")
+          .select(col("s_suppkey"), col("s_name"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""WITH stock AS (
+             |  SELECT l_partkey AS pk, l_suppkey AS sk,
+             |    SUM(CAST(round(l_quantity) AS BIGINT)) AS avail
+             |  FROM lineitem
+             |  WHERE l_partkey IN (SELECT p_partkey FROM part
+             |                      WHERE p_name LIKE 'small%')
+             |  GROUP BY 1, 2),
+             |shipped AS (
+             |  SELECT l_partkey AS spk,
+             |    SUM(CAST(round(l_quantity) AS BIGINT)) AS shipped_qty
+             |  FROM lineitem
+             |  WHERE l_shipdate >= DATE '1995-01-01'
+             |    AND l_shipdate < DATE '1996-01-01'
+             |  GROUP BY 1)
+             |SELECT s_suppkey, s_name FROM supplier
+             |WHERE s_suppkey IN (
+             |  SELECT sk FROM stock JOIN shipped ON pk = spk
+             |  WHERE avail > shipped_qty * 4)
+             |ORDER BY s_suppkey""".stripMargin)),
   )
 }

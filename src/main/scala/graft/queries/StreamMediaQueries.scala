@@ -225,6 +225,40 @@ object StreamMediaQueries {
   private val orderStreamDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** st39's supply-flow stream: lineitem pre-projected to
+    * (pk, sk, qty, price_c) and staged as 3 waves split by
+    * `l_orderkey % 3` (pure modulo — no sort of any kind), mtimes
+    * pinning batch order. Write-once per (JVM, sf). */
+  private val lineitemStreamDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def ensureLineitemStream(s: SparkSession, d: String): String =
+    lineitemStreamDirs.getOrElseUpdate(d, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st39").toString
+      val inDir = new java.io.File(s"$tmp/in")
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
+          round(col("l_quantity")).cast("long").as("qty"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_c"),
+          (col("l_orderkey") % 3).cast("int").as("tile"))
+      def partsOf(dir: java.io.File): Set[String] =
+        Option(dir.listFiles()).map(_.map(_.getName).toSet).getOrElse(Set.empty)
+          .filter(_.startsWith("part-"))
+      def stage(df: DataFrame): java.io.File = {
+        val before = partsOf(inDir)
+        df.coalesce(1).write.mode("append").parquet(inDir.getAbsolutePath)
+        val added = (partsOf(inDir) -- before).toSeq
+        require(added.size == 1, s"expected one staged file, got $added")
+        new java.io.File(inDir, added.head)
+      }
+      val waves = (0 to 2).map(t =>
+        stage(li.filter(col("tile") === t).select("pk", "sk", "qty", "price_c")))
+      val now = System.currentTimeMillis()
+      waves.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(now - 60000 + i * 1000) }
+      inDir.getAbsolutePath
+    })
+
   def ensureOrderStream(s: SparkSession, d: String): String =
     orderStreamDirs.getOrElseUpdate(d, {
       val tmp = java.nio.file.Files.createTempDirectory("graft_st38").toString
@@ -2299,5 +2333,71 @@ object StreamMediaQueries {
              |FROM grid g LEFT JOIN hourly
              |  ON g.user_id = hourly.user_id AND g.h = hourly.h
              |ORDER BY g.user_id, hour_us""".stripMargin)),
+
+    // ---- streaming supply-value maintenance (q133 maintained live) --------
+    // q133's Q11-family report kept current as supply flow streams in.
+    // The versioned state is the per-(pk, sk) MONOID — (min cost_c,
+    // sum qty) folds batch-by-batch; min and sum are both associative,
+    // so replay order can't change it — and per-batch cost is
+    // proportional to the keys the batch touches, not the corpus. The
+    // nation rollup + 0.1% threshold run at READ time on the final
+    // state: thresholds aren't incremental (a late batch can push a
+    // part above or below the line), so they must never be folded into
+    // the state — the st31/st38 lesson generalized. Oracle is q133's
+    // SQL verbatim: batch certifies streaming.
+    ("st39_stream_supply_value",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.types._
+        import org.apache.spark.sql.expressions.Window
+        val in = ensureLineitemStream(s, d)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_st39q").toString
+        def fold(df: DataFrame): DataFrame = df
+          .groupBy(col("pk"), col("sk"))
+          .agg(min(col("cost_c")).as("cost_c"), sum(col("avail")).as("avail"))
+        val stream = s.readStream.schema(StructType(Seq(
+            StructField("pk", LongType), StructField("sk", LongType),
+            StructField("qty", LongType), StructField("price_c", LongType))))
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$in/part-*")
+        val emptyState = fold(s.range(0).select(
+          col("id").as("pk"), col("id").as("sk"),
+          col("id").as("cost_c"), col("id").as("avail")))
+        val state = graft.streaming.VersionedView.run(
+            s, stream, s"$tmp/state", s"$tmp/ckpt", emptyState) {
+          (prev, batch, _) =>
+            fold(prev.unionByName(batch
+              .select(col("pk"), col("sk"),
+                col("price_c").as("cost_c"), col("qty").as("avail"))))
+        }
+        val sn = Tables.load(s, d, "supplier")
+          .join(broadcast(Tables.load(s, d, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name"))
+        state.join(broadcast(sn), col("sk") === col("s_suppkey"))
+          .groupBy(col("n_name"), col("pk"))
+          .agg(sum(col("cost_c") * col("avail")).as("value_c"))
+          .withColumn("total_c",
+            sum(col("value_c")).over(Window.partitionBy(col("n_name"))))
+          .filter(col("value_c") * 10000L > col("total_c") * 10L)
+          .select(col("n_name"), col("pk").as("p_partkey"), col("value_c"))
+          .orderBy(col("n_name"), col("value_c").desc, col("p_partkey"))
+      },
+      Some("""WITH ps AS (
+             |  SELECT l_partkey AS pk, l_suppkey AS sk,
+             |    MIN(CAST(round(l_extendedprice*100) AS BIGINT)) AS cost_c,
+             |    SUM(CAST(round(l_quantity) AS BIGINT)) AS avail
+             |  FROM lineitem GROUP BY 1, 2),
+             |v AS (
+             |  SELECT n_name, pk,
+             |    CAST(SUM(cost_c * avail) AS BIGINT) AS value_c
+             |  FROM ps
+             |  JOIN supplier ON sk = s_suppkey
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  GROUP BY 1, 2)
+             |SELECT n_name, pk AS p_partkey, value_c
+             |FROM v
+             |WHERE value_c * 10000 >
+             |  (SELECT SUM(value_c) * 10 FROM v t WHERE t.n_name = v.n_name)
+             |ORDER BY n_name, value_c DESC, p_partkey""".stripMargin)),
   )
 }

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.AsOfJoin
+
+/** The native sort-merge as-of operator (AsOfJoinPlan/Exec/Strategy)
+  * against the composition route (q23's union-window), which is itself
+  * oracle-checked against DuckDB's ASOF LEFT JOIN. */
+class AsOfNativeSpec extends SparkSpec {
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).sorted.toSeq
+
+  /** Adversarial fixture: duplicate keys, null keys, null times on both
+    * sides, keys present on only one side, equal timestamps, and enough
+    * rows to cross partition boundaries (shuffle.partitions=4). */
+  private lazy val (trades, quotes) = {
+    import spark.implicits._
+    val trades = spark.range(0, 400).select(
+      col("id").as("trade_id"),
+      when(col("id") % 37 === 0, lit(null).cast("long"))
+        .otherwise(col("id") % 23).as("sym"),
+      when(col("id") % 41 === 0, lit(null).cast("long"))
+        .otherwise((col("id") * 7) % 1000).as("t"),
+      (col("id") * 3 % 97).as("qty"))
+    val quotes = spark.range(0, 300).select(
+      when(col("id") % 31 === 0, lit(null).cast("long"))
+        .otherwise(col("id") % 29).as("qsym"),
+      when(col("id") % 43 === 0, lit(null).cast("long"))
+        .otherwise((col("id") * 11) % 1000).as("qt"),
+      (col("id") % 500).cast("double").as("px"))
+      // contract: right unique per (key, time)
+      .groupBy(col("qsym"), col("qt")).agg(max(col("px")).as("px"))
+    (trades.cache(), quotes.cache())
+  }
+
+  test("native as-of matches the oracle-checked composition route") {
+    val viaWindow = AsOfJoin.asOf(trades, quotes,
+      "sym", "t", "qsym", "qt", Seq("px"))
+    val viaNative = AsOfJoin.asOfNative(trades, quotes,
+      "sym", "t", "qsym", "qt", Seq("px"))
+    assert(viaNative.columns.toSeq == viaWindow.columns.toSeq)
+    assert(canon(viaNative) == canon(viaWindow))
+    // every left row survives exactly once (left-outer face)
+    assert(viaNative.count() == trades.count())
+  }
+
+  test("physical plan is the custom exec with one shuffle+sort per side") {
+    // uncached inputs so every Exchange in the string belongs to THIS plan
+    val l = spark.range(0, 100).select(col("id").as("k"), (col("id") % 50).as("t"))
+    val r = spark.range(0, 80).select(col("id").as("rk"), (col("id") % 40).as("rt"),
+      (col("id") * 2).as("v"))
+    val df = AsOfJoin.asOfNative(l, r, "k", "t", "rk", "rt", Seq("v"))
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("AsOfJoin"), s"custom exec missing:\n$phys")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(phys).length
+    assert(shuffles == 2, s"expected 2 key shuffles, got $shuffles:\n$phys")
+    // no union/window machinery — the whole point of the native route
+    assert(!phys.contains("Window"), s"window leaked into native plan:\n$phys")
+  }
+
+  test("empty right side yields all-null matches, not failure") {
+    val empty = quotes.filter(lit(false))
+    val out = AsOfJoin.asOfNative(trades, empty,
+      "sym", "t", "qsym", "qt", Seq("px"))
+    assert(out.count() == trades.count())
+    assert(out.filter(col("px").isNotNull).count() == 0)
+  }
+
+  test("inclusive match at equal timestamps, greatest-time-wins") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, "a"), (1L, 15L, "b"), (2L, 10L, "c"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 10L, 1.0), (1L, 12L, 2.0), (2L, 11L, 9.0))
+      .toDF("rk", "rt", "v")
+    val out = AsOfJoin.asOfNative(l, r, "k", "t", "rk", "rt", Seq("v"))
+      .select(col("tag"), col("v")).collect()
+      .map(r => (r.getString(0), Option(r.get(1)))).toMap
+    assert(out("a") == Some(1.0))  // rt=10 <= t=10: inclusive
+    assert(out("b") == Some(2.0))  // greatest rt <= 15 is 12
+    assert(out("c") == None)       // only future quote for k=2
+  }
+
+  test("self-join guard fires instead of silently mis-binding") {
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOfNative(trades, trades, "sym", "t", "sym", "t", Seq("qty"))
+    }
+  }
+}

@@ -1352,4 +1352,78 @@ class ScaleSpec extends SparkSpec {
     assert(rows.toMap.getOrElse(0, 0L) == seed,
       s"dist-0 class must be exactly the source slice")
   }
+
+  test("q128 Q12 shape: date prune reaches the fact scan, one conditional-agg pass") {
+    spark.catalog.clearCache()
+    val plan = planOf(SparkEntry.queries("q128_priority_by_linestatus")(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("GreaterThanOrEqual(l_shipdate"),
+      s"ship-year not pushed to the lineitem scan:\n${finalPlan.take(4000)}")
+    assert(finalPlan.contains("partial_sum"),
+      s"priority split lost its map-side partial:\n${finalPlan.take(4000)}")
+    // ONE aggregate pass computes both counts — two filtered aggregates
+    // would scan the join twice
+    assert("partial_sum\\(CASE WHEN".r.findAllIn(finalPlan).length >= 2,
+      s"expected both CASE sums in one aggregate:\n${finalPlan.take(4000)}")
+  }
+
+  test("q129 Q18 shape: the volume aggregate runs BELOW the enrichment joins") {
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q129_large_volume_customers")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val aggIdx = plan.indexOf("partial_sum")
+    assert(aggIdx >= 0, s"lineitem rollup lost its partial:\n${plan.take(4000)}")
+    // the HAVING filter must sit on the aggregate output, before joins:
+    // the plan should never join raw lineitem rows to orders
+    assert(plan.contains("(total_qty"),
+      s"volume threshold not applied on the aggregate:\n${plan.take(4000)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"degenerate join:\n${plan.take(4000)}")
+  }
+
+  test("q130 Q19 shape: part slice broadcasts, fact side never key-shuffles") {
+    spark.catalog.clearCache()
+    val plan = planOf(SparkEntry.queries("q130_bracket_revenue")(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // at sf0.001 the bracket slice can be EMPTY, in which case AQE's
+    // EmptyRelation propagation deletes the join outright — the best
+    // possible plan, so accept it; otherwise demand the broadcast
+    assert(finalPlan.contains("BroadcastHashJoin") ||
+      finalPlan.contains("EmptyRelation"),
+      s"the bracketed part slice must broadcast (or fold empty):\n${finalPlan.take(4000)}")
+    assert(!finalPlan.contains("Exchange hashpartitioning"),
+      s"lineitem must stream through without a key shuffle:\n${finalPlan.take(4000)}")
+    // the static plan must have chosen the broadcast BEFORE runtime
+    // stats: the part-side disjunction bounds it at any corpus scale
+    val initial = plan.split("== Initial Plan ==").last
+    assert(initial.contains("BroadcastHashJoin") || initial.contains("broadcast"),
+      s"initial plan did not broadcast the part slice:\n${initial.take(4000)}")
+  }
+
+  test("q131 native as-of: the custom exec plans, no union-window machinery") {
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q131_asof_native")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"),
+      s"AsOfJoinExec missing — strategy not installed?\n${plan.take(4000)}")
+    assert(!plan.contains("Union"),
+      s"union leaked into the native route:\n${plan.take(4000)}")
+    // row preservation: |output| == |left|, the operator's contract
+    val events = Tables.load(spark, sf, "events").count()
+    assert(df.count() == events, "as-of must emit exactly one row per left row")
+  }
+
+  test("q134 Q20 shape: both fact reductions precede the semi join") {
+    spark.catalog.clearCache()
+    val plan = planOf(SparkEntry.queries("q134_overstocked_suppliers")(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("LeftSemi"),
+      s"supplier qualification must plan as a semi join:\n${finalPlan.take(4000)}")
+    assert(finalPlan.contains("GreaterThanOrEqual(l_shipdate"),
+      s"1995 slice not pushed to the shipped-side scan:\n${finalPlan.take(4000)}")
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoopJoin"),
+      s"degenerate join:\n${finalPlan.take(4000)}")
+  }
 }
