@@ -3401,5 +3401,83 @@ object AdvancedQueries {
              |  SELECT sk FROM stock JOIN shipped ON pk = spk
              |  WHERE avail > shipped_qty * 4)
              |ORDER BY s_suppkey""".stripMargin)),
+
+    // ---- activity streaks (gaps-and-islands) --------------------------------
+    // Longest run of CONSECUTIVE active days per user — the canonical
+    // gaps-and-islands rewrite: day_index − row_number() is constant
+    // exactly within a consecutive run, so islands fall out of one
+    // per-user window plus a group-by, with no self-join against the
+    // calendar and no recursion. Day indexes are integers from a fixed
+    // epoch (engine-portable — no date-interval arithmetic in the
+    // group key). Both windows are user-partitioned: thousands of
+    // small frames, never a global sort (the t12 rule).
+    ("q135_activity_streaks",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val days = Tables.load(s, d, "events")
+          .select(col("user_id"),
+            datediff(to_date(Tables.eventTime(col("ts"))), lit("1990-01-01"))
+              .cast("long").as("day_ix"))
+          .distinct()
+        val w = Window.partitionBy(col("user_id")).orderBy(col("day_ix"))
+        val streaks = days
+          .withColumn("grp", col("day_ix") - row_number().over(w))
+          .groupBy(col("user_id"), col("grp"))
+          .agg(count(lit(1)).as("len"))
+        streaks.groupBy(col("user_id"))
+          .agg(max(col("len")).as("longest_streak"),
+            count(lit(1)).as("n_streaks"),
+            sum(col("len")).as("n_active_days"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH days AS (
+             |  SELECT DISTINCT user_id,
+             |    date_diff('day', DATE '1990-01-01', CAST(ts AS DATE)) AS day_ix
+             |  FROM events),
+             |isl AS (
+             |  SELECT user_id,
+             |    day_ix - row_number() OVER (PARTITION BY user_id
+             |                                ORDER BY day_ix) AS grp
+             |  FROM days),
+             |streaks AS (
+             |  SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+             |  FROM isl GROUP BY 1, 2)
+             |SELECT user_id,
+             |  CAST(MAX(len) AS BIGINT) AS longest_streak,
+             |  CAST(COUNT(*) AS BIGINT) AS n_streaks,
+             |  CAST(SUM(len) AS BIGINT) AS n_active_days
+             |FROM streaks GROUP BY 1 ORDER BY user_id""".stripMargin)),
+
+    // ---- GROUPING SETS with explicit grouping flags ------------------------
+    // The arbitrary-combination face of multi-aggregation (q20 rollup
+    // and q21's cube are its special cases): (flag, status), (flag),
+    // (status), () in ONE pass — Catalyst's Expand fans each row into
+    // the 4 sets and a single hash aggregate consumes them, so the
+    // fact scans once however many sets the report wants. grouping()
+    // flags disambiguate "NULL because super-aggregate" from a null
+    // key — exported as plain ints so both engines hash identically.
+    ("q136_grouping_sets",
+      (s: SparkSession, d: String) => {
+        val li = Tables.load(s, d, "lineitem")
+        li.groupingSets(
+            Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+              Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(grouping(col("l_returnflag")).as("g_flag"),
+            grouping(col("l_linestatus")).as("g_status"),
+            count(lit(1)).as("n_items"),
+            sum(round(col("l_quantity")).cast("long")).as("qty"))
+          .orderBy(col("g_flag"), col("g_status"),
+            col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+             |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+             |  CAST(COUNT(*) AS BIGINT) AS n_items,
+             |  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+             |  (l_returnflag), (l_linestatus), ())
+             |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin)),
   )
 }

@@ -589,6 +589,73 @@ object SourceFormatQueries {
              |    AS total_tokens,
              |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- malformed-record quarantine (semi-structured ingest) --------------
+    // Real feeds interleave broken JSON with good records; dropping
+    // them silently corrupts counts, failing the job on one bad line
+    // stalls the pipeline. The fixture embeds documents as JSON lines
+    // and deterministically corrupts every 7th (truncation — invalid
+    // JSON) and every 11th (valid JSON, wrong shape: doc_id as a
+    // string). from_json is PERMISSIVE per row: parse failures yield
+    // null structs, shape failures yield null fields — both routed to
+    // the quarantine count, good rows to per-source totals, in ONE
+    // pass over the lines (conditional aggregation, no second scan).
+    // The oracle replays the same split with json_valid + json_type.
+    ("q137_json_quarantine",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.types._
+        // the line is CONCAT-built (not engine to_json) so both engines
+        // construct byte-identical fixtures regardless of their JSON
+        // escaping conventions; the payload is sanitized to [a-z0-9 ]
+        val payload = regexp_replace(lower(substring(col("text"), 1, 40)),
+          "[^a-z0-9 ]", "")
+        val raw = concat(lit("{\"doc_id\":"), col("doc_id").cast("string"),
+          lit(",\"source\":\""), col("source"),
+          lit("\",\"text\":\""), payload, lit("\"}"))
+        val lines = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+          .select(
+            when(col("doc_id") % 7 === 0,
+                substring(raw, 1, 14)) // truncated: invalid JSON
+              .when(col("doc_id") % 11 === 0, // valid JSON, doc_id not a number
+                regexp_replace(raw, "^\\{\"doc_id\":(\\d+)",
+                  "{\"doc_id\":\"x$1\""))
+              .otherwise(raw).as("line"))
+        val schema = StructType(Seq(StructField("doc_id", LongType),
+          StructField("source", StringType), StructField("text", StringType)))
+        val parsed = lines.select(from_json(col("line"), schema).as("rec"))
+        parsed.select(
+            when(col("rec").isNull || col("rec.doc_id").isNull, lit(null))
+              .otherwise(col("rec.source")).as("source"),
+            (col("rec").isNull || col("rec.doc_id").isNull)
+              .cast("long").as("bad"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_lines"), sum(col("bad")).as("n_quarantined"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH raw AS (
+             |  SELECT doc_id, source,
+             |    '{"doc_id":' || CAST(doc_id AS VARCHAR) ||
+             |    ',"source":"' || source || '","text":"' ||
+             |    regexp_replace(lower(substring(text, 1, 40)),
+             |      '[^a-z0-9 ]', '', 'g') || '"}' AS j
+             |  FROM documents),
+             |lines AS (
+             |  SELECT CASE WHEN doc_id % 7 = 0 THEN substring(j, 1, 14)
+             |    WHEN doc_id % 11 = 0 THEN
+             |      regexp_replace(j, '^\{"doc_id":(\d+)', '{"doc_id":"x\1"')
+             |    ELSE j END AS line
+             |  FROM raw),
+             |parsed AS (
+             |  SELECT CASE WHEN json_valid(line)
+             |      AND json_type(json_extract(line, '$.doc_id')) IN
+             |        ('UBIGINT', 'BIGINT')
+             |      THEN json_extract_string(line, '$.source') END AS source
+             |  FROM lines)
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_lines,
+             |  CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_quarantined
+             |FROM parsed GROUP BY 1 ORDER BY source""".stripMargin)),
   )
 
   /** q64's write-time partition stats: one row per `source` partition

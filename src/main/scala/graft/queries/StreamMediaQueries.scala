@@ -2399,5 +2399,55 @@ object StreamMediaQueries {
              |WHERE value_c * 10000 >
              |  (SELECT SUM(value_c) * 10 FROM v t WHERE t.n_name = v.n_name)
              |ORDER BY n_name, value_c DESC, p_partkey""".stripMargin)),
+
+    // ---- streaming activity streaks (q135 maintained incrementally) -------
+    // q135's gaps-and-islands rewrite re-sorts every user's full day
+    // history per run; the streaming twin carries the OPEN RUN per user
+    // (end day + length + best/count/total) and folds each batch's
+    // days as they arrive — O(1) state per user, the live-dashboard
+    // shape for engagement streaks. Every batch emits a per-user
+    // snapshot (seq-stamped); the report takes each user's latest via
+    // max_by, so intermediate snapshots double as the live values.
+    // Arrival order comes from the ts-range-tiled session fixture
+    // (mtime-pinned waves); a regressed day throws rather than
+    // miscounting. Oracle is q135's SQL verbatim — batch certifies
+    // streaming, the st02/st12 discipline.
+    ("st40_stream_streaks",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val inDir = ensureSessionStream(s, d)
+        val stream = s.readStream.schema(EventStream.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$inDir/part-*")
+          .as[EventStream.Event]
+          .filter(_.event_type != "flush")
+        val out = java.nio.file.Files.createTempDirectory("graft_st40o").toString
+        val snaps = EventStream.runToFiles(s,
+          EventStream.streakStream(stream).toDF(), s"$out/data", s"$out/ckpt")
+        snaps.groupBy(col("user_id"))
+          .agg(max_by(struct(
+              col("best_len").as("longest_streak"),
+              col("n_streaks"),
+              col("n_days").as("n_active_days")), col("seq")).as("f"))
+          .select(col("user_id"), col("f.*"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH days AS (
+             |  SELECT DISTINCT user_id,
+             |    date_diff('day', DATE '1990-01-01', CAST(ts AS DATE)) AS day_ix
+             |  FROM events),
+             |isl AS (
+             |  SELECT user_id,
+             |    day_ix - row_number() OVER (PARTITION BY user_id
+             |                                ORDER BY day_ix) AS grp
+             |  FROM days),
+             |streaks AS (
+             |  SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+             |  FROM isl GROUP BY 1, 2)
+             |SELECT user_id,
+             |  CAST(MAX(len) AS BIGINT) AS longest_streak,
+             |  CAST(COUNT(*) AS BIGINT) AS n_streaks,
+             |  CAST(SUM(len) AS BIGINT) AS n_active_days
+             |FROM streaks GROUP BY 1 ORDER BY user_id""".stripMargin)),
   )
 }

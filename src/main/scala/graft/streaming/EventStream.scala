@@ -330,6 +330,65 @@ object EventStream {
       }
   }
 
+  // ---- per-user activity-streak maintenance --------------------------------
+
+  /** One per-(user, batch) streak snapshot: the running gaps-and-islands
+    * aggregates after folding that batch's days. The LAST snapshot per
+    * user (greatest `seq`) is the stream-end answer; earlier ones are
+    * the live dashboard values. */
+  case class StreakSnap(user_id: Long, seq: Long, last_day: Long,
+                        cur_len: Long, best_len: Long, n_streaks: Long,
+                        n_days: Long)
+
+  /** Per-user streak state: snapshot counter + the open run. */
+  case class StreakState(seq: Long, lastDay: Long, curLen: Long,
+                         bestLen: Long, nStreaks: Long, nDays: Long)
+
+  private val DayMicros = 86400000000L
+  private val EpochTo1990Days = 7305L // datediff(DATE'1990-01-01', epoch)
+
+  /** Streaming gaps-and-islands (q135's batch semantics maintained
+    * incrementally): per user, O(1) state — the open run's end + length
+    * plus the best/count/total aggregates — folds each batch's distinct
+    * days in order; a day adjacent to the open run extends it, any gap
+    * opens a new island. Day-ordered arrival per user is the contract
+    * (the range-tiled fixture guarantees it); a regressed day throws
+    * loudly, a replayed equal day folds idempotently (skip). Day
+    * indexes are integer days since 1990-01-01, matching q135 and its
+    * DuckDB oracle exactly. */
+  def streakStream(events: Dataset[Event]): Dataset[StreakSnap] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[StreakState, StreakSnap](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Event], state: GroupState[StreakState]) =>
+          val days = evs.map(e =>
+            Math.floorDiv(e.ts, DayMicros) - EpochTo1990Days)
+            .toSeq.distinct.sorted
+          if (days.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption.getOrElse(
+              StreakState(0L, Long.MinValue, 0L, 0L, 0L, 0L))
+            days.foreach { d =>
+              if (st.lastDay != Long.MinValue && d < st.lastDay)
+                throw new IllegalStateException(
+                  s"streakStream: out-of-order day for user $uid " +
+                    s"(got $d after ${st.lastDay})")
+              if (d != st.lastDay) { // equal day: replayed, fold is a no-op
+                val extend = st.lastDay != Long.MinValue && d == st.lastDay + 1
+                val len = if (extend) st.curLen + 1 else 1L
+                st = StreakState(st.seq, d, len, math.max(st.bestLen, len),
+                  st.nStreaks + (if (extend) 0 else 1), st.nDays + 1)
+              }
+            }
+            st = st.copy(seq = st.seq + 1)
+            state.update(st)
+            Iterator.single(StreakSnap(uid, st.seq, st.lastDay, st.curLen,
+              st.bestLen, st.nStreaks, st.nDays))
+          }
+      }
+  }
+
   // ---- per-user sequence assignment ---------------------------------------
 
   /** One assigned id: `user_seq` is this user's 1-based arrival ordinal

@@ -81,6 +81,19 @@ class AsOfNativeSpec extends SparkSpec {
     assert(out("c") == None)       // only future quote for k=2
   }
 
+  test("string keys and timestamp times go through the generic orderings") {
+    // exercises keyOrd/timeOrd over non-long types (UTF8String compare,
+    // timestamp-as-micros) — the same parity bar as the long fixture
+    val l = trades.select(concat(lit("u"), col("sym").cast("string")).as("k"),
+      Tables.eventTime(col("t") * 1000000L).as("t"), col("trade_id"))
+    val r = quotes.select(concat(lit("u"), col("qsym").cast("string")).as("rk"),
+      Tables.eventTime(col("qt") * 1000000L).as("rt"), col("px"))
+      .groupBy(col("rk"), col("rt")).agg(max(col("px")).as("px"))
+    val viaWindow = AsOfJoin.asOf(l, r, "k", "t", "rk", "rt", Seq("px"))
+    val viaNative = AsOfJoin.asOfNative(l, r, "k", "t", "rk", "rt", Seq("px"))
+    assert(canon(viaNative) == canon(viaWindow))
+  }
+
   test("self-join guard fires instead of silently mis-binding") {
     intercept[IllegalArgumentException] {
       AsOfJoin.asOfNative(trades, trades, "sym", "t", "sym", "t", Seq("qty"))

@@ -1210,6 +1210,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming streaks merge runs across batch boundaries, skip replayed days, reject regressions") {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, day: Long) = EventStream.Event(
+      id, (7305L + day) * 86400000000L + id, 3L, "view", 0.0, "")
+    val mem = MemoryStream[EventStream.Event]
+    val q = EventStream.streakStream(mem.toDS()).writeStream
+      .outputMode(OutputMode.Append).format("memory").queryName("t_streak").start()
+    try {
+      // batch 1: days 10, 11 — one open run of 2
+      mem.addData(ev(1, 10), ev(2, 11))
+      q.processAllAvailable()
+      // batch 2: day 11 REPLAYED (tile boundary can split a day), then
+      // 12 extends the run FROM STATE to 3; 20 opens a second island
+      mem.addData(ev(3, 11), ev(4, 12), ev(5, 20))
+      q.processAllAvailable()
+      val last = spark.table("t_streak").orderBy(col("seq").desc).limit(1)
+        .select("best_len", "cur_len", "n_streaks", "n_days")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(last.toSeq == Seq((3L, 1L, 2L, 4L)),
+        s"cross-batch streak state wrong: ${last.toSeq}")
+      // batch 3: a regressed day must fail LOUDLY, not miscount
+      mem.addData(ev(6, 15))
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      def chain(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).toSeq
+      assert(chain(ex).exists(m => m != null && m.contains("out-of-order")),
+        s"expected the out-of-order guard, got: ${chain(ex)}")
+    } finally q.stop()
+  }
+
   test("streaming z-score scores across micro-batch boundaries from state") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStream.Event]
