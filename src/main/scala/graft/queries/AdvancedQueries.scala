@@ -3479,5 +3479,94 @@ object AdvancedQueries {
              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
              |  (l_returnflag), (l_linestatus), ())
              |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- large-large range join via binning --------------------------------
+    // Price-proximity join with NO equi key: every lineitem price
+    // against every order within ±$500 — the join class Spark plans as
+    // BroadcastNestedLoopJoin (one side small) or a cartesian (neither
+    // is, the 100 TB case). q24's band join broadcasts because its
+    // interval side is 3 rows; here BOTH sides are fact-sized, so
+    // RangeJoin.pointInInterval quantizes the price axis into $1000
+    // bins, explodes each ±$500 interval to the 2–3 bins it covers,
+    // and hash-joins on the bin id — candidates are co-bucketed pairs,
+    // never all pairs (1.78M matches out of a 900M-pair cartesian at
+    // sf0.01). ScaleSpec asserts the plan is a shuffled HASH join.
+    // The DuckDB oracle runs the raw inequality join (its IEJoin
+    // handles it natively) — same pairs, different plan, certifying
+    // the binning rewrite end to end.
+    ("q138_price_range_join",
+      (s: SparkSession, d: String) => {
+        val points = Tables.load(s, d, "lineitem")
+          .select(round(col("l_extendedprice") * 100).cast("long").as("p"))
+        val intervals = Tables.load(s, d, "orders")
+          .select(col("o_orderpriority"),
+            (round(col("o_totalprice") * 100).cast("long") - 50000L).as("lo"),
+            (round(col("o_totalprice") * 100).cast("long") + 50000L).as("hi"))
+        graft.ops.RangeJoin.pointInInterval(points, "p",
+            intervals, "lo", "hi", binWidth = 100000L)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_pairs"), sum(col("p")).as("sum_price_c"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority,
+             |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             |  CAST(SUM(p) AS BIGINT) AS sum_price_c
+             |FROM (SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS p
+             |      FROM lineitem) pts
+             |JOIN (SELECT o_orderpriority,
+             |        CAST(round(o_totalprice*100) AS BIGINT) - 50000 AS lo,
+             |        CAST(round(o_totalprice*100) AS BIGINT) + 50000 AS hi
+             |      FROM orders) itv
+             |  ON pts.p >= itv.lo AND pts.p <= itv.hi
+             |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- interval-overlap join via binning ----------------------------------
+    // Fulfillment-window contention: urgent 1995 orders whose 8-day
+    // windows overlap low-priority windows — interval×interval with no
+    // equi key, the plan class that degenerates to a nested loop at
+    // fact×fact scale. RangeJoin.intervalOverlap bins the day axis
+    // (week-wide bins), explodes each window to its 2 covered bins,
+    // and emits each overlapping pair exactly once via the
+    // first-shared-bin arithmetic pick — no post-join distinct, no
+    // cartesian (RangeJoinSpec proves once-semantics on adversarial
+    // bounds; the DuckDB oracle runs the raw inequality join).
+    ("q139_window_contention",
+      (s: SparkSession, d: String) => {
+        def windows(prio: String, pfx: String) =
+          Tables.load(s, d, "orders")
+            .filter(col("o_orderpriority") === prio &&
+              col("o_orderdate") >= "1995-01-01" &&
+              col("o_orderdate") < "1996-01-01")
+            .select(col("o_orderkey").as(s"${pfx}_key"),
+              date_format(col("o_orderdate"), "yyyy-MM").as(s"${pfx}_month"),
+              datediff(to_date(col("o_orderdate")), lit("1990-01-01"))
+                .cast("long").as(s"${pfx}_lo"))
+            .withColumn(s"${pfx}_hi", col(s"${pfx}_lo") + 7L)
+        graft.ops.RangeJoin.intervalOverlap(
+            windows("1-URGENT", "u"), "u_lo", "u_hi",
+            windows("5-LOW", "l"), "l_lo", "l_hi", binWidth = 7L)
+          .groupBy(col("u_month"))
+          .agg(count(lit(1)).as("n_contended_pairs"),
+            countDistinct(col("u_key")).as("n_urgent_orders"))
+          .orderBy(col("u_month"))
+      },
+      Some("""WITH w AS (
+             |  SELECT o_orderkey, o_orderpriority,
+             |    strftime(o_orderdate, '%Y-%m') AS month,
+             |    date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+             |      AS lo
+             |  FROM orders
+             |  WHERE o_orderdate >= DATE '1995-01-01'
+             |    AND o_orderdate < DATE '1996-01-01'),
+             |u AS (SELECT o_orderkey AS u_key, month AS u_month,
+             |        lo AS u_lo, lo + 7 AS u_hi
+             |      FROM w WHERE o_orderpriority = '1-URGENT'),
+             |l AS (SELECT lo AS l_lo, lo + 7 AS l_hi
+             |      FROM w WHERE o_orderpriority = '5-LOW')
+             |SELECT u_month,
+             |  CAST(COUNT(*) AS BIGINT) AS n_contended_pairs,
+             |  CAST(COUNT(DISTINCT u_key) AS BIGINT) AS n_urgent_orders
+             |FROM u JOIN l ON u_lo <= l_hi AND l_lo <= u_hi
+             |GROUP BY 1 ORDER BY u_month""".stripMargin)),
   )
 }

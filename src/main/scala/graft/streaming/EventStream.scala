@@ -347,6 +347,28 @@ object EventStream {
   private val DayMicros = 86400000000L
   private val EpochTo1990Days = 7305L // datediff(DATE'1990-01-01', epoch)
 
+  /** The pure per-user streak fold: one batch's sorted distinct days
+    * against the open-run state. Associativity across any batch split
+    * (with in-order arrival) is PropertySpec-proven — the invariant
+    * that makes st40's incremental answer equal q135's batch one. */
+  def foldStreakDays(init: StreakState, days: Seq[Long],
+                     who: => String = "?"): StreakState = {
+    var st = init
+    days.foreach { d =>
+      if (st.lastDay != Long.MinValue && d < st.lastDay)
+        throw new IllegalStateException(
+          s"streakStream: out-of-order day for user $who " +
+            s"(got $d after ${st.lastDay})")
+      if (d != st.lastDay) { // equal day: replayed, fold is a no-op
+        val extend = st.lastDay != Long.MinValue && d == st.lastDay + 1
+        val len = if (extend) st.curLen + 1 else 1L
+        st = StreakState(st.seq, d, len, math.max(st.bestLen, len),
+          st.nStreaks + (if (extend) 0 else 1), st.nDays + 1)
+      }
+    }
+    st
+  }
+
   /** Streaming gaps-and-islands (q135's batch semantics maintained
     * incrementally): per user, O(1) state — the open run's end + length
     * plus the best/count/total aggregates — folds each batch's distinct
@@ -367,21 +389,10 @@ object EventStream {
             .toSeq.distinct.sorted
           if (days.isEmpty) Iterator.empty
           else {
-            var st = state.getOption.getOrElse(
+            val prev = state.getOption.getOrElse(
               StreakState(0L, Long.MinValue, 0L, 0L, 0L, 0L))
-            days.foreach { d =>
-              if (st.lastDay != Long.MinValue && d < st.lastDay)
-                throw new IllegalStateException(
-                  s"streakStream: out-of-order day for user $uid " +
-                    s"(got $d after ${st.lastDay})")
-              if (d != st.lastDay) { // equal day: replayed, fold is a no-op
-                val extend = st.lastDay != Long.MinValue && d == st.lastDay + 1
-                val len = if (extend) st.curLen + 1 else 1L
-                st = StreakState(st.seq, d, len, math.max(st.bestLen, len),
-                  st.nStreaks + (if (extend) 0 else 1), st.nDays + 1)
-              }
-            }
-            st = st.copy(seq = st.seq + 1)
+            val st = foldStreakDays(prev, days, uid.toString)
+              .copy(seq = prev.seq + 1)
             state.update(st)
             Iterator.single(StreakSnap(uid, st.seq, st.lastDay, st.curLen,
               st.bestLen, st.nStreaks, st.nDays))

@@ -184,4 +184,41 @@ class PropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  test("streak fold: any batch split of in-order days equals the direct gaps-and-islands answer") {
+    import graft.streaming.EventStream.{StreakState, foldStreakDays}
+    val genDays = Gen.nonEmptyListOf(Gen.choose(0L, 60L))
+    val genCuts = Gen.listOf(Gen.choose(0, 60))
+    checkProp(Prop.forAll(genDays, genCuts) { (rawDays, cuts) =>
+      // normalize INSIDE the property: scalacheck shrinking does not
+      // preserve generator invariants
+      val days = rawDays.distinct.sorted
+      // direct answer: islands of consecutive days
+      val runs = days.foldLeft(List.empty[Long]) {
+        case (h :: t, d) if days.contains(d - 1) => (h + 1) :: t
+        case (acc, _) => 1L :: acc
+      }
+      // streamed answer: split the day sequence at arbitrary points and
+      // fold batch by batch; each later batch RE-INCLUDES the previous
+      // batch's last day (a day split across tile files — the one
+      // legitimate duplicate under the in-order contract; full-batch
+      // replays roll the state back in the engine, so they never reach
+      // the fold twice)
+      val cutSet = cuts.toSet
+      val batches = days.zipWithIndex
+        .foldLeft(List(List.empty[Long])) { case (b :: rest, (d, i)) =>
+          if (cutSet.contains(i)) List(d) :: b :: rest else (b :+ d) :: rest }
+        .reverse.filter(_.nonEmpty)
+      val withBoundaryDups = batches match {
+        case Nil => Nil
+        case h :: t => h :: t.zip(batches).map { case (b, prev) => prev.last :: b }
+      }
+      val st = withBoundaryDups.foldLeft(
+          StreakState(0L, Long.MinValue, 0L, 0L, 0L, 0L)) {
+        (s, b) => foldStreakDays(s, b)
+      }
+      st.bestLen == runs.max && st.nStreaks == runs.length.toLong &&
+        st.nDays == days.length.toLong && st.curLen == runs.head
+    })
+  }
 }

@@ -1414,6 +1414,20 @@ class ScaleSpec extends SparkSpec {
     assert(df.count() == events, "as-of must emit exactly one row per left row")
   }
 
+  test("q138 range join: binning turns the inequality join into a hash join") {
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q138_price_range_join")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the entire point: NO nested-loop/cartesian anywhere in the plan
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"range join degenerated to a nested loop:\n${plan.take(4000)}")
+    assert(plan.contains("Join") && plan.contains("__bin"),
+      s"expected the bin-keyed equi join:\n${plan.take(4000)}")
+    assert(plan.contains("Generate explode") || plan.contains("explode"),
+      s"interval binning (explode over covered bins) missing:\n${plan.take(4000)}")
+  }
+
   test("q134 Q20 shape: both fact reductions precede the semi join") {
     spark.catalog.clearCache()
     val plan = planOf(SparkEntry.queries("q134_overstocked_suppliers")(spark, sf))
