@@ -3481,16 +3481,19 @@ object AdvancedQueries {
              |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin)),
 
     // ---- large-large range join via binning --------------------------------
-    // Price-proximity join with NO equi key: every lineitem price
-    // against every order within ±$500 — the join class Spark plans as
+    // Price reconciliation with NO equi key: lineitem prices within
+    // ±$1 of ANY order total — the join class Spark plans as
     // BroadcastNestedLoopJoin (one side small) or a cartesian (neither
     // is, the 100 TB case). q24's band join broadcasts because its
     // interval side is 3 rows; here BOTH sides are fact-sized, so
-    // RangeJoin.pointInInterval quantizes the price axis into $1000
-    // bins, explodes each ±$500 interval to the 2–3 bins it covers,
-    // and hash-joins on the bin id — candidates are co-bucketed pairs,
-    // never all pairs (1.78M matches out of a 900M-pair cartesian at
-    // sf0.01). ScaleSpec asserts the plan is a shuffled HASH join.
+    // RangeJoin.pointInInterval quantizes the price axis into $10
+    // bins, explodes each ±$1 interval to the 1–2 bins it covers, and
+    // hash-joins on the bin id — candidates are co-bucketed pairs,
+    // never all pairs. The window width is the scale contract: OUTPUT
+    // grows with match selectivity, not |L|·|R| (365k pairs at sf0.1;
+    // the first cut of this query used ±$500 and went quadratic —
+    // 178M pairs, 46 s — exactly the blowup the narrow probe avoids).
+    // ScaleSpec asserts no nested-loop operator anywhere in the plan.
     // The DuckDB oracle runs the raw inequality join (its IEJoin
     // handles it natively) — same pairs, different plan, certifying
     // the binning rewrite end to end.
@@ -3500,10 +3503,10 @@ object AdvancedQueries {
           .select(round(col("l_extendedprice") * 100).cast("long").as("p"))
         val intervals = Tables.load(s, d, "orders")
           .select(col("o_orderpriority"),
-            (round(col("o_totalprice") * 100).cast("long") - 50000L).as("lo"),
-            (round(col("o_totalprice") * 100).cast("long") + 50000L).as("hi"))
+            (round(col("o_totalprice") * 100).cast("long") - 100L).as("lo"),
+            (round(col("o_totalprice") * 100).cast("long") + 100L).as("hi"))
         graft.ops.RangeJoin.pointInInterval(points, "p",
-            intervals, "lo", "hi", binWidth = 100000L)
+            intervals, "lo", "hi", binWidth = 1000L)
           .groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("n_pairs"), sum(col("p")).as("sum_price_c"))
           .orderBy(col("o_orderpriority"))
@@ -3514,8 +3517,8 @@ object AdvancedQueries {
              |FROM (SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS p
              |      FROM lineitem) pts
              |JOIN (SELECT o_orderpriority,
-             |        CAST(round(o_totalprice*100) AS BIGINT) - 50000 AS lo,
-             |        CAST(round(o_totalprice*100) AS BIGINT) + 50000 AS hi
+             |        CAST(round(o_totalprice*100) AS BIGINT) - 100 AS lo,
+             |        CAST(round(o_totalprice*100) AS BIGINT) + 100 AS hi
              |      FROM orders) itv
              |  ON pts.p >= itv.lo AND pts.p <= itv.hi
              |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),

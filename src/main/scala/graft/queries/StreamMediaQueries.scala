@@ -2449,5 +2449,67 @@ object StreamMediaQueries {
              |  CAST(COUNT(*) AS BIGINT) AS n_streaks,
              |  CAST(SUM(len) AS BIGINT) AS n_active_days
              |FROM streaks GROUP BY 1 ORDER BY user_id""".stripMargin)),
+
+    // ---- streaming price reconciliation (q138 maintained live) ------------
+    // q138's binned range join, stream-static: arriving lineitem
+    // prices probe the STANDING order-window index (the ±$1 intervals
+    // exploded to their bins ONCE and cached — at 100 TB this is the
+    // broadcast/bucketed reference side), each micro-batch joins only
+    // its own points, and the per-priority match counts fold into the
+    // versioned monoid state (counts and sums are additive, so replay
+    // order can't change them). Per-batch cost ∝ batch × bin
+    // selectivity — the arriving data never re-joins old batches.
+    // Oracle is q138's SQL verbatim: batch certifies streaming.
+    ("st41_stream_price_recon",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.types._
+        val in = ensureLineitemStream(s, d)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_st41q").toString
+        val intervals = Tables.load(s, d, "orders")
+          .select(col("o_orderpriority"),
+            (round(col("o_totalprice") * 100).cast("long") - 100L).as("lo"),
+            (round(col("o_totalprice") * 100).cast("long") + 100L).as("hi"))
+          .withColumn("__bin", explode(sequence(
+            floor(col("lo") / 1000L).cast("long"),
+            floor(col("hi") / 1000L).cast("long"))))
+          .cache()
+        def fold(df: DataFrame): DataFrame = df
+          .groupBy(col("o_orderpriority"))
+          .agg(sum(col("n_pairs")).as("n_pairs"),
+            sum(col("sum_price_c")).as("sum_price_c"))
+        val stream = s.readStream.schema(StructType(Seq(
+            StructField("pk", LongType), StructField("sk", LongType),
+            StructField("qty", LongType), StructField("price_c", LongType))))
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$in/part-*")
+        val emptyState = s.range(0).select(
+          col("id").cast("string").as("o_orderpriority"),
+          col("id").as("n_pairs"), col("id").as("sum_price_c"))
+        val res = graft.streaming.VersionedView.run(
+            s, stream, s"$tmp/state", s"$tmp/ckpt", emptyState) {
+          (prev, batch, _) =>
+            val delta = batch
+              .select(col("price_c").as("p"),
+                floor(col("price_c") / 1000L).cast("long").as("__bin"))
+              .join(intervals, Seq("__bin"))
+              .filter(col("p") >= col("lo") && col("p") <= col("hi"))
+              .groupBy(col("o_orderpriority"))
+              .agg(count(lit(1)).as("n_pairs"), sum(col("p")).as("sum_price_c"))
+            fold(prev.unionByName(delta))
+        }
+        intervals.unpersist()
+        res.orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority,
+             |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             |  CAST(SUM(p) AS BIGINT) AS sum_price_c
+             |FROM (SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS p
+             |      FROM lineitem) pts
+             |JOIN (SELECT o_orderpriority,
+             |        CAST(round(o_totalprice*100) AS BIGINT) - 100 AS lo,
+             |        CAST(round(o_totalprice*100) AS BIGINT) + 100 AS hi
+             |      FROM orders) itv
+             |  ON pts.p >= itv.lo AND pts.p <= itv.hi
+             |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),
   )
 }
