@@ -68,11 +68,17 @@ object AsOfJoin {
     * Same contract as [[asOf]]: right unique per (key, time), inclusive
     * match, null keys/times never match. Left and right must be
     * DISTINCT frames (an as-of self-join needs a re-analyzed copy —
-    * the custom node is invisible to the analyzer's relation dedup). */
+    * the custom node is invisible to the analyzer's relation dedup).
+    *
+    * `forward = true` flips the direction: the EARLIEST right row with
+    * `rightTime >= leftTime` (pandas merge_asof direction='forward',
+    * DuckDB `ASOF ... ON l.t <= r.t`) — same one-pass merge, and in
+    * this direction the exec holds no candidate state at all. */
   def asOfNative(left: DataFrame, right: DataFrame,
                  leftKey: String, leftTime: String,
                  rightKey: String, rightTime: String,
-                 valueCols: Seq[String]): DataFrame = {
+                 valueCols: Seq[String],
+                 forward: Boolean = false): DataFrame = {
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
     def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
@@ -87,6 +93,6 @@ object AsOfJoin {
       graft.plans.AsOfJoinPlan(lPlan, rPlan,
         Seq(attr(lPlan, leftKey)), attr(lPlan, leftTime),
         Seq(attr(rPlan, rightKey)), attr(rPlan, rightTime),
-        valueCols.map(attr(rPlan, _))))
+        valueCols.map(attr(rPlan, _)), forward))
   }
 }

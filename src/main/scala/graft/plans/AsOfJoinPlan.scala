@@ -45,7 +45,8 @@ case class AsOfJoinPlan(
     leftTime: Attribute,
     rightKeys: Seq[Attribute],
     rightTime: Attribute,
-    rightValues: Seq[Attribute]) extends BinaryNode {
+    rightValues: Seq[Attribute],
+    forward: Boolean = false) extends BinaryNode {
 
   // the match is optional, so right-side values turn nullable
   override def output: Seq[Attribute] =
@@ -61,8 +62,8 @@ case class AsOfJoinPlan(
 /** Plans [[AsOfJoinPlan]] into [[AsOfJoinExec]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, lt, rk, rt, rv) =>
-      AsOfJoinExec(lk, lt, rk, rt, rv, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, lt, rk, rt, rv, fwd) =>
+      AsOfJoinExec(lk, lt, rk, rt, rv, fwd, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -72,8 +73,9 @@ object AsOfJoinStrategy extends SparkStrategy {
   * Required layout (EnsureRequirements inserts the shuffles/sorts):
   * both sides hash-clustered on their keys and sorted by
   * (keys..., time) ascending within each partition. The merge then makes
-  * one pass over each side per partition:
+  * one pass over each side per partition.
   *
+  * BACKWARD (default, `rt <= lt`, greatest qualifying time):
   *  - advance the right cursor past every row whose key sorts before the
   *    current left key (stale keys can never match later left rows —
   *    left keys only grow);
@@ -82,10 +84,18 @@ object AsOfJoinStrategy extends SparkStrategy {
   *    GREATEST qualifying time — so memory is one row, not one group);
   *  - emit left ++ candidateValues, or left ++ nulls when the candidate
   *    is absent or keyed differently.
-  *
   * Retained candidates survive across left rows of the same key (left
   * times ascend, so a previous match stays valid until a later right row
-  * supersedes it). NULL semantics follow SQL joins: a null in any key or
+  * supersedes it).
+  *
+  * FORWARD (`rt >= lt`, smallest qualifying time) needs NO candidate
+  * state at all: rows with `rt < lt` are discarded (later left rows
+  * have even greater times, so they can never match those either), and
+  * the match — when the keys agree — is simply the right cursor's
+  * CURRENT row, left unconsumed because it may also match later left
+  * rows.
+  *
+  * NULL semantics follow SQL joins either way: a null in any key or
   * in either time never matches. Null-first sort order makes the skips
   * cheap: null-keyed/timed rows cluster at each boundary's start.
   */
@@ -95,6 +105,7 @@ case class AsOfJoinExec(
     rightKeys: Seq[Attribute],
     rightTime: Attribute,
     rightValues: Seq[Attribute],
+    forward: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -136,13 +147,18 @@ case class AsOfJoinExec(
       val out = UnsafeProjection.create(output, output)
 
       new Iterator[InternalRow] {
-        // the single retained candidate: its key + projected values
+        // backward only — the single retained candidate (key + values)
         private var candKey: UnsafeRow = _
         private var candValues: UnsafeRow = _
         private var rRow: InternalRow =
           if (rIter.hasNext) rIter.next() else null
 
-        private def advanceRight(lKey: UnsafeRow, lTimeVal: Any): Unit = {
+        private def rightTimeVal(): Any =
+          if (rRow.isNullAt(rTimeOrd)) null else rRow.get(rTimeOrd, timeType)
+
+        /** Backward: consume qualifying rows into the candidate, stop at
+          * the first future-dated or ahead-keyed row. */
+        private def advanceBackward(lKey: UnsafeRow, lTimeVal: Any): Unit = {
           var done = false
           while (!done && rRow != null) {
             val rKey = rKeyProj(rRow)
@@ -151,8 +167,7 @@ case class AsOfJoinExec(
               // stale or null-keyed right row: skip (left keys ascend)
               rRow = if (rIter.hasNext) rIter.next() else null
             } else if (c == 0) {
-              val rt = if (rRow.isNullAt(rTimeOrd)) null
-                       else rRow.get(rTimeOrd, timeType)
+              val rt = rightTimeVal()
               if (rt == null) {
                 // null right time never matches anyone: skip
                 rRow = if (rIter.hasNext) rIter.next() else null
@@ -167,6 +182,31 @@ case class AsOfJoinExec(
           }
         }
 
+        /** Forward: discard rows that can never match this or any later
+          * left row; the match (if keys agree) is the CURRENT row, left
+          * unconsumed for later left rows. */
+        private def advanceForward(lKey: UnsafeRow, lTimeVal: Any): UnsafeRow = {
+          var done = false
+          var matched: UnsafeRow = null
+          while (!done && rRow != null) {
+            val rKey = rKeyProj(rRow)
+            val c = if (rKey.anyNull) -1 else keyOrd.compare(rKey, lKey)
+            if (c < 0) {
+              rRow = if (rIter.hasNext) rIter.next() else null
+            } else if (c == 0) {
+              val rt = rightTimeVal()
+              if (rt == null || timeOrd.compare(rt, lTimeVal) < 0) {
+                // null time, or already behind EVERY remaining left time
+                rRow = if (rIter.hasNext) rIter.next() else null
+              } else {
+                matched = rValueProj(rRow) // no copy: emitted before next()
+                done = true
+              }
+            } else done = true
+          }
+          matched
+        }
+
         override def hasNext: Boolean = lIter.hasNext
 
         override def next(): InternalRow = {
@@ -176,9 +216,13 @@ case class AsOfJoinExec(
                          else lRow.get(lTimeOrd, timeType)
           var matched: UnsafeRow = null
           if (!lKey.anyNull && lTimeVal != null) {
-            advanceRight(lKey, lTimeVal)
-            if (candValues != null && keyOrd.compare(candKey, lKey) == 0) {
-              matched = candValues
+            if (forward) {
+              matched = advanceForward(lKey, lTimeVal)
+            } else {
+              advanceBackward(lKey, lTimeVal)
+              if (candValues != null && keyOrd.compare(candKey, lKey) == 0) {
+                matched = candValues
+              }
             }
           }
           numOutputRows += 1

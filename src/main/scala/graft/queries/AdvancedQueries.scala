@@ -3571,5 +3571,37 @@ object AdvancedQueries {
              |  CAST(COUNT(DISTINCT u_key) AS BIGINT) AS n_urgent_orders
              |FROM u JOIN l ON u_lo <= l_hi AND l_lo <= u_hi
              |GROUP BY 1 ORDER BY u_month""".stripMargin)),
+
+    // ---- forward as-of join (next-event lookup, native exec) --------------
+    // q131's mirror: for each event, the user's NEXT order at-or-after
+    // the event — the "time-to-next-conversion" primitive. Forward
+    // direction through the same custom sort-merge exec (zero candidate
+    // state: the right cursor's current row IS the answer), certified
+    // by DuckDB's forward ASOF (`ON e.t <= o.o_orderdate`).
+    ("q140_asof_forward",
+      (s: SparkSession, d: String) => {
+        val events = Tables.load(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            Tables.eventTime(col("ts")).as("event_time"))
+        val orders = Tables.load(s, d, "orders")
+          .groupBy(col("o_custkey"), col("o_orderdate"))
+          .agg(min(col("o_orderkey")).as("o_orderkey"))
+        graft.ops.AsOfJoin.asOfNative(events, orders,
+            leftKey = "user_id", leftTime = "event_time",
+            rightKey = "o_custkey", rightTime = "o_orderdate",
+            valueCols = Seq("o_orderkey"), forward = true)
+          .select(col("event_id"), col("user_id"),
+            col("o_orderkey").as("next_orderkey"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+             |o AS (
+             |  SELECT o_custkey, o_orderdate, min(o_orderkey) AS o_orderkey
+             |  FROM orders GROUP BY o_custkey, o_orderdate)
+             |SELECT e.event_id, e.user_id, o.o_orderkey AS next_orderkey
+             |FROM e ASOF LEFT JOIN o
+             |  ON e.user_id = o.o_custkey AND e.t <= o.o_orderdate
+             |ORDER BY e.event_id""".stripMargin)),
   )
 }

@@ -531,8 +531,12 @@ object TrainingPrepQueries {
           .select(col("doc_id"), round(log(col("n_w") / lit(total)), 6).as("lp"))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_tokens"),
-            round(sum(col("lp").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
-              .cast("double") / count(lit(1)).cast("double"), 6).as("avg_logprob"))
+            // exact integer micro-logprob total: each lp is a 6-dp value,
+            // so the DECIMAL sum x 1e6 is an exact BIGINT on both engines
+            // (a divided-then-rounded double avg hit a half-way rounding
+            // boundary at sf0.1 - engines disagree on double halves)
+            (sum(col("lp").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+              * 1000000).cast("long").as("sum_lp_micro"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH t AS (SELECT doc_id, u.term AS term FROM documents,
@@ -542,8 +546,8 @@ object TrainingPrepQueries {
              |lp AS (SELECT t.doc_id, round(ln(v.n_w / tot.n), 6) AS lp
              |       FROM t JOIN v USING (term) CROSS JOIN tot)
              |SELECT doc_id, COUNT(*) AS n_tokens,
-             |  round(CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE)
-             |        / CAST(COUNT(*) AS DOUBLE), 6) AS avg_logprob
+             |  CAST(SUM(CAST(lp AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+             |    AS sum_lp_micro
              |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // ---- formatting-insensitive exact dedup on canonical text -------------
@@ -1022,8 +1026,12 @@ object TrainingPrepQueries {
             round(log((col("c12") + 1.0) / (col("c1") + vocab)), 6).as("lp"))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_bigrams"),
-            round(sum(col("lp").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
-              .cast("double") / count(lit(1)).cast("double"), 6).as("avg_logprob"))
+            // exact integer micro-logprob total: each lp is a 6-dp value,
+            // so the DECIMAL sum x 1e6 is an exact BIGINT on both engines
+            // (a divided-then-rounded double avg hit a half-way rounding
+            // boundary at sf0.1 - engines disagree on double halves)
+            (sum(col("lp").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+              * 1000000).cast("long").as("sum_lp_micro"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH t AS (SELECT doc_id,
@@ -1043,8 +1051,8 @@ object TrainingPrepQueries {
              |       FROM bg JOIN cb USING (bg) JOIN un USING (term)
              |       CROSS JOIN vv)
              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-             |  round(CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE)
-             |        / CAST(COUNT(*) AS DOUBLE), 6) AS avg_logprob
+             |  CAST(SUM(CAST(lp AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+             |    AS sum_lp_micro
              |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // ---- cross-document boilerplate chunk report (paragraph dedup) --------

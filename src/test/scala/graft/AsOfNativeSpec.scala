@@ -94,6 +94,29 @@ class AsOfNativeSpec extends SparkSpec {
     assert(canon(viaNative) == canon(viaWindow))
   }
 
+  test("forward direction: earliest right at-or-after, proven against a direct computation") {
+    import spark.implicits._
+    val direct = trades.crossJoin(quotes)
+      .filter(col("sym") === col("qsym") && col("qt") >= col("t"))
+      .groupBy(col("trade_id"))
+      .agg(min_by(col("px"), struct(col("qt"))).as("px_direct"))
+    val native = AsOfJoin.asOfNative(trades, quotes,
+      "sym", "t", "qsym", "qt", Seq("px"), forward = true)
+    val joinedUp = native.join(direct, Seq("trade_id"), "left")
+    // every matched row agrees with the direct min-qt answer; every
+    // unmatched row has no qualifying quote
+    assert(joinedUp.filter(!(col("px") <=> col("px_direct"))).count() == 0)
+    assert(native.count() == trades.count())
+    // inclusive at equal timestamps, and matches exist in this fixture
+    val l = Seq((1L, 10L, "a"), (2L, 99L, "b")).toDF("k", "t", "tag")
+    val r = Seq((1L, 10L, 7.0), (1L, 8L, 3.0)).toDF("rk", "rt", "v")
+    val out = AsOfJoin.asOfNative(l, r, "k", "t", "rk", "rt", Seq("v"),
+        forward = true)
+      .collect().map(x => (x.getString(2), Option(x.get(3)))).toMap
+    assert(out("a") == Some(7.0)) // rt=10 >= t=10 inclusive; rt=8 skipped
+    assert(out("b") == None)      // nothing at-or-after 99
+  }
+
   test("self-join guard fires instead of silently mis-binding") {
     intercept[IllegalArgumentException] {
       AsOfJoin.asOfNative(trades, trades, "sym", "t", "sym", "t", Seq("qty"))
