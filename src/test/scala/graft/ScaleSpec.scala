@@ -1428,6 +1428,18 @@ class ScaleSpec extends SparkSpec {
       s"interval binning (explode over covered bins) missing:\n${plan.take(4000)}")
   }
 
+  test("q140 forward as-of: same custom exec, same row preservation") {
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q140_asof_forward")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"),
+      s"AsOfJoinExec missing from the forward plan:\n${plan.take(4000)}")
+    assert(!plan.contains("Union") && !plan.contains("Window"),
+      s"composition machinery leaked into the native route:\n${plan.take(4000)}")
+    val events = Tables.load(spark, sf, "events").count()
+    assert(df.count() == events, "forward as-of must emit one row per left row")
+  }
+
   test("q134 Q20 shape: both fact reductions precede the semi join") {
     spark.catalog.clearCache()
     val plan = planOf(SparkEntry.queries("q134_overstocked_suppliers")(spark, sf))
