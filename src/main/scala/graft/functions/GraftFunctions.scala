@@ -94,7 +94,14 @@ object GraftFunctions {
     "token_set_count" -> (es => TokenSetCount(es(0),
       stringArrayArg(es(1), "token_set_count"))),
     // 2-D Morton interleave (q58's layout key)
-    "zorder2" -> (es => ZOrder2(es(0), es(1))))
+    "zorder2" -> (es => ZOrder2(es(0), es(1))),
+    // exact distinct-id bitmaps: build + re-aggregate + read (q145).
+    // `id_`-prefixed throughout: Spark 4 ships its own bitmap_count /
+    // bitmap_or_agg family and registry names must not shadow builtins
+    "id_bitmap" -> (es => IdBitmapAgg(es(0), longArg(es(1), "id_bitmap"))),
+    "id_bitmap_or" -> (es => BitmapOrAgg(es(0))),
+    "id_bitmap_count" -> (es => BitmapCount(es(0))),
+    "id_bitmap_and_count" -> (es => BitmapAndCount(es(0), es(1))))
 
   /** Register into an existing session (temp functions). */
   def register(spark: SparkSession): Unit =

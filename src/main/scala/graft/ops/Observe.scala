@@ -39,19 +39,34 @@ object Observe {
   def metrics(df: DataFrame, name: String): Option[Row] =
     df.queryExecution.observedMetrics.get(name)
 
-  /** Run `action` (any Spark action on a frame observed under `name` —
-    * a write, a count, a collect) and capture the observed metrics row
-    * from its completion event. The listener bus delivers
-    * asynchronously, so the capture waits — bounded by `timeoutMs`,
-    * never indefinitely. Returns the action's result and the metrics
-    * (None only if no execution carrying `name` completed in time). */
-  def runAndCollect[T](spark: SparkSession, name: String,
-                       timeoutMs: Long = 10000L)(action: => T): (T, Option[Row]) = {
+  // per-call observation tag: the QueryExecutionListener is session-wide
+  // and matched by metric name, so two concurrent actions observing the
+  // SAME name could each capture the other's row. A per-call unique name
+  // makes the match the wrapped action's execution by construction.
+  private val callIds = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Observe `df` under a per-call UNIQUE internal name derived from
+    * `name`, hand the observed frame to `action` (any Spark action — a
+    * write, a count, a collect), and capture the observed metrics row
+    * from that action's completion event. Because the observation name
+    * is unique to this call, a concurrent action observing the same
+    * user-facing `name` on another thread can't be captured in its
+    * place. The listener bus delivers asynchronously, so the capture
+    * waits — bounded by `timeoutMs`, never indefinitely. Returns the
+    * action's result and the metrics (None only if the action's
+    * execution didn't complete on the bus in time). */
+  def runAndCollect[T](df: DataFrame, name: String,
+                       metricsCols: Seq[Column],
+                       timeoutMs: Long = 10000L)(action: DataFrame => T): (T, Option[Row]) = {
+    require(metricsCols.nonEmpty, "runAndCollect needs at least one metric column")
+    val spark = df.sparkSession
+    val tag = s"$name#${callIds.incrementAndGet()}"
+    val observed = df.observe(tag, metricsCols.head, metricsCols.tail: _*)
     @volatile var captured: Option[Row] = None
     val listener = new QueryExecutionListener {
       override def onSuccess(funcName: String, qe: QueryExecution,
                              durationNs: Long): Unit =
-        qe.observedMetrics.get(name).foreach { r =>
+        qe.observedMetrics.get(tag).foreach { r =>
           captured = Some(r)
         }
       override def onFailure(funcName: String, qe: QueryExecution,
@@ -59,7 +74,7 @@ object Observe {
     }
     spark.listenerManager.register(listener)
     try {
-      val result = action
+      val result = action(observed)
       val deadline = System.nanoTime() + timeoutMs * 1000000L
       while (captured.isEmpty && System.nanoTime() < deadline)
         Thread.sleep(20)

@@ -29,11 +29,21 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  private def binOf(c: Column, binWidth: Long): Column =
-    // true division + floor, so negative axis values bin correctly
-    // (long "/" truncates toward zero); axis values must stay within
-    // double's 2^53 integer range for the bin id to be exact
-    floor(c / binWidth).cast("long")
+  private def binOf(c: Column, binWidth: Long): Column = {
+    // integer floor-division on longs — exact over the WHOLE long range
+    // (the earlier double-division floor was only exact within 2^53 and
+    // silently mis-binned beyond): SQL `div` truncates toward zero, so
+    // adjust by -1 when a negative value has a remainder. binWidth is
+    // validated positive by both joins, so `c % binWidth < 0` iff the
+    // value is negative and inexact.
+    val t = call_function("div", c, lit(binWidth))
+    when(c % binWidth < 0, t - 1).otherwise(t)
+  }
+
+  private def requireNoBin(df: DataFrame, side: String): Unit =
+    require(!df.columns.contains("__bin"),
+      s"$side already has a __bin column — it would collide with the " +
+        "join's internal bin tag; rename it first")
 
   /** Join `points` (scalar column `pointCol`) to `intervals` (columns
     * `loCol`..`hiCol`, inclusive) on containment: lo <= p <= hi.
@@ -42,6 +52,8 @@ object RangeJoin {
                       intervals: DataFrame, loCol: String, hiCol: String,
                       binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    requireNoBin(points, "points")
+    requireNoBin(intervals, "intervals")
     val taggedPoints = points.withColumn("__bin", binOf(col(pointCol), binWidth))
     val explodedIntervals = intervals.withColumn("__bin",
       explode(sequence(binOf(col(loCol), binWidth), binOf(col(hiCol), binWidth))))
@@ -62,6 +74,8 @@ object RangeJoin {
                       b: DataFrame, bLo: String, bHi: String,
                       binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    requireNoBin(a, "left intervals")
+    requireNoBin(b, "right intervals")
     def exploded(df: DataFrame, lo: String, hi: String): DataFrame =
       df.withColumn("__bin",
         explode(sequence(binOf(col(lo), binWidth), binOf(col(hi), binWidth))))

@@ -48,6 +48,23 @@ case class AsOfJoinPlan(
     rightValues: Seq[Attribute],
     forward: Boolean = false) extends BinaryNode {
 
+  // Fail loudly on side-type mismatches: the exec reads the RIGHT
+  // side's time through an accessor typed from the LEFT time column and
+  // compares keys with an ordering built from the LEFT key types, so a
+  // DateType-vs-TimestampType time pair (days compared as micros) or an
+  // int-vs-long key pair would produce silently wrong matches, not an
+  // analysis error.
+  require(leftKeys.length == rightKeys.length,
+    s"as-of join: ${leftKeys.length} left keys vs ${rightKeys.length} right keys")
+  leftKeys.zip(rightKeys).foreach { case (l, r) =>
+    require(l.dataType == r.dataType,
+      s"as-of join key type mismatch: ${l.name}: ${l.dataType.sql} vs " +
+        s"${r.name}: ${r.dataType.sql} — cast one side explicitly")
+  }
+  require(leftTime.dataType == rightTime.dataType,
+    s"as-of join time type mismatch: ${leftTime.name}: ${leftTime.dataType.sql} vs " +
+      s"${rightTime.name}: ${rightTime.dataType.sql} — cast one side explicitly")
+
   // the match is optional, so right-side values turn nullable
   override def output: Seq[Attribute] =
     left.output ++ rightValues.map(_.withNullability(true))

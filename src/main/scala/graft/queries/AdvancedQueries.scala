@@ -3226,6 +3226,11 @@ object AdvancedQueries {
           .select(col("event_id"), col("user_id"),
             Tables.eventTime(col("ts")).as("event_time"))
         val orders = Tables.load(s, d, "orders")
+          // o_orderdate is TIMESTAMP_NTZ on disk; the native exec
+          // requires matching side types (its accessors/orderings come
+          // from the LEFT types), so align to the event TIMESTAMP —
+          // value-preserving under the UTC session zone
+          .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
           .groupBy(col("o_custkey"), col("o_orderdate"))
           .agg(max(col("o_orderkey")).as("o_orderkey"))
         graft.ops.AsOfJoin.asOfNative(events, orders,
@@ -3584,6 +3589,8 @@ object AdvancedQueries {
           .select(col("event_id"), col("user_id"),
             Tables.eventTime(col("ts")).as("event_time"))
         val orders = Tables.load(s, d, "orders")
+          // NTZ→TIMESTAMP: same side-type alignment as q131
+          .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
           .groupBy(col("o_custkey"), col("o_orderdate"))
           .agg(min(col("o_orderkey")).as("o_orderkey"))
         graft.ops.AsOfJoin.asOfNative(events, orders,
@@ -3603,5 +3610,276 @@ object AdvancedQueries {
              |FROM e ASOF LEFT JOIN o
              |  ON e.user_id = o.o_custkey AND e.t <= o.o_orderdate
              |ORDER BY e.event_id""".stripMargin)),
+
+    // ---- interval coverage: sweep-line union length ------------------------
+    // "How many DISTINCT days was each supplier actively shipping?" —
+    // overlapping per-supplier activity intervals (ship day + a
+    // quantity-proportional tail) merged into islands by the classic
+    // sweep-line rewrite: within each key, ordered by (lo, hi), a row
+    // opens a NEW island exactly when its lo clears the running max of
+    // every earlier hi; islands then aggregate to union length without
+    // expanding intervals into per-day rows (the naive explode would
+    // multiply the fact table by mean interval width). Day indexes are
+    // integers from a fixed epoch (engine-portable). Scale shape: one
+    // shuffle on suppkey; both windows and both group-bys reuse that
+    // partitioning — never a global sort, never a calendar join.
+    ("q141_interval_coverage",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val day = datediff(to_date(col("l_shipdate")), lit("1990-01-01"))
+          .cast("long")
+        val iv = Tables.load(s, d, "lineitem")
+          .select(col("l_suppkey").as("sk"), day.as("lo"),
+            (day + round(col("l_quantity")).cast("long")).as("hi"))
+          .distinct() // total (lo, hi) order per key => deterministic flags
+        val w = Window.partitionBy(col("sk")).orderBy(col("lo"), col("hi"))
+        val prevMax = max(col("hi")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1))
+        val grp = iv
+          .withColumn("flag",
+            when(prevMax.isNull || col("lo") > prevMax, 1L).otherwise(0L))
+          .withColumn("grp", sum(col("flag")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        grp.groupBy(col("sk"), col("grp"))
+          .agg((max(col("hi")) - min(col("lo")) + 1L).as("covered"))
+          .groupBy(col("sk").as("s_suppkey"))
+          .agg(sum(col("covered")).as("covered_days"),
+            count(lit(1)).as("n_islands"),
+            max(col("covered")).as("max_span"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""WITH iv AS (
+             |  SELECT DISTINCT l_suppkey AS sk,
+             |    CAST(date_diff('day', DATE '1990-01-01',
+             |         CAST(l_shipdate AS DATE)) AS BIGINT) AS lo,
+             |    CAST(date_diff('day', DATE '1990-01-01',
+             |         CAST(l_shipdate AS DATE))
+             |      + CAST(round(l_quantity) AS BIGINT) AS BIGINT) AS hi
+             |  FROM lineitem),
+             |fl AS (
+             |  SELECT sk, lo, hi,
+             |    CASE WHEN MAX(hi) OVER pre IS NULL OR lo > MAX(hi) OVER pre
+             |         THEN 1 ELSE 0 END AS flag
+             |  FROM iv
+             |  WINDOW pre AS (PARTITION BY sk ORDER BY lo, hi
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+             |gr AS (
+             |  SELECT sk, lo, hi,
+             |    SUM(flag) OVER (PARTITION BY sk ORDER BY lo, hi
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+             |  FROM fl),
+             |isl AS (SELECT sk, grp, MAX(hi) - MIN(lo) + 1 AS covered
+             |        FROM gr GROUP BY 1, 2)
+             |SELECT sk AS s_suppkey,
+             |  CAST(SUM(covered) AS BIGINT) AS covered_days,
+             |  CAST(COUNT(*) AS BIGINT) AS n_islands,
+             |  CAST(MAX(covered) AS BIGINT) AS max_span
+             |FROM isl GROUP BY 1 ORDER BY s_suppkey""".stripMargin)),
+
+    // ---- functional-dependency audit ---------------------------------------
+    // Schema-profiling beyond q80's per-column stats: does A determine
+    // B in the data (the FD a constraint or a normalization decision
+    // would rely on)? For each candidate FD the audit reports how many
+    // LHS values exist, how many map to >1 distinct RHS (violations),
+    // and the worst fan-out. Each FD is one two-level aggregate —
+    // distinct-per-group then a constant-size rollup, map-side partials
+    // all the way; the unioned report is K tiny frames, never a join.
+    ("q142_fd_violations",
+      (s: SparkSession, d: String) => {
+        def fd(df: DataFrame, name: String, lhs: String, rhs: String): DataFrame =
+          df.groupBy(col(lhs)).agg(count_distinct(col(rhs)).as("k"))
+            .agg(count(lit(1)).as("n_lhs"),
+              sum(when(col("k") > 1, 1L).otherwise(0L)).as("n_violating"),
+              max(col("k")).as("max_fanout"))
+            .select(lit(name).as("fd"), col("n_lhs"), col("n_violating"),
+              col("max_fanout"))
+        val part = Tables.load(s, d, "part")
+        fd(part, "part: p_brand -> p_type", "p_brand", "p_type")
+          .unionAll(fd(part, "part: p_type -> p_brand", "p_type", "p_brand"))
+          .unionAll(fd(Tables.load(s, d, "customer"),
+            "customer: c_nationkey -> c_mktsegment", "c_nationkey", "c_mktsegment"))
+          .unionAll(fd(Tables.load(s, d, "orders"),
+            "orders: o_custkey -> o_orderpriority", "o_custkey", "o_orderpriority"))
+          .unionAll(fd(Tables.load(s, d, "lineitem"),
+            "lineitem: l_orderkey -> l_suppkey", "l_orderkey", "l_suppkey"))
+          .orderBy(col("fd"))
+      },
+      Some("""SELECT fd, n_lhs, n_violating, max_fanout FROM (
+             |  SELECT 'part: p_brand -> p_type' AS fd,
+             |    CAST(COUNT(*) AS BIGINT) AS n_lhs,
+             |    CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+             |    CAST(MAX(k) AS BIGINT) AS max_fanout
+             |  FROM (SELECT p_brand, COUNT(DISTINCT p_type) AS k
+             |        FROM part GROUP BY 1)
+             |  UNION ALL
+             |  SELECT 'part: p_type -> p_brand',
+             |    CAST(COUNT(*) AS BIGINT),
+             |    CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(MAX(k) AS BIGINT)
+             |  FROM (SELECT p_type, COUNT(DISTINCT p_brand) AS k
+             |        FROM part GROUP BY 1)
+             |  UNION ALL
+             |  SELECT 'customer: c_nationkey -> c_mktsegment',
+             |    CAST(COUNT(*) AS BIGINT),
+             |    CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(MAX(k) AS BIGINT)
+             |  FROM (SELECT c_nationkey, COUNT(DISTINCT c_mktsegment) AS k
+             |        FROM customer GROUP BY 1)
+             |  UNION ALL
+             |  SELECT 'orders: o_custkey -> o_orderpriority',
+             |    CAST(COUNT(*) AS BIGINT),
+             |    CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(MAX(k) AS BIGINT)
+             |  FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS k
+             |        FROM orders GROUP BY 1)
+             |  UNION ALL
+             |  SELECT 'lineitem: l_orderkey -> l_suppkey',
+             |    CAST(COUNT(*) AS BIGINT),
+             |    CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(MAX(k) AS BIGINT)
+             |  FROM (SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS k
+             |        FROM lineitem GROUP BY 1))
+             |ORDER BY fd""".stripMargin)),
+
+    // ---- block-jackknife leave-one-out table -------------------------------
+    // Distributed uncertainty estimation WITHOUT resampling the corpus:
+    // hash rows into K deterministic blocks (one aggregate pass), and
+    // each leave-one-block-out mean falls out of the block sums by
+    // subtraction — the delete-d jackknife's entire input, computed
+    // from K partials instead of K re-scans (the same trick makes it
+    // free as a streaming side-output). All arithmetic is exact
+    // integers: cents sums, and the LOO mean exported in tenth-cents
+    // via integer floor-division (positive operands — engine-portable,
+    // no float division order to disagree on).
+    ("q143_jackknife_loo",
+      (s: SparkSession, d: String) => {
+        val cents = round(col("o_totalprice") * 100).cast("long")
+        val blocks = Tables.load(s, d, "orders")
+          .groupBy((col("o_orderkey") % 10).as("block"))
+          .agg(count(lit(1)).as("n_b"), sum(cents).as("sum_cents_b"))
+        val tot = blocks.agg(sum(col("n_b")).as("n_all"),
+          sum(col("sum_cents_b")).as("s_all"))
+        blocks.crossJoin(tot)
+          .select(col("block"), col("n_b"), col("sum_cents_b"),
+            call_function("div",
+              (col("s_all") - col("sum_cents_b")) * 10000L,
+              col("n_all") - col("n_b")).as("loo_mean_tc"))
+          .orderBy(col("block"))
+      },
+      Some("""WITH b AS (
+             |  SELECT o_orderkey % 10 AS block,
+             |    CAST(COUNT(*) AS BIGINT) AS n_b,
+             |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |      AS sum_cents_b
+             |  FROM orders GROUP BY 1),
+             |t AS (SELECT SUM(n_b) AS n_all, SUM(sum_cents_b) AS s_all FROM b)
+             |SELECT block, n_b, sum_cents_b,
+             |  CAST((s_all - sum_cents_b) * 10000 // (n_all - n_b) AS BIGINT)
+             |    AS loo_mean_tc
+             |FROM b CROSS JOIN t ORDER BY block""".stripMargin)),
+
+    // ---- exact ROC AUC (rank-sum) ------------------------------------------
+    // Model-eval primitive over a scored corpus: the exact Mann-Whitney
+    // AUC of "does value predict a purchase", computed from per-SCORE
+    // tie groups (average ranks), not per-row ranks — the window runs
+    // over DISTINCT cent values, a DOMAIN-BOUNDED set (price grid, ≤
+    // ~56k values at any corpus size) rather than the row count, which
+    // is what makes the unpartitioned cumulative sum safe at 100 TB
+    // (same bounded-domain argument as q85's cents histogram). All
+    // integer: 2·ranksum keeps tie midpoints exact, AUC exported in
+    // basis points by integer floor-division.
+    ("q144_auc",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val g = Tables.load(s, d, "events")
+          .select(round(col("value") * 100).cast("long").as("cents"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+          .groupBy(col("cents"))
+          .agg(count(lit(1)).as("c"), sum(col("pos")).as("p"))
+        val w = Window.orderBy(col("cents"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val t = g
+          .withColumn("cum_lt", coalesce(sum(col("c")).over(w), lit(0L)))
+          .agg(sum(col("p")).as("n_pos"),
+            sum(col("c") - col("p")).as("n_neg"),
+            sum(col("p") * (col("cum_lt") * 2L + col("c") + 1L)).as("sum2r"))
+        t.select(col("n_pos"), col("n_neg"),
+            (col("sum2r") - col("n_pos") * (col("n_pos") + 1L)).as("auc_num2"),
+            (col("n_pos") * col("n_neg") * 2L).as("auc_den2"),
+            call_function("div",
+              (col("sum2r") - col("n_pos") * (col("n_pos") + 1L)) * 10000L,
+              col("n_pos") * col("n_neg") * 2L).as("auc_bp"))
+      },
+      Some("""WITH g AS (
+             |  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             |    CAST(COUNT(*) AS BIGINT) AS c,
+             |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |         AS BIGINT) AS p
+             |  FROM events GROUP BY 1),
+             |cum AS (
+             |  SELECT p, c,
+             |    COALESCE(SUM(c) OVER (ORDER BY cents
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS cum_lt
+             |  FROM g),
+             |t AS (
+             |  SELECT SUM(p) AS n_pos, SUM(c - p) AS n_neg,
+             |    SUM(p * (2 * cum_lt + c + 1)) AS sum2r
+             |  FROM cum)
+             |SELECT CAST(n_pos AS BIGINT) AS n_pos,
+             |  CAST(n_neg AS BIGINT) AS n_neg,
+             |  CAST(sum2r - n_pos * (n_pos + 1) AS BIGINT) AS auc_num2,
+             |  CAST(n_pos * n_neg * 2 AS BIGINT) AS auc_den2,
+             |  CAST((sum2r - n_pos * (n_pos + 1)) * 10000
+             |       // (n_pos * n_neg * 2) AS BIGINT) AS auc_bp
+             |FROM t""".stripMargin)),
+
+    // ---- exact distinct rollup from stored bitmaps --------------------------
+    // The pre-aggregated-bitmap pattern (Druid / ClickHouse groupBitmap):
+    // build ONE exact user bitmap per (day, event_type) — the grain a
+    // pipeline would persist — then answer the weekly exact distinct by
+    // OR-merging the daily bitmaps, never re-touching the fact rows.
+    // `sum_daily` (what naive re-summing of daily distincts would
+    // claim) ships alongside the true merged count — their gap is the
+    // cross-day repeat audience, the number the bitmap exists to get
+    // right. Custom TypedImperativeAggregates ([[graft.functions.IdBitmap]]):
+    // map-side partials shuffle canonical ≤ maxBits/8-byte arrays, and
+    // merge is word-wise OR — order-independent, so the stored bitmap
+    // bytes are stable under any partitioning.
+    ("q145_bitmap_rollup",
+      (s: SparkSession, d: String) => {
+        import graft.functions.IdBitmap
+        val day = datediff(to_date(Tables.eventTime(col("ts"))),
+          lit("1990-01-01")).cast("long")
+        val daily = Tables.load(s, d, "events")
+          .select(day.as("day_ix"), col("event_type"), col("user_id"))
+          .groupBy(col("day_ix"), col("event_type"))
+          .agg(IdBitmap.idBitmap(col("user_id"), 1L << 20).as("bm"))
+        daily
+          .groupBy(call_function("div", col("day_ix"), lit(7L)).as("week_ix"),
+            col("event_type"))
+          .agg(IdBitmap.bitmapCount(IdBitmap.bitmapOr(col("bm"))).as("n_users"),
+            sum(IdBitmap.bitmapCount(col("bm"))).as("sum_daily"))
+          .orderBy(col("week_ix"), col("event_type"))
+      },
+      Some("""WITH d AS (
+             |  SELECT CAST(date_diff('day', DATE '1990-01-01', CAST(ts AS DATE))
+             |       AS BIGINT) AS day_ix, event_type, user_id
+             |  FROM events),
+             |daily AS (
+             |  SELECT day_ix // 7 AS week_ix, day_ix, event_type,
+             |    COUNT(DISTINCT user_id) AS nd
+             |  FROM d GROUP BY 1, 2, 3),
+             |weekly AS (
+             |  SELECT week_ix, event_type, CAST(SUM(nd) AS BIGINT) AS sum_daily
+             |  FROM daily GROUP BY 1, 2),
+             |exact AS (
+             |  SELECT day_ix // 7 AS week_ix, event_type,
+             |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+             |  FROM d GROUP BY 1, 2)
+             |SELECT e.week_ix, e.event_type, e.n_users, w.sum_daily
+             |FROM exact e JOIN weekly w
+             |  ON e.week_ix = w.week_ix AND e.event_type = w.event_type
+             |ORDER BY e.week_ix, e.event_type""".stripMargin)),
   )
 }

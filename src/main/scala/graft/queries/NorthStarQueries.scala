@@ -2806,5 +2806,79 @@ object NorthStarQueries {
              |  round(AVG(me), 6) AS mean_abs_err,
              |  round(MAX(mx), 6) AS max_abs_err
              |FROM pv GROUP BY 1 ORDER BY label""".stripMargin)),
+
+    // ---- link prediction over the co-purchase graph -------------------------
+    // "Which part pairs are NEVER co-ordered yet share many co-purchase
+    // partners?" — common-neighbors + Adamic-Adar (Liben-Nowell &
+    // Kleinberg '03), the item-recommendation primitive, over the
+    // graph whose edges are part pairs co-occurring in >= 2 orders
+    // (the support threshold keeps the graph at its dense core; the
+    // dup graph c05/c07 use is transitively CLOSED by construction —
+    // cliques have no links to predict). Plan: per-order pair
+    // generation is basket-bounded (~|orders| x basket^2, linear in
+    // the fact table — q86's envelope), then the same wedge join as
+    // c07 (adjacency self-join on the center node, degree-bounded)
+    // minus existing edges via one anti join. AA terms are INTEGER
+    // surrogates — floor(1e6/ln(deg)) per shared neighbor, summed as
+    // longs — so cross-engine float summation order can't perturb the
+    // ranking; the full (cn, aa, a, c) key makes the top-20
+    // deterministic.
+    ("c15_link_prediction",
+      (s: SparkSession, d: String) => {
+        val li = Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val e = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+          .join(li.select(col("l_orderkey"), col("l_partkey").as("pb")),
+            "l_orderkey")
+          .filter(col("pa") < col("pb"))
+          .groupBy(col("pa").as("a"), col("pb").as("b"))
+          .agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+          .select(col("a"), col("b"))
+          .localCheckpoint() // support-filtered core, consumed 3 ways
+        val adj = e.select(col("a").as("u"), col("b").as("v"))
+          .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+        val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        val centers = adj.join(deg, "u")
+          .select(col("u").as("z"), col("v").as("a"),
+            floor(lit(1000000.0) / log(col("deg"))).cast("long").as("aa_term"))
+        val wedges = centers.join(
+          adj.select(col("u").as("z"), col("v").as("c")), "z")
+          .filter(col("a") < col("c"))
+        val scored = wedges.groupBy(col("a"), col("c"))
+          .agg(count(lit(1)).as("common_neighbors"),
+            sum(col("aa_term")).as("aa_score_u"))
+        val eAnti = e.select(col("a").as("ea"), col("b").as("eb"))
+        scored.join(eAnti,
+            col("a") === col("ea") && col("c") === col("eb"), "left_anti")
+          .select(col("a").as("id_a"), col("c").as("id_b"),
+            col("common_neighbors"), col("aa_score_u"))
+          .orderBy(col("common_neighbors").desc, col("aa_score_u").desc,
+            col("id_a"), col("id_b"))
+          .limit(20)
+      },
+      Some("""WITH li AS (
+             |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (
+             |  SELECT x.l_partkey AS a, y.l_partkey AS b
+             |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+             |    AND x.l_partkey < y.l_partkey
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+             |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg
+             |        FROM adj GROUP BY 1),
+             |ctr AS (SELECT adj.u AS z, adj.v AS a,
+             |          CAST(FLOOR(1000000.0 / ln(deg.deg)) AS BIGINT) AS aa_term
+             |        FROM adj JOIN deg ON deg.u = adj.u),
+             |sc AS (SELECT ctr.a, n2.v AS c,
+             |         CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+             |         CAST(SUM(aa_term) AS BIGINT) AS aa_score_u
+             |       FROM ctr JOIN adj n2 ON n2.u = ctr.z
+             |       WHERE ctr.a < n2.v GROUP BY 1, 2)
+             |SELECT sc.a AS id_a, sc.c AS id_b, common_neighbors, aa_score_u
+             |FROM sc LEFT JOIN e ON e.a = sc.a AND e.b = sc.c
+             |WHERE e.a IS NULL
+             |ORDER BY common_neighbors DESC, aa_score_u DESC, id_a, id_b
+             |LIMIT 20""".stripMargin)),
   )
 }

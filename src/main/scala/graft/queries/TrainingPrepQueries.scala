@@ -1340,5 +1340,87 @@ object TrainingPrepQueries {
              |    AS jsd_bits
              |FROM terms JOIN ns ON terms.source = ns.source
              |GROUP BY 1, 2 ORDER BY terms.source""".stripMargin)),
+
+    // ---- BPE first-merge statistics -----------------------------------------
+    // The inner loop of byte-pair-encoding tokenizer training (Sennrich
+    // et al. '16): count adjacent symbol-pair frequencies WITHIN words
+    // across the corpus — the most frequent pair is the first merge
+    // rule. One explode per word position (bounded by corpus character
+    // count, the same envelope as t05's chunker), a hash count, and a
+    // TakeOrdered top-20 — no window, no global sort; ties break on the
+    // pair string so the report is deterministic. A full trainer
+    // iterates this query with the merged symbol re-substituted;
+    // the per-iteration cost profile is exactly this plan's.
+    ("t23_bpe_pairs",
+      (s: SparkSession, d: String) => {
+        val words = Tables.load(s, d, "documents")
+          .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+          .filter(length(col("w")) >= 2) // 1-char words hold no pair
+        words
+          .select(explode(transform(
+            sequence(lit(1), (length(col("w")) - 1).cast("int")),
+            i => col("w").substr(i, lit(2)))).as("pair"))
+          .groupBy(col("pair"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pair"))
+          .limit(20)
+      },
+      Some("""WITH w AS (
+             |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+             |  FROM documents),
+             |w2 AS (SELECT w FROM w WHERE len(w) >= 2),
+             |p AS (SELECT substring(w, CAST(i AS INT), 2) AS pair
+             |      FROM w2, unnest(range(1, len(w))) AS u(i))
+             |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+             |FROM p GROUP BY 1
+             |ORDER BY n DESC, pair LIMIT 20""".stripMargin)),
+
+    // ---- vocabulary coverage / OOV audit -------------------------------------
+    // Tokenizer-budget question: if the vocabulary is the corpus's top
+    // 1000 terms, what share of each source's TOKEN OCCURRENCES is
+    // covered (the complement is the OOV rate a fixed-vocab model
+    // pays)? Vocab selection is a TakeOrdered top-k with a full
+    // (count, term) tie-break; the coverage probe joins the token
+    // stream against the 1000-term vocab — a broadcast semi-join at
+    // any corpus size (vocab is constant-size by construction).
+    // Coverage exported in integer basis points via floor-division.
+    ("t24_vocab_coverage",
+      (s: SparkSession, d: String) => {
+        val toks = Tables.load(s, d, "documents")
+          .select(col("source"),
+            explode(split(lower(col("text")), "\\s+")).as("term"))
+          .filter(length(col("term")) > 0)
+        val vocab = toks.groupBy(col("term"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("term"))
+          .limit(1000)
+          .select(col("term"))
+        toks
+          .join(broadcast(vocab.withColumn("in_vocab", lit(1L))),
+            Seq("term"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(coalesce(col("in_vocab"), lit(0L))).as("covered_tokens"))
+          .select(col("source"), col("n_tokens"), col("covered_tokens"),
+            call_function("div", col("covered_tokens") * 10000L,
+              col("n_tokens")).as("coverage_bp"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT source,
+             |    unnest(string_split_regex(lower(text), '\s+')) AS term
+             |  FROM documents),
+             |t AS (SELECT * FROM toks WHERE len(term) > 0),
+             |vocab AS (
+             |  SELECT term FROM (
+             |    SELECT term, COUNT(*) AS cnt FROM t GROUP BY 1
+             |    ORDER BY cnt DESC, term LIMIT 1000)),
+             |j AS (SELECT t.source,
+             |        CASE WHEN v.term IS NULL THEN 0 ELSE 1 END AS in_vocab
+             |      FROM t LEFT JOIN vocab v ON t.term = v.term)
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             |  CAST(SUM(in_vocab) AS BIGINT) AS covered_tokens,
+             |  CAST(SUM(in_vocab) * 10000 // COUNT(*) AS BIGINT) AS coverage_bp
+             |FROM j GROUP BY 1 ORDER BY source""".stripMargin)),
   )
 }

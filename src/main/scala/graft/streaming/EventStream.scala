@@ -407,8 +407,12 @@ object EventStream {
     * every event (optimistic-concurrency versions, audit ordinals). */
   case class SeqAssigned(user_id: Long, user_seq: Long, event_id: Long)
 
-  /** Per-user counter + last seen ts (the ordering guard). */
-  case class SeqState(n: Long, lastTs: Long)
+  /** Per-user counter + last seen (ts, event_id) — the ordering guard
+    * key, matching the in-batch `sortBy(e => (e.ts, e.event_id))` so
+    * equal-ts events straddling a micro-batch boundary are guarded
+    * too (a higher-id event arriving first would fold in a different
+    * order than the batch oracle without tripping a ts-only guard). */
+  case class SeqState(n: Long, lastTs: Long, lastId: Long)
 
   /** Streaming per-user sequence numbers (q99's stable-id idea at
     * INGEST time, parallel by construction): state is one counter per
@@ -426,13 +430,17 @@ object EventStream {
           val sorted = evs.toSeq.sortBy(e => (e.ts, e.event_id))
           if (sorted.isEmpty) Iterator.empty
           else {
-            var st = state.getOption.getOrElse(SeqState(0L, Long.MinValue))
+            var st = state.getOption.getOrElse(
+              SeqState(0L, Long.MinValue, Long.MinValue))
             val out = sorted.map { e =>
-              if (st.lastTs != Long.MinValue && e.ts < st.lastTs)
+              if (st.lastTs != Long.MinValue &&
+                  (e.ts < st.lastTs ||
+                    (e.ts == st.lastTs && e.event_id <= st.lastId)))
                 throw new IllegalStateException(
                   s"userSeqStream: out-of-order arrival for user $uid " +
-                    s"(got ts ${e.ts} after ${st.lastTs})")
-              st = SeqState(st.n + 1, e.ts)
+                    s"(got (ts, id) (${e.ts}, ${e.event_id}) after " +
+                    s"(${st.lastTs}, ${st.lastId}))")
+              st = SeqState(st.n + 1, e.ts, e.event_id)
               SeqAssigned(uid, st.n, e.event_id)
             }
             state.update(st)
@@ -449,8 +457,11 @@ object EventStream {
                       scored: Int, anom: Int)
 
   /** Per-user state: the last <= 20 cent values (oldest first) + the
-    * ordering guard. */
-  case class ZState(window: List[Long], lastTs: Long)
+    * last seen (ts, event_id) ordering-guard key — the same pair the
+    * in-batch sort (and the q122 batch oracle) orders by, so equal-ts
+    * events split across micro-batches can't silently fold in a
+    * different order than the batch semantics. */
+  case class ZState(window: List[Long], lastTs: Long, lastId: Long)
 
   /** Streaming rolling z-score anomaly flags (q122's batch semantics
     * maintained incrementally): each event is scored against its
@@ -474,12 +485,16 @@ object EventStream {
           val sorted = evs.toSeq.sortBy(e => (e.ts, e.event_id))
           if (sorted.isEmpty) Iterator.empty
           else {
-            var st = state.getOption.getOrElse(ZState(Nil, Long.MinValue))
+            var st = state.getOption.getOrElse(
+              ZState(Nil, Long.MinValue, Long.MinValue))
             val out = sorted.map { e =>
-              if (st.lastTs != Long.MinValue && e.ts < st.lastTs)
+              if (st.lastTs != Long.MinValue &&
+                  (e.ts < st.lastTs ||
+                    (e.ts == st.lastTs && e.event_id <= st.lastId)))
                 throw new IllegalStateException(
                   s"zscoreStream: out-of-order arrival for user $uid " +
-                    s"(got ts ${e.ts} after ${st.lastTs})")
+                    s"(got (ts, id) (${e.ts}, ${e.event_id}) after " +
+                    s"(${st.lastTs}, ${st.lastId}))")
               val v = java.math.BigDecimal.valueOf(e.value * 100)
                 .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
               val n = st.window.size.toLong
@@ -488,7 +503,7 @@ object EventStream {
               val scored = n >= 5
               val dev = n * v - s
               val anom = scored && dev * dev > 4L * (n * q - s * s)
-              st = ZState((st.window :+ v).takeRight(20), e.ts)
+              st = ZState((st.window :+ v).takeRight(20), e.ts, e.event_id)
               ZVerdict(uid, e.event_id, e.event_type,
                 if (scored) 1 else 0, if (anom) 1 else 0)
             }

@@ -122,4 +122,23 @@ class AsOfNativeSpec extends SparkSpec {
       AsOfJoin.asOfNative(trades, trades, "sym", "t", "sym", "t", Seq("qty"))
     }
   }
+
+  test("side type mismatches fail loudly instead of comparing through the wrong accessor") {
+    import spark.implicits._
+    // the exec reads the right time through an accessor typed from the
+    // LEFT column and orders keys by the LEFT key types — a date-vs-
+    // timestamp time pair (days compared as micros) or an int-vs-long
+    // key pair must be an ERROR, not silently wrong matches
+    val l = Seq((1L, 100L, "x")).toDF("k", "t", "tag")
+    val rTimeMismatch = Seq((1L, 1, 7.0)).toDF("rk", "rt", "v") // rt: int
+    val exTime = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfNative(l, rTimeMismatch, "k", "t", "rk", "rt", Seq("v"))
+    }
+    assert(exTime.getMessage.contains("time type mismatch"), exTime.getMessage)
+    val rKeyMismatch = Seq((1, 100L, 7.0)).toDF("rk", "rt", "v") // rk: int
+    val exKey = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfNative(l, rKeyMismatch, "k", "t", "rk", "rt", Seq("v"))
+    }
+    assert(exKey.getMessage.contains("key type mismatch"), exKey.getMessage)
+  }
 }

@@ -137,7 +137,8 @@ class FunctionsSpec extends SparkSpec {
         "word_ngrams", "srp_sig", "space_saving_topk", "kll_quantile",
         "quantize_q8", "bloom_filter_agg", "bloom_might_contain",
         "cms_estimate", "kmv_sketch", "kmv_estimate", "kmv_intersect",
-        "token_set_count", "zorder2"))
+        "token_set_count", "zorder2",
+        "id_bitmap", "id_bitmap_or", "id_bitmap_count", "id_bitmap_and_count"))
   }
 
   test("token_set_count and zorder2 evaluate through the SQL registry") {
@@ -218,5 +219,64 @@ class FunctionsSpec extends SparkSpec {
     val nulled = Seq(Tuple1(null: Seq[String])).toDF("t")
       .select(SimHash.simhash($"t")).collect()(0)
     assert(nulled.isNullAt(0))
+  }
+
+  test("id_bitmap: exact distinct counts, canonical bytes, order-independent merge") {
+    import graft.functions.IdBitmap
+    // exact count vs count_distinct across many partitions (merge path)
+    val ids = spark.range(0, 5000).select((col("id") * 7 % 1000).as("uid"))
+      .repartition(16)
+    val r = ids.agg(
+      IdBitmap.bitmapCount(IdBitmap.idBitmap(col("uid"), 1L << 12)).as("bm"),
+      count_distinct(col("uid")).as("cd")).head()
+    assert(r.getLong(0) == r.getLong(1), s"bitmap ${r.getLong(0)} != exact ${r.getLong(1)}")
+    // canonical serialization: same SET under different partitionings
+    // yields byte-identical bitmaps (trailing zero words trimmed)
+    val bytesA = ids.repartition(3).agg(IdBitmap.idBitmap(col("uid"), 1L << 12))
+      .head().getAs[Array[Byte]](0)
+    val bytesB = ids.repartition(13).agg(IdBitmap.idBitmap(col("uid"), 1L << 12))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(bytesA, bytesB), "non-canonical bitmap bytes")
+    // re-aggregation: OR of per-group bitmaps == bitmap of the union
+    val daily = ids.withColumn("g", col("uid") % 4)
+      .groupBy(col("g")).agg(IdBitmap.idBitmap(col("uid"), 1L << 12).as("bm"))
+    val merged = daily.agg(
+      IdBitmap.bitmapCount(IdBitmap.bitmapOr(col("bm"))).as("n")).head().getLong(0)
+    assert(merged == r.getLong(1), s"or-merge $merged != ${r.getLong(1)}")
+  }
+
+  test("bitmap_and_count overlap and the dense-id domain guard") {
+    import graft.functions.IdBitmap
+    val a = spark.range(0, 100).agg(IdBitmap.idBitmap(col("id"), 1L << 10).as("bm"))
+    val b = spark.range(50, 200).agg(IdBitmap.idBitmap(col("id"), 1L << 10).as("bm"))
+    val both = a.crossJoin(b.select(col("bm").as("bm2")))
+      .select(IdBitmap.bitmapAndCount(col("bm"), col("bm2"))).head().getLong(0)
+    assert(both == 50L, s"overlap $both != 50")
+    // out-of-domain id must fail LOUDLY, not wrap or truncate
+    val ex = intercept[Exception] {
+      spark.range(0, 10).select((col("id") - 5).as("id"))
+        .agg(IdBitmap.idBitmap(col("id"), 1L << 10)).head()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(ex).exists(_.contains("dense-id domain")), chain(ex).toString)
+  }
+
+  test("bitmap functions evaluate through the SQL registry") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT id_bitmap_count(bm) AS n,
+        |       id_bitmap_and_count(bm, bm) AS overlap
+        |FROM (SELECT id_bitmap(CAST(u AS BIGINT), 1024) AS bm
+        |      FROM VALUES (1), (2), (2), (900) AS v(u))""".stripMargin).head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L, r.toString)
+    // weekly-from-daily through SQL: id_bitmap_or over grouped bitmaps
+    val r2 = spark.sql(
+      """SELECT id_bitmap_count(id_bitmap_or(bm)) AS n FROM (
+        |  SELECT g, id_bitmap(CAST(u AS BIGINT), 1024) AS bm
+        |  FROM VALUES (0, 1), (0, 2), (1, 2), (1, 3) AS v(g, u)
+        |  GROUP BY g)""".stripMargin).head()
+    assert(r2.getLong(0) == 3L, r2.toString)
   }
 }

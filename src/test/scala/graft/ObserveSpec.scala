@@ -13,14 +13,16 @@ class ObserveSpec extends SparkSpec {
   test("gate metrics piggyback a real write's single scan") {
     val docs = Tables.load(spark, sf, "documents")
     val gate = docs.filter(length(col("text")) > 0)
-    val observed = Observe.withMetrics(gate, "gate",
+    val gateMetrics = Seq(
       count(lit(1)).as("n_rows"),
       sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
       max(col("n_chars")).as("max_chars"))
     val out = java.nio.file.Files.createTempDirectory("graft_obs").toString
     // the real pipeline action is a WRITE — its own QueryExecution, so
     // the metrics must come through the listener capture
-    val (_, metricsOpt) = Observe.runAndCollect(spark, "gate") {
+    var observedPlan: org.apache.spark.sql.DataFrame = null
+    val (_, metricsOpt) = Observe.runAndCollect(gate, "gate", gateMetrics) { observed =>
+      observedPlan = observed
       observed.write.mode("overwrite").parquet(s"$out/data")
     }
     val m = metricsOpt.getOrElse(fail("no observed metrics captured from the write"))
@@ -34,6 +36,7 @@ class ObserveSpec extends SparkSpec {
       s"observed $m != expected $e")
     // the free-ness claim: ONE scan in the executed plan — the metrics
     // did not add a second pass over the corpus
+    val observed = observedPlan
     observed.collect()
     val plan = observed.queryExecution.executedPlan.toString
     val scans = "FileScan".r.findAllIn(plan).length
@@ -50,5 +53,28 @@ class ObserveSpec extends SparkSpec {
     df.collect() // runs through df.queryExecution itself
     assert(Observe.metrics(df, "m").exists(_.getLong(0) == 25L),
       s"own-execution metrics missing: ${Observe.metrics(df, "m")}")
+  }
+
+  test("concurrent actions observing the same name capture their OWN rows") {
+    // Two threads, same user-facing name, disjoint frames: before the
+    // per-call unique tag, whichever execution's bus event landed first
+    // could satisfy BOTH listeners. Now each capture is pinned to its
+    // own call, so the rows must differ exactly as the inputs do.
+    val nation = Tables.load(spark, sf, "nation")
+    val small = nation.filter(col("n_nationkey") < 5)   // 5 rows
+    val big = nation                                    // 25 rows
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fSmall = Future(Observe.runAndCollect(small, "shared",
+      Seq(count(lit(1)).as("n")))(_.count()))
+    val fBig = Future(Observe.runAndCollect(big, "shared",
+      Seq(count(lit(1)).as("n")))(_.count()))
+    val (_, mSmall) = Await.result(fSmall, 60.seconds)
+    val (_, mBig) = Await.result(fBig, 60.seconds)
+    assert(mSmall.exists(_.getLong(0) == 5L),
+      s"small capture crossed wires: $mSmall")
+    assert(mBig.exists(_.getLong(0) == 25L),
+      s"big capture crossed wires: $mBig")
   }
 }

@@ -36,6 +36,64 @@ class RangeJoinSpec extends SparkSpec {
     assert(direct.contains((-20L, "a")))
   }
 
+  test("bins stay exact beyond double's 2^53 integer range, both signs") {
+    import spark.implicits._
+    // axis values near ±2^62: double floor-division collapses values
+    // within one ulp (1024 here) into coarse pseudo-bins; the integer
+    // floor-division must keep every bin exact. Cross-check against the
+    // nested-loop answer AND against bin identity on edge-straddling
+    // values (p and p+1 on opposite sides of a bin edge must part ways).
+    val base = (1L << 62) / 10 * 10 // bin-edge-aligned, near 2^62
+    val points = Seq(base - 1, base, base + 9, base + 10, base + 519,
+      base + 520, -base - 1, -base, -base + 9, -base + 10).toDF("p")
+    val intervals = Seq(
+      (base, base + 9, "hi_edge"),          // exactly one bin
+      (base + 510, base + 529, "hi_ulp"),   // straddles a double ulp
+      (-base, -base + 9, "lo_edge"),
+      (-base - 10, -base - 1, "lo_neg"))
+      .toDF("lo", "hi", "tag")
+    val binned = RangeJoin.pointInInterval(points, "p", intervals,
+        "lo", "hi", binWidth = 10L)
+      .select(col("p"), col("tag"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val direct = points.crossJoin(intervals)
+      .filter(col("p") >= col("lo") && col("p") <= col("hi"))
+      .select(col("p"), col("tag"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(binned == direct, s"binned=$binned direct=$direct")
+    assert(direct.contains((base, "hi_edge")) && direct.contains((base + 9, "hi_edge")))
+    assert(direct.contains((-base, "lo_edge")) && direct.contains((-base - 1, "lo_neg")))
+    // the one-bin interval must explode to exactly ONE bin row — with
+    // double division near 2^62 its lo/hi bins differ (coarse rounding)
+    // and the explosion width betrays it even when the output matches
+    val oneBin = intervals.filter(col("tag") === "hi_edge")
+      .withColumn("nbins",
+        size(sequence(
+          when(col("lo") % 10 < 0, call_function("div", col("lo"), lit(10L)) - 1)
+            .otherwise(call_function("div", col("lo"), lit(10L))),
+          when(col("hi") % 10 < 0, call_function("div", col("hi"), lit(10L)) - 1)
+            .otherwise(call_function("div", col("hi"), lit(10L))))))
+      .head().getAs[Int]("nbins")
+    assert(oneBin == 1, s"edge-aligned one-bin interval exploded to $oneBin bins")
+  }
+
+  test("a pre-existing __bin column is rejected loudly, not silently clobbered") {
+    import spark.implicits._
+    val clean = Seq(1L).toDF("p")
+    val tainted = clean.withColumn("__bin", lit(0L))
+    val ivs = Seq((0L, 5L)).toDF("lo", "hi")
+    val ex1 = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(tainted, "p", ivs, "lo", "hi", 10L)
+    }
+    assert(ex1.getMessage.contains("__bin"), ex1.getMessage)
+    val ex2 = intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(ivs, "lo", "hi",
+        ivs.withColumn("__bin", lit(0L)).toDF("lo2", "hi2", "__bin"),
+        "lo2", "hi2", 10L)
+    }
+    assert(ex2.getMessage.contains("__bin"), ex2.getMessage)
+  }
+
   test("interval overlap: first-shared-bin dedup equals the nested-loop answer exactly once") {
     import spark.implicits._
     val a = Seq((-15L, 5L, "a1"), (0L, 100L, "a2"), (10L, 10L, "a3"),

@@ -1267,6 +1267,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("z-score and user-seq guards catch equal-ts id regressions across batches") {
+    // The batch oracles order by (ts, event_id). A ts-only guard would
+    // let an equal-ts event with a LOWER id arrive in a later batch and
+    // fold in a different order than the batch semantics — silently.
+    // Both stateful ops must trip on the full (ts, event_id) key.
+    implicit val sqlCtx = spark.sqlContext
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).toSeq
+    def run(name: String,
+            f: org.apache.spark.sql.Dataset[EventStream.Event] =>
+              org.apache.spark.sql.Dataset[_]): Unit = {
+      val mem = MemoryStream[EventStream.Event]
+      val q = f(mem.toDS()).writeStream
+        .outputMode(OutputMode.Append).format("memory")
+        .queryName(s"t_ordguard_$name").start()
+      try {
+        mem.addData(EventStream.Event(10L, 5000L, 7L, "view", 1.0, ""))
+        q.processAllAvailable()
+        // same ts, lower event_id, later batch: must throw, not reorder
+        mem.addData(EventStream.Event(3L, 5000L, 7L, "view", 2.0, ""))
+        val ex = intercept[Exception] { q.processAllAvailable() }
+        assert(chain(ex).exists(m => m != null && m.contains("out-of-order")),
+          s"$name: expected the (ts, id) guard, got: ${chain(ex)}")
+      } finally q.stop()
+    }
+    run("zscore", EventStream.zscoreStream)
+    run("userseq", EventStream.userSeqStream)
+  }
+
   test("streaming z-score: a restarted drain resumes per-user windows from the state store") {
     import spark.implicits._
     // the memory-stream test proves cross-BATCH state; this proves
