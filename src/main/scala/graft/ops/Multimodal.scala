@@ -31,6 +31,34 @@ object Multimodal {
 
   case class MediaHash(media_id: Long, phash: String)
 
+  /** One decode-audit verdict: `reason` ∈ ok | truncated_image |
+    * not_an_image; `width` is the DECODED pixel width (0 when
+    * quarantined) — proof the real codec ran, not a metadata echo. */
+  case class DecodeAudit(media_id: Long, reason: String, width: Int)
+
+  private val PngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G',
+    0x0d, 0x0a, 0x1a, 0x0a)
+
+  /** Decode-or-quarantine over (media_id, payload): decodable payloads
+    * report their true pixel width; undecodable ones route to a reason
+    * — a PNG signature that fails to decode is a TRUNCATED image (a
+    * transfer/storage fault worth alerting on), anything else is not
+    * an image at all (a misrouted row). Per-partition map, no shuffle:
+    * the audit aggregates downstream however the caller groups it. */
+  def decodeAudit(media: DataFrame): Dataset[DecodeAudit] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        ImageCodec.decode(payload) match {
+          case Some(img) => DecodeAudit(id, "ok", img.getWidth)
+          case None =>
+            val magic = payload.length >= PngMagic.length &&
+              PngMagic.indices.forall(i => payload(i) == PngMagic(i))
+            DecodeAudit(id, if (magic) "truncated_image" else "not_an_image", 0)
+        }
+      })
+  }
+
   val Kinds = Seq("image", "audio", "video")
 
   /** THE fixture id→kind mapping (doc_id mod 3) — single definition
@@ -96,6 +124,30 @@ object Multimodal {
         while (i < dim) { hist(i) /= n; i += 1 }
         hist
       }
+
+    /** Deterministic tiny PNG for fixtures/staging: dims are id-derived
+      * ((id%16+8) × (id%12+8)) so an oracle can predict the DECODED
+      * width without seeing the bytes; pixel values only need to be
+      * stable within a JVM (the decode path re-derives everything the
+      * queries assert). */
+    def pngBytes(id: Long): Array[Byte] = {
+      val w = (id % 16 + 8).toInt
+      val h = (id % 12 + 8).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, ((((id + x + y) % 255).toInt) << 16) | 0x8040)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
 
     /** Perceptual average-hash over DECODED PIXELS: an 8×8 grid of
       * grayscale cell means, bit = cell mean > image mean, row-major —

@@ -63,6 +63,52 @@ object StreamMediaQueries {
       s"$tmp/in"
     })
 
+  /** st43's arrival fixture: the lineitem facts as 3 files (hash split
+    * — the gate's metrics are algebraic sums, so arrival order is
+    * immaterial). Write-once per (JVM, sf): the feed pre-exists, the
+    * query times the streaming gate fold. */
+  private val gateStreamDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def ensureGateStream(s: SparkSession, d: String): String =
+    gateStreamDirs.getOrElseUpdate(d, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st43in").toString
+      Tables.load(s, d, "lineitem")
+        .repartition(3)
+        .write.mode("overwrite").parquet(s"$tmp/in")
+      s"$tmp/in"
+    })
+
+  /** m09's staging: (media_id, payload) parquet mixing all three decode
+    * classes deterministically by id mod 3 — a REAL PNG (id-derived
+    * dimensions, [[Multimodal.ImageCodec.pngBytes]]), the same PNG cut
+    * at 24 bytes (signature intact, body gone — the truncated-transfer
+    * case), and raw UTF-8 text bytes (the misrouted-row case). Bounded
+    * to media_id < 500 (the m04 slice rule). Write-once per (JVM, sf). */
+  private val decodeMixDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def ensureDecodeMixFiles(s: SparkSession, d: String): String =
+    decodeMixDirs.getOrElseUpdate(d, {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_m09in").toString
+      Tables.load(s, d, "documents")
+        .filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val payload = (id % 3) match {
+            case 0L => Multimodal.ImageCodec.pngBytes(id)
+            case 1L => Multimodal.ImageCodec.pngBytes(id).take(24)
+            case _ => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          }
+          (id, payload)
+        }
+        .toDF("media_id", "payload")
+        .write.mode("overwrite").parquet(s"$tmp/in")
+      s"$tmp/in"
+    })
+
   /** st29's arrival fixture: two dimension-update batches against the
     * customer dim — (key, new segment) files whose mtimes pin delivery
     * order under maxFilesPerTrigger = 1 (batch 0: keys ≡0 mod 7 →
@@ -2511,5 +2557,147 @@ object StreamMediaQueries {
              |      FROM orders) itv
              |  ON pts.p >= itv.lo AND pts.p <= itv.hi
              |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- streaming staged funnel (q62 maintained live) ----------------------
+    // The conversion funnel AT INGEST TIME: per-user stage anchors live
+    // in GroupState ([[EventStream.funnelStream]] — a constant-state
+    // machine per user instead of q62's three batch joins), each stage
+    // hit emits the moment its earliest qualifying event arrives, and
+    // the drained per-stage user counts equal the batch funnel — q62's
+    // DuckDB oracle certifies the stateful path end to end. Input is
+    // the st12 arrival fixture (time-range-ordered files, so per-user
+    // (ts, event_id) order holds across batches — the contract the
+    // state machine's earliest-anchor logic needs, enforced by its
+    // loud guard); sentinel flush events are filtered (the funnel
+    // needs no punctuation — hits emit immediately). Row-per-hit
+    // stream drains to a file sink; the per-stage rollup is a bounded
+    // 3-row aggregate after the drain.
+    ("st42_stream_funnel",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val inDir = ensureSessionStream(s, d)
+        val stream = s.readStream.schema(EventStream.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$inDir/part-*")
+          .as[EventStream.Event]
+          .filter(_.event_type != "flush")
+        val out = java.nio.file.Files.createTempDirectory("graft_st42o").toString
+        EventStream.runToFiles(s, EventStream.funnelStream(stream).toDF(),
+            s"$out/data", s"$out/ckpt")
+          .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+          .orderBy(col("stage"))
+      },
+      Some("""WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+             |            WHERE event_type = 'view' GROUP BY 1),
+             |t2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+             |       FROM events e JOIN t1 ON e.user_id = t1.user_id
+             |       WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1),
+             |t3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+             |       FROM events e JOIN t2 ON e.user_id = t2.user_id
+             |       WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1)
+             |SELECT stage, n_users FROM (
+             |  SELECT '1_view' AS stage, COUNT(*) AS n_users FROM t1
+             |  UNION ALL SELECT '2_click', COUNT(*) FROM t2
+             |  UNION ALL SELECT '3_purchase', COUNT(*) FROM t3)
+             |ORDER BY stage""".stripMargin)),
+
+    // ---- streaming data-quality gate (q76 maintained live) ------------------
+    // The expectations monitor a warehouse runs ON THE FEED instead of
+    // after landing: the lineitem stream folds its constraint metrics
+    // through one global streaming aggregate (algebraic sums — state is
+    // a single row, batches fold exactly), the FK-orphan probe is a
+    // stream-static left join against the broadcast orders key set, and
+    // the report explodes from the final snapshot — q76's battery minus
+    // pk_unique, which is NOT algebraic across batches (global
+    // composite-key uniqueness needs the dedup-store machinery st06/
+    // st07 own, not a fold). At 100 TB the state is still one row and
+    // the per-batch cost is one scan + one broadcast join — the gate
+    // rides the ingest, no second pass over landed data.
+    ("st43_stream_quality_gate",
+      (s: SparkSession, d: String) => {
+        val inDir = ensureGateStream(s, d)
+        val sch = s.read.parquet(inDir).schema
+        val stream = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$inDir/part-*")
+        val okeys = Tables.load(s, d, "orders").select(col("o_orderkey"))
+        val flagged = stream.join(broadcast(okeys),
+          col("l_orderkey") === col("o_orderkey"), "left_outer")
+        val agg = flagged.agg(
+          count(lit(1)).as("n"),
+          sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+            .otherwise(0L)).as("qty_oob"),
+          sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("ship_null"),
+          sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+            .otherwise(0L)).as("disc_oob"),
+          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("orphans"))
+        EventStream.runToMemory(s, agg, s"st43_mem_${System.nanoTime()}")
+          .select(explode(array(
+            struct(lit("disc_in_range").as("rule"),
+              col("disc_oob").as("metric"), (col("disc_oob") === 0).as("passed")),
+            struct(lit("fk_orders").as("rule"),
+              col("orphans").as("metric"), (col("orphans") === 0).as("passed")),
+            struct(lit("qty_in_range").as("rule"),
+              col("qty_oob").as("metric"), (col("qty_oob") === 0).as("passed")),
+            struct(lit("row_count").as("rule"),
+              col("n").as("metric"), (col("n") > 0).as("passed")),
+            struct(lit("shipdate_not_null").as("rule"),
+              col("ship_null").as("metric"), (col("ship_null") === 0).as("passed"))
+          )).as("c"))
+          .select(col("c.rule").as("rule"),
+            col("c.metric").as("metric"), col("c.passed").as("passed"))
+          .orderBy(col("rule"))
+      },
+      Some("""WITH m AS (SELECT COUNT(*) AS n,
+             |    CAST(COALESCE(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+             |                      THEN 1 ELSE 0 END), 0) AS BIGINT) AS qty_oob,
+             |    CAST(COALESCE(SUM(CASE WHEN l_shipdate IS NULL
+             |                      THEN 1 ELSE 0 END), 0) AS BIGINT) AS ship_null,
+             |    CAST(COALESCE(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+             |                      THEN 1 ELSE 0 END), 0) AS BIGINT) AS disc_oob
+             |  FROM lineitem),
+             |o AS (SELECT COUNT(*) AS orphans FROM lineitem
+             |      WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+             |SELECT rule, metric, passed FROM (
+             |  SELECT 'disc_in_range' AS rule, disc_oob AS metric,
+             |    disc_oob = 0 AS passed FROM m
+             |  UNION ALL SELECT 'fk_orders', orphans, orphans = 0 FROM o
+             |  UNION ALL SELECT 'qty_in_range', qty_oob, qty_oob = 0 FROM m
+             |  UNION ALL SELECT 'row_count', n, n > 0 FROM m
+             |  UNION ALL SELECT 'shipdate_not_null', ship_null, ship_null = 0 FROM m)
+             |ORDER BY rule""".stripMargin)),
+
+    // ---- multimodal decode quarantine ---------------------------------------
+    // The ingest-robustness face of m01-m03: payloads route through the
+    // REAL image codec (javax.imageio), decodable ones report their
+    // true pixel width (proof the decode ran — the oracle predicts it
+    // from the fixture's id-derived dimensions), and failures quarantine
+    // under a diagnosis: a PNG signature that will not decode is a
+    // TRUNCATED transfer (alert the crawler), anything else was never
+    // an image (misrouted row). The [[ensureDecodeMixFiles]] staging
+    // mixes all three classes deterministically (id mod 3: whole PNG /
+    // PNG cut at 24 bytes / raw text bytes). Per-partition decode, no
+    // shuffle until the 3-row report rollup.
+    ("m09_decode_quarantine",
+      (s: SparkSession, d: String) => {
+        val inDir = ensureDecodeMixFiles(s, d)
+        Multimodal.decodeAudit(s.read.parquet(inDir)).toDF()
+          .groupBy(col("reason"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("width")).cast("long").as("sum_width"))
+          .orderBy(col("reason"))
+      },
+      Some("""WITH ids AS (SELECT doc_id AS id FROM documents
+             |             WHERE doc_id < 500)
+             |SELECT reason, n, sum_width FROM (
+             |  SELECT 'not_an_image' AS reason, CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(0 AS BIGINT) AS sum_width FROM ids WHERE id % 3 = 2
+             |  UNION ALL
+             |  SELECT 'ok', CAST(COUNT(*) AS BIGINT),
+             |    CAST(SUM(id % 16 + 8) AS BIGINT) FROM ids WHERE id % 3 = 0
+             |  UNION ALL
+             |  SELECT 'truncated_image', CAST(COUNT(*) AS BIGINT),
+             |    CAST(0 AS BIGINT) FROM ids WHERE id % 3 = 1)
+             |ORDER BY reason""".stripMargin)),
   )
 }

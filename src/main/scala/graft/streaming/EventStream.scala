@@ -449,6 +449,67 @@ object EventStream {
       }
   }
 
+  // ---- staged funnel state machine -----------------------------------------
+
+  /** One funnel stage reached: emitted AT INGEST TIME, the moment the
+    * user's earliest qualifying event arrives. */
+  case class StageHit(user_id: Long, stage: String, ts: Long)
+
+  /** Per-user funnel anchors (0 = stage not yet reached) + the
+    * (ts, event_id) ordering-guard key. */
+  case class FunnelState(t1: Long, t2: Long, t3: Long,
+                         lastTs: Long, lastId: Long)
+
+  /** Streaming staged funnel (q62's view → click → purchase conversion
+    * maintained live): each user's state is three stage anchors — the
+    * earliest view, the earliest click STRICTLY after it, the earliest
+    * purchase strictly after that — updated by a constant-state machine
+    * instead of q62's three batch joins. Under ordered arrival the
+    * first qualifying event in (ts, event_id) order IS the earliest,
+    * so the drained stage hits equal the batch funnel exactly (q62's
+    * oracle certifies the drain). Each user emits each stage at most
+    * once → per-stage counts are user counts. Same ordered-arrival
+    * contract and loud (ts, event_id) guard as [[userSeqStream]]. */
+  def funnelStream(events: Dataset[Event]): Dataset[StageHit] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, StageHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Event], state: GroupState[FunnelState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts, e.event_id))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption.getOrElse(
+              FunnelState(0L, 0L, 0L, Long.MinValue, Long.MinValue))
+            val out = Seq.newBuilder[StageHit]
+            sorted.foreach { e =>
+              if (st.lastTs != Long.MinValue &&
+                  (e.ts < st.lastTs ||
+                    (e.ts == st.lastTs && e.event_id <= st.lastId)))
+                throw new IllegalStateException(
+                  s"funnelStream: out-of-order arrival for user $uid " +
+                    s"(got (ts, id) (${e.ts}, ${e.event_id}) after " +
+                    s"(${st.lastTs}, ${st.lastId}))")
+              // anchors use ts=0 as "unset": fixture timestamps are
+              // epoch-2024 micros, far from 0; strict > comparisons
+              // mirror q62's batch semantics bit for bit
+              if (st.t1 == 0L && e.event_type == "view") {
+                st = st.copy(t1 = e.ts); out += StageHit(uid, "1_view", e.ts)
+              } else if (st.t1 != 0L && st.t2 == 0L &&
+                  e.event_type == "click" && e.ts > st.t1) {
+                st = st.copy(t2 = e.ts); out += StageHit(uid, "2_click", e.ts)
+              } else if (st.t2 != 0L && st.t3 == 0L &&
+                  e.event_type == "purchase" && e.ts > st.t2) {
+                st = st.copy(t3 = e.ts); out += StageHit(uid, "3_purchase", e.ts)
+              }
+              st = st.copy(lastTs = e.ts, lastId = e.event_id)
+            }
+            state.update(st)
+            out.result().iterator
+          }
+      }
+  }
+
   // ---- rolling z-score anomaly scoring ------------------------------------
 
   /** One scored event: `scored` = 1 once the user's window held at
