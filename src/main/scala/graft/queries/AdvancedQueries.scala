@@ -3881,5 +3881,53 @@ object AdvancedQueries {
              |FROM exact e JOIN weekly w
              |  ON e.week_ix = w.week_ix AND e.event_type = w.event_type
              |ORDER BY e.week_ix, e.event_type""".stripMargin)),
+
+    // ---- day-over-day retention from stored bitmaps -------------------------
+    // The second classic bitmap-measure payoff (after q145's rollup):
+    // EXACT next-day retention from per-day user bitmaps alone —
+    // |active(d) ∩ active(d+1)| is one `bitmap_and_count` between two
+    // stored byte arrays, where the raw-fact formulation is a distinct
+    // self-join of the event table against its own next-day slice (a
+    // shuffle quadratic in daily actives). Day count is bounded (one
+    // bitmap row per day), so the consecutive-day pairing is a
+    // broadcast-size self-join however large the fact table behind the
+    // bitmaps is. Retention exported in integer basis points.
+    ("q146_bitmap_retention",
+      (s: SparkSession, d: String) => {
+        import graft.functions.IdBitmap
+        val day = datediff(to_date(Tables.eventTime(col("ts"))),
+          lit("1990-01-01")).cast("long")
+        val daily = Tables.load(s, d, "events")
+          .select(day.as("day_ix"), col("user_id"))
+          .groupBy(col("day_ix"))
+          .agg(IdBitmap.idBitmap(col("user_id"), 1L << 20).as("bm"))
+        val next = daily.select((col("day_ix") - 1L).as("day_ix"),
+          col("bm").as("bm_next"))
+        daily.join(next, "day_ix")
+          .select(col("day_ix"),
+            IdBitmap.bitmapCount(col("bm")).as("n_day"),
+            IdBitmap.bitmapCount(col("bm_next")).as("n_next"),
+            IdBitmap.bitmapAndCount(col("bm"), col("bm_next")).as("n_retained"))
+          .select(col("day_ix"), col("n_day"), col("n_next"), col("n_retained"),
+            call_function("div", col("n_retained") * 10000L, col("n_day"))
+              .as("retention_bp"))
+          .orderBy(col("day_ix"))
+      },
+      Some("""WITH d AS (
+             |  SELECT DISTINCT CAST(date_diff('day', DATE '1990-01-01',
+             |      CAST(ts AS DATE)) AS BIGINT) AS day_ix, user_id
+             |  FROM events),
+             |n AS (SELECT day_ix, CAST(COUNT(*) AS BIGINT) AS n_users
+             |      FROM d GROUP BY 1),
+             |r AS (SELECT a.day_ix, CAST(COUNT(*) AS BIGINT) AS n_retained
+             |      FROM d a JOIN d b ON b.user_id = a.user_id
+             |        AND b.day_ix = a.day_ix + 1
+             |      GROUP BY 1)
+             |SELECT n.day_ix, n.n_users AS n_day, n2.n_users AS n_next,
+             |  COALESCE(r.n_retained, 0) AS n_retained,
+             |  COALESCE(r.n_retained, 0) * 10000 // n.n_users AS retention_bp
+             |FROM n JOIN n n2 ON n2.day_ix = n.day_ix + 1
+             |LEFT JOIN r ON r.day_ix = n.day_ix
+             |ORDER BY n.day_ix""".stripMargin)),
   )
 }

@@ -2667,6 +2667,31 @@ object StreamMediaQueries {
              |  UNION ALL SELECT 'shipdate_not_null', ship_null, ship_null = 0 FROM m)
              |ORDER BY rule""".stripMargin)),
 
+    // ---- streaming EXACT distinct via bitmap state ---------------------------
+    // st32 keeps per-hour distincts with a SKETCH; this keeps the
+    // per-event-type EXACT distinct-user count live with the q145
+    // bitmap aggregate as STREAMING STATE — the state store holds one
+    // serialized bitmap per event type (the st08/st09 custom-aggregate-
+    // in-state pattern), each micro-batch ORs its arrivals in, and the
+    // Complete-mode snapshot reads the cardinality with one popcount.
+    // Exactness a sketch can't give, at a state size (maxBits/8 bytes
+    // per key) a 100 TB feed amortizes trivially; dense-id domains
+    // beyond 2^32 belong back with the sketches.
+    ("st44_stream_bitmap_card",
+      (s: SparkSession, d: String) => {
+        import graft.functions.IdBitmap
+        val agg = EventStream.readEvents(s, d)
+          .groupBy(col("event_type"))
+          .agg(IdBitmap.idBitmap(col("user_id"), 1L << 20).as("bm"))
+        EventStream.runToMemory(s, agg, s"st44_mem_${System.nanoTime()}")
+          .select(col("event_type"),
+            IdBitmap.bitmapCount(col("bm")).as("n_users"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+             |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
     // ---- multimodal decode quarantine ---------------------------------------
     // The ingest-robustness face of m01-m03: payloads route through the
     // REAL image codec (javax.imageio), decodable ones report their

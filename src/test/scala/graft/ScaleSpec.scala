@@ -1452,4 +1452,55 @@ class ScaleSpec extends SparkSpec {
       !finalPlan.contains("BroadcastNestedLoopJoin"),
       s"degenerate join:\n${finalPlan.take(4000)}")
   }
+
+  test("q141 interval coverage: one key shuffle beyond the distinct, windows reuse it") {
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q141_interval_coverage")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // exchanges: ONE for the (sk, lo, hi) distinct, ONE for the
+    // sk-partitioned windows; the island group-by and the per-supplier
+    // rollup must REUSE the window's sk partitioning (HashPartitioning
+    // on a subset satisfies the wider clustering), and the only other
+    // exchange is the final presentation sort
+    val keyShuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(keyShuffles <= 2,
+      s"expected <= 2 key shuffles (distinct + window), got $keyShuffles:\n${plan.take(4000)}")
+    assert(!plan.contains("Window [") || plan.contains("partitionBy") ||
+      plan.contains("windowspecdefinition(sk"),
+      s"window must be sk-partitioned, never global:\n${plan.take(4000)}")
+  }
+
+  test("c15 link prediction: wedge join stays equi-keyed, no nested loop") {
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("c15_link_prediction")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"wedge/anti join degenerated to a nested loop:\n${plan.take(4000)}")
+    assert(plan.contains("LeftAnti"),
+      s"existing-edge exclusion must plan as an anti join:\n${plan.take(4000)}")
+  }
+
+  test("q145 bitmap rollup: map-side partial bitmaps, never raw-row shuffles") {
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q145_bitmap_rollup")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a
+    // partial phase — the shuffle then carries bitmap bytes per
+    // (day, type) group, not event rows
+    assert(plan.contains("ObjectHashAggregate"),
+      s"bitmap aggregate missing from the plan:\n${plan.take(4000)}")
+    assert(plan.contains("partial_id_bitmap") || plan.contains("partial_"),
+      s"no partial aggregation phase — raw rows would shuffle:\n${plan.take(4000)}")
+  }
+
+  test("t24 vocab coverage: the 1000-term vocab broadcasts, tokens never re-shuffle for it") {
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("t24_vocab_coverage")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"constant-size vocab must broadcast:\n${plan.take(4000)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocab selection must be a bounded top-k, not a global sort:\n${plan.take(4000)}")
+  }
 }
