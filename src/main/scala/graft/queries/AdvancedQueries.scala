@@ -3929,5 +3929,52 @@ object AdvancedQueries {
              |FROM n JOIN n n2 ON n2.day_ix = n.day_ix + 1
              |LEFT JOIN r ON r.day_ix = n.day_ix
              |ORDER BY n.day_ix""".stripMargin)),
+
+    // ---- CEP pattern matching, relational face -------------------------------
+    // Every instance of `view → click (within 6 h) → purchase (within
+    // 12 h of the click)` per user — the MATCH_RECOGNIZE / Flink-CEP
+    // pattern as its relational twin: two equi-joins on user_id with
+    // range residuals (shuffle-hash on the key, never a nested loop —
+    // the time predicates are residual filters on co-partitioned
+    // streams of one user's events). This is also st45's oracle: the
+    // streaming state machine ([[graft.streaming.EventStream.cepStream]])
+    // emits the SAME triple set in one ordered pass with horizon-bounded
+    // state — the plan a 100 TB feed wants, since the join formulation
+    // re-shuffles the full event table three times while the CEP pass
+    // shuffles it once.
+    ("q147_cep_triples",
+      (s: SparkSession, d: String) => {
+        val w1 = 6L * 3600 * 1000000L
+        val w2 = 12L * 3600 * 1000000L
+        val e = Tables.load(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        val v = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("tv"))
+        val c = e.filter(col("event_type") === "click")
+          .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+            col("ts").as("tc"))
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+            col("ts").as("tp"))
+        v.join(c, col("user_id") === col("cu") &&
+            col("tc") > col("tv") && col("tc") <= col("tv") + w1)
+          .join(p, col("user_id") === col("pu") &&
+            col("tp") > col("tc") && col("tp") <= col("tc") + w2)
+          .select(col("user_id"), col("view_id"), col("click_id"),
+            col("purchase_id"))
+          .orderBy(col("user_id"), col("view_id"), col("click_id"),
+            col("purchase_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+             |    CAST(ts AS TIMESTAMP) AS t FROM events)
+             |SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+             |  p.event_id AS purchase_id
+             |FROM e v
+             |JOIN e c ON c.user_id = v.user_id
+             |  AND v.event_type = 'view' AND c.event_type = 'click'
+             |  AND c.t > v.t AND c.t <= v.t + INTERVAL 6 HOUR
+             |JOIN e p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+             |  AND p.t > c.t AND p.t <= c.t + INTERVAL 12 HOUR
+             |ORDER BY 1, 2, 3, 4""".stripMargin)),
   )
 }

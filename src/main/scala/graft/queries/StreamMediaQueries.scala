@@ -2692,6 +2692,48 @@ object StreamMediaQueries {
              |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
              |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
 
+    // ---- streaming CEP pattern matching --------------------------------------
+    // q147's pattern detected AT INGEST: [[EventStream.cepStream]]'s
+    // per-user state machine emits every completed view→click→purchase
+    // chain the moment its purchase arrives, holding only events still
+    // inside their match horizons (state ∝ rate × horizon, not stream
+    // length). One shuffle total vs the batch join's three — and q147's
+    // 3-way-join oracle certifies the emitted triple set is EXACTLY the
+    // relational answer. Input is the st12 arrival fixture (per-user
+    // (ts, event_id) order across batches — chains genuinely span
+    // micro-batches); sentinels filtered (matches emit immediately,
+    // no punctuation needed).
+    ("st45_stream_cep",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val inDir = ensureSessionStream(s, d)
+        val stream = s.readStream.schema(EventStream.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$inDir/part-*")
+          .as[EventStream.Event]
+          .filter(_.event_type != "flush")
+        val out = java.nio.file.Files.createTempDirectory("graft_st45o").toString
+        EventStream.runToFiles(s,
+            EventStream.cepStream(stream,
+              6L * 3600 * 1000000L, 12L * 3600 * 1000000L).toDF(),
+            s"$out/data", s"$out/ckpt")
+          .select(col("user_id"), col("view_id"), col("click_id"),
+            col("purchase_id"))
+          .orderBy(col("user_id"), col("view_id"), col("click_id"),
+            col("purchase_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+             |    CAST(ts AS TIMESTAMP) AS t FROM events)
+             |SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+             |  p.event_id AS purchase_id
+             |FROM e v
+             |JOIN e c ON c.user_id = v.user_id
+             |  AND v.event_type = 'view' AND c.event_type = 'click'
+             |  AND c.t > v.t AND c.t <= v.t + INTERVAL 6 HOUR
+             |JOIN e p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+             |  AND p.t > c.t AND p.t <= c.t + INTERVAL 12 HOUR
+             |ORDER BY 1, 2, 3, 4""".stripMargin)),
+
     // ---- multimodal decode quarantine ---------------------------------------
     // The ingest-robustness face of m01-m03: payloads route through the
     // REAL image codec (javax.imageio), decodable ones report their

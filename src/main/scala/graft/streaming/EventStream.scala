@@ -510,6 +510,85 @@ object EventStream {
       }
   }
 
+  // ---- CEP: sequence-pattern matching --------------------------------------
+
+  /** One completed pattern instance: view → click (within w1) →
+    * purchase (within w2 of the click). */
+  case class CepMatch(user_id: Long, view_id: Long, click_id: Long,
+                      purchase_id: Long)
+
+  /** A pending click and the views it chained from. */
+  case class CepClick(tc: Long, cid: Long, views: List[(Long, Long)])
+
+  /** Per-user CEP state: open views/clicks inside their match horizons
+    * + the (ts, event_id) ordering-guard key. */
+  case class CepState(views: List[(Long, Long)], clicks: List[CepClick],
+                      lastTs: Long, lastId: Long)
+
+  /** Streaming complex-event-processing (the Flink-CEP / SQL
+    * MATCH_RECOGNIZE niche): emit EVERY instance of the pattern
+    * `view → click within w1 → purchase within w2` per user, in ONE
+    * ordered pass — where the relational formulation is a 3-way
+    * self-join of the event table against itself (q147, the batch twin
+    * and the oracle), the state machine touches each event once and
+    * holds only the events still inside their match horizons (views
+    * live w1, clicks w2 — state is bounded by event rate × horizon,
+    * never by stream length). All-matches semantics (Flink's
+    * skip-to-next-row): a purchase closes every qualifying open
+    * (view, click) chain. Strict time inequalities mirror the join
+    * predicates bit for bit. Same ordered-arrival contract and loud
+    * (ts, event_id) guard as [[userSeqStream]]. */
+  def cepStream(events: Dataset[Event], w1Us: Long, w2Us: Long): Dataset[CepMatch] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CepState, CepMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Event], state: GroupState[CepState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts, e.event_id))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption.getOrElse(
+              CepState(Nil, Nil, Long.MinValue, Long.MinValue))
+            val out = Seq.newBuilder[CepMatch]
+            sorted.foreach { e =>
+              if (st.lastTs != Long.MinValue &&
+                  (e.ts < st.lastTs ||
+                    (e.ts == st.lastTs && e.event_id <= st.lastId)))
+                throw new IllegalStateException(
+                  s"cepStream: out-of-order arrival for user $uid " +
+                    s"(got (ts, id) (${e.ts}, ${e.event_id}) after " +
+                    s"(${st.lastTs}, ${st.lastId}))")
+              // horizon pruning: a view matters while a future click can
+              // still satisfy tc <= tv + w1; a click while a future
+              // purchase can satisfy tp <= tc + w2 (ts only grows)
+              val views = st.views.filter(_._1 + w1Us >= e.ts)
+              val clicks = st.clicks.filter(_.tc + w2Us >= e.ts)
+              st = e.event_type match {
+                case "view" =>
+                  st.copy(views = views :+ ((e.ts, e.event_id)), clicks = clicks)
+                case "click" =>
+                  // chain from every view with tv < tc (<= tv + w1 holds
+                  // for everything the prune kept)
+                  st.copy(views = views, clicks = clicks :+
+                    CepClick(e.ts, e.event_id, views.filter(_._1 < e.ts)))
+                case "purchase" =>
+                  clicks.foreach { c =>
+                    if (c.tc < e.ts) // tp <= tc + w2 held by the prune
+                      c.views.foreach { v =>
+                        out += CepMatch(uid, v._2, c.cid, e.event_id)
+                      }
+                  }
+                  st.copy(views = views, clicks = clicks)
+                case _ => st.copy(views = views, clicks = clicks)
+              }
+              st = st.copy(lastTs = e.ts, lastId = e.event_id)
+            }
+            state.update(st)
+            out.result().iterator
+          }
+      }
+  }
+
   // ---- rolling z-score anomaly scoring ------------------------------------
 
   /** One scored event: `scored` = 1 once the user's window held at

@@ -1296,6 +1296,37 @@ class StreamingSpec extends SparkSpec {
     run("userseq", EventStream.userSeqStream)
   }
 
+  test("CEP chains span micro-batches; horizons prune expired state") {
+    implicit val sqlCtx = spark.sqlContext
+    val H = 3600000000L // 1 h in micros
+    def ev(id: Long, tHours: Long, typ: String) =
+      EventStream.Event(id, tHours * H, 9L, typ, 0.0, "")
+    val mem = MemoryStream[EventStream.Event]
+    // w1 = 2 h (view→click), w2 = 3 h (click→purchase)
+    val q = EventStream.cepStream(mem.toDS(), 2L * H, 3L * H).writeStream
+      .outputMode(OutputMode.Append).format("memory").queryName("t_cep").start()
+    try {
+      // batch 1: two views and a click chaining from BOTH (v1 within
+      // 2 h, v2 within 2 h); the click's purchase hasn't arrived yet
+      mem.addData(ev(1, 0, "view"), ev(2, 1, "view"), ev(3, 2, "click"))
+      q.processAllAvailable()
+      assert(spark.table("t_cep").count() == 0, "no purchase yet")
+      // batch 2: a purchase at +4 h closes BOTH chains (4 <= 2 + 3);
+      // v1 chained because 2 <= 0 + 2 held AT CLICK time
+      mem.addData(ev(4, 4, "purchase"))
+      q.processAllAvailable()
+      val got = spark.table("t_cep")
+        .select("view_id", "click_id", "purchase_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((1L, 3L, 4L), (2L, 3L, 4L)), s"got $got")
+      // batch 3: a purchase at +6 h is past the click's 3 h horizon —
+      // the click was pruned, nothing new emits
+      mem.addData(ev(5, 6, "purchase"))
+      q.processAllAvailable()
+      assert(spark.table("t_cep").count() == 2, "expired click must not match")
+    } finally q.stop()
+  }
+
   test("streaming z-score: a restarted drain resumes per-user windows from the state store") {
     import spark.implicits._
     // the memory-stream test proves cross-BATCH state; this proves
