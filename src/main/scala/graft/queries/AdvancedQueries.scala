@@ -3976,5 +3976,91 @@ object AdvancedQueries {
              |JOIN e p ON p.user_id = v.user_id AND p.event_type = 'purchase'
              |  AND p.t > c.t AND p.t <= c.t + INTERVAL 12 HOUR
              |ORDER BY 1, 2, 3, 4""".stripMargin)),
+
+    // ---- pure-SQL surface through the injected registry ----------------------
+    // The user path every other query skips: plain `spark.sql` text over
+    // a temp view, resolving graft's CUSTOM aggregates through the
+    // injected function registry (GraftExtensions — the
+    // spark.sql.extensions deploy path) exactly as a SQL-first user
+    // would call them: the q145 bitmap family builds per-day exact
+    // bitmaps in a CTE and OR-merges them per event type. Certifies
+    // that the extension functions are genuinely analyzer-resolvable
+    // SQL citizens (two-phase aggregation included), not Column-API
+    // conveniences.
+    ("q148_sql_registry",
+      (s: SparkSession, d: String) => {
+        Tables.load(s, d, "events").createOrReplaceTempView("events_sql")
+        s.sql("""
+          WITH daily AS (
+            SELECT CAST(datediff(to_date(timestamp_micros(ts)),
+                     DATE '1990-01-01') AS BIGINT) AS day_ix,
+                   event_type,
+                   id_bitmap(user_id, 1048576) AS bm
+            FROM events_sql GROUP BY 1, 2)
+          SELECT event_type,
+                 id_bitmap_count(id_bitmap_or(bm)) AS n_users,
+                 COUNT(*) AS n_days
+          FROM daily GROUP BY 1 ORDER BY 1""")
+      },
+      Some("""WITH d AS (
+             |  SELECT CAST(date_diff('day', DATE '1990-01-01', CAST(ts AS DATE))
+             |       AS BIGINT) AS day_ix, event_type, user_id
+             |  FROM events)
+             |SELECT event_type,
+             |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+             |  CAST(COUNT(DISTINCT day_ix) AS BIGINT) AS n_days
+             |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- exact OLS regression via normal equations ---------------------------
+    // Distributed least squares the way a 100 TB engine should do it:
+    // ONE aggregate pass collects the exact integer sufficient
+    // statistics (n, Σx, Σy, Σxy, Σx²) per group — map-side partials,
+    // constant state — and the slope falls out of the normal equations
+    // on the reduced frame. All arithmetic exact: x = rounded quantity,
+    // y = price cents, cross products widened to DECIMAL(38,0) (n·Σxy
+    // overflows a long at corpus scale), and the slope exported in
+    // integer micro-units via truncating integral division — Spark's
+    // `div` and DuckDB's `//`/HUGEINT truncate identically, so no
+    // float division order or rounding mode can drift.
+    ("q149_ols_slope",
+      (s: SparkSession, d: String) => {
+        val D = DecimalType(38, 0)
+        val x = round(col("l_quantity")).cast("long")
+        val y = round(col("l_extendedprice") * 100).cast("long")
+        val g = Tables.load(s, d, "lineitem")
+          .select(col("l_returnflag"), x.as("x"), y.as("y"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sx2"))
+        val num = col("n").cast(D) * col("sxy").cast(D) -
+          col("sx").cast(D) * col("sy").cast(D)
+        val den = col("n").cast(D) * col("sx2").cast(D) -
+          col("sx").cast(D) * col("sx").cast(D)
+        g.select(col("l_returnflag"), col("n"), col("sx"), col("sy"),
+            col("sxy"), col("sx2"),
+            call_function("div", num * lit(1000000L).cast(D), den)
+              .cast("long").as("slope_micro"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH g AS (
+             |  SELECT l_returnflag,
+             |    CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sx,
+             |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+             |         AS BIGINT) AS sy,
+             |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)
+             |           * CAST(round(l_extendedprice * 100) AS BIGINT))
+             |         AS BIGINT) AS sxy,
+             |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)
+             |           * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sx2
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_returnflag, n, sx, sy, sxy, sx2,
+             |  CAST((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+             |       * 1000000
+             |       // (CAST(n AS HUGEINT) * sx2 - CAST(sx AS HUGEINT) * sx)
+             |       AS BIGINT) AS slope_micro
+             |FROM g ORDER BY l_returnflag""".stripMargin)),
   )
 }

@@ -2734,6 +2734,63 @@ object StreamMediaQueries {
              |  AND p.t > c.t AND p.t <= c.t + INTERVAL 12 HOUR
              |ORDER BY 1, 2, 3, 4""".stripMargin)),
 
+    // ---- streaming OLS sufficient statistics ---------------------------------
+    // q149's regression maintained ON THE FEED: the exact integer
+    // sufficient statistics (n, Σx, Σy, Σxy, Σx²) are algebraic sums,
+    // so a per-group streaming aggregate folds them across micro-
+    // batches with one state row per group — model fitting rides the
+    // ingest, no second pass over landed data, and the slope falls out
+    // of the Complete-mode snapshot by the same exact DECIMAL/`div`
+    // arithmetic. Certified equal to the batch normal equations by
+    // q149's oracle.
+    ("st46_stream_ols",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.types.DecimalType
+        val D = DecimalType(38, 0)
+        val inDir = ensureGateStream(s, d)
+        val sch = s.read.parquet(inDir).schema
+        val stream = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$inDir/part-*")
+        val x = round(col("l_quantity")).cast("long")
+        val y = round(col("l_extendedprice") * 100).cast("long")
+        val agg = stream
+          .select(col("l_returnflag"), x.as("x"), y.as("y"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sx2"))
+        val num = col("n").cast(D) * col("sxy").cast(D) -
+          col("sx").cast(D) * col("sy").cast(D)
+        val den = col("n").cast(D) * col("sx2").cast(D) -
+          col("sx").cast(D) * col("sx").cast(D)
+        EventStream.runToMemory(s, agg, s"st46_mem_${System.nanoTime()}")
+          .select(col("l_returnflag"), col("n"), col("sx"), col("sy"),
+            col("sxy"), col("sx2"),
+            call_function("div", num * lit(1000000L).cast(D), den)
+              .cast("long").as("slope_micro"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH g AS (
+             |  SELECT l_returnflag,
+             |    CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sx,
+             |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+             |         AS BIGINT) AS sy,
+             |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)
+             |           * CAST(round(l_extendedprice * 100) AS BIGINT))
+             |         AS BIGINT) AS sxy,
+             |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)
+             |           * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sx2
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_returnflag, n, sx, sy, sxy, sx2,
+             |  CAST((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+             |       * 1000000
+             |       // (CAST(n AS HUGEINT) * sx2 - CAST(sx AS HUGEINT) * sx)
+             |       AS BIGINT) AS slope_micro
+             |FROM g ORDER BY l_returnflag""".stripMargin)),
+
     // ---- multimodal decode quarantine ---------------------------------------
     // The ingest-robustness face of m01-m03: payloads route through the
     // REAL image codec (javax.imageio), decodable ones report their

@@ -538,6 +538,51 @@ object EventStream {
     * (view, click) chain. Strict time inequalities mirror the join
     * predicates bit for bit. Same ordered-arrival contract and loud
     * (ts, event_id) guard as [[userSeqStream]]. */
+  /** The pure per-batch CEP fold: state in, (state, matches) out.
+    * Factored out of [[cepStream]] so PropertySpec can prove BATCH-SPLIT
+    * INVARIANCE directly — folding an ordered event sequence through any
+    * sequence of prefix cuts emits exactly the single-batch match set
+    * (the property that makes the streaming drain equal q147's join). */
+  private[graft] def cepFold(uid: Long, st0: CepState, sorted: Seq[Event],
+                             w1Us: Long, w2Us: Long): (CepState, Seq[CepMatch]) = {
+    var st = st0
+    val out = Seq.newBuilder[CepMatch]
+    sorted.foreach { e =>
+      if (st.lastTs != Long.MinValue &&
+          (e.ts < st.lastTs ||
+            (e.ts == st.lastTs && e.event_id <= st.lastId)))
+        throw new IllegalStateException(
+          s"cepStream: out-of-order arrival for user $uid " +
+            s"(got (ts, id) (${e.ts}, ${e.event_id}) after " +
+            s"(${st.lastTs}, ${st.lastId}))")
+      // horizon pruning: a view matters while a future click can
+      // still satisfy tc <= tv + w1; a click while a future
+      // purchase can satisfy tp <= tc + w2 (ts only grows)
+      val views = st.views.filter(_._1 + w1Us >= e.ts)
+      val clicks = st.clicks.filter(_.tc + w2Us >= e.ts)
+      st = e.event_type match {
+        case "view" =>
+          st.copy(views = views :+ ((e.ts, e.event_id)), clicks = clicks)
+        case "click" =>
+          // chain from every view with tv < tc (<= tv + w1 holds
+          // for everything the prune kept)
+          st.copy(views = views, clicks = clicks :+
+            CepClick(e.ts, e.event_id, views.filter(_._1 < e.ts)))
+        case "purchase" =>
+          clicks.foreach { c =>
+            if (c.tc < e.ts) // tp <= tc + w2 held by the prune
+              c.views.foreach { v =>
+                out += CepMatch(uid, v._2, c.cid, e.event_id)
+              }
+          }
+          st.copy(views = views, clicks = clicks)
+        case _ => st.copy(views = views, clicks = clicks)
+      }
+      st = st.copy(lastTs = e.ts, lastId = e.event_id)
+    }
+    (st, out.result())
+  }
+
   def cepStream(events: Dataset[Event], w1Us: Long, w2Us: Long): Dataset[CepMatch] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
@@ -547,44 +592,11 @@ object EventStream {
           val sorted = evs.toSeq.sortBy(e => (e.ts, e.event_id))
           if (sorted.isEmpty) Iterator.empty
           else {
-            var st = state.getOption.getOrElse(
+            val st0 = state.getOption.getOrElse(
               CepState(Nil, Nil, Long.MinValue, Long.MinValue))
-            val out = Seq.newBuilder[CepMatch]
-            sorted.foreach { e =>
-              if (st.lastTs != Long.MinValue &&
-                  (e.ts < st.lastTs ||
-                    (e.ts == st.lastTs && e.event_id <= st.lastId)))
-                throw new IllegalStateException(
-                  s"cepStream: out-of-order arrival for user $uid " +
-                    s"(got (ts, id) (${e.ts}, ${e.event_id}) after " +
-                    s"(${st.lastTs}, ${st.lastId}))")
-              // horizon pruning: a view matters while a future click can
-              // still satisfy tc <= tv + w1; a click while a future
-              // purchase can satisfy tp <= tc + w2 (ts only grows)
-              val views = st.views.filter(_._1 + w1Us >= e.ts)
-              val clicks = st.clicks.filter(_.tc + w2Us >= e.ts)
-              st = e.event_type match {
-                case "view" =>
-                  st.copy(views = views :+ ((e.ts, e.event_id)), clicks = clicks)
-                case "click" =>
-                  // chain from every view with tv < tc (<= tv + w1 holds
-                  // for everything the prune kept)
-                  st.copy(views = views, clicks = clicks :+
-                    CepClick(e.ts, e.event_id, views.filter(_._1 < e.ts)))
-                case "purchase" =>
-                  clicks.foreach { c =>
-                    if (c.tc < e.ts) // tp <= tc + w2 held by the prune
-                      c.views.foreach { v =>
-                        out += CepMatch(uid, v._2, c.cid, e.event_id)
-                      }
-                  }
-                  st.copy(views = views, clicks = clicks)
-                case _ => st.copy(views = views, clicks = clicks)
-              }
-              st = st.copy(lastTs = e.ts, lastId = e.event_id)
-            }
+            val (st, out) = cepFold(uid, st0, sorted, w1Us, w2Us)
             state.update(st)
-            out.result().iterator
+            out.iterator
           }
       }
   }

@@ -221,4 +221,41 @@ class PropertySpec extends AnyFunSuite {
         st.nDays == days.length.toLong && st.curLen == runs.head
     })
   }
+
+  test("CEP fold: any batch split of an ordered stream emits exactly the 3-way-join answer") {
+    import graft.streaming.EventStream.{CepState, Event, cepFold}
+    val types = Gen.oneOf("view", "click", "purchase", "other")
+    // events on a small integer timeline so windows genuinely cut
+    val genEvents = Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 40L), types))
+    val genCuts = Gen.listOf(Gen.choose(0, 60))
+    val (w1, w2) = (5L, 7L)
+    checkProp(Prop.forAll(genEvents, genCuts) { (raw, cuts) =>
+      // normalize INSIDE the property (shrinking breaks invariants):
+      // unique ids from the index, strict (ts, id) arrival order
+      val evs = raw.zipWithIndex.map { case ((t, ty), i) =>
+        Event(i.toLong, t, 1L, ty, 0.0, "")
+      }.sortBy(e => (e.ts, e.event_id))
+      // direct answer: the q147 triple join on this fixture
+      val direct = (for {
+        v <- evs if v.event_type == "view"
+        c <- evs if c.event_type == "click" &&
+          c.ts > v.ts && c.ts <= v.ts + w1
+        p <- evs if p.event_type == "purchase" &&
+          p.ts > c.ts && p.ts <= c.ts + w2
+      } yield (v.event_id, c.event_id, p.event_id)).toSet
+      // streamed answer: fold through arbitrary prefix cuts
+      val cutSet = cuts.toSet
+      val batches = evs.zipWithIndex
+        .foldLeft(List(List.empty[Event])) { case (b :: rest, (e, i)) =>
+          if (cutSet.contains(i)) List(e) :: b :: rest else (b :+ e) :: rest }
+        .reverse.filter(_.nonEmpty)
+      val (_, emitted) = batches.foldLeft(
+          (CepState(Nil, Nil, Long.MinValue, Long.MinValue),
+            Set.empty[(Long, Long, Long)])) { case ((st, acc), b) =>
+        val (st2, out) = cepFold(1L, st, b, w1, w2)
+        (st2, acc ++ out.map(m => (m.view_id, m.click_id, m.purchase_id)))
+      }
+      emitted == direct
+    })
+  }
 }
