@@ -4062,5 +4062,46 @@ object AdvancedQueries {
              |       // (CAST(n AS HUGEINT) * sx2 - CAST(sx AS HUGEINT) * sx)
              |       AS BIGINT) AS slope_micro
              |FROM g ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- BAG-semantics set operations ----------------------------------------
+    // q10/q11/q36's set ops keep SET semantics; EXCEPT ALL / INTERSECT
+    // ALL are different operators with different physical plans
+    // (multiplicity-aware: Spark rewrites them to a count-tagged
+    // aggregate + generate, never a distinct) and different answers —
+    // a row occurring 5× on the left and 2× on the right survives
+    // EXCEPT ALL 3 times and INTERSECT ALL twice. The fixture: returned
+    // vs fulfilled order-priority bags from lineitem, where
+    // multiplicities are the whole point (priorities repeat heavily).
+    ("q150_bag_set_ops",
+      (s: SparkSession, d: String) => {
+        val li = Tables.load(s, d, "lineitem")
+          .join(Tables.load(s, d, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+        val returned = li.filter(col("l_returnflag") === "R")
+          .select(col("o_orderpriority").as("pri"))
+        val fulfilled = li.filter(col("l_returnflag") === "N")
+          .select(col("o_orderpriority").as("pri"))
+        val exceptBag = returned.exceptAll(fulfilled)
+          .groupBy(col("pri")).agg(count(lit(1)).as("n"))
+          .select(lit("except_all").as("op"), col("pri"), col("n"))
+        val intersectBag = returned.intersectAll(fulfilled)
+          .groupBy(col("pri")).agg(count(lit(1)).as("n"))
+          .select(lit("intersect_all").as("op"), col("pri"), col("n"))
+        exceptBag.unionAll(intersectBag).orderBy(col("op"), col("pri"))
+      },
+      Some("""WITH li AS (
+             |  SELECT l_returnflag, o_orderpriority AS pri
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |r AS (SELECT pri FROM li WHERE l_returnflag = 'R'),
+             |f AS (SELECT pri FROM li WHERE l_returnflag = 'N'),
+             |ex AS (SELECT pri FROM r EXCEPT ALL SELECT pri FROM f),
+             |ia AS (SELECT pri FROM r INTERSECT ALL SELECT pri FROM f)
+             |SELECT op, pri, n FROM (
+             |  SELECT 'except_all' AS op, pri, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM ex GROUP BY 2
+             |  UNION ALL
+             |  SELECT 'intersect_all', pri, CAST(COUNT(*) AS BIGINT)
+             |  FROM ia GROUP BY 2)
+             |ORDER BY op, pri""".stripMargin)),
   )
 }

@@ -2880,5 +2880,60 @@ object NorthStarQueries {
              |WHERE e.a IS NULL
              |ORDER BY common_neighbors DESC, aa_score_u DESC, id_a, id_b
              |LIMIT 20""".stripMargin)),
+
+    // ---- modularity of the SOURCE partition over the near-dup graph ---------
+    // "Does duplication stay within sources?" — Newman modularity of
+    // the source attribute as a partition of c02's dup graph: per
+    // source, intra-edges e_c vs degree mass d_c; the per-source
+    // contribution to Q·4m² is 4m·e_c − d_c², an EXACT integer (the
+    // whole metric stays rational with denominator 4m² — no float
+    // division to drift cross-engine). High contribution = that
+    // source's duplication is internal (dedup within the source
+    // suffices); low/negative = cross-source template reuse, the case
+    // c11's overlap matrix counts and this one weighs. Plan: the d09
+    // bounded gram join makes the edges, then two joins against the
+    // (doc_id, source) projection and two constant-size aggregates.
+    ("c16_source_modularity",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.load(s, d, "documents")
+        val pairs = Dedup.substringNearDupPairs(docs, "doc_id", "text", n = 8)
+          .localCheckpoint()
+        val src = docs.select(col("doc_id"), col("source"))
+        val tagged = pairs
+          .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+          .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+        val m = tagged.count()
+        val intra = tagged.filter(col("sa") === col("sb"))
+          .groupBy(col("sa").as("source")).agg(count(lit(1)).as("e_c"))
+        val degMass = tagged
+          .select(col("sa").as("source"))
+          .unionAll(tagged.select(col("sb").as("source")))
+          .groupBy(col("source")).agg(count(lit(1)).as("d_c"))
+        degMass.join(intra, Seq("source"), "left")
+          .select(col("source"),
+            coalesce(col("e_c"), lit(0L)).as("n_intra"), col("d_c"),
+            (lit(4L * m) * coalesce(col("e_c"), lit(0L)) -
+              col("d_c") * col("d_c")).as("q_contrib_4m2"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH w AS (SELECT doc_id,
+             |    string_split_regex(lower(text), '\s+') AS w FROM documents),
+             |g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+             |      FROM w, unnest(range(1, greatest(len(w)-6, 1))) AS u(i)),
+             |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+             |t AS (SELECT p.id_a, p.id_b, da.source AS sa, db.source AS sb
+             |      FROM p JOIN documents da ON da.doc_id = p.id_a
+             |             JOIN documents db ON db.doc_id = p.id_b),
+             |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM t),
+             |i AS (SELECT sa AS source, CAST(COUNT(*) AS BIGINT) AS e_c
+             |      FROM t WHERE sa = sb GROUP BY 1),
+             |dm AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS d_c FROM (
+             |         SELECT sa AS source FROM t
+             |         UNION ALL SELECT sb FROM t) GROUP BY 1)
+             |SELECT dm.source, COALESCE(i.e_c, 0) AS n_intra, dm.d_c,
+             |  4 * mm.m * COALESCE(i.e_c, 0) - dm.d_c * dm.d_c AS q_contrib_4m2
+             |FROM dm CROSS JOIN mm LEFT JOIN i ON i.source = dm.source
+             |ORDER BY dm.source""".stripMargin)),
   )
 }
