@@ -4103,5 +4103,52 @@ object AdvancedQueries {
              |  SELECT 'intersect_all', pri, CAST(COUNT(*) AS BIGINT)
              |  FROM ia GROUP BY 2)
              |ORDER BY op, pri""".stripMargin)),
+
+    // ---- time-weighted average (TWAP) ----------------------------------------
+    // The temporal mean plain AVG gets wrong: each observed value is
+    // weighted by HOW LONG it held (step-function integral / elapsed
+    // span) — the finance TWAP / metrics-rollup primitive. One lead()
+    // window per user gives segment durations; the integral is exact:
+    // cents × micros products summed in DECIMAL(38,0) (a user-month of
+    // micros overflows a long), divided once by the span with the
+    // truncating integral `div` both engines share. Single-event users
+    // have an empty span and are excluded rather than divided by zero.
+    ("q151_twap",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val D = DecimalType(38, 0)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val seg = Tables.load(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            round(col("value") * 100).cast("long").as("c"))
+          .withColumn("nxt", lead(col("ts"), 1).over(w))
+        val a = seg.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("nxt").isNull, lit(0L).cast(D))
+              .otherwise((col("c") * (col("nxt") - col("ts"))).cast(D)))
+              .as("num"),
+            (max(col("ts")) - min(col("ts"))).as("den"))
+        a.filter(col("den") > 0)
+          .select(col("user_id"), col("n_events"),
+            call_function("div", col("num"), col("den").cast(D))
+              .cast("long").as("twap_cents"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             |    CAST(round(value * 100) AS BIGINT) AS c
+             |  FROM events),
+             |w AS (SELECT user_id, c, us,
+             |        lead(us) OVER (PARTITION BY user_id
+             |                       ORDER BY us, event_id) AS nxt
+             |      FROM e),
+             |a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             |        SUM(CASE WHEN nxt IS NULL THEN CAST(0 AS HUGEINT)
+             |            ELSE CAST(c AS HUGEINT) * (nxt - us) END) AS num,
+             |        MAX(us) - MIN(us) AS den
+             |      FROM w GROUP BY 1)
+             |SELECT user_id, n_events, CAST(num // den AS BIGINT) AS twap_cents
+             |FROM a WHERE den > 0 ORDER BY user_id""".stripMargin)),
   )
 }

@@ -1422,5 +1422,49 @@ object TrainingPrepQueries {
              |  CAST(SUM(in_vocab) AS BIGINT) AS covered_tokens,
              |  CAST(SUM(in_vocab) * 10000 // COUNT(*) AS BIGINT) AS coverage_bp
              |FROM j GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // ---- n-gram novelty profile -----------------------------------------------
+    // Corpus-order novelty: what share of each document's distinct
+    // word trigrams was NEVER SEEN in any earlier document (first
+    // occurrence attributed by min doc_id)? The declining tail of this
+    // curve is the diminishing-returns signal data-mixing decisions
+    // read (near-zero novelty = the corpus is re-treading itself; it
+    // is also d09's containment criterion viewed longitudinally).
+    // Plan: one gram explode (bounded by corpus token count), a
+    // min-aggregate per gram, one join back — all equi-keyed on the
+    // gram; novelty exported in integer basis points.
+    ("t25_gram_novelty",
+      (s: SparkSession, d: String) => {
+        val w = split(lower(col("text")), "\\s+")
+        val grams = Tables.load(s, d, "documents")
+          .select(col("doc_id"),
+            explode(transform(
+              sequence(lit(1), greatest(size(w) - 2, lit(1)).cast("int")),
+              i => concat_ws(" ", slice(w, i, lit(3))))).as("gram"))
+          .distinct()
+        val firsts = grams.groupBy(col("gram"))
+          .agg(min(col("doc_id")).as("first_doc"))
+        grams.join(firsts, "gram")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .select(col("doc_id"), col("n_grams"), col("n_novel"),
+            call_function("div", col("n_novel") * 10000L, col("n_grams"))
+              .as("novelty_bp"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (SELECT doc_id,
+             |    string_split_regex(lower(text), '\s+') AS w FROM documents),
+             |g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+             |      FROM w, unnest(range(1, greatest(len(w) - 1, 2))) AS u(i)),
+             |f AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY 1)
+             |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             |  CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+             |       AS BIGINT) AS n_novel,
+             |  CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+             |       * 10000 // COUNT(*) AS BIGINT) AS novelty_bp
+             |FROM g JOIN f ON f.gram = g.gram
+             |GROUP BY 1 ORDER BY g.doc_id""".stripMargin)),
   )
 }
