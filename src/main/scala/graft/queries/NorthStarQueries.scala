@@ -2935,5 +2935,81 @@ object NorthStarQueries {
              |  4 * mm.m * COALESCE(i.e_c, 0) - dm.d_c * dm.d_c AS q_contrib_4m2
              |FROM dm CROSS JOIN mm LEFT JOIN i ON i.source = dm.source
              |ORDER BY dm.source""".stripMargin)),
+
+    // ---- degree assortativity of the co-purchase graph ----------------------
+    // Do high-degree parts co-purchase with other hubs (assortative,
+    // r > 0) or with the long tail (disassortative, r < 0 — the
+    // typical retail shape)? Newman's r is a Pearson correlation over
+    // the directed-edge list of endpoint degrees; its numerator and
+    // both variance terms are exact integers over degree sums, and
+    // sign(r)·r² exported in basis points keeps the whole metric
+    // rational (r itself needs a square root — the one step that
+    // would reintroduce float drift). Same support-thresholded edge
+    // set as c15; all sums fit DECIMAL(38,0)/HUGEINT.
+    ("c17_degree_assortativity",
+      (s: SparkSession, d: String) => {
+        val D = org.apache.spark.sql.types.DecimalType(38, 0)
+        val li = Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val e = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+          .join(li.select(col("l_orderkey"), col("l_partkey").as("pb")),
+            "l_orderkey")
+          .filter(col("pa") < col("pb"))
+          .groupBy(col("pa").as("a"), col("pb").as("b"))
+          .agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+          .select(col("a"), col("b"))
+        val adj = e.select(col("a").as("u"), col("b").as("v"))
+          .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+          .localCheckpoint()
+        val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        val pairs = adj
+          .join(deg.select(col("u"), col("deg").as("du")), "u")
+          .join(deg.select(col("u").as("v"), col("deg").as("dv")), "v")
+        val sums = pairs.agg(count(lit(1)).as("m2"),
+          sum(col("du")).as("sx"), sum(col("dv")).as("sy"),
+          sum(col("du") * col("dv")).as("sxy"),
+          sum(col("du") * col("du")).as("sx2"),
+          sum(col("dv") * col("dv")).as("sy2"))
+        val num = col("m2").cast(D) * col("sxy").cast(D) -
+          col("sx").cast(D) * col("sy").cast(D)
+        val vx = col("m2").cast(D) * col("sx2").cast(D) -
+          col("sx").cast(D) * col("sx").cast(D)
+        val vy = col("m2").cast(D) * col("sy2").cast(D) -
+          col("sy").cast(D) * col("sy").cast(D)
+        sums.select(col("m2"), col("sxy"), col("sx2"),
+          num.cast("long").as("r_num"),
+          call_function("div",
+            signum(num).cast(D) * num * num * lit(10000L).cast(D),
+            vx * vy).cast("long").as("signed_r2_bp"))
+      },
+      Some("""WITH li AS (
+             |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (
+             |  SELECT x.l_partkey AS a, y.l_partkey AS b
+             |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+             |    AND x.l_partkey < y.l_partkey
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+             |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg
+             |        FROM adj GROUP BY 1),
+             |p AS (SELECT d1.deg AS du, d2.deg AS dv
+             |      FROM adj JOIN deg d1 ON d1.u = adj.u
+             |               JOIN deg d2 ON d2.u = adj.v),
+             |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+             |        CAST(SUM(du) AS HUGEINT) AS sx,
+             |        CAST(SUM(dv) AS HUGEINT) AS sy,
+             |        CAST(SUM(du * dv) AS BIGINT) AS sxy,
+             |        CAST(SUM(du * du) AS BIGINT) AS sx2,
+             |        CAST(SUM(dv * dv) AS BIGINT) AS sy2
+             |      FROM p)
+             |SELECT m2, sxy, sx2,
+             |  CAST(m2 * sxy - sx * sy AS BIGINT) AS r_num,
+             |  CAST((CASE WHEN m2 * sxy - sx * sy < 0 THEN -1
+             |        WHEN m2 * sxy - sx * sy > 0 THEN 1 ELSE 0 END)
+             |       * (m2 * sxy - sx * sy) * (m2 * sxy - sx * sy) * 10000
+             |       // ((m2 * sx2 - sx * sx) * (m2 * sy2 - sy * sy))
+             |       AS BIGINT) AS signed_r2_bp
+             |FROM s""".stripMargin)),
   )
 }

@@ -242,6 +242,21 @@ class MultimodalSpec extends SparkSpec {
         s"unregister must restore stub features for ${r.media_id}")
     }
   }
+
+  test("decodeAudit: whole PNG decodes with true width, truncation and non-image diagnose") {
+    import spark.implicits._
+    val whole = Multimodal.ImageCodec.pngBytes(7L) // 15 x 7 by the id formula
+    val rows = Seq(
+      (1L, whole),
+      (2L, whole.take(24)),                    // PNG signature, body gone
+      (3L, "not an image".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val got = Multimodal.decodeAudit(rows).collect()
+      .map(a => a.media_id -> ((a.reason, a.width))).toMap
+    assert(got(1L) == (("ok", (7 % 16 + 8).toInt)), got.toString)
+    assert(got(2L) == (("truncated_image", 0)), got.toString)
+    assert(got(3L) == (("not_an_image", 0)), got.toString)
+  }
 }
 
 object MultimodalSpec {
