@@ -109,6 +109,52 @@ object StreamMediaQueries {
       s"$tmp/in"
     })
 
+  /** st47's arrival fixture: q141's distinct per-supplier intervals as
+    * 3 lo-VALUE-range-ordered files plus a per-supplier sentinel flush
+    * file (lo = Long.MaxValue), mtimes pinning delivery order. Value-
+    * range tiling (not rank tiling) means equal-lo rows can never
+    * straddle a batch boundary out of order — the arrival contract the
+    * sweep-line fold needs. Write-once per (JVM, sf). */
+  private val intervalStreamDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def ensureIntervalStream(s: SparkSession, d: String): String =
+    intervalStreamDirs.getOrElseUpdate(d, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st47").toString
+      val inDir = new java.io.File(s"$tmp/in"); inDir.mkdirs()
+      val day = datediff(to_date(col("l_shipdate")), lit("1990-01-01"))
+        .cast("long")
+      val iv = Tables.load(s, d, "lineitem")
+        .select(col("l_suppkey").as("sk"), day.as("lo"),
+          (day + round(col("l_quantity")).cast("long")).as("hi"))
+        .distinct().cache()
+      val mm = iv.agg(min(col("lo")).as("mn"), max(col("lo")).as("mx")).head()
+      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+      val span = math.max(mx - mn + 1, 1L)
+      def stage(df: DataFrame, name: String): java.io.File = {
+        val stageDir = s"$tmp/stage_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(stageDir)
+        val part = new java.io.File(stageDir).listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        val dst = new java.io.File(inDir, s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst
+      }
+      val waves = (0 to 2).map { t =>
+        stage(iv.filter(((col("lo") - mn) * 3L / span).cast("long") === t),
+          s"b$t")
+      }
+      val sentinel = stage(iv.select(col("sk")).distinct()
+        .select(col("sk"), lit(Long.MaxValue).as("lo"),
+          lit(Long.MaxValue).as("hi")), "b3_flush")
+      iv.unpersist()
+      val now = System.currentTimeMillis()
+      (waves :+ sentinel).zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(now - (3 - i) * 60000L)
+      }
+      inDir.getAbsolutePath
+    })
+
   /** st29's arrival fixture: two dimension-update batches against the
     * customer dim — (key, new segment) files whose mtimes pin delivery
     * order under maxFilesPerTrigger = 1 (batch 0: keys ≡0 mod 7 →
@@ -2790,6 +2836,59 @@ object StreamMediaQueries {
              |       // (CAST(n AS HUGEINT) * sx2 - CAST(sx AS HUGEINT) * sx)
              |       AS BIGINT) AS slope_micro
              |FROM g ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- streaming interval coverage (q141 maintained live) ------------------
+    // The sweep-line union length folded incrementally: batch q141
+    // sorts the whole interval set per supplier; the streaming fold
+    // ([[graft.streaming.IntervalCoverage]]) holds only the OPEN
+    // island per key — constant state — because under lo-ordered
+    // arrival a closed island can never reopen. Input is the
+    // lo-value-tiled arrival fixture (equal-lo rows can't straddle a
+    // batch boundary out of order); per-supplier summaries emit on the
+    // sentinel flush wave (the st12 punctuation idiom). q141's oracle
+    // certifies the drained summaries equal the batch sweep-line.
+    ("st47_stream_coverage",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val inDir = ensureIntervalStream(s, d)
+        val stream = s.readStream
+          .schema("sk LONG, lo LONG, hi LONG")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$inDir/*.parquet")
+          .as[graft.streaming.IntervalCoverage.Iv]
+        val out = java.nio.file.Files.createTempDirectory("graft_st47o").toString
+        EventStream.runToFiles(s,
+            graft.streaming.IntervalCoverage.coverageStream(stream).toDF(),
+            s"$out/data", s"$out/ckpt")
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""WITH iv AS (
+             |  SELECT DISTINCT l_suppkey AS sk,
+             |    CAST(date_diff('day', DATE '1990-01-01',
+             |         CAST(l_shipdate AS DATE)) AS BIGINT) AS lo,
+             |    CAST(date_diff('day', DATE '1990-01-01',
+             |         CAST(l_shipdate AS DATE))
+             |      + CAST(round(l_quantity) AS BIGINT) AS BIGINT) AS hi
+             |  FROM lineitem),
+             |fl AS (
+             |  SELECT sk, lo, hi,
+             |    CASE WHEN MAX(hi) OVER pre IS NULL OR lo > MAX(hi) OVER pre
+             |         THEN 1 ELSE 0 END AS flag
+             |  FROM iv
+             |  WINDOW pre AS (PARTITION BY sk ORDER BY lo, hi
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+             |gr AS (
+             |  SELECT sk, lo, hi,
+             |    SUM(flag) OVER (PARTITION BY sk ORDER BY lo, hi
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+             |  FROM fl),
+             |isl AS (SELECT sk, grp, MAX(hi) - MIN(lo) + 1 AS covered
+             |        FROM gr GROUP BY 1, 2)
+             |SELECT sk AS s_suppkey,
+             |  CAST(SUM(covered) AS BIGINT) AS covered_days,
+             |  CAST(COUNT(*) AS BIGINT) AS n_islands,
+             |  CAST(MAX(covered) AS BIGINT) AS max_span
+             |FROM isl GROUP BY 1 ORDER BY s_suppkey""".stripMargin)),
 
     // ---- multimodal decode quarantine ---------------------------------------
     // The ingest-robustness face of m01-m03: payloads route through the

@@ -258,4 +258,44 @@ class PropertySpec extends AnyFunSuite {
       emitted == direct
     })
   }
+
+  test("coverage fold: any batch split equals the order-free overlap-closure answer") {
+    import graft.streaming.IntervalCoverage.{CovState, Iv, covFold}
+    val genIvs = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 10L)))
+    val genCuts = Gen.listOf(Gen.choose(0, 40))
+    checkProp(Prop.forAll(genIvs, genCuts) { (raw, cuts) =>
+      // normalize inside the property (shrinking breaks invariants)
+      val ivs = raw.map { case (lo, len) => Iv(1L, lo, lo + len) }
+        .distinct.sortBy(iv => (iv.lo, iv.hi))
+      // independent truth: transitive closure of the pairwise OVERLAP
+      // relation (order-free, no sweep) — q141's islands are maximal
+      // overlapping groups, NOT maximal consecutive-day runs (two
+      // day-adjacent but disjoint intervals are separate islands)
+      val parent = Array.tabulate(ivs.size)(identity)
+      def find(i: Int): Int =
+        if (parent(i) == i) i else { parent(i) = find(parent(i)); parent(i) }
+      for (i <- ivs.indices; j <- ivs.indices if i < j)
+        if (ivs(i).lo <= ivs(j).hi && ivs(j).lo <= ivs(i).hi)
+          parent(find(i)) = find(j)
+      val islands = ivs.indices.groupBy(find).values.toSeq
+        .map(ix => ix.map(ivs(_).hi).max - ix.map(ivs(_).lo).min + 1)
+      val (covered, runs) = (islands.sum, islands)
+      val cutSet = cuts.toSet
+      val batches = ivs.zipWithIndex
+        .foldLeft(List(List.empty[Iv])) { case (b :: rest, (iv, i)) =>
+          if (cutSet.contains(i)) List(iv) :: b :: rest else (b :+ iv) :: rest }
+        .reverse.filter(_.nonEmpty) :+ List(Iv(1L, Long.MaxValue, Long.MaxValue))
+      val (stEnd, out) = batches.foldLeft(
+          (Option.empty[CovState], Seq.empty[graft.streaming.IntervalCoverage.CovRow])) {
+        case ((st, acc), b) =>
+          val (st2, o) = covFold(1L, st, b)
+          (st2, acc ++ o)
+      }
+      stEnd.isEmpty && out.size == 1 &&
+        out.head.covered_days == covered &&
+        out.head.n_islands == runs.length.toLong &&
+        out.head.max_span == runs.max
+    })
+  }
 }

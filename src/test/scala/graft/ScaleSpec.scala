@@ -1494,6 +1494,39 @@ class ScaleSpec extends SparkSpec {
       s"no partial aggregation phase — raw rows would shuffle:\n${plan.take(4000)}")
   }
 
+  test("q147 CEP relational twin: both pattern joins equi-keyed on user_id, no nested loop") {
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q147_cep_triples")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"range residuals must ride the equi join, not a nested loop:\n${plan.take(4000)}")
+  }
+
+  test("q149 OLS: one aggregation pass with map-side partials collects all five statistics") {
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q149_ols_slope")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_"),
+      s"sufficient statistics must combine map-side:\n${plan.take(4000)}")
+    // one key shuffle (the group-by) + the presentation sort — a second
+    // key shuffle would mean the stats were not collected in one pass
+    val keyShuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(keyShuffles <= 1,
+      s"expected one aggregation shuffle, got $keyShuffles:\n${plan.take(4000)}")
+  }
+
+  test("q151 TWAP: the segment window is user-partitioned, never global") {
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q151_twap")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(user_id"),
+      s"lead() must partition by user_id:\n${plan.take(4000)}")
+    val keyShuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(keyShuffles <= 1,
+      s"window and group-by must share the user_id partitioning, got $keyShuffles:\n${plan.take(4000)}")
+  }
+
   test("t24 vocab coverage: the 1000-term vocab broadcasts, tokens never re-shuffle for it") {
     spark.catalog.clearCache()
     val df = SparkEntry.queries("t24_vocab_coverage")(spark, sf)
