@@ -4150,5 +4150,53 @@ object AdvancedQueries {
              |      FROM w GROUP BY 1)
              |SELECT user_id, n_events, CAST(num // den AS BIGINT) AS twap_cents
              |FROM a WHERE den > 0 ORDER BY user_id""".stripMargin)),
+
+    // ---- audience overlap matrix from stored bitmaps --------------------------
+    // The third bitmap-measure payoff: the full K×K audience-overlap
+    // matrix (users doing BOTH event types) from K stored bitmaps and
+    // one broadcast self-join of K rows — where the raw formulation is
+    // a distinct self-join of the fact table PER CELL. Jaccard exported
+    // in integer basis points off the exact counts (|A∩B| and
+    // |A|+|B|−|A∩B|). K = |event types| is constant, so the join is
+    // broadcast-trivial at any fact scale; the heavy lifting happened
+    // once, in the bitmap build's map-side partials.
+    ("q152_audience_overlap",
+      (s: SparkSession, d: String) => {
+        import graft.functions.IdBitmap
+        val bm = Tables.load(s, d, "events")
+          .groupBy(col("event_type"))
+          .agg(IdBitmap.idBitmap(col("user_id"), 1L << 20).as("bm"))
+        val a = bm.select(col("event_type").as("type_a"), col("bm").as("bma"))
+        val b = bm.select(col("event_type").as("type_b"), col("bm").as("bmb"))
+        a.join(broadcast(b), col("type_a") < col("type_b"))
+          .select(col("type_a"), col("type_b"),
+            IdBitmap.bitmapCount(col("bma")).as("n_a"),
+            IdBitmap.bitmapCount(col("bmb")).as("n_b"),
+            IdBitmap.bitmapAndCount(col("bma"), col("bmb")).as("n_both"))
+          .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+            col("n_both"),
+            call_function("div", col("n_both") * 10000L,
+              col("n_a") + col("n_b") - col("n_both")).as("jaccard_bp"))
+          .orderBy(col("type_a"), col("type_b"))
+      },
+      Some("""WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+             |n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+             |      FROM u GROUP BY 1),
+             |b AS (SELECT a.event_type AS type_a, c.event_type AS type_b,
+             |        CAST(COUNT(*) AS BIGINT) AS n_both
+             |      FROM u a JOIN u c ON a.user_id = c.user_id
+             |        AND a.event_type < c.event_type
+             |      GROUP BY 1, 2),
+             |p AS (SELECT na.event_type AS type_a, nb.event_type AS type_b,
+             |        na.n_users AS n_a, nb.n_users AS n_b
+             |      FROM n na JOIN n nb ON na.event_type < nb.event_type)
+             |SELECT p.type_a, p.type_b, p.n_a, p.n_b,
+             |  COALESCE(b.n_both, 0) AS n_both,
+             |  CAST(COALESCE(b.n_both, 0) * 10000
+             |       // (p.n_a + p.n_b - COALESCE(b.n_both, 0)) AS BIGINT)
+             |    AS jaccard_bp
+             |FROM p LEFT JOIN b
+             |  ON b.type_a = p.type_a AND b.type_b = p.type_b
+             |ORDER BY p.type_a, p.type_b""".stripMargin)),
   )
 }
