@@ -4198,5 +4198,91 @@ object AdvancedQueries {
              |FROM p LEFT JOIN b
              |  ON b.type_a = p.type_a AND b.type_b = p.type_b
              |ORDER BY p.type_a, p.type_b""".stripMargin)),
+
+    // ---- typed Dataset API face -----------------------------------------------
+    // The `Dataset[T]` surface every other batch query skips: a typed
+    // pipeline through `as[...]` → `groupByKey` → `reduceGroups` —
+    // compile-time-checked row shapes, with the associative reduce
+    // still combining MAP-SIDE (Catalyst plans reduceGroups as a
+    // ReduceAggregator, partial + final, not a groups shuffle of raw
+    // rows — the plan is asserted in ScaleSpec). Integer cents/units
+    // keep the typed path's answer bit-equal to the SQL twin.
+    ("q153_typed_reduce",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        Tables.load(s, d, "lineitem")
+          .select(col("l_returnflag"),
+            round(col("l_quantity")).cast("long"),
+            round(col("l_extendedprice") * 100).cast("long"))
+          .as[(String, Long, Long)]
+          .groupByKey(_._1)
+          .reduceGroups((a, b) => (a._1, a._2 + b._2, a._3 + b._3))
+          .map { case (flag, (_, q, p)) => (flag, q, p) }
+          .toDF("l_returnflag", "sum_qty", "sum_price_c")
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+             |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS sum_price_c
+             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- score-band gains table (q144's AUC, operationalized) -----------------
+    // The eval table a threshold decision actually reads: ten equal-
+    // width SCORE bands (value-range bands, not population ntiles — no
+    // global rank of the corpus), per band the event and purchase
+    // counts, then the cumulative capture sweeping from the top band
+    // down: "taking everything scored in the top k bands captures X bp
+    // of all purchases". The cumulative window runs over exactly 10
+    // rows; everything else is one aggregate pass. All integers, bands
+    // and capture in truncating-div arithmetic both engines share.
+    ("q154_score_band_gains",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.load(s, d, "events")
+          .select(round(col("value") * 100).cast("long").as("cents"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+        val mm = ev.agg(min(col("cents")).as("mn"),
+          (max(col("cents")) - min(col("cents")) + 1L).as("span"),
+          sum(col("pos")).as("total_pos"))
+        val banded = ev.crossJoin(mm)
+          .select(least(lit(9L), call_function("div",
+            (col("cents") - col("mn")) * 10L, col("span"))).as("band"),
+            col("pos"), col("total_pos"))
+          .groupBy(col("band"), col("total_pos"))
+          .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+        val wDesc = Window.orderBy(col("band").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        banded
+          .withColumn("cum_n", sum(col("n")).over(wDesc))
+          .withColumn("cum_pos", sum(col("n_pos")).over(wDesc))
+          .select(col("band"), col("n"), col("n_pos"), col("cum_n"),
+            col("cum_pos"),
+            call_function("div", col("cum_pos") * 10000L, col("total_pos"))
+              .as("capture_bp"))
+          .orderBy(col("band").desc)
+      },
+      Some("""WITH ev AS (
+             |  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+             |  FROM events),
+             |mm AS (SELECT MIN(cents) AS mn,
+             |         MAX(cents) - MIN(cents) + 1 AS span,
+             |         CAST(SUM(pos) AS BIGINT) AS total_pos FROM ev),
+             |b AS (SELECT LEAST(9, (cents - mn) * 10 // span) AS band,
+             |        pos, total_pos
+             |      FROM ev CROSS JOIN mm),
+             |g AS (SELECT band, total_pos, CAST(COUNT(*) AS BIGINT) AS n,
+             |        CAST(SUM(pos) AS BIGINT) AS n_pos
+             |      FROM b GROUP BY 1, 2)
+             |SELECT band, n, n_pos,
+             |  CAST(SUM(n) OVER w AS BIGINT) AS cum_n,
+             |  CAST(SUM(n_pos) OVER w AS BIGINT) AS cum_pos,
+             |  CAST(SUM(n_pos) OVER w * 10000 // total_pos AS BIGINT)
+             |    AS capture_bp
+             |FROM g
+             |WINDOW w AS (ORDER BY band DESC
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |ORDER BY band DESC""".stripMargin)),
   )
 }

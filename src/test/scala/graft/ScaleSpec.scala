@@ -1527,6 +1527,17 @@ class ScaleSpec extends SparkSpec {
       s"window and group-by must share the user_id partitioning, got $keyShuffles:\n${plan.take(4000)}")
   }
 
+  test("q153 typed reduce: reduceGroups plans as a partial+final aggregate, not a groups shuffle") {
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q153_typed_reduce")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_reduceaggregator") ||
+      plan.contains("partial_"),
+      s"typed reduce must combine map-side:\n${plan.take(4000)}")
+    assert(!plan.contains("FlatMapGroups"),
+      s"reduceGroups must not fall back to a raw groups iterator:\n${plan.take(4000)}")
+  }
+
   test("t24 vocab coverage: the 1000-term vocab broadcasts, tokens never re-shuffle for it") {
     spark.catalog.clearCache()
     val df = SparkEntry.queries("t24_vocab_coverage")(spark, sf)
