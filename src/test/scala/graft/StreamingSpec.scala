@@ -1327,6 +1327,81 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CEP: a restarted drain resumes open chains from the state store") {
+    import spark.implicits._
+    // wave 1 opens a view→click chain; the purchase arrives only AFTER
+    // a stop + restart on the same checkpoint — the triple can only
+    // emit if the pending click (and its chained views) was restored
+    val H = 3600000000L
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ceprestart").toString
+    val in = new java.io.File(s"$tmp/in"); in.mkdirs()
+    def stage(rows: Seq[(Long, Long, Long, String, Double, String)],
+              name: String): Unit = {
+      val sd = s"$tmp/stage_$name"
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(sd)
+      val part = new java.io.File(sd).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(in, s"$name.parquet").toPath)
+    }
+    def drain(): org.apache.spark.sql.DataFrame = {
+      val stream = spark.readStream.schema(graft.streaming.EventStream.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$in/*.parquet")
+        .as[graft.streaming.EventStream.Event]
+      graft.streaming.EventStream.runToFiles(spark,
+        graft.streaming.EventStream.cepStream(stream, 2L * H, 3L * H).toDF(),
+        s"$tmp/data", s"$tmp/ckpt")
+    }
+    stage(Seq((1L, 0L * H, 7L, "view", 0.0, ""),
+      (2L, 1L * H, 7L, "click", 0.0, "")), "w0")
+    drain()
+    stage(Seq((3L, 3L * H, 7L, "purchase", 0.0, "")), "w1")
+    val rows = drain().select("view_id", "click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set((1L, 2L, 3L)),
+      s"restart must resume the open chain: $rows")
+  }
+
+  test("interval coverage: a restarted drain resumes the open island") {
+    import spark.implicits._
+    import graft.streaming.IntervalCoverage
+    // wave 1 leaves one OPEN island spanning two overlapping intervals;
+    // the sentinel lands after a restart — the summary merges across
+    // the restart only if the open island was restored
+    val tmp = java.nio.file.Files.createTempDirectory("graft_covrestart").toString
+    val in = new java.io.File(s"$tmp/in"); in.mkdirs()
+    def stage(rows: Seq[(Long, Long, Long)], name: String): Unit = {
+      val sd = s"$tmp/stage_$name"
+      rows.toDF("sk", "lo", "hi")
+        .coalesce(1).write.mode("overwrite").parquet(sd)
+      val part = new java.io.File(sd).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(in, s"$name.parquet").toPath)
+    }
+    def drain(): org.apache.spark.sql.DataFrame = {
+      val stream = spark.readStream.schema("sk LONG, lo LONG, hi LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$in/*.parquet")
+        .as[IntervalCoverage.Iv]
+      graft.streaming.EventStream.runToFiles(spark,
+        IntervalCoverage.coverageStream(stream).toDF(),
+        s"$tmp/data", s"$tmp/ckpt")
+    }
+    stage(Seq((1L, 10L, 20L), (1L, 15L, 25L)), "w0") // one open island 10..25
+    drain()
+    // wave 2: extend the island, then a disjoint one, then flush
+    stage(Seq((1L, 24L, 30L), (1L, 40L, 41L),
+      (1L, Long.MaxValue, Long.MaxValue)), "w1")
+    val rows = drain()
+      .select("s_suppkey", "covered_days", "n_islands", "max_span")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq((1L, 23L, 2L, 21L)), // 10..30 (21) + 40..41 (2)
+      s"restart must resume the open island: ${rows.toSeq}")
+  }
+
   test("streaming z-score: a restarted drain resumes per-user windows from the state store") {
     import spark.implicits._
     // the memory-stream test proves cross-BATCH state; this proves
