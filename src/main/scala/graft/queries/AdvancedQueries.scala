@@ -4284,5 +4284,62 @@ object AdvancedQueries {
              |WINDOW w AS (ORDER BY band DESC
              |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              |ORDER BY band DESC""".stripMargin)),
+
+    // ---- share-of-parent in one grouping-sets pass -----------------------------
+    // Hierarchical percent-of-parent (each nation's revenue share
+    // within its region, each region's within the world) WITHOUT
+    // re-aggregating per level: ONE ROLLUP pass emits all three levels,
+    // then each row joins its parent level's row — two broadcast-size
+    // joins over the rollup output (|regions|+|nations|+1 rows),
+    // however large the fact table. Shares in integer basis points of
+    // exact cents sums; grouping() flags tell levels apart without
+    // null-key ambiguity.
+    ("q155_share_of_parent",
+      (s: SparkSession, d: String) => {
+        val cents = round(col("l_extendedprice") * 100).cast("long")
+        val joined = Tables.load(s, d, "lineitem")
+          .join(Tables.load(s, d, "supplier"),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.load(s, d, "nation"),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(Tables.load(s, d, "region"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("r_name"), col("n_name"), cents.as("c"))
+        val levels = joined.rollup(col("r_name"), col("n_name"))
+          .agg(sum(col("c")).as("rev_c"),
+            grouping(col("r_name")).as("g_r"), grouping(col("n_name")).as("g_n"))
+        val world = levels.filter(col("g_r") === 1)
+          .select(col("rev_c").as("world_c"))
+        val regions = levels.filter(col("g_r") === 0 && col("g_n") === 1)
+          .select(col("r_name").as("pr"), col("rev_c").as("region_c"))
+        levels.filter(col("g_n") === 0)
+          .join(broadcast(regions), col("r_name") === col("pr"))
+          .crossJoin(broadcast(world))
+          .select(col("r_name"), col("n_name"), col("rev_c"),
+            call_function("div", col("rev_c") * 10000L, col("region_c"))
+              .as("share_of_region_bp"),
+            call_function("div", col("region_c") * 10000L, col("world_c"))
+              .as("region_share_of_world_bp"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some("""WITH f AS (
+             |  SELECT r_name, n_name,
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+             |  FROM lineitem
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey),
+             |nat AS (SELECT r_name, n_name, CAST(SUM(c) AS BIGINT) AS rev_c
+             |        FROM f GROUP BY 1, 2),
+             |reg AS (SELECT r_name, CAST(SUM(c) AS BIGINT) AS region_c
+             |        FROM f GROUP BY 1),
+             |w AS (SELECT CAST(SUM(c) AS BIGINT) AS world_c FROM f)
+             |SELECT nat.r_name, nat.n_name, nat.rev_c,
+             |  CAST(nat.rev_c * 10000 // reg.region_c AS BIGINT)
+             |    AS share_of_region_bp,
+             |  CAST(reg.region_c * 10000 // w.world_c AS BIGINT)
+             |    AS region_share_of_world_bp
+             |FROM nat JOIN reg ON reg.r_name = nat.r_name CROSS JOIN w
+             |ORDER BY nat.r_name, nat.n_name""".stripMargin)),
   )
 }
