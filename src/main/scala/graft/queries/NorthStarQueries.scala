@@ -3011,5 +3011,76 @@ object NorthStarQueries {
              |       // ((m2 * sx2 - sx * sx) * (m2 * sy2 - sy * sy))
              |       AS BIGINT) AS signed_r2_bp
              |FROM s""".stripMargin)),
+
+    // ---- dup-cluster cohesion audit -------------------------------------------
+    // How TIGHT is each c02 cluster? Per cluster: members, linked
+    // pairs, and the shared-distinct-8-gram mass per pair (the same
+    // evidence d09's criterion linked them on) — a sparse, weakly-
+    // linked cluster (mean shared grams barely above the 1-gram
+    // threshold, n_pairs ≪ n·(n−1)/2) is a chaining artifact to review
+    // before canonicalization removes n−1 documents; a dense one is a
+    // true template family. Pair evidence and membership come from the
+    // SAME gram join + connected components the cluster assignment
+    // used, so the audit can't drift from the clustering. Mean in
+    // integer hundredths via truncating div.
+    ("c18_cluster_cohesion",
+      (s: SparkSession, d: String) => {
+        val grams = Tables.load(s, d, "documents")
+          .select(col("doc_id"),
+            explode(Dedup.wordNGrams(Dedup.words(col("text")), 8)).as("gram"))
+        val shared = grams.select(col("gram"), col("doc_id").as("id_a"))
+          .join(grams.select(col("gram"), col("doc_id").as("id_b")), "gram")
+          .filter(col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .localCheckpoint() // consumed by CC and by the cohesion rollup
+        val cc = Dedup.connectedComponents(
+          shared.select(col("id_a"), col("id_b")))
+        val members = cc.groupBy(col("label").as("cluster"))
+          .agg(count(lit(1)).as("n_members"))
+        val cohesion = shared
+          .join(cc.select(col("id").as("id_a"), col("label").as("cluster")),
+            "id_a")
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("n_shared")).as("sum_shared"),
+            max(col("n_shared")).as("max_shared"))
+        members.join(cohesion, "cluster")
+          .select(col("cluster"), col("n_members"), col("n_pairs"),
+            col("sum_shared"), col("max_shared"),
+            call_function("div", col("sum_shared") * 100L, col("n_pairs"))
+              .as("mean_shared_x100"))
+          .orderBy(col("cluster"))
+      },
+      Some("""WITH w AS (SELECT doc_id,
+             |    string_split_regex(lower(text), '\s+') AS w FROM documents),
+             |g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+             |      FROM w, unnest(range(1, greatest(len(w)-6, 1))) AS u(i)),
+             |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |        CAST(COUNT(*) AS BIGINT) AS n_shared
+             |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+             |      GROUP BY 1, 2),
+             |e AS (SELECT id_a AS src, id_b AS dst FROM p
+             |      UNION ALL SELECT id_b, id_a FROM p),
+             |nodes AS (SELECT DISTINCT src AS id FROM e),
+             |reach AS (
+             |  WITH RECURSIVE r(id, v) AS (
+             |    SELECT id, id FROM nodes
+             |    UNION
+             |    SELECT r.id, e.dst FROM r JOIN e ON e.src = r.v)
+             |  SELECT id, min(v) AS cluster FROM r GROUP BY id),
+             |m AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members
+             |      FROM reach GROUP BY 1),
+             |coh AS (SELECT reach.cluster,
+             |          CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             |          CAST(SUM(p.n_shared) AS BIGINT) AS sum_shared,
+             |          CAST(MAX(p.n_shared) AS BIGINT) AS max_shared
+             |        FROM p JOIN reach ON reach.id = p.id_a GROUP BY 1)
+             |SELECT m.cluster, m.n_members, coh.n_pairs, coh.sum_shared,
+             |  coh.max_shared,
+             |  CAST(coh.sum_shared * 100 // coh.n_pairs AS BIGINT)
+             |    AS mean_shared_x100
+             |FROM m JOIN coh ON coh.cluster = m.cluster
+             |ORDER BY m.cluster""".stripMargin)),
   )
 }

@@ -2890,6 +2890,73 @@ object StreamMediaQueries {
              |  CAST(MAX(covered) AS BIGINT) AS max_span
              |FROM isl GROUP BY 1 ORDER BY s_suppkey""".stripMargin)),
 
+    // ---- streaming score-band gains monitor (q154 maintained live) -----------
+    // The eval table kept current on the feed: banding thresholds are
+    // FIXED configuration (corpus score range, read once statically —
+    // exactly how a deployed monitor pins its bands), per-band counts
+    // fold as a 10-row streaming aggregate, and the gains sweep is a
+    // bounded window over the Complete-mode snapshot. q154's oracle
+    // certifies the live table equals the batch one at drain end.
+    ("st48_stream_gains",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val cents = round(col("value") * 100).cast("long")
+        val mm = Tables.load(s, d, "events")
+          .agg(min(cents).as("mn"),
+            (max(cents) - min(cents) + 1L).as("span")).head()
+        val (mn, span) = (mm.getLong(0), mm.getLong(1))
+        val inDir = ensureSessionStream(s, d)
+        val stream = s.readStream.schema(EventStream.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$inDir/part-*")
+          .as[EventStream.Event]
+          .filter(_.event_type != "flush")
+          .toDF()
+        val agg = stream
+          .select(least(lit(9L), call_function("div",
+              (cents - mn) * 10L, lit(span))).as("band"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+        val snap = EventStream.runToMemory(s, agg,
+          s"st48_mem_${System.nanoTime()}")
+        val totalPos = snap.agg(coalesce(sum(col("n_pos")), lit(0L)))
+          .head().getLong(0)
+        val wDesc = Window.orderBy(col("band").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        snap
+          .withColumn("cum_n", sum(col("n")).over(wDesc))
+          .withColumn("cum_pos", sum(col("n_pos")).over(wDesc))
+          .select(col("band"), col("n"), col("n_pos"), col("cum_n"),
+            col("cum_pos"),
+            call_function("div", col("cum_pos") * 10000L, lit(totalPos))
+              .as("capture_bp"))
+          .orderBy(col("band").desc)
+      },
+      Some("""WITH ev AS (
+             |  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+             |  FROM events),
+             |mm AS (SELECT MIN(cents) AS mn,
+             |         MAX(cents) - MIN(cents) + 1 AS span,
+             |         CAST(SUM(pos) AS BIGINT) AS total_pos FROM ev),
+             |b AS (SELECT LEAST(9, (cents - mn) * 10 // span) AS band,
+             |        pos, total_pos
+             |      FROM ev CROSS JOIN mm),
+             |g AS (SELECT band, total_pos, CAST(COUNT(*) AS BIGINT) AS n,
+             |        CAST(SUM(pos) AS BIGINT) AS n_pos
+             |      FROM b GROUP BY 1, 2)
+             |SELECT band, n, n_pos,
+             |  CAST(SUM(n) OVER w AS BIGINT) AS cum_n,
+             |  CAST(SUM(n_pos) OVER w AS BIGINT) AS cum_pos,
+             |  CAST(SUM(n_pos) OVER w * 10000 // total_pos AS BIGINT)
+             |    AS capture_bp
+             |FROM g
+             |WINDOW w AS (ORDER BY band DESC
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |ORDER BY band DESC""".stripMargin)),
+
     // ---- multimodal decode quarantine ---------------------------------------
     // The ingest-robustness face of m01-m03: payloads route through the
     // REAL image codec (javax.imageio), decodable ones report their
