@@ -65,7 +65,24 @@ object Dedup {
     * [[capBucketsWithDropped]]). The distinct() collapses multi-gram
     * overlaps so the pair shuffle carries unique pairs only. */
   def substringNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                            n: Int = 8, maxBucket: Int = 0): DataFrame = {
+                            n: Int = 8, maxBucket: Int = 0): DataFrame =
+    substringNearDupPairsWeighted(docs, idCol, textCol, n, maxBucket)
+      .select(col("id_a"), col("id_b"))
+
+  /** As [[substringNearDupPairs]], plus the pair's evidence WEIGHT:
+    * `(id_a, id_b, n_shared)` where n_shared = how many distinct word
+    * n-grams the two documents share. This is the ONE capped gram path
+    * both the clustering (c02/c03, via the unweighted projection) and
+    * the cohesion audit (c18) consume — an audit that re-derived its
+    * own gram join would silently diverge from the clustering the
+    * moment production sets `maxBucket`, and would reopen the
+    * degenerate-boilerplate-bucket blowup the cap exists to bound.
+    * Same scale shape as the unweighted form: the count is the same
+    * hash aggregate the distinct() was (pair-keyed, map-side partials);
+    * no extra shuffle. */
+  def substringNearDupPairsWeighted(docs: DataFrame, idCol: String,
+                                    textCol: String, n: Int = 8,
+                                    maxBucket: Int = 0): DataFrame = {
     val grams = capBuckets(
       docs.select(col(idCol).as("doc_id"),
         explode(wordNGrams(words(col(textCol)), n)).as("gram")),
@@ -73,7 +90,8 @@ object Dedup {
     val a = grams.select(col("gram"), col("doc_id").as("id_a"))
     val b = grams.select(col("gram"), col("doc_id").as("id_b"))
     a.join(b, "gram").filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
   }
 
   /** Cross-document boilerplate chunks (the paragraph-dedup step of

@@ -4017,8 +4017,12 @@ object AdvancedQueries {
     // statistics (n, Σx, Σy, Σxy, Σx²) per group — map-side partials,
     // constant state — and the slope falls out of the normal equations
     // on the reduced frame. All arithmetic exact: x = rounded quantity,
-    // y = price cents, cross products widened to DECIMAL(38,0) (n·Σxy
-    // overflows a long at corpus scale), and the slope exported in
+    // y = price cents, and the sums THEMSELVES accumulate in
+    // DECIMAL(38,0) — not just the post-aggregation n·Σxy products —
+    // because with ANSI off a LONG Σxy would wrap silently once a
+    // group's cross-product mass passes 2⁶³ (DuckDB's SUM(BIGINT)
+    // returns HUGEINT, so the engines would diverge exactly at corpus
+    // scale, where the exactness claim matters). Slope exported in
     // integer micro-units via truncating integral division — Spark's
     // `div` and DuckDB's `//`/HUGEINT truncate identically, so no
     // float division order or rounding mode can drift.
@@ -4030,16 +4034,18 @@ object AdvancedQueries {
         val g = Tables.load(s, d, "lineitem")
           .select(col("l_returnflag"), x.as("x"), y.as("y"))
           .groupBy(col("l_returnflag"))
-          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-            sum(col("y")).as("sy"),
-            sum(col("x") * col("y")).as("sxy"),
-            sum(col("x") * col("x")).as("sx2"))
-        val num = col("n").cast(D) * col("sxy").cast(D) -
-          col("sx").cast(D) * col("sy").cast(D)
-        val den = col("n").cast(D) * col("sx2").cast(D) -
-          col("sx").cast(D) * col("sx").cast(D)
-        g.select(col("l_returnflag"), col("n"), col("sx"), col("sy"),
-            col("sxy"), col("sx2"),
+          .agg(count(lit(1)).as("n"), sum(col("x").cast(D)).as("sx"),
+            sum(col("y").cast(D)).as("sy"),
+            sum(col("x").cast(D) * col("y").cast(D)).as("sxy"),
+            sum(col("x").cast(D) * col("x").cast(D)).as("sx2"))
+        val num = col("n").cast(D) * col("sxy") -
+          col("sx") * col("sy")
+        val den = col("n").cast(D) * col("sx2") -
+          col("sx") * col("sx")
+        g.select(col("l_returnflag"), col("n"),
+            col("sx").cast("long").as("sx"), col("sy").cast("long").as("sy"),
+            col("sxy").cast("long").as("sxy"),
+            col("sx2").cast("long").as("sx2"),
             call_function("div", num * lit(1000000L).cast(D), den)
               .cast("long").as("slope_micro"))
           .orderBy(col("l_returnflag"))
@@ -4125,8 +4131,12 @@ object AdvancedQueries {
           .withColumn("nxt", lead(col("ts"), 1).over(w))
         val a = seg.groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_events"),
+            // widen BEFORE the multiply: the oracle's HUGEINT product
+            // never wraps, so a LONG c × multi-year-micros gap that
+            // silently wrapped (ANSI off) would diverge exactly where
+            // the exact-integral claim matters
             sum(when(col("nxt").isNull, lit(0L).cast(D))
-              .otherwise((col("c") * (col("nxt") - col("ts"))).cast(D)))
+              .otherwise(col("c").cast(D) * (col("nxt") - col("ts")).cast(D)))
               .as("num"),
             (max(col("ts")) - min(col("ts"))).as("den"))
         a.filter(col("den") > 0)

@@ -19,6 +19,78 @@ import graft.ops.{Curation, Dedup, Similarity, TextAnalysis, TrainingPrep}
   */
 object NorthStarQueries {
 
+  /** c15's plan, parameterized by the wedge fan-out bound. Wedges are
+    * enumerated by joining the adjacency list to itself on the center
+    * node z, so work is Σ_z deg(z)² — and co-purchase graphs are
+    * power-law: one hub with 10⁵ neighbors contributes 10¹⁰ wedges at
+    * scale before any limit sees a row. `maxCenterDegree > 0` bounds
+    * every center's contribution at cap² via
+    * [[Dedup.capBucketsWithDropped]] keyed on z (the same
+    * loud-drop-accounting guard the gram dedup path uses: the dropped
+    * hub count is surfaced through `observe`, never silently
+    * filtered). `maxCenterDegree = 0` disables — the exact-oracle
+    * regime the registered query runs (fixture graphs have no
+    * degenerate hubs; the cap>0 regime is spec-gated in ScaleSpec /
+    * DedupSimilaritySpec instead). Degree-1 centers can never form a
+    * wedge, so they are filtered BEFORE the Adamic-Adar term — which
+    * also keeps 1/ln(1) = ∞ out of both engines' arithmetic. */
+  private[graft] def linkPrediction(s: SparkSession, d: String,
+                                    maxCenterDegree: Int): DataFrame = {
+    val (result, droppedHubs) = linkPredictionWithDropped(s, d, maxCenterDegree)
+    if (maxCenterDegree > 0) {
+      val nHubs = droppedHubs.select(col("z")).distinct().count()
+      if (nHubs > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"c15: dropped $nHubs hub centers past degree $maxCenterDegree " +
+            "(wedge recall is bounded, not exact — raise the cap or " +
+            "quarantine the hubs to recover them)")
+    }
+    result
+  }
+
+  /** [[linkPrediction]] with the dropped-hub adjacency rows returned to
+    * the caller (the capBucketsWithDropped discipline: capping trades
+    * recall for bounded work, and the trade must be observable). */
+  private[graft] def linkPredictionWithDropped(
+      s: SparkSession, d: String,
+      maxCenterDegree: Int): (DataFrame, DataFrame) = {
+    val li = Tables.load(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val e = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("pb")),
+        "l_orderkey")
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa").as("a"), col("pb").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select(col("a"), col("b"))
+      .localCheckpoint() // support-filtered core, consumed 3 ways
+    val adj = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val centersAll = adj.join(deg, "u")
+      .filter(col("deg") >= 2) // a shared neighbor needs >= 2 neighbors
+      .select(col("u").as("z"), col("v").as("a"),
+        floor(lit(1000000.0) / log(col("deg"))).cast("long").as("aa_term"))
+    val (centers, droppedHubs) =
+      Dedup.capBucketsWithDropped(centersAll, Seq("z"), maxCenterDegree)
+    val wedges = centers.join(
+      adj.select(col("u").as("z"), col("v").as("c")), "z")
+      .filter(col("a") < col("c"))
+    val scored = wedges.groupBy(col("a"), col("c"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(col("aa_term")).as("aa_score_u"))
+    val eAnti = e.select(col("a").as("ea"), col("b").as("eb"))
+    val result = scored.join(eAnti,
+        col("a") === col("ea") && col("c") === col("eb"), "left_anti")
+      .select(col("a").as("id_a"), col("c").as("id_b"),
+        col("common_neighbors"), col("aa_score_u"))
+      .orderBy(col("common_neighbors").desc, col("aa_score_u").desc,
+        col("id_a"), col("id_b"))
+      .limit(20)
+    (result, droppedHubs)
+  }
+
   /** s08's persisted IVF-int8 index over the embeddings table — built
     * once per (JVM, sf) under the write-once rule (the index is the
     * amortized serving layout; what a deployment repeats is the PROBE,
@@ -2822,41 +2894,11 @@ object NorthStarQueries {
     // surrogates — floor(1e6/ln(deg)) per shared neighbor, summed as
     // longs — so cross-engine float summation order can't perturb the
     // ranking; the full (cn, aa, a, c) key makes the top-20
-    // deterministic.
+    // deterministic. Registered at maxCenterDegree = 0 — the
+    // exact-oracle regime; production bounds the power-law hub
+    // fan-out (Σ_z deg(z)² wedges) via [[linkPrediction]]'s cap.
     ("c15_link_prediction",
-      (s: SparkSession, d: String) => {
-        val li = Tables.load(s, d, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        val e = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
-          .join(li.select(col("l_orderkey"), col("l_partkey").as("pb")),
-            "l_orderkey")
-          .filter(col("pa") < col("pb"))
-          .groupBy(col("pa").as("a"), col("pb").as("b"))
-          .agg(count(lit(1)).as("w"))
-          .filter(col("w") >= 2)
-          .select(col("a"), col("b"))
-          .localCheckpoint() // support-filtered core, consumed 3 ways
-        val adj = e.select(col("a").as("u"), col("b").as("v"))
-          .unionAll(e.select(col("b").as("u"), col("a").as("v")))
-        val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-        val centers = adj.join(deg, "u")
-          .select(col("u").as("z"), col("v").as("a"),
-            floor(lit(1000000.0) / log(col("deg"))).cast("long").as("aa_term"))
-        val wedges = centers.join(
-          adj.select(col("u").as("z"), col("v").as("c")), "z")
-          .filter(col("a") < col("c"))
-        val scored = wedges.groupBy(col("a"), col("c"))
-          .agg(count(lit(1)).as("common_neighbors"),
-            sum(col("aa_term")).as("aa_score_u"))
-        val eAnti = e.select(col("a").as("ea"), col("b").as("eb"))
-        scored.join(eAnti,
-            col("a") === col("ea") && col("c") === col("eb"), "left_anti")
-          .select(col("a").as("id_a"), col("c").as("id_b"),
-            col("common_neighbors"), col("aa_score_u"))
-          .orderBy(col("common_neighbors").desc, col("aa_score_u").desc,
-            col("id_a"), col("id_b"))
-          .limit(20)
-      },
+      (s: SparkSession, d: String) => linkPrediction(s, d, 0),
       Some("""WITH li AS (
              |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
              |e AS (
@@ -2869,7 +2911,8 @@ object NorthStarQueries {
              |        FROM adj GROUP BY 1),
              |ctr AS (SELECT adj.u AS z, adj.v AS a,
              |          CAST(FLOOR(1000000.0 / ln(deg.deg)) AS BIGINT) AS aa_term
-             |        FROM adj JOIN deg ON deg.u = adj.u),
+             |        FROM adj JOIN deg ON deg.u = adj.u
+             |        WHERE deg.deg >= 2),
              |sc AS (SELECT ctr.a, n2.v AS c,
              |         CAST(COUNT(*) AS BIGINT) AS common_neighbors,
              |         CAST(SUM(aa_term) AS BIGINT) AS aa_score_u
@@ -3020,19 +3063,15 @@ object NorthStarQueries {
     // threshold, n_pairs ≪ n·(n−1)/2) is a chaining artifact to review
     // before canonicalization removes n−1 documents; a dense one is a
     // true template family. Pair evidence and membership come from the
-    // SAME gram join + connected components the cluster assignment
-    // used, so the audit can't drift from the clustering. Mean in
-    // integer hundredths via truncating div.
+    // SAME capped gram path the cluster assignment uses
+    // ([[Dedup.substringNearDupPairsWeighted]] — c02's pair set is its
+    // unweighted projection at every maxBucket), so the audit can't
+    // drift from the clustering. Mean in integer hundredths via
+    // truncating div.
     ("c18_cluster_cohesion",
       (s: SparkSession, d: String) => {
-        val grams = Tables.load(s, d, "documents")
-          .select(col("doc_id"),
-            explode(Dedup.wordNGrams(Dedup.words(col("text")), 8)).as("gram"))
-        val shared = grams.select(col("gram"), col("doc_id").as("id_a"))
-          .join(grams.select(col("gram"), col("doc_id").as("id_b")), "gram")
-          .filter(col("id_a") < col("id_b"))
-          .groupBy(col("id_a"), col("id_b"))
-          .agg(count(lit(1)).as("n_shared"))
+        val shared = Dedup.substringNearDupPairsWeighted(
+            Tables.load(s, d, "documents"), "doc_id", "text", n = 8)
           .localCheckpoint() // consumed by CC and by the cohesion rollup
         val cc = Dedup.connectedComponents(
           shared.select(col("id_a"), col("id_b")))

@@ -2800,20 +2800,25 @@ object StreamMediaQueries {
           .parquet(s"$inDir/part-*")
         val x = round(col("l_quantity")).cast("long")
         val y = round(col("l_extendedprice") * 100).cast("long")
+        // sums accumulate in DECIMAL(38,0) like batch q149: a LONG Σxy
+        // wraps silently (ANSI off) once a group's cross-product mass
+        // passes 2⁶³ — on a stream that folds forever, it eventually will
         val agg = stream
           .select(col("l_returnflag"), x.as("x"), y.as("y"))
           .groupBy(col("l_returnflag"))
-          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-            sum(col("y")).as("sy"),
-            sum(col("x") * col("y")).as("sxy"),
-            sum(col("x") * col("x")).as("sx2"))
-        val num = col("n").cast(D) * col("sxy").cast(D) -
-          col("sx").cast(D) * col("sy").cast(D)
-        val den = col("n").cast(D) * col("sx2").cast(D) -
-          col("sx").cast(D) * col("sx").cast(D)
+          .agg(count(lit(1)).as("n"), sum(col("x").cast(D)).as("sx"),
+            sum(col("y").cast(D)).as("sy"),
+            sum(col("x").cast(D) * col("y").cast(D)).as("sxy"),
+            sum(col("x").cast(D) * col("x").cast(D)).as("sx2"))
+        val num = col("n").cast(D) * col("sxy") -
+          col("sx") * col("sy")
+        val den = col("n").cast(D) * col("sx2") -
+          col("sx") * col("sx")
         EventStream.runToMemory(s, agg, s"st46_mem_${System.nanoTime()}")
-          .select(col("l_returnflag"), col("n"), col("sx"), col("sy"),
-            col("sxy"), col("sx2"),
+          .select(col("l_returnflag"), col("n"),
+            col("sx").cast("long").as("sx"), col("sy").cast("long").as("sy"),
+            col("sxy").cast("long").as("sxy"),
+            col("sx2").cast("long").as("sx2"),
             call_function("div", num * lit(1000000L).cast(D), den)
               .cast("long").as("slope_micro"))
           .orderBy(col("l_returnflag"))

@@ -455,7 +455,9 @@ object EventStream {
     * user's earliest qualifying event arrives. */
   case class StageHit(user_id: Long, stage: String, ts: Long)
 
-  /** Per-user funnel anchors (0 = stage not yet reached) + the
+  /** Per-user funnel anchors (Long.MinValue = stage not yet reached —
+    * the same unset sentinel the lastTs guards use, so a legitimate
+    * event AT timestamp 0 can still anchor a stage) + the
     * (ts, event_id) ordering-guard key. */
   case class FunnelState(t1: Long, t2: Long, t3: Long,
                          lastTs: Long, lastId: Long)
@@ -479,8 +481,9 @@ object EventStream {
           val sorted = evs.toSeq.sortBy(e => (e.ts, e.event_id))
           if (sorted.isEmpty) Iterator.empty
           else {
+            val UNSET = Long.MinValue
             var st = state.getOption.getOrElse(
-              FunnelState(0L, 0L, 0L, Long.MinValue, Long.MinValue))
+              FunnelState(UNSET, UNSET, UNSET, Long.MinValue, Long.MinValue))
             val out = Seq.newBuilder[StageHit]
             sorted.foreach { e =>
               if (st.lastTs != Long.MinValue &&
@@ -490,15 +493,15 @@ object EventStream {
                   s"funnelStream: out-of-order arrival for user $uid " +
                     s"(got (ts, id) (${e.ts}, ${e.event_id}) after " +
                     s"(${st.lastTs}, ${st.lastId}))")
-              // anchors use ts=0 as "unset": fixture timestamps are
-              // epoch-2024 micros, far from 0; strict > comparisons
-              // mirror q62's batch semantics bit for bit
-              if (st.t1 == 0L && e.event_type == "view") {
+              // strict > comparisons mirror q62's batch semantics bit
+              // for bit; UNSET = Long.MinValue never collides with a
+              // real timestamp (ts = 0 anchors normally)
+              if (st.t1 == UNSET && e.event_type == "view") {
                 st = st.copy(t1 = e.ts); out += StageHit(uid, "1_view", e.ts)
-              } else if (st.t1 != 0L && st.t2 == 0L &&
+              } else if (st.t1 != UNSET && st.t2 == UNSET &&
                   e.event_type == "click" && e.ts > st.t1) {
                 st = st.copy(t2 = e.ts); out += StageHit(uid, "2_click", e.ts)
-              } else if (st.t2 != 0L && st.t3 == 0L &&
+              } else if (st.t2 != UNSET && st.t3 == UNSET &&
                   e.event_type == "purchase" && e.ts > st.t2) {
                 st = st.copy(t3 = e.ts); out += StageHit(uid, "3_purchase", e.ts)
               }

@@ -1283,4 +1283,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq(("A", "B", 2L, 1L, 1L, 0.5)),
       s"source overlap matrix wrong: ${out.toSeq}")
   }
+
+  test("weighted pair evidence: ONE capped gram path serves clustering and audit at every cap") {
+    import spark.implicits._
+    val eight = "one two three four five six seven eight"
+    val fixture = Seq(
+      (1L, s"prefix a $eight suffix p"),
+      (2L, s"prefix b $eight suffix q"),
+      (3L, "totally different words with no overlapping gram at all here"),
+      (4L, s"$eight")
+    ).toDF("doc_id", "text")
+    // the clustering's pair set (c02) must equal the audit's pair set
+    // (c18) at EVERY maxBucket — the r12 verdict seam: an audit that
+    // re-derived its own gram join diverged the moment production
+    // capped, so both now project from substringNearDupPairsWeighted
+    for (cap <- Seq(0, 2)) {
+      val audit = Dedup.substringNearDupPairsWeighted(
+          fixture, "doc_id", "text", n = 8, maxBucket = cap)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val clustering = Dedup.substringNearDupPairs(
+          fixture, "doc_id", "text", n = 8, maxBucket = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(audit == clustering,
+        s"cap=$cap: audit pair set $audit diverged from clustering $clustering")
+    }
+    // multiplicity is the shared-distinct-gram count: 1-2 share the
+    // core 8-gram AND its +suffix successor; 4 shares only the core
+    val weights = Dedup.substringNearDupPairsWeighted(
+        fixture, "doc_id", "text", n = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(weights == Map((1L, 2L) -> 2L, (1L, 4L) -> 1L, (2L, 4L) -> 1L),
+      s"n_shared wrong: $weights")
+  }
 }

@@ -1481,6 +1481,40 @@ class ScaleSpec extends SparkSpec {
       s"existing-edge exclusion must plan as an anti join:\n${plan.take(4000)}")
   }
 
+  test("c15 capped regime: the degree cap sits BELOW the wedge join and drops are surfaced") {
+    spark.catalog.clearCache()
+    // cap = 2 on the sf0.001 co-purchase core: hubs past degree 2 exist,
+    // so the dropped side must be non-empty (the loud-accounting contract)
+    val (capped, dropped) =
+      graft.queries.NorthStarQueries.linkPredictionWithDropped(spark, sf, 2)
+    assert(dropped.count() > 0,
+      "fixture has hub centers past degree 2 — the cap must SURFACE them, not silently filter")
+    // the cap (a z-keyed window count + filter) must be a descendant of
+    // the wedge self-join in the optimized plan: work is bounded BEFORE
+    // the deg² fan-out, not trimmed after
+    val opt = capped.queryExecution.optimizedPlan
+    val joinsWithCapBelow = opt.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.children.exists(_.collectFirst {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.windowExpressions.mkString.contains("_bucket_n") => w
+        }.isDefined) => j
+    }
+    assert(joinsWithCapBelow.nonEmpty,
+      s"no join has the _bucket_n cap below it:\n${opt.toString.take(4000)}")
+    // capped output stays well-formed (subset semantics are data-dependent
+    // through the top-20 limit; the invariant is bounded wedge work)
+    assert(capped.collect().length <= 20)
+    // cap = 0 is the exact-oracle regime: bit-identical to the registered query
+    val exact = graft.queries.NorthStarQueries
+      .linkPredictionWithDropped(spark, sf, 0)
+    assert(exact._2.count() == 0, "cap=0 must drop nothing")
+    val reg = SparkEntry.queries("c15_link_prediction")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(exact._1.collect().map(_.toSeq).toSeq == reg,
+      "cap=0 result must equal the registered c15 query")
+  }
+
   test("q145 bitmap rollup: map-side partial bitmaps, never raw-row shuffles") {
     spark.catalog.clearCache()
     val df = SparkEntry.queries("q145_bitmap_rollup")(spark, sf)

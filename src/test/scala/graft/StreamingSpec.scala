@@ -1240,6 +1240,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel anchors at timestamp 0: the unset sentinel is MinValue, not 0") {
+    // the r12 advice seam: ts == 0 as "stage not reached" conflated a
+    // legitimate epoch-0 event with unset — only a fixture comment
+    // protected it; the sentinel is now Long.MinValue like every other
+    // guard in the file, so an epoch-0 view must anchor stage 1
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.Event]
+    val q = EventStream.funnelStream(mem.toDS()).writeStream
+      .outputMode(OutputMode.Append).format("memory")
+      .queryName("t_funnel_ts0").start()
+    try {
+      mem.addData(
+        EventStream.Event(1L, 0L, 9L, "view", 0.0, ""),
+        EventStream.Event(2L, 10L, 9L, "click", 0.0, ""),
+        EventStream.Event(3L, 20L, 9L, "purchase", 0.0, ""))
+      q.processAllAvailable()
+      val rows = spark.table("t_funnel_ts0").orderBy("ts")
+        .select("stage", "ts")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(rows.toSeq == Seq(
+        ("1_view", 0L), ("2_click", 10L), ("3_purchase", 20L)),
+        s"epoch-0 view failed to anchor the funnel: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming z-score scores across micro-batch boundaries from state") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStream.Event]
