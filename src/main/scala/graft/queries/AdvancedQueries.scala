@@ -4351,5 +4351,186 @@ object AdvancedQueries {
              |    AS region_share_of_world_bp
              |FROM nat JOIN reg ON reg.r_name = nat.r_name CROSS JOIN w
              |ORDER BY nat.r_name, nat.n_name""".stripMargin)),
+
+    // ---- 4-stage CEP pattern, relational face --------------------------------
+    // q147 generalized: every instance of `signup → view (within 7 d) →
+    // click (within 6 h) → purchase (within 12 h)` per user — the
+    // acquisition-to-conversion chain — as its relational twin: three
+    // equi-joins on user_id with range residuals (shuffle-hash on the
+    // key, never a nested loop). This is also st49's oracle: the
+    // streaming machine ([[graft.streaming.EventStream.cepPatternStream]],
+    // the PATTERN-AS-DATA operator the r12 verdict asked for — q147's
+    // hard-coded 3-stage chain is now just one instance) emits the SAME
+    // quad set in one ordered pass with horizon-bounded state, where
+    // the join formulation re-shuffles the full event table four times.
+    ("q156_cep_quad",
+      (s: SparkSession, d: String) => {
+        val w0 = 168L * 3600 * 1000000L
+        val w1 = 6L * 3600 * 1000000L
+        val w2 = 12L * 3600 * 1000000L
+        val e = Tables.load(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        val sg = e.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("event_id").as("signup_id"),
+            col("ts").as("tsg"))
+        val v = e.filter(col("event_type") === "view")
+          .select(col("user_id").as("vu"), col("event_id").as("view_id"),
+            col("ts").as("tv"))
+        val c = e.filter(col("event_type") === "click")
+          .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+            col("ts").as("tc"))
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+            col("ts").as("tp"))
+        sg.join(v, col("user_id") === col("vu") &&
+            col("tv") > col("tsg") && col("tv") <= col("tsg") + w0)
+          .join(c, col("user_id") === col("cu") &&
+            col("tc") > col("tv") && col("tc") <= col("tv") + w1)
+          .join(p, col("user_id") === col("pu") &&
+            col("tp") > col("tc") && col("tp") <= col("tc") + w2)
+          .select(col("user_id"), col("signup_id"), col("view_id"),
+            col("click_id"), col("purchase_id"))
+          .orderBy(col("user_id"), col("signup_id"), col("view_id"),
+            col("click_id"), col("purchase_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+             |    CAST(ts AS TIMESTAMP) AS t FROM events)
+             |SELECT s.user_id, s.event_id AS signup_id, v.event_id AS view_id,
+             |  c.event_id AS click_id, p.event_id AS purchase_id
+             |FROM e s
+             |JOIN e v ON v.user_id = s.user_id
+             |  AND s.event_type = 'signup' AND v.event_type = 'view'
+             |  AND v.t > s.t AND v.t <= s.t + INTERVAL 168 HOUR
+             |JOIN e c ON c.user_id = s.user_id AND c.event_type = 'click'
+             |  AND c.t > v.t AND c.t <= v.t + INTERVAL 6 HOUR
+             |JOIN e p ON p.user_id = s.user_id AND p.event_type = 'purchase'
+             |  AND p.t > c.t AND p.t <= c.t + INTERVAL 12 HOUR
+             |ORDER BY 1, 2, 3, 4, 5""".stripMargin)),
+
+    // ---- bitmap tier over an ARBITRARY key domain (dictionary densify) -------
+    // The r12 seam closed: `id_bitmap` enforces dense `0 <= id < maxBits`,
+    // but a real pipeline's user keys are strings/UUIDs.
+    // [[graft.ops.Densify]] rank-encodes the key universe once
+    // (distributed range-sort + zipWithIndex — never a global window),
+    // and the bitmap family then serves EXACT weekly distinct ordering
+    // customers over c_name, a string key: per-week bitmaps shuffle
+    // <= |customers|/8 bytes per group, and the all-time rollup
+    // re-aggregates the STORED bitmaps (`id_bitmap_or`) instead of
+    // re-scanning orders — the same two-grain payoff as q145, now on a
+    // key domain the raw tier rejects. dense_id = ascending-key rank,
+    // so DuckDB's plain COUNT(DISTINCT c_name) is the oracle.
+    ("q157_densified_distinct",
+      (s: SparkSession, d: String) => {
+        import graft.functions.IdBitmap
+        val day = datediff(to_date(col("o_orderdate")), lit("1990-01-01"))
+          .cast("long")
+        val o = Tables.load(s, d, "orders")
+          .join(Tables.load(s, d, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .select(call_function("div", day, lit(7L)).as("week_ix"),
+            col("c_name"))
+        val weekly = graft.ops.Densify.densify(o, "c_name")
+          .groupBy(col("week_ix"))
+          .agg(IdBitmap.idBitmap(col("dense_id"), 1L << 20).as("bm"))
+        val perWeek = weekly.select(col("week_ix"),
+          IdBitmap.bitmapCount(col("bm")).as("n_custs"))
+        val allTime = weekly.agg(IdBitmap.bitmapOr(col("bm")).as("bm"))
+          .select(lit(-1L).as("week_ix"),
+            IdBitmap.bitmapCount(col("bm")).as("n_custs"))
+        perWeek.unionAll(allTime).orderBy(col("week_ix"))
+      },
+      Some("""WITH o AS (
+             |  SELECT CAST(date_diff('day', DATE '1990-01-01',
+             |      CAST(o_orderdate AS DATE)) // 7 AS BIGINT) AS week_ix,
+             |    c_name
+             |  FROM orders JOIN customer ON o_custkey = c_custkey),
+             |w AS (SELECT week_ix, CAST(COUNT(DISTINCT c_name) AS BIGINT)
+             |        AS n_custs
+             |      FROM o GROUP BY 1),
+             |a AS (SELECT CAST(-1 AS BIGINT) AS week_ix,
+             |        CAST(COUNT(DISTINCT c_name) AS BIGINT) AS n_custs
+             |      FROM o)
+             |SELECT week_ix, n_custs FROM w
+             |UNION ALL SELECT week_ix, n_custs FROM a
+             |ORDER BY week_ix""".stripMargin)),
+
+    // ---- vocabulary drift as MAP-native algebra -------------------------------
+    // The map higher-order-function face no other query exercises:
+    // per-source term-frequency MAPS for two corpus halves
+    // (map_from_entries over grouped counts — key sets are unique per
+    // group, so map content is order-independent), diffed in one
+    // map_zip_with pass (outer-join semantics over keys: a term absent
+    // from one half coalesces to 0) and exploded back to rows. The
+    // relational twin — two-sided conditional counts — is the DuckDB
+    // oracle, certifying the map algebra IS the join. At scale the map
+    // column is the point: per-shard vocab maps materialize once
+    // (bounded by vocab, not corpus) and any drift question is
+    // map-zip, never a re-scan.
+    ("q159_vocab_drift_maps",
+      (s: SparkSession, d: String) => {
+        val cnt = Tables.load(s, d, "documents")
+          .select(col("source"), (col("doc_id") % 2 === 0).as("old_half"),
+            explode(graft.ops.TextAnalysis.tokens(lower(col("text"))))
+              .as("term"))
+          .groupBy(col("source"), col("old_half"), col("term"))
+          .agg(count(lit(1)).as("n"))
+        val maps = cnt.groupBy(col("source"))
+          .agg(
+            map_from_entries(collect_list(
+              when(col("old_half"), struct(col("term"), col("n")))))
+              .as("m_old"),
+            map_from_entries(collect_list(
+              when(!col("old_half"), struct(col("term"), col("n")))))
+              .as("m_new"))
+        maps.select(col("source"),
+            explode(map_zip_with(col("m_old"), col("m_new"),
+              (_, a, b) => struct(coalesce(a, lit(0L)).as("n_old"),
+                coalesce(b, lit(0L)).as("n_new")))))
+          .select(col("source"), col("key").as("term"),
+            col("value.n_old").as("n_old"), col("value.n_new").as("n_new"),
+            (col("value.n_new") - col("value.n_old")).as("delta"))
+          .orderBy(col("source"), col("term"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT source, doc_id % 2 = 0 AS old_half, u.term AS term
+             |  FROM documents,
+             |       unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS u(term))
+             |SELECT source, term,
+             |  CAST(SUM(CASE WHEN old_half THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+             |  CAST(SUM(CASE WHEN old_half THEN 0 ELSE 1 END) AS BIGINT) AS n_new,
+             |  CAST(SUM(CASE WHEN old_half THEN -1 ELSE 1 END) AS BIGINT) AS delta
+             |FROM toks GROUP BY 1, 2
+             |ORDER BY source, term""".stripMargin)),
+
+    // ---- distribution position: percent_rank / cume_dist ----------------------
+    // The two rank-normalizing window functions the suite's other
+    // windows skip. Both are exact IEEE divisions of small integers —
+    // (rank−1)/(n−1) and rows_le/n — computed identically by both
+    // engines, so the doubles hash bit-equal with NO rounding step.
+    // The (c_acctbal, c_custkey) order key is total, so ranks are
+    // tie-free and deterministic; the probe filter (every 100th
+    // customer) lands AFTER the window, so positions are against the
+    // full segment population.
+    ("q160_rank_position",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        Tables.load(s, d, "customer")
+          .select(col("c_mktsegment"), col("c_custkey"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"))
+          .filter(col("c_custkey") % 100 === 0)
+          .orderBy(col("c_mktsegment"), col("c_custkey"))
+      },
+      Some("""SELECT c_mktsegment, c_custkey, pct_rank, cume FROM (
+             |  SELECT c_mktsegment, c_custkey,
+             |    percent_rank() OVER (PARTITION BY c_mktsegment
+             |                         ORDER BY c_acctbal, c_custkey) AS pct_rank,
+             |    cume_dist() OVER (PARTITION BY c_mktsegment
+             |                      ORDER BY c_acctbal, c_custkey) AS cume
+             |  FROM customer)
+             |WHERE c_custkey % 100 = 0
+             |ORDER BY c_mktsegment, c_custkey""".stripMargin)),
   )
 }

@@ -424,5 +424,86 @@ object ScaleJoinQueries {
              |  UNION ALL SELECT 'row_count', n, n > 0 FROM m
              |  UNION ALL SELECT 'shipdate_not_null', ship_null, ship_null = 0 FROM m)
              |ORDER BY rule""".stripMargin)),
+
+    // ---- pure-SQL surface for the SKETCH tier ---------------------------------
+    // q148's registry certification, extended to the mergeable-sketch
+    // family the Column-API queries (q46/q47/q50/q56/q61) exercise:
+    // plain `spark.sql` text resolving kmv_sketch/kmv_estimate,
+    // kll_quantile, space_saving_topk and cms_estimate through the
+    // injected function registry — the spark.sql.extensions deploy
+    // path — including TWO-PHASE aggregation (every sketch build is a
+    // partial+final ObjectHashAggregate under the GROUP BY). Oracled
+    // by the family's exact-regime playbook: KMV k ≥ 10× the per-source
+    // vocabulary, KLL capacity ≥ any per-source doc count, Space-Saving
+    // capacity derived from the data (q47's memoized pre-pass,
+    // interpolated as a literal — SQL functions take literal args),
+    // CMS width 2000 × depth 7 over a ~31-term vocabulary, so DuckDB's
+    // plain exact counts/quantiles certify every column.
+    ("q158_sql_sketch_registry",
+      (s: SparkSession, d: String) => {
+        Tables.load(s, d, "documents")
+          .createOrReplaceTempView("documents_sk_sql")
+        val capacity = q47CapacityFor(s, d)
+        s.sql(s"""
+          WITH toks AS (
+            SELECT source, tok
+            FROM documents_sk_sql
+            LATERAL VIEW explode(
+              regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS tok),
+          agg AS (
+            SELECT source,
+                   kmv_estimate(kmv_sketch(tok, 16384)) AS n_terms,
+                   space_saving_topk(tok, 1, $capacity) AS tk,
+                   count_min_sketch(tok, 0.001d, 0.99d, 42) AS cms
+            FROM toks GROUP BY source),
+          dv AS (
+            SELECT source,
+                   CAST(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))
+                     AS DOUBLE) AS v
+            FROM documents_sk_sql),
+          kq AS (
+            SELECT source,
+                   element_at(kll_quantile(v, 5000, 65536), 1) AS p50_tokens
+            FROM dv GROUP BY source)
+          SELECT a.source, a.n_terms,
+                 kq.p50_tokens,
+                 element_at(a.tk, 1).term AS top_term,
+                 element_at(a.tk, 1).count AS top_n,
+                 cms_estimate(a.cms, 'data') AS n_data
+          FROM agg a JOIN kq ON kq.source = a.source
+          ORDER BY a.source""")
+      },
+      Some("""WITH toks AS (
+             |  SELECT source, u.term AS term
+             |  FROM documents,
+             |       unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS u(term)),
+             |nt AS (SELECT source, CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms
+             |       FROM toks GROUP BY 1),
+             |dv AS (SELECT source,
+             |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+             |           AS DOUBLE) AS v
+             |       FROM documents),
+             |r AS (SELECT source, v,
+             |        row_number() OVER (PARTITION BY source ORDER BY v) AS rn,
+             |        COUNT(*) OVER (PARTITION BY source) AS n
+             |      FROM dv),
+             |kq AS (SELECT source,
+             |         MIN(CASE WHEN rn >= (n * 5000 + 9999) // 10000 THEN v END)
+             |           AS p50_tokens
+             |       FROM r GROUP BY 1),
+             |tt AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS n,
+             |         row_number() OVER (PARTITION BY source
+             |                            ORDER BY COUNT(*) DESC, term) AS rk
+             |       FROM toks GROUP BY 1, 2),
+             |nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+             |       FROM toks WHERE term = 'data' GROUP BY 1)
+             |SELECT nt.source, nt.n_terms, kq.p50_tokens,
+             |  tt.term AS top_term, tt.n AS top_n,
+             |  CAST(COALESCE(nd.n, 0) AS BIGINT) AS n_data
+             |FROM nt
+             |JOIN kq ON kq.source = nt.source
+             |JOIN tt ON tt.source = nt.source AND tt.rk = 1
+             |LEFT JOIN nd ON nd.source = nt.source
+             |ORDER BY nt.source""".stripMargin)),
   )
 }

@@ -155,6 +155,60 @@ object StreamMediaQueries {
       inDir.getAbsolutePath
     })
 
+  /** st50's arrival fixture: the SAME intervals as st47, but tiled by a
+    * JITTERED arrival key `lo + j, j = deterministic hash in
+    * [0, slack)` — so delivery order genuinely violates (lo, hi) order
+    * (the ordered fold's guard would throw on it) while staying inside
+    * the watermark contract: if y is delivered no later than x then
+    * `y.lo <= y.lo + j_y <= x.lo + j_x < x.lo + slack`, hence every
+    * arrival satisfies `lo > maxLoSeen - slack`. Sentinel flush wave
+    * last. Write-once per (JVM, sf). */
+  private val jitteredIntervalDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[graft] val st50SlackDays = 3L
+
+  def ensureIntervalStreamJittered(s: SparkSession, d: String): String =
+    jitteredIntervalDirs.getOrElseUpdate(d, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st50").toString
+      val inDir = new java.io.File(s"$tmp/in"); inDir.mkdirs()
+      val day = datediff(to_date(col("l_shipdate")), lit("1990-01-01"))
+        .cast("long")
+      val jitter = pmod(col("sk") * 1315423911L + col("lo") * 2654435761L +
+        col("hi") * 97L, lit(st50SlackDays))
+      val iv = Tables.load(s, d, "lineitem")
+        .select(col("l_suppkey").as("sk"), day.as("lo"),
+          (day + round(col("l_quantity")).cast("long")).as("hi"))
+        .distinct()
+        .withColumn("arr", col("lo") + jitter)
+        .cache()
+      val mm = iv.agg(min(col("arr")).as("mn"), max(col("arr")).as("mx")).head()
+      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+      val span = math.max(mx - mn + 1, 1L)
+      def stage(df: DataFrame, name: String): java.io.File = {
+        val stageDir = s"$tmp/stage_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(stageDir)
+        val part = new java.io.File(stageDir).listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        val dst = new java.io.File(inDir, s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst
+      }
+      val waves = (0 to 2).map { t =>
+        stage(iv.filter(((col("arr") - mn) * 3L / span).cast("long") === t)
+          .select(col("sk"), col("lo"), col("hi")), s"b$t")
+      }
+      val sentinel = stage(iv.select(col("sk")).distinct()
+        .select(col("sk"), lit(Long.MaxValue).as("lo"),
+          lit(Long.MaxValue).as("hi")), "b3_flush")
+      iv.unpersist()
+      val now = System.currentTimeMillis()
+      (waves :+ sentinel).zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(now - (3 - i) * 60000L)
+      }
+      inDir.getAbsolutePath
+    })
+
   /** st29's arrival fixture: two dimension-update batches against the
     * customer dim — (key, new segment) files whose mtimes pin delivery
     * order under maxFilesPerTrigger = 1 (batch 0: keys ≡0 mod 7 →
@@ -2994,5 +3048,110 @@ object StreamMediaQueries {
              |  SELECT 'truncated_image', CAST(COUNT(*) AS BIGINT),
              |    CAST(0 AS BIGINT) FROM ids WHERE id % 3 = 1)
              |ORDER BY reason""".stripMargin)),
+
+    // ---- streaming 4-stage CEP (pattern as data) -----------------------------
+    // q156's acquisition chain detected AT INGEST through the generic
+    // [[EventStream.cepPatternStream]] — the pattern (event-type
+    // sequence + per-step windows) is an ARGUMENT, not code: the same
+    // machine that runs st45's 3-stage instance runs this 4-stage one.
+    // State stays horizon-bounded per stage (rate × window); q156's
+    // 4-way-join oracle certifies the emitted quad set is exactly the
+    // relational answer. Input is the st12 arrival fixture (per-user
+    // (ts, event_id) order across batches — chains genuinely span
+    // micro-batches); sentinels filtered (matches emit immediately).
+    ("st49_stream_cep_quad",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val inDir = ensureSessionStream(s, d)
+        val stream = s.readStream.schema(EventStream.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$inDir/part-*")
+          .as[EventStream.Event]
+          .filter(_.event_type != "flush")
+        val pattern = Seq(
+          ("signup", 0L),
+          ("view", 168L * 3600 * 1000000L),
+          ("click", 6L * 3600 * 1000000L),
+          ("purchase", 12L * 3600 * 1000000L))
+        val out = java.nio.file.Files.createTempDirectory("graft_st49o").toString
+        EventStream.runToFiles(s,
+            EventStream.cepPatternStream(stream, pattern).toDF(),
+            s"$out/data", s"$out/ckpt")
+          .select(col("user_id"),
+            element_at(col("event_ids"), 1).as("signup_id"),
+            element_at(col("event_ids"), 2).as("view_id"),
+            element_at(col("event_ids"), 3).as("click_id"),
+            element_at(col("event_ids"), 4).as("purchase_id"))
+          .orderBy(col("user_id"), col("signup_id"), col("view_id"),
+            col("click_id"), col("purchase_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+             |    CAST(ts AS TIMESTAMP) AS t FROM events)
+             |SELECT s.user_id, s.event_id AS signup_id, v.event_id AS view_id,
+             |  c.event_id AS click_id, p.event_id AS purchase_id
+             |FROM e s
+             |JOIN e v ON v.user_id = s.user_id
+             |  AND s.event_type = 'signup' AND v.event_type = 'view'
+             |  AND v.t > s.t AND v.t <= s.t + INTERVAL 168 HOUR
+             |JOIN e c ON c.user_id = s.user_id AND c.event_type = 'click'
+             |  AND c.t > v.t AND c.t <= v.t + INTERVAL 6 HOUR
+             |JOIN e p ON p.user_id = s.user_id AND p.event_type = 'purchase'
+             |  AND p.t > c.t AND p.t <= c.t + INTERVAL 12 HOUR
+             |ORDER BY 1, 2, 3, 4, 5""".stripMargin)),
+
+    // ---- streaming interval coverage under bounded DISORDER -------------------
+    // st47's sweep-line, without st47's ordered-arrival privilege: the
+    // r12 verdict called the lo-ordered staging "fine for the fixture,
+    // brittle for a real feed". [[IntervalCoverage.coverageStreamWatermarked]]
+    // tolerates lo-disorder up to a slack via a per-key reorder buffer —
+    // only intervals below the watermark (maxLoSeen − slack) fold, so
+    // the buffer holds one slack window per key, constant state — and
+    // the arrival fixture here genuinely violates (lo, hi) order (the
+    // jittered tiling would trip st47's guard) while staying inside the
+    // contract. Disorder past the slack still throws loudly. q141's
+    // oracle certifies the drained summaries.
+    ("st50_stream_coverage_ooo",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val inDir = ensureIntervalStreamJittered(s, d)
+        val stream = s.readStream
+          .schema("sk LONG, lo LONG, hi LONG")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$inDir/*.parquet")
+          .as[graft.streaming.IntervalCoverage.Iv]
+        val out = java.nio.file.Files.createTempDirectory("graft_st50o").toString
+        EventStream.runToFiles(s,
+            graft.streaming.IntervalCoverage
+              .coverageStreamWatermarked(stream, st50SlackDays).toDF(),
+            s"$out/data", s"$out/ckpt")
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""WITH iv AS (
+             |  SELECT DISTINCT l_suppkey AS sk,
+             |    CAST(date_diff('day', DATE '1990-01-01',
+             |         CAST(l_shipdate AS DATE)) AS BIGINT) AS lo,
+             |    CAST(date_diff('day', DATE '1990-01-01',
+             |         CAST(l_shipdate AS DATE))
+             |      + CAST(round(l_quantity) AS BIGINT) AS BIGINT) AS hi
+             |  FROM lineitem),
+             |fl AS (
+             |  SELECT sk, lo, hi,
+             |    CASE WHEN MAX(hi) OVER pre IS NULL OR lo > MAX(hi) OVER pre
+             |         THEN 1 ELSE 0 END AS flag
+             |  FROM iv
+             |  WINDOW pre AS (PARTITION BY sk ORDER BY lo, hi
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+             |gr AS (
+             |  SELECT sk, lo, hi,
+             |    SUM(flag) OVER (PARTITION BY sk ORDER BY lo, hi
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+             |  FROM fl),
+             |isl AS (SELECT sk, grp, MAX(hi) - MIN(lo) + 1 AS covered
+             |        FROM gr GROUP BY 1, 2)
+             |SELECT sk AS s_suppkey,
+             |  CAST(SUM(covered) AS BIGINT) AS covered_days,
+             |  CAST(COUNT(*) AS BIGINT) AS n_islands,
+             |  CAST(MAX(covered) AS BIGINT) AS max_span
+             |FROM isl GROUP BY 1 ORDER BY s_suppkey""".stripMargin)),
   )
 }

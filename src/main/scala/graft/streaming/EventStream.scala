@@ -516,40 +516,57 @@ object EventStream {
   // ---- CEP: sequence-pattern matching --------------------------------------
 
   /** One completed pattern instance: view → click (within w1) →
-    * purchase (within w2 of the click). */
+    * purchase (within w2 of the click). The 3-stage face kept for the
+    * q147/st45 column contract; the generic operator emits
+    * [[CepMatchN]]. */
   case class CepMatch(user_id: Long, view_id: Long, click_id: Long,
                       purchase_id: Long)
 
-  /** A pending click and the views it chained from. */
-  case class CepClick(tc: Long, cid: Long, views: List[(Long, Long)])
+  /** One open partial chain: stages 0..`stage` matched, anchored at the
+    * stage-`stage` event's timestamp; `ids` oldest-first. */
+  case class CepChain(stage: Int, ts: Long, ids: List[Long])
 
-  /** Per-user CEP state: open views/clicks inside their match horizons
-    * + the (ts, event_id) ordering-guard key. */
-  case class CepState(views: List[(Long, Long)], clicks: List[CepClick],
-                      lastTs: Long, lastId: Long)
+  /** Per-user CEP state: open partial chains inside their match
+    * horizons + the (ts, event_id) ordering-guard key. */
+  case class CepState(chains: List[CepChain], lastTs: Long, lastId: Long)
+
+  /** One completed n-stage pattern instance: `event_ids(i)` is the
+    * stage-i event, oldest-first. */
+  case class CepMatchN(user_id: Long, event_ids: List[Long])
 
   /** Streaming complex-event-processing (the Flink-CEP / SQL
-    * MATCH_RECOGNIZE niche): emit EVERY instance of the pattern
-    * `view → click within w1 → purchase within w2` per user, in ONE
-    * ordered pass — where the relational formulation is a 3-way
-    * self-join of the event table against itself (q147, the batch twin
-    * and the oracle), the state machine touches each event once and
-    * holds only the events still inside their match horizons (views
-    * live w1, clicks w2 — state is bounded by event rate × horizon,
-    * never by stream length). All-matches semantics (Flink's
-    * skip-to-next-row): a purchase closes every qualifying open
-    * (view, click) chain. Strict time inequalities mirror the join
-    * predicates bit for bit. Same ordered-arrival contract and loud
-    * (ts, event_id) guard as [[userSeqStream]]. */
+    * MATCH_RECOGNIZE niche), with the PATTERN AS DATA: emit every
+    * instance of `pattern(0) → pattern(1) within w1 → ... →
+    * pattern(k-1) within w(k-1)` per user, in ONE ordered pass — where
+    * the relational formulation is a k-way self-join of the event
+    * table against itself (q147/q156, the batch twins and the
+    * oracles), the state machine touches each event once and holds
+    * only the partial chains still inside their match horizons (a
+    * chain open at stage i lives while a stage-i+1 event can still
+    * land within `pattern(i+1)._2` of its anchor — state is bounded by
+    * event rate × horizon, never by stream length). All-matches
+    * semantics (Flink's skip-to-next-row): a final-stage event closes
+    * every qualifying open chain. Strict time inequalities mirror the
+    * join predicates bit for bit: stage i+1 needs
+    * `t_i < t ≤ t_i + w_{i+1}`. An event type may appear at several
+    * stages; an event extends only chains that existed BEFORE it
+    * (strict `<` keeps it from chaining off itself). Same
+    * ordered-arrival contract and loud (ts, event_id) guard as
+    * [[userSeqStream]]. */
   /** The pure per-batch CEP fold: state in, (state, matches) out.
-    * Factored out of [[cepStream]] so PropertySpec can prove BATCH-SPLIT
-    * INVARIANCE directly — folding an ordered event sequence through any
-    * sequence of prefix cuts emits exactly the single-batch match set
-    * (the property that makes the streaming drain equal q147's join). */
+    * Factored out of [[cepPatternStream]] so PropertySpec can prove
+    * BATCH-SPLIT INVARIANCE directly — folding an ordered event
+    * sequence through any sequence of prefix cuts emits exactly the
+    * single-batch match set (the property that makes the streaming
+    * drain equal the relational join), for ANY pattern length.
+    * `pattern(0)._2` is ignored (the first stage anchors; it has no
+    * predecessor window). */
   private[graft] def cepFold(uid: Long, st0: CepState, sorted: Seq[Event],
-                             w1Us: Long, w2Us: Long): (CepState, Seq[CepMatch]) = {
+                             pattern: Seq[(String, Long)]): (CepState, Seq[CepMatchN]) = {
+    require(pattern.length >= 2, "a CEP pattern needs at least two stages")
+    val k = pattern.length
     var st = st0
-    val out = Seq.newBuilder[CepMatch]
+    val out = Seq.newBuilder[CepMatchN]
     sorted.foreach { e =>
       if (st.lastTs != Long.MinValue &&
           (e.ts < st.lastTs ||
@@ -558,50 +575,59 @@ object EventStream {
           s"cepStream: out-of-order arrival for user $uid " +
             s"(got (ts, id) (${e.ts}, ${e.event_id}) after " +
             s"(${st.lastTs}, ${st.lastId}))")
-      // horizon pruning: a view matters while a future click can
-      // still satisfy tc <= tv + w1; a click while a future
-      // purchase can satisfy tp <= tc + w2 (ts only grows)
-      val views = st.views.filter(_._1 + w1Us >= e.ts)
-      val clicks = st.clicks.filter(_.tc + w2Us >= e.ts)
-      st = e.event_type match {
-        case "view" =>
-          st.copy(views = views :+ ((e.ts, e.event_id)), clicks = clicks)
-        case "click" =>
-          // chain from every view with tv < tc (<= tv + w1 holds
-          // for everything the prune kept)
-          st.copy(views = views, clicks = clicks :+
-            CepClick(e.ts, e.event_id, views.filter(_._1 < e.ts)))
-        case "purchase" =>
-          clicks.foreach { c =>
-            if (c.tc < e.ts) // tp <= tc + w2 held by the prune
-              c.views.foreach { v =>
-                out += CepMatch(uid, v._2, c.cid, e.event_id)
-              }
+      // horizon pruning: a chain open at stage i matters while a future
+      // stage-i+1 event can still satisfy t <= anchor + w_{i+1}
+      // (ts only grows, so a pruned chain can never revive)
+      val alive = st.chains.filter(c => c.ts + pattern(c.stage + 1)._2 >= e.ts)
+      val opened = List.newBuilder[CepChain]
+      var i = 0
+      while (i < k) {
+        if (pattern(i)._1 == e.event_type) {
+          if (i == 0) opened += CepChain(0, e.ts, List(e.event_id))
+          else alive.foreach { c =>
+            // t <= anchor + w_i held by the prune; strict lower bound
+            if (c.stage == i - 1 && c.ts < e.ts) {
+              if (i == k - 1) out += CepMatchN(uid, c.ids :+ e.event_id)
+              else opened += CepChain(i, e.ts, c.ids :+ e.event_id)
+            }
           }
-          st.copy(views = views, clicks = clicks)
-        case _ => st.copy(views = views, clicks = clicks)
+        }
+        i += 1
       }
-      st = st.copy(lastTs = e.ts, lastId = e.event_id)
+      st = CepState(alive ++ opened.result(), e.ts, e.event_id)
     }
     (st, out.result())
   }
 
-  def cepStream(events: Dataset[Event], w1Us: Long, w2Us: Long): Dataset[CepMatch] = {
+  /** The generic pattern-as-data streaming operator (see [[cepFold]]). */
+  def cepPatternStream(events: Dataset[Event],
+                       pattern: Seq[(String, Long)]): Dataset[CepMatchN] = {
     import events.sparkSession.implicits._
+    val pat = pattern.toIndexedSeq // serializable, O(1) stage lookup
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[CepState, CepMatch](
+      .flatMapGroupsWithState[CepState, CepMatchN](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, evs: Iterator[Event], state: GroupState[CepState]) =>
           val sorted = evs.toSeq.sortBy(e => (e.ts, e.event_id))
           if (sorted.isEmpty) Iterator.empty
           else {
             val st0 = state.getOption.getOrElse(
-              CepState(Nil, Nil, Long.MinValue, Long.MinValue))
-            val (st, out) = cepFold(uid, st0, sorted, w1Us, w2Us)
+              CepState(Nil, Long.MinValue, Long.MinValue))
+            val (st, out) = cepFold(uid, st0, sorted, pat)
             state.update(st)
             out.iterator
           }
       }
+  }
+
+  /** The 3-stage view → click → purchase instance (st45's operator,
+    * q147's oracle contract), expressed over the generic machine. */
+  def cepStream(events: Dataset[Event], w1Us: Long, w2Us: Long): Dataset[CepMatch] = {
+    import events.sparkSession.implicits._
+    cepPatternStream(events,
+        Seq(("view", 0L), ("click", w1Us), ("purchase", w2Us)))
+      .map(m => CepMatch(m.user_id, m.event_ids.head, m.event_ids(1),
+        m.event_ids(2)))
   }
 
   // ---- rolling z-score anomaly scoring ------------------------------------

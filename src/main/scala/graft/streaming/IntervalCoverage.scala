@@ -89,4 +89,97 @@ object IntervalCoverage {
           }
       }
   }
+
+  // ---- watermarked variant: bounded lo-disorder tolerated -------------------
+
+  /** State for [[coverageStreamWatermarked]]: a bounded reorder buffer
+    * (`pending`, intervals whose lo is still inside the slack horizon),
+    * the lo high-water mark, the fold frontier (everything with
+    * lo < frontier is already folded — the disorder guard), and the
+    * open-island summary (`start = Long.MinValue` = no island yet). */
+  case class CovStateW(pending: List[(Long, Long)], maxLoSeen: Long,
+                       frontier: Long, start: Long, maxHi: Long,
+                       covered: Long, nIslands: Long, maxSpan: Long)
+
+  private[graft] val emptyW = CovStateW(Nil, Long.MinValue, Long.MinValue,
+    Long.MinValue, Long.MinValue, 0L, 0L, 0L)
+
+  /** Fold ONE lo-ordered interval into the open-island summary. */
+  private def sweepInto(st: CovStateW, lo: Long, hi: Long): CovStateW =
+    if (st.start == Long.MinValue) st.copy(start = lo, maxHi = hi)
+    else if (lo > st.maxHi) {
+      val span = st.maxHi - st.start + 1
+      st.copy(start = lo, maxHi = hi, covered = st.covered + span,
+        nIslands = st.nIslands + 1, maxSpan = math.max(st.maxSpan, span))
+    } else st.copy(maxHi = math.max(st.maxHi, hi))
+
+  /** The pure per-batch WATERMARKED fold (PropertySpec proves it equals
+    * the ordered sweep under any bounded-disorder arrival + batch
+    * split). Arrival contract relaxed from [[covFold]]'s strict
+    * (lo, hi) order to a WATERMARK: an interval may arrive while
+    * `lo >= maxLoSeen - slack`. Arrivals are buffered; only intervals
+    * whose lo falls below `maxLoSeen - slack` (no in-contract future
+    * arrival can precede them) are folded, in (lo, hi) order — so the
+    * buffer holds at most the intervals of one slack window per key,
+    * constant state at any stream length. Disorder past the slack
+    * throws the same loud guard as the ordered fold. The sentinel
+    * (lo = Long.MaxValue) flushes buffer + island and emits the key's
+    * summary row. */
+  private[graft] def covFoldW(sk: Long, st0: CovStateW, batch: Seq[Iv],
+                              slack: Long): (Option[CovStateW], Seq[CovRow]) = {
+    val (sentinels, rows) = batch.partition(_.lo == Long.MaxValue)
+    rows.foreach { iv =>
+      if (st0.frontier != Long.MinValue && iv.lo < st0.frontier)
+        throw new IllegalStateException(
+          s"coverageStreamWatermarked: interval (${iv.lo}, ${iv.hi}) for " +
+            s"key $sk arrived past the slack horizon (already folded up " +
+            s"to lo = ${st0.frontier}; slack = $slack)")
+    }
+    val merged = st0.pending ++ rows.map(iv => (iv.lo, iv.hi))
+    val newMax = (st0.maxLoSeen +: rows.map(_.lo)).max
+    if (sentinels.nonEmpty) {
+      var st = st0.copy(pending = Nil, maxLoSeen = newMax)
+      merged.sorted.foreach { case (lo, hi) => st = sweepInto(st, lo, hi) }
+      val out =
+        if (st.start == Long.MinValue) Seq.empty[CovRow]
+        else {
+          val span = st.maxHi - st.start + 1
+          Seq(CovRow(sk, st.covered + span, st.nIslands + 1,
+            math.max(st.maxSpan, span)))
+        }
+      (None, out)
+    } else if (rows.isEmpty) (Some(st0), Nil)
+    else {
+      val threshold = newMax - slack
+      val (ready, hold) = merged.partition(_._1 < threshold)
+      var st = st0.copy(pending = hold, maxLoSeen = newMax,
+        frontier = math.max(st0.frontier, threshold))
+      ready.sorted.foreach { case (lo, hi) => st = sweepInto(st, lo, hi) }
+      (Some(st), Nil)
+    }
+  }
+
+  /** [[coverageStream]] for feeds that can't promise per-key (lo, hi)
+    * arrival order: tolerates disorder up to `slack` via a per-key
+    * reorder buffer (see [[covFoldW]]). The ordered fold stays the
+    * fast path — zero buffering — for stagings that CAN promise order. */
+  def coverageStreamWatermarked(ivs: Dataset[Iv], slack: Long): Dataset[CovRow] = {
+    import ivs.sparkSession.implicits._
+    ivs.groupByKey(_.sk)
+      .flatMapGroupsWithState[CovStateW, CovRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (sk: Long, rows: Iterator[Iv], state: GroupState[CovStateW]) =>
+          val batch = rows.toSeq
+          if (batch.isEmpty) Iterator.empty
+          else {
+            val (st, out) = covFoldW(sk, state.getOption.getOrElse(emptyW),
+              batch, slack)
+            st match {
+              case Some(s) => state.update(s)
+              case None => if (state.exists) state.remove()
+            }
+            out.iterator
+          }
+      }
+  }
 }

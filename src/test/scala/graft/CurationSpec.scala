@@ -78,4 +78,60 @@ class CurationSpec extends SparkSpec {
       case other => fail(s"unknown ledger status: $other")
     }
   }
+
+  test("densify: ascending-key rank ids, deterministic, null-safe, never a global window") {
+    import spark.implicits._
+    val df = Seq("banana", "apple", "cherry", "banana", null, "apple")
+      .toDF("k")
+    // dictionary: dense_rank over ascending key order, 0-based, nulls out
+    val dict = graft.ops.Densify.dictionary(df, "k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(dict == Map("apple" -> 0L, "banana" -> 1L, "cherry" -> 2L),
+      s"dictionary ranks wrong: $dict")
+    // densify joins every non-null row back; ids are the dictionary's
+    val dense = graft.ops.Densify.densify(df, "k")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(dense.length == 5 && dense.forall { case (k, id) => dict(k) == id })
+    // deterministic run-to-run (rank is independent of range boundaries)
+    val again = graft.ops.Densify.dictionary(df, "k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(again == dict)
+    // scale guard: the rank must NOT plan as a single-partition global
+    // window (the zipWithIndex path has no Window node at all)
+    val realDict = graft.ops.Densify.dictionary(
+      Tables.load(spark, sf, "customer"), "c_name")
+    val plan = realDict.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"densify fell back to a window rank:\n${plan.take(2000)}")
+    // dense ids are exactly 0..n-1 (the id_bitmap contract)
+    val n = realDict.count()
+    val mm = realDict.agg(min(col("dense_id")), max(col("dense_id")),
+      countDistinct(col("dense_id"))).head()
+    assert(mm.getLong(0) == 0L && mm.getLong(1) == n - 1 &&
+      mm.getLong(2) == n)
+  }
+
+  test("densify append: new keys rank after the existing max, old ids byte-untouched") {
+    import spark.implicits._
+    val wave1 = Seq("banana", "delta", "apple").toDF("k")
+    val dict1 = graft.ops.Densify.dictionary(wave1, "k")
+    val ids1 = dict1.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // wave 2 re-sees old keys and brings two new ones (one sorts BEFORE
+    // the old keys — it must still get a HIGHER id, never a re-rank)
+    val wave2 = Seq("apple", "aardvark", "cherry", null.asInstanceOf[String])
+      .toDF("k")
+    val dict2 = graft.ops.Densify.append(dict1, wave2, "k")
+    val ids2 = dict2.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(ids1.forall { case (k, id) => ids2(k) == id },
+      s"append re-ranked existing keys: $ids1 vs $ids2")
+    assert(ids2 == ids1 ++ Map("aardvark" -> 3L, "cherry" -> 4L),
+      s"append ids wrong: $ids2")
+    // appending nothing new is the identity
+    val dict3 = graft.ops.Densify.append(dict2, wave1, "k")
+    assert(dict3.count() == 5)
+    // ids stay dense 0..n-1 after the append (the id_bitmap contract)
+    val mm = dict2.agg(min(col("dense_id")), max(col("dense_id")),
+      countDistinct(col("dense_id"))).head()
+    assert(mm.getLong(0) == 0L && mm.getLong(1) == 4L && mm.getLong(2) == 5L)
+  }
 }

@@ -222,27 +222,37 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
-  test("CEP fold: any batch split of an ordered stream emits exactly the 3-way-join answer") {
+  test("CEP fold: any batch split of an ordered stream emits exactly the k-way-join answer, for any pattern") {
     import graft.streaming.EventStream.{CepState, Event, cepFold}
-    val types = Gen.oneOf("view", "click", "purchase", "other")
+    val types = Gen.oneOf("view", "click", "purchase", "signup", "other")
     // events on a small integer timeline so windows genuinely cut
     val genEvents = Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 40L), types))
     val genCuts = Gen.listOf(Gen.choose(0, 60))
-    val (w1, w2) = (5L, 7L)
-    checkProp(Prop.forAll(genEvents, genCuts) { (raw, cuts) =>
+    // pattern as data: the 3-stage q147 instance, the 4-stage q156
+    // instance, and a REPEATED-type pattern (an event type at two
+    // stages must extend only chains that existed before it)
+    val genPattern = Gen.oneOf(
+      Seq(("view", 0L), ("click", 5L), ("purchase", 7L)),
+      Seq(("signup", 0L), ("view", 9L), ("click", 5L), ("purchase", 7L)),
+      Seq(("view", 0L), ("view", 6L), ("purchase", 7L)))
+    checkProp(Prop.forAll(genEvents, genCuts, genPattern) { (raw, cuts, pattern) =>
       // normalize INSIDE the property (shrinking breaks invariants):
       // unique ids from the index, strict (ts, id) arrival order
       val evs = raw.zipWithIndex.map { case ((t, ty), i) =>
         Event(i.toLong, t, 1L, ty, 0.0, "")
       }.sortBy(e => (e.ts, e.event_id))
-      // direct answer: the q147 triple join on this fixture
-      val direct = (for {
-        v <- evs if v.event_type == "view"
-        c <- evs if c.event_type == "click" &&
-          c.ts > v.ts && c.ts <= v.ts + w1
-        p <- evs if p.event_type == "purchase" &&
-          p.ts > c.ts && p.ts <= c.ts + w2
-      } yield (v.event_id, c.event_id, p.event_id)).toSet
+      // direct answer: the k-way relational join on this fixture
+      def extend(chains: Seq[(Long, List[Long])],
+                 stage: Int): Seq[(Long, List[Long])] =
+        if (stage == pattern.length) chains
+        else extend(for {
+          (t0, ids) <- chains
+          e <- evs if e.event_type == pattern(stage)._1 &&
+            e.ts > t0 && e.ts <= t0 + pattern(stage)._2
+        } yield (e.ts, ids :+ e.event_id), stage + 1)
+      val direct = extend(
+        evs.filter(_.event_type == pattern.head._1)
+          .map(e => (e.ts, List(e.event_id))), 1).map(_._2).toSet
       // streamed answer: fold through arbitrary prefix cuts
       val cutSet = cuts.toSet
       val batches = evs.zipWithIndex
@@ -250,10 +260,10 @@ class PropertySpec extends AnyFunSuite {
           if (cutSet.contains(i)) List(e) :: b :: rest else (b :+ e) :: rest }
         .reverse.filter(_.nonEmpty)
       val (_, emitted) = batches.foldLeft(
-          (CepState(Nil, Nil, Long.MinValue, Long.MinValue),
-            Set.empty[(Long, Long, Long)])) { case ((st, acc), b) =>
-        val (st2, out) = cepFold(1L, st, b, w1, w2)
-        (st2, acc ++ out.map(m => (m.view_id, m.click_id, m.purchase_id)))
+          (CepState(Nil, Long.MinValue, Long.MinValue),
+            Set.empty[List[Long]])) { case ((st, acc), b) =>
+        val (st2, out) = cepFold(1L, st, b, pattern)
+        (st2, acc ++ out.map(_.event_ids))
       }
       emitted == direct
     })
@@ -296,6 +306,41 @@ class PropertySpec extends AnyFunSuite {
         out.head.covered_days == covered &&
         out.head.n_islands == runs.length.toLong &&
         out.head.max_span == runs.max
+    })
+  }
+
+  test("watermarked coverage fold: bounded-disorder arrival through any batch split equals the ordered sweep") {
+    import graft.streaming.IntervalCoverage.{CovStateW, Iv, covFold, covFoldW, emptyW}
+    val slack = 4L
+    // (lo, length, jitter < slack): arrival order = (lo + jitter) sort,
+    // a genuine bounded shuffle of the lo order
+    val genIvs = Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(0L, 30L), Gen.choose(0L, 10L), Gen.choose(0L, slack - 1)))
+    val genCuts = Gen.listOf(Gen.choose(0, 40))
+    checkProp(Prop.forAll(genIvs, genCuts) { (raw, cuts) =>
+      // normalize inside the property (shrinking breaks invariants)
+      val withArr = raw.map { case (lo, len, j) => (Iv(1L, lo, lo + len), lo + j) }
+        .distinctBy(_._1)
+      // ordered truth: the certified strict-order fold over the same set
+      val ordered = withArr.map(_._1).sortBy(iv => (iv.lo, iv.hi)) :+
+        Iv(1L, Long.MaxValue, Long.MaxValue)
+      val (_, truth) = covFold(1L, None, ordered)
+      // disordered arrival: sort by the jittered key, split at random cuts,
+      // sentinel batch last
+      val arrival = withArr.sortBy { case (iv, a) => (a, iv.lo, iv.hi) }.map(_._1)
+      val cutSet = cuts.toSet
+      val batches = arrival.zipWithIndex
+        .foldLeft(List(List.empty[Iv])) { case (b :: rest, (iv, i)) =>
+          if (cutSet.contains(i)) List(iv) :: b :: rest else (b :+ iv) :: rest }
+        .reverse.filter(_.nonEmpty) :+ List(Iv(1L, Long.MaxValue, Long.MaxValue))
+      val (stEnd, out) = batches.foldLeft(
+          (Option[CovStateW](emptyW),
+            Seq.empty[graft.streaming.IntervalCoverage.CovRow])) {
+        case ((st, acc), b) =>
+          val (st2, o) = covFoldW(1L, st.getOrElse(emptyW), b, slack)
+          (st2, acc ++ o)
+      }
+      stEnd.isEmpty && out == truth
     })
   }
 }

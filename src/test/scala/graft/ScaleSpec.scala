@@ -1572,6 +1572,35 @@ class ScaleSpec extends SparkSpec {
       s"reduceGroups must not fall back to a raw groups iterator:\n${plan.take(4000)}")
   }
 
+  test("q156 4-stage CEP relational twin: all three pattern joins equi-keyed, no nested loop") {
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q156_cep_quad")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"range residuals must ride the user_id equi joins:\n${plan.take(4000)}")
+  }
+
+  test("q157 densified bitmaps: partial bitmap aggregation, rank never a global window") {
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q157_densified_distinct")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("partial_"),
+      s"bitmap build must combine map-side:\n${plan.take(4000)}")
+    assert(!plan.contains("Window"),
+      s"densify rank must not plan as a global window:\n${plan.take(4000)}")
+  }
+
+  test("q158 SQL sketch registry: every sketch build aggregates in two phases") {
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q158_sql_sketch_registry")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"sketch aggregates missing from the plan:\n${plan.take(4000)}")
+    assert(plan.contains("partial_"),
+      s"no partial phase — raw token rows would shuffle:\n${plan.take(4000)}")
+  }
+
   test("t24 vocab coverage: the 1000-term vocab broadcasts, tokens never re-shuffle for it") {
     spark.catalog.clearCache()
     val df = SparkEntry.queries("t24_vocab_coverage")(spark, sf)

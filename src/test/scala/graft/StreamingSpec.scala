@@ -1427,6 +1427,53 @@ class StreamingSpec extends SparkSpec {
       s"restart must resume the open island: ${rows.toSeq}")
   }
 
+  test("watermarked coverage: folds in-slack disorder exactly, throws past the slack") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.IntervalCoverage
+    import graft.streaming.IntervalCoverage.Iv
+    // happy path: arrival order (10,12), (8,9), (14,15) violates lo
+    // order (the strict fold's guard would throw) but stays inside
+    // slack 3; the drained summary must equal the ordered sweep
+    val mem = MemoryStream[Iv]
+    val q = IntervalCoverage.coverageStreamWatermarked(mem.toDS(), 3L)
+      .writeStream.outputMode(OutputMode.Append).format("memory")
+      .queryName("t_cov_wm").start()
+    try {
+      mem.addData(Iv(1L, 10L, 12L), Iv(1L, 8L, 9L))
+      q.processAllAvailable()
+      mem.addData(Iv(1L, 14L, 15L))
+      q.processAllAvailable()
+      mem.addData(Iv(1L, Long.MaxValue, Long.MaxValue))
+      q.processAllAvailable()
+      val rows = spark.table("t_cov_wm")
+        .select("s_suppkey", "covered_days", "n_islands", "max_span")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      // islands: 8..9 (2) + 10..12 (3) + 14..15 (2)
+      assert(rows.toSeq == Seq((1L, 7L, 3L, 3L)),
+        s"bounded-disorder sweep wrong: ${rows.toSeq}")
+    } finally q.stop()
+    // guard path: disorder PAST the slack throws loudly instead of
+    // silently merging islands
+    val mem2 = MemoryStream[Iv]
+    val q2 = IntervalCoverage.coverageStreamWatermarked(mem2.toDS(), 3L)
+      .writeStream.outputMode(OutputMode.Append).format("memory")
+      .queryName("t_cov_wm2").start()
+    try {
+      mem2.addData(Iv(2L, 10L, 12L))
+      q2.processAllAvailable()
+      mem2.addData(Iv(2L, 20L, 22L)) // folds everything below 17
+      q2.processAllAvailable()
+      mem2.addData(Iv(2L, 9L, 30L)) // 9 < frontier 17: contract broken
+      val ex = intercept[Exception] { q2.processAllAvailable() }
+      def chain(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(_.getMessage).toSeq
+      assert(chain(ex).exists(m => m != null && m.contains("slack horizon")),
+        s"expected the slack-horizon guard, got: ${chain(ex)}")
+    } finally q2.stop()
+  }
+
   test("streaming z-score: a restarted drain resumes per-user windows from the state store") {
     import spark.implicits._
     // the memory-stream test proves cross-BATCH state; this proves
