@@ -4532,5 +4532,45 @@ object AdvancedQueries {
              |  FROM customer)
              |WHERE c_custkey % 100 = 0
              |ORDER BY c_mktsegment, c_custkey""".stripMargin)),
+
+    // ---- k-anonymity audit ------------------------------------------------------
+    // The privacy gate a dataset release runs: under the quasi-identifier
+    // tuple (nation, market segment, account-balance band), how many
+    // equivalence classes fall below k — each a re-identification risk —
+    // and how many ROWS sit in them, for the k values policy quotes
+    // (2/5/10)? Sweeney's k-anonymity measure as two aggregates: one
+    // group-by for class sizes (map-side partials over the fact table;
+    // the class count is bounded by the QI domain, not the row count),
+    // then a constant-size sweep of the 3 thresholds over the class-size
+    // frame. Balance bands floor(bal/1000) — floor, not truncation, so
+    // negative balances band consistently cross-engine.
+    ("q161_kanonymity",
+      (s: SparkSession, d: String) => {
+        val classes = Tables.load(s, d, "customer")
+          .groupBy(col("c_nationkey"), col("c_mktsegment"),
+            floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+          .agg(count(lit(1)).as("n"))
+        classes
+          .select(explode(array(lit(2L), lit(5L), lit(10L))).as("k"), col("n"))
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n_classes"),
+            sum(when(col("n") < col("k"), 1L).otherwise(0L)).as("n_risky"),
+            sum(when(col("n") < col("k"), col("n")).otherwise(0L))
+              .as("rows_at_risk"))
+          .orderBy(col("k"))
+      },
+      Some("""WITH g AS (
+             |  SELECT c_nationkey, c_mktsegment,
+             |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS band,
+             |    CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM customer GROUP BY 1, 2, 3),
+             |k AS (SELECT UNNEST([2, 5, 10]) AS k)
+             |SELECT CAST(k.k AS BIGINT) AS k,
+             |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+             |  CAST(SUM(CASE WHEN g.n < k.k THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_risky,
+             |  CAST(SUM(CASE WHEN g.n < k.k THEN g.n ELSE 0 END) AS BIGINT)
+             |    AS rows_at_risk
+             |FROM g CROSS JOIN k GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

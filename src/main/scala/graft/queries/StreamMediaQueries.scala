@@ -3153,5 +3153,39 @@ object StreamMediaQueries {
              |  CAST(COUNT(*) AS BIGINT) AS n_islands,
              |  CAST(MAX(covered) AS BIGINT) AS max_span
              |FROM isl GROUP BY 1 ORDER BY s_suppkey""".stripMargin)),
+
+    // ---- transformWithState: named state variables, per-type sequencing -------
+    // The Spark 4 arbitrary-state API ([[EventStream.TypeSeqProcessor]])
+    // the flatMapGroupsWithState tier predates: per-user state declared
+    // as NAMED VARIABLES (a MapState of per-event-type counters + a
+    // ValueState ordering guard), each its own RocksDB column family —
+    // an update touches one (type → count) entry, never a monolithic
+    // state blob, which is the at-scale difference when users are hot.
+    // Emits each event's 1-based rank within its (user, event_type) at
+    // ingest; the batch twin — a plain row_number window — is the
+    // oracle, so the multi-variable machine is hash-certified, not just
+    // spec-gated. Input is the st12 arrival fixture; sentinels filtered.
+    ("st51_typed_state_seq",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val inDir = ensureSessionStream(s, d)
+        EventStream.withRocksDBState(s) {
+          val stream = s.readStream.schema(EventStream.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(s"$inDir/part-*")
+            .as[EventStream.Event]
+            .filter(_.event_type != "flush")
+          val out = java.nio.file.Files.createTempDirectory("graft_st51o").toString
+          EventStream.runToFiles(s,
+              EventStream.typeSeqStream(stream).toDF(),
+              s"$out/data", s"$out/ckpt")
+            .orderBy(col("user_id"), col("event_id"))
+        }
+      },
+      Some("""SELECT user_id, event_id, event_type,
+             |  CAST(row_number() OVER (PARTITION BY user_id, event_type
+             |                          ORDER BY ts, event_id) AS BIGINT)
+             |    AS seq_in_type
+             |FROM events ORDER BY user_id, event_id""".stripMargin)),
   )
 }

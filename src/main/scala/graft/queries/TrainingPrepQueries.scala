@@ -1466,5 +1466,81 @@ object TrainingPrepQueries {
              |       * 10000 // COUNT(*) AS BIGINT) AS novelty_bp
              |FROM g JOIN f ON f.gram = g.gram
              |GROUP BY 1 ORDER BY g.doc_id""".stripMargin)),
+
+    // ---- scorer-agreement eval: Spearman rank correlation ---------------------
+    // The eval a retrieval-scorer swap needs BEFORE it ships: how much
+    // does the candidate ranking move when BM25 replaces raw term
+    // frequency for the same query? Spearman's rho over the two
+    // rankings of the query's candidate set, all-integer: both ranks
+    // are tie-free row_numbers (6-dp score + doc_id key — t12's
+    // certified determinism), so rho = 1 − 6Σd²/(n(n²−1)) is exact
+    // rational, exported in basis points via the truncating div both
+    // engines share. The two rank windows are global but run over ONE
+    // query's posting set (docs matching ≥1 query term) — bounded by
+    // the posting list, not the corpus, the q144 domain-bounded-window
+    // argument; everything upstream is the t12 scoring pipeline.
+    ("t26_scorer_agreement",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val terms = Seq("join", "vector", "scan")
+        val a = bm25Scores(s, d, terms)
+          .withColumn("ra", row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        val b = Tables.load(s, d, "documents")
+          .select(col("doc_id"),
+            explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+          .filter(col("term").isin(terms: _*))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("tfsum"))
+          .withColumn("rb", row_number().over(
+            Window.orderBy(col("tfsum").desc, col("doc_id"))).cast("long"))
+        a.join(b, "doc_id")
+          .select(((col("ra") - col("rb")) * (col("ra") - col("rb"))).as("d2"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("d2")).as("sum_d2"))
+          .select(col("n_docs"), col("sum_d2"),
+            when(col("n_docs") > 1,
+              call_function("div",
+                lit(10000L) * (col("n_docs") *
+                  (col("n_docs") * col("n_docs") - 1L) - col("sum_d2") * 6L),
+                col("n_docs") * (col("n_docs") * col("n_docs") - 1L)))
+              .otherwise(lit(10000L)).as("spearman_bp"))
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+             |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+             |dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM tk),
+             |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             |         SUM(dl) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM dl),
+             |tf AS (SELECT doc_id, u.term AS term, CAST(COUNT(*) AS DOUBLE) AS tf
+             |       FROM tk, unnest(toks) AS u(term)
+             |       WHERE u.term IN ('join', 'vector', 'scan') GROUP BY 1, 2),
+             |df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+             |sc AS (SELECT tf.doc_id,
+             |         round(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) *
+             |           (tf.tf * (1.2 + 1)) /
+             |           (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)), 6) AS ts
+             |       FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+             |agg AS (SELECT doc_id,
+             |          CAST(SUM(CAST(ts AS DECIMAL(18,6))) AS DOUBLE) AS score
+             |        FROM sc GROUP BY 1),
+             |ra AS (SELECT doc_id,
+             |         CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+             |           AS BIGINT) AS ra
+             |       FROM agg),
+             |tfs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tfsum
+             |        FROM tk, unnest(toks) AS u(term)
+             |        WHERE u.term IN ('join', 'vector', 'scan') GROUP BY 1),
+             |rb AS (SELECT doc_id,
+             |         CAST(row_number() OVER (ORDER BY tfsum DESC, doc_id)
+             |           AS BIGINT) AS rb
+             |       FROM tfs),
+             |j AS (SELECT (ra.ra - rb.rb) * (ra.ra - rb.rb) AS d2
+             |      FROM ra JOIN rb USING (doc_id)),
+             |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |        CAST(SUM(d2) AS BIGINT) AS sum_d2 FROM j)
+             |SELECT n_docs, sum_d2,
+             |  CASE WHEN n_docs > 1 THEN
+             |    CAST(10000 * (n_docs * (n_docs * n_docs - 1) - 6 * sum_d2)
+             |         // (n_docs * (n_docs * n_docs - 1)) AS BIGINT)
+             |  ELSE 10000 END AS spearman_bp
+             |FROM g""".stripMargin)),
   )
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 
 import graft.Tables
@@ -511,6 +511,70 @@ object EventStream {
             out.result().iterator
           }
       }
+  }
+
+  // ---- transformWithState: the Spark 4 arbitrary-state API ------------------
+
+  /** One sequenced event: `seq_in_type` = 1-based arrival rank of the
+    * event within its (user, event_type). */
+  case class TypedSeq(user_id: Long, event_id: Long, event_type: String,
+                      seq_in_type: Long)
+
+  /** Per-user processor on the `transformWithState` API — the modern
+    * face of the arbitrary-state tier (everything else here rides
+    * flatMapGroupsWithState): state is DECLARED as named variables on
+    * the processor handle — a MapState keyed by event type for the
+    * per-type counters plus a ValueState for the (ts, event_id)
+    * ordering guard — each its own column family in the RocksDB store.
+    * That layout is the at-scale win over the monolithic case-class
+    * blob: an update rewrites ONE (type → count) entry, not the whole
+    * user's state, and TTL/timers attach per variable. Emits each
+    * event's sequence number within its (user, type); the batch twin
+    * is a plain row_number window (st51's oracle). Same ordered-arrival
+    * contract and loud guard as [[userSeqStream]]. */
+  class TypeSeqProcessor extends StatefulProcessor[Long, Event, TypedSeq] {
+    import org.apache.spark.sql.Encoders
+    @transient private var counts: MapState[String, Long] = _
+    @transient private var guard: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counts = getHandle.getMapState[String, Long]("counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      guard = getHandle.getValueState[(Long, Long)]("guard",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+    }
+
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[TypedSeq] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts, e.event_id))
+      val out = sorted.map { e =>
+        val (lastTs, lastId) =
+          if (guard.exists()) guard.get() else (Long.MinValue, Long.MinValue)
+        if (lastTs != Long.MinValue &&
+            (e.ts < lastTs || (e.ts == lastTs && e.event_id <= lastId)))
+          throw new IllegalStateException(
+            s"typeSeqStream: out-of-order arrival for user $uid " +
+              s"(got (ts, id) (${e.ts}, ${e.event_id}) after " +
+              s"($lastTs, $lastId))")
+        val n = (if (counts.containsKey(e.event_type))
+          counts.getValue(e.event_type) else 0L) + 1L
+        counts.updateValue(e.event_type, n)
+        guard.update((e.ts, e.event_id))
+        TypedSeq(uid, e.event_id, e.event_type, n)
+      }
+      out.iterator
+    }
+  }
+
+  /** Streaming per-(user, type) sequence numbers via
+    * [[TypeSeqProcessor]]. Requires the RocksDB state store provider
+    * (transformWithState stores each state variable in its own column
+    * family) — run under [[withRocksDBState]]. */
+  def typeSeqStream(events: Dataset[Event]): Dataset[TypedSeq] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TypeSeqProcessor,
+        TimeMode.None(), OutputMode.Append())
   }
 
   // ---- CEP: sequence-pattern matching --------------------------------------

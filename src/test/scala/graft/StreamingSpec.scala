@@ -1427,6 +1427,45 @@ class StreamingSpec extends SparkSpec {
       s"restart must resume the open island: ${rows.toSeq}")
   }
 
+  test("transformWithState: named per-type counters persist across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.streaming.EventStream.withRocksDBState(spark) {
+      val mem = MemoryStream[EventStream.Event]
+      val q = EventStream.typeSeqStream(mem.toDS()).writeStream
+        .outputMode(OutputMode.Append).format("memory")
+        .queryName("t_tws").start()
+      try {
+        mem.addData(
+          EventStream.Event(1L, 10L, 5L, "view", 0.0, ""),
+          EventStream.Event(2L, 20L, 5L, "click", 0.0, ""),
+          EventStream.Event(3L, 30L, 5L, "view", 0.0, ""))
+        q.processAllAvailable()
+        // batch 2: the MapState counters must resume, not restart
+        mem.addData(
+          EventStream.Event(4L, 40L, 5L, "view", 0.0, ""),
+          EventStream.Event(5L, 50L, 5L, "click", 0.0, ""),
+          EventStream.Event(6L, 60L, 9L, "view", 0.0, ""))
+        q.processAllAvailable()
+        val rows = spark.table("t_tws").orderBy("event_id")
+          .select("user_id", "event_id", "event_type", "seq_in_type")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+            r.getLong(3)))
+        assert(rows.toSeq == Seq(
+          (5L, 1L, "view", 1L), (5L, 2L, "click", 1L), (5L, 3L, "view", 2L),
+          (5L, 4L, "view", 3L), (5L, 5L, "click", 2L), (9L, 6L, "view", 1L)),
+          s"cross-batch typed state wrong: ${rows.toSeq}")
+        // the ordering guard is live on this API too
+        mem.addData(EventStream.Event(7L, 15L, 5L, "view", 0.0, ""))
+        val ex = intercept[Exception] { q.processAllAvailable() }
+        def chain(t: Throwable): Seq[String] =
+          Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+            .map(_.getMessage).toSeq
+        assert(chain(ex).exists(m => m != null && m.contains("out-of-order")),
+          s"expected the out-of-order guard, got: ${chain(ex)}")
+      } finally q.stop()
+    }
+  }
+
   test("watermarked coverage: folds in-slack disorder exactly, throws past the slack") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.IntervalCoverage
