@@ -4572,5 +4572,47 @@ object AdvancedQueries {
              |  CAST(SUM(CASE WHEN g.n < k.k THEN g.n ELSE 0 END) AS BIGINT)
              |    AS rows_at_risk
              |FROM g CROSS JOIN k GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- declarative SQL functions + parameterized SQL -------------------------
+    // The pure-SQL EXTENSIBILITY face (q148/q158 certify the injected
+    // Scala registry; this certifies the DECLARATIVE one): a scalar SQL
+    // UDF (`CREATE FUNCTION ... RETURN expr` — analyzer-inlined, so it
+    // keeps whole-stage codegen, unlike a black-box Scala closure), a
+    // SQL TABLE function serving the priority→urgency dimension as an
+    // inline relation, and a named-PARAMETER query (`:cutoff` bound via
+    // the spark.sql(args) API — the injection-safe path a SQL-first
+    // deployment templates with). The dimension table function is
+    // 5 rows — broadcast-trivial at any fact scale; the UDF inlines to
+    // the same exact-cents arithmetic every other money query uses.
+    ("q162_sql_function_face",
+      (s: SparkSession, d: String) => {
+        Tables.load(s, d, "orders").createOrReplaceTempView("orders_fn_sql")
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_cents(x DOUBLE)
+                 RETURNS BIGINT RETURN CAST(round(x * 100) AS BIGINT)""")
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_pri_classes()
+                 RETURNS TABLE(pri STRING, is_urgent BOOLEAN)
+                 RETURN SELECT * FROM VALUES
+                   ('1-URGENT', true), ('2-HIGH', true), ('3-MEDIUM', false),
+                   ('4-NOT SPECIFIED', false), ('5-LOW', false)
+                   AS t(pri, is_urgent)""")
+        s.sql(
+          """SELECT c.is_urgent,
+            |  COUNT(*) AS n_orders,
+            |  SUM(graft_cents(o.o_totalprice)) AS rev_c
+            |FROM orders_fn_sql o
+            |JOIN graft_pri_classes() c ON o.o_orderpriority = c.pri
+            |WHERE o.o_orderdate >= :cutoff
+            |GROUP BY 1 ORDER BY 1""".stripMargin,
+          Map("cutoff" -> "1996-01-01"))
+      },
+      Some("""WITH c(pri, is_urgent) AS (VALUES
+             |    ('1-URGENT', true), ('2-HIGH', true), ('3-MEDIUM', false),
+             |    ('4-NOT SPECIFIED', false), ('5-LOW', false))
+             |SELECT c.is_urgent, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS rev_c
+             |FROM orders o JOIN c ON o.o_orderpriority = c.pri
+             |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

@@ -79,6 +79,38 @@ object StreamMediaQueries {
       s"$tmp/in"
     })
 
+  /** st52's staging: the customer dim as 3 unordered parquet tiles —
+    * k-anonymity class sizes are algebraic counts, so no arrival
+    * contract is needed (the [[ensureGateStream]] pattern). Write-once
+    * per (JVM, sf). */
+  private val custStreamDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def ensureCustomerStream(s: SparkSession, d: String): String =
+    custStreamDirs.getOrElseUpdate(d, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st52in").toString
+      Tables.load(s, d, "customer")
+        .repartition(3)
+        .write.mode("overwrite").parquet(s"$tmp/in")
+      s"$tmp/in"
+    })
+
+  /** st53's staging: the orders fact (custkey + orderdate only) as 3
+    * unordered tiles — bitmap OR is commutative, so arrival order is
+    * irrelevant. Write-once per (JVM, sf). */
+  private val orderFactStreamDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def ensureOrderFactStream(s: SparkSession, d: String): String =
+    orderFactStreamDirs.getOrElseUpdate(d, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st53in").toString
+      Tables.load(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderdate"))
+        .repartition(3)
+        .write.mode("overwrite").parquet(s"$tmp/in")
+      s"$tmp/in"
+    })
+
   /** m09's staging: (media_id, payload) parquet mixing all three decode
     * classes deterministically by id mod 3 — a REAL PNG (id-derived
     * dimensions, [[Multimodal.ImageCodec.pngBytes]]), the same PNG cut
@@ -3187,5 +3219,91 @@ object StreamMediaQueries {
              |                          ORDER BY ts, event_id) AS BIGINT)
              |    AS seq_in_type
              |FROM events ORDER BY user_id, event_id""".stripMargin)),
+
+    // ---- streaming k-anonymity monitor -----------------------------------------
+    // q161's privacy gate maintained ON THE FEED: equivalence-class
+    // sizes under the quasi-identifier tuple are algebraic counts, so a
+    // per-class streaming aggregate folds them across micro-batches
+    // (class count bounded by the QI domain, not rows — constant
+    // state), and the k-threshold sweep runs over the Complete-mode
+    // snapshot exactly as the batch query runs it over the class frame.
+    // A release gate that reads this table sees re-identification risk
+    // the moment an ingest wave creates a small class — no second scan
+    // of landed data. q161's oracle certifies the drained report.
+    ("st52_stream_kanonymity",
+      (s: SparkSession, d: String) => {
+        val inDir = ensureCustomerStream(s, d)
+        val sch = s.read.parquet(inDir).schema
+        val classes = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$inDir/part-*")
+          .groupBy(col("c_nationkey"), col("c_mktsegment"),
+            floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+          .agg(count(lit(1)).as("n"))
+        EventStream.runToMemory(s, classes, s"st52_mem_${System.nanoTime()}")
+          .select(explode(array(lit(2L), lit(5L), lit(10L))).as("k"), col("n"))
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n_classes"),
+            sum(when(col("n") < col("k"), 1L).otherwise(0L)).as("n_risky"),
+            sum(when(col("n") < col("k"), col("n")).otherwise(0L))
+              .as("rows_at_risk"))
+          .orderBy(col("k"))
+      },
+      Some("""WITH g AS (
+             |  SELECT c_nationkey, c_mktsegment,
+             |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS band,
+             |    CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM customer GROUP BY 1, 2, 3),
+             |k AS (SELECT UNNEST([2, 5, 10]) AS k)
+             |SELECT CAST(k.k AS BIGINT) AS k,
+             |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+             |  CAST(SUM(CASE WHEN g.n < k.k THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_risky,
+             |  CAST(SUM(CASE WHEN g.n < k.k THEN g.n ELSE 0 END) AS BIGINT)
+             |    AS rows_at_risk
+             |FROM g CROSS JOIN k GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- streaming exact distinct over a STRING key domain ---------------------
+    // q157's two halves composed live: the PINNED dictionary is built
+    // batch-side once (Densify's deployment contract — ids must be
+    // stable against stored bitmaps), the order feed stream-static
+    // joins through it (customer → dense_id, broadcast-size here;
+    // key-equality shuffle at scale), and per-week `id_bitmap` state
+    // folds across micro-batches — exact weekly distinct ordering
+    // customers, by NAME, maintained at ingest with ≤ |customers|/8
+    // bytes per week of state. The bitmap aggregate is commutative, so
+    // the unordered 3-tile staging needs no arrival contract. q157's
+    // per-week oracle certifies the snapshot.
+    ("st53_stream_densified_bitmap",
+      (s: SparkSession, d: String) => {
+        import graft.functions.IdBitmap
+        val cust = Tables.load(s, d, "customer")
+          .select(col("c_custkey"), col("c_name"))
+        val keyToDense = cust
+          .join(graft.ops.Densify.dictionary(cust, "c_name"), "c_name")
+          .select(col("c_custkey"), col("dense_id"))
+        val inDir = ensureOrderFactStream(s, d)
+        val sch = s.read.parquet(inDir).schema
+        val weekly = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$inDir/part-*")
+          .select(call_function("div",
+              datediff(to_date(col("o_orderdate")), lit("1990-01-01"))
+                .cast("long"), lit(7L)).as("week_ix"),
+            col("o_custkey"))
+          .join(keyToDense, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("week_ix"))
+          .agg(IdBitmap.idBitmap(col("dense_id"), 1L << 20).as("bm"))
+        EventStream.runToMemory(s, weekly, s"st53_mem_${System.nanoTime()}")
+          .select(col("week_ix"), IdBitmap.bitmapCount(col("bm")).as("n_custs"))
+          .orderBy(col("week_ix"))
+      },
+      Some("""WITH o AS (
+             |  SELECT CAST(date_diff('day', DATE '1990-01-01',
+             |      CAST(o_orderdate AS DATE)) // 7 AS BIGINT) AS week_ix,
+             |    c_name
+             |  FROM orders JOIN customer ON o_custkey = c_custkey)
+             |SELECT week_ix, CAST(COUNT(DISTINCT c_name) AS BIGINT) AS n_custs
+             |FROM o GROUP BY 1 ORDER BY week_ix""".stripMargin)),
   )
 }

@@ -577,6 +577,67 @@ object EventStream {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** One timer-flushed session summary. */
+  case class GapFlush(user_id: Long, n_events: Long, last_ts: Long)
+
+  /** Event-time TIMER face of the transformWithState API (the feature
+    * [[TypeSeqProcessor]] doesn't touch): each user's open session
+    * re-arms one event-time timer at `lastTs + gap`; when the WATERMARK
+    * passes it, [[StatefulProcessor.handleExpiredTimer]] — not an
+    * input row — emits the session summary and clears the state. This
+    * is the engine-scheduled flush that st12's sessionizer does with
+    * sentinel punctuation and GroupStateTimeout does in wall-clock
+    * time: event-time timers make the flush a pure function of the
+    * DATA (watermark), so a replayed drain emits identical flushes.
+    * State per user: two scalars + one armed timer. */
+  class GapFlushProcessor(gapUs: Long) extends StatefulProcessor[Long, Event, GapFlush] {
+    import org.apache.spark.sql.Encoders
+    @transient private var nEvents: ValueState[Long] = _
+    @transient private var lastTs: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      nEvents = getHandle.getValueState[Long]("nEvents",
+        Encoders.scalaLong, TTLConfig.NONE)
+      lastTs = getHandle.getValueState[Long]("lastTs",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[GapFlush] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts, e.event_id))
+      if (sorted.nonEmpty) {
+        // re-arm: one live timer per user at lastTs + gap
+        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+        val n0 = if (nEvents.exists()) nEvents.get() else 0L
+        nEvents.update(n0 + sorted.size)
+        lastTs.update(sorted.last.ts)
+        getHandle.registerTimer(sorted.last.ts / 1000L + gapUs / 1000L)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(uid: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[GapFlush] = {
+      val out = GapFlush(uid, nEvents.get(), lastTs.get())
+      nEvents.clear(); lastTs.clear()
+      Iterator.single(out)
+    }
+  }
+
+  /** Timer-flushed idle sessions via [[GapFlushProcessor]] (event-time
+    * mode: the input must carry a watermarked `event_time`). Requires
+    * the RocksDB provider, like every transformWithState operator. */
+  def gapFlushStream(events: Dataset[Event], gapUs: Long): Dataset[GapFlush] = {
+    import events.sparkSession.implicits._
+    events.toDF()
+      .withColumn("event_time", Tables.eventTime(col("ts")))
+      .withWatermark("event_time", "0 seconds")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new GapFlushProcessor(gapUs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   // ---- CEP: sequence-pattern matching --------------------------------------
 
   /** One completed pattern instance: view → click (within w1) →

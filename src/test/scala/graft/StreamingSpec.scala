@@ -1466,6 +1466,78 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState timers: the watermark, not an input row, flushes the idle session") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.streaming.EventStream.withRocksDBState(spark) {
+      val H = 3600L * 1000000L
+      val mem = MemoryStream[EventStream.Event]
+      val q = EventStream.gapFlushStream(mem.toDS(), H).writeStream
+        .outputMode(OutputMode.Append).format("memory")
+        .queryName("t_timer").start()
+      try {
+        // batch 1: user 5's session, timer armed at 1.5H + 1H = 2.5H
+        mem.addData(
+          EventStream.Event(1L, H, 5L, "view", 0.0, ""),
+          EventStream.Event(2L, H + H / 2, 5L, "view", 0.0, ""))
+        q.processAllAvailable()
+        assert(spark.table("t_timer").count() == 0,
+          "nothing may flush before the watermark reaches the timer")
+        // batch 2 (user 9 at 10H): during it the watermark is still
+        // batch 1's 1.5H — no flush yet; after it, watermark = 10H
+        mem.addData(EventStream.Event(3L, 10L * H, 9L, "view", 0.0, ""))
+        q.processAllAvailable()
+        // batch 3: watermark 10H > 2.5H → user 5's timer fires and
+        // handleExpiredTimer (no input row for user 5!) emits the flush
+        mem.addData(EventStream.Event(4L, 11L * H, 9L, "view", 0.0, ""))
+        q.processAllAvailable()
+        val rows = spark.table("t_timer")
+          .select("user_id", "n_events", "last_ts")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        assert(rows.toSeq == Seq((5L, 2L, H + H / 2)),
+          s"timer flush wrong: ${rows.toSeq}")
+      } finally q.stop()
+    }
+  }
+
+  test("transformWithState: a restarted drain resumes named state variables from the checkpoint") {
+    import spark.implicits._
+    graft.streaming.EventStream.withRocksDBState(spark) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_twsrestart").toString
+      val in = new java.io.File(s"$tmp/in"); in.mkdirs()
+      def stage(rows: Seq[(Long, Long, Long, String)], name: String): Unit = {
+        val sd = s"$tmp/stage_$name"
+        rows.map { case (id, ts, uid, ty) => (id, ts, uid, ty, 0.0, "") }
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(sd)
+        val part = new java.io.File(sd).listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(in, s"$name.parquet").toPath)
+      }
+      def drain(): org.apache.spark.sql.DataFrame = {
+        val stream = spark.readStream.schema(EventStream.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$in/*.parquet")
+          .as[EventStream.Event]
+        graft.streaming.EventStream.runToFiles(spark,
+          EventStream.typeSeqStream(stream).toDF(),
+          s"$tmp/data", s"$tmp/ckpt")
+      }
+      stage(Seq((1L, 10L, 5L, "view"), (2L, 20L, 5L, "view")), "w0")
+      drain()
+      // the RESTARTED drain's first click can only get seq 1 and the
+      // third view seq 3 if the per-type MapState counters were
+      // restored from the checkpointed column families
+      stage(Seq((3L, 30L, 5L, "view"), (4L, 40L, 5L, "click")), "w1")
+      val rows = drain().orderBy("event_id")
+        .select("event_id", "event_type", "seq_in_type")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(rows.toSeq == Seq((1L, "view", 1L), (2L, "view", 2L),
+        (3L, "view", 3L), (4L, "click", 1L)),
+        s"restart must resume the named counters: ${rows.toSeq}")
+    }
+  }
+
   test("watermarked coverage: folds in-slack disorder exactly, throws past the slack") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.IntervalCoverage
