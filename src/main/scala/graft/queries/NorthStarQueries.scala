@@ -700,6 +700,63 @@ object NorthStarQueries {
           |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
           |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin)),
 
+    // ---- similarity: MRR of the IVF probe (rank-position eval) ------------
+    // s17 counts WHAT the probe finds; serving quality also needs
+    // WHERE — mean-reciprocal-rank-style position tracking of the true
+    // nearest neighbor inside the approximate list (an exact hit at
+    // rank 5 and at rank 1 are different products). Per query: the
+    // brute-force top-1's position in the IVF top-5 (0 = missed) and
+    // its reciprocal rank in exact integer micro-units (1e6 div rank —
+    // the truncating div both engines share; no float MRR to drift).
+    // Same cleaned-corpus discipline and cost shape as s17; the oracle
+    // composes the certified IvfOracleCtes with the s01 brute block,
+    // so the evaluated index is provably the one s02 ships.
+    ("s26_mrr_eval",
+      (s: SparkSession, d: String) => {
+        import graft.functions.CosineSimilarity.cosineSim
+        val emb = Tables.load(s, d, "embeddings").select("vec_id", "embedding")
+        val clean = emb.filter(size(col("embedding")) > 0 &&
+          !isnan(cosineSim(col("embedding"), col("embedding"))))
+        val queries = clean.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+        val brute1 = Similarity.bruteForceTopK(clean, queries, k = 1)
+          .select(col("query_id"), col("neighbor_id").as("true_top1"))
+        val ivf = Similarity.ivfTopK(emb, queries,
+            k = 5, nCells = 16, nProbe = 4, trainIters = 2)
+          .select(col("query_id").as("iq"), col("neighbor_id"), col("rank"))
+        brute1.join(ivf,
+            col("query_id") === col("iq") &&
+              col("true_top1") === col("neighbor_id"), "left")
+          .select(col("query_id"), col("true_top1"),
+            coalesce(col("rank"), lit(0)).cast("long").as("pos"),
+            when(col("rank").isNotNull,
+              call_function("div", lit(1000000L), col("rank").cast("long")))
+              .otherwise(0L).as("rr_micro"))
+          .orderBy(col("query_id"))
+      },
+      Some(IvfOracleCtes + ",\n" +
+        """brute AS (SELECT query_id, neighbor_id AS true_top1 FROM (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |    row_number() OVER (PARTITION BY q.vec_id
+          |      ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC, c.vec_id) AS rank
+          |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+          |  WHERE rank = 1),
+          |ivf AS (SELECT query_id, neighbor_id, rank FROM (
+          |  SELECT p.query_id, a.vec_id AS neighbor_id,
+          |    row_number() OVER (PARTITION BY p.query_id
+          |      ORDER BY round(list_cosine_similarity(q.v, n.v), 6) DESC, a.vec_id) AS rank
+          |  FROM p JOIN a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
+          |  JOIN e q ON q.vec_id = p.query_id
+          |  JOIN e n ON n.vec_id = a.vec_id)
+          |  WHERE rank <= 5)
+          |SELECT b.query_id, b.true_top1,
+          |  CAST(COALESCE(i.rank, 0) AS BIGINT) AS pos,
+          |  CAST(CASE WHEN i.rank IS NOT NULL THEN 1000000 // i.rank
+          |       ELSE 0 END AS BIGINT) AS rr_micro
+          |FROM brute b LEFT JOIN ivf i
+          |  ON i.query_id = b.query_id AND i.neighbor_id = b.true_top1
+          |ORDER BY b.query_id""".stripMargin)),
+
     // ---- similarity: recall CURVE across the probe-width sweep ------------
     // s17 measures recall at ONE operating point; tuning an ANN
     // deployment needs the CURVE — recall@5 as nProbe sweeps 1 → 2 →

@@ -1601,6 +1601,19 @@ class ScaleSpec extends SparkSpec {
       s"no partial phase — raw token rows would shuffle:\n${plan.take(4000)}")
   }
 
+  test("q162 SQL UDF: analyzer-inlined (no black-box UDF node), dimension broadcast") {
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q162_sql_function_face")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the CREATE FUNCTION ... RETURN body must inline into the plan —
+    // a ScalaUDF/Invoke node would break whole-stage codegen, which is
+    // the reason to prefer the declarative form
+    assert(!plan.contains("UDF") && !plan.contains("Invoke"),
+      s"SQL UDF failed to inline:\n${plan.take(4000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 5-row table function must broadcast:\n${plan.take(4000)}")
+  }
+
   test("t24 vocab coverage: the 1000-term vocab broadcasts, tokens never re-shuffle for it") {
     spark.catalog.clearCache()
     val df = SparkEntry.queries("t24_vocab_coverage")(spark, sf)
