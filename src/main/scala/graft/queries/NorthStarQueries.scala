@@ -757,6 +757,71 @@ object NorthStarQueries {
           |  ON i.query_id = b.query_id AND i.neighbor_id = b.true_top1
           |ORDER BY b.query_id""".stripMargin)),
 
+    // ---- similarity: nDCG@5 of the IVF probe (graded position eval) --------
+    // The third leg of the eval triad (s17 recall = found at all, s26
+    // MRR = where the single best lands, THIS = how well the whole
+    // ranked list orders the relevant set): binary-relevance nDCG@5
+    // with the exact top-5 as the ideal. The 1/log₂(i+1) position
+    // weights are FIXED k=5 constants, so they ship as precomputed
+    // integer micro-unit literals (1000000, 630929, 500000, 430676,
+    // 386852; IDCG = 2948457) — no runtime log/float on either engine,
+    // the whole metric is integer arithmetic ending in one truncating
+    // div. Oracle composes the same certified CTEs as s17/s26.
+    ("s27_ndcg_eval",
+      (s: SparkSession, d: String) => {
+        import graft.functions.CosineSimilarity.cosineSim
+        val emb = Tables.load(s, d, "embeddings").select("vec_id", "embedding")
+        val clean = emb.filter(size(col("embedding")) > 0 &&
+          !isnan(cosineSim(col("embedding"), col("embedding"))))
+        val queries = clean.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+        val exact = Similarity.bruteForceTopK(clean, queries, k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val ivf = Similarity.ivfTopK(emb, queries,
+            k = 5, nCells = 16, nProbe = 4, trainIters = 2)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+        val wMicro = when(col("rank") === 1, 1000000L)
+          .when(col("rank") === 2, 630929L)
+          .when(col("rank") === 3, 500000L)
+          .when(col("rank") === 4, 430676L)
+          .when(col("rank") === 5, 386852L)
+        exact.join(ivf, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(col("rank")).as("n_rel"),
+            sum(coalesce(wMicro, lit(0L))).as("dcg_micro"))
+          .select(col("query_id"), col("n_rel"), col("dcg_micro"),
+            call_function("div", col("dcg_micro") * 10000L, lit(2948457L))
+              .as("ndcg_bp"))
+          .orderBy(col("query_id"))
+      },
+      Some(IvfOracleCtes + ",\n" +
+        """brute AS (SELECT query_id, neighbor_id FROM (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |    row_number() OVER (PARTITION BY q.vec_id
+          |      ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC, c.vec_id) AS rank
+          |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+          |  WHERE rank <= 5),
+          |ivf AS (SELECT query_id, neighbor_id, rank FROM (
+          |  SELECT p.query_id, a.vec_id AS neighbor_id,
+          |    row_number() OVER (PARTITION BY p.query_id
+          |      ORDER BY round(list_cosine_similarity(q.v, n.v), 6) DESC, a.vec_id) AS rank
+          |  FROM p JOIN a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
+          |  JOIN e q ON q.vec_id = p.query_id
+          |  JOIN e n ON n.vec_id = a.vec_id)
+          |  WHERE rank <= 5)
+          |SELECT b.query_id,
+          |  CAST(COUNT(i.rank) AS BIGINT) AS n_rel,
+          |  CAST(COALESCE(SUM(CASE i.rank WHEN 1 THEN 1000000
+          |    WHEN 2 THEN 630929 WHEN 3 THEN 500000 WHEN 4 THEN 430676
+          |    WHEN 5 THEN 386852 END), 0) AS BIGINT) AS dcg_micro,
+          |  CAST(COALESCE(SUM(CASE i.rank WHEN 1 THEN 1000000
+          |    WHEN 2 THEN 630929 WHEN 3 THEN 500000 WHEN 4 THEN 430676
+          |    WHEN 5 THEN 386852 END), 0) * 10000 // 2948457 AS BIGINT)
+          |    AS ndcg_bp
+          |FROM brute b LEFT JOIN ivf i
+          |  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+          |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin)),
+
     // ---- similarity: recall CURVE across the probe-width sweep ------------
     // s17 measures recall at ONE operating point; tuning an ANN
     // deployment needs the CURVE — recall@5 as nProbe sweeps 1 → 2 →

@@ -1542,5 +1542,55 @@ object TrainingPrepQueries {
              |         // (n_docs * (n_docs * n_docs - 1)) AS BIGINT)
              |  ELSE 10000 END AS spearman_bp
              |FROM g""".stripMargin)),
+
+    // ---- language-ID confusion matrix ------------------------------------------
+    // t03 reports the predicted distribution; a classifier you'd TRUST
+    // needs the confusion matrix against the labeled truth the fixture
+    // carries: per (actual lang, predicted lang) the count and its
+    // share of the actual language in basis points — the diagonal is
+    // per-language recall, off-diagonal cells say WHICH confusions the
+    // stopword heuristic makes (the routing errors a language-bucketed
+    // curation pipeline like q71 inherits). Two aggregates over one
+    // scored scan + a broadcast-size totals join; all integer.
+    ("t27_langid_confusion",
+      (s: SparkSession, d: String) => {
+        val scored = Tables.load(s, d, "documents")
+          .select(col("lang"), TextAnalysis.langId(col("text")).as("pred_lang"))
+        val cm = scored.groupBy(col("lang"), col("pred_lang"))
+          .agg(count(lit(1)).as("n"))
+        val tot = scored.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+        cm.join(tot, "lang")
+          .select(col("lang"), col("pred_lang"), col("n"),
+            call_function("div", col("n") * 10000L, col("n_lang"))
+              .as("cell_bp"))
+          .orderBy(col("lang"), col("pred_lang"))
+      },
+      Some("""WITH scored AS (
+             |  SELECT lang,
+             |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             |      t -> list_contains(['the','a','of','and','to','in','is','it','that','on'], t))) AS s_en,
+             |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             |      t -> list_contains(['der','die','das','und','ist','ein','zu','den','von','mit'], t))) AS s_de,
+             |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             |      t -> list_contains(['el','la','de','los','las','y','es','un','una','en'], t))) AS s_es,
+             |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             |      t -> list_contains(['le','la','les','et','est','une','des','du','dans','pour'], t))) AS s_fr,
+             |    regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS has_cjk
+             |  FROM documents),
+             |p AS (SELECT lang,
+             |    CASE WHEN has_cjk THEN 'zh'
+             |         WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+             |         WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+             |         WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+             |         ELSE 'fr' END AS pred_lang
+             |  FROM scored),
+             |cm AS (SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+             |       FROM p GROUP BY 1, 2),
+             |tot AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang
+             |        FROM p GROUP BY 1)
+             |SELECT cm.lang, cm.pred_lang, cm.n,
+             |  CAST(cm.n * 10000 // tot.n_lang AS BIGINT) AS cell_bp
+             |FROM cm JOIN tot ON tot.lang = cm.lang
+             |ORDER BY cm.lang, cm.pred_lang""".stripMargin)),
   )
 }
