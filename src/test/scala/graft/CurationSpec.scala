@@ -134,4 +134,21 @@ class CurationSpec extends SparkSpec {
       countDistinct(col("dense_id"))).head()
     assert(mm.getLong(0) == 0L && mm.getLong(1) == 4L && mm.getLong(2) == 5L)
   }
+
+  test("densify edges: empty and all-null frames yield empty dictionaries, append from empty starts at 0") {
+    import spark.implicits._
+    val empty = Seq.empty[String].toDF("k")
+    assert(graft.ops.Densify.dictionary(empty, "k").count() == 0)
+    assert(graft.ops.Densify.densify(empty, "k").count() == 0)
+    val nulls = Seq(null.asInstanceOf[String], null.asInstanceOf[String])
+      .toDF("k")
+    assert(graft.ops.Densify.dictionary(nulls, "k").count() == 0)
+    // appending into an EMPTY dictionary must start ids at 0 (the
+    // coalesce(max+1, 0) base), not NPE on the missing max
+    val grown = graft.ops.Densify.append(
+      graft.ops.Densify.dictionary(empty, "k"),
+      Seq("b", "a").toDF("k"), "k")
+    val ids = grown.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(ids == Map("a" -> 0L, "b" -> 1L), s"append-from-empty wrong: $ids")
+  }
 }
