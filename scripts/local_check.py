@@ -13,6 +13,7 @@ row sort — both must fail HERE, not in the graded run.
 Usage: python3 scripts/local_check.py <sfDir> <verifyOutDir>
 """
 import json, sys, math
+from pathlib import Path
 
 import duckdb
 
@@ -92,6 +93,17 @@ def main(sf_dir, out_dir):
             print(f"PASS {name} ({len(gdf)} rows)")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    # round-close checklist: regenerate QUERIES.md from the same dump's
+    # oracle set (the r13 lesson — the catalog shipped 16 queries stale
+    # because regeneration was a manual step). gen_catalog exits 1 on a
+    # catalog-vs-oracle mismatch, which counts as a failure here.
+    import subprocess
+    cat = subprocess.run(
+        [sys.executable, str(Path(__file__).resolve().parent / "gen_catalog.py"),
+         out_dir])
+    if cat.returncode != 0:
+        print("FAIL catalog: gen_catalog.py mismatch vs oracle_sql.json")
+        n_fail += 1
     return 1 if n_fail else 0
 
 

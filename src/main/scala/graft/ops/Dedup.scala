@@ -45,6 +45,39 @@ object Dedup {
         counted.filter(col("_bucket_n") > maxBucket).drop("_bucket_n"))
     }
 
+  /** As [[capBuckets]], with the drop ACCOUNTING riding the kept
+    * frame's own execution via `Dataset.observe` instead of a second
+    * job over the capped subtree: the metrics row `metricName` =
+    * `(dropped_rows, dropped_buckets)` accumulates on the pre-filter
+    * window-counted frame — per-partition partials in the task stream,
+    * merged on the driver — so counting what was discarded costs ZERO
+    * extra scans (the [[capBucketsWithDropped]] face re-evaluates the
+    * windowed subtree whenever the caller counts the dropped frame).
+    * `dropped_buckets` is exact: a bucket past the cap drops WHOLE
+    * (the filter is on the bucket count), so Σ 1/bucket_n over dropped
+    * rows telescopes to the bucket count; the double sum is rounded
+    * back to long (error ≪ 0.5 for any count below 2⁵²). Metrics
+    * cannot use `count(distinct)` — CollectMetrics forbids distinct
+    * aggregates — which is why the telescoping-sum form is the
+    * mechanism. Read the row post-action via
+    * `qe.observedMetrics(metricName)` or [[Observe.runAndCollect]]. */
+  def capBucketsObserved(df: DataFrame, keyCols: Seq[String],
+                         maxBucket: Int, metricName: String): DataFrame =
+    if (maxBucket <= 0) df
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*)
+      val counted = df.withColumn("_bucket_n", count(lit(1)).over(w))
+      val dropped = col("_bucket_n") > maxBucket
+      counted
+        .observe(metricName,
+          coalesce(sum(when(dropped, 1L).otherwise(0L)), lit(0L))
+            .as("dropped_rows"),
+          coalesce(round(sum(when(dropped, lit(1.0) / col("_bucket_n"))))
+            .cast("long"), lit(0L)).as("dropped_buckets"))
+        .filter(!dropped).drop("_bucket_n")
+    }
+
   /** Distinct word n-grams as strings; empty array when fewer than n
     * words. Fused single-pass custom expression
     * ([[graft.functions.WordNGrams]]) — replaces a 4-node HOF chain on

@@ -25,7 +25,7 @@ object NorthStarQueries {
     * power-law: one hub with 10⁵ neighbors contributes 10¹⁰ wedges at
     * scale before any limit sees a row. `maxCenterDegree > 0` bounds
     * every center's contribution at cap² via
-    * [[Dedup.capBucketsWithDropped]] keyed on z (the same
+    * [[Dedup.capBucketsObserved]] keyed on z (the same
     * loud-drop-accounting guard the gram dedup path uses: the dropped
     * hub count is surfaced through `observe`, never silently
     * filtered). `maxCenterDegree = 0` disables — the exact-oracle
@@ -33,19 +33,24 @@ object NorthStarQueries {
     * degenerate hubs; the cap>0 regime is spec-gated in ScaleSpec /
     * DedupSimilaritySpec instead). Degree-1 centers can never form a
     * wedge, so they are filtered BEFORE the Adamic-Adar term — which
-    * also keeps 1/ln(1) = ∞ out of both engines' arithmetic. */
+    * also keeps 1/ln(1) = ∞ out of both engines' arithmetic.
+    *
+    * Drop accounting (cap > 0): the dropped-hub counts ride the kept
+    * branch's OWN execution as a [[Dedup.capBucketsObserved]] metrics
+    * row named [[LinkPredCapMetric]] — `(dropped_rows,
+    * dropped_buckets)` accumulate in the task stream of the main job,
+    * so surfacing the recall trade costs zero extra jobs. Read them
+    * post-action via `qe.observedMetrics` / [[graft.ops.Observe]];
+    * callers needing the dropped ROWS themselves (quarantine, hub
+    * audit) use [[linkPredictionWithDropped]], which re-evaluates the
+    * capped subtree for the second frame when consumed. */
+  private[graft] val LinkPredCapMetric = "c15_cap"
+
   private[graft] def linkPrediction(s: SparkSession, d: String,
                                     maxCenterDegree: Int): DataFrame = {
-    val (result, droppedHubs) = linkPredictionWithDropped(s, d, maxCenterDegree)
-    if (maxCenterDegree > 0) {
-      val nHubs = droppedHubs.select(col("z")).distinct().count()
-      if (nHubs > 0)
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"c15: dropped $nHubs hub centers past degree $maxCenterDegree " +
-            "(wedge recall is bounded, not exact — raise the cap or " +
-            "quarantine the hubs to recover them)")
-    }
-    result
+    val g = wedgeGraph(s, d)
+    scoreWedges(g, Dedup.capBucketsObserved(
+      g.centersAll, Seq("z"), maxCenterDegree, LinkPredCapMetric))
   }
 
   /** [[linkPrediction]] with the dropped-hub adjacency rows returned to
@@ -54,6 +59,20 @@ object NorthStarQueries {
   private[graft] def linkPredictionWithDropped(
       s: SparkSession, d: String,
       maxCenterDegree: Int): (DataFrame, DataFrame) = {
+    val g = wedgeGraph(s, d)
+    val (centers, droppedHubs) =
+      Dedup.capBucketsWithDropped(g.centersAll, Seq("z"), maxCenterDegree)
+    (scoreWedges(g, centers), droppedHubs)
+  }
+
+  /** c15's shared plan pieces: the support-filtered co-purchase edge
+    * core, the symmetric adjacency, and the degree-filtered center
+    * frame (one row per (center z, neighbor a) with the precomputed
+    * Adamic-Adar term). */
+  private case class WedgeGraph(e: DataFrame, adj: DataFrame,
+                                centersAll: DataFrame)
+
+  private def wedgeGraph(s: SparkSession, d: String): WedgeGraph = {
     val li = Tables.load(s, d, "lineitem")
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     val e = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
@@ -72,23 +91,24 @@ object NorthStarQueries {
       .filter(col("deg") >= 2) // a shared neighbor needs >= 2 neighbors
       .select(col("u").as("z"), col("v").as("a"),
         floor(lit(1000000.0) / log(col("deg"))).cast("long").as("aa_term"))
-    val (centers, droppedHubs) =
-      Dedup.capBucketsWithDropped(centersAll, Seq("z"), maxCenterDegree)
+    WedgeGraph(e, adj, centersAll)
+  }
+
+  private def scoreWedges(g: WedgeGraph, centers: DataFrame): DataFrame = {
     val wedges = centers.join(
-      adj.select(col("u").as("z"), col("v").as("c")), "z")
+      g.adj.select(col("u").as("z"), col("v").as("c")), "z")
       .filter(col("a") < col("c"))
     val scored = wedges.groupBy(col("a"), col("c"))
       .agg(count(lit(1)).as("common_neighbors"),
         sum(col("aa_term")).as("aa_score_u"))
-    val eAnti = e.select(col("a").as("ea"), col("b").as("eb"))
-    val result = scored.join(eAnti,
+    val eAnti = g.e.select(col("a").as("ea"), col("b").as("eb"))
+    scored.join(eAnti,
         col("a") === col("ea") && col("c") === col("eb"), "left_anti")
       .select(col("a").as("id_a"), col("c").as("id_b"),
         col("common_neighbors"), col("aa_score_u"))
       .orderBy(col("common_neighbors").desc, col("aa_score_u").desc,
         col("id_a"), col("id_b"))
       .limit(20)
-    (result, droppedHubs)
   }
 
   /** s08's persisted IVF-int8 index over the embeddings table — built

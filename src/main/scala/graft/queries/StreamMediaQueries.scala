@@ -111,6 +111,52 @@ object StreamMediaQueries {
       s"$tmp/in"
     })
 
+  /** st54's arrival fixture: the events corpus as 3 ts-range tiles
+    * (mtime-ordered — global-time-ordered arrival, the watermark
+    * contract: no event arrives after the watermark passed it) plus
+    * TWO trailing single-row watermark pushers for the sentinel user
+    * −1 at maxTs + 24 h and + 48 h. Two, because an event-time timer
+    * armed before batch k fires in the first batch whose START
+    * watermark (= data through batch k−1) passes it: the first pusher
+    * commits the +24 h watermark, the second gives the engine a batch
+    * to fire every real user's final-session timer in — no reliance on
+    * trailing no-data micro-batches. Write-once per (JVM, sf). */
+  private val timerSessionDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def ensureTimerSessionStream(s: SparkSession, d: String): String =
+    timerSessionDirs.getOrElseUpdate(d, {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st54").toString
+      val inDir = new java.io.File(s"$tmp/in"); inDir.mkdirs()
+      val events = Tables.load(s, d, "events")
+      val maxTs = events.agg(max(col("ts"))).head().getLong(0)
+      events.select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .repartitionByRange(3, col("ts"))
+        .write.mode("overwrite").parquet(inDir.getAbsolutePath)
+      val ranged = inDir.listFiles().filter(_.getName.startsWith("part-")).toSet
+      def pusher(id: Long, ts: Long, name: String): java.io.File = {
+        val sd = s"$tmp/stage_$name"
+        Seq((id, ts, -1L, "flush", 0.0, ""))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(sd)
+        val part = new java.io.File(sd).listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        val dst = new java.io.File(inDir, s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst
+      }
+      val dayUs = 24L * 3600 * 1000 * 1000
+      val pushers = Seq(pusher(-1L, maxTs + dayUs, "z0_push"),
+        pusher(-2L, maxTs + 2 * dayUs, "z1_push"))
+      val now = System.currentTimeMillis()
+      ranged.toSeq.sortBy(_.getName).zipWithIndex
+        .foreach { case (f, i) => f.setLastModified(now - 60000 + i * 1000) }
+      pushers.zipWithIndex
+        .foreach { case (f, i) => f.setLastModified(now + i * 1000) }
+      inDir.getAbsolutePath
+    })
+
   /** m09's staging: (media_id, payload) parquet mixing all three decode
     * classes deterministically by id mod 3 — a REAL PNG (id-derived
     * dimensions, [[Multimodal.ImageCodec.pngBytes]]), the same PNG cut
@@ -3305,5 +3351,60 @@ object StreamMediaQueries {
              |  FROM orders JOIN customer ON o_custkey = c_custkey)
              |SELECT week_ix, CAST(COUNT(DISTINCT c_name) AS BIGINT) AS n_custs
              |FROM o GROUP BY 1 ORDER BY week_ix""".stripMargin)),
+
+    // ---- event-time TIMER sessions, hash-certified --------------------------
+    // The engine-scheduled flush (transformWithState event-time timers,
+    // [[EventStream.TimerSessionProcessor]]) made batch-boundary
+    // INVARIANT and therefore oracle-checkable: a closed idle session
+    // is keyed by (user, anchor_ts) and emitted exactly once, by the
+    // over-gap successor event OR by the watermark passing its
+    // deadline — identical row either way, so arrival tiling moves the
+    // trigger, never the output. Both paths genuinely fire here:
+    // within-tile successors close interior sessions on the event
+    // path; every user's FINAL session has no successor and can only
+    // flush through handleExpiredTimer when the sentinel pushers drive
+    // the watermark past its deadline. The batch gaps-and-islands
+    // oracle (st12's family) certifies the drained set. At scale this
+    // is the sessionizer that needs NO sentinel punctuation per user —
+    // one timer per open session, state = three scalars.
+    ("st54_timer_sessions",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val inDir = ensureTimerSessionStream(s, d)
+        EventStream.withRocksDBState(s) {
+          val stream = s.readStream.schema(EventStream.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(s"$inDir/*.parquet")
+            .as[EventStream.Event]
+          val out = java.nio.file.Files.createTempDirectory("graft_st54o").toString
+          EventStream.runToFiles(s,
+              EventStream.timerSessionStream(stream,
+                EventStream.SessionGapMicros).toDF(),
+              s"$out/data", s"$out/ckpt")
+            .filter(col("user_id") >= 0) // sentinel watermark pushers
+            .orderBy(col("user_id"), col("anchor_ts"))
+        }
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS tu
+             |  FROM events),
+             |m AS (
+             |  SELECT user_id, tu, event_id,
+             |    CASE WHEN lag(tu) OVER w IS NULL
+             |           OR tu - lag(tu) OVER w > 1800000000
+             |         THEN 1 ELSE 0 END AS brk
+             |  FROM e
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)),
+             |g AS (
+             |  SELECT user_id, tu,
+             |    SUM(brk) OVER (PARTITION BY user_id ORDER BY tu, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS grp
+             |  FROM m)
+             |SELECT user_id, CAST(MIN(tu) AS BIGINT) AS anchor_ts,
+             |  CAST(COUNT(*) AS BIGINT) AS n_events,
+             |  CAST(MAX(tu) AS BIGINT) AS last_ts
+             |FROM g GROUP BY user_id, grp
+             |ORDER BY user_id, anchor_ts""".stripMargin)),
   )
 }

@@ -458,7 +458,17 @@ object EventStream {
   /** Per-user funnel anchors (Long.MinValue = stage not yet reached —
     * the same unset sentinel the lastTs guards use, so a legitimate
     * event AT timestamp 0 can still anchor a stage) + the
-    * (ts, event_id) ordering-guard key. */
+    * (ts, event_id) ordering-guard key.
+    *
+    * CHECKPOINT COMPATIBILITY: the unset sentinel changed from 0L to
+    * Long.MinValue (round 12) WITHOUT state versioning — a query
+    * resumed from a checkpoint written by the 0L encoding would read
+    * t1 = 0 ("stage unset" then) as "view anchored at epoch 0" and
+    * silently corrupt funnel output. Every drain in this repo starts
+    * from a fresh per-run checkpoint dir, so no such checkpoint can
+    * exist here; a deployment reusing checkpoints across library
+    * versions must bump the checkpoint location (or query name) when
+    * upgrading across the sentinel change. */
   case class FunnelState(t1: Long, t2: Long, t3: Long,
                          lastTs: Long, lastId: Long)
 
@@ -577,64 +587,131 @@ object EventStream {
         TimeMode.None(), OutputMode.Append())
   }
 
-  /** One timer-flushed session summary. */
-  case class GapFlush(user_id: Long, n_events: Long, last_ts: Long)
+  /** One closed idle session, keyed by (user_id, anchor_ts) — the
+    * batch-boundary-invariant identity: a session is named by its
+    * FIRST event's timestamp, so the flush that closes it (an
+    * over-gap successor event OR the watermark-driven timer) cannot
+    * change the row it emits. */
+  case class GapSession(user_id: Long, anchor_ts: Long, n_events: Long,
+                        last_ts: Long)
 
   /** Event-time TIMER face of the transformWithState API (the feature
-    * [[TypeSeqProcessor]] doesn't touch): each user's open session
-    * re-arms one event-time timer at `lastTs + gap`; when the WATERMARK
-    * passes it, [[StatefulProcessor.handleExpiredTimer]] — not an
-    * input row — emits the session summary and clears the state. This
-    * is the engine-scheduled flush that st12's sessionizer does with
-    * sentinel punctuation and GroupStateTimeout does in wall-clock
-    * time: event-time timers make the flush a pure function of the
-    * DATA (watermark), so a replayed drain emits identical flushes.
-    * State per user: two scalars + one armed timer. */
-  class GapFlushProcessor(gapUs: Long) extends StatefulProcessor[Long, Event, GapFlush] {
+    * [[TypeSeqProcessor]] doesn't touch), reformulated so its output
+    * is a pure function of the DATA, not of micro-batch tiling: each
+    * closed idle session `(user, anchor_ts, n_events, last_ts)` is
+    * emitted EXACTLY ONCE, by whichever of the two closing triggers
+    * observes it first —
+    *
+    *  - the EVENT path: a successor event with `ts − lastTs > gap`
+    *    arrives in [[handleInputRows]]; the open session is emitted
+    *    and the successor anchors a new one;
+    *  - the TIMER path: the watermark passes the open session's
+    *    deadline and [[StatefulProcessor.handleExpiredTimer]] — no
+    *    input row — emits it and clears the state.
+    *
+    * Both paths emit the identical row, so re-tiling arrivals moves
+    * WHICH trigger fires, never WHAT is emitted — which is what makes
+    * the operator oracle-checkable against a batch gaps-and-islands
+    * query (st54) instead of spec-only. Double emission is structurally
+    * excluded: the framework may deliver an expired timer for a session
+    * the same batch's input rows already closed, so the deadline is
+    * part of the state and [[handleExpiredTimer]] drops any timer whose
+    * expiry doesn't match the CURRENT open session's deadline (stale
+    * timer for an already-rolled session; deadlines are strictly
+    * increasing in lastTs, so a match is unambiguous).
+    *
+    * Timer arithmetic: the deadline is registered at
+    * `(lastTs + gap) / 1000 + 1` ms — ONE division of the full
+    * microsecond deadline, rounded UP past the boundary. Summing two
+    * truncated divisions (`lastTs/1000 + gap/1000`) can land the timer
+    * up to ~1 ms EARLY, flushing before an event in the gap's final
+    * sub-millisecond arrives and splitting one session into two; a
+    * late timer is harmless because the event path closes over-gap
+    * sessions itself. Firing therefore implies
+    * `watermark_us ≥ deadline_ms·1000 > lastTs + gap`, so under a
+    * watermark-respecting feed every event that could still extend the
+    * session has already arrived.
+    *
+    * State per user: three scalars + one armed timer. Late data BELOW
+    * the watermark (an event older than an already-flushed session's
+    * end) is the one input this cannot reconcile — it anchors a fresh
+    * session, exactly the watermark contract every event-time operator
+    * carries. */
+  class TimerSessionProcessor(gapUs: Long)
+      extends StatefulProcessor[Long, Event, GapSession] {
     import org.apache.spark.sql.Encoders
-    @transient private var nEvents: ValueState[Long] = _
-    @transient private var lastTs: ValueState[Long] = _
+    // (anchor_ts, n_events, last_ts) of the open session
+    @transient private var sess: ValueState[(Long, Long, Long)] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      nEvents = getHandle.getValueState[Long]("nEvents",
-        Encoders.scalaLong, TTLConfig.NONE)
-      lastTs = getHandle.getValueState[Long]("lastTs",
-        Encoders.scalaLong, TTLConfig.NONE)
-    }
+    private def deadlineMs(lastTs: Long): Long = (lastTs + gapUs) / 1000L + 1L
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[(Long, Long, Long)]("sess",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong), TTLConfig.NONE)
 
     override def handleInputRows(uid: Long, rows: Iterator[Event],
-                                 timerValues: TimerValues): Iterator[GapFlush] = {
+                                 timerValues: TimerValues): Iterator[GapSession] = {
       val sorted = rows.toSeq.sortBy(e => (e.ts, e.event_id))
-      if (sorted.nonEmpty) {
-        // re-arm: one live timer per user at lastTs + gap
-        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
-        val n0 = if (nEvents.exists()) nEvents.get() else 0L
-        nEvents.update(n0 + sorted.size)
-        lastTs.update(sorted.last.ts)
-        getHandle.registerTimer(sorted.last.ts / 1000L + gapUs / 1000L)
+      if (sorted.isEmpty) Iterator.empty
+      else {
+        val out = Seq.newBuilder[GapSession]
+        var st = if (sess.exists()) Some(sess.get()) else None
+        sorted.foreach { e =>
+          st match {
+            case Some((a, n, l)) =>
+              if (e.ts < l)
+                throw new IllegalStateException(
+                  s"timerSessionStream: out-of-order arrival for user $uid " +
+                    s"(got ts ${e.ts} after $l)")
+              if (e.ts - l > gapUs) { // strict >, mirroring sessionize
+                out += GapSession(uid, a, n, l)
+                st = Some((e.ts, 1L, e.ts))
+              } else st = Some((a, n + 1L, e.ts))
+            case None => st = Some((e.ts, 1L, e.ts))
+          }
+        }
+        val (a, n, l) = st.get
+        sess.update((a, n, l))
+        // one live timer per user, at the open session's deadline
+        getHandle.listTimers().foreach(t =>
+          getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.registerTimer(deadlineMs(l))
+        out.result().iterator
       }
-      Iterator.empty
     }
 
     override def handleExpiredTimer(uid: Long, timerValues: TimerValues,
-        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[GapFlush] = {
-      val out = GapFlush(uid, nEvents.get(), lastTs.get())
-      nEvents.clear(); lastTs.clear()
-      Iterator.single(out)
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[GapSession] = {
+      if (!sess.exists()) Iterator.empty
+      else {
+        val (a, n, l) = sess.get()
+        if (expiredTimerInfo.getExpiryTimeInMs() != deadlineMs(l))
+          Iterator.empty // stale timer: input rows already rolled the session
+        else {
+          sess.clear()
+          Iterator.single(GapSession(uid, a, n, l))
+        }
+      }
     }
   }
 
-  /** Timer-flushed idle sessions via [[GapFlushProcessor]] (event-time
-    * mode: the input must carry a watermarked `event_time`). Requires
-    * the RocksDB provider, like every transformWithState operator. */
-  def gapFlushStream(events: Dataset[Event], gapUs: Long): Dataset[GapFlush] = {
+  /** Timer-flushed idle sessions via [[TimerSessionProcessor]]
+    * (event-time mode: a 0-delay watermark on `ts` drives the timers).
+    * Requires the RocksDB provider, like every transformWithState
+    * operator. Sessions still open when the drain's final watermark
+    * stops are held in state for the next run — a feed wanting every
+    * session flushed appends a watermark-pushing sentinel past
+    * `last_ts + gap` (the st54 fixture shape). */
+  def timerSessionStream(events: Dataset[Event],
+                         gapUs: Long): Dataset[GapSession] = {
     import events.sparkSession.implicits._
     events.toDF()
       .withColumn("event_time", Tables.eventTime(col("ts")))
       .withWatermark("event_time", "0 seconds")
       .as[Event]
       .groupByKey(_.user_id)
-      .transformWithState(new GapFlushProcessor(gapUs),
+      .transformWithState(new TimerSessionProcessor(gapUs),
         TimeMode.EventTime(), OutputMode.Append())
   }
 

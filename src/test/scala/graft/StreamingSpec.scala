@@ -1471,11 +1471,11 @@ class StreamingSpec extends SparkSpec {
     graft.streaming.EventStream.withRocksDBState(spark) {
       val H = 3600L * 1000000L
       val mem = MemoryStream[EventStream.Event]
-      val q = EventStream.gapFlushStream(mem.toDS(), H).writeStream
+      val q = EventStream.timerSessionStream(mem.toDS(), H).writeStream
         .outputMode(OutputMode.Append).format("memory")
         .queryName("t_timer").start()
       try {
-        // batch 1: user 5's session, timer armed at 1.5H + 1H = 2.5H
+        // batch 1: user 5's session, timer armed past 1.5H + 1H = 2.5H
         mem.addData(
           EventStream.Event(1L, H, 5L, "view", 0.0, ""),
           EventStream.Event(2L, H + H / 2, 5L, "view", 0.0, ""))
@@ -1491,11 +1491,104 @@ class StreamingSpec extends SparkSpec {
         mem.addData(EventStream.Event(4L, 11L * H, 9L, "view", 0.0, ""))
         q.processAllAvailable()
         val rows = spark.table("t_timer")
-          .select("user_id", "n_events", "last_ts")
-          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-        assert(rows.toSeq == Seq((5L, 2L, H + H / 2)),
+          .select("user_id", "anchor_ts", "n_events", "last_ts")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3)))
+        assert(rows.toSeq == Seq((5L, H, 2L, H + H / 2)),
           s"timer flush wrong: ${rows.toSeq}")
       } finally q.stop()
+    }
+  }
+
+  test("timer sessions: event path and timer path emit the identical row") {
+    // Batch-boundary invariance, the st54 contract: the SAME logical
+    // feed delivered in two different tilings — (a) the over-gap
+    // successor in a LATER batch than the watermark pusher, so the
+    // timer closes session 1; (b) successor and session 1 in ONE
+    // batch, so the event path closes it — must drain the same rows.
+    implicit val sqlCtx = spark.sqlContext
+    val H = 3600L * 1000000L
+    val evs = Seq(
+      EventStream.Event(1L, H, 5L, "view", 0.0, ""),
+      EventStream.Event(2L, 2L * H, 5L, "view", 0.0, ""),
+      EventStream.Event(3L, 10L * H, 5L, "view", 0.0, ""))
+    def drain(tiles: Seq[Seq[EventStream.Event]]): Seq[(Long, Long, Long, Long)] =
+      graft.streaming.EventStream.withRocksDBState(spark) {
+        val mem = MemoryStream[EventStream.Event]
+        val name = s"t_inv_${System.nanoTime()}"
+        val q = EventStream.timerSessionStream(mem.toDS(), H).writeStream
+          .outputMode(OutputMode.Append).format("memory")
+          .queryName(name).start()
+        try {
+          tiles.foreach { t => mem.addData(t: _*); q.processAllAvailable() }
+          // two watermark-advancing sentinel batches: timers fire on the
+          // NEXT batch after the watermark commit
+          mem.addData(EventStream.Event(90L, 100L * H, -1L, "view", 0.0, ""))
+          q.processAllAvailable()
+          mem.addData(EventStream.Event(91L, 101L * H, -1L, "view", 0.0, ""))
+          q.processAllAvailable()
+          spark.table(name).filter(col("user_id") >= 0)
+            .select("user_id", "anchor_ts", "n_events", "last_ts")
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+              r.getLong(3))).toSeq.sorted
+        } finally q.stop()
+      }
+    val expected = Seq((5L, H, 2L, 2L * H), (5L, 10L * H, 1L, 10L * H))
+    // (a) timer closes session 1: pushers drive the watermark past the
+    //     3H deadline (but NOT past 10H — the successor must still be
+    //     above the watermark when it arrives, the contract every
+    //     event-time operator carries) before the successor's batch
+    val a = drain(Seq(Seq(evs(0), evs(1)),
+      Seq(EventStream.Event(80L, 4L * H, -1L, "view", 0.0, "")),
+      Seq(EventStream.Event(81L, 5L * H, -1L, "view", 0.0, "")),
+      Seq(evs(2))))
+    // (b) event path closes session 1: all three in one batch
+    val b = drain(Seq(evs))
+    assert(a.filter(_._1 == 5L) == expected, s"timer-path drain wrong: $a")
+    assert(b.filter(_._1 == 5L) == expected, s"event-path drain wrong: $b")
+  }
+
+  test("timer sessions: a restarted drain fires the timer armed before the restart") {
+    import spark.implicits._
+    graft.streaming.EventStream.withRocksDBState(spark) {
+      val H = 3600L * 1000000L
+      val tmp = java.nio.file.Files.createTempDirectory("graft_timerrestart").toString
+      val in = new java.io.File(s"$tmp/in"); in.mkdirs()
+      def stage(rows: Seq[(Long, Long, Long)], name: String): Unit = {
+        val sd = s"$tmp/stage_$name"
+        rows.map { case (id, ts, uid) => (id, ts, uid, "view", 0.0, "") }
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(sd)
+        val part = new java.io.File(sd).listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(in, s"$name.parquet").toPath)
+      }
+      def drain(): org.apache.spark.sql.DataFrame = {
+        val stream = spark.readStream.schema(EventStream.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$in/*.parquet")
+          .as[EventStream.Event]
+        graft.streaming.EventStream.runToFiles(spark,
+          EventStream.timerSessionStream(stream, H).toDF(),
+          s"$tmp/data", s"$tmp/ckpt")
+      }
+      // drain 1: user 5's session open, timer armed at 2H + gap; the
+      // final watermark (2H) hasn't reached it — nothing emitted
+      stage(Seq((1L, H, 5L), (2L, 2L * H, 5L)), "w0")
+      assert(drain().count() == 0,
+        "the open session must NOT flush before its deadline")
+      // drain 2 (same checkpoint): only watermark pushers for user -1
+      // arrive — user 5 has NO input row, so the flush can only come
+      // from the timer RESTORED from the checkpoint
+      stage(Seq((3L, 50L * H, -1L)), "w1")
+      stage(Seq((4L, 51L * H, -1L)), "w2")
+      val rows = drain().filter(col("user_id") >= 0)
+        .select("user_id", "anchor_ts", "n_events", "last_ts")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      assert(rows.toSeq == Seq((5L, H, 2L, 2L * H)),
+        s"restored timer must flush the pre-restart session: ${rows.toSeq}")
     }
   }
 
