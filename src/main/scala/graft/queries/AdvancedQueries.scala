@@ -4614,5 +4614,48 @@ object AdvancedQueries {
              |FROM orders o JOIN c ON o.o_orderpriority = c.pri
              |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- l-diversity audit ------------------------------------------------------
+    // q161's k-anonymity answers "how many records share my
+    // quasi-identifiers"; l-diversity answers the attack k-anonymity
+    // misses — a class of 50 where everyone shares the SAME sensitive
+    // value still discloses it (homogeneity attack, Machanavajjhala et
+    // al. 2007). Per equivalence class under the QI tuple
+    // (nation, balance band): the distinct count of the sensitive
+    // attribute (market segment), swept over l ∈ {2, 3, 5} with the
+    // q161 report shape. Same scale algebra too: one grouped
+    // count-distinct bounded by |QI domain| × |sensitive domain|, then
+    // a constant-size sweep — never a second corpus scan per l.
+    ("q163_ldiversity",
+      (s: SparkSession, d: String) => {
+        val classes = Tables.load(s, d, "customer")
+          .groupBy(col("c_nationkey"),
+            floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+          .agg(countDistinct(col("c_mktsegment")).as("l_div"),
+            count(lit(1)).as("n"))
+        classes
+          .select(explode(array(lit(2L), lit(3L), lit(5L))).as("l"),
+            col("l_div"), col("n"))
+          .groupBy(col("l"))
+          .agg(count(lit(1)).as("n_classes"),
+            sum(when(col("l_div") < col("l"), 1L).otherwise(0L)).as("n_risky"),
+            sum(when(col("l_div") < col("l"), col("n")).otherwise(0L))
+              .as("rows_at_risk"))
+          .orderBy(col("l"))
+      },
+      Some("""WITH g AS (
+             |  SELECT c_nationkey,
+             |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS band,
+             |    CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_div,
+             |    CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM customer GROUP BY 1, 2),
+             |k AS (SELECT UNNEST([2, 3, 5]) AS l)
+             |SELECT CAST(k.l AS BIGINT) AS l,
+             |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+             |  CAST(SUM(CASE WHEN g.l_div < k.l THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_risky,
+             |  CAST(SUM(CASE WHEN g.l_div < k.l THEN g.n ELSE 0 END) AS BIGINT)
+             |    AS rows_at_risk
+             |FROM g CROSS JOIN k GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

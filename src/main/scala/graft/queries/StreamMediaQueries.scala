@@ -3406,5 +3406,101 @@ object StreamMediaQueries {
              |  CAST(MAX(tu) AS BIGINT) AS last_ts
              |FROM g GROUP BY user_id, grp
              |ORDER BY user_id, anchor_ts""".stripMargin)),
+
+    // ---- TTL-bounded trailing-window state ------------------------------------
+    // The bounded-retention face of transformWithState
+    // ([[EventStream.TtlRecentProcessor]]) — the repo's first REAL
+    // TTLConfig (everything else is TTLConfig.NONE): per user, a
+    // MapState of (day → count) holding only the trailing 7 event-time
+    // days. The event-time prune is the semantics (exact, certified
+    // here by a batch trailing-window self-join); the processing-time
+    // TTL (24 h here — never inside the drain's wall clock, so output
+    // is TTL-invariant by the operator's deployment contract) is the
+    // physical backstop that reclaims users who never return. Emits
+    // per event BOTH the trailing count and the retained-key count, so
+    // the oracle certifies the prune itself, not just the sum. The
+    // state bound is what changes at 100 TB: O(active users × 7)
+    // entries instead of O(ever-seen users × full history).
+    ("st55_ttl_recent_activity",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val inDir = ensureSessionStream(s, d)
+        EventStream.withRocksDBState(s) {
+          val stream = s.readStream.schema(EventStream.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(s"$inDir/part-*")
+            .as[EventStream.Event]
+            .filter(_.event_type != "flush")
+          val out = java.nio.file.Files.createTempDirectory("graft_st55o").toString
+          EventStream.runToFiles(s,
+              EventStream.recentActivityStream(stream, nDays = 7,
+                org.apache.spark.sql.streaming.TTLConfig(
+                  java.time.Duration.ofHours(24))).toDF(),
+              s"$out/data", s"$out/ckpt",
+              noData = false) // ProcessingTime TTL: see runToFiles
+            .orderBy(col("event_id"))
+        }
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS tu
+             |  FROM events)
+             |SELECT e1.event_id, e1.user_id,
+             |  CAST(COUNT(*) AS BIGINT) AS n_recent,
+             |  CAST(COUNT(DISTINCT e2.tu // 86400000000) AS BIGINT)
+             |    AS n_state_days
+             |FROM e e1 JOIN e e2
+             |  ON e1.user_id = e2.user_id
+             | AND (e2.tu < e1.tu OR (e2.tu = e1.tu AND e2.event_id <= e1.event_id))
+             | AND e2.tu // 86400000000 >= e1.tu // 86400000000 - 6
+             |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+
+    // ---- streaming l-diversity monitor ------------------------------------------
+    // q163's homogeneity-attack gate maintained ON THE FEED, the st52
+    // pattern one level deeper: the streaming aggregate folds
+    // per-(QI class, sensitive value) counts — still algebraic, still
+    // bounded by |QI domain| × |sensitive domain|, NOT by rows — and
+    // the Complete-mode snapshot collapses to per-class distinct
+    // counts batch-side (each (class, segment) cell is one snapshot
+    // row, so l_div is a plain count). A release gate reading this
+    // table sees a sensitive-value-homogeneous class the moment an
+    // ingest wave creates it. q163's oracle certifies the report.
+    ("st56_stream_ldiversity",
+      (s: SparkSession, d: String) => {
+        val inDir = ensureCustomerStream(s, d)
+        val sch = s.read.parquet(inDir).schema
+        val cells = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$inDir/part-*")
+          .groupBy(col("c_nationkey"),
+            floor(col("c_acctbal") / 1000).cast("long").as("bal_band"),
+            col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"))
+        EventStream.runToMemory(s, cells, s"st56_mem_${System.nanoTime()}")
+          .groupBy(col("c_nationkey"), col("bal_band"))
+          .agg(count(lit(1)).as("l_div"), sum(col("n")).as("n"))
+          .select(explode(array(lit(2L), lit(3L), lit(5L))).as("l"),
+            col("l_div"), col("n"))
+          .groupBy(col("l"))
+          .agg(count(lit(1)).as("n_classes"),
+            sum(when(col("l_div") < col("l"), 1L).otherwise(0L)).as("n_risky"),
+            sum(when(col("l_div") < col("l"), col("n")).otherwise(0L))
+              .as("rows_at_risk"))
+          .orderBy(col("l"))
+      },
+      Some("""WITH g AS (
+             |  SELECT c_nationkey,
+             |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS band,
+             |    CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_div,
+             |    CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM customer GROUP BY 1, 2),
+             |k AS (SELECT UNNEST([2, 3, 5]) AS l)
+             |SELECT CAST(k.l AS BIGINT) AS l,
+             |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+             |  CAST(SUM(CASE WHEN g.l_div < k.l THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_risky,
+             |  CAST(SUM(CASE WHEN g.l_div < k.l THEN g.n ELSE 0 END) AS BIGINT)
+             |    AS rows_at_risk
+             |FROM g CROSS JOIN k GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

@@ -161,11 +161,19 @@ object EventStream {
     * watermark stay open and emit on the NEXT run from the same
     * checkpoint (exactly what a continuously-scheduled job wants);
     * one-shot consumers needing every window use [[runToMemory]].
-    * Returns the sink directory read back as a DataFrame. */
+    * Returns the sink directory read back as a DataFrame.
+    *
+    * `noData = true` (default) keeps trailing no-data micro-batches on,
+    * which event-time operators need to commit the final watermark
+    * (fire armed timers, close windows). A PROCESSING-time stateful
+    * query with TTL must pass `noData = false`: every no-data batch
+    * advances the TTL clock and schedules eviction work, so
+    * AvailableNow never reaches its all-committed termination state
+    * and the drain spins forever. */
   def runToFiles(spark: SparkSession, streamed: DataFrame, outDir: String,
-                 checkpointDir: String): DataFrame = {
+                 checkpointDir: String, noData: Boolean = true): DataFrame = {
     graft.Confs.withConfs(spark, Seq(
-      "spark.sql.streaming.noDataMicroBatches.enabled" -> "true",
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> noData.toString,
       "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false")) {
       val q = streamed.writeStream
         .outputMode(OutputMode.Append)
@@ -344,7 +352,7 @@ object EventStream {
   case class StreakState(seq: Long, lastDay: Long, curLen: Long,
                          bestLen: Long, nStreaks: Long, nDays: Long)
 
-  private val DayMicros = 86400000000L
+  val DayMicros: Long = 86400000000L
   private val EpochTo1990Days = 7305L // datediff(DATE'1990-01-01', epoch)
 
   /** The pure per-user streak fold: one batch's sorted distinct days
@@ -585,6 +593,97 @@ object EventStream {
     events.groupByKey(_.user_id)
       .transformWithState(new TypeSeqProcessor,
         TimeMode.None(), OutputMode.Append())
+  }
+
+  /** One per-event trailing-activity row: `n_recent` = this user's
+    * events in the trailing `nDays` calendar days (current event
+    * included), `n_state_days` = day-entries retained in state after
+    * the event — the bounded-retention invariant, exported so the
+    * oracle certifies the PRUNE, not just the count. */
+  case class RecentActivity(event_id: Long, user_id: Long, n_recent: Long,
+                            n_state_days: Long)
+
+  /** Bounded-retention state face of transformWithState — the first
+    * state variable in the repo with a REAL `TTLConfig` (everything
+    * else rides `TTLConfig.NONE`): per user, a MapState of
+    * (day → event count) limited to the trailing `nDays` event-time
+    * window.
+    *
+    * Retention is enforced twice, deliberately at two different
+    * layers:
+    *
+    *  - the EVENT-TIME prune (`removeKey` below the window's low edge
+    *    on every update) IS the semantics — it is a pure function of
+    *    the data, so the emitted `(n_recent, n_state_days)` are exact
+    *    and oracle-checkable against a batch trailing-window query;
+    *  - the PROCESSING-TIME TTL is the physical backstop the
+    *    event-time prune cannot provide: a user who never returns
+    *    never triggers another prune, so without TTL the key (and its
+    *    last window of day entries) lives forever — at 100 TB-feed
+    *    scale, state grows with the ever-seen key universe instead of
+    *    the ACTIVE one. The store evicts entries `ttl` after their
+    *    last update, reclaiming abandoned users.
+    *
+    * A processing-time TTL can never be the semantic cutoff in an
+    * event-time system (wall-clock eviction is nondeterministic
+    * against the data), which is why the deployment contract is
+    * `ttl ≥` the feed's maximum silence-before-return horizon: under
+    * it, TTL eviction only ever removes entries the event-time prune
+    * would discard on the key's next appearance anyway, so output is
+    * TTL-invariant. The spec demonstrates both regimes — a 100-day
+    * feed whose state never exceeds `nDays` entries, and a
+    * deliberately undersized TTL whose expiry visibly resets a
+    * returning user (the contract violation, made loud). */
+  class TtlRecentProcessor(nDays: Int, ttl: TTLConfig)
+      extends StatefulProcessor[Long, Event, RecentActivity] {
+    import org.apache.spark.sql.Encoders
+    @transient private var dayCounts: MapState[Long, Long] = _
+    @transient private var guard: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      dayCounts = getHandle.getMapState[Long, Long]("dayCounts",
+        Encoders.scalaLong, Encoders.scalaLong, ttl)
+      guard = getHandle.getValueState[(Long, Long)]("guard",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), ttl)
+    }
+
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[RecentActivity] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts, e.event_id))
+      val out = sorted.map { e =>
+        val (lastTs, lastId) =
+          if (guard.exists()) guard.get() else (Long.MinValue, Long.MinValue)
+        if (lastTs != Long.MinValue &&
+            (e.ts < lastTs || (e.ts == lastTs && e.event_id <= lastId)))
+          throw new IllegalStateException(
+            s"recentActivityStream: out-of-order arrival for user $uid " +
+              s"(got (ts, id) (${e.ts}, ${e.event_id}) after " +
+              s"($lastTs, $lastId))")
+        guard.update((e.ts, e.event_id))
+        val day = e.ts / DayMicros
+        val cutoff = day - nDays + 1
+        dayCounts.updateValue(day,
+          (if (dayCounts.containsKey(day)) dayCounts.getValue(day) else 0L) + 1L)
+        // event-time prune: per-user keys are bounded by nDays, so this
+        // walk is O(nDays), never O(history)
+        dayCounts.keys().toSeq.filter(_ < cutoff).foreach(dayCounts.removeKey)
+        var n = 0L; var nKeys = 0L
+        dayCounts.values().foreach { v => n += v; nKeys += 1 }
+        RecentActivity(e.event_id, uid, n, nKeys)
+      }
+      out.iterator
+    }
+  }
+
+  /** Per-event trailing-`nDays` activity counts with TTL-bounded state
+    * via [[TtlRecentProcessor]]. ProcessingTime mode (the TTL clock);
+    * requires the RocksDB provider. */
+  def recentActivityStream(events: Dataset[Event], nDays: Int,
+                           ttl: TTLConfig): Dataset[RecentActivity] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TtlRecentProcessor(nDays, ttl),
+        TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
   /** One closed idle session, keyed by (user_id, anchor_ts) — the

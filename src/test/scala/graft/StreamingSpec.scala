@@ -1631,6 +1631,80 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("TTL state: the event-time prune bounds state across a 100-day feed") {
+    implicit val sqlCtx = spark.sqlContext
+    // ProcessingTime mode + default trigger re-fires no-data batches
+    // continuously to advance the TTL clock — processAllAvailable never
+    // settles under it. TTL read-filtering doesn't need them (expiry is
+    // checked against the batch timestamp on get), so switch them off
+    // for the memory-sink drain, like runToMemory does.
+    graft.Confs.withConfs(spark, Seq(
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")) {
+    graft.streaming.EventStream.withRocksDBState(spark) {
+      val D = EventStream.DayMicros
+      val mem = MemoryStream[EventStream.Event]
+      val q = EventStream.recentActivityStream(mem.toDS(), nDays = 7,
+          org.apache.spark.sql.streaming.TTLConfig(
+            java.time.Duration.ofHours(24)))
+        .writeStream.outputMode(OutputMode.Append).format("memory")
+        .queryName("t_ttl_bound").start()
+      try {
+        // one event per day for 100 days, delivered in 4 batches: the
+        // MapState must never retain more than 7 day-entries no matter
+        // how long the feed runs
+        (0 until 100).grouped(25).foreach { days =>
+          mem.addData(days.map(i =>
+            EventStream.Event(i.toLong, i * D + 1000L, 5L, "view", 0.0, "")): _*)
+          q.processAllAvailable()
+        }
+        val rows = spark.table("t_ttl_bound")
+          .select("event_id", "n_recent", "n_state_days")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1)
+        assert(rows.length == 100)
+        assert(rows.forall(_._3 <= 7),
+          s"state must stay bounded at nDays entries: ${rows.filter(_._3 > 7).take(5).toSeq}")
+        // one event per day → trailing-7-day count saturates at 7
+        assert(rows.map(_._2).toSeq == (0 until 100).map(i => math.min(i + 1, 7).toLong),
+          "trailing counts wrong")
+      } finally q.stop()
+    }
+    }
+  }
+
+  test("TTL state: an undersized TTL visibly resets a silent-too-long user") {
+    // the deployment contract made loud: ttl SHORTER than the user's
+    // silence means the store reclaims the entries, and the returning
+    // user restarts from zero — demonstrating the eviction is real,
+    // not a config no-op
+    implicit val sqlCtx = spark.sqlContext
+    graft.Confs.withConfs(spark, Seq(
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")) {
+    graft.streaming.EventStream.withRocksDBState(spark) {
+      val mem = MemoryStream[EventStream.Event]
+      val q = EventStream.recentActivityStream(mem.toDS(), nDays = 7,
+          org.apache.spark.sql.streaming.TTLConfig(
+            java.time.Duration.ofSeconds(1)))
+        .writeStream.outputMode(OutputMode.Append).format("memory")
+        .queryName("t_ttl_reset").start()
+      try {
+        mem.addData(
+          EventStream.Event(1L, 1000L, 5L, "view", 0.0, ""),
+          EventStream.Event(2L, 2000L, 5L, "view", 0.0, ""))
+        q.processAllAvailable()
+        Thread.sleep(2500) // wall-clock past the 1 s TTL
+        mem.addData(EventStream.Event(3L, 3000L, 5L, "view", 0.0, ""))
+        q.processAllAvailable()
+        val rows = spark.table("t_ttl_reset")
+          .select("event_id", "n_recent")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        assert(rows.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 1L)),
+          s"expired entries must not count (event 3 restarts at 1): ${rows.toSeq}")
+      } finally q.stop()
+    }
+    }
+  }
+
   test("watermarked coverage: folds in-slack disorder exactly, throws past the slack") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.IntervalCoverage
