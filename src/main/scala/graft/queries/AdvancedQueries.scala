@@ -4657,5 +4657,145 @@ object AdvancedQueries {
              |  CAST(SUM(CASE WHEN g.l_div < k.l THEN g.n ELSE 0 END) AS BIGINT)
              |    AS rows_at_risk
              |FROM g CROSS JOIN k GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- VARIANT semi-structured ingest -----------------------------------------
+    // The Spark 4 VariantType tier q137's fixed-StructType ingest can't
+    // express: `try_parse_json` shreds each JSON line into a VARIANT —
+    // a binary encoding that preserves the FULL value tree (nested
+    // objects, arrays, per-row optional keys) with no schema declared
+    // at read — and `variant_get` extracts typed paths lazily
+    // (`$.meta.src`, an array index `$.tags[1]`, and a key only SOME
+    // rows carry, which a StructType would either reject or force
+    // nullable-everything). Non-parseable lines yield a NULL variant
+    // (try_), routed to the quarantine count in the same single pass.
+    // The 100 TB shredding story: VARIANT moves schema resolution from
+    // ingest (where a fixed schema re-lands the whole corpus on every
+    // evolution) to query, while parquet stores the variant binary
+    // columnar — extraction is a scan-local decode of just the probed
+    // paths, no JSON re-parse per query and no full-row rehydration.
+    // The line is CONCAT-built, q137's rule: both engines construct
+    // byte-identical fixtures. Every 13th line is truncated (invalid),
+    // every 3rd carries the optional meta.score key.
+    ("q164_variant_ingest",
+      (s: SparkSession, d: String) => {
+        val base = concat(lit("{\"id\":"), col("doc_id"),
+          lit(",\"meta\":{\"src\":\""), col("source"), lit("\""),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(",\"score\":"), col("doc_id") % 97)).otherwise(lit("")),
+          lit("},\"tags\":["), col("doc_id") % 5, lit(","),
+          col("doc_id") % 7, lit("]}"))
+        val lines = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("source"))
+          .select(when(col("doc_id") % 13 === 0, substring(base, 1, 10))
+            .otherwise(base).as("js"))
+        lines.select(try_parse_json(col("js")).as("v"))
+          .select(
+            variant_get(col("v"), "$.meta.src", "string").as("src"),
+            variant_get(col("v"), "$.id", "long").as("id"),
+            try_variant_get(col("v"), "$.meta.score", "long").as("score"),
+            variant_get(col("v"), "$.tags[1]", "long").as("tag1"),
+            col("v").isNull.cast("long").as("bad"))
+          .groupBy(col("src"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("bad")).as("n_quarantined"),
+            sum(col("id")).as("id_sum"),
+            count(col("score")).as("n_scored"),
+            sum(col("score")).as("score_sum"),
+            sum(col("tag1")).as("tag1_sum"))
+          .orderBy(col("src"))
+      },
+      Some("""WITH raw AS (
+             |  SELECT doc_id,
+             |    '{"id":' || CAST(doc_id AS VARCHAR) || ',"meta":{"src":"'
+             |    || source || '"' ||
+             |    CASE WHEN doc_id % 3 = 0
+             |      THEN ',"score":' || CAST(doc_id % 97 AS VARCHAR)
+             |      ELSE '' END ||
+             |    '},"tags":[' || CAST(doc_id % 5 AS VARCHAR) || ',' ||
+             |    CAST(doc_id % 7 AS VARCHAR) || ']}' AS j
+             |  FROM documents),
+             |lines AS (
+             |  SELECT CASE WHEN doc_id % 13 = 0 THEN substring(j, 1, 10)
+             |    ELSE j END AS js
+             |  FROM raw),
+             |p AS (
+             |  SELECT
+             |    CASE WHEN json_valid(js)
+             |      THEN json_extract_string(js, '$.meta.src') END AS src,
+             |    CASE WHEN json_valid(js)
+             |      THEN CAST(json_extract(js, '$.id') AS BIGINT) END AS id,
+             |    CASE WHEN json_valid(js)
+             |      THEN TRY_CAST(json_extract(js, '$.meta.score') AS BIGINT)
+             |      END AS score,
+             |    CASE WHEN json_valid(js)
+             |      THEN CAST(json_extract(js, '$.tags[1]') AS BIGINT)
+             |      END AS tag1,
+             |    CASE WHEN json_valid(js) THEN 0 ELSE 1 END AS bad
+             |  FROM lines)
+             |SELECT src, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(bad) AS BIGINT) AS n_quarantined,
+             |  CAST(SUM(id) AS BIGINT) AS id_sum,
+             |  CAST(COUNT(score) AS BIGINT) AS n_scored,
+             |  CAST(SUM(score) AS BIGINT) AS score_sum,
+             |  CAST(SUM(tag1) AS BIGINT) AS tag1_sum
+             |FROM p GROUP BY 1 ORDER BY src""".stripMargin)),
+
+    // ---- persisted dictionary across ingest waves --------------------------------
+    // The deployment shape [[graft.ops.Densify]]'s scaladoc contract
+    // names, exercised end-to-end as a query: wave 1 builds the
+    // dictionary and PERSISTS it to parquet (ids pinned on disk — the
+    // surrogate-key discipline), its bitmap is built against v1; wave
+    // 2 arrives, `Densify.append` assigns only the NOVEL keys ids past
+    // v1's max and persists v2; wave 2's bitmap is built against v2.
+    // The rollup ORs a v1-coded bitmap with a v2-coded one — which
+    // only equals the true all-time distinct if append never reassigned
+    // an existing id (re-densifying the world would scramble wave 1's
+    // bit positions). The COUNT(DISTINCT) oracle certifies exactly
+    // that invariant, per wave and merged. At scale this is the upgrade
+    // path for stored bitmap rollups: each ingest wave appends to the
+    // dictionary and ORs into history, no historical bitmap is ever
+    // rebuilt.
+    ("q165_densify_two_waves",
+      (s: SparkSession, d: String) => {
+        import graft.functions.IdBitmap
+        val o = Tables.load(s, d, "orders")
+          .join(Tables.load(s, d, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderdate"), col("c_name"))
+        val w1 = o.filter(col("o_orderdate") < lit("1995-01-01"))
+        val w2 = o.filter(col("o_orderdate") >= lit("1995-01-01"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q165").toString
+        graft.ops.Densify.dictionary(w1, "c_name")
+          .write.mode("overwrite").parquet(s"$tmp/dict_v1")
+        val dict1 = s.read.parquet(s"$tmp/dict_v1")
+        val bm1 = w1.join(dict1, "c_name")
+          .agg(IdBitmap.idBitmap(col("dense_id"), 1L << 20).as("bm"))
+        graft.ops.Densify.append(dict1, w2, "c_name")
+          .write.mode("overwrite").parquet(s"$tmp/dict_v2")
+        val dict2 = s.read.parquet(s"$tmp/dict_v2")
+        val bm2 = w2.join(dict2, "c_name")
+          .agg(IdBitmap.idBitmap(col("dense_id"), 1L << 20).as("bm"))
+        bm1.select(lit("w1").as("wave"),
+            IdBitmap.bitmapCount(col("bm")).as("n_custs"))
+          .unionAll(bm2.select(lit("w2").as("wave"),
+            IdBitmap.bitmapCount(col("bm")).as("n_custs")))
+          .unionAll(bm1.unionAll(bm2)
+            .agg(IdBitmap.bitmapOr(col("bm")).as("bm"))
+            .select(lit("all").as("wave"),
+              IdBitmap.bitmapCount(col("bm")).as("n_custs")))
+          .orderBy(col("wave"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderdate, c_name
+             |  FROM orders JOIN customer ON o_custkey = c_custkey)
+             |SELECT 'all' AS wave,
+             |  CAST(COUNT(DISTINCT c_name) AS BIGINT) AS n_custs FROM o
+             |UNION ALL
+             |SELECT 'w1', CAST(COUNT(DISTINCT c_name) AS BIGINT) FROM o
+             |WHERE o_orderdate < TIMESTAMP '1995-01-01'
+             |UNION ALL
+             |SELECT 'w2', CAST(COUNT(DISTINCT c_name) AS BIGINT) FROM o
+             |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+             |ORDER BY wave""".stripMargin)),
   )
 }

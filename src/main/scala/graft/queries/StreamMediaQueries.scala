@@ -3502,5 +3502,52 @@ object StreamMediaQueries {
              |  CAST(SUM(CASE WHEN g.l_div < k.l THEN g.n ELSE 0 END) AS BIGINT)
              |    AS rows_at_risk
              |FROM g CROSS JOIN k GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- salted stream-static join (streaming skew guard) ----------------------
+    // The batch tier has q44's salting and AQE skew splitting; neither
+    // helps a STREAM: AQE re-plans at blocking shuffle boundaries,
+    // which micro-batch joins don't expose, so one hot customer in the
+    // order feed pins one task every batch, forever. This is st53's
+    // densified weekly-distinct rollup with the stream-static join
+    // routed through [[graft.ops.ScaleJoins.saltedJoin]]: the feed
+    // side gets salt = hash(o_orderdate) % 8 (any well-distributed
+    // fact column spreads a hot key, since its rows vary in date), the
+    // dimension is replicated 8×, and the join key becomes
+    // (custkey, salt) — a hot key's rows land on 8 tasks instead of 1.
+    // Inner-join semantics are unchanged (q157's oracle certifies the
+    // drained rollup); the hot-key spread bound is spec-gated in
+    // StreamingSpec.
+    ("st57_stream_salted_join",
+      (s: SparkSession, d: String) => {
+        import graft.functions.IdBitmap
+        val cust = Tables.load(s, d, "customer")
+          .select(col("c_custkey"), col("c_name"))
+        val keyToDense = cust
+          .join(graft.ops.Densify.dictionary(cust, "c_name"), "c_name")
+          .select(col("c_custkey").as("o_custkey"), col("dense_id"))
+        val inDir = ensureOrderFactStream(s, d)
+        val sch = s.read.parquet(inDir).schema
+        val stream = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$inDir/part-*")
+        val weekly = graft.ops.ScaleJoins
+          .saltedJoin(stream, keyToDense, "o_custkey", 8, col("o_orderdate"))
+          .select(call_function("div",
+              datediff(to_date(col("o_orderdate")), lit("1990-01-01"))
+                .cast("long"), lit(7L)).as("week_ix"),
+            col("dense_id"))
+          .groupBy(col("week_ix"))
+          .agg(IdBitmap.idBitmap(col("dense_id"), 1L << 20).as("bm"))
+        EventStream.runToMemory(s, weekly, s"st57_mem_${System.nanoTime()}")
+          .select(col("week_ix"), IdBitmap.bitmapCount(col("bm")).as("n_custs"))
+          .orderBy(col("week_ix"))
+      },
+      Some("""WITH o AS (
+             |  SELECT CAST(date_diff('day', DATE '1990-01-01',
+             |      CAST(o_orderdate AS DATE)) // 7 AS BIGINT) AS week_ix,
+             |    c_name
+             |  FROM orders JOIN customer ON o_custkey = c_custkey)
+             |SELECT week_ix, CAST(COUNT(DISTINCT c_name) AS BIGINT) AS n_custs
+             |FROM o GROUP BY 1 ORDER BY week_ix""".stripMargin)),
   )
 }

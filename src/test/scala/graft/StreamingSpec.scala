@@ -1705,6 +1705,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("salted stream-static join: a hot key spreads across salt groups, semantics unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // pathological feed: 4000 rows, ALL on customer 7 — unsalted, every
+    // row shuffles to ONE (custkey) reducer each micro-batch
+    val hot = (0 until 4000).map(i => (7L, i.toLong))
+    val dim = Seq((7L, 70L), (8L, 80L)).toDF("k", "v")
+    val mem = MemoryStream[(Long, Long)]
+    val q = graft.ops.ScaleJoins
+      .saltedJoin(mem.toDF().toDF("k", "seq"), dim, "k", 8, col("seq"))
+      .writeStream.outputMode(OutputMode.Append).format("memory")
+      .queryName("t_salted").start()
+    try {
+      hot.grouped(1000).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+      val got = spark.table("t_salted")
+      // inner-join semantics identical to the unsalted join
+      assert(got.count() == 4000, "every hot row must join exactly once")
+      assert(got.select(countDistinct(col("seq"))).head().getLong(0) == 4000)
+      assert(got.select("v").distinct().collect().map(_.getLong(0)).toSeq == Seq(70L))
+    } finally q.stop()
+    // the spread bound: the shuffle key is (k, __salt), so per-task
+    // input under hash partitioning is the (k, salt) group size — the
+    // hot key's 4000 rows must land in all 8 salt groups, none holding
+    // more than 2x its fair share
+    val spread = Seq.tabulate(4000)(i => (7L, i.toLong)).toDF("k", "seq")
+      .withColumn("__salt", pmod(xxhash64(col("seq")), lit(8)).cast("int"))
+      .groupBy(col("k"), col("__salt")).count()
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(spread.length == 8, s"hot key must reach all 8 salt groups: $spread")
+    assert(spread.map(_._2).max <= 2L * 4000 / 8,
+      s"no salt group may hold past 2x fair share: ${spread.toSeq}")
+  }
+
   test("watermarked coverage: folds in-slack disorder exactly, throws past the slack") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.IntervalCoverage
