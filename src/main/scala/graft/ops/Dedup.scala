@@ -60,7 +60,17 @@ object Dedup {
     * cannot use `count(distinct)` — CollectMetrics forbids distinct
     * aggregates — which is why the telescoping-sum form is the
     * mechanism. Read the row post-action via
-    * `qe.observedMetrics(metricName)` or [[Observe.runAndCollect]]. */
+    * `qe.observedMetrics(metricName)` or [[Observe.runAndCollect]].
+    *
+    * Caveat (inherent to riding the main job): the metrics exist only
+    * if the observed subtree EXECUTES. If the downstream result is
+    * empty, AQE's empty-relation propagation can fold the whole plan
+    * to `EmptyRelationExec`, erasing the CollectMetrics node and its
+    * accumulators — `observedMetrics` then has no row under
+    * `metricName` (absent, not zero). At production scale an
+    * all-rows-capped-away result is itself the anomaly to alarm on;
+    * callers needing accounting even for empty results use
+    * [[capBucketsWithDropped]] and pay the second evaluation. */
   def capBucketsObserved(df: DataFrame, keyCols: Seq[String],
                          maxBucket: Int, metricName: String): DataFrame =
     if (maxBucket <= 0) df

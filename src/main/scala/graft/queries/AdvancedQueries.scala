@@ -4797,5 +4797,68 @@ object AdvancedQueries {
              |SELECT 'w2', CAST(COUNT(DISTINCT c_name) AS BIGINT) FROM o
              |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
              |ORDER BY wave""".stripMargin)),
+
+    // ---- VARIANT type census -----------------------------------------------------
+    // The schema-DISCOVERY face of the variant tier (q164 extracts
+    // known paths; this asks what types a messy field actually
+    // carries): `schema_of_variant` reports each row's value tree as a
+    // DDL string, so a census over it is the profiling query a
+    // landing-zone owner runs before committing an extraction schema.
+    // The fixture alternates a numeric and a string `val` per row
+    // parity (a heterogeneity a StructType ingest would destroy —
+    // from_json forces one type and nulls the other half); every 13th
+    // line truncates to invalid. The oracle replays the construction
+    // rule: both engines agree on the label set because the fixture is
+    // concat-built, and the numeric half's coerced sum proves
+    // try_variant_get's cast discipline (string "s…" → null, never a
+    // crash; numbers → values).
+    ("q166_variant_type_census",
+      (s: SparkSession, d: String) => {
+        val base = concat(lit("{\"val\":"),
+          when(col("doc_id") % 2 === 0, (col("doc_id") % 50).cast("string"))
+            .otherwise(concat(lit("\"s"), col("doc_id") % 50, lit("\""))),
+          lit("}"))
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"))
+          .select(when(col("doc_id") % 13 === 0, substring(base, 1, 6))
+            .otherwise(base).as("js"))
+          .select(try_parse_json(col("js")).as("v"))
+          .select(
+            when(col("v").isNull, lit("INVALID"))
+              .otherwise(schema_of_variant(
+                variant_get(col("v"), "$.val", "variant")))
+              .as("val_type"),
+            try_variant_get(col("v"), "$.val", "long").as("val_long"))
+          .groupBy(col("val_type"))
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("val_long")).as("n_coerced"),
+            sum(col("val_long")).as("val_sum"))
+          .orderBy(col("val_type"))
+      },
+      Some("""WITH raw AS (
+             |  SELECT doc_id,
+             |    '{"val":' ||
+             |    CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 50 AS VARCHAR)
+             |      ELSE '"s' || CAST(doc_id % 50 AS VARCHAR) || '"' END ||
+             |    '}' AS j
+             |  FROM documents),
+             |lines AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 13 = 0 THEN substring(j, 1, 6)
+             |      ELSE j END AS js
+             |  FROM raw),
+             |p AS (
+             |  SELECT
+             |    CASE WHEN NOT json_valid(js) THEN 'INVALID'
+             |      WHEN doc_id % 2 = 0 THEN 'BIGINT' ELSE 'STRING' END
+             |      AS val_type,
+             |    CASE WHEN json_valid(js) AND doc_id % 2 = 0
+             |      THEN CAST(json_extract(js, '$.val') AS BIGINT) END
+             |      AS val_long
+             |  FROM lines)
+             |SELECT val_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(COUNT(val_long) AS BIGINT) AS n_coerced,
+             |  CAST(SUM(val_long) AS BIGINT) AS val_sum
+             |FROM p GROUP BY 1 ORDER BY val_type""".stripMargin)),
   )
 }

@@ -3549,5 +3549,83 @@ object StreamMediaQueries {
              |  FROM orders JOIN customer ON o_custkey = c_custkey)
              |SELECT week_ix, CAST(COUNT(DISTINCT c_name) AS BIGINT) AS n_custs
              |FROM o GROUP BY 1 ORDER BY week_ix""".stripMargin)),
+
+    // ---- streaming VARIANT ingest -----------------------------------------------
+    // q164's shredding tier where messy JSON actually lives: ON THE
+    // FEED. Each micro-batch's lines shred through try_parse_json into
+    // VARIANT, typed paths extract per batch, parse failures quarantine
+    // as NULL variants, and the per-source aggregate folds across
+    // batches (algebraic sums/counts — Complete mode, state bounded by
+    // the source domain). This is the landing-zone shape at 100 TB:
+    // schema never declared at the sink, quarantine counted at ingest,
+    // path extraction deferred to the columnar variant binary. q164's
+    // DuckDB-JSON oracle certifies the drained report.
+    ("st58_stream_variant_ingest",
+      (s: SparkSession, d: String) => {
+        val inDir = ensureDocCardStream(s, d)
+        val sch = s.read.parquet(inDir).schema
+        val base = concat(lit("{\"id\":"), col("doc_id"),
+          lit(",\"meta\":{\"src\":\""), col("source"), lit("\""),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(",\"score\":"), col("doc_id") % 97)).otherwise(lit("")),
+          lit("},\"tags\":["), col("doc_id") % 5, lit(","),
+          col("doc_id") % 7, lit("]}"))
+        val shredded = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$inDir/part-*")
+          .select(when(col("doc_id") % 13 === 0, substring(base, 1, 10))
+            .otherwise(base).as("js"))
+          .select(try_parse_json(col("js")).as("v"))
+          .select(
+            variant_get(col("v"), "$.meta.src", "string").as("src"),
+            variant_get(col("v"), "$.id", "long").as("id"),
+            try_variant_get(col("v"), "$.meta.score", "long").as("score"),
+            variant_get(col("v"), "$.tags[1]", "long").as("tag1"),
+            col("v").isNull.cast("long").as("bad"))
+          .groupBy(col("src"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("bad")).as("n_quarantined"),
+            sum(col("id")).as("id_sum"),
+            count(col("score")).as("n_scored"),
+            sum(col("score")).as("score_sum"),
+            sum(col("tag1")).as("tag1_sum"))
+        EventStream.runToMemory(s, shredded, s"st58_mem_${System.nanoTime()}")
+          .orderBy(col("src"))
+      },
+      Some("""WITH raw AS (
+             |  SELECT doc_id,
+             |    '{"id":' || CAST(doc_id AS VARCHAR) || ',"meta":{"src":"'
+             |    || source || '"' ||
+             |    CASE WHEN doc_id % 3 = 0
+             |      THEN ',"score":' || CAST(doc_id % 97 AS VARCHAR)
+             |      ELSE '' END ||
+             |    '},"tags":[' || CAST(doc_id % 5 AS VARCHAR) || ',' ||
+             |    CAST(doc_id % 7 AS VARCHAR) || ']}' AS j
+             |  FROM documents),
+             |lines AS (
+             |  SELECT CASE WHEN doc_id % 13 = 0 THEN substring(j, 1, 10)
+             |    ELSE j END AS js
+             |  FROM raw),
+             |p AS (
+             |  SELECT
+             |    CASE WHEN json_valid(js)
+             |      THEN json_extract_string(js, '$.meta.src') END AS src,
+             |    CASE WHEN json_valid(js)
+             |      THEN CAST(json_extract(js, '$.id') AS BIGINT) END AS id,
+             |    CASE WHEN json_valid(js)
+             |      THEN TRY_CAST(json_extract(js, '$.meta.score') AS BIGINT)
+             |      END AS score,
+             |    CASE WHEN json_valid(js)
+             |      THEN CAST(json_extract(js, '$.tags[1]') AS BIGINT)
+             |      END AS tag1,
+             |    CASE WHEN json_valid(js) THEN 0 ELSE 1 END AS bad
+             |  FROM lines)
+             |SELECT src, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(bad) AS BIGINT) AS n_quarantined,
+             |  CAST(SUM(id) AS BIGINT) AS id_sum,
+             |  CAST(COUNT(score) AS BIGINT) AS n_scored,
+             |  CAST(SUM(score) AS BIGINT) AS score_sum,
+             |  CAST(SUM(tag1) AS BIGINT) AS tag1_sum
+             |FROM p GROUP BY 1 ORDER BY src""".stripMargin)),
   )
 }

@@ -1515,6 +1515,40 @@ class ScaleSpec extends SparkSpec {
       "cap=0 result must equal the registered c15 query")
   }
 
+  test("c15 cap: observed drop accounting rides the main job and matches the dropped frame") {
+    spark.catalog.clearCache()
+    // the production face (linkPrediction, cap > 0) surfaces its drop
+    // accounting through Dataset.observe — CollectMetrics partials in
+    // the SAME job that computes the result, zero extra evaluations of
+    // the capped subtree. The metrics row must agree exactly with the
+    // WithDropped face's second frame (which IS a second evaluation),
+    // and the kept results must be identical.
+    // cap = 6: the fixture's first regime where the capped result is
+    // NON-empty (cap ≤ 4 keeps nothing here, and AQE folds an empty
+    // result to EmptyRelationExec — erasing the CollectMetrics node and
+    // its accumulators with it, so the metrics never materialize; see
+    // the capBucketsObserved scaladoc caveat) while 197 hubs still drop
+    val capped = graft.queries.NorthStarQueries.linkPrediction(spark, sf, 6)
+    val got = capped.collect().map(_.toSeq).toSeq // the one action
+    val m = capped.queryExecution.observedMetrics(
+      graft.queries.NorthStarQueries.LinkPredCapMetric)
+    val (expectDf, dropped) =
+      graft.queries.NorthStarQueries.linkPredictionWithDropped(spark, sf, 6)
+    assert(m.getAs[Long]("dropped_rows") == dropped.count(),
+      s"observed dropped_rows ${m.getAs[Long]("dropped_rows")} != dropped frame")
+    assert(m.getAs[Long]("dropped_buckets") ==
+      dropped.select(col("z")).distinct().count(),
+      s"observed dropped_buckets ${m.getAs[Long]("dropped_buckets")} != distinct hubs")
+    assert(m.getAs[Long]("dropped_buckets") > 0,
+      "fixture has hubs past degree 6 — accounting must be non-trivial")
+    assert(got == expectDf.collect().map(_.toSeq).toSeq,
+      "observed face must keep exactly the WithDropped face's rows")
+    // and the observation is ON the kept plan, not a side branch
+    assert(capped.queryExecution.optimizedPlan.collectFirst {
+      case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics => c
+    }.isDefined, "CollectMetrics node missing from the kept plan")
+  }
+
   test("q145 bitmap rollup: map-side partial bitmaps, never raw-row shuffles") {
     spark.catalog.clearCache()
     val df = SparkEntry.queries("q145_bitmap_rollup")(spark, sf)
