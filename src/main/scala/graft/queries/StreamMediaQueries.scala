@@ -3627,5 +3627,68 @@ object StreamMediaQueries {
              |  CAST(SUM(score) AS BIGINT) AS score_sum,
              |  CAST(SUM(tag1) AS BIGINT) AS tag1_sum
              |FROM p GROUP BY 1 ORDER BY src""".stripMargin)),
+
+    // ---- state store READER: sink + in-flight state = the whole truth ----------
+    // The streaming-ops surface a 100 TB deployment debugs with: the
+    // `statestore` data source reads a checkpoint's state DIRECTLY
+    // (here the transformWithState variable `sess`, via stateVarName)
+    // — no replay, no code path through the query. The certified
+    // invariant is exactly the one an on-call engineer needs: the
+    // drained sink (closed sessions) plus the store's open sessions
+    // reconstruct the COMPLETE session set, so nothing is ever lost
+    // between the two. Deliberately robust to scheduling: WHICH
+    // sessions closed mid-drain depends on tile boundaries (timer vs
+    // event path), but sink ∪ state is invariant — which is what makes
+    // a hash oracle possible at all. Drains st54's tiles WITHOUT the
+    // watermark pushers, so every user's final session is still open
+    // in the store when it is read back.
+    ("st59_statestore_read",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val inDir = ensureTimerSessionStream(s, d)
+        EventStream.withRocksDBState(s) {
+          val stream = s.readStream.schema(EventStream.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(s"$inDir/part-*") // tiles only: pushers are z*_push
+            .as[EventStream.Event]
+          val out = java.nio.file.Files.createTempDirectory("graft_st59o").toString
+          val drained = EventStream.runToFiles(s,
+            EventStream.timerSessionStream(stream,
+              EventStream.SessionGapMicros).toDF(),
+            s"$out/data", s"$out/ckpt")
+          val open = s.read.format("statestore")
+            .option("path", s"$out/ckpt")
+            .option("stateVarName", "sess")
+            .load()
+            .select(col("key.value").as("user_id"),
+              col("value._1").as("anchor_ts"),
+              col("value._2").as("n_events"),
+              col("value._3").as("last_ts"))
+          drained.select("user_id", "anchor_ts", "n_events", "last_ts")
+            .unionByName(open)
+            .orderBy(col("user_id"), col("anchor_ts"))
+        }
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS tu
+             |  FROM events),
+             |m AS (
+             |  SELECT user_id, tu, event_id,
+             |    CASE WHEN lag(tu) OVER w IS NULL
+             |           OR tu - lag(tu) OVER w > 1800000000
+             |         THEN 1 ELSE 0 END AS brk
+             |  FROM e
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)),
+             |g AS (
+             |  SELECT user_id, tu,
+             |    SUM(brk) OVER (PARTITION BY user_id ORDER BY tu, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS grp
+             |  FROM m)
+             |SELECT user_id, CAST(MIN(tu) AS BIGINT) AS anchor_ts,
+             |  CAST(COUNT(*) AS BIGINT) AS n_events,
+             |  CAST(MAX(tu) AS BIGINT) AS last_ts
+             |FROM g GROUP BY user_id, grp
+             |ORDER BY user_id, anchor_ts""".stripMargin)),
   )
 }

@@ -1738,6 +1738,61 @@ class StreamingSpec extends SparkSpec {
       s"no salt group may hold past 2x fair share: ${spread.toSeq}")
   }
 
+  test("statestore reader: drained sink plus in-flight state reconstruct every session") {
+    import spark.implicits._
+    graft.streaming.EventStream.withRocksDBState(spark) {
+      val H = 3600L * 1000000L
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stateread").toString
+      val in = new java.io.File(s"$tmp/in"); in.mkdirs()
+      Seq(
+        (1L, H, 5L), (2L, 2L * H, 5L),      // user 5 session 1 (will close)
+        (3L, 10L * H, 5L),                  // user 5 session 2 (stays open)
+        (4L, 9L * H, 9L))                   // user 9 session 1 (stays open)
+        .map { case (id, ts, uid) => (id, ts, uid, "view", 0.0, "") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$in/w0")
+      val stream = spark.readStream.schema(EventStream.schema)
+        .parquet(s"$in/w0/part-*")
+        .as[EventStream.Event]
+      val drained = graft.streaming.EventStream.runToFiles(spark,
+        EventStream.timerSessionStream(stream, H).toDF(),
+        s"$tmp/data", s"$tmp/ckpt")
+      // session 1 closed by the event path (gap 8H > 1H); sessions 2
+      // and 9/1 still open — they must be IN THE STORE, readable
+      // without replaying the stream
+      val state = spark.read.format("statestore")
+        .option("path", s"$tmp/ckpt")
+        .option("stateVarName", "sess")
+        .load()
+      val open = state.select(
+        col("key.value").as("user_id"),
+        col("value._1").as("anchor_ts"),
+        col("value._2").as("n_events"),
+        col("value._3").as("last_ts"))
+      val all = drained.select("user_id", "anchor_ts", "n_events", "last_ts")
+        .unionByName(open)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq.sorted
+      assert(all == Seq(
+        (5L, H, 2L, 2L * H), (5L, 10L * H, 1L, 10L * H),
+        (9L, 9L * H, 1L, 9L * H)),
+        s"sink + state must reconstruct every session: $all")
+      // the armed TIMERS are readable too — and every open session's
+      // timer must sit exactly at its documented deadline,
+      // (last_ts + gap)/1000 + 1 ms
+      val timers = spark.read.format("statestore")
+        .option("path", s"$tmp/ckpt")
+        .option("readRegisteredTimers", "true")
+        .load()
+        .select(col("key.value").as("user_id"),
+          col("expiration_timestamp_ms").as("timer_ms"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(timers == Seq(
+        (5L, (10L * H + H) / 1000L + 1L), (9L, (9L * H + H) / 1000L + 1L)),
+        s"armed timers must match the open sessions' deadlines: $timers")
+    }
+  }
+
   test("watermarked coverage: folds in-slack disorder exactly, throws past the slack") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.IntervalCoverage
