@@ -656,6 +656,63 @@ object SourceFormatQueries {
              |  CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT)
              |    AS n_quarantined
              |FROM parsed GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // ---- XML ingest (from_xml, schema'd extraction + quarantine) -----------
+    // The remaining feed format of the semi-structured tier (q137 JSON
+    // fixed-schema, q164 VARIANT schema-less): Spark 4's built-in
+    // `from_xml` parses element trees against a declared StructType —
+    // PERMISSIVE per row, so truncated markup yields a null struct and
+    // routes to the quarantine count, optional elements (every 3rd row
+    // carries <score>) land as null fields, both in ONE pass. The
+    // fixture is CONCAT-built (q137's rule: byte-identical on both
+    // engines); DuckDB has no XML functions, so the oracle certifies
+    // the extraction by replaying the construction arithmetic — the
+    // q166 epistemics: values, nulls, and the quarantine split must
+    // all round-trip Spark's parser exactly.
+    ("q167_xml_ingest",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.types._
+        val base = concat(lit("<rec><id>"), col("doc_id"),
+          lit("</id><src>"), col("source"), lit("</src>"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("<score>"), col("doc_id") % 97, lit("</score>")))
+            .otherwise(lit("")),
+          lit("</rec>"))
+        val lines = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("source"))
+          .select(when(col("doc_id") % 13 === 0, substring(base, 1, 12))
+            .otherwise(base).as("xml"))
+        val schema = StructType(Seq(StructField("id", LongType),
+          StructField("src", StringType), StructField("score", LongType)))
+        lines.select(from_xml(col("xml"), schema).as("rec"))
+          .select(
+            when(col("rec").isNull || col("rec.id").isNull, lit(null))
+              .otherwise(col("rec.src")).as("src"),
+            col("rec.id").as("id"), col("rec.score").as("score"),
+            (col("rec").isNull || col("rec.id").isNull)
+              .cast("long").as("bad"))
+          .groupBy(col("src"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("bad")).as("n_quarantined"),
+            sum(when(col("bad") === 0L, col("id"))).as("id_sum"),
+            count(col("score")).as("n_scored"),
+            sum(col("score")).as("score_sum"))
+          .orderBy(col("src"))
+      },
+      Some("""WITH p AS (
+             |  SELECT
+             |    CASE WHEN doc_id % 13 = 0 THEN NULL ELSE source END AS src,
+             |    CASE WHEN doc_id % 13 = 0 THEN NULL ELSE doc_id END AS id,
+             |    CASE WHEN doc_id % 13 <> 0 AND doc_id % 3 = 0
+             |      THEN doc_id % 97 END AS score,
+             |    CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END AS bad
+             |  FROM documents)
+             |SELECT src, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(bad) AS BIGINT) AS n_quarantined,
+             |  CAST(SUM(id) AS BIGINT) AS id_sum,
+             |  CAST(COUNT(score) AS BIGINT) AS n_scored,
+             |  CAST(SUM(score) AS BIGINT) AS score_sum
+             |FROM p GROUP BY 1 ORDER BY src""".stripMargin)),
   )
 
   /** q64's write-time partition stats: one row per `source` partition

@@ -1790,6 +1790,12 @@ class StreamingSpec extends SparkSpec {
       assert(timers == Seq(
         (5L, (10L * H + H) / 1000L + 1L), (9L, (9L * H + H) / 1000L + 1L)),
         s"armed timers must match the open sessions' deadlines: $timers")
+      // the checkpoint's operator inventory is discoverable too — the
+      // first thing an on-call engineer lists before probing state
+      val meta = spark.read.format("state-metadata").load(s"$tmp/ckpt")
+        .select("operatorName").collect().map(_.getString(0)).toSeq
+      assert(meta.exists(_.toLowerCase.contains("transformwithstate")),
+        s"state-metadata must name the stateful operator: $meta")
     }
   }
 
