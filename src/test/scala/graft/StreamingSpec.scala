@@ -1799,6 +1799,80 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("statestore change feed: the changelog replays the session's life, fold equals snapshot") {
+    import spark.implicits._
+    // completes the state-reader surface (snapshot + timers + metadata
+    // + CDC): with RocksDB changelog checkpointing on, the statestore
+    // source replays per-batch state CHANGES — the audit trail of what
+    // the operator did, readable without replaying the query. The
+    // invariant: folding the changelog (last change per key wins;
+    // delete clears) reproduces the final snapshot.
+    graft.Confs.withConfs(spark, Seq(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        -> "true")) {
+    graft.streaming.EventStream.withRocksDBState(spark) {
+      val H = 3600L * 1000000L
+      val tmp = java.nio.file.Files.createTempDirectory("graft_statecdc").toString
+      val in = new java.io.File(s"$tmp/in"); in.mkdirs()
+      def stage(rows: Seq[(Long, Long, Long)], name: String): Unit = {
+        val sd = s"$tmp/stage_$name"
+        rows.map { case (id, ts, uid) => (id, ts, uid, "view", 0.0, "") }
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(sd)
+        val part = new java.io.File(sd).listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(in, s"$name.parquet").toPath)
+      }
+      // one drain, 4 micro-batches: user 5's session grows (updates),
+      // then the pushers fire its timer (flush -> state DELETE)
+      stage(Seq((1L, H, 5L)), "w0")
+      stage(Seq((2L, 2L * H, 5L)), "w1")
+      stage(Seq((3L, 50L * H, -1L)), "w2")
+      stage(Seq((4L, 51L * H, -1L)), "w3")
+      val stream = spark.readStream.schema(EventStream.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$in/*.parquet")
+        .as[EventStream.Event]
+      graft.streaming.EventStream.runToFiles(spark,
+        EventStream.timerSessionStream(stream, H).toDF(),
+        s"$tmp/data", s"$tmp/ckpt")
+      val changes = spark.read.format("statestore")
+        .option("path", s"$tmp/ckpt")
+        .option("stateVarName", "sess")
+        .option("readChangeFeed", "true")
+        .option("changeStartBatchId", "0")
+        .load()
+        .select(col("batch_id"), col("change_type"),
+          col("key.value").as("user_id"), col("value._2").as("n_events"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))
+        .toSeq.sortBy(t => (t._1, t._3))
+      val u5 = changes.filter(_._3 == 5L)
+      // growth then clear: n=1, n=2, then the timer's delete
+      assert(u5.map(c => (c._2, c._4)).containsSlice(
+        Seq(("update", 1L), ("update", 2L))) &&
+        u5.last._2 == "delete",
+        s"user 5's changelog must show growth then the timer's clear: $u5")
+      // fold == snapshot: last change per key (delete removes) must
+      // equal the snapshot read
+      val folded = changes.groupBy(_._3).flatMap { case (uid, cs) =>
+        val last = cs.maxBy(_._1)
+        if (last._2 == "delete") None else Some(uid -> last._4)
+      }.toMap
+      val snap = spark.read.format("statestore")
+        .option("path", s"$tmp/ckpt")
+        .option("stateVarName", "sess")
+        .load()
+        .select(col("key.value").as("user_id"), col("value._2").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(folded == snap,
+        s"changelog fold $folded must equal the snapshot $snap")
+    }
+    }
+  }
+
   test("watermarked coverage: folds in-slack disorder exactly, throws past the slack") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.IntervalCoverage
