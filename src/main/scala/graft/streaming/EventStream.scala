@@ -736,6 +736,36 @@ object EventStream {
     * end) is the one input this cannot reconcile — it anchors a fresh
     * session, exactly the watermark contract every event-time operator
     * carries. */
+  /** The pure per-batch session step [[TimerSessionProcessor]] runs:
+    * fold one batch of a user's in-order events over the open-session
+    * state, returning the new open session and the sessions CLOSED by
+    * over-gap successors. Extracted so batch-split invariance is
+    * property-provable without the engine (PropertySpec): for any cut
+    * of an in-order stream, concatenating the closed emissions and
+    * flushing the final open session equals the direct
+    * gaps-and-islands answer. */
+  private[graft] def gapSessionFold(uid: Long,
+      open: Option[(Long, Long, Long)], sorted: Seq[Event],
+      gapUs: Long): (Option[(Long, Long, Long)], Vector[GapSession]) = {
+    var st = open
+    val out = Vector.newBuilder[GapSession]
+    sorted.foreach { e =>
+      st match {
+        case Some((a, n, l)) =>
+          if (e.ts < l)
+            throw new IllegalStateException(
+              s"timerSessionStream: out-of-order arrival for user $uid " +
+                s"(got ts ${e.ts} after $l)")
+          if (e.ts - l > gapUs) { // strict >, mirroring sessionize
+            out += GapSession(uid, a, n, l)
+            st = Some((e.ts, 1L, e.ts))
+          } else st = Some((a, n + 1L, e.ts))
+        case None => st = Some((e.ts, 1L, e.ts))
+      }
+    }
+    (st, out.result())
+  }
+
   class TimerSessionProcessor(gapUs: Long)
       extends StatefulProcessor[Long, Event, GapSession] {
     import org.apache.spark.sql.Encoders
@@ -754,29 +784,15 @@ object EventStream {
       val sorted = rows.toSeq.sortBy(e => (e.ts, e.event_id))
       if (sorted.isEmpty) Iterator.empty
       else {
-        val out = Seq.newBuilder[GapSession]
-        var st = if (sess.exists()) Some(sess.get()) else None
-        sorted.foreach { e =>
-          st match {
-            case Some((a, n, l)) =>
-              if (e.ts < l)
-                throw new IllegalStateException(
-                  s"timerSessionStream: out-of-order arrival for user $uid " +
-                    s"(got ts ${e.ts} after $l)")
-              if (e.ts - l > gapUs) { // strict >, mirroring sessionize
-                out += GapSession(uid, a, n, l)
-                st = Some((e.ts, 1L, e.ts))
-              } else st = Some((a, n + 1L, e.ts))
-            case None => st = Some((e.ts, 1L, e.ts))
-          }
-        }
+        val open = if (sess.exists()) Some(sess.get()) else None
+        val (st, out) = gapSessionFold(uid, open, sorted, gapUs)
         val (a, n, l) = st.get
         sess.update((a, n, l))
         // one live timer per user, at the open session's deadline
         getHandle.listTimers().foreach(t =>
           getHandle.deleteTimer(t.asInstanceOf[Long]))
         getHandle.registerTimer(deadlineMs(l))
-        out.result().iterator
+        out.iterator
       }
     }
 

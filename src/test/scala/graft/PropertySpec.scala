@@ -269,6 +269,44 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("gap-session fold: any batch split plus a final flush equals direct gaps-and-islands") {
+    import graft.streaming.EventStream.{Event, GapSession, gapSessionFold}
+    val gap = 5L
+    // events on a small timeline so gaps genuinely occur; ties allowed
+    // (equal ts with ascending ids merges into the same session)
+    val genTs = Gen.nonEmptyListOf(Gen.choose(0L, 60L))
+    val genCuts = Gen.listOf(Gen.choose(0, 80))
+    checkProp(Prop.forAll(genTs, genCuts) { (raw, cuts) =>
+      // normalize INSIDE the property (shrinking breaks invariants)
+      val evs = raw.sorted.zipWithIndex.map { case (t, i) =>
+        Event(i.toLong, t, 1L, "view", 0.0, "")
+      }
+      // independent truth: direct gaps-and-islands scan
+      val direct = evs.tail.foldLeft(
+          Vector((evs.head.ts, 1L, evs.head.ts))) { case (acc, e) =>
+        val (a, n, l) = acc.last
+        if (e.ts - l > gap) acc :+ ((e.ts, 1L, e.ts))
+        else acc.init :+ ((a, n + 1L, e.ts))
+      }.map { case (a, n, l) => GapSession(1L, a, n, l) }
+      // streamed answer: fold through arbitrary prefix cuts, then flush
+      // the final open session (what the engine's timer does when the
+      // watermark passes its deadline)
+      val cutSet = cuts.toSet
+      val batches = evs.zipWithIndex
+        .foldLeft(List(List.empty[Event])) { case (b :: rest, (e, i)) =>
+          if (cutSet.contains(i)) List(e) :: b :: rest else (b :+ e) :: rest }
+        .reverse.filter(_.nonEmpty)
+      val (open, closed) = batches.foldLeft(
+          (Option.empty[(Long, Long, Long)], Vector.empty[GapSession])) {
+        case ((st, acc), b) =>
+          val (st2, out) = gapSessionFold(1L, st, b, gap)
+          (st2, acc ++ out)
+      }
+      val flushed = closed ++ open.map { case (a, n, l) => GapSession(1L, a, n, l) }
+      flushed == direct
+    })
+  }
+
   test("coverage fold: any batch split equals the order-free overlap-closure answer") {
     import graft.streaming.IntervalCoverage.{CovState, Iv, covFold}
     val genIvs = Gen.nonEmptyListOf(
