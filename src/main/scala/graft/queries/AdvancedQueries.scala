@@ -4860,5 +4860,44 @@ object AdvancedQueries {
              |  CAST(COUNT(val_long) AS BIGINT) AS n_coerced,
              |  CAST(SUM(val_long) AS BIGINT) AS val_sum
              |FROM p GROUP BY 1 ORDER BY val_type""".stripMargin)),
+
+    // ---- VARIANT array shred (variant_explode TVF) --------------------------------
+    // The row-generating face of the variant tier (q164 extracts known
+    // scalar paths; q166 censuses types): the `variant_explode` table
+    // function shreds a variant ARRAY into (pos, key, value) rows via
+    // LATERAL — the landing-zone move that turns nested collections
+    // into relational rows WITHOUT declaring an array schema at read.
+    // The per-position aggregate proves positions and element values
+    // survive the shred exactly (each tag slot carries a distinct
+    // modulus of doc_id, so a transposed or dropped element cannot
+    // hash-match). Generators keep whole-stage codegen around them; at
+    // scale the shred's output is bounded by Σ array lengths, and the
+    // aggregate combines map-side like any other.
+    ("q168_variant_explode",
+      (s: SparkSession, d: String) => {
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"),
+            concat(lit("{\"tags\":["), col("doc_id") % 5, lit(","),
+              col("doc_id") % 7, lit(","), col("doc_id") % 11, lit("]}"))
+              .as("js"))
+          .createOrReplaceTempView("vx_lines")
+        s.sql("""SELECT CAST(t.pos AS BIGINT) AS pos,
+                 |  CAST(COUNT(*) AS BIGINT) AS n,
+                 |  CAST(SUM(CAST(t.value AS BIGINT)) AS BIGINT) AS val_sum
+                 |FROM vx_lines,
+                 |  LATERAL variant_explode(
+                 |    variant_get(try_parse_json(js), '$.tags', 'variant')) AS t
+                 |GROUP BY 1 ORDER BY pos""".stripMargin)
+      },
+      Some("""SELECT CAST(0 AS BIGINT) AS pos,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(doc_id % 5) AS BIGINT) AS val_sum FROM documents
+             |UNION ALL
+             |SELECT 1, CAST(COUNT(*) AS BIGINT),
+             |  CAST(SUM(doc_id % 7) AS BIGINT) FROM documents
+             |UNION ALL
+             |SELECT 2, CAST(COUNT(*) AS BIGINT),
+             |  CAST(SUM(doc_id % 11) AS BIGINT) FROM documents
+             |ORDER BY pos""".stripMargin)),
   )
 }

@@ -1549,6 +1549,41 @@ class ScaleSpec extends SparkSpec {
     }.isDefined, "CollectMetrics node missing from the kept plan")
   }
 
+  test("q164 variant ingest: one scan, partial aggregation, no UDF in the shred path") {
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q164_variant_ingest")(spark, sf)
+    df.collect()
+    // the adaptive plan string prints BOTH the final and the initial
+    // plan — count scans in the final section only
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the shred is scan → project(parse/extract) → partial agg →
+    // exchange → final agg: exactly one file scan, no black-box UDF
+    // (variant functions are built-in expressions), and the aggregate
+    // combines map-side before the one shuffle
+    assert("FileScan".r.findAllIn(plan).length == 1,
+      s"variant shred must read the corpus once:\n${plan.take(3000)}")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("UDF("),
+      s"no UDF belongs in the shred path:\n${plan.take(3000)}")
+    assert(plan.contains("partial_count") || plan.contains("partial_"),
+      s"aggregation must combine map-side:\n${plan.take(3000)}")
+  }
+
+  test("q165 two-wave densify: the persisted dictionary joins broadcast at dim scale") {
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q165_densify_two_waves")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the dictionary is a dimension (one row per distinct key): the
+    // fact-side joins must broadcast it, not sort-merge the fact
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dictionary joins should broadcast at fixture scale:\n${plan.take(3000)}")
+    // the bitmap rollup stays an ObjectHashAggregate with a partial
+    // phase — bitmap bytes shuffle, not raw rows
+    assert(plan.contains("ObjectHashAggregate"),
+      s"bitmap aggregate missing:\n${plan.take(3000)}")
+  }
+
   test("q145 bitmap rollup: map-side partial bitmaps, never raw-row shuffles") {
     spark.catalog.clearCache()
     val df = SparkEntry.queries("q145_bitmap_rollup")(spark, sf)
