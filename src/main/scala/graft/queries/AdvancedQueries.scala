@@ -4899,5 +4899,66 @@ object AdvancedQueries {
              |SELECT 2, CAST(COUNT(*) AS BIGINT),
              |  CAST(SUM(doc_id % 11) AS BIGINT) FROM documents
              |ORDER BY pos""".stripMargin)),
+
+    // ---- SQL pipe syntax ----------------------------------------------------------
+    // Spark 4's |> pipe operators — the SQL dialect a data-flow-shaped
+    // user writes top-down (FROM first, each stage a pipe) instead of
+    // inside-out. The parser desugars each stage to the SAME logical
+    // operators the classic form plans (WHERE → Filter, EXTEND →
+    // Project-with-additions, AGGREGATE … GROUP BY → Aggregate), so
+    // optimization and codegen are identical — certified here by
+    // hash-matching the classic-syntax DuckDB twin on exact-cents
+    // arithmetic. Zero engine surface of its own; the value is pinning
+    // that the dialect parses and means the same thing.
+    ("q169_sql_pipe_syntax",
+      (s: SparkSession, d: String) => {
+        Tables.load(s, d, "lineitem").createOrReplaceTempView("li_pipe")
+        s.sql("""FROM li_pipe
+                ||> WHERE l_quantity < 10
+                ||> EXTEND CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+                ||> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n,
+                |     CAST(SUM(cents) AS BIGINT) AS cents_sum
+                |   GROUP BY l_returnflag
+                ||> ORDER BY l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+             |    AS BIGINT) AS cents_sum
+             |FROM lineitem WHERE l_quantity < 10
+             |GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- collated grouping --------------------------------------------------------
+    // Spark 4 collations as a TYPE property: `collate(x, 'UTF8_LCASE')`
+    // makes case-insensitivity part of the column's comparison
+    // semantics, so every downstream GROUP BY / join / DISTINCT honors
+    // it with NO per-operator lower() wrapping — at scale that is one
+    // normalization the optimizer knows about instead of N scattered
+    // expression calls the user must remember (and the shuffle
+    // partitioning is collation-aware, so equal-under-collation keys
+    // co-locate). The fixture mixes upper/lower casings of the same
+    // sources by row parity; the group count per collated key must
+    // equal the lower()-twin — UTF8_LCASE's documented contract. The
+    // emitted key is lower(min(raw)) so output is deterministic no
+    // matter which casing represents the group.
+    ("q170_collated_group",
+      (s: SparkSession, d: String) => {
+        val mixed = when(col("doc_id") % 2 === 0, upper(col("source")))
+          .otherwise(lower(col("source")))
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), mixed.as("raw"))
+          .groupBy(collate(col("raw"), "UTF8_LCASE").as("k"))
+          .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+          .select(lower(col("k")).as("source_ci"), col("n"), col("id_sum"))
+          .orderBy(col("source_ci"))
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 2 = 0 THEN upper(source)
+             |      ELSE lower(source) END AS raw
+             |  FROM documents)
+             |SELECT lower(raw) AS source_ci,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+             |FROM m GROUP BY 1 ORDER BY source_ci""".stripMargin)),
   )
 }
