@@ -152,12 +152,17 @@ def newest_round_artifact(root):
 def benchone(root, sf_dir, names, k=3):
     """Warm re-measure of `names` via graft.BenchOne (one sbt fork —
     same session config as Bench). Returns {name: min_seconds}; an
-    empty dict when the run fails (treated as unadjudicated)."""
+    empty dict when the run fails (treated as unadjudicated).
+
+    The timeout scales with the request: a whole-suite systemic rerun
+    (300+ queries x k) cannot fit the same 30-minute budget a handful
+    of drifted queries does."""
     cmd = ["sbt", "-batch",
            f"runMain graft.BenchOne {sf_dir} {','.join(names)} {k}"]
+    timeout = max(1800, 20 * len(names) * k)
     try:
         out = subprocess.run(cmd, cwd=root, capture_output=True, text=True,
-                             timeout=1800).stdout
+                             timeout=timeout).stdout
     except (subprocess.TimeoutExpired, OSError) as e:
         print(f"adjudication: BenchOne run failed ({e})")
         return {}
@@ -232,11 +237,14 @@ def main():
                                   "verdict": "unadjudicated"}
             else:
                 v = "box_contention" if m <= allowed else "regression_confirmed"
-                gap = round(t / m, 2) if m > 0 else float("inf")
+                # a 0-second solo min would make the gap infinite; record
+                # null instead so the annotated artifact stays strict JSON
+                # (json.dumps would emit bare Infinity, which jq rejects)
+                gap = round(t / m, 2) if m > 0 else None
                 verdicts[name] = {"artifact_s": t, "ref_s": b,
                                   "benchone_min_s": round(m, 3),
                                   "gap_factor": gap, "verdict": v}
-                if v == "box_contention" and gap > GAP_LOUD:
+                if v == "box_contention" and (gap is None or gap > GAP_LOUD):
                     loud.append((name, gap))
             print(f"  adjudicated {name}: {verdicts[name]}")
         extras = {"adjudicated": verdicts}
@@ -271,8 +279,14 @@ def main():
                                 else "suite_contention")}
                 print(f"  suite_rerun: {extras['suite_rerun']}")
             else:
+                # a failed whole-set rerun leaves a SYSTEMIC signature
+                # unadjudicated — that is a gate failure, not a skip: a
+                # suite-level regression must never pass silently just
+                # because the adjudication run itself fell over
+                suite_bad = True
                 extras["suite_rerun"] = {"verdict": "unadjudicated"}
-                print("  suite rerun failed — subtotal comparison skipped")
+                print("  suite rerun failed — systemic drift stays "
+                      "unadjudicated, failing the gate")
         # annotate the fresh artifact in place (extra keys — the driver
         # and this script only read "queries"/"value"/"sf")
         if annotate(fresh_path, extras):
@@ -284,8 +298,12 @@ def main():
                   f"alone: {', '.join(bad)}")
             sys.exit(1)
         if suite_bad:
-            print("SUITE REGRESSION: solo-corrected subtotal still past "
-                  "1.2x the reference subtotal — not contention")
+            if extras["suite_rerun"]["verdict"] == "unadjudicated":
+                print("SUITE DRIFT UNADJUDICATED: the whole-set rerun "
+                      "failed — cannot rule out a suite-level regression")
+            else:
+                print("SUITE REGRESSION: solo-corrected subtotal still past "
+                      "1.2x the reference subtotal — not contention")
             sys.exit(1)
         print("all drift adjudicated as box contention — artifact annotated")
         return

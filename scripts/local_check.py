@@ -92,11 +92,12 @@ def main(sf_dir, out_dir):
         else:
             print(f"PASS {name} ({len(gdf)} rows)")
             n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail")
     # round-close checklist: regenerate QUERIES.md from the same dump's
     # oracle set (the r13 lesson — the catalog shipped 16 queries stale
     # because regeneration was a manual step). gen_catalog exits 1 on a
-    # catalog-vs-oracle mismatch, which counts as a failure here.
+    # catalog-vs-oracle mismatch, which counts as a failure here — and
+    # the human-readable summary prints AFTER it so the tally a reader
+    # sees matches the exit code.
     import subprocess
     cat = subprocess.run(
         [sys.executable, str(Path(__file__).resolve().parent / "gen_catalog.py"),
@@ -104,6 +105,7 @@ def main(sf_dir, out_dir):
     if cat.returncode != 0:
         print("FAIL catalog: gen_catalog.py mismatch vs oracle_sql.json")
         n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 
 

@@ -122,7 +122,7 @@ object NorthStarQueries {
 
   def ensureIvfIndex(s: SparkSession, d: String): String =
     ivfIndexes.getOrElseUpdate(d, {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_s08idx").toString
+      val tmp = graft.TempDirs.create("graft_s08idx")
       Similarity.buildIvfIndex(
         Tables.load(s, d, "embeddings").select("vec_id", "embedding"),
         s"$tmp/index", nCells = 16, trainIters = 2)
@@ -144,7 +144,7 @@ object NorthStarQueries {
 
   def ensureBandIndex(s: SparkSession, d: String): String =
     bandIndexes.getOrElseUpdate(d, {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_d13idx").toString
+      val tmp = graft.TempDirs.create("graft_d13idx")
       Dedup.buildMinhashBandIndex(
         Tables.load(s, d, "documents").filter(
           graft.ops.TrainingPrep.hashBucket(col("doc_id"), 10) < 8),
@@ -157,7 +157,7 @@ object NorthStarQueries {
 
   def ensureAppendedIndex(s: SparkSession, d: String): String =
     appendedIndexes.getOrElseUpdate(d, {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_s11idx").toString
+      val tmp = graft.TempDirs.create("graft_s11idx")
       val emb = Tables.load(s, d, "embeddings").select("vec_id", "embedding")
       Similarity.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0),
         s"$tmp/index", nCells = 16, trainIters = 2)
@@ -1432,7 +1432,7 @@ object NorthStarQueries {
     // assignment — exactly the post-delete index content.
     ("s19_index_delete_probe",
       (s: SparkSession, d: String) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_s19").toString
+        val tmp = graft.TempDirs.create("graft_s19")
         val idx = s"$tmp/index"
         val base = ensureIvfIndex(s, d)
         val conf = s.sessionState.newHadoopConf()

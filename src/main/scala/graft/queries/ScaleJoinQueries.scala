@@ -19,7 +19,7 @@ object ScaleJoinQueries {
     * with LOCATION_ALREADY_EXISTS). Within a JVM, repeat runs reuse the
     * registered tables via overwrite mode. */
   private lazy val bucketDbLocation: String =
-    java.nio.file.Files.createTempDirectory("graft_buckets").toString
+    graft.TempDirs.create("graft_buckets")
 
   /** Build the bucketed lineitem/orders tables for `d` once per
     * (session, sf) — the write-once/join-many idiom this file documents:
@@ -124,7 +124,7 @@ object ScaleJoinQueries {
     // frame is declared.
     ("q65_aqe_skew_join",
       (s: SparkSession, d: String) => {
-        val out = java.nio.file.Files.createTempDirectory("graft_aqeskew").toString
+        val out = graft.TempDirs.create("graft_aqeskew")
         ScaleJoins.withSkewJoinDemo(s) {
           q65Join(s, d).write.mode("overwrite").parquet(out)
         }

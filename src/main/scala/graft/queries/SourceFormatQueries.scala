@@ -31,7 +31,7 @@ object SourceFormatQueries {
     // ---- JSON-lines sink + schema-explicit source -------------------------
     ("q42_jsonl_roundtrip",
       (s: SparkSession, d: String) => {
-        val out = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+        val out = graft.TempDirs.create("graft_jsonl")
         val docs = Tables.load(s, d, "documents")
           .select(col("doc_id"), col("lang"), col("source"), col("text"))
         docs.write.mode("overwrite").json(out)
@@ -66,7 +66,7 @@ object SourceFormatQueries {
     ("q91_corrupt_csv_quarantine",
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.types._
-        val dir = java.nio.file.Files.createTempDirectory("graft_badcsv").toString
+        val dir = graft.TempDirs.create("graft_badcsv")
         val docs = Tables.load(s, d, "documents")
         docs.select(concat_ws(",",
             col("doc_id"),
@@ -111,7 +111,7 @@ object SourceFormatQueries {
     // writing columns the query never reads would time dead I/O.
     ("q43_orc_roundtrip",
       (s: SparkSession, d: String) => {
-        val out = java.nio.file.Files.createTempDirectory("graft_orc").toString
+        val out = graft.TempDirs.create("graft_orc")
         Tables.load(s, d, "lineitem")
           .select(col("l_quantity"), col("l_extendedprice"), col("l_returnflag"))
           .write.mode("overwrite").orc(out)
@@ -139,7 +139,7 @@ object SourceFormatQueries {
     // parity are asserted in ScaleSpec.
     ("q52_compaction",
       (s: SparkSession, d: String) => {
-        val out = java.nio.file.Files.createTempDirectory("graft_compact").toString
+        val out = graft.TempDirs.create("graft_compact")
         val docs = Tables.load(s, d, "documents")
           .select(col("doc_id"), col("lang"), col("source"), col("text"))
         // one aggregate job sizes the layout; 64 KiB target keeps the
@@ -172,7 +172,7 @@ object SourceFormatQueries {
     // q42's JSONL sink, which escapes by construction).
     ("q54_text_roundtrip",
       (s: SparkSession, d: String) => {
-        val out = java.nio.file.Files.createTempDirectory("graft_text").toString
+        val out = graft.TempDirs.create("graft_text")
         Tables.load(s, d, "documents")
           .select(concat_ws("\t", col("doc_id").cast("string"), col("lang"),
             col("text")).as("value"))
@@ -328,7 +328,7 @@ object SourceFormatQueries {
     // literally survive run 2.
     ("q59_dynamic_overwrite",
       (s: SparkSession, d: String) => {
-        val out = java.nio.file.Files.createTempDirectory("graft_dynover").toString
+        val out = graft.TempDirs.create("graft_dynover")
         val docs = Tables.load(s, d, "documents")
           .select(col("doc_id"), col("text"), col("lang"))
         withOverwriteMode(s, "dynamic") {
@@ -365,7 +365,7 @@ object SourceFormatQueries {
     // the IVM correctness contract.
     ("q66_incremental_rollup",
       (s: SparkSession, d: String) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_rollup").toString
+        val tmp = graft.TempDirs.create("graft_rollup")
         val src = s"$tmp/src"; val rollup = s"$tmp/rollup"
         val ev = Tables.load(s, d, "events")
           .withColumn("day", date_format(Tables.eventTime(col("ts")), "yyyy-MM-dd"))
@@ -413,7 +413,7 @@ object SourceFormatQueries {
     // would batch by partition instead of collecting keys.
     ("q68_partitioned_upsert",
       (s: SparkSession, d: String) => {
-        val out = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+        val out = graft.TempDirs.create("graft_upsert")
         val docs = Tables.load(s, d, "documents")
           .select(col("doc_id"), col("text"), col("source"))
         docs.write.mode("overwrite").partitionBy("source").parquet(out)
@@ -492,7 +492,7 @@ object SourceFormatQueries {
     // victims and nothing else.
     ("q64_targeted_delete",
       (s: SparkSession, d: String) => {
-        val out = java.nio.file.Files.createTempDirectory("graft_delete").toString
+        val out = graft.TempDirs.create("graft_delete")
         val docs = Tables.load(s, d, "documents")
           .select(col("doc_id"), col("lang"), col("text"), col("source"))
         docs.write.mode("overwrite").partitionBy("source").parquet(out)
@@ -571,7 +571,7 @@ object SourceFormatQueries {
     // token totals, certifying values survive the codec byte-exactly.
     ("q114_compressed_jsonl",
       (s: SparkSession, d: String) => {
-        val out = java.nio.file.Files.createTempDirectory("graft_jsgz").toString
+        val out = graft.TempDirs.create("graft_jsgz")
         val docs = Tables.load(s, d, "documents")
           .select(col("doc_id"), col("source"), col("text"))
         docs.repartition(4).write.mode("overwrite")
@@ -782,7 +782,7 @@ object SourceFormatQueries {
   private[graft] def ensureZOrderLayout(
       s: SparkSession, d: String): (String, (Long, Long, Long, Long)) =
     zorderLayouts.getOrElseUpdate(d, {
-      val out = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+      val out = graft.TempDirs.create("graft_zorder")
       val li = Tables.load(s, d, "lineitem")
         .select(col("l_partkey"), col("l_suppkey"),
           col("l_quantity"), col("l_returnflag"))
@@ -808,7 +808,7 @@ object SourceFormatQueries {
 
   private[graft] def ensureEvolvedLayout(s: SparkSession, d: String): String =
     evolvedLayouts.getOrElseUpdate(d, {
-      val out = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+      val out = graft.TempDirs.create("graft_evolve")
       val docs = Tables.load(s, d, "documents")
       docs.filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"), col("lang"))
@@ -828,7 +828,7 @@ object SourceFormatQueries {
 
   private[graft] def ensureShipDateLayout(s: SparkSession, d: String): String =
     shipLayouts.getOrElseUpdate(d, {
-      val out = java.nio.file.Files.createTempDirectory("graft_shippart").toString
+      val out = graft.TempDirs.create("graft_shippart")
       Tables.load(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
           col("l_shipdate"))

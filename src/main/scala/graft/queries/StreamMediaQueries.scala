@@ -30,7 +30,7 @@ object StreamMediaQueries {
 
   def ensureMediaFiles(s: SparkSession, d: String): String =
     mediaFileDirs.getOrElseUpdate(d, {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_m04").toString
+      val tmp = graft.TempDirs.create("graft_m04")
       // driver-side writes (toLocalIterator): the fixture dir is a
       // DRIVER-local path, which executor-side foreachPartition would
       // only reach in local mode; the slice is bounded so streaming it
@@ -55,7 +55,7 @@ object StreamMediaQueries {
 
   def ensureDocCardStream(s: SparkSession, d: String): String =
     docCardStreamDirs.getOrElseUpdate(d, {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_st27in").toString
+      val tmp = graft.TempDirs.create("graft_st27in")
       Tables.load(s, d, "documents")
         .select(col("doc_id"), col("text"), col("source"))
         .repartition(4)
@@ -72,7 +72,7 @@ object StreamMediaQueries {
 
   def ensureGateStream(s: SparkSession, d: String): String =
     gateStreamDirs.getOrElseUpdate(d, {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_st43in").toString
+      val tmp = graft.TempDirs.create("graft_st43in")
       Tables.load(s, d, "lineitem")
         .repartition(3)
         .write.mode("overwrite").parquet(s"$tmp/in")
@@ -88,7 +88,7 @@ object StreamMediaQueries {
 
   def ensureCustomerStream(s: SparkSession, d: String): String =
     custStreamDirs.getOrElseUpdate(d, {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_st52in").toString
+      val tmp = graft.TempDirs.create("graft_st52in")
       Tables.load(s, d, "customer")
         .repartition(3)
         .write.mode("overwrite").parquet(s"$tmp/in")
@@ -103,7 +103,7 @@ object StreamMediaQueries {
 
   def ensureOrderFactStream(s: SparkSession, d: String): String =
     orderFactStreamDirs.getOrElseUpdate(d, {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_st53in").toString
+      val tmp = graft.TempDirs.create("graft_st53in")
       Tables.load(s, d, "orders")
         .select(col("o_custkey"), col("o_orderdate"))
         .repartition(3)
@@ -127,7 +127,7 @@ object StreamMediaQueries {
   def ensureTimerSessionStream(s: SparkSession, d: String): String =
     timerSessionDirs.getOrElseUpdate(d, {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_st54").toString
+      val tmp = graft.TempDirs.create("graft_st54")
       val inDir = new java.io.File(s"$tmp/in"); inDir.mkdirs()
       val events = Tables.load(s, d, "events")
       val maxTs = events.agg(max(col("ts"))).head().getLong(0)
@@ -169,7 +169,7 @@ object StreamMediaQueries {
   def ensureDecodeMixFiles(s: SparkSession, d: String): String =
     decodeMixDirs.getOrElseUpdate(d, {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_m09in").toString
+      val tmp = graft.TempDirs.create("graft_m09in")
       Tables.load(s, d, "documents")
         .filter(col("doc_id") < 500)
         .select(col("doc_id"), col("text"))
@@ -198,7 +198,7 @@ object StreamMediaQueries {
 
   def ensureIntervalStream(s: SparkSession, d: String): String =
     intervalStreamDirs.getOrElseUpdate(d, {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_st47").toString
+      val tmp = graft.TempDirs.create("graft_st47")
       val inDir = new java.io.File(s"$tmp/in"); inDir.mkdirs()
       val day = datediff(to_date(col("l_shipdate")), lit("1990-01-01"))
         .cast("long")
@@ -248,7 +248,7 @@ object StreamMediaQueries {
 
   def ensureIntervalStreamJittered(s: SparkSession, d: String): String =
     jitteredIntervalDirs.getOrElseUpdate(d, {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_st50").toString
+      val tmp = graft.TempDirs.create("graft_st50")
       val inDir = new java.io.File(s"$tmp/in"); inDir.mkdirs()
       val day = datediff(to_date(col("l_shipdate")), lit("1990-01-01"))
         .cast("long")
@@ -300,7 +300,7 @@ object StreamMediaQueries {
 
   def ensureDimUpdateStream(s: SparkSession, d: String): String =
     dimUpdateStreamDirs.getOrElseUpdate(d, {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_st29").toString
+      val tmp = graft.TempDirs.create("graft_st29")
       val inDir = new java.io.File(s"$tmp/in"); inDir.mkdirs()
       val cust = Tables.load(s, d, "customer")
       def stage(df: org.apache.spark.sql.DataFrame, name: String): java.io.File = {
@@ -342,7 +342,7 @@ object StreamMediaQueries {
 
   def ensureLocfStream(s: SparkSession, d: String): String =
     locfStreamDirs.getOrElseUpdate(d, {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_st34").toString
+      val tmp = graft.TempDirs.create("graft_st34")
       val hourUs = EventStream.HourMicros
       val inDir = new java.io.File(s"$tmp/in")
       Tables.load(s, d, "events")
@@ -362,7 +362,7 @@ object StreamMediaQueries {
 
   def ensureSessionStream(s: SparkSession, d: String): String =
     sessionStreamDirs.getOrElseUpdate(d, {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_st12").toString
+      val tmp = graft.TempDirs.create("graft_st12")
       val events = Tables.load(s, d, "events")
       val maxTs = events.agg(max(col("ts"))).head().getLong(0)
       val inDir = new java.io.File(s"$tmp/in")
@@ -405,7 +405,7 @@ object StreamMediaQueries {
 
   def ensureLateAuditStream(s: SparkSession, d: String): String =
     lateAuditDirs.getOrElseUpdate(d, {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_st24").toString
+      val tmp = graft.TempDirs.create("graft_st24")
       val inDir = new java.io.File(s"$tmp/in")
       val events = Tables.load(s, d, "events")
       val mm = events.agg(min(col("ts")), max(col("ts"))).head()
@@ -458,7 +458,7 @@ object StreamMediaQueries {
 
   def ensureLineitemStream(s: SparkSession, d: String): String =
     lineitemStreamDirs.getOrElseUpdate(d, {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_st39").toString
+      val tmp = graft.TempDirs.create("graft_st39")
       val inDir = new java.io.File(s"$tmp/in")
       val li = Tables.load(s, d, "lineitem")
         .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
@@ -485,7 +485,7 @@ object StreamMediaQueries {
 
   def ensureOrderStream(s: SparkSession, d: String): String =
     orderStreamDirs.getOrElseUpdate(d, {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_st38").toString
+      val tmp = graft.TempDirs.create("graft_st38")
       val inDir = new java.io.File(s"$tmp/in")
       val o = Tables.load(s, d, "orders")
         .select(col("o_orderkey").as("k"),
@@ -527,7 +527,7 @@ object StreamMediaQueries {
 
   def ensureDedupStreamInput(s: SparkSession, d: String): String =
     dedupStreamDirs.getOrElseUpdate(d, {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_st07in").toString
+      val tmp = graft.TempDirs.create("graft_st07in")
       Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
         .repartition(4)
         .write.mode("overwrite").parquet(s"$tmp/in")
@@ -548,7 +548,7 @@ object StreamMediaQueries {
 
   def ensureBatchStore(s: SparkSession, d: String): (String, String) =
     batchStores.getOrElseUpdate(d, {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_st15s").toString
+      val tmp = graft.TempDirs.create("graft_st15s")
       val store = s"$tmp/store"
       val docs = Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
       docs.filter(pmod(col("doc_id"), lit(2)) === 0)
@@ -574,7 +574,7 @@ object StreamMediaQueries {
 
   def ensureQueryStream(s: SparkSession, d: String): String =
     queryStreamDirs.getOrElseUpdate(d, {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_st17in").toString
+      val tmp = graft.TempDirs.create("graft_st17in")
       Tables.load(s, d, "embeddings").filter(col("vec_id") < 20)
         .select(col("vec_id"), col("embedding"))
         .repartition(4)
@@ -601,7 +601,7 @@ object StreamMediaQueries {
 
   def ensureBaseIvfIndex(s: SparkSession, d: String): String =
     baseIvfIndexes.getOrElseUpdate(d, {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_st21base").toString
+      val tmp = graft.TempDirs.create("graft_st21base")
       Similarity.buildIvfIndex(
         Tables.load(s, d, "embeddings").select("vec_id", "embedding")
           .filter(pmod(col("vec_id"), lit(2)) === 0),
@@ -611,7 +611,7 @@ object StreamMediaQueries {
 
   def ensureOddVectorStream(s: SparkSession, d: String): String =
     oddVectorStreams.getOrElseUpdate(d, {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_st21in").toString
+      val tmp = graft.TempDirs.create("graft_st21in")
       Tables.load(s, d, "embeddings")
         .filter(pmod(col("vec_id"), lit(2)) === 1)
         .select(col("vec_id"), col("embedding"))
@@ -628,7 +628,7 @@ object StreamMediaQueries {
 
   def ensureNewDocStream(s: SparkSession, d: String): String =
     newDocStreams.getOrElseUpdate(d, {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_st26in").toString
+      val tmp = graft.TempDirs.create("graft_st26in")
       Tables.load(s, d, "documents")
         .filter(graft.ops.TrainingPrep.hashBucket(col("doc_id"), 10) >= 8)
         .select(col("doc_id"), col("text"))
@@ -854,7 +854,7 @@ object StreamMediaQueries {
           .option("maxFilesPerTrigger", "1")
           .parquet(s"$inDir/part-*")
           .as[EventStream.Event]
-        val out = java.nio.file.Files.createTempDirectory("graft_st12o").toString
+        val out = graft.TempDirs.create("graft_st12o")
         // per-user GroupState is the highest-cardinality merging state
         // in the suite (one open session per active user): run on the
         // RocksDB provider — the 100 TB configuration, where state is
@@ -905,7 +905,7 @@ object StreamMediaQueries {
     ("st24_stream_late_audit",
       (s: SparkSession, d: String) => {
         val inDir = ensureLateAuditStream(s, d)
-        val out = java.nio.file.Files.createTempDirectory("graft_st24o").toString
+        val out = graft.TempDirs.create("graft_st24o")
         val stream = s.readStream.schema(EventStream.schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(s"$inDir/part-*")
@@ -1008,7 +1008,7 @@ object StreamMediaQueries {
     // exercised in the shipped path, not only in StreamingSpec.
     ("st06_stream_dedup",
       (s: SparkSession, d: String) => {
-        val out = java.nio.file.Files.createTempDirectory("graft_st06").toString
+        val out = graft.TempDirs.create("graft_st06")
         val ev = EventStream.readEvents(s, d)
         val atLeastOnce = ev.unionAll(ev)
         val deduped = atLeastOnce
@@ -1043,7 +1043,7 @@ object StreamMediaQueries {
     // O(store) per batch is the scale-killer the layout removes.
     ("st07_dedup_store",
       (s: SparkSession, d: String) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_st07").toString
+        val tmp = graft.TempDirs.create("graft_st07")
         val inDir = ensureDedupStreamInput(s, d)
         val docsStream = s.readStream
           .schema(org.apache.spark.sql.types.StructType(Seq(
@@ -1075,7 +1075,7 @@ object StreamMediaQueries {
     ("st25_store_snapshot",
       (s: SparkSession, d: String) => {
         val (store, _) = ensureBatchStore(s, d)
-        val tmp = java.nio.file.Files.createTempDirectory("graft_st25").toString
+        val tmp = graft.TempDirs.create("graft_st25")
         val dest = s"$tmp/snapshot"
         val version = graft.streaming.DedupStore.exportSnapshot(s, store, dest)
         val stamped = graft.streaming.DedupStore.snapshotSourceVersion(dest)
@@ -1107,7 +1107,7 @@ object StreamMediaQueries {
     // immutable input staging ([[ensureDedupStreamInput]]) is shared.
     ("st13_store_purge",
       (s: SparkSession, d: String) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_st13").toString
+        val tmp = graft.TempDirs.create("graft_st13")
         val docs = Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
         val inDir = ensureDedupStreamInput(s, d)
         val docsStream = s.readStream
@@ -1147,7 +1147,7 @@ object StreamMediaQueries {
     // sink-level integration at identical merge semantics.
     ("st14_store_sink",
       (s: SparkSession, d: String) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_st14").toString
+        val tmp = graft.TempDirs.create("graft_st14")
         val inDir = ensureDedupStreamInput(s, d)
         val docsStream = s.readStream
           .schema(org.apache.spark.sql.types.StructType(Seq(
@@ -1241,7 +1241,7 @@ object StreamMediaQueries {
         val idx = NorthStarQueries.ensureIvfIndex(s, d)
         val inDir = ensureQueryStream(s, d)
         val corpus = Tables.load(s, d, "embeddings").select("vec_id", "embedding")
-        val out = java.nio.file.Files.createTempDirectory("graft_st17o").toString
+        val out = graft.TempDirs.create("graft_st17o")
         import org.apache.spark.sql.types._
         val qstream = s.readStream
           .schema(StructType(Seq(StructField("vec_id", LongType),
@@ -1410,7 +1410,7 @@ object StreamMediaQueries {
     ("st22_store_replica_cdc",
       (s: SparkSession, d: String) => {
         val (store, cursor) = ensureBatchStore(s, d)
-        val tmp = java.nio.file.Files.createTempDirectory("graft_st22").toString
+        val tmp = graft.TempDirs.create("graft_st22")
         graft.streaming.CdcReplica.seed(
           Tables.load(s, d, "documents")
             .select(col("doc_id"), col("text"))
@@ -1447,7 +1447,7 @@ object StreamMediaQueries {
     // no-data batch is what flushes the last expirations.
     ("st23_outer_stream_join",
       (s: SparkSession, d: String) => {
-        val out = java.nio.file.Files.createTempDirectory("graft_st23").toString
+        val out = graft.TempDirs.create("graft_st23")
         val ev = EventStream.readEvents(s, d)
         val views = ev.filter(col("event_type") === "view")
           .select(col("user_id"), col("event_id").as("view_id"),
@@ -1504,7 +1504,7 @@ object StreamMediaQueries {
     ("st21_stream_index_append",
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.types._
-        val tmp = java.nio.file.Files.createTempDirectory("graft_st21").toString
+        val tmp = graft.TempDirs.create("graft_st21")
         val idx = s"$tmp/index"
         val emb = Tables.load(s, d, "embeddings").select("vec_id", "embedding")
         val base = ensureBaseIvfIndex(s, d)
@@ -1610,7 +1610,7 @@ object StreamMediaQueries {
     ("st26_stream_lsh_dedup",
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.types._
-        val tmp = java.nio.file.Files.createTempDirectory("graft_st26").toString
+        val tmp = graft.TempDirs.create("graft_st26")
         val idx = s"$tmp/bands"
         val base = NorthStarQueries.ensureBandIndex(s, d)
         val conf = s.sessionState.newHadoopConf()
@@ -1676,7 +1676,7 @@ object StreamMediaQueries {
     // flush and nothing would emit.
     ("st20_session_window",
       (s: SparkSession, d: String) => {
-        val out = java.nio.file.Files.createTempDirectory("graft_st20").toString
+        val out = graft.TempDirs.create("graft_st20")
         val sess = EventStream.readEvents(s, d)
           .withWatermark("event_time", "1 hour")
           .groupBy(col("user_id"),
@@ -1969,7 +1969,7 @@ object StreamMediaQueries {
     ("st29_stream_scd2",
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.types._
-        val tmp = java.nio.file.Files.createTempDirectory("graft_st29q").toString
+        val tmp = graft.TempDirs.create("graft_st29q")
         val in = ensureDimUpdateStream(s, d)
         val base = Tables.load(s, d, "customer")
           .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
@@ -2021,7 +2021,7 @@ object StreamMediaQueries {
     ("st33_temporal_enrich",
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.types._
-        val tmp = java.nio.file.Files.createTempDirectory("graft_st33q").toString
+        val tmp = graft.TempDirs.create("graft_st33q")
         val in = ensureDimUpdateStream(s, d)
         val base = Tables.load(s, d, "customer")
           .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
@@ -2088,7 +2088,7 @@ object StreamMediaQueries {
     // exact event_id checksum (one misrouted row breaks it).
     ("st28_stream_dead_letter",
       (s: SparkSession, d: String) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_st28").toString
+        val tmp = graft.TempDirs.create("graft_st28")
         val mainDir = s"$tmp/main"; val dlqDir = s"$tmp/dlq"
         val q = EventStream.readEvents(s, d)
           .select(col("event_id"), col("event_type"), col("value"))
@@ -2140,7 +2140,7 @@ object StreamMediaQueries {
     ("st30_stream_decontaminate",
       (s: SparkSession, d: String) => {
         import graft.ops.Dedup
-        val tmp = java.nio.file.Files.createTempDirectory("graft_st30").toString
+        val tmp = graft.TempDirs.create("graft_st30")
         val mainDir = s"$tmp/main"; val qDir = s"$tmp/quarantine"
         // the benchmark gram set is derived ONCE per run (localCheckpoint
         // materializes it — eval sets are bounded) and broadcast into
@@ -2219,7 +2219,7 @@ object StreamMediaQueries {
     ("st31_stream_priority_sample",
       (s: SparkSession, d: String) => {
         import graft.ops.{TextAnalysis, TrainingPrep}
-        val tmp = java.nio.file.Files.createTempDirectory("graft_st31").toString
+        val tmp = graft.TempDirs.create("graft_st31")
         val inDir = ensureDedupStreamInput(s, d)
         val schema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("doc_id",
@@ -2358,7 +2358,7 @@ object StreamMediaQueries {
           .parquet(s"$inDir/part-*")
           .as[EventStream.Event]
           .filter(_.event_type != "flush")
-        val out = java.nio.file.Files.createTempDirectory("graft_st35o").toString
+        val out = graft.TempDirs.create("graft_st35o")
         EventStream.runToFiles(s,
             EventStream.debounceStream(stream, 300L * 1000 * 1000).toDF(),
             s"$out/data", s"$out/ckpt")
@@ -2400,7 +2400,7 @@ object StreamMediaQueries {
           .parquet(s"$inDir/part-*")
           .as[EventStream.Event]
           .filter(_.event_type != "flush")
-        val out = java.nio.file.Files.createTempDirectory("graft_st36o").toString
+        val out = graft.TempDirs.create("graft_st36o")
         EventStream.runToFiles(s, EventStream.userSeqStream(stream).toDF(),
             s"$out/data", s"$out/ckpt")
           .filter(col("user_seq") % 7 === 0)
@@ -2433,7 +2433,7 @@ object StreamMediaQueries {
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.types._
         val in = ensureOrderStream(s, d)
-        val tmp = java.nio.file.Files.createTempDirectory("graft_st38q").toString
+        val tmp = graft.TempDirs.create("graft_st38q")
         val li = Tables.load(s, d, "lineitem")
           .select(col("l_orderkey").as("k"),
             round(col("l_quantity")).cast("long").as("qty"))
@@ -2481,7 +2481,7 @@ object StreamMediaQueries {
           .parquet(s"$inDir/part-*")
           .as[EventStream.Event]
           .filter(_.event_type != "flush")
-        val out = java.nio.file.Files.createTempDirectory("graft_st37o").toString
+        val out = graft.TempDirs.create("graft_st37o")
         EventStream.runToFiles(s, EventStream.zscoreStream(stream).toDF(),
             s"$out/data", s"$out/ckpt")
           .groupBy(col("event_type"))
@@ -2535,7 +2535,7 @@ object StreamMediaQueries {
           .option("maxFilesPerTrigger", "1")
           .parquet(s"$inDir/part-*")
           .as[EventStream.Hourly]
-        val out = java.nio.file.Files.createTempDirectory("graft_st34o").toString
+        val out = graft.TempDirs.create("graft_st34o")
         EventStream.runToFiles(s, EventStream.locfStream(stream).toDF(),
             s"$out/data", s"$out/ckpt")
           .orderBy(col("user_id"), col("hour_us"))
@@ -2574,7 +2574,7 @@ object StreamMediaQueries {
         import org.apache.spark.sql.types._
         import org.apache.spark.sql.expressions.Window
         val in = ensureLineitemStream(s, d)
-        val tmp = java.nio.file.Files.createTempDirectory("graft_st39q").toString
+        val tmp = graft.TempDirs.create("graft_st39q")
         def fold(df: DataFrame): DataFrame = df
           .groupBy(col("pk"), col("sk"))
           .agg(min(col("cost_c")).as("cost_c"), sum(col("avail")).as("avail"))
@@ -2645,7 +2645,7 @@ object StreamMediaQueries {
           .parquet(s"$inDir/part-*")
           .as[EventStream.Event]
           .filter(_.event_type != "flush")
-        val out = java.nio.file.Files.createTempDirectory("graft_st40o").toString
+        val out = graft.TempDirs.create("graft_st40o")
         val snaps = EventStream.runToFiles(s,
           EventStream.streakStream(stream).toDF(), s"$out/data", s"$out/ckpt")
         snaps.groupBy(col("user_id"))
@@ -2688,7 +2688,7 @@ object StreamMediaQueries {
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.types._
         val in = ensureLineitemStream(s, d)
-        val tmp = java.nio.file.Files.createTempDirectory("graft_st41q").toString
+        val tmp = graft.TempDirs.create("graft_st41q")
         val intervals = Tables.load(s, d, "orders")
           .select(col("o_orderpriority"),
             (round(col("o_totalprice") * 100).cast("long") - 100L).as("lo"),
@@ -2759,7 +2759,7 @@ object StreamMediaQueries {
           .parquet(s"$inDir/part-*")
           .as[EventStream.Event]
           .filter(_.event_type != "flush")
-        val out = java.nio.file.Files.createTempDirectory("graft_st42o").toString
+        val out = graft.TempDirs.create("graft_st42o")
         EventStream.runToFiles(s, EventStream.funnelStream(stream).toDF(),
             s"$out/data", s"$out/ckpt")
           .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
@@ -2890,7 +2890,7 @@ object StreamMediaQueries {
           .parquet(s"$inDir/part-*")
           .as[EventStream.Event]
           .filter(_.event_type != "flush")
-        val out = java.nio.file.Files.createTempDirectory("graft_st45o").toString
+        val out = graft.TempDirs.create("graft_st45o")
         EventStream.runToFiles(s,
             EventStream.cepStream(stream,
               6L * 3600 * 1000000L, 12L * 3600 * 1000000L).toDF(),
@@ -2993,7 +2993,7 @@ object StreamMediaQueries {
           .option("maxFilesPerTrigger", "1")
           .parquet(s"$inDir/*.parquet")
           .as[graft.streaming.IntervalCoverage.Iv]
-        val out = java.nio.file.Files.createTempDirectory("graft_st47o").toString
+        val out = graft.TempDirs.create("graft_st47o")
         EventStream.runToFiles(s,
             graft.streaming.IntervalCoverage.coverageStream(stream).toDF(),
             s"$out/data", s"$out/ckpt")
@@ -3151,7 +3151,7 @@ object StreamMediaQueries {
           ("view", 168L * 3600 * 1000000L),
           ("click", 6L * 3600 * 1000000L),
           ("purchase", 12L * 3600 * 1000000L))
-        val out = java.nio.file.Files.createTempDirectory("graft_st49o").toString
+        val out = graft.TempDirs.create("graft_st49o")
         EventStream.runToFiles(s,
             EventStream.cepPatternStream(stream, pattern).toDF(),
             s"$out/data", s"$out/ckpt")
@@ -3197,7 +3197,7 @@ object StreamMediaQueries {
           .option("maxFilesPerTrigger", "1")
           .parquet(s"$inDir/*.parquet")
           .as[graft.streaming.IntervalCoverage.Iv]
-        val out = java.nio.file.Files.createTempDirectory("graft_st50o").toString
+        val out = graft.TempDirs.create("graft_st50o")
         EventStream.runToFiles(s,
             graft.streaming.IntervalCoverage
               .coverageStreamWatermarked(stream, st50SlackDays).toDF(),
@@ -3253,7 +3253,7 @@ object StreamMediaQueries {
             .parquet(s"$inDir/part-*")
             .as[EventStream.Event]
             .filter(_.event_type != "flush")
-          val out = java.nio.file.Files.createTempDirectory("graft_st51o").toString
+          val out = graft.TempDirs.create("graft_st51o")
           EventStream.runToFiles(s,
               EventStream.typeSeqStream(stream).toDF(),
               s"$out/data", s"$out/ckpt")
@@ -3376,7 +3376,7 @@ object StreamMediaQueries {
             .option("maxFilesPerTrigger", "1")
             .parquet(s"$inDir/*.parquet")
             .as[EventStream.Event]
-          val out = java.nio.file.Files.createTempDirectory("graft_st54o").toString
+          val out = graft.TempDirs.create("graft_st54o")
           EventStream.runToFiles(s,
               EventStream.timerSessionStream(stream,
                 EventStream.SessionGapMicros).toDF(),
@@ -3431,7 +3431,7 @@ object StreamMediaQueries {
             .parquet(s"$inDir/part-*")
             .as[EventStream.Event]
             .filter(_.event_type != "flush")
-          val out = java.nio.file.Files.createTempDirectory("graft_st55o").toString
+          val out = graft.TempDirs.create("graft_st55o")
           EventStream.runToFiles(s,
               EventStream.recentActivityStream(stream, nDays = 7,
                 org.apache.spark.sql.streaming.TTLConfig(
@@ -3651,7 +3651,7 @@ object StreamMediaQueries {
             .option("maxFilesPerTrigger", "1")
             .parquet(s"$inDir/part-*") // tiles only: pushers are z*_push
             .as[EventStream.Event]
-          val out = java.nio.file.Files.createTempDirectory("graft_st59o").toString
+          val out = graft.TempDirs.create("graft_st59o")
           val drained = EventStream.runToFiles(s,
             EventStream.timerSessionStream(stream,
               EventStream.SessionGapMicros).toDF(),

@@ -1100,7 +1100,7 @@ object TrainingPrepQueries {
     // watermark-finalized windows land in the sink.
     ("st04_stream_file_drain",
       (s: SparkSession, d: String) => {
-        val out = java.nio.file.Files.createTempDirectory("graft_st04").toString
+        val out = graft.TempDirs.create("graft_st04")
         EventStream.runToFiles(s,
             EventStream.hourlyCounts(EventStream.readEvents(s, d)),
             s"$out/data", s"$out/ckpt")

@@ -731,11 +731,19 @@ object EventStream {
     * watermark-respecting feed every event that could still extend the
     * session has already arrived.
     *
-    * State per user: three scalars + one armed timer. Late data BELOW
-    * the watermark (an event older than an already-flushed session's
-    * end) is the one input this cannot reconcile — it anchors a fresh
-    * session, exactly the watermark contract every event-time operator
-    * carries. */
+    * State per user: three scalars + one armed timer. Disorder handling,
+    * precisely: rows BELOW the watermark are dropped by the engine and
+    * never reach the processor (the watermark contract every event-time
+    * operator carries — a flushed session cannot be reopened, because no
+    * row old enough to belong to it is ever delivered). A row that IS
+    * delivered but lands out of order against the user's open session
+    * (its `ts` below the in-state `last_ts` — an above-watermark
+    * disorder the feed promised not to produce) does NOT anchor a fresh
+    * session: [[gapSessionFold]] throws, loudly, because silently
+    * re-anchoring would double-count the overlapped span. After a flush
+    * clears the state, the next delivered row anchors a fresh session
+    * regardless of its ts — by then the watermark guarantees it is
+    * later than the flushed session's deadline. */
   /** The pure per-batch session step [[TimerSessionProcessor]] runs:
     * fold one batch of a user's in-order events over the open-session
     * state, returning the new open session and the sessions CLOSED by
