@@ -63,6 +63,43 @@ object ScaleJoins {
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1"))(body)
 
+  /** Run `body` under runtime bloom-filter join settings that let the
+    * optimizer's InjectRuntimeFilter fire at fixture scale (q172):
+    * a selective dim→fact shuffle join gets a bloom filter BUILT from
+    * the dim side's join keys at runtime and PUSHED into the fact
+    * side's scan-adjacent filter, so most fact rows drop before the
+    * shuffle — the complement of dynamic partition pruning for the
+    * case where the fact table is NOT partitioned by the join key
+    * (DPP skips directories; the bloom filter skips rows). Production
+    * keeps the 10 GB application-side floor — at 100 TB the fact scan
+    * clears it naturally; the demo floors it to 0 because the fixture
+    * fact is small. Broadcast is disabled on both planner and AQE
+    * thresholds because the rule only injects into probably-shuffle
+    * joins (a broadcast join already prunes at the hash probe).
+    * Every conf is restored after `body`. */
+  def withBloomJoinDemo[T](s: SparkSession)(body: => T): T =
+    graft.Confs.withConfs(s, Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1"))(body)
+
+  /** Run `body` with storage-partitioned joins enabled (q173): a DSv2
+    * scan reporting `KeyGroupedPartitioning` satisfies the join's
+    * distribution requirement as stored, so the planner omits the
+    * Exchange on both sides. `pushPartValues` covers key sets that
+    * don't align exactly (a key present on one side only gets an empty
+    * split instead of forcing a shuffle). Broadcast is disabled so the
+    * demo genuinely plans the shuffle-free sort-merge join — at real
+    * scale both sides are facts and broadcast was never on the table.
+    * Every conf is restored after `body`. */
+  def withSpjDemo[T](s: SparkSession)(body: => T): T =
+    graft.Confs.withConfs(s, Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1"))(body)
+
   /** Min-max-normalized 16-bit-per-dimension Z-value for a 2-D sort key
     * ([[graft.functions.ZOrder2]]): each column linearly rescales to
     * 0..65535 from its data min/max (exact integer arithmetic —

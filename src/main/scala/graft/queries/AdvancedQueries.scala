@@ -48,6 +48,36 @@ object AdvancedQueries {
       tmp
     })
 
+  /** q171's landing-zone staging: the q164 fixture lines shredded
+    * through `try_parse_json` and persisted as a parquet table with a
+    * real VariantType column `(doc_id, v)` — parse exactly once, at
+    * ingest. Write-once per (JVM, sf): the landing table is the
+    * deployment artifact (at 100 TB it is written by the ingest job
+    * and probed by every later query), so its construction is setup,
+    * not query work. NULL variants (the every-13th truncated line)
+    * persist as NULL — the quarantine survives storage. */
+  private val variantLandingDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def ensureVariantLanding(s: SparkSession, d: String): String =
+    variantLandingDirs.getOrElseUpdate(d, {
+      val tmp = graft.TempDirs.create("graft_q171")
+      val base = concat(lit("{\"id\":"), col("doc_id"),
+        lit(",\"meta\":{\"src\":\""), col("source"), lit("\""),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(",\"score\":"), col("doc_id") % 97)).otherwise(lit("")),
+        lit("},\"tags\":["), col("doc_id") % 5, lit(","),
+        col("doc_id") % 7, lit("]}"))
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, substring(base, 1, 10))
+            .otherwise(base).as("js"))
+        .select(col("doc_id"), try_parse_json(col("js")).as("v"))
+        .write.mode("overwrite").parquet(s"$tmp/landing")
+      s"$tmp/landing"
+    })
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
     // ---- staged funnel: ordered event-sequence conversion -----------------
@@ -4983,5 +5013,75 @@ object AdvancedQueries {
              |  CAST(COUNT(*) AS BIGINT) AS n,
              |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
              |FROM m GROUP BY 1 ORDER BY source_ci""".stripMargin)),
+
+    // ---- persisted VARIANT landing zone -----------------------------------------
+    // The STORAGE half of the shredding story q164 only promises: q164
+    // parses and extracts in one plan, so every probe re-pays the JSON
+    // parse. Here the landing table persists the VARIANT column itself
+    // to parquet — parse ONCE at ingest (`ensureVariantLanding`, the
+    // write-once deployment artifact), then every later query reads the
+    // variant BINARY back and extracts typed paths with no re-parse:
+    // the scan's ReadSchema shreds the probed paths into a typed struct
+    // (`v:struct<…>`), so parquet reads just those subcolumns — the
+    // part of VARIANT that actually pays at 100 TB, where the landing
+    // zone is written once and probed thousands of times. NULL variants
+    // (parse failures) persist too: quarantine stays queryable forever,
+    // not just at ingest. Same aggregate and DuckDB-JSON oracle as
+    // q164; ScaleSpec pins the read-back plan (one FileScan, zero
+    // parse_json, shredded ReadSchema).
+    ("q171_variant_persist",
+      (s: SparkSession, d: String) => {
+        val landing = ensureVariantLanding(s, d)
+        s.read.parquet(landing)
+          .select(
+            variant_get(col("v"), "$.meta.src", "string").as("src"),
+            variant_get(col("v"), "$.id", "long").as("id"),
+            try_variant_get(col("v"), "$.meta.score", "long").as("score"),
+            variant_get(col("v"), "$.tags[1]", "long").as("tag1"),
+            col("v").isNull.cast("long").as("bad"))
+          .groupBy(col("src"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("bad")).as("n_quarantined"),
+            sum(col("id")).as("id_sum"),
+            count(col("score")).as("n_scored"),
+            sum(col("score")).as("score_sum"),
+            sum(col("tag1")).as("tag1_sum"))
+          .orderBy(col("src"))
+      },
+      Some("""WITH raw AS (
+             |  SELECT doc_id,
+             |    '{"id":' || CAST(doc_id AS VARCHAR) || ',"meta":{"src":"'
+             |    || source || '"' ||
+             |    CASE WHEN doc_id % 3 = 0
+             |      THEN ',"score":' || CAST(doc_id % 97 AS VARCHAR)
+             |      ELSE '' END ||
+             |    '},"tags":[' || CAST(doc_id % 5 AS VARCHAR) || ',' ||
+             |    CAST(doc_id % 7 AS VARCHAR) || ']}' AS j
+             |  FROM documents),
+             |lines AS (
+             |  SELECT CASE WHEN doc_id % 13 = 0 THEN substring(j, 1, 10)
+             |    ELSE j END AS js
+             |  FROM raw),
+             |p AS (
+             |  SELECT
+             |    CASE WHEN json_valid(js)
+             |      THEN json_extract_string(js, '$.meta.src') END AS src,
+             |    CASE WHEN json_valid(js)
+             |      THEN CAST(json_extract(js, '$.id') AS BIGINT) END AS id,
+             |    CASE WHEN json_valid(js)
+             |      THEN TRY_CAST(json_extract(js, '$.meta.score') AS BIGINT)
+             |      END AS score,
+             |    CASE WHEN json_valid(js)
+             |      THEN CAST(json_extract(js, '$.tags[1]') AS BIGINT)
+             |      END AS tag1,
+             |    CASE WHEN json_valid(js) THEN 0 ELSE 1 END AS bad
+             |  FROM lines)
+             |SELECT src, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(bad) AS BIGINT) AS n_quarantined,
+             |  CAST(SUM(id) AS BIGINT) AS id_sum,
+             |  CAST(COUNT(score) AS BIGINT) AS n_scored,
+             |  CAST(SUM(score) AS BIGINT) AS score_sum,
+             |  CAST(SUM(tag1) AS BIGINT) AS tag1_sum
+             |FROM p GROUP BY 1 ORDER BY src""".stripMargin)),
   )
 }

@@ -1,5 +1,7 @@
 package graft.queries
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -64,6 +66,74 @@ object ScaleJoinQueries {
     li.join(part, "l_partkey")
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+  }
+
+  /** q172's join body, shared with ScaleSpec's bloom-plan assertion:
+    * a selective dim (urgent 1996-Q1 orders) against the lineitem fact
+    * on the JOIN key, not a partition column — the shape where dynamic
+    * partition pruning cannot help (no l_orderkey directory layout
+    * exists or could: the key is high-cardinality) and the runtime
+    * bloom filter is the only scan-side prune available. Under
+    * [[ScaleJoins.withBloomJoinDemo]] the optimizer builds a bloom
+    * filter over the dim's o_orderkey at runtime and injects
+    * `might_contain` into the fact side BELOW the shuffle, so the
+    * ~95% of lineitem rows whose order doesn't qualify drop at the
+    * scan instead of shuffling — at 100 TB that is the difference
+    * between shuffling the whole fact table and ~5% of it. */
+  private[graft] def q172Join(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.load(s, d, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_quantity")
+    val ord = Tables.load(s, d, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("o_orderkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+  }
+
+  /** q173's key-partitioned layout: customer and supplier re-staged
+    * into [[graft.sources.KeyedPartitionSource]]'s `k=<nationkey>`
+    * directory format — write-once per (JVM, sf), the q45 bucketed-
+    * tables rule (the layout is the deployment artifact; the query
+    * times the shuffle-free join, not the one-off re-layout). */
+  private val keyedLayoutDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[graft] def ensureKeyedLayout(s: SparkSession, d: String): String =
+    keyedLayoutDirs.getOrElseUpdate(d, {
+      import graft.sources.KeyedPartitionSource
+      val tmp = graft.TempDirs.create("graft_spj")
+      def stage(table: String, key: String, id: String, label: String,
+                sub: String): Unit =
+        KeyedPartitionSource.stage(s"$tmp/$sub",
+          Tables.load(s, d, table)
+            .select(col(key).cast("long"), col(id).cast("long"), col(label))
+            .toLocalIterator().asScala
+            .map(r => (r.getLong(0), r.getLong(1), r.getString(2))))
+      stage("customer", "c_nationkey", "c_custkey", "c_mktsegment", "cust")
+      stage("supplier", "s_nationkey", "s_suppkey", "s_name", "supp")
+      tmp
+    })
+
+  /** q173's join body, shared with ScaleSpec's zero-Exchange
+    * assertion: both sides read through the SPJ-reporting source, the
+    * equi-join key IS the storage key, and the post-join aggregate
+    * groups on it too — under [[ScaleJoins.withSpjDemo]] the whole
+    * plan runs without a single Exchange. */
+  private[graft] def q173Join(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureKeyedLayout(s, d)
+    def readKeyed(sub: String) =
+      s.read.format("graft.sources.KeyedPartitionSource")
+        .option("path", s"$dir/$sub").load()
+    val cust = readKeyed("cust")
+    val supp = readKeyed("supp")
+      .withColumnRenamed("id", "s_id").withColumnRenamed("label", "s_label")
+    cust.join(supp, "key")
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("id") + col("s_id")).as("id_sum"))
   }
 
   /** q47's derived sketch capacity, once per sf dir (it is a property
@@ -132,6 +202,64 @@ object ScaleJoinQueries {
       },
       Some("""SELECT p_brand, COUNT(*) AS n_items, SUM(l_quantity) AS sum_qty
              |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- runtime bloom-filter join (scan-side row pruning) ----------------
+    // The third member of the runtime-pruning family: q82's DPP skips
+    // PARTITIONS when the fact is laid out by the join key's proxy;
+    // AQE skew-split (q65) re-plans the SHUFFLE; this prunes ROWS when
+    // neither applies — the fact is joined on a high-cardinality key
+    // no layout covers. InjectRuntimeFilter builds a bloom filter from
+    // the selective dim side at runtime and pushes might_contain into
+    // the fact scan's filter, below the shuffle ([[q172Join]] scaladoc
+    // for the scale arithmetic). Result-transparent by construction —
+    // bloom false positives only let extra rows reach the join, which
+    // drops them — so the oracle is the plain join; the injected
+    // might_contain + the fact-side prune are pinned in ScaleSpec.
+    // Same q65 materialization rule: the filter is injected at
+    // OPTIMIZATION time, so the confs must be live when the job runs,
+    // hence the parquet round-trip inside the demo-conf scope.
+    ("q172_bloom_join",
+      (s: SparkSession, d: String) => {
+        val out = graft.TempDirs.create("graft_bloomjoin")
+        ScaleJoins.withBloomJoinDemo(s) {
+          q172Join(s, d).write.mode("overwrite").parquet(out)
+        }
+        s.read.parquet(out).orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n_items, SUM(l_quantity) AS sum_qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderpriority = '1-URGENT'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1996-04-01'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- storage-partitioned join (connector-reported co-location) --------
+    // q45 eliminates the join shuffle through the session catalog's
+    // bucket handshake; this eliminates it through CONNECTOR METADATA:
+    // [[graft.sources.KeyedPartitionSource]] reports
+    // KeyGroupedPartitioning(identity(key)) from its k=<key> layout,
+    // and under spark.sql.sources.v2.bucketing the planner accepts the
+    // storage partitioning as the join's clustered distribution — the
+    // fact⋈fact equi-join AND the post-join groupBy(key) plan with
+    // ZERO Exchange (pinned in ScaleSpec). This is how Iceberg/Delta
+    // hand Spark shuffle-free joins at 100 TB: no catalog table, no
+    // bucket metadata — the source itself owns the layout contract.
+    // The oracle replays the same join from the original tables; the
+    // layout is re-staged through the source, so equality also
+    // certifies the TSV round-trip. q65's materialization rule: SPJ is
+    // a planner decision, so the confs must be live at execution.
+    ("q173_spj_join",
+      (s: SparkSession, d: String) => {
+        val out = graft.TempDirs.create("graft_spjout")
+        ScaleJoins.withSpjDemo(s) {
+          q173Join(s, d).write.mode("overwrite").parquet(out)
+        }
+        s.read.parquet(out).orderBy(col("key"))
+      },
+      Some("""SELECT c_nationkey AS key, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             |  CAST(SUM(c_custkey + s_suppkey) AS BIGINT) AS id_sum
+             |FROM customer JOIN supplier ON c_nationkey = s_nationkey
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- bucketed co-located join (shuffle-free at scale) -----------------

@@ -1692,4 +1692,62 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"vocab selection must be a bounded top-k, not a global sort:\n${plan.take(4000)}")
   }
+
+  test("q171 variant read-back: one FileScan, no re-parse, probed paths shredded into the read schema") {
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q171_variant_persist")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the landing zone was parsed ONCE at ingest (staging); the
+    // read-back plan must touch the variant binary only — any
+    // parse_json here means the storage half of the shredding story
+    // regressed to q164's parse-per-query shape
+    assert(!plan.contains("parse_json"),
+      s"read-back must not re-parse JSON:\n${plan.take(3000)}")
+    assert("FileScan".r.findAllIn(plan).length == 1,
+      s"read-back must scan the landing table once:\n${plan.take(3000)}")
+    // variant shredding pushes the probed paths into the parquet read
+    // schema as a typed struct — the scan decodes just those
+    // subcolumns, never the full value tree (the scan's ReadSchema
+    // prints v:struct<…>, one typed field per probed path, NOT
+    // v:variant)
+    assert(plan.contains("v:struct<"),
+      s"probed paths must shred into a typed struct at the scan:\n${plan.take(3000)}")
+    assert(!plan.contains("v:variant"),
+      s"the scan must not rehydrate the whole variant:\n${plan.take(3000)}")
+    assert(plan.contains("partial_"),
+      s"aggregation must combine map-side:\n${plan.take(3000)}")
+  }
+
+  test("q172 bloom join: the runtime bloom filter lands in the fact side below the shuffle") {
+    spark.catalog.clearCache()
+    ScaleJoins.withBloomJoinDemo(spark) {
+      val df = graft.queries.ScaleJoinQueries.q172Join(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      // InjectRuntimeFilter builds a bloom filter over the selective
+      // dim's keys and probes it in the fact side's filter — the rows
+      // drop BEFORE the join's exchange, which is the whole point
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom probe in the plan:\n${plan.take(5000)}")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"the demo join must be a shuffle join (broadcast already prunes):\n${plan.take(5000)}")
+    }
+  }
+
+  test("q173 SPJ: connector-reported key grouping plans join AND aggregate with zero Exchange") {
+    spark.catalog.clearCache()
+    ScaleJoins.withSpjDemo(spark) {
+      val df = graft.queries.ScaleJoinQueries.q173Join(spark, sf)
+      val plan = planOf(df)
+      // KeyGroupedPartitioning from the DSv2 scans satisfies the
+      // join's clustered distribution as stored; the groupBy(key)
+      // inherits it — not one Exchange anywhere in the plan
+      assert(!plan.contains("Exchange"),
+        s"storage-partitioned join must not shuffle:\n${plan.take(5000)}")
+      assert(plan.contains("SortMergeJoin"),
+        s"expected the shuffle-free sort-merge join:\n${plan.take(5000)}")
+    }
+  }
 }
