@@ -3690,5 +3690,187 @@ object StreamMediaQueries {
              |  CAST(MAX(tu) AS BIGINT) AS last_ts
              |FROM g GROUP BY user_id, grp
              |ORDER BY user_id, anchor_ts""".stripMargin)),
+
+    // ---- state changelog CDC read (the audit trail of the operator) -------------
+    // st59 reads the state SNAPSHOT; this reads its HISTORY: with
+    // RocksDB changelog checkpointing on, the statestore source's
+    // readChangeFeed replays every per-batch state write (update /
+    // delete) the operator ever made — the audit trail an on-call
+    // engineer greps when a key's state looks wrong, WITHOUT replaying
+    // the query. Individual change records are tiling-dependent (WHICH
+    // batch grew a session depends on arrival), but their FOLD is not:
+    // last change per key wins, delete clears — reconstructing exactly
+    // the open-session set, and sink ∪ folded-changelog is the same
+    // complete session set st59 certifies (the st54 gaps-and-islands
+    // oracle). Drains the tiles WITHOUT watermark pushers so final
+    // sessions live in the changelog's tail, and the fold must prove
+    // both regimes: users whose last record is an update (still open)
+    // and users with interior deletes (event-path flush + re-anchor).
+    ("st60_state_changelog",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val inDir = ensureTimerSessionStream(s, d)
+        EventStream.withRocksDBState(s) {
+          graft.Confs.withConfs(s, Seq(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+              -> "true")) {
+            val stream = s.readStream.schema(EventStream.schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(s"$inDir/part-*")
+              .as[EventStream.Event]
+            val out = graft.TempDirs.create("graft_st60o")
+            val drained = EventStream.runToFiles(s,
+              EventStream.timerSessionStream(stream,
+                EventStream.SessionGapMicros).toDF(),
+              s"$out/data", s"$out/ckpt")
+            val changes = s.read.format("statestore")
+              .option("path", s"$out/ckpt")
+              .option("stateVarName", "sess")
+              .option("readChangeFeed", "true")
+              .option("changeStartBatchId", "0")
+              .load()
+              .select(col("batch_id"), col("change_type"),
+                col("key.value").as("user_id"),
+                col("value._1").as("anchor_ts"),
+                col("value._2").as("n_events"),
+                col("value._3").as("last_ts"))
+            // fold the changelog: the LAST write per user wins (the
+            // processor writes sess at most once per batch — update at
+            // the end of handleInputRows or delete in the timer path,
+            // never both, so (user, batch) is unique); an open session
+            // is a final 'update', a closed one ends in 'delete'
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("user_id")).orderBy(col("batch_id").desc)
+            val open = changes
+              .withColumn("rn", row_number().over(w))
+              .filter(col("rn") === 1 && col("change_type") === "update")
+              .select("user_id", "anchor_ts", "n_events", "last_ts")
+            drained.select("user_id", "anchor_ts", "n_events", "last_ts")
+              .unionByName(open)
+              .orderBy(col("user_id"), col("anchor_ts"))
+          }
+        }
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS tu
+             |  FROM events),
+             |m AS (
+             |  SELECT user_id, tu, event_id,
+             |    CASE WHEN lag(tu) OVER w IS NULL
+             |           OR tu - lag(tu) OVER w > 1800000000
+             |         THEN 1 ELSE 0 END AS brk
+             |  FROM e
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)),
+             |g AS (
+             |  SELECT user_id, tu,
+             |    SUM(brk) OVER (PARTITION BY user_id ORDER BY tu, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS grp
+             |  FROM m)
+             |SELECT user_id, CAST(MIN(tu) AS BIGINT) AS anchor_ts,
+             |  CAST(COUNT(*) AS BIGINT) AS n_events,
+             |  CAST(MAX(tu) AS BIGINT) AS last_ts
+             |FROM g GROUP BY user_id, grp
+             |ORDER BY user_id, anchor_ts""".stripMargin)),
+
+    // ---- ListState: bounded trailing-K context buffer ---------------------------
+    // The last transformWithState variable type
+    // ([[EventStream.RecentTypesProcessor]]): per user, a ListState of
+    // the previous k−1 event types — an ORDERED recent-K window, the
+    // shape MapState (unordered) and ValueState (whole-value rewrite)
+    // don't give. Emits per event the '>'-joined last-3-types context
+    // (placeholder '_' while history is short) — the training rows of
+    // a next-event/Markov model, maintained at ingest with k−1 short
+    // strings of state per user regardless of history length. Output
+    // is a pure function of per-user event order, so the ts-range
+    // tiled drain is arrival-invariant; the batch lag-window oracle
+    // certifies every row.
+    ("st61_liststate_context",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val inDir = ensureTimerSessionStream(s, d)
+        EventStream.withRocksDBState(s) {
+          val stream = s.readStream.schema(EventStream.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(s"$inDir/part-*") // tiles only: pushers are z*_push
+            .as[EventStream.Event]
+          val out = graft.TempDirs.create("graft_st61o")
+          EventStream.runToFiles(s,
+              EventStream.recentPatternStream(stream, k = 3).toDF(),
+              s"$out/data", s"$out/ckpt")
+            .orderBy(col("event_id"))
+        }
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS tu
+             |  FROM events)
+             |SELECT event_id, user_id,
+             |  COALESCE(lag(event_type, 2) OVER w, '_') || '>' ||
+             |  COALESCE(lag(event_type, 1) OVER w, '_') || '>' ||
+             |  event_type AS pattern
+             |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)
+             |ORDER BY event_id""".stripMargin)),
+
+    // ---- dynamic-gap session windows ---------------------------------------------
+    // st20's built-in sessionizer with the gap AS AN EXPRESSION:
+    // `session_window(ts, gapExpr)` lets each event carry its own idle
+    // timeout (views go stale in 15 min, other engagement holds a
+    // session 45) — the per-event-type tuning a fixed gap can't
+    // express, still with engine-owned merging state and watermark
+    // closure. Merge semantics generalize st20's: an event's window is
+    // [t, t+gap(event)); windows merge on strict overlap, so a session
+    // ends at max(t_i + gap_i) and a successor starting at-or-past
+    // that end opens a new one — mirrored in the oracle by the running
+    // max of per-event ends (gaps-and-islands, break on t ≥ max prev
+    // end). Same append-mode file drain and finalized-set predicate
+    // (session_end ≤ final watermark) as st20.
+    ("st62_dynamic_gap_sessions",
+      (s: SparkSession, d: String) => {
+        val out = graft.TempDirs.create("graft_st62")
+        val gap = when(col("event_type") === "view", lit("15 minutes"))
+          .otherwise(lit("45 minutes"))
+        val sess = EventStream.readEvents(s, d)
+          .withWatermark("event_time", "1 hour")
+          .groupBy(col("user_id"),
+            session_window(col("event_time"), gap).as("w"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            col("w.start").as("session_start"),
+            col("w.end").as("session_end"), col("n_events"))
+        EventStream.withRocksDBState(s) {
+          EventStream.runToFiles(s, sess, s"$out/data", s"$out/ckpt")
+        }.orderBy(col("user_id"), col("session_start"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t,
+             |    CASE WHEN event_type = 'view' THEN INTERVAL 15 MINUTE
+             |         ELSE INTERVAL 45 MINUTE END AS g
+             |  FROM events),
+             |r AS (
+             |  SELECT user_id, event_id, t, g,
+             |    max(t + g) OVER (PARTITION BY user_id ORDER BY t, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS prev_end
+             |  FROM e),
+             |m AS (
+             |  SELECT user_id, event_id, t, g,
+             |    CASE WHEN prev_end IS NULL OR t >= prev_end
+             |      THEN 1 ELSE 0 END AS brk
+             |  FROM r),
+             |s AS (
+             |  SELECT user_id, t, g,
+             |    SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM m),
+             |agg AS (
+             |  SELECT user_id, min(t) AS session_start,
+             |    max(t + g) AS session_end, COUNT(*) AS n_events
+             |  FROM s GROUP BY user_id, sid),
+             |wm AS (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR AS w
+             |       FROM events)
+             |SELECT user_id, session_start, session_end, n_events
+             |FROM agg, wm WHERE session_end <= wm.w
+             |ORDER BY user_id, session_start""".stripMargin)),
   )
 }

@@ -686,6 +686,78 @@ object EventStream {
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
+  /** Per-event trailing-type context: `pattern` = the event types of
+    * the last `k` events for the user (oldest first, `_` placeholders
+    * while history is shorter than k), '>'-joined — the last-K context
+    * row a Markov / next-event model trains on. */
+  case class RecentPattern(event_id: Long, user_id: Long, pattern: String)
+
+  /** ListState face of transformWithState (the one state-variable type
+    * [[TtlRecentProcessor]]'s MapState and the session processors'
+    * ValueState don't cover): per user, a bounded trailing buffer of
+    * the last `k − 1` event types, appended on every event and trimmed
+    * by rewrite (`put`) — the canonical ListState use, a recent-K
+    * window whose ORDER matters (MapState has no order; a ValueState
+    * of a concatenated string would re-encode the whole buffer per
+    * read anyway, losing the store's per-element append).
+    *
+    * State per user is k − 1 short strings — bounded by construction,
+    * independent of history length, which is what makes a last-K
+    * context maintainable on a 100 TB feed where full per-user
+    * histories are not. Output is a pure function of the user's
+    * in-order event sequence (no timers, no watermark coupling), so
+    * any arrival tiling that preserves per-user order drains the
+    * identical row set — the property the st61 batch window-function
+    * oracle certifies. Same ordered-arrival contract and loud
+    * (ts, event_id) guard as [[TtlRecentProcessor]]. */
+  class RecentTypesProcessor(k: Int)
+      extends StatefulProcessor[Long, Event, RecentPattern] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.ListState
+    @transient private var recent: ListState[String] = _
+    @transient private var guard: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      recent = getHandle.getListState[String]("recent", Encoders.STRING,
+        TTLConfig.NONE)
+      guard = getHandle.getValueState[(Long, Long)]("guard",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+    }
+
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[RecentPattern] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts, e.event_id))
+      var buf = recent.get().toVector // ≤ k−1 entries, oldest first
+      val out = sorted.map { e =>
+        val (lastTs, lastId) =
+          if (guard.exists()) guard.get() else (Long.MinValue, Long.MinValue)
+        if (lastTs != Long.MinValue &&
+            (e.ts < lastTs || (e.ts == lastTs && e.event_id <= lastId)))
+          throw new IllegalStateException(
+            s"recentPatternStream: out-of-order arrival for user $uid " +
+              s"(got (ts, id) (${e.ts}, ${e.event_id}) after " +
+              s"($lastTs, $lastId))")
+        guard.update((e.ts, e.event_id))
+        val ctx = (Vector.fill(k - 1 - buf.length)("_") ++ buf) :+ e.event_type
+        buf = (buf :+ e.event_type).takeRight(k - 1)
+        RecentPattern(e.event_id, uid, ctx.mkString(">"))
+      }
+      // one bounded rewrite per (user, batch): ≤ k−1 elements
+      recent.put(buf.toArray)
+      out.iterator
+    }
+  }
+
+  /** Per-event last-`k`-types context rows via [[RecentTypesProcessor]].
+    * TimeMode.None — no timers, no watermark; requires the RocksDB
+    * provider like every transformWithState operator. */
+  def recentPatternStream(events: Dataset[Event], k: Int): Dataset[RecentPattern] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RecentTypesProcessor(k),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** One closed idle session, keyed by (user_id, anchor_ts) — the
     * batch-boundary-invariant identity: a session is named by its
     * FIRST event's timestamp, so the flush that closes it (an

@@ -1631,6 +1631,119 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState: the ListState buffer survives a drain restart") {
+    import spark.implicits._
+    // the named-variable restart contract extended to ListState: the
+    // trailing-type buffer is a DISTINCT column family in the
+    // checkpoint, so a restarted drain must emit patterns that reach
+    // back across the restart boundary — event 3's context can only
+    // contain w0's types if the list (and its order) was restored
+    graft.streaming.EventStream.withRocksDBState(spark) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_lsrestart").toString
+      val in = new java.io.File(s"$tmp/in"); in.mkdirs()
+      def stage(rows: Seq[(Long, Long, Long, String)], name: String): Unit = {
+        val sd = s"$tmp/stage_$name"
+        rows.map { case (id, ts, uid, ty) => (id, ts, uid, ty, 0.0, "") }
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(sd)
+        val part = new java.io.File(sd).listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(in, s"$name.parquet").toPath)
+      }
+      def drain(): org.apache.spark.sql.DataFrame = {
+        val stream = spark.readStream.schema(EventStream.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$in/*.parquet")
+          .as[EventStream.Event]
+        graft.streaming.EventStream.runToFiles(spark,
+          EventStream.recentPatternStream(stream, k = 3).toDF(),
+          s"$tmp/data", s"$tmp/ckpt")
+      }
+      stage(Seq((1L, 10L, 5L, "view"), (2L, 20L, 5L, "click")), "w0")
+      drain()
+      stage(Seq((3L, 30L, 5L, "buy")), "w1")
+      val rows = drain().orderBy("event_id")
+        .select("event_id", "pattern")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.toSeq == Seq((1L, "_>_>view"), (2L, "_>view>click"),
+        (3L, "view>click>buy")),
+        s"restart must resume the ListState buffer in order: ${rows.toSeq}")
+    }
+  }
+
+  test("statestore time travel: batchId reads the state as of an interior micro-batch") {
+    import spark.implicits._
+    // point-in-time state forensics — the batchId option reconstructs
+    // the store as of an EARLIER committed batch, so an on-call
+    // engineer can bisect WHEN a key's state went wrong without
+    // replaying the query. Certified against the known per-batch
+    // session growth: after batch b, user 5's open session has seen
+    // exactly b+1 events; and the armed timer read at an interior
+    // batch must sit at that batch's deadline, not the final one.
+    graft.streaming.EventStream.withRocksDBState(spark) {
+      val H = 3600L * 1000000L
+      val tmp = java.nio.file.Files.createTempDirectory("graft_statett").toString
+      val in = new java.io.File(s"$tmp/in"); in.mkdirs()
+      def stage(rows: Seq[(Long, Long, Long)], name: String): Unit = {
+        val sd = s"$tmp/stage_$name"
+        rows.map { case (id, ts, uid) => (id, ts, uid, "view", 0.0, "") }
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(sd)
+        val part = new java.io.File(sd).listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(in, s"$name.parquet").toPath)
+      }
+      // user 5's session grows by one event per batch, then the pusher
+      // fires its timer (the state delete) in the last batch
+      stage(Seq((1L, H, 5L)), "w0")
+      stage(Seq((2L, 2L * H, 5L)), "w1")
+      stage(Seq((3L, 3L * H, 5L)), "w2")
+      stage(Seq((4L, 50L * H, -1L)), "w3")
+      val stream = spark.readStream.schema(EventStream.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$in/*.parquet")
+        .as[EventStream.Event]
+      graft.streaming.EventStream.runToFiles(spark,
+        EventStream.timerSessionStream(stream, H).toDF(),
+        s"$tmp/data", s"$tmp/ckpt")
+      def stateAt(b: Int): Map[Long, Long] =
+        spark.read.format("statestore")
+          .option("path", s"$tmp/ckpt")
+          .option("stateVarName", "sess")
+          .option("batchId", b.toString)
+          .load()
+          .select(col("key.value").as("u"), col("value._2").as("n"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      (0 to 2).foreach { b =>
+        assert(stateAt(b).get(5L).contains(b + 1L),
+          s"as of batch $b user 5's session must hold ${b + 1} events: ${stateAt(b)}")
+      }
+      // batch 3 ran with the start-of-batch watermark (data through
+      // batch 2 = 3H, below user 5's 4H deadline), so its state still
+      // holds the session; the timer fires in the trailing no-data
+      // batch 4 once the watermark commits at 50H — the final state
+      // holds only the pusher's own open session
+      assert(stateAt(3).get(5L).contains(3L),
+        s"as of batch 3 the timer has not fired yet: ${stateAt(3)}")
+      assert(stateAt(4).get(5L).isEmpty && stateAt(4).contains(-1L),
+        s"final state must hold only the pusher's session: ${stateAt(4)}")
+      // interior armed-timer readback: after batch 1 the one live
+      // timer sits at user 5's batch-1 deadline, (2H + gap)/1000 + 1
+      val timers = spark.read.format("statestore")
+        .option("path", s"$tmp/ckpt")
+        .option("readRegisteredTimers", "true")
+        .option("batchId", "1")
+        .load()
+        .select(col("key.value").as("u"),
+          col("expiration_timestamp_ms").as("ms"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(timers == Seq((5L, (2L * H + H) / 1000L + 1L)),
+        s"interior timer must sit at the batch-1 deadline: $timers")
+    }
+  }
+
   test("TTL state: the event-time prune bounds state across a 100-day feed") {
     implicit val sqlCtx = spark.sqlContext
     // ProcessingTime mode + default trigger re-fires no-data batches
