@@ -157,6 +157,60 @@ object StreamMediaQueries {
       inDir.getAbsolutePath
     })
 
+  /** st63's handoff fixture: the events corpus cut at the FIRST
+    * ts-range boundary — the earliest tile lands in `$tmp/batch` (the
+    * backfill's input), the later two tiles plus st54's two watermark
+    * pushers land in `$tmp/in` (the stream the new job drains). Same
+    * mtime ordering contract as [[ensureTimerSessionStream]].
+    * Write-once per (JVM, sf). */
+  private val bootstrapSessionDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def ensureBootstrapSessionStream(s: SparkSession, d: String): String =
+    bootstrapSessionDirs.getOrElseUpdate(d, {
+      import s.implicits._
+      val tmp = graft.TempDirs.create("graft_st63")
+      val inDir = new java.io.File(s"$tmp/in"); inDir.mkdirs()
+      val batchDir = new java.io.File(s"$tmp/batch"); batchDir.mkdirs()
+      val stage = s"$tmp/stage"
+      val events = Tables.load(s, d, "events")
+      val maxTs = events.agg(max(col("ts"))).head().getLong(0)
+      events.select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .repartitionByRange(3, col("ts"))
+        .write.mode("overwrite").parquet(stage)
+      // range partition index == file order: part-00000 is the lowest
+      // ts range — the batch half; the rest stream
+      val parts = new java.io.File(stage).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      java.nio.file.Files.move(parts.head.toPath,
+        new java.io.File(batchDir, "batch.parquet").toPath)
+      val streamed = parts.tail.zipWithIndex.map { case (f, i) =>
+        val dst = new java.io.File(inDir, f.getName)
+        java.nio.file.Files.move(f.toPath, dst.toPath)
+        dst
+      }
+      def pusher(id: Long, ts: Long, name: String): java.io.File = {
+        val sd = s"$tmp/stage_$name"
+        Seq((id, ts, -1L, "flush", 0.0, ""))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(sd)
+        val part = new java.io.File(sd).listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        val dst = new java.io.File(inDir, s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst
+      }
+      val dayUs = 24L * 3600 * 1000 * 1000
+      val pushers = Seq(pusher(-1L, maxTs + dayUs, "z0_push"),
+        pusher(-2L, maxTs + 2 * dayUs, "z1_push"))
+      val now = System.currentTimeMillis()
+      streamed.toSeq.sortBy(_.getName).zipWithIndex
+        .foreach { case (f, i) => f.setLastModified(now - 60000 + i * 1000) }
+      pushers.zipWithIndex
+        .foreach { case (f, i) => f.setLastModified(now + i * 1000) }
+      tmp
+    })
+
   /** m09's staging: (media_id, payload) parquet mixing all three decode
     * classes deterministically by id mod 3 — a REAL PNG (id-derived
     * dimensions, [[Multimodal.ImageCodec.pngBytes]]), the same PNG cut
@@ -3872,5 +3926,84 @@ object StreamMediaQueries {
              |SELECT user_id, session_start, session_end, n_events
              |FROM agg, wm WHERE session_end <= wm.w
              |ORDER BY user_id, session_start""".stripMargin)),
+
+    // ---- initial state: batch backfill hands off to the stream -------------------
+    // The MIGRATION face of transformWithState
+    // ([[EventStream.BootstrapSessionProcessor]]): a new stateful
+    // streaming job takes over from a batch backfill WITHOUT replaying
+    // history — the backfill's open sessions arrive as an
+    // initial-state TABLE (handleInitialState seeds the state variable
+    // and arms each session's timer), and the stream continues from
+    // the cut. The certified handoff invariant: events ≤ cut are
+    // sessionized batch-side (closed sessions emitted directly, the
+    // last open session per user becomes initial state); events > cut
+    // drain through the stream; batch-closed ∪ drained must equal the
+    // full-corpus gaps-and-islands answer — sessions STRADDLING the
+    // cut only survive if the seeded state is exact, and bootstrap-
+    // only users (no post-cut events) only flush if handleInitialState
+    // armed their timers. st54's oracle certifies the union.
+    ("st63_initial_state_handoff",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val root = ensureBootstrapSessionStream(s, d)
+        val gapUs = EventStream.SessionGapMicros
+        // the backfill: gaps-and-islands over the batch half
+        val e = s.read.parquet(s"$root/batch")
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val sess = e
+          .withColumn("brk", when(lag(col("ts"), 1).over(w).isNull ||
+            col("ts") - lag(col("ts"), 1).over(w) > gapUs, 1L).otherwise(0L))
+          .withColumn("grp", sum(col("brk")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("grp"))
+          .agg(min(col("ts")).as("anchor_ts"), count(lit(1)).as("n_events"),
+            max(col("ts")).as("last_ts"))
+        val ranked = sess.withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("anchor_ts").desc)))
+        val closedBatch = ranked.filter(col("rn") > 1)
+          .select("user_id", "anchor_ts", "n_events", "last_ts")
+        val openAtCut = ranked.filter(col("rn") === 1)
+          .select(col("user_id").as("_1"), col("anchor_ts").as("_2"),
+            col("n_events").as("_3"), col("last_ts").as("_4"))
+          .as[(Long, Long, Long, Long)]
+        // the stream takes over from the cut, state seeded
+        EventStream.withRocksDBState(s) {
+          val stream = s.readStream.schema(EventStream.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(s"$root/in/*.parquet")
+            .as[EventStream.Event]
+          val out = graft.TempDirs.create("graft_st63o")
+          val drained = EventStream.runToFiles(s,
+            EventStream.bootstrapSessionStream(stream, gapUs, openAtCut).toDF(),
+            s"$out/data", s"$out/ckpt")
+          drained.select("user_id", "anchor_ts", "n_events", "last_ts")
+            .filter(col("user_id") >= 0) // sentinel watermark pushers
+            .unionByName(closedBatch)
+            .orderBy(col("user_id"), col("anchor_ts"))
+        }
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS tu
+             |  FROM events),
+             |m AS (
+             |  SELECT user_id, tu, event_id,
+             |    CASE WHEN lag(tu) OVER w IS NULL
+             |           OR tu - lag(tu) OVER w > 1800000000
+             |         THEN 1 ELSE 0 END AS brk
+             |  FROM e
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)),
+             |g AS (
+             |  SELECT user_id, tu,
+             |    SUM(brk) OVER (PARTITION BY user_id ORDER BY tu, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS grp
+             |  FROM m)
+             |SELECT user_id, CAST(MIN(tu) AS BIGINT) AS anchor_ts,
+             |  CAST(COUNT(*) AS BIGINT) AS n_events,
+             |  CAST(MAX(tu) AS BIGINT) AS last_ts
+             |FROM g GROUP BY user_id, grp
+             |ORDER BY user_id, anchor_ts""".stripMargin)),
   )
 }

@@ -382,7 +382,12 @@ class DedupSimilaritySpec extends SparkSpec {
       case a: AdaptiveSparkPlanExec => cellScansOf(a.executedPlan)
       case s: QueryStageExec        => cellScansOf(s.plan)
       case f: FileSourceScanExec =>
-        if (f.toString.contains("cells")) Seq(f) else Seq.empty
+        // match on the relation's real root paths, not toString — the
+        // plan string truncates long locations, and the tracked
+        // TempDirs root makes index paths long enough to cut "cells"
+        if (f.relation.location.rootPaths.exists(_.toString.contains("cells")))
+          Seq(f)
+        else Seq.empty
       case other => other.children.flatMap(cellScansOf)
     }
     val oneQuery = queries.filter(col("query_id") === 10)

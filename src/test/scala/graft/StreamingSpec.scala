@@ -1681,6 +1681,13 @@ class StreamingSpec extends SparkSpec {
     // session growth: after batch b, user 5's open session has seen
     // exactly b+1 events; and the armed timer read at an interior
     // batch must sit at that batch's deadline, not the final one.
+    graft.Confs.withConfs(spark, Seq(
+      // snapshot-anchored reads below replay CHANGELOG files forward
+      // from an uploaded snapshot — they exist only under changelog
+      // checkpointing (without it every commit IS a full snapshot and
+      // only the plain batchId path applies)
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        -> "true")) {
     graft.streaming.EventStream.withRocksDBState(spark) {
       val H = 3600L * 1000000L
       val tmp = java.nio.file.Files.createTempDirectory("graft_statett").toString
@@ -1741,6 +1748,33 @@ class StreamingSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       assert(timers == Seq((5L, (2L * H + H) / 1000L + 1L)),
         s"interior timer must sit at the batch-1 deadline: $timers")
+      // snapshot-anchored reconstruction: snapshotStartBatchId +
+      // snapshotPartitionId rebuild ONE partition's state from a
+      // specific uploaded snapshot forward through the changelogs (the
+      // deep-forensics path for a corrupted-lineage suspicion — pin
+      // the anchor, replay the writes, see where the key diverges).
+      // Batch 0's snapshot is the bootstrap upload, so it is always a
+      // valid anchor; the reconstruction must agree with the plain
+      // batchId read on user 5's partition.
+      val part5 = spark.read.format("statestore")
+        .option("path", s"$tmp/ckpt")
+        .option("stateVarName", "sess")
+        .option("batchId", "2")
+        .load()
+        .filter(col("key.value") === 5L)
+        .select(col("partition_id")).head().getInt(0)
+      val snap = spark.read.format("statestore")
+        .option("path", s"$tmp/ckpt")
+        .option("stateVarName", "sess")
+        .option("batchId", "2")
+        .option("snapshotStartBatchId", "0")
+        .option("snapshotPartitionId", part5.toString)
+        .load()
+        .select(col("key.value").as("u"), col("value._2").as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(snap.get(5L).contains(3L),
+        s"snapshot-anchored replay must rebuild user 5's batch-2 state: $snap")
+    }
     }
   }
 
