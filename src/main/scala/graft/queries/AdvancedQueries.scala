@@ -5083,5 +5083,54 @@ object AdvancedQueries {
              |  CAST(SUM(score) AS BIGINT) AS score_sum,
              |  CAST(SUM(tag1) AS BIGINT) AS tag1_sum
              |FROM p GROUP BY 1 ORDER BY src""".stripMargin)),
+
+    // ---- SQL scripting (procedural control flow) ----------------------------------
+    // Spark 4's SQL scripting beside q169's pipe dialect: BEGIN…END
+    // with DECLAREd variables and a FOR loop over a query — the
+    // ordered FOLD (acc ← acc·31 + nᵧ over years ascending) that plain
+    // SQL needs a window trick or recursion to express, written the
+    // way a stored-procedure author writes it. The loop body runs on
+    // the driver; each statement's heavy lifting (the grouped count
+    // here) is still a distributed plan — scripting is orchestration
+    // syntax, not a new execution engine, which is exactly why it
+    // costs nothing at 100 TB. Base-31 positional fold over 7 year
+    // counts stays < 2^53, so the DuckDB oracle can replay it in
+    // CLOSED FORM (Σ nᵢ·31^(years below)) with exact doubles — the
+    // hash match certifies the loop ran in order, once per year.
+    // q65's materialization rule: the script executes under the
+    // scripting conf, so the run happens inside the conf scope.
+    ("q174_sql_scripting",
+      (s: SparkSession, d: String) => {
+        Tables.load(s, d, "orders").createOrReplaceTempView("orders_script")
+        val out = graft.TempDirs.create("graft_script")
+        graft.Confs.withConfs(s, Seq(
+          "spark.sql.scripting.enabled" -> "true")) {
+          s.sql("""BEGIN
+                  |  DECLARE acc BIGINT DEFAULT 0;
+                  |  DECLARE n_years INT DEFAULT 0;
+                  |  FOR r AS SELECT CAST(year(o_orderdate) AS INT) AS y,
+                  |      COUNT(*) AS n
+                  |    FROM orders_script GROUP BY 1 ORDER BY 1 DO
+                  |    SET acc = acc * 31 + r.n;
+                  |    SET n_years = n_years + 1;
+                  |  END FOR;
+                  |  SELECT acc AS checksum, CAST(n_years AS BIGINT) AS n_years;
+                  |END""".stripMargin)
+            .write.mode("overwrite").parquet(out)
+        }
+        s.read.parquet(out)
+      },
+      Some("""WITH y AS (
+             |  SELECT CAST(year(o_orderdate) AS INT) AS y,
+             |    CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM orders GROUP BY 1),
+             |o AS (
+             |  SELECT n,
+             |    ROW_NUMBER() OVER (ORDER BY y DESC) - 1 AS p
+             |  FROM y)
+             |SELECT CAST(SUM(n * CAST(pow(31, p) AS BIGINT)) AS BIGINT)
+             |    AS checksum,
+             |  CAST(COUNT(*) AS BIGINT) AS n_years
+             |FROM o""".stripMargin)),
   )
 }

@@ -7,6 +7,52 @@ import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.EventStream
 import graft.streaming.EventStream.{Event, Session}
 
+/** V1/V2 state shapes + processors for the state-schema-evolution spec:
+  * top-level so their product encoders are stable across the restart. */
+object SchemaEvolutionFixtures {
+  import org.apache.spark.sql.{Encoders => E}
+  import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  case class CountV1(n: Long)
+  /** V2 adds a nullable field — the one evolution Avro state encoding
+    * admits without a default-value registry: absent in old rows,
+    * decoded as None. */
+  case class CountV2(n: Long, lastTs: Option[Long])
+
+  class CountProcV1 extends StatefulProcessor[Long, Event, (Long, Long, Long)] {
+    @transient private var st: ValueState[CountV1] = _
+    override def init(o: OutputMode, t: TimeMode): Unit =
+      st = getHandle.getValueState[CountV1]("cnt", E.product[CountV1],
+        TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[(Long, Long, Long)] =
+      rows.toSeq.sortBy(_.event_id).map { e =>
+        val n = (if (st.exists()) st.get().n else 0L) + 1L
+        st.update(CountV1(n))
+        // output schema matches V2's (the sink outlives the upgrade);
+        // V1 has no lastTs concept at all — emit the -2 placeholder
+        (e.event_id, n, -2L)
+      }.iterator
+  }
+
+  class CountProcV2 extends StatefulProcessor[Long, Event, (Long, Long, Long)] {
+    @transient private var st: ValueState[CountV2] = _
+    override def init(o: OutputMode, t: TimeMode): Unit =
+      st = getHandle.getValueState[CountV2]("cnt", E.product[CountV2],
+        TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[(Long, Long, Long)] =
+      rows.toSeq.sortBy(_.event_id).map { e =>
+        val prev = if (st.exists()) st.get() else CountV2(0L, None)
+        val n = prev.n + 1L
+        st.update(CountV2(n, Some(e.ts)))
+        // emit the MIGRATED view of the pre-restart state: a V1 row
+        // decodes with lastTs = None (surfaced as -1)
+        (e.event_id, n, prev.lastTs.getOrElse(-1L))
+      }.iterator
+  }
+}
+
 /** Structured Streaming behavior: windowed agg ≡ batch equivalent, and
   * stateful sessionization carrying an open session across micro-batches. */
 class StreamingSpec extends SparkSpec {
@@ -1669,6 +1715,60 @@ class StreamingSpec extends SparkSpec {
       assert(rows.toSeq == Seq((1L, "_>_>view"), (2L, "_>view>click"),
         (3L, "view>click>buy")),
         s"restart must resume the ListState buffer in order: ${rows.toSeq}")
+    }
+  }
+
+  test("state schema evolution: a restarted drain widens the state type under Avro encoding") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
+    // the operational story: a deployed stateful job adds a field to
+    // its state class WITHOUT discarding the checkpoint. Avro state
+    // encoding admits additive evolution (new nullable field, absent
+    // in old rows → None); the default unsaferow encoding would refuse
+    // the restart. V1 writes plain counts; V2 (same state variable
+    // name, widened type) must read V1's rows — count continuity
+    // proves the value survived, lastTs = -1 proves the new field
+    // decoded as absent rather than garbage.
+    graft.Confs.withConfs(spark, Seq(
+      "spark.sql.streaming.stateStore.encodingFormat" -> "avro")) {
+    graft.streaming.EventStream.withRocksDBState(spark) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+      val in = new java.io.File(s"$tmp/in"); in.mkdirs()
+      def stage(rows: Seq[(Long, Long, Long)], name: String): Unit = {
+        val sd = s"$tmp/stage_$name"
+        rows.map { case (id, ts, uid) => (id, ts, uid, "view", 0.0, "") }
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(sd)
+        val part = new java.io.File(sd).listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(in, s"$name.parquet").toPath)
+      }
+      def stream() = spark.readStream.schema(EventStream.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$in/*.parquet")
+        .as[EventStream.Event]
+      stage(Seq((1L, 100L, 5L), (2L, 200L, 5L)), "w0")
+      graft.streaming.EventStream.runToFiles(spark,
+        stream().groupByKey(_.user_id)
+          .transformWithState(new SchemaEvolutionFixtures.CountProcV1,
+            TimeMode.None(), OM.Append()).toDF("event_id", "n", "prev_ts"),
+        s"$tmp/data", s"$tmp/ckpt")
+      stage(Seq((3L, 300L, 5L), (4L, 400L, 5L)), "w1")
+      val rows = graft.streaming.EventStream.runToFiles(spark,
+        stream().groupByKey(_.user_id)
+          .transformWithState(new SchemaEvolutionFixtures.CountProcV2,
+            TimeMode.None(), OM.Append()).toDF("event_id", "n", "prev_ts"),
+        s"$tmp/data", s"$tmp/ckpt")
+        .orderBy("event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // event 3: count continues at 3 (V1 state readable), the new
+      // field reads as absent (-1), not garbage; event 4: V2 state
+      // round-trips fully
+      assert(rows.toSeq == Seq((1L, 1L, -2L), (2L, 2L, -2L),
+        (3L, 3L, -1L), (4L, 4L, 300L)),
+        s"evolved state must read V1 rows with the new field absent: ${rows.toSeq}")
+    }
     }
   }
 
