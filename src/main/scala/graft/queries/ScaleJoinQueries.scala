@@ -1,7 +1,5 @@
 package graft.queries
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -97,21 +95,29 @@ object ScaleJoinQueries {
     * into [[graft.sources.KeyedPartitionSource]]'s `k=<nationkey>`
     * directory format — write-once per (JVM, sf), the q45 bucketed-
     * tables rule (the layout is the deployment artifact; the query
-    * times the shuffle-free join, not the one-off re-layout). */
+    * times the shuffle-free join, not the one-off re-layout). The
+    * staging WRITE goes through the source's own DSv2 sink, whose
+    * `RequiresDistributionAndOrdering` makes the engine plan the
+    * clustering shuffle that produces the layout — the full SPJ
+    * lifecycle is distributed, write and read (plan-pinned in
+    * ScaleSpec). */
   private val keyedLayoutDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
   private[graft] def ensureKeyedLayout(s: SparkSession, d: String): String =
     keyedLayoutDirs.getOrElseUpdate(d, {
-      import graft.sources.KeyedPartitionSource
       val tmp = graft.TempDirs.create("graft_spj")
       def stage(table: String, key: String, id: String, label: String,
-                sub: String): Unit =
-        KeyedPartitionSource.stage(s"$tmp/$sub",
-          Tables.load(s, d, table)
-            .select(col(key).cast("long"), col(id).cast("long"), col(label))
-            .toLocalIterator().asScala
-            .map(r => (r.getLong(0), r.getLong(1), r.getString(2))))
+                sub: String): Unit = {
+        new java.io.File(s"$tmp/$sub").mkdirs()
+        Tables.load(s, d, table)
+          .select(col(key).cast("long").as("key"),
+            col(id).cast("long").as("id"), col(label).as("label"))
+          .write.format("graft.sources.KeyedPartitionSource")
+          .option("path", s"$tmp/$sub")
+          .mode("append")
+          .save()
+      }
       stage("customer", "c_nationkey", "c_custkey", "c_mktsegment", "cust")
       stage("supplier", "s_nationkey", "s_suppkey", "s_name", "supp")
       tmp

@@ -4,10 +4,12 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -56,10 +58,11 @@ object KeyedPartitionSource {
     StructField("label", StringType)))
 
   /** Stage `rows` (pre-grouped (key, id, label) tuples) into the
-    * layout this source reads: one `k=<key>/data.tsv` per key. Driver
-    * -side by design — the fixture writer, not the scale path (a real
-    * deployment's layout is written by a distributed job; READING is
-    * fully distributed here either way). */
+    * layout this source reads: one `k=<key>/data.tsv` per key. The
+    * hand-rolled fixture writer kept for spec use — the deployment
+    * path is the DSv2 WRITE below (`df.write.format(...)`), where the
+    * layout is produced by a distributed job whose clustering the sink
+    * itself demands. */
   def stage(dir: String, rows: Iterator[(Long, Long, String)]): Unit = {
     val writers = scala.collection.mutable.Map.empty[Long, java.io.PrintWriter]
     try {
@@ -76,17 +79,103 @@ object KeyedPartitionSource {
 }
 
 private[sources] class KeyedTable(tableSchema: StructType, path: String)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
 
   require(path != null, "option path is required")
 
   override def name(): String = s"keyed($path)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KeyedScanBuilder(tableSchema, path)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder { override def build(): Write = new KeyedWrite(path) }
+}
+
+/** The write-side half of the SPJ contract: the sink REQUIRES the rows
+  * it receives to arrive clustered by `key` (and sorted within the
+  * task), so the ENGINE plans the shuffle that produces the key-grouped
+  * layout — `RequiresDistributionAndOrdering` is how a connector makes
+  * its storage layout a planner obligation instead of a caller
+  * convention. Every row of one key lands in exactly one task, each
+  * task streams its sorted run into one file per key directory, and
+  * the committed layout is precisely what [[KeyedScan]] later reports
+  * as `KeyGroupedPartitioning`. Commit protocol: tasks write
+  * attempt-unique files and report them in their commit messages; the
+  * job commit pins the surviving set in a `_manifest` the reader
+  * honors, so a losing speculative attempt's file is never read and
+  * job abort deletes everything the tasks reported. */
+private[sources] class KeyedWrite(path: String)
+    extends Write with RequiresDistributionAndOrdering {
+
+  override def requiredDistribution(): Distribution =
+    Distributions.clustered(Array(Expressions.identity("key")))
+
+  override def requiredOrdering(): Array[SortOrder] =
+    Array(Expressions.sort(Expressions.identity("key"),
+      SortDirection.ASCENDING))
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+      new KeyedWriterFactory(path)
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val files = messages.flatMap(_.asInstanceOf[KeyedFilesWritten].relPaths)
+      val mf = new java.io.PrintWriter(
+        new java.io.File(path, "_manifest"), "UTF-8")
+      try files.sorted.foreach(mf.println) finally mf.close()
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      messages.filter(_ != null)
+        .flatMap(_.asInstanceOf[KeyedFilesWritten].relPaths)
+        .foreach(rel => new java.io.File(path, rel).delete())
+  }
+}
+
+private[sources] case class KeyedFilesWritten(relPaths: Seq[String])
+    extends WriterCommitMessage
+
+private[sources] class KeyedWriterFactory(path: String)
+    extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val written = Seq.newBuilder[String]
+      private var currentKey: Long = Long.MinValue
+      private var out: java.io.PrintWriter = _
+
+      override def write(row: InternalRow): Unit = {
+        val k = row.getLong(0)
+        if (out == null || k != currentKey) {
+          // rows arrive key-sorted (requiredOrdering), so each key
+          // opens exactly once per task
+          if (out != null) out.close()
+          val kd = new java.io.File(path, s"k=$k")
+          kd.mkdirs()
+          val rel = s"k=$k/part-$partitionId-$taskId.tsv"
+          written += rel
+          out = new java.io.PrintWriter(new java.io.File(path, rel), "UTF-8")
+          currentKey = k
+        }
+        out.println(s"$k\t${row.getLong(1)}\t${row.getUTF8String(2)}")
+      }
+
+      override def commit(): WriterCommitMessage = {
+        if (out != null) out.close()
+        KeyedFilesWritten(written.result())
+      }
+
+      override def abort(): Unit = {
+        if (out != null) out.close()
+        written.result().foreach(rel => new java.io.File(path, rel).delete())
+      }
+
+      override def close(): Unit = if (out != null) { out.close(); out = null }
+    }
 }
 
 private[sources] class KeyedScanBuilder(schema: StructType, path: String)
@@ -102,7 +191,7 @@ private[sources] class KeyedScanBuilder(schema: StructType, path: String)
 
 /** One key directory = one split; `partitionKey` is what lets the
   * engine key-group the scan. */
-private[sources] case class KeyedSplit(key: Long, file: String)
+private[sources] case class KeyedSplit(key: Long, files: Seq[String])
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(key)
 }
@@ -115,11 +204,29 @@ private[sources] class KeyedScan(requiredSchema: StructType, path: String)
 
   private lazy val splits: Array[KeyedSplit] = {
     val root = new java.io.File(path)
-    val dirs = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("k="))
-    dirs.map(d => KeyedSplit(d.getName.stripPrefix("k=").toLong,
-        new java.io.File(d, "data.tsv").getAbsolutePath))
-      .sortBy(_.key)
+    val manifest = new java.io.File(root, "_manifest")
+    val byKey: Map[Long, Seq[String]] =
+      if (manifest.isFile) {
+        // committed V2 write: the manifest pins the surviving files —
+        // an aborted/speculative attempt's leftovers are never read
+        val src = scala.io.Source.fromFile(manifest, "UTF-8")
+        try src.getLines().toSeq
+          .groupBy(rel => rel.split("/").head.stripPrefix("k=").toLong)
+          .map { case (k, rels) =>
+            k -> rels.map(r => new java.io.File(root, r).getAbsolutePath)
+          }
+        finally src.close()
+      } else {
+        // hand-staged layout (no manifest): every .tsv in each key dir
+        Option(root.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("k="))
+          .map { d =>
+            d.getName.stripPrefix("k=").toLong ->
+              d.listFiles().filter(_.getName.endsWith(".tsv"))
+                .map(_.getAbsolutePath).sorted.toSeq
+          }.toMap
+      }
+    byKey.toArray.map { case (k, fs) => KeyedSplit(k, fs) }.sortBy(_.key)
   }
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -142,8 +249,12 @@ private[sources] class KeyedReaderFactory(fields: Array[String])
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val split = partition.asInstanceOf[KeyedSplit]
     new PartitionReader[InternalRow] {
-      private val source = scala.io.Source.fromFile(split.file, "UTF-8")
-      private val lines = source.getLines()
+      private var open: List[scala.io.Source] = Nil
+      private val lines = split.files.iterator.flatMap { f =>
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        open ::= src
+        src.getLines()
+      }
       override def next(): Boolean = lines.hasNext
       override def get(): InternalRow = {
         val parts = lines.next().split("\t", 3)
@@ -153,7 +264,7 @@ private[sources] class KeyedReaderFactory(fields: Array[String])
           case "label" => UTF8String.fromString(parts(2))
         }.toArray[Any])
       }
-      override def close(): Unit = source.close()
+      override def close(): Unit = open.foreach(_.close())
     }
   }
 }

@@ -1736,6 +1736,47 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("keyed layout V2 write: the sink's required distribution plans the clustering shuffle") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    // RequiresDistributionAndOrdering is a planner OBLIGATION: the
+    // write's executed plan must carry the hash exchange on key (and
+    // the within-task sort) that the sink demanded — the engine
+    // produces the key-grouped layout, not caller convention
+    val tmp = Files.createTempDirectory("graft_spjwrite").toString
+    val plans = scala.collection.concurrent.TrieMap.empty[Long, String]
+    val ids = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit =
+        plans.put(ids.incrementAndGet(), qe.executedPlan.toString)
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Tables.load(spark, sf, "nation")
+        .select(col("n_regionkey").cast("long").as("key"),
+          col("n_nationkey").cast("long").as("id"),
+          col("n_name").as("label"))
+        .write.format("graft.sources.KeyedPartitionSource")
+        .option("path", tmp).mode("append").save()
+      val deadline = System.nanoTime() + 10000L * 1000000L
+      def writePlan = plans.values.find(p =>
+        p.contains("Exchange hashpartitioning(key") && p.contains("Sort [key"))
+      while (writePlan.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      assert(writePlan.nonEmpty,
+        s"no write plan with the required clustering exchange + sort:\n" +
+          plans.values.mkString("\n----\n").take(4000))
+    } finally spark.listenerManager.unregister(listener)
+    // the committed manifest pins the layout and the read round-trips
+    assert(new java.io.File(tmp, "_manifest").isFile, "commit wrote no manifest")
+    val back = spark.read.format("graft.sources.KeyedPartitionSource")
+      .option("path", tmp).load()
+    assert(back.count() == 25 &&
+      back.agg(sum(col("id"))).head().getLong(0) == (0 until 25).sum,
+      "V2 write→read round-trip lost rows")
+  }
+
   test("q173 SPJ: connector-reported key grouping plans join AND aggregate with zero Exchange") {
     spark.catalog.clearCache()
     ScaleJoins.withSpjDemo(spark) {
