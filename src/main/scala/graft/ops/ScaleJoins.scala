@@ -100,6 +100,22 @@ object ScaleJoins {
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1"))(body)
 
+  /** Run `body` with the cost-based optimizer's join reordering active
+    * (q175): with per-table rowCounts and column stats (NDV/min/max
+    * from ANALYZE) the optimizer re-derives the cheapest join order
+    * from cardinality estimates instead of trusting query syntax.
+    * Broadcast is disabled so the reordered tree plans as a
+    * deterministic sort-merge nest the spec can assert on — at real
+    * scale the dims exceed the broadcast threshold anyway, which is
+    * precisely when join ORDER dominates cost. Every conf is restored
+    * after `body`. */
+  def withCboDemo[T](s: SparkSession)(body: => T): T =
+    graft.Confs.withConfs(s, Seq(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1"))(body)
+
   /** Min-max-normalized 16-bit-per-dimension Z-value for a 2-D sort key
     * ([[graft.functions.ZOrder2]]): each column linearly rescales to
     * 0..65535 from its data min/max (exact integer arithmetic —

@@ -1736,6 +1736,81 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("q175 CBO: statistics reorder the star — the filtered dim shrinks customer before the fact join") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    spark.catalog.clearCache()
+    def deepestJoinTables(df: org.apache.spark.sql.DataFrame): Set[String] = {
+      val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+      joins.last.collectLeaves().flatMap(_.collect {
+        case r: org.apache.spark.sql.catalyst.catalog.HiveTableRelation =>
+          r.tableMeta.identifier.table
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.catalogTable.map(_.identifier.table).getOrElse("")
+      }).toSet
+    }
+    // without CBO the optimizer keeps syntax order: the DEEPEST join is
+    // orders ⋈ customer (the declared-first, expensive one)
+    val without = deepestJoinTables(
+      graft.queries.ScaleJoinQueries.q175Join(spark, sf))
+    assert(without.exists(_.startsWith("orders_s")),
+      s"fixture sanity: syntax order must start at the fact join: $without")
+    // with stats + joinReorder the deepest join becomes customer ⋈
+    // nation — the selective dim applies before the fact is touched
+    ScaleJoins.withCboDemo(spark) {
+      val reordered = deepestJoinTables(
+        graft.queries.ScaleJoinQueries.q175Join(spark, sf))
+      assert(reordered.exists(_.startsWith("customer_s")) &&
+        reordered.exists(_.startsWith("nation_s")) &&
+        !reordered.exists(_.startsWith("orders_s")),
+        s"CBO must reorder the filtered dim below the fact join: $reordered")
+    }
+  }
+
+  test("q176 SHUFFLE_HASH hint: the join hashes the build side instead of sorting both") {
+    spark.catalog.clearCache()
+    graft.Confs.withConfs(spark, Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")) {
+      val df = Tables.load(spark, sf, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+        .join(Tables.load(spark, sf, "orders").select("o_orderkey")
+          .hint("SHUFFLE_HASH"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"))
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ShuffledHashJoin"),
+        s"the hint must pick the shuffled hash join:\n${plan.take(4000)}")
+      assert(!plan.contains("SortMergeJoin"),
+        s"no sort-merge (and no fact-side sort) should remain:\n${plan.take(4000)}")
+    }
+  }
+
+  test("q177 REBALANCE: the written files are advisory-sized and even, not plan-shaped") {
+    val out = Files.createTempDirectory("graft_rebalspec").toString
+    graft.Confs.withConfs(spark, Seq(
+      // sized to the sf0.001 fixture's shuffle bytes so the re-slice
+      // visibly splits (production uses the 64MB-class defaults); the
+      // coalesce floor must drop with it or it re-merges everything
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1KB")) {
+      Tables.load(spark, sf, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+        .hint("REBALANCE")
+        .write.mode("overwrite").parquet(out)
+    }
+    val sizes = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(_.length()).sorted
+    assert(sizes.length > 1,
+      s"rebalance must split the output into multiple advisory-sized files: ${sizes.toSeq}")
+    // evenness: no file dominates (the skewed-single-file pathology)
+    // and no sliver tail (the ten-thousand-tiny-files pathology)
+    assert(sizes.max < 4L * sizes.min,
+      s"file sizes must be even under rebalance: ${sizes.toSeq}")
+  }
+
   test("keyed layout V2 write: the sink's required distribution plans the clustering shuffle") {
     import org.apache.spark.sql.execution.QueryExecution
     import org.apache.spark.sql.util.QueryExecutionListener
