@@ -124,9 +124,18 @@ private[sources] class KeyedWrite(path: String)
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val files = messages.flatMap(_.asInstanceOf[KeyedFilesWritten].relPaths)
-      val mf = new java.io.PrintWriter(
-        new java.io.File(path, "_manifest"), "UTF-8")
-      try files.sorted.foreach(mf.println) finally mf.close()
+      // append semantics: a later write's commit MERGES into the
+      // manifest (attempt-unique file names make union safe), so two
+      // appends are both visible — only uncommitted attempts stay out
+      val mfFile = new java.io.File(path, "_manifest")
+      val existing =
+        if (mfFile.isFile) {
+          val src = scala.io.Source.fromFile(mfFile, "UTF-8")
+          try src.getLines().toVector finally src.close()
+        } else Vector.empty
+      val mf = new java.io.PrintWriter(mfFile, "UTF-8")
+      try (existing ++ files).distinct.sorted.foreach(mf.println)
+      finally mf.close()
     }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -1850,6 +1850,18 @@ class ScaleSpec extends SparkSpec {
     assert(back.count() == 25 &&
       back.agg(sum(col("id"))).head().getLong(0) == (0 until 25).sum,
       "V2 write→read round-trip lost rows")
+    // append semantics: a second commit MERGES into the manifest —
+    // both writes' rows are visible afterwards
+    Tables.load(spark, sf, "nation")
+      .select(col("n_regionkey").cast("long").as("key"),
+        col("n_nationkey").cast("long").as("id"),
+        col("n_name").as("label"))
+      .write.format("graft.sources.KeyedPartitionSource")
+      .option("path", tmp).mode("append").save()
+    val appended = spark.read.format("graft.sources.KeyedPartitionSource")
+      .option("path", tmp).load()
+    assert(appended.count() == 50,
+      s"second append must merge into the manifest: ${appended.count()} rows")
   }
 
   test("q173 SPJ: connector-reported key grouping plans join AND aggregate with zero Exchange") {
