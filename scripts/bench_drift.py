@@ -232,19 +232,21 @@ def main():
         loud = []
         for name, t, b, allowed in drifted:
             m = remeasured.get(name)
-            if m is None:
+            if m is None or m <= 0:
+                # no solo measurement, or a physically implausible 0 s
+                # min (a mis-parse, not a timing): either way the drift
+                # is UNADJUDICATED and must fail the gate — a 0 s min
+                # classified as contention would wave a real regression
+                # through (0 <= allowed vacuously)
                 verdicts[name] = {"artifact_s": t, "ref_s": b,
                                   "verdict": "unadjudicated"}
             else:
                 v = "box_contention" if m <= allowed else "regression_confirmed"
-                # a 0-second solo min would make the gap infinite; record
-                # null instead so the annotated artifact stays strict JSON
-                # (json.dumps would emit bare Infinity, which jq rejects)
-                gap = round(t / m, 2) if m > 0 else None
+                gap = round(t / m, 2)
                 verdicts[name] = {"artifact_s": t, "ref_s": b,
                                   "benchone_min_s": round(m, 3),
                                   "gap_factor": gap, "verdict": v}
-                if v == "box_contention" and (gap is None or gap > GAP_LOUD):
+                if v == "box_contention" and gap > GAP_LOUD:
                     loud.append((name, gap))
             print(f"  adjudicated {name}: {verdicts[name]}")
         extras = {"adjudicated": verdicts}

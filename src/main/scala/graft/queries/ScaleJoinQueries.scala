@@ -191,6 +191,21 @@ object ScaleJoinQueries {
         sum(col("id") + col("s_id")).as("id_sum"))
   }
 
+  /** q176's join body, shared with ScaleSpec's strategy assertion:
+    * lineitem against the SHUFFLE_HASH-hinted orders key set — the
+    * hint trades the sort of both sides for a build-side hash table
+    * (the fact-side sort is the 100 TB cost). Run under disabled
+    * broadcast so the strategy choice is the hint's, deterministically. */
+  private[graft] def q176Join(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+      .join(Tables.load(s, d, "orders").select("o_orderkey")
+        .hint("SHUFFLE_HASH"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).as("sum_qty"))
+
   /** q47's derived sketch capacity, once per sf dir (it is a property
     * of the data alone; keying by session would pin session references
     * in a static map for the JVM's lifetime). */
@@ -362,15 +377,7 @@ object ScaleJoinQueries {
         graft.Confs.withConfs(s, Seq(
           "spark.sql.autoBroadcastJoinThreshold" -> "-1",
           "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")) {
-          Tables.load(s, d, "lineitem")
-            .select("l_orderkey", "l_quantity", "l_returnflag")
-            .join(Tables.load(s, d, "orders").select("o_orderkey")
-              .hint("SHUFFLE_HASH"),
-              col("l_orderkey") === col("o_orderkey"))
-            .groupBy(col("l_returnflag"))
-            .agg(count(lit(1)).as("n_items"),
-              sum(col("l_quantity")).as("sum_qty"))
-            .write.mode("overwrite").parquet(out)
+          q176Join(s, d).write.mode("overwrite").parquet(out)
         }
         s.read.parquet(out).orderBy(col("l_returnflag"))
       },

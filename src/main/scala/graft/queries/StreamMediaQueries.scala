@@ -126,7 +126,6 @@ object StreamMediaQueries {
 
   def ensureTimerSessionStream(s: SparkSession, d: String): String =
     timerSessionDirs.getOrElseUpdate(d, {
-      import s.implicits._
       val tmp = graft.TempDirs.create("graft_st54")
       val inDir = new java.io.File(s"$tmp/in"); inDir.mkdirs()
       val events = Tables.load(s, d, "events")
@@ -134,28 +133,41 @@ object StreamMediaQueries {
       events.select("event_id", "ts", "user_id", "event_type", "value", "props")
         .repartitionByRange(3, col("ts"))
         .write.mode("overwrite").parquet(inDir.getAbsolutePath)
-      val ranged = inDir.listFiles().filter(_.getName.startsWith("part-")).toSet
-      def pusher(id: Long, ts: Long, name: String): java.io.File = {
-        val sd = s"$tmp/stage_$name"
-        Seq((id, ts, -1L, "flush", 0.0, ""))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("overwrite").parquet(sd)
-        val part = new java.io.File(sd).listFiles()
-          .filter(_.getName.startsWith("part-")).head
-        val dst = new java.io.File(inDir, s"$name.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        dst
-      }
-      val dayUs = 24L * 3600 * 1000 * 1000
-      val pushers = Seq(pusher(-1L, maxTs + dayUs, "z0_push"),
-        pusher(-2L, maxTs + 2 * dayUs, "z1_push"))
-      val now = System.currentTimeMillis()
-      ranged.toSeq.sortBy(_.getName).zipWithIndex
-        .foreach { case (f, i) => f.setLastModified(now - 60000 + i * 1000) }
-      pushers.zipWithIndex
-        .foreach { case (f, i) => f.setLastModified(now + i * 1000) }
+      val ranged = inDir.listFiles().filter(_.getName.startsWith("part-")).toSeq
+      finishEventTiles(s, tmp, inDir, ranged, maxTs)
       inDir.getAbsolutePath
     })
+
+  /** Shared tail of the ts-range tiled event fixtures
+    * ([[ensureTimerSessionStream]]/[[ensureBootstrapSessionStream]]):
+    * append the TWO sentinel watermark pushers for user −1 at
+    * maxTs + 24 h / + 48 h (two, because an event-time timer armed
+    * before batch k fires in the first batch whose START watermark
+    * passes it) and stamp mtimes so arrival order is tiles
+    * (oldest-first), then pushers. */
+  private def finishEventTiles(s: SparkSession, tmp: String,
+      inDir: java.io.File, tiles: Seq[java.io.File], maxTs: Long): Unit = {
+    import s.implicits._
+    def pusher(id: Long, ts: Long, name: String): java.io.File = {
+      val sd = s"$tmp/stage_$name"
+      Seq((id, ts, -1L, "flush", 0.0, ""))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(sd)
+      val part = new java.io.File(sd).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      val dst = new java.io.File(inDir, s"$name.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst
+    }
+    val dayUs = 24L * 3600 * 1000 * 1000
+    val pushers = Seq(pusher(-1L, maxTs + dayUs, "z0_push"),
+      pusher(-2L, maxTs + 2 * dayUs, "z1_push"))
+    val now = System.currentTimeMillis()
+    tiles.sortBy(_.getName).zipWithIndex
+      .foreach { case (f, i) => f.setLastModified(now - 60000 + i * 1000) }
+    pushers.zipWithIndex
+      .foreach { case (f, i) => f.setLastModified(now + i * 1000) }
+  }
 
   /** st63's handoff fixture: the events corpus cut at the FIRST
     * ts-range boundary — the earliest tile lands in `$tmp/batch` (the
@@ -168,7 +180,6 @@ object StreamMediaQueries {
 
   def ensureBootstrapSessionStream(s: SparkSession, d: String): String =
     bootstrapSessionDirs.getOrElseUpdate(d, {
-      import s.implicits._
       val tmp = graft.TempDirs.create("graft_st63")
       val inDir = new java.io.File(s"$tmp/in"); inDir.mkdirs()
       val batchDir = new java.io.File(s"$tmp/batch"); batchDir.mkdirs()
@@ -184,30 +195,12 @@ object StreamMediaQueries {
         .filter(_.getName.startsWith("part-")).sortBy(_.getName)
       java.nio.file.Files.move(parts.head.toPath,
         new java.io.File(batchDir, "batch.parquet").toPath)
-      val streamed = parts.tail.zipWithIndex.map { case (f, i) =>
+      val streamed = parts.tail.toSeq.map { f =>
         val dst = new java.io.File(inDir, f.getName)
         java.nio.file.Files.move(f.toPath, dst.toPath)
         dst
       }
-      def pusher(id: Long, ts: Long, name: String): java.io.File = {
-        val sd = s"$tmp/stage_$name"
-        Seq((id, ts, -1L, "flush", 0.0, ""))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("overwrite").parquet(sd)
-        val part = new java.io.File(sd).listFiles()
-          .filter(_.getName.startsWith("part-")).head
-        val dst = new java.io.File(inDir, s"$name.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        dst
-      }
-      val dayUs = 24L * 3600 * 1000 * 1000
-      val pushers = Seq(pusher(-1L, maxTs + dayUs, "z0_push"),
-        pusher(-2L, maxTs + 2 * dayUs, "z1_push"))
-      val now = System.currentTimeMillis()
-      streamed.toSeq.sortBy(_.getName).zipWithIndex
-        .foreach { case (f, i) => f.setLastModified(now - 60000 + i * 1000) }
-      pushers.zipWithIndex
-        .foreach { case (f, i) => f.setLastModified(now + i * 1000) }
+      finishEventTiles(s, tmp, inDir, streamed, maxTs)
       tmp
     })
 

@@ -126,16 +126,24 @@ private[sources] class KeyedWrite(path: String)
       val files = messages.flatMap(_.asInstanceOf[KeyedFilesWritten].relPaths)
       // append semantics: a later write's commit MERGES into the
       // manifest (attempt-unique file names make union safe), so two
-      // appends are both visible — only uncommitted attempts stay out
+      // appends are both visible — only uncommitted attempts stay out.
+      // The merged list lands via write-to-temp + ATOMIC_MOVE: the
+      // manifest is the reader's sole source of truth, so an in-place
+      // rewrite would open a crash window where the truncated file
+      // erases every previously committed row.
       val mfFile = new java.io.File(path, "_manifest")
       val existing =
         if (mfFile.isFile) {
           val src = scala.io.Source.fromFile(mfFile, "UTF-8")
           try src.getLines().toVector finally src.close()
         } else Vector.empty
-      val mf = new java.io.PrintWriter(mfFile, "UTF-8")
+      val tmp = new java.io.File(path, s"_manifest.tmp.${java.util.UUID.randomUUID}")
+      val mf = new java.io.PrintWriter(tmp, "UTF-8")
       try (existing ++ files).distinct.sorted.foreach(mf.println)
       finally mf.close()
+      java.nio.file.Files.move(tmp.toPath, mfFile.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit =

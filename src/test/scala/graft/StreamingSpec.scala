@@ -1677,6 +1677,23 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  /** Shared arrival-fixture step for the restart/forensics specs:
+    * stage one parquet event file into `in` under a stable name (write
+    * via a scratch dir, then move the single part file — the
+    * file-stream source sees exactly one new file per call). */
+  private def stageEventFile(in: java.io.File, tmp: String, name: String,
+      rows: Seq[(Long, Long, Long, String)]): Unit = {
+    import spark.implicits._
+    val sd = s"$tmp/stage_$name"
+    rows.map { case (id, ts, uid, ty) => (id, ts, uid, ty, 0.0, "") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(sd)
+    val part = new java.io.File(sd).listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(in, s"$name.parquet").toPath)
+  }
+
   test("transformWithState: the ListState buffer survives a drain restart") {
     import spark.implicits._
     // the named-variable restart contract extended to ListState: the
@@ -1687,16 +1704,8 @@ class StreamingSpec extends SparkSpec {
     graft.streaming.EventStream.withRocksDBState(spark) {
       val tmp = java.nio.file.Files.createTempDirectory("graft_lsrestart").toString
       val in = new java.io.File(s"$tmp/in"); in.mkdirs()
-      def stage(rows: Seq[(Long, Long, Long, String)], name: String): Unit = {
-        val sd = s"$tmp/stage_$name"
-        rows.map { case (id, ts, uid, ty) => (id, ts, uid, ty, 0.0, "") }
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("overwrite").parquet(sd)
-        val part = new java.io.File(sd).listFiles()
-          .filter(_.getName.startsWith("part-")).head
-        java.nio.file.Files.move(part.toPath,
-          new java.io.File(in, s"$name.parquet").toPath)
-      }
+      def stage(rows: Seq[(Long, Long, Long, String)], name: String): Unit =
+        stageEventFile(in, tmp, name, rows)
       def drain(): org.apache.spark.sql.DataFrame = {
         val stream = spark.readStream.schema(EventStream.schema)
           .option("maxFilesPerTrigger", "1")
@@ -1734,16 +1743,9 @@ class StreamingSpec extends SparkSpec {
     graft.streaming.EventStream.withRocksDBState(spark) {
       val tmp = java.nio.file.Files.createTempDirectory("graft_evolve").toString
       val in = new java.io.File(s"$tmp/in"); in.mkdirs()
-      def stage(rows: Seq[(Long, Long, Long)], name: String): Unit = {
-        val sd = s"$tmp/stage_$name"
-        rows.map { case (id, ts, uid) => (id, ts, uid, "view", 0.0, "") }
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("overwrite").parquet(sd)
-        val part = new java.io.File(sd).listFiles()
-          .filter(_.getName.startsWith("part-")).head
-        java.nio.file.Files.move(part.toPath,
-          new java.io.File(in, s"$name.parquet").toPath)
-      }
+      def stage(rows: Seq[(Long, Long, Long)], name: String): Unit =
+        stageEventFile(in, tmp, name,
+          rows.map { case (id, ts, uid) => (id, ts, uid, "view") })
       def stream() = spark.readStream.schema(EventStream.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(s"$in/*.parquet")
@@ -1792,16 +1794,9 @@ class StreamingSpec extends SparkSpec {
       val H = 3600L * 1000000L
       val tmp = java.nio.file.Files.createTempDirectory("graft_statett").toString
       val in = new java.io.File(s"$tmp/in"); in.mkdirs()
-      def stage(rows: Seq[(Long, Long, Long)], name: String): Unit = {
-        val sd = s"$tmp/stage_$name"
-        rows.map { case (id, ts, uid) => (id, ts, uid, "view", 0.0, "") }
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("overwrite").parquet(sd)
-        val part = new java.io.File(sd).listFiles()
-          .filter(_.getName.startsWith("part-")).head
-        java.nio.file.Files.move(part.toPath,
-          new java.io.File(in, s"$name.parquet").toPath)
-      }
+      def stage(rows: Seq[(Long, Long, Long)], name: String): Unit =
+        stageEventFile(in, tmp, name,
+          rows.map { case (id, ts, uid) => (id, ts, uid, "view") })
       // user 5's session grows by one event per batch, then the pusher
       // fires its timer (the state delete) in the last batch
       stage(Seq((1L, H, 5L)), "w0")
