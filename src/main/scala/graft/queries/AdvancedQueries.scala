@@ -5132,5 +5132,40 @@ object AdvancedQueries {
              |    AS checksum,
              |  CAST(COUNT(*) AS BIGINT) AS n_years
              |FROM o""".stripMargin)),
+
+    // ---- EXECUTE IMMEDIATE (dynamic SQL + session variables) -----------------------
+    // The metadata-driven-orchestration face beside q174's scripting:
+    // statement TEXT composed at runtime, parameters bound through
+    // USING (injection-safe — the value never concatenates into the
+    // text), and a session VARIABLE carrying a scalar between
+    // statements via INTO. The two-step shape is the canonical use: a
+    // profiling statement computes a data-dependent threshold into a
+    // variable, the driven statement filters by it — in an
+    // orchestrated pipeline those are separate dynamically-generated
+    // steps, not one query. Both statements plan as ordinary
+    // distributed jobs; the dynamic layer is parse-time only. The avg
+    // threshold is exact across engines (integer-valued quantities sum
+    // exactly in doubles; one IEEE division each side).
+    ("q178_execute_immediate",
+      (s: SparkSession, d: String) => {
+        Tables.load(s, d, "lineitem").createOrReplaceTempView("li_exec_imm")
+        s.sql("DECLARE OR REPLACE VARIABLE graft_avg_qty DOUBLE")
+        s.sql("""EXECUTE IMMEDIATE
+                |  'SELECT avg(l_quantity) FROM li_exec_imm'
+                |  INTO graft_avg_qty""".stripMargin)
+        s.sql("""EXECUTE IMMEDIATE
+                |  'SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_below,
+                |     CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                |       AS BIGINT) AS cents_sum
+                |   FROM li_exec_imm WHERE l_quantity < ?
+                |   GROUP BY 1 ORDER BY 1'
+                |  USING graft_avg_qty""".stripMargin)
+      },
+      Some("""WITH a AS (SELECT avg(l_quantity) AS m FROM lineitem)
+             |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_below,
+             |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+             |    AS BIGINT) AS cents_sum
+             |FROM lineitem, a WHERE l_quantity < a.m
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }
