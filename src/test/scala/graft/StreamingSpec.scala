@@ -1694,6 +1694,55 @@ class StreamingSpec extends SparkSpec {
       new java.io.File(in, s"$name.parquet").toPath)
   }
 
+  test("streaming observe: per-batch metrics ride the drain and sum to the corpus") {
+    import spark.implicits._
+    // the streaming face of ops/Observe: `observe` metrics piggyback
+    // each micro-batch's own execution and surface in
+    // StreamingQueryProgress.observedMetrics — per-batch rows-in /
+    // value-sum telemetry with ZERO extra jobs, the ingest-monitoring
+    // contract a 100 TB feed runs on (a second aggregation stream
+    // would double the read). The invariant: per-batch metrics SUM to
+    // the corpus totals, however arrivals are batched.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.Event]
+    val seen = scala.collection.concurrent.TrieMap.empty[Long, (Long, Double)]
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        Option(e.progress.observedMetrics.get("ingest")).foreach { row =>
+          seen.put(e.progress.batchId, (row.getLong(0), row.getDouble(1)))
+        }
+    }
+    spark.streams.addListener(listener)
+    val q = mem.toDS().toDF()
+      .observe("ingest", count(lit(1)).as("rows_in"),
+        sum(col("value")).as("value_sum"))
+      .writeStream.outputMode(OutputMode.Append).format("memory")
+      .queryName("t_observe_stream").start()
+    try {
+      mem.addData(EventStream.Event(1L, 1000L, 5L, "view", 2.0, ""),
+        EventStream.Event(2L, 2000L, 5L, "view", 3.0, ""))
+      q.processAllAvailable()
+      mem.addData(EventStream.Event(3L, 3000L, 6L, "click", 5.0, ""))
+      q.processAllAvailable()
+      // the listener bus is asynchronous — bound the wait
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (seen.values.map(_._1).sum < 3L && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      assert(seen.values.map(_._1).sum == 3L &&
+        seen.values.map(_._2).sum == 10.0,
+        s"per-batch observed metrics must sum to the corpus: $seen")
+      // and they arrived per batch, not as one lump
+      assert(seen.size >= 2,
+        s"metrics must surface on each micro-batch's progress: $seen")
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+
   test("transformWithState: the ListState buffer survives a drain restart") {
     import spark.implicits._
     // the named-variable restart contract extended to ListState: the
