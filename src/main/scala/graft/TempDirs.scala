@@ -32,10 +32,19 @@ object TempDirs {
     Files.createTempDirectory(root, prefix).toString
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val stream = Files.walk(p)
-      try stream.sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => try Files.deleteIfExists(f) catch { case _: Exception => () })
-      finally stream.close()
-    }
+    // Best-effort for the WHOLE tree: the walk itself can throw
+    // (NoSuchFileException / UncheckedIOException) when entries vanish
+    // mid-traversal — e.g. a racing executor thread still tearing down
+    // its own scratch file at JVM exit — and an exception escaping the
+    // shutdown hook would abandon the rest of the root. Per-file
+    // deletes are additionally guarded so one locked file doesn't stop
+    // its siblings.
+    try {
+      if (Files.exists(p)) {
+        val stream = Files.walk(p)
+        try stream.sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => try Files.deleteIfExists(f) catch { case _: Exception => () })
+        finally stream.close()
+      }
+    } catch { case _: Exception => () }
 }

@@ -57,6 +57,35 @@ object KeyedPartitionSource {
     StructField("id", LongType),
     StructField("label", StringType)))
 
+  /** TSV-safe encoding for the free-text `label` column: a raw tab
+    * would shift columns and a raw newline would split the row on
+    * read-back, both silently. Backslash-escape the three dangerous
+    * bytes (`\` first so the mapping is bijective); [[unescapeLabel]]
+    * inverts it in the reader. Clean labels round-trip byte-identical,
+    * so existing fixtures are unaffected. */
+  def escapeLabel(s: String): String =
+    s.replace("\\", "\\\\").replace("\t", "\\t")
+      .replace("\n", "\\n").replace("\r", "\\r")
+
+  def unescapeLabel(s: String): String = {
+    if (s.indexOf('\\') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '\\' => sb.append('\\'); i += 2
+          case 't'  => sb.append('\t'); i += 2
+          case 'n'  => sb.append('\n'); i += 2
+          case 'r'  => sb.append('\r'); i += 2
+          case _    => sb.append(c); i += 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Stage `rows` (pre-grouped (key, id, label) tuples) into the
     * layout this source reads: one `k=<key>/data.tsv` per key. The
     * hand-rolled fixture writer kept for spec use — the deployment
@@ -72,7 +101,7 @@ object KeyedPartitionSource {
           kd.mkdirs()
           new java.io.PrintWriter(new java.io.File(kd, "data.tsv"), "UTF-8")
         })
-        w.println(s"$k\t$id\t$label")
+        w.println(s"$k\t$id\t${KeyedPartitionSource.escapeLabel(label)}")
       }
     } finally writers.values.foreach(_.close())
   }
@@ -127,23 +156,42 @@ private[sources] class KeyedWrite(path: String)
       // append semantics: a later write's commit MERGES into the
       // manifest (attempt-unique file names make union safe), so two
       // appends are both visible — only uncommitted attempts stay out.
-      // The merged list lands via write-to-temp + ATOMIC_MOVE: the
-      // manifest is the reader's sole source of truth, so an in-place
-      // rewrite would open a crash window where the truncated file
-      // erases every previously committed row.
-      val mfFile = new java.io.File(path, "_manifest")
-      val existing =
-        if (mfFile.isFile) {
-          val src = scala.io.Source.fromFile(mfFile, "UTF-8")
-          try src.getLines().toVector finally src.close()
-        } else Vector.empty
-      val tmp = new java.io.File(path, s"_manifest.tmp.${java.util.UUID.randomUUID}")
-      val mf = new java.io.PrintWriter(tmp, "UTF-8")
-      try (existing ++ files).distinct.sorted.foreach(mf.println)
-      finally mf.close()
-      java.nio.file.Files.move(tmp.toPath, mfFile.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // The read-modify-write of the merge is serialized under an
+      // exclusive lock file (CREATE_NEW is atomic on POSIX), because
+      // ATOMIC_MOVE alone only protects READERS: two concurrent
+      // commits could both read the old manifest and the second move
+      // would silently erase the first commit's files. The merged list
+      // still lands via write-to-temp + ATOMIC_MOVE so a crash
+      // mid-write never exposes a truncated manifest.
+      val lock = new java.io.File(path, "_manifest.lock").toPath
+      var locked = false
+      var attempts = 0
+      while (!locked) {
+        try { java.nio.file.Files.createFile(lock); locked = true }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            attempts += 1
+            if (attempts > 600) throw new IllegalStateException(
+              s"could not acquire $lock after 60s — stale lock from a " +
+                "crashed committer? delete it manually to recover")
+            Thread.sleep(100)
+        }
+      }
+      try {
+        val mfFile = new java.io.File(path, "_manifest")
+        val existing =
+          if (mfFile.isFile) {
+            val src = scala.io.Source.fromFile(mfFile, "UTF-8")
+            try src.getLines().toVector finally src.close()
+          } else Vector.empty
+        val tmp = new java.io.File(path, s"_manifest.tmp.${java.util.UUID.randomUUID}")
+        val mf = new java.io.PrintWriter(tmp, "UTF-8")
+        try (existing ++ files).distinct.sorted.foreach(mf.println)
+        finally mf.close()
+        java.nio.file.Files.move(tmp.toPath, mfFile.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } finally java.nio.file.Files.deleteIfExists(lock)
     }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -168,8 +216,16 @@ private[sources] class KeyedWriterFactory(path: String)
       override def write(row: InternalRow): Unit = {
         val k = row.getLong(0)
         if (out == null || k != currentKey) {
-          // rows arrive key-sorted (requiredOrdering), so each key
-          // opens exactly once per task
+          // rows arrive key-sorted ascending (requiredOrdering), so
+          // each key opens exactly once per task. A key SMALLER than
+          // the current one means the engine broke that contract (or
+          // this writer was reused without RequiresDistributionAnd-
+          // Ordering) — reopening would TRUNCATE the key's earlier
+          // rows, so fail loudly instead of losing data silently.
+          if (out != null && k < currentKey) throw new IllegalStateException(
+            s"ordering contract violated: key $k after $currentKey — " +
+              "rows must arrive sorted by key (requiredOrdering); " +
+              "refusing to reopen (and truncate) an already-written key")
           if (out != null) out.close()
           val kd = new java.io.File(path, s"k=$k")
           kd.mkdirs()
@@ -178,7 +234,8 @@ private[sources] class KeyedWriterFactory(path: String)
           out = new java.io.PrintWriter(new java.io.File(path, rel), "UTF-8")
           currentKey = k
         }
-        out.println(s"$k\t${row.getLong(1)}\t${row.getUTF8String(2)}")
+        out.println(s"$k\t${row.getLong(1)}\t" +
+          KeyedPartitionSource.escapeLabel(row.getUTF8String(2).toString))
       }
 
       override def commit(): WriterCommitMessage = {
@@ -278,7 +335,8 @@ private[sources] class KeyedReaderFactory(fields: Array[String])
         new GenericInternalRow(fields.map {
           case "key" => parts(0).toLong
           case "id" => parts(1).toLong
-          case "label" => UTF8String.fromString(parts(2))
+          case "label" =>
+            UTF8String.fromString(KeyedPartitionSource.unescapeLabel(parts(2)))
         }.toArray[Any])
       }
       override def close(): Unit = open.foreach(_.close())

@@ -1,0 +1,81 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Hardening contract of the SPJ source's write path: TSV-dangerous
+  * labels round-trip, an ordering-contract violation is loud (never
+  * silent truncation), and concurrent appends to one path serialize on
+  * the manifest lock so neither commit's files are dropped. */
+class KeyedPartitionSourceSpec extends SparkSpec {
+
+  test("labels with tabs, newlines, and backslashes round-trip the TSV layout") {
+    val nasty = Seq(
+      "plain", "tab\tinside", "new\nline", "back\\slash",
+      "cr\rreturn", "\\t literal-escape-lookalike", "trailing\\")
+    // the codec itself is a bijection on these
+    nasty.foreach { s =>
+      assert(KeyedPartitionSource.unescapeLabel(KeyedPartitionSource.escapeLabel(s)) == s,
+        s"escape/unescape must invert on ${s.replace("\n", "\\n")}")
+      val esc = KeyedPartitionSource.escapeLabel(s)
+      assert(!esc.contains('\t') && !esc.contains('\n') && !esc.contains('\r'),
+        "escaped label must contain no raw TSV delimiters")
+    }
+    // and the full V2 write → read path preserves them byte-for-byte
+    val tmp = Files.createTempDirectory("graft_keyed_esc").toString
+    import spark.implicits._
+    nasty.zipWithIndex.map { case (s, i) => (i.toLong % 3, i.toLong, s) }
+      .toDF("key", "id", "label")
+      .write.format("graft.sources.KeyedPartitionSource")
+      .option("path", tmp).mode("append").save()
+    val back = spark.read.format("graft.sources.KeyedPartitionSource")
+      .option("path", tmp).load()
+      .orderBy("id").select("label").as[String].collect().toSeq
+    assert(back == nasty, s"labels corrupted in round-trip: $back")
+  }
+
+  test("a writer that sees keys out of order throws instead of truncating") {
+    val tmp = Files.createTempDirectory("graft_keyed_ooo").toString
+    val w = new KeyedWriterFactory(tmp).createWriter(0, 0L)
+    def row(k: Long, id: Long, label: String) =
+      org.apache.spark.sql.catalyst.InternalRow(
+        k, id, org.apache.spark.unsafe.types.UTF8String.fromString(label))
+    w.write(row(1L, 10L, "a"))
+    w.write(row(1L, 11L, "b"))
+    w.write(row(2L, 20L, "c"))
+    val e = intercept[IllegalStateException] { w.write(row(1L, 12L, "revisit")) }
+    assert(e.getMessage.contains("ordering contract violated"))
+    w.abort(); w.close()
+  }
+
+  test("concurrent commits to one path both survive in the manifest") {
+    val tmp = Files.createTempDirectory("graft_keyed_conc").toString
+    import spark.implicits._
+    def df(offset: Int) =
+      (0 until 40).map(i => ((i % 4).toLong, (offset + i).toLong, s"r$offset-$i"))
+        .toDF("key", "id", "label")
+    // two appends racing on the same path: the lock file serializes the
+    // manifest read-modify-write, so the union of both commits' files
+    // is what the reader sees — before the lock, the loser's move
+    // could silently erase the winner's committed files
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writes = Seq(0, 1000).map { off => Future {
+      df(off).write.format("graft.sources.KeyedPartitionSource")
+        .option("path", tmp).mode("append").save()
+    }}
+    Await.result(Future.sequence(writes), 120.seconds)
+    val back = spark.read.format("graft.sources.KeyedPartitionSource")
+      .option("path", tmp).load()
+    assert(back.count() == 80,
+      s"both concurrent commits must be visible: ${back.count()} rows")
+    assert(back.agg(countDistinct(col("id"))).head().getLong(0) == 80)
+    assert(!new java.io.File(tmp, "_manifest.lock").exists(),
+      "the commit lock must be released")
+  }
+}
