@@ -78,7 +78,8 @@ class BenchRegressionSpec extends SparkSpec {
     * pinned factor (the real run passes the env-tunable one — a CI box
     * exporting GRAFT_BENCH_GATE_FACTOR must not flip the meta-test's
     * expected verdicts): measure once; only a breach pays for a second
-    * measurement, and the min counts. */
+    * measurement, and the min counts. A breach here is PROVISIONAL —
+    * [[adjudicate]] gets the final word. */
   private[graft] def gateOne(name: String, b: Double, loadFactor: Double,
                              measure: () => Double,
                              factor: Double = gateFactor): (Double, Option[String]) = {
@@ -91,6 +92,26 @@ class BenchRegressionSpec extends SparkSpec {
       else (t, Some(
         f"$name: $t%.2fs vs baseline $b%.2fs (allowed $allowed%.2fs, load ×$loadFactor%.2f)"))
     }
+  }
+
+  /** Solo-rerun adjudication — the same final word scripts/
+    * bench_drift.py gives close-run drift. The start-of-run load
+    * factor goes STALE when contention arrives mid-suite (round 15:
+    * q66 measured 8.97 s in-suite under a ×1.00 factor, yet ran 2.16 s
+    * in the close bench minutes later), so a provisional breach
+    * re-times the offender ALONE at the end of the run against a
+    * FRESH calibration. Contention that has passed → the solo time
+    * lands in the allowance and the breach is forgiven on the record;
+    * a genuine regression reproduces solo and still fails. */
+  private[graft] def adjudicate(name: String, b: Double, suiteTime: Double,
+                                freshLoad: Double, measure: () => Double,
+                                factor: Double = gateFactor): (Double, Option[String]) = {
+    val allowed = freshLoad * math.max(factor * b, b + 2.0)
+    val t = measure()
+    if (t <= allowed) (t, None)
+    else (t, Some(
+      f"$name: $suiteTime%.2fs in-suite, $t%.2fs solo vs baseline $b%.2fs " +
+        f"(allowed $allowed%.2fs, fresh load ×$freshLoad%.2f) — reproduces alone"))
   }
 
   test("no query grossly regresses vs the checked-in sf0.01 baseline") {
@@ -106,24 +127,44 @@ class BenchRegressionSpec extends SparkSpec {
     }
     info(f"calibration $calib%.3fs vs baseline ${
       baseline.getOrElse(CalibrationKey, 0.0)}%.3fs — load factor $loadFactor%.2f")
-    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    val breaches = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
     val measured = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      val t = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      t
+    }
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        val t = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        t
-      }
       baseline.get(name) match {
         case Some(b) =>
-          val (t, fail) = gateOne(name, b, loadFactor, () => once())
+          val (t, fail) = gateOne(name, b, loadFactor, () => once(fn))
           measured += name -> t
-          fail.foreach(failures += _)
+          fail.foreach { msg => info(s"provisional breach: $msg"); breaches += ((name, b, t)) }
         case None =>
-          measured += name -> once()
+          measured += name -> once(fn)
           info(s"$name has no baseline row — rerun with GRAFT_WRITE_BASELINE=1")
+      }
+    }
+    // end-of-suite solo adjudication: fresh calibration, then each
+    // provisional breach gets one more solo run — the verdict that counts
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (breaches.nonEmpty) {
+      val calib2 = calibrate()
+      val freshLoad = baseline.get(CalibrationKey) match {
+        case Some(cb) if cb > 0 => math.max(1.0, calib2 / cb)
+        case _ => 1.0
+      }
+      info(f"adjudication calibration $calib2%.3fs — fresh load factor $freshLoad%.2f")
+      breaches.foreach { case (name, b, suiteT) =>
+        val fn = SparkEntry.queries(name)
+        val (soloT, verdict) = adjudicate(name, b, suiteT, freshLoad, () => once(fn))
+        verdict match {
+          case Some(msg) => failures += msg
+          case None => info(
+            f"$name adjudicated as contention: $suiteT%.2fs in-suite, $soloT%.2fs solo — forgiven")
+        }
       }
     }
     if (sys.env.contains("GRAFT_WRITE_BASELINE")) {
@@ -174,5 +215,24 @@ class BenchRegressionSpec extends SparkSpec {
     val (_, leakOnLoad) = gateOne("leaky_q", b = 1.0, loadFactor = 2.5,
       measure = () => 13.0, factor = 3.0)
     assert(leakOnLoad.isDefined, "a 13x blowup must fail even under load")
+  }
+
+  test("meta: solo adjudication forgives in-suite contention, fails a reproducing regression") {
+    // round-15 shape: in-suite 8.97s under a stale ×1.00 factor, but
+    // the solo rerun lands at 2.2s — contention, forgiven
+    val (t, forgiven) = adjudicate("contended_q", b = 2.49, suiteTime = 8.97,
+      freshLoad = 1.0, measure = () => 2.2, factor = 3.0)
+    assert(forgiven.isEmpty && t == 2.2,
+      "a breach that vanishes solo must be adjudicated as contention")
+    // a genuine regression reproduces alone — the final verdict fails
+    val (_, caught) = adjudicate("regressed_q", b = 1.0, suiteTime = 9.0,
+      freshLoad = 1.0, measure = () => 8.5, factor = 3.0)
+    assert(caught.isDefined, "a breach that reproduces solo must fail")
+    // the fresh calibration still widens the solo allowance under
+    // persistent box load (2.5x slow box, solo 7.0 under 7.5 allowance)
+    val (_, loadedSolo) = adjudicate("loaded_solo_q", b = 1.0, suiteTime = 9.0,
+      freshLoad = 2.5, measure = () => 7.0, factor = 3.0)
+    assert(loadedSolo.isEmpty,
+      "fresh calibration must widen the solo allowance under persistent load")
   }
 }
