@@ -5167,5 +5167,52 @@ object AdvancedQueries {
              |    AS BIGINT) AS cents_sum
              |FROM lineitem, a WHERE l_quantity < a.m
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- parameterized SQL (named + positional markers) --------------------------
+    // The injection-safe templating face q178's EXECUTE IMMEDIATE…USING
+    // only brushes: `spark.sql(text, args)` binds values to `:name` /
+    // `?` PARAMETER MARKERS at parse time — the marker is a typed
+    // literal node in the plan, never string splicing, so a hostile
+    // value can't change the statement shape (the ScalaTest twin
+    // proves a quote-laden string stays a literal). Every SQL-templated
+    // pipeline runs on this API; at 100 TB it also keeps plan-cache
+    // keys stable (one text, many bindings) where string-spliced SQL
+    // would force a reparse per value. Both marker dialects run the
+    // SAME statement with the SAME bindings and the union is
+    // hash-certified against the constant-folded oracle — the named
+    // and positional paths must agree with each other and with the
+    // literal plan.
+    ("q179_sql_params",
+      (s: SparkSession, d: String) => {
+        Tables.load(s, d, "lineitem").createOrReplaceTempView("li_params")
+        def text(cut: String, maxq: String, st: String) =
+          s"""SELECT l_returnflag AS flag,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+             |    AS BIGINT) AS cents
+             |FROM li_params
+             |WHERE year(l_shipdate) <= $cut AND l_quantity < $maxq
+             |  AND l_linestatus = $st
+             |GROUP BY 1""".stripMargin
+        val named = s.sql(text(":cut", ":maxq", ":st"),
+          Map("cut" -> 1997, "maxq" -> 25, "st" -> "F"))
+        val positional = s.sql(text("?", "?", "?"),
+          Array(1997, 25, "F"))
+        named.withColumn("api", lit("named"))
+          .unionByName(positional.withColumn("api", lit("positional")))
+          .orderBy(col("api"), col("flag"))
+      },
+      Some("""WITH r AS (
+             |  SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+             |      AS BIGINT) AS cents
+             |  FROM lineitem
+             |  WHERE year(l_shipdate) <= 1997 AND l_quantity < 25
+             |    AND l_linestatus = 'F'
+             |  GROUP BY 1)
+             |SELECT flag, n, cents, 'named' AS api FROM r
+             |UNION ALL
+             |SELECT flag, n, cents, 'positional' AS api FROM r
+             |ORDER BY api, flag""".stripMargin)),
   )
 }

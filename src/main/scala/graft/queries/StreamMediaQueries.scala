@@ -3998,5 +3998,206 @@ object StreamMediaQueries {
              |  CAST(MAX(tu) AS BIGINT) AS last_ts
              |FROM g GROUP BY user_id, grp
              |ORDER BY user_id, anchor_ts""".stripMargin)),
+
+    // ---- streaming observed metrics (ingest telemetry with zero extra jobs) ------
+    // The operational backbone of a 100 TB feed: `observe()` metrics
+    // piggyback each micro-batch's OWN execution — no second
+    // aggregation stream doubling the read — and surface per batch in
+    // StreamingQueryProgress.observedMetrics. The drain itself is an
+    // ordinary filtered file-to-file pipeline; the query output is the
+    // FOLD of the per-batch telemetry rows (sums of sums, min of mins,
+    // max of maxes — each metric algebraic, so the fold is
+    // tiling-invariant), certified against the corpus aggregate
+    // computed batch-side. n_batches pins the per-batch granularity:
+    // the fixture is 3 tiles at maxFilesPerTrigger=1, so telemetry must
+    // have arrived as 3 per-batch rows, not one lump. recentProgress is
+    // populated synchronously at each batch commit (no listener race);
+    // the fold is a driver loop over ≤ n_batches tiny rows.
+    ("st64_stream_observe",
+      (s: SparkSession, d: String) => {
+        val inDir = ensureGateStream(s, d) // lineitem as 3 tiles
+        val sch = s.read.parquet(inDir).schema
+        val out = graft.TempDirs.create("graft_st64")
+        val streamed = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$inDir/part-*")
+          .observe("ingest",
+            count(lit(1)).as("rows_in"),
+            sum(col("l_quantity").cast("long")).as("qty_sum"),
+            sum(round(col("l_extendedprice") * 100).cast("long")).as("cents_sum"),
+            min(col("l_orderkey")).as("okey_min"),
+            max(col("l_orderkey")).as("okey_max"))
+          .filter(col("l_quantity") > 0) // the payload pipeline observe rides
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        val q = graft.Confs.withConfs(s, Seq(
+          "spark.sql.streaming.noDataMicroBatches.enabled" -> "false",
+          "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false")) {
+          val q = streamed.writeStream
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+            .format("parquet")
+            .option("path", s"$out/data")
+            .option("checkpointLocation", s"$out/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          q
+        }
+        val perBatch = q.recentProgress.toSeq
+          .flatMap(p => Option(p.observedMetrics.get("ingest"))
+            .map(r => p.batchId -> r))
+          .toMap.values.toSeq // dedupe re-reported batches, last wins
+        import s.implicits._
+        Seq((
+          perBatch.map(_.getAs[Long]("rows_in")).sum,
+          perBatch.map(_.getAs[Long]("qty_sum")).sum,
+          perBatch.map(_.getAs[Long]("cents_sum")).sum,
+          perBatch.map(_.getAs[Long]("okey_min")).min,
+          perBatch.map(_.getAs[Long]("okey_max")).max,
+          perBatch.size.toLong))
+          .toDF("rows_in", "qty_sum", "cents_sum", "okey_min", "okey_max",
+            "n_batches")
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS rows_in,
+             |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+             |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+             |    AS BIGINT) AS cents_sum,
+             |  CAST(MIN(l_orderkey) AS BIGINT) AS okey_min,
+             |  CAST(MAX(l_orderkey) AS BIGINT) AS okey_max,
+             |  CAST(3 AS BIGINT) AS n_batches
+             |FROM lineitem""".stripMargin)),
+
+    // ---- state-reader snapshot time-travel (point-in-time forensics) -------------
+    // st59 reads the LATEST state; this reconstructs it the hard way:
+    // `snapshotStartBatchId = 0` anchors each partition at its batch-0
+    // bootstrap snapshot and replays every RocksDB CHANGELOG forward to
+    // the final committed batch — the deep-forensics path for a
+    // corrupted-lineage suspicion (pin the anchor, replay the writes,
+    // see where a key diverges). The certified invariant is st59's:
+    // drained sink ∪ snapshot-reconstructed open sessions must be the
+    // COMPLETE session set — if the changelog replay dropped or
+    // reordered one write, the union's hash breaks. The snapshot read
+    // is per-partition by API design (at 100 TB you reconstruct the one
+    // suspect partition, not the store); the full union here is
+    // shuffle-partition-count reads, a bounded config, not data. The
+    // last committed batch id comes from the checkpoint's commits log —
+    // the same source of truth the engine restarts from.
+    ("st65_state_snapshot",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val inDir = ensureTimerSessionStream(s, d)
+        EventStream.withRocksDBState(s) {
+          graft.Confs.withConfs(s, Seq(
+            // snapshot-anchored reads replay changelog files forward
+            // from an uploaded snapshot — they exist only under
+            // changelog checkpointing
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+              -> "true")) {
+            val stream = s.readStream.schema(EventStream.schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(s"$inDir/part-*") // tiles only: pushers are z*_push
+              .as[EventStream.Event]
+            val out = graft.TempDirs.create("graft_st65o")
+            val drained = EventStream.runToFiles(s,
+              EventStream.timerSessionStream(stream,
+                EventStream.SessionGapMicros).toDF(),
+              s"$out/data", s"$out/ckpt")
+            val lastBatch = new java.io.File(s"$out/ckpt/commits")
+              .listFiles().map(_.getName).filter(_.forall(_.isDigit))
+              .map(_.toLong).max
+            val nParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+            val open = (0 until nParts).map { p =>
+              s.read.format("statestore")
+                .option("path", s"$out/ckpt")
+                .option("stateVarName", "sess")
+                .option("batchId", lastBatch.toString)
+                .option("snapshotStartBatchId", "0")
+                .option("snapshotPartitionId", p.toString)
+                .load()
+                .select(col("key.value").as("user_id"),
+                  col("value._1").as("anchor_ts"),
+                  col("value._2").as("n_events"),
+                  col("value._3").as("last_ts"))
+            }.reduce(_.unionByName(_))
+            drained.select("user_id", "anchor_ts", "n_events", "last_ts")
+              .unionByName(open)
+              .orderBy(col("user_id"), col("anchor_ts"))
+          }
+        }
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS tu
+             |  FROM events),
+             |m AS (
+             |  SELECT user_id, tu, event_id,
+             |    CASE WHEN lag(tu) OVER w IS NULL
+             |           OR tu - lag(tu) OVER w > 1800000000
+             |         THEN 1 ELSE 0 END AS brk
+             |  FROM e
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)),
+             |g AS (
+             |  SELECT user_id, tu,
+             |    SUM(brk) OVER (PARTITION BY user_id ORDER BY tu, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS grp
+             |  FROM m)
+             |SELECT user_id, CAST(MIN(tu) AS BIGINT) AS anchor_ts,
+             |  CAST(COUNT(*) AS BIGINT) AS n_events,
+             |  CAST(MAX(tu) AS BIGINT) AS last_ts
+             |FROM g GROUP BY user_id, grp
+             |ORDER BY user_id, anchor_ts""".stripMargin)),
+
+    // ---- chained event-time stateful operators (watermark propagation) -----------
+    // Every st01–st65 query carries exactly ONE stateful operator; this
+    // CHAINS two in one streaming query — hourly tumbling pre-aggregate
+    // feeding a daily re-aggregate via `window(window_time(w), '1
+    // day')` — the multi-stateful surface where watermark-propagation
+    // bugs live: op2's input rows only exist when op1's watermark
+    // emitted them, and op2 must evict against the SAME batch-start
+    // watermark, one batch later. The pre-agg is the 100 TB shape: the
+    // daily rollup reads hour×type rows (bounded), never raw events
+    // twice. Drains the ts-range tiles WITH both sentinel pushers
+    // (watermark past every real day end, so all windows finalize —
+    // append mode emits each exactly once). The sentinels flow
+    // THROUGH the chain: a pre-watermark row filter would be pushed
+    // BELOW the EventTimeWatermark node by the optimizer, the pushers
+    // would never reach the watermark collector, and the clock would
+    // stall at the real data's max ts, leaving the final day open
+    // (found the hard way). Their 'flush' rows form their own
+    // event_type groups, excluded from the SINK output batch-side.
+    // n_hours (hours-with-events per day×type) is the genuinely
+    // two-step output a single aggregate can't produce.
+    ("st66_chained_stateful",
+      (s: SparkSession, d: String) => {
+        val inDir = ensureTimerSessionStream(s, d)
+        val out = graft.TempDirs.create("graft_st66")
+        val ev = s.readStream.schema(EventStream.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$inDir/*.parquet") // tiles + watermark pushers
+          .withColumn("event_time", Tables.eventTime(col("ts")))
+          .withWatermark("event_time", "1 hour")
+        val hourly = ev
+          .groupBy(window(col("event_time"), "1 hour").as("w"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n_events"))
+        val daily = hourly
+          .groupBy(window(window_time(col("w")), "1 day").as("dw"),
+            col("event_type"))
+          .agg(sum(col("n_events")).as("n_events"),
+            count(lit(1)).as("n_hours"))
+          .select(col("dw.start").as("day"), col("event_type"),
+            col("n_events"), col("n_hours"))
+        EventStream.withRocksDBState(s) {
+          EventStream.runToFiles(s, daily, s"$out/data", s"$out/ckpt")
+        }.filter(col("event_type") =!= "flush") // sentinel groups
+          .orderBy(col("day"), col("event_type"))
+      },
+      Some("""WITH h AS (
+             |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+             |    event_type, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2)
+             |SELECT date_trunc('day', hr) AS day, event_type,
+             |  CAST(SUM(n) AS BIGINT) AS n_events,
+             |  CAST(COUNT(*) AS BIGINT) AS n_hours
+             |FROM h GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)),
   )
 }
