@@ -79,6 +79,8 @@ object Bench {
     graft.queries.SourceFormatQueries.ensureShipDateLayout(spark, sfDir): Unit
     graft.queries.SourceFormatQueries.ensureEvolvedLayout(spark, sfDir): Unit
     graft.queries.SourceFormatQueries.ensureZOrderLayout(spark, sfDir): Unit
+    // q180's clusterBy'd table: write-once/scan-many, same rule as q58
+    graft.queries.SourceFormatQueries.ensureClusterByTable(spark, sfDir): Unit
   }
 
   def main(args: Array[String]): Unit = {

@@ -713,6 +713,48 @@ object SourceFormatQueries {
              |  CAST(COUNT(score) AS BIGINT) AS n_scored,
              |  CAST(SUM(score) AS BIGINT) AS score_sum
              |FROM p GROUP BY 1 ORDER BY src""".stripMargin)),
+
+    // ---- clusterBy write layout + clustered-table pruned scan --------------------
+    // Spark 4's DataFrameWriterV2 `clusterBy` — liquid-style clustering
+    // declared as TABLE METADATA (clusteringColumns in the catalog, no
+    // explicit bucket count to outgrow), completing the layout family
+    // beside partitionBy (q55), bucketBy (q45), z-order (q58), and
+    // REBALANCE (q177). In OSS the declaration is metadata-only — the
+    // connector owns the physical layout (Delta/Iceberg cluster on
+    // write and compaction) — so the table is created through the V2
+    // API and its data arrives pre-shaped the way such a connector
+    // would shape it: range-partitioned + sorted on the clustering
+    // column, one narrow l_orderkey slab per file. The timed query is
+    // the read side a clustered table exists for: a selective range
+    // probe on the clustering column, where per-file/row-group min-max
+    // stats skip everything outside the slab (ScaleSpec measures the
+    // spans and the file-intersection count vs an unclustered twin;
+    // it also pins the Clustering Information round-trip through
+    // DESCRIBE). Bounds derive from data min/max with the same integer
+    // arithmetic on both engines, so the oracle is exact at every sf.
+    ("q180_clusterby",
+      (s: SparkSession, d: String) => {
+        val (tbl, (kmin, kmax)) = ensureClusterByTable(s, d)
+        val lo = kmin + (kmax - kmin) * 40 / 100
+        val hi = kmin + (kmax - kmin) * 42 / 100
+        s.table(tbl)
+          .filter(col("l_orderkey").between(lo, hi))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"),
+            sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH r AS (SELECT MIN(l_orderkey) AS kmin, MAX(l_orderkey) AS kmax
+             |           FROM lineitem)
+             |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
+             |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+             |    AS BIGINT) AS cents
+             |FROM lineitem, r
+             |WHERE l_orderkey BETWEEN kmin + (kmax - kmin) * 40 // 100
+             |                     AND kmin + (kmax - kmin) * 42 // 100
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 
   /** q64's write-time partition stats: one row per `source` partition
@@ -797,6 +839,40 @@ object SourceFormatQueries {
         .drop("__z")
         .write.mode("overwrite").parquet(out)
       (out, bounds)
+    })
+
+  /** q180's clusterBy'd lineitem table, memoized per (JVM, sf) with the
+    * (kmin, kmax) orderkey bounds its probe derives from. Created via
+    * DataFrameWriterV2 `clusterBy` (the metadata declaration), data
+    * pre-shaped as a clustering connector would lay it out: 16 range
+    * partitions of l_orderkey, sorted within each, so every file holds
+    * one narrow disjoint slab and footer min-max stats carry the probe.
+    * Lives in its own session-catalog database at a shutdown-cleaned
+    * location (the [[graft.ops.ScaleJoins]] bucketed-tables idiom). */
+  private val clusterByTables =
+    scala.collection.concurrent.TrieMap.empty[String, (String, (Long, Long))]
+
+  private lazy val clusterDbLocation: String =
+    graft.TempDirs.create("graft_cluster")
+
+  private[graft] def ensureClusterByTable(
+      s: SparkSession, d: String): (String, (Long, Long)) =
+    clusterByTables.getOrElseUpdate(d, {
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_cluster " +
+        s"LOCATION '$clusterDbLocation'")
+      val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+      val tbl = s"graft_cluster.lineitem_cb_$sfx"
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+      val r = li.agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
+      val bounds = (r.getLong(0), r.getLong(1))
+      if (!s.catalog.tableExists(tbl)) {
+        li.repartitionByRange(16, col("l_orderkey"))
+          .sortWithinPartitions(col("l_orderkey"))
+          .writeTo(tbl).using("parquet").clusterBy("l_orderkey").create()
+      }
+      (tbl, bounds)
     })
 
   /** q57's two-batch schema-evolved layout, memoized per (JVM, sf):

@@ -1861,6 +1861,53 @@ class ScaleSpec extends SparkSpec {
       s"second append must merge into the manifest: ${appended.count()} rows")
   }
 
+  test("q180 clusterBy: metadata round-trips, files hold disjoint slabs, probe touches few") {
+    val (tbl, (kmin, kmax)) =
+      graft.queries.SourceFormatQueries.ensureClusterByTable(spark, sf)
+    // the API surface: clusterBy is recorded as catalog metadata and
+    // DESCRIBE reports the Clustering Information block — the contract
+    // a clustering-aware connector (and a human) reads the layout from
+    val desc = spark.sql(s"DESCRIBE TABLE EXTENDED $tbl").collect()
+      .map(r => s"${r.getString(0)}|${r.getString(1)}").mkString("\n")
+    assert(desc.contains("# Clustering Information") && desc.contains("l_orderkey"),
+      s"clusterBy metadata lost:\n$desc")
+    // the physical layout: every file holds one narrow disjoint
+    // l_orderkey slab (footer min-max carries a range probe), unlike
+    // the unshaped twin where every file spans ~the whole key range
+    def fileSpans(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.groupBy(input_file_name().as("f"))
+        .agg(min(col("l_orderkey")).as("k0"), max(col("l_orderkey")).as("k1"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val span = (kmax - kmin).toDouble
+    val cf = fileSpans(spark.table(tbl))
+    assert(cf.size >= 8, s"clustered table produced only ${cf.size} files")
+    val avgSpan = cf.map { case (a, b) => (b - a).toDouble }.sum / cf.size / span
+    assert(avgSpan <= 0.2, s"clustered files span too much of the range: $avgSpan")
+    // the q180 probe interval intersects only the slab's files — what a
+    // stats-aware reader skips everything else by
+    val lo = kmin + (kmax - kmin) * 40 / 100
+    val hi = kmin + (kmax - kmin) * 42 / 100
+    val touched = cf.count { case (a, b) => b >= lo && a <= hi }
+    assert(touched <= 3,
+      s"probe interval intersects $touched of ${cf.size} clustered files")
+    val udir = Files.createTempDirectory("graft_uncluster").toString
+    Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"))
+      .repartition(16) // hash spray: the layout clusterBy exists to fix
+      .write.mode("overwrite").parquet(udir)
+    val uf = fileSpans(spark.read.parquet(udir))
+    val uTouched = uf.count { case (a, b) => b >= lo && a <= hi }
+    assert(uTouched == uf.size,
+      s"unclustered twin should intersect every file: $uTouched of ${uf.size}")
+    // and the probe's predicate reaches the scan as a pushed filter
+    val q = SparkEntry.queries("q180_clusterby")(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("l_orderkey") && plan.contains("PushedFilters"),
+      s"q180 scan lost pushdown:\n$plan")
+  }
+
   test("q173 SPJ: connector-reported key grouping plans join AND aggregate with zero Exchange") {
     spark.catalog.clearCache()
     ScaleJoins.withSpjDemo(spark) {

@@ -1743,6 +1743,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("chained stateful operators: one query runs TWO stateful aggs and emits promptly") {
+    import spark.implicits._
+    // the st66 chain's structural contract: hourly window agg → daily
+    // re-agg via window(window_time) is ONE streaming query with TWO
+    // stateful operators in its progress (not a fused single agg), and
+    // the second operator emits in the same processAllAvailable as the
+    // watermark crossing — no per-operator extra-batch lag (the probe
+    // result the query's fixture sizing relies on)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val H = 3600L * 1000000L
+    val ev = mem.toDS().toDF("ts")
+      .withColumn("event_time", timestamp_micros(col("ts")))
+      .withWatermark("event_time", "1 hour")
+    val hourly = ev.groupBy(window(col("event_time"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+    val daily = hourly
+      .groupBy(window(window_time(col("w")), "1 day").as("dw"))
+      .agg(sum(col("n")).as("n"), count(lit(1)).as("nh"))
+      .select(col("dw.start").as("day"), col("n"), col("nh"))
+    val q = daily.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("t_chain").start()
+    try {
+      mem.addData(1L * H, 2L * H) // day 0, two distinct hours
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.length == 2,
+        s"expected two stateful operators, got ${
+          q.lastProgress.stateOperators.map(_.operatorName).mkString(",")}")
+      assert(spark.table("t_chain").isEmpty, "day 0 must still be open")
+      // watermark 26h−1h = 25h ≥ day-0 end (24h): the chain flushes
+      // within ONE drain — hourly emits, daily consumes AND emits
+      mem.addData(26L * H)
+      q.processAllAvailable()
+      val rows = spark.table("t_chain").collect()
+        .map(r => (r.getLong(1), r.getLong(2))).toSeq
+      assert(rows == Seq((2L, 2L)),
+        s"day 0 must emit (n=2, nh=2) once watermark passes its end: $rows")
+    } finally q.stop()
+  }
+
   test("transformWithState: the ListState buffer survives a drain restart") {
     import spark.implicits._
     // the named-variable restart contract extended to ListState: the
