@@ -5214,5 +5214,32 @@ object AdvancedQueries {
              |UNION ALL
              |SELECT flag, n, cents, 'positional' AS api FROM r
              |ORDER BY api, flag""".stripMargin)),
+
+    // ---- IDENTIFIER clause (injection-safe dynamic names) -------------------------
+    // q179 binds VALUES through parameter markers; this binds NAMES —
+    // the other half every metadata-driven pipeline needs (the rollup
+    // config says WHICH table and WHICH column, not just which
+    // constants). `IDENTIFIER(:t)` promotes a bound string to a SQL
+    // identifier under identifier RULES: it must parse as a (qualified)
+    // name, so a value like `orders WHERE 1=1` is an analysis error,
+    // never a splice point (SqlParamsSpec pins that), while string-
+    // concatenated SQL would happily execute it. One statement text,
+    // any table × column: the plan under it is an ordinary distributed
+    // aggregate, so the dynamic layer costs nothing at 100 TB.
+    ("q181_identifier_clause",
+      (s: SparkSession, d: String) => {
+        Tables.load(s, d, "orders").createOrReplaceTempView("ord_ident")
+        s.sql(
+          """SELECT IDENTIFIER(:c) AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+            |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+            |    AS BIGINT) AS cents
+            |FROM IDENTIFIER(:t)
+            |GROUP BY IDENTIFIER(:c) ORDER BY grp""".stripMargin,
+          Map("t" -> "ord_ident", "c" -> "o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+             |    AS BIGINT) AS cents
+             |FROM orders GROUP BY 1 ORDER BY grp""".stripMargin)),
   )
 }

@@ -4199,5 +4199,59 @@ object StreamMediaQueries {
              |  CAST(SUM(n) AS BIGINT) AS n_events,
              |  CAST(COUNT(*) AS BIGINT) AS n_hours
              |FROM h GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)),
+
+    // ---- stream-stream join CHAINED into a windowed aggregate --------------------
+    // st66 chains agg→agg; this is the OTHER multi-stateful shape —
+    // st05's time-interval attribution join (views × purchases within
+    // 1 h) feeding an hourly rollup of attributed pairs, in one append
+    // query. The hard part the chain exercises: the JOIN's output
+    // watermark is the engine-derived min-over-inputs minus the join's
+    // time range, and the downstream window agg must finalize against
+    // THAT, not the raw source clock. Inner-join pairs emit as matches
+    // arrive, but the rollup's windows only close when the propagated
+    // watermark passes them — so the drain uses the pusher-equipped
+    // tiles, and the sentinels pass BOTH side-filters (`user_id < 0`
+    // escape hatch), because a side filter that excluded them would be
+    // pushed below that side's watermark node and stall its clock (the
+    // st66 lesson, doubled). Sentinel self-pairs carry a flag through
+    // the aggregate and drop batch-side.
+    ("st67_join_then_agg",
+      (s: SparkSession, d: String) => {
+        val inDir = ensureTimerSessionStream(s, d)
+        val out = graft.TempDirs.create("graft_st67")
+        def side(ty: String, tsName: String) =
+          s.readStream.schema(EventStream.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(s"$inDir/*.parquet") // tiles + watermark pushers
+            .filter(col("event_type") === ty || col("user_id") < 0)
+            .select(col("user_id").as(s"${tsName}_user"),
+              col("event_id").as(s"${tsName}_id"),
+              Tables.eventTime(col("ts")).as(s"${tsName}_time"))
+            .withWatermark(s"${tsName}_time", "2 hours")
+        val joined = side("view", "v").join(side("purchase", "p"),
+          col("v_user") === col("p_user") &&
+            col("p_time") >= col("v_time") &&
+            col("p_time") <= col("v_time") + expr("INTERVAL 1 HOUR"))
+        val rolled = joined
+          .groupBy(window(col("p_time"), "1 hour").as("w"),
+            (col("p_user") < 0).as("sentinel"))
+          .agg(count(lit(1)).as("n_attr"))
+          .select(col("w.start").as("hour"), col("sentinel"), col("n_attr"))
+        EventStream.withRocksDBState(s) {
+          EventStream.runToFiles(s, rolled, s"$out/data", s"$out/ckpt")
+        }.filter(!col("sentinel")) // sentinel self-pairs drop batch-side
+          .select(col("hour"), col("n_attr"))
+          .orderBy(col("hour"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t
+             |  FROM events)
+             |SELECT date_trunc('hour', p.t) AS hour,
+             |  CAST(COUNT(*) AS BIGINT) AS n_attr
+             |FROM e c JOIN e p
+             |  ON c.user_id = p.user_id
+             | AND c.event_type = 'view' AND p.event_type = 'purchase'
+             | AND p.t >= c.t AND p.t <= c.t + INTERVAL 1 HOUR
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

@@ -46,4 +46,24 @@ class SqlParamsSpec extends SparkSpec {
       spark.sql("SELECT id FROM :tbl", Map("tbl" -> "sqlp_t")).collect()
     }
   }
+
+  test("IDENTIFIER promotes a bound name under identifier rules, never as SQL text") {
+    import spark.implicits._
+    Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+      .createOrReplaceTempView("sqlp_ident")
+    // the sanctioned dynamic-name path: IDENTIFIER(:t) resolves the
+    // bound string as a (qualified) name
+    val ok = spark.sql("SELECT COUNT(*) AS n FROM IDENTIFIER(:t)",
+      Map("t" -> "sqlp_ident"))
+    assert(ok.head().getLong(0) == 2)
+    // a value that is not a bare name is an ERROR, not a splice point —
+    // the difference between IDENTIFIER and string concatenation
+    val e = intercept[Exception] {
+      spark.sql("SELECT COUNT(*) AS n FROM IDENTIFIER(:t)",
+        Map("t" -> "sqlp_ident WHERE id = 1")).collect()
+    }
+    assert(e.getMessage.contains("IDENTIFIER") ||
+      e.getMessage.toLowerCase.contains("invalid"),
+      s"injection-shaped identifier must fail loudly: ${e.getMessage}")
+  }
 }
