@@ -4186,9 +4186,14 @@ object StreamMediaQueries {
             count(lit(1)).as("n_hours"))
           .select(col("dw.start").as("day"), col("event_type"),
             col("n_events"), col("n_hours"))
-        EventStream.withRocksDBState(s) {
-          EventStream.runToFiles(s, daily, s"$out/data", s"$out/ckpt")
-        }.filter(col("event_type") =!= "flush") // sentinel groups
+        // default (HDFSBacked) state store, deliberately: window-agg
+        // state is O(open windows × event types) — bounded by TIME, not
+        // key cardinality — so executor heap is the right home at any
+        // corpus size; RocksDB's per-partition open/commit tax (×2
+        // operators ×batches) buys nothing here. RocksDB is for
+        // per-user/per-id state (st54/st06), where keys scale with data.
+        EventStream.runToFiles(s, daily, s"$out/data", s"$out/ckpt")
+          .filter(col("event_type") =!= "flush") // sentinel groups
           .orderBy(col("day"), col("event_type"))
       },
       Some("""WITH h AS (
@@ -4237,9 +4242,12 @@ object StreamMediaQueries {
             (col("p_user") < 0).as("sentinel"))
           .agg(count(lit(1)).as("n_attr"))
           .select(col("w.start").as("hour"), col("sentinel"), col("n_attr"))
-        EventStream.withRocksDBState(s) {
-          EventStream.runToFiles(s, rolled, s"$out/data", s"$out/ckpt")
-        }.filter(!col("sentinel")) // sentinel self-pairs drop batch-side
+        // default state store (the st66 rationale): join state is
+        // bounded by the 1 h interval × watermark delay — a sliding
+        // TIME window of rows, not a per-key registry — and the window
+        // agg's by open windows; neither scales with corpus keys
+        EventStream.runToFiles(s, rolled, s"$out/data", s"$out/ckpt")
+          .filter(!col("sentinel")) // sentinel self-pairs drop batch-side
           .select(col("hour"), col("n_attr"))
           .orderBy(col("hour"))
       },
