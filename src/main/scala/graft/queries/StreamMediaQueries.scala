@@ -4046,13 +4046,16 @@ object StreamMediaQueries {
           .flatMap(p => Option(p.observedMetrics.get("ingest"))
             .map(r => p.batchId -> r))
           .toMap.values.toSeq // dedupe re-reported batches, last wins
+        // min/max fold over batches that SAW rows (a zero-row batch
+        // reports null min/max, which getAs[Long] would read as 0)
+        val nonEmpty = perBatch.filter(_.getAs[Long]("rows_in") > 0)
         import s.implicits._
         Seq((
           perBatch.map(_.getAs[Long]("rows_in")).sum,
           perBatch.map(_.getAs[Long]("qty_sum")).sum,
           perBatch.map(_.getAs[Long]("cents_sum")).sum,
-          perBatch.map(_.getAs[Long]("okey_min")).min,
-          perBatch.map(_.getAs[Long]("okey_max")).max,
+          nonEmpty.map(_.getAs[Long]("okey_min")).min,
+          nonEmpty.map(_.getAs[Long]("okey_max")).max,
           perBatch.size.toLong))
           .toDF("rows_in", "qty_sum", "cents_sum", "okey_min", "okey_max",
             "n_batches")
