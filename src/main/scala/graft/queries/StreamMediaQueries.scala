@@ -4094,7 +4094,12 @@ object StreamMediaQueries {
             // from an uploaded snapshot — they exist only under
             // changelog checkpointing
             "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
-              -> "true")) {
+              -> "true",
+            // state partitions sized per job (the first-checkpoint
+            // knob): fewer RocksDB instances per batch AND fewer
+            // per-partition snapshot reconstructions afterwards —
+            // the read side is one source per partition by API design
+            "spark.sql.shuffle.partitions" -> "8")) {
             val stream = s.readStream.schema(EventStream.schema)
               .option("maxFilesPerTrigger", "1")
               .parquet(s"$inDir/part-*") // tiles only: pushers are z*_push
@@ -4195,8 +4200,13 @@ object StreamMediaQueries {
         // corpus size; RocksDB's per-partition open/commit tax (×2
         // operators ×batches) buys nothing here. RocksDB is for
         // per-user/per-id state (st54/st06), where keys scale with data.
-        EventStream.runToFiles(s, daily, s"$out/data", s"$out/ckpt")
-          .filter(col("event_type") =!= "flush") // sentinel groups
+        // State partitions sized to the state (a few hundred window×type
+        // keys), not the session's scan parallelism — the per-job knob a
+        // streaming deployment pins at its first checkpoint; two chained
+        // operators pay the per-partition commit tax twice per batch.
+        graft.Confs.withConfs(s, Seq("spark.sql.shuffle.partitions" -> "8")) {
+          EventStream.runToFiles(s, daily, s"$out/data", s"$out/ckpt")
+        }.filter(col("event_type") =!= "flush") // sentinel groups
           .orderBy(col("day"), col("event_type"))
       },
       Some("""WITH h AS (
@@ -4248,9 +4258,16 @@ object StreamMediaQueries {
         // default state store (the st66 rationale): join state is
         // bounded by the 1 h interval × watermark delay — a sliding
         // TIME window of rows, not a per-key registry — and the window
-        // agg's by open windows; neither scales with corpus keys
-        EventStream.runToFiles(s, rolled, s"$out/data", s"$out/ckpt")
-          .filter(!col("sentinel")) // sentinel self-pairs drop batch-side
+        // agg's by open windows; neither scales with corpus keys.
+        // State-partition count tuned per job, the knob every streaming
+        // deployment pins at its first checkpoint: a stream-stream join
+        // keeps FOUR stores per partition per side-pair, so partition
+        // count multiplies per-batch commit overhead 4× harder than any
+        // other operator — size it to the state volume (time-bounded
+        // here), not the session's scan parallelism.
+        graft.Confs.withConfs(s, Seq("spark.sql.shuffle.partitions" -> "8")) {
+          EventStream.runToFiles(s, rolled, s"$out/data", s"$out/ckpt")
+        }.filter(!col("sentinel")) // sentinel self-pairs drop batch-side
           .select(col("hour"), col("n_attr"))
           .orderBy(col("hour"))
       },
