@@ -5241,5 +5241,45 @@ object AdvancedQueries {
              |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
              |    AS BIGINT) AS cents
              |FROM orders GROUP BY 1 ORDER BY grp""".stripMargin)),
+
+    // ---- transpose (metrics-long to report-wide) ----------------------------------
+    // Spark 4's `Dataset.transpose(indexCol)` completes the reshape
+    // family (pivot q26-family / unpivot q? melt / stack): the index
+    // column's VALUES become column headers (sorted), the remaining
+    // column NAMES become rows under `key` — the report orientation a
+    // metrics dashboard wants, without hand-writing one CASE per
+    // header. Same 100 TB rule as pivot: transpose ONLY a bounded
+    // aggregate (here 5 priorities × 2 metrics) — the distributed work
+    // is the upstream groupBy; the reshape is a driver-bounded pivot of
+    // a tiny frame (transpose collects the index column to name the
+    // output schema, so an unbounded index is the documented misuse).
+    ("q182_transpose",
+      (s: SparkSession, d: String) => {
+        val agg = Tables.load(s, d, "orders")
+          .groupBy(col("o_orderpriority").as("p"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        agg.transpose(col("p")).orderBy(col("key"))
+      },
+      Some("""WITH a AS (
+             |  SELECT o_orderpriority AS p, CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+             |      AS BIGINT) AS cents
+             |  FROM orders GROUP BY 1)
+             |SELECT 'cents' AS key,
+             |  (SELECT cents FROM a WHERE p = '1-URGENT') AS "1-URGENT",
+             |  (SELECT cents FROM a WHERE p = '2-HIGH') AS "2-HIGH",
+             |  (SELECT cents FROM a WHERE p = '3-MEDIUM') AS "3-MEDIUM",
+             |  (SELECT cents FROM a WHERE p = '4-NOT SPECIFIED')
+             |    AS "4-NOT SPECIFIED",
+             |  (SELECT cents FROM a WHERE p = '5-LOW') AS "5-LOW"
+             |UNION ALL
+             |SELECT 'n_orders' AS key,
+             |  (SELECT n FROM a WHERE p = '1-URGENT'),
+             |  (SELECT n FROM a WHERE p = '2-HIGH'),
+             |  (SELECT n FROM a WHERE p = '3-MEDIUM'),
+             |  (SELECT n FROM a WHERE p = '4-NOT SPECIFIED'),
+             |  (SELECT n FROM a WHERE p = '5-LOW')
+             |ORDER BY key""".stripMargin)),
   )
 }
