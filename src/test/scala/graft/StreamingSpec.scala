@@ -1783,6 +1783,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chained stateful operators: interval join feeds a window agg in one query") {
+    import spark.implicits._
+    // the st67 shape's structural contract: a time-interval
+    // stream-stream join and a downstream tumbling aggregate are one
+    // query with two stateful operators, and the aggregate finalizes
+    // against the JOIN's derived output watermark — a window whose end
+    // the raw source clock has passed but whose join-adjusted watermark
+    // has not must stay open
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)] // (ts, side, user)
+    val H = 3600L * 1000000L
+    def side(name: String) = mem.toDS()
+      .toDF("ts", "side", "user")
+      .filter(col("side") === name)
+      .select(col("user").as(s"${name}_user"),
+        timestamp_micros(col("ts")).as(s"${name}_time"))
+      .withWatermark(s"${name}_time", "1 hour")
+    val joined = side("v").join(side("p"),
+      col("v_user") === col("p_user") &&
+        col("p_time") >= col("v_time") &&
+        col("p_time") <= col("v_time") + expr("INTERVAL 1 HOUR"))
+    val rolled = joined
+      .groupBy(window(col("p_time"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("hour"), col("n"))
+    val q = rolled.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("t_chain_ja").start()
+    try {
+      // one attributed pair in hour 1 (view 1.0H, purchase 1.5H)
+      mem.addData((1L * H, "v", 5L), (3L * H / 2, "p", 5L))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.length == 2,
+        s"expected join + agg stateful operators, got ${
+          q.lastProgress.stateOperators.map(_.operatorName).mkString(",")}")
+      assert(spark.table("t_chain_ja").isEmpty,
+        "hour 1's window must stay open until the join-adjusted watermark passes")
+      // raw clock to 6H on both sides: source watermark 5H, and even
+      // after the engine subtracts the join's 1 h interval from the
+      // state-format-dependent side, the agg watermark clears hour 1's
+      // end (2H) with margin — the pair's window closes now
+      mem.addData((6L * H, "v", -1L), (6L * H, "p", -2L))
+      q.processAllAvailable()
+      val rows = spark.table("t_chain_ja").collect()
+        .map(r => r.getLong(1)).toSeq
+      assert(rows == Seq(1L),
+        s"the attributed pair must emit exactly once after the cascade: $rows")
+    } finally q.stop()
+  }
+
   test("transformWithState: the ListState buffer survives a drain restart") {
     import spark.implicits._
     // the named-variable restart contract extended to ListState: the
