@@ -29,9 +29,19 @@ under an "adjudicated" key and echoed, so the round-close record
 explains itself. `--no-adjudicate` restores the raw flag-and-exit
 behavior (e.g. when no JVM is available).
 
-Two guards keep the auto-verdict honest (a warm solo re-measure can
+Three guards keep the auto-verdict honest (a warm solo re-measure can
 wave through regressions that only manifest under full-suite
-conditions — state-store / cache / memory contention from neighbors):
+conditions — state-store / cache / memory contention from neighbors —
+and can CONFIRM phantoms when the box itself is in a slow phase):
+
+ 0. Load probes: every adjudication run also times two stable probe
+    queries — one batch aggregate, one streaming drain (the round-16
+    phantom inflated micro-batch execution 3-4x while batch stayed
+    flat, so a batch-only probe would see nothing) — and the max
+    probe inflation vs its reference row scales every solo allowance.
+    Past PHASE_BAD (2x) the box is declared degraded: the gate exits 1
+    with `box_degraded_retry` verdicts instead of ever confirming a
+    regression it cannot distinguish from the environment.
 
  1. Per-query gap visibility: every adjudication records
     `gap_factor` = artifact / benchone. Any factor > GAP_LOUD (3x)
@@ -224,10 +234,38 @@ def main():
             sys.exit(1)
         GAP_LOUD = 3.0
         SYSTEMIC_MIN = 5
+        PHASE_BAD = 2.0
         compared = [n for n, t in fq.items()
                     if t >= 0 and rq.get(n, -1) >= 0]
         systemic = len(drifted) >= max(SYSTEMIC_MIN, len(compared) // 10)
-        remeasured = benchone(root, sf_dir, [name for name, *_ in drifted])
+        # LOAD PROBES ride the same BenchOne run (the round-16 lesson: a
+        # solo re-measure taken INSIDE a box-slow phase confirmed a
+        # phantom regression for st60 — the flagged query was slow alone
+        # because the whole box was, and nothing in the adjudication
+        # could see that). Two probes, deliberately one per engine: a
+        # batch aggregate AND a streaming drain, because the observed
+        # phase inflated micro-batch execution 3-4x while CPU-bound
+        # batch queries stayed flat — a batch-only probe would have
+        # read load 1.0 and still confirmed the phantom. The max probe
+        # inflation scales every solo allowance; past PHASE_BAD the box
+        # is declared degraded and NO regression verdict is issued.
+        PROBES = ["q01_pricing_summary", "st01_stream_hourly"]
+        flagged_names = [name for name, *_ in drifted]
+        probes = [p for p in PROBES
+                  if rq.get(p, -1) > 0 and p not in flagged_names]
+        remeasured = benchone(root, sf_dir, flagged_names + probes)
+        load_factor = 1.0
+        probe_info = {}
+        for p in probes:
+            m = remeasured.get(p)
+            if m and m > 0:
+                pl = round(max(1.0, m / rq[p]), 2)
+                probe_info[p] = {"solo_s": round(m, 3),
+                                 "ref_s": rq[p], "load": pl}
+                load_factor = max(load_factor, pl)
+        if probe_info:
+            print(f"  load probes: {probe_info} -> load x{load_factor:.2f}")
+        box_degraded = load_factor > PHASE_BAD
         verdicts = {}
         loud = []
         for name, t, b, allowed in drifted:
@@ -241,15 +279,28 @@ def main():
                 verdicts[name] = {"artifact_s": t, "ref_s": b,
                                   "verdict": "unadjudicated"}
             else:
-                v = "box_contention" if m <= allowed else "regression_confirmed"
+                allowed_solo = load_factor * allowed
+                if m <= allowed_solo:
+                    v = "box_contention"
+                elif box_degraded:
+                    # the probes say the box is in a slow phase right
+                    # now: a solo re-measure cannot distinguish code
+                    # from environment, so no regression verdict —
+                    # fail the gate with the honest diagnosis instead
+                    v = "box_degraded_retry"
+                else:
+                    v = "regression_confirmed"
                 gap = round(t / m, 2)
                 verdicts[name] = {"artifact_s": t, "ref_s": b,
                                   "benchone_min_s": round(m, 3),
-                                  "gap_factor": gap, "verdict": v}
-                if v == "box_contention" and gap > GAP_LOUD:
+                                  "gap_factor": gap, "load": round(load_factor, 2),
+                                  "verdict": v}
+                if v == "box_contention" and gap > GAP_LOUD * load_factor:
                     loud.append((name, gap))
             print(f"  adjudicated {name}: {verdicts[name]}")
         extras = {"adjudicated": verdicts}
+        if probe_info:
+            extras["load_probes"] = probe_info
         if loud:
             print(f"\nLOUD: {len(loud)} box_contention verdicts with an "
                   f"artifact-vs-solo gap past {GAP_LOUD}x — "
@@ -273,7 +324,10 @@ def main():
                 art_total = round(sum(fq[n] for n in common), 1)
                 solo_total = round(sum(whole[n] for n in common), 1)
                 ref_total = round(sum(rq[n] for n in common), 1)
-                suite_bad = solo_total > 1.2 * ref_total
+                # the load probes scale the suite bar too: a box-slow
+                # phase inflates the whole-set rerun the same way it
+                # inflates per-query solos
+                suite_bad = solo_total > 1.2 * load_factor * ref_total
                 extras["suite_rerun"] = {
                     "n_common": len(common), "artifact_total_s": art_total,
                     "benchone_total_s": solo_total, "ref_total_s": ref_total,
@@ -293,11 +347,19 @@ def main():
         # and this script only read "queries"/"value"/"sf")
         if annotate(fresh_path, extras):
             print(f"annotated {fresh_path} with {len(verdicts)} verdicts")
+        degraded = [n for n, v in verdicts.items()
+                    if v["verdict"] == "box_degraded_retry"]
         bad = [n for n, v in verdicts.items()
-               if v["verdict"] != "box_contention"]
+               if v["verdict"] not in ("box_contention", "box_degraded_retry")]
         if bad:
             print(f"REGRESSION: {len(bad)} queries still slow when timed "
                   f"alone: {', '.join(bad)}")
+            sys.exit(1)
+        if degraded:
+            print(f"BOX DEGRADED (load x{load_factor:.2f} past {PHASE_BAD}x): "
+                  f"{len(degraded)} queries cannot be adjudicated in this "
+                  f"phase: {', '.join(degraded)} — re-run the gate when the "
+                  "box settles; no regression verdict issued")
             sys.exit(1)
         if suite_bad:
             if extras["suite_rerun"]["verdict"] == "unadjudicated":
