@@ -381,4 +381,21 @@ class PropertySpec extends AnyFunSuite {
       stEnd.isEmpty && out == truth
     })
   }
+
+  test("TSV label codec: every string round-trips; escaped form has no raw delimiters") {
+    import graft.sources.KeyedPartitionSource.{escapeLabel, unescapeLabel}
+    // arbitrary unicode strings, biased toward the dangerous bytes the
+    // codec exists for (tab/newline/CR/backslash runs, lookalike
+    // escape sequences, trailing backslashes)
+    val nasty = Gen.oneOf("\t", "\n", "\r", "\\", "\\t", "\\n", "\\\\", "x")
+    val genLabel: Gen[String] = Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.listOf(nasty).map(_.mkString),
+      Gen.listOf(Gen.oneOf(Gen.asciiPrintableStr, nasty)).map(_.mkString))
+    checkProp(Prop.forAll(genLabel) { s =>
+      val esc = escapeLabel(s)
+      unescapeLabel(esc) == s &&
+        !esc.contains('\t') && !esc.contains('\n') && !esc.contains('\r')
+    }, cases = 500)
+  }
 }

@@ -1908,6 +1908,27 @@ class ScaleSpec extends SparkSpec {
       s"q180 scan lost pushdown:\n$plan")
   }
 
+  test("q179 parameter markers fold to literals the scan can push down") {
+    // the plan-quality half of the injection-safety story: a bound
+    // marker is a LITERAL in the resolved plan, so the parameterized
+    // predicates reach the parquet scan as pushed filters exactly like
+    // hand-written constants — string-spliced SQL gets this too, but
+    // only markers get it WITHOUT a reparse per value
+    // default maxMetadataStringLength truncates PushedFilters at 100
+    // chars — widen it so the full filter list is assertable
+    val plan = graft.Confs.withConfs(spark,
+      Seq("spark.sql.maxMetadataStringLength" -> "2000")) {
+      val q = SparkEntry.queries("q179_sql_params")(spark, sf)
+      q.collect()
+      q.queryExecution.executedPlan.toString
+    }
+    assert(plan.contains("PushedFilters"), s"no pushdown section:\n${plan.take(3000)}")
+    assert(plan.contains("LessThan(l_quantity,25.0)"),
+      s"bound :maxq must push as a literal comparison:\n${plan.take(3000)}")
+    assert(plan.contains("EqualTo(l_linestatus,F)"),
+      s"bound :st must push as a literal equality:\n${plan.take(3000)}")
+  }
+
   test("q173 SPJ: connector-reported key grouping plans join AND aggregate with zero Exchange") {
     spark.catalog.clearCache()
     ScaleJoins.withSpjDemo(spark) {
