@@ -84,7 +84,7 @@ def load(path):
             qs.pop("value", None)
             if qs:
                 return {"queries": qs, "value": obj.get("total", "?"),
-                        "partial": True}
+                        "sf": obj.get("sf"), "partial": True}
     except json.JSONDecodeError:
         pass
     for line in text.splitlines():
@@ -115,7 +115,11 @@ def annotate(path, extras):
         return False
     try:
         obj = json.loads(text)
-        if "queries" in obj:
+        # "queries": Bench.scala's own record; "tail": the driver's
+        # BENCH_r*.json wrapper — adjudicating a DRIVER artifact must
+        # land the verdicts on the artifact too, so the judge reads
+        # them off the file instead of re-measuring by hand.
+        if "queries" in obj or "tail" in obj:
             obj.update(extras)
             with open(path, "w") as f:
                 f.write(json.dumps(obj) + "\n")
@@ -229,6 +233,15 @@ def main():
         # queries; a re-measure inside the allowance proves the artifact
         # number was box contention, not a code regression
         sf_dir = fresh.get("sf")
+        if sf_dir is not None and not os.path.isdir(str(sf_dir)):
+            # driver artifacts carry the scale factor as a NUMBER, not a
+            # path — resolve it against the standard testdata layout so
+            # the gate can adjudicate a driver run too
+            cand = os.path.join(
+                os.environ.get("GRAFT_TESTDATA", "/root/testdata"),
+                f"sf{sf_dir}")
+            if os.path.isdir(cand):
+                sf_dir = cand
         if not sf_dir or not os.path.isdir(str(sf_dir)):
             print(f"adjudication: artifact has no usable sf dir ({sf_dir!r})")
             sys.exit(1)
@@ -251,12 +264,18 @@ def main():
         # is declared degraded and NO regression verdict is issued.
         PROBES = ["q01_pricing_summary", "st01_stream_hourly"]
         flagged_names = [name for name, *_ in drifted]
-        probes = [p for p in PROBES
-                  if rq.get(p, -1) > 0 and p not in flagged_names]
-        remeasured = benchone(root, sf_dir, flagged_names + probes)
+        # A probe that drifted itself is STILL a load signal (a systemic
+        # box-slow phase — the exact scenario the probes exist for — will
+        # likely drift q01/st01 too; dropping them would leave
+        # load_factor = 1.0 and free the gate to confirm phantoms).
+        # Flagged probes are already in the BenchOne run via
+        # flagged_names; only the unflagged ones need adding.
+        usable_probes = [p for p in PROBES if rq.get(p, -1) > 0]
+        extra = [p for p in usable_probes if p not in flagged_names]
+        remeasured = benchone(root, sf_dir, flagged_names + extra)
         load_factor = 1.0
         probe_info = {}
-        for p in probes:
+        for p in usable_probes:
             m = remeasured.get(p)
             if m and m > 0:
                 pl = round(max(1.0, m / rq[p]), 2)
@@ -295,7 +314,12 @@ def main():
                                   "benchone_min_s": round(m, 3),
                                   "gap_factor": gap, "load": round(load_factor, 2),
                                   "verdict": v}
-                if v == "box_contention" and gap > GAP_LOUD * load_factor:
+                # Load INFLATES the solo time m, which SHRINKS
+                # gap = artifact / m — a genuine suite-conditions
+                # regression is already understated under load, so the
+                # loud bar must come DOWN with load, not up:
+                # gap * load_factor > GAP_LOUD.
+                if v == "box_contention" and gap * load_factor > GAP_LOUD:
                     loud.append((name, gap))
             print(f"  adjudicated {name}: {verdicts[name]}")
         extras = {"adjudicated": verdicts}

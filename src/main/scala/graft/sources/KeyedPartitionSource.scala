@@ -163,18 +163,34 @@ private[sources] class KeyedWrite(path: String)
       // would silently erase the first commit's files. The merged list
       // still lands via write-to-temp + ATOMIC_MOVE so a crash
       // mid-write never exposes a truncated manifest.
-      val lock = new java.io.File(path, "_manifest.lock").toPath
+      val lockFile = new java.io.File(path, "_manifest.lock")
+      val lock = lockFile.toPath
+      // Stale-lock takeover: a committer that dies between createFile
+      // and the finally (kill -9, OOM) would otherwise block every
+      // later commit until a human deletes the file. The guarded merge
+      // is a small-file rewrite (milliseconds), so a lock older than
+      // staleMs can only belong to a dead holder — delete it and
+      // re-race createFile (exactly one waiter wins the recreate).
+      val staleMs = 30000L
       var locked = false
       var attempts = 0
       while (!locked) {
         try { java.nio.file.Files.createFile(lock); locked = true }
         catch {
           case _: java.nio.file.FileAlreadyExistsException =>
-            attempts += 1
-            if (attempts > 600) throw new IllegalStateException(
-              s"could not acquire $lock after 60s — stale lock from a " +
-                "crashed committer? delete it manually to recover")
-            Thread.sleep(100)
+            // lastModified is 0 when the file vanished between the
+            // createFile race and here — the huge "age" then routes to
+            // deleteIfExists (a no-op) and straight back to createFile
+            val age = System.currentTimeMillis - lockFile.lastModified
+            if (age > staleMs) {
+              java.nio.file.Files.deleteIfExists(lock)
+            } else {
+              attempts += 1
+              if (attempts > 600) throw new IllegalStateException(
+                s"could not acquire $lock after 60s (lock age ${age}ms, " +
+                  s"takeover at ${staleMs}ms) — live committer wedged?")
+              Thread.sleep(100)
+            }
         }
       }
       try {
