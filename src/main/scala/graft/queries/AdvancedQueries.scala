@@ -5281,5 +5281,118 @@ object AdvancedQueries {
              |  (SELECT n FROM a WHERE p = '4-NOT SPECIFIED'),
              |  (SELECT n FROM a WHERE p = '5-LOW')
              |ORDER BY key""".stripMargin)),
+
+    // ---- native approx_top_k (Spark 4.1 built-in frequency sketch) ---------------
+    // The A/B face beside q47's custom SpaceSavingTopK: the same
+    // heavy-hitters question answered by the engine's own mergeable
+    // sketch. maxItemsTracked (64) ≥ the column's distinct count and
+    // k = the full type set, so the sketch runs in its EXACT regime and
+    // the DuckDB group-count oracle certifies it to the row — the same
+    // capacity≥distinct contract q47/q50 pin for the custom aggs
+    // (SketchAbSpec additionally pins that native and SpaceSavingTopK
+    // agree item-for-item on this fixture). At 100 TB the sketch is the
+    // point: partial_approx_top_k map-side buffers merge like any agg —
+    // no shuffle of raw rows, state O(maxItemsTracked) per partition.
+    ("q184_approx_topk",
+      (s: SparkSession, d: String) => {
+        Tables.load(s, d, "events")
+          .agg(expr("approx_top_k(event_type, 5, 64)").as("tk"))
+          .select(explode(col("tk")).as("e"))
+          .select(col("e.item").as("event_type"), col("e.count").as("n"))
+          .orderBy(col("n").desc, col("event_type"))
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+             |FROM events GROUP BY 1 ORDER BY n DESC, event_type""".stripMargin)),
+
+    // ---- try_* error-safe functions (dirty-data silver idiom) --------------------
+    // The modern Spark spelling of the reference's whole silver-layer
+    // rationale (SURVEY §2.3: upstream data is dirty): `try_cast` /
+    // `try_divide` / `try_to_number` return NULL on malformed input
+    // instead of failing the job — per-ROW quarantine, composing with
+    // q91/q137's per-record quarantine counters, where ANSI mode would
+    // kill a 1000-executor job for one bad byte. Dirt is synthesized
+    // deterministically from keys (mod-4 parse garbage, mod-3 zero
+    // divisors, mod-5 corrupted digit groups) so the oracle reproduces
+    // every NULL exactly; all sums land on integer-exact cents/tenths
+    // (never raw IEEE doubles) so the hash is engine-stable.
+    ("q185_try_functions",
+      (s: SparkSession, d: String) => {
+        val k = col("o_orderkey")
+        val cents = round(col("o_totalprice") * 100).cast("long")
+        val dirty = Tables.load(s, d, "orders").select(
+          col("o_orderpriority").as("prio"), k.as("k"), cents.as("cents"),
+          // 2 of 4 rows parse (a price, an integer), 2 are garbage
+          when(k % 4 === 0, lit("N/A"))
+            .when(k % 4 === 1, lit(""))
+            .when(k % 4 === 2, col("o_totalprice").cast("string"))
+            .otherwise(k.cast("string")).as("raw"),
+          // always-6-digit value, comma-grouped to match '999,999';
+          // every 5th corrupted in the digit block
+          (lit(100000L) + pmod(cents, lit(900000L))).cast("string").as("s6"))
+        dirty
+          .select(col("prio"), col("k"), col("cents"),
+            expr("try_cast(raw AS DOUBLE)").as("parsed"),
+            expr("try_divide(cents, k % 3)").as("q"),
+            expr("""try_to_number(
+              CASE WHEN k % 5 = 0
+                   THEN 'X' || substring(s6, 2, 2) || ',' || substring(s6, 4, 3)
+                   ELSE substring(s6, 1, 3) || ',' || substring(s6, 4, 3) END,
+              '999,999')""").as("ton"))
+          .groupBy(col("prio"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("parsed").isNull.cast("long")).as("n_parse_null"),
+            sum(round(col("parsed") * 100).cast("long")).as("parsed_cents_sum"),
+            sum(col("q").isNull.cast("long")).as("n_div_null"),
+            sum(round(col("q") * 10).cast("long")).as("div_tenths_sum"),
+            sum(col("ton").isNull.cast("long")).as("n_ton_null"),
+            sum(col("ton").cast("long")).as("ton_sum"))
+          .orderBy(col("prio"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderpriority AS prio, o_orderkey AS k,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             |    o_totalprice AS tp
+             |  FROM orders)
+             |SELECT prio, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CASE WHEN k % 4 IN (0, 1) THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_parse_null,
+             |  CAST(SUM(CASE WHEN k % 4 = 2 THEN CAST(round(tp * 100) AS BIGINT)
+             |                WHEN k % 4 = 3 THEN k * 100 END)
+             |    AS BIGINT) AS parsed_cents_sum,
+             |  CAST(SUM(CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_div_null,
+             |  CAST(SUM(CASE k % 3 WHEN 1 THEN cents * 10
+             |                      WHEN 2 THEN cents * 5 END)
+             |    AS BIGINT) AS div_tenths_sum,
+             |  CAST(SUM(CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_ton_null,
+             |  CAST(SUM(CASE WHEN k % 5 <> 0 THEN 100000 + (cents % 900000) END)
+             |    AS BIGINT) AS ton_sum
+             |FROM o GROUP BY 1 ORDER BY prio""".stripMargin)),
+
+    // ---- listagg WITHIN GROUP (ANSI ordered string aggregate) ---------------------
+    // The SQL:2016 spelling beside q39's functional string_agg face:
+    // Spark 4's `listagg(expr, delim) WITHIN GROUP (ORDER BY ...)` pins
+    // the output order IN the aggregate (here DESC, the opposite of
+    // q39's sort, so the two faces can't accidentally certify the same
+    // bytes). Ordered aggregation is a real shuffle contract — rows
+    // must arrive grouped AND sorted per group — which is why the
+    // result is deterministic where a bare collect_list isn't.
+    ("q186_listagg",
+      (s: SparkSession, d: String) => {
+        Tables.load(s, d, "nation").createOrReplaceTempView("nat_la")
+        Tables.load(s, d, "region").createOrReplaceTempView("reg_la")
+        s.sql("""SELECT r_name AS region,
+                |  listagg(n_name, ';') WITHIN GROUP (ORDER BY n_name DESC)
+                |    AS nations_desc,
+                |  CAST(COUNT(*) AS BIGINT) AS n_nations
+                |FROM nat_la JOIN reg_la ON n_regionkey = r_regionkey
+                |GROUP BY r_name ORDER BY region""".stripMargin)
+      },
+      Some("""SELECT r_name AS region,
+             |  string_agg(n_name, ';' ORDER BY n_name DESC) AS nations_desc,
+             |  CAST(COUNT(*) AS BIGINT) AS n_nations
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY region""".stripMargin)),
   )
 }

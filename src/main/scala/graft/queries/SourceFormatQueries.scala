@@ -755,6 +755,51 @@ object SourceFormatQueries {
              |WHERE l_orderkey BETWEEN kmin + (kmax - kmin) * 40 // 100
              |                     AND kmin + (kmax - kmin) * 42 // 100
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- _metadata hidden file columns (file-level provenance) -------------------
+    // The physical complement to c08's row-level ledger: every scan in
+    // Spark exposes `_metadata` (file_path / file_name / file_size /
+    // file_modification_time / file_block_*) as hidden columns —
+    // requested by NAME only, so an unqueried scan pays nothing. This
+    // is the lineage/debugging workhorse at 100 TB ("which FILE did the
+    // corrupt row come from"), and it composes with partitioned layouts:
+    // the face writes lineitem as a l_returnflag-partitioned layout
+    // (repartition on the partition column → each value lands in
+    // exactly ONE task → exactly one file per partition dir, a
+    // deterministic invariant, not a guess), reads it back, and
+    // re-derives the partition value FROM the file path — certifying
+    // that path-level provenance agrees with the data. file_size and
+    // file_modification_time are environment-dependent bytes, so they
+    // certify as presence invariants (all files sized > 0, mtime
+    // non-null on every row), which hash deterministically.
+    ("q183_file_metadata",
+      (s: SparkSession, d: String) => {
+        val out = graft.TempDirs.create("graft_q183")
+        Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+          .repartition(col("l_returnflag"))
+          .write.partitionBy("l_returnflag").mode("overwrite").parquet(out)
+        s.read.parquet(out)
+          .select(
+            regexp_extract(col("_metadata.file_path"),
+              "l_returnflag=([^/]+)/", 1).as("flag"),
+            col("_metadata.file_name").as("fname"),
+            col("_metadata.file_size").as("fsize"),
+            col("_metadata.file_modification_time").as("fmtime"),
+            col("l_quantity"))
+          .groupBy(col("flag"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"),
+            countDistinct(col("fname")).as("n_files"),
+            (min(col("fsize")) > 0).as("all_sized"),
+            (count(col("fmtime")) === count(lit(1))).as("mtime_present"))
+          .orderBy(col("flag"))
+      },
+      Some("""SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             |  CAST(1 AS BIGINT) AS n_files,
+             |  TRUE AS all_sized, TRUE AS mtime_present
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 
   /** q64's write-time partition stats: one row per `source` partition

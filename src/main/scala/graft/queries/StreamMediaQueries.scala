@@ -169,6 +169,58 @@ object StreamMediaQueries {
       .foreach { case (f, i) => f.setLastModified(now + i * 1000) }
   }
 
+  /** st69's at-least-once fixture: the events corpus as 3 ts-range
+    * tiles WITH deliberate duplicates — every event_id % 7 == 0 row
+    * appears twice in its own tile (same-batch redelivery) and every
+    * event_id % 4 == 0 row from the last 30 min of a tile is replayed
+    * into the NEXT tile (cross-batch redelivery, the shape a network
+    * retry produces). Both kinds arrive within the 1 h watermark delay
+    * of their originals: the cross-tile copy's ts ≥ tileMax − 30 min >
+    * batch-start watermark (tileMax − 1 h), so it is neither dropped
+    * as late nor past the dedup key's state retention (ts + 1 h).
+    * Plus st54's two sentinel pushers and the same mtime contract.
+    * Write-once per (JVM, sf). */
+  private val dupEventDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def ensureDupEventStream(s: SparkSession, d: String): String =
+    dupEventDirs.getOrElseUpdate(d, {
+      val tmp = graft.TempDirs.create("graft_st69")
+      val inDir = new java.io.File(s"$tmp/in"); inDir.mkdirs()
+      val events = Tables.load(s, d, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      val maxTs = events.agg(max(col("ts"))).head().getLong(0)
+      // fixture staging only: the single-partition ntile is the tiler,
+      // never the timed operator (one pass at build, cached per JVM)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts"), col("event_id"))
+      val tiled = events.withColumn("tile", ntile(3).over(w)).cache()
+      val tileMax = tiled.groupBy(col("tile")).agg(max(col("ts")).as("m"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val halfHourUs = 30L * 60 * 1000 * 1000
+      val tiles = (1 to 3).map { k =>
+        val cur = tiled.filter(col("tile") === k).drop("tile")
+        val dupSame = cur.filter(col("event_id") % 7 === 0)
+        val dupCross =
+          if (k == 1) cur.limit(0)
+          else tiled.filter(col("tile") === (k - 1) &&
+              col("ts") >= lit(tileMax(k - 1) - halfHourUs) &&
+              col("event_id") % 4 === 0)
+            .drop("tile")
+        val sd = s"$tmp/stage_t$k"
+        cur.unionByName(dupSame).unionByName(dupCross)
+          .coalesce(1).write.mode("overwrite").parquet(sd)
+        val part = new java.io.File(sd).listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        val dst = new java.io.File(inDir, s"t$k.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst
+      }
+      tiled.unpersist()
+      finishEventTiles(s, tmp, inDir, tiles, maxTs)
+      inDir.getAbsolutePath
+    })
+
   /** st63's handoff fixture: the events corpus cut at the FIRST
     * ts-range boundary — the earliest tile lands in `$tmp/batch` (the
     * backfill's input), the later two tiles plus st54's two watermark
@@ -4049,6 +4101,11 @@ object StreamMediaQueries {
         // min/max fold over batches that SAW rows (a zero-row batch
         // reports null min/max, which getAs[Long] would read as 0)
         val nonEmpty = perBatch.filter(_.getAs[Long]("rows_in") > 0)
+        // name the contract violation instead of the opaque
+        // UnsupportedOperationException .min would throw on empty
+        require(nonEmpty.nonEmpty,
+          s"no batch observed rows_in > 0 (${perBatch.size} batches) — " +
+            "gate-stream fixture or observe() telemetry broken")
         import s.implicits._
         Seq((
           perBatch.map(_.getAs[Long]("rows_in")).sum,
@@ -4281,5 +4338,110 @@ object StreamMediaQueries {
              | AND c.event_type = 'view' AND p.event_type = 'purchase'
              | AND p.t >= c.t AND p.t <= c.t + INTERVAL 1 HOUR
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- checkpoint restart (exactly-once across a query kill) -------------------
+    // THE streaming guarantee a 100 TB feed buys: the job dies (or is
+    // redeployed) mid-feed and a NEW query on the SAME checkpoint must
+    // produce exactly the batch answer — no tile reprocessed (the file
+    // source's log remembers committed files), no window double-emitted
+    // (the parquet sink's _spark_metadata fences re-written batches),
+    // and the window-aggregate STATE recovered, because windows left
+    // open at the kill finalize only from restored state plus the new
+    // tiles. The face drains tiles 1..2, lets the first query terminate,
+    // stages the remaining tile + both watermark pushers "while down",
+    // then starts a second, brand-new query on the same checkpoint +
+    // sink and certifies the FINAL sink against the batch oracle — a
+    // duplicate or gap anywhere across the kill breaks the hash. The
+    // two phases share shuffle.partitions=8: state partition count is
+    // fixed at the first checkpoint (the restart would fail loudly on a
+    // mismatch, which is itself the deployment contract).
+    ("st68_stream_restart",
+      (s: SparkSession, d: String) => {
+        val srcDir = new java.io.File(ensureTimerSessionStream(s, d))
+        val out = graft.TempDirs.create("graft_st68")
+        val inDir = new java.io.File(s"$out/in"); inDir.mkdirs()
+        // source fixture order: 3 ts-range tiles (oldest mtime first),
+        // then the two watermark pushers
+        val feed = srcDir.listFiles().filter(_.getName.endsWith(".parquet"))
+          .sortBy(f => (f.lastModified, f.getName)).toSeq
+        def stage(fs: Seq[java.io.File]): Unit = fs.foreach { f =>
+          val dst = new java.io.File(inDir, f.getName)
+          java.nio.file.Files.copy(f.toPath, dst.toPath)
+          dst.setLastModified(f.lastModified) // keep the arrival contract
+        }
+        def drain(): Unit = {
+          val agg = s.readStream.schema(EventStream.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(s"${inDir.getAbsolutePath}/*.parquet")
+            .withColumn("event_time", Tables.eventTime(col("ts")))
+            .withWatermark("event_time", "1 hour")
+            .groupBy(window(col("event_time"), "1 hour").as("w"),
+              col("event_type"))
+            .agg(count(lit(1)).as("n"), sum(col("user_id")).as("user_sum"))
+            .select(col("w.start").as("hour"), col("event_type"),
+              col("n"), col("user_sum"))
+          graft.Confs.withConfs(s, Seq("spark.sql.shuffle.partitions" -> "8")) {
+            EventStream.runToFiles(s, agg, s"$out/data", s"$out/ckpt")
+          }
+          ()
+        }
+        stage(feed.take(2)) // tiles 1..2 arrive
+        drain()             // first query drains them, then "dies"
+        stage(feed.drop(2)) // tile 3 + pushers arrive while down
+        drain()             // NEW query, same checkpoint: resume
+        s.read.parquet(s"$out/data")
+          .filter(col("event_type") =!= "flush") // sentinel groups
+          .orderBy(col("hour"), col("event_type"))
+      },
+      Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+             |  event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(user_id) AS BIGINT) AS user_sum
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- streaming dedup CHAINED into a windowed aggregate -----------------------
+    // The third multi-stateful shape beside st66 (agg→agg) and st67
+    // (join→agg): `dropDuplicatesWithinWatermark` → tumbling window, in
+    // one append query — the exactly-once INGEST pipeline (an
+    // at-least-once feed redelivers; the dedup absorbs redelivery, the
+    // rollup must count each event once). The watermark-propagation
+    // surface it uniquely exercises: dedup EMITS rows immediately (no
+    // event-time lag), but the downstream window still evicts against
+    // the batch-start watermark flowing through the dedup node — and
+    // late-arriving duplicate copies are exactly-once EITHER way (pre-
+    // watermark copies hit live dedup state, post-watermark copies are
+    // dropped as late), which is the operator's actual contract. The
+    // fixture injects same-batch AND cross-batch redeliveries within
+    // the delay (ensureDupEventStream); the oracle is the plain
+    // distinct corpus, so one surviving duplicate breaks the hash. The
+    // sentinels flow THROUGH both stateful ops (unique ids pass dedup;
+    // their 'flush' windows drop batch-side) — the st66 lesson.
+    ("st69_dedup_then_agg",
+      (s: SparkSession, d: String) => {
+        val inDir = ensureDupEventStream(s, d)
+        val out = graft.TempDirs.create("graft_st69out")
+        val rolled = s.readStream.schema(EventStream.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$inDir/*.parquet") // dup-bearing tiles + pushers
+          .withColumn("event_time", Tables.eventTime(col("ts")))
+          .withWatermark("event_time", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
+          .groupBy(window(col("event_time"), "1 hour").as("w"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n_unique"), sum(col("user_id")).as("user_sum"))
+          .select(col("w.start").as("hour"), col("event_type"),
+            col("n_unique"), col("user_sum"))
+        // default state store, partitions sized to state (the st66
+        // rationale): dedup state is O(events within the delay) — time-
+        // bounded — and window state O(open windows × types); two
+        // stateful ops pay the per-partition commit tax twice per batch.
+        graft.Confs.withConfs(s, Seq("spark.sql.shuffle.partitions" -> "8")) {
+          EventStream.runToFiles(s, rolled, s"$out/data", s"$out/ckpt")
+        }.filter(col("event_type") =!= "flush") // sentinel groups
+          .orderBy(col("hour"), col("event_type"))
+      },
+      Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+             |  event_type, CAST(COUNT(*) AS BIGINT) AS n_unique,
+             |  CAST(SUM(user_id) AS BIGINT) AS user_sum
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
   )
 }

@@ -2361,4 +2361,66 @@ class StreamingSpec extends SparkSpec {
         s"expected the loud ordering diagnostic, got: ${chain(ex)}")
     } finally q.stop()
   }
+
+  test("StreamingQueryListener lifecycle telemetry matches the drain (st64's ops complement)") {
+    // st64 certifies IN-query observe() metrics; the listener is the
+    // ops surface OUTSIDE the query — start/progress/termination events
+    // a production deployment wires to its monitoring. Events aren't
+    // row-hashable, so the contract lives here: one started + one
+    // clean terminated event for the query id, and the per-batch
+    // progress rows (deduped by batchId, same as st64's fold) must
+    // account for exactly the corpus — 3 data batches at
+    // maxFilesPerTrigger=1, numInputRows summing to the tile total.
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    val started = new java.util.concurrent.ConcurrentLinkedQueue[QueryStartedEvent]
+    val progress = new java.util.concurrent.ConcurrentLinkedQueue[QueryProgressEvent]
+    val terminated = new java.util.concurrent.ConcurrentLinkedQueue[QueryTerminatedEvent]
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit = started.add(e)
+      override def onQueryProgress(e: QueryProgressEvent): Unit = progress.add(e)
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = terminated.add(e)
+    }
+    spark.streams.addListener(listener)
+    try {
+      val inDir = graft.queries.StreamMediaQueries.ensureGateStream(spark, sf)
+      val total = spark.read.parquet(inDir).count()
+      val sch = spark.read.parquet(inDir).schema
+      val out = graft.TempDirs.create("graft_listener")
+      val q = graft.Confs.withConfs(spark, Seq(
+        "spark.sql.streaming.noDataMicroBatches.enabled" -> "false",
+        "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false")) {
+        val q = spark.readStream.schema(sch)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$inDir/part-*")
+          .select(col("l_orderkey"), col("l_quantity"))
+          .writeStream
+          .outputMode(OutputMode.Append).format("parquet")
+          .option("path", s"$out/data")
+          .option("checkpointLocation", s"$out/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        q
+      }
+      // the listener bus is async — the query can finish before its
+      // terminated event is delivered; poll, don't assume
+      val deadline = System.currentTimeMillis + 30000
+      while (!terminated.asScala.exists(_.id == q.id) &&
+        System.currentTimeMillis < deadline) Thread.sleep(50)
+      assert(started.asScala.count(_.id == q.id) == 1,
+        "exactly one started event for this query")
+      val term = terminated.asScala.filter(_.id == q.id).toSeq
+      assert(term.size == 1 && term.head.exception.isEmpty,
+        s"exactly one clean termination, got $term")
+      val perBatch = progress.asScala.filter(_.progress.id == q.id)
+        .map(e => e.progress.batchId -> e.progress.numInputRows)
+        .toMap // dedupe re-reported batches, last wins (the st64 fold)
+      assert(perBatch.count(_._2 > 0) == 3,
+        s"3 tiles at maxFilesPerTrigger=1 must report as 3 data batches: $perBatch")
+      assert(perBatch.values.sum == total,
+        s"listener rows ${perBatch.values.sum} != corpus $total")
+    } finally spark.streams.removeListener(listener)
+  }
 }
