@@ -4443,5 +4443,56 @@ object StreamMediaQueries {
              |  event_type, CAST(COUNT(*) AS BIGINT) AS n_unique,
              |  CAST(SUM(user_id) AS BIGINT) AS user_sum
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- streaming file provenance (_metadata on a file SOURCE) ------------------
+    // q183 certifies _metadata on a batch scan; this is the streaming
+    // half — the hidden file columns ride the micro-batch file source,
+    // so every ingested row carries WHICH feed file delivered it (the
+    // first question asked when a 100 TB feed goes wrong: which arrival
+    // was short/duplicated). The fixture is st69's dup-bearing tiles,
+    // chosen because their contents are PURE KEY ARITHMETIC (ntile
+    // thirds + mod-7 same-tile dups + mod-4 boundary replays), so the
+    // oracle reconstructs each FILE's expected rows exactly — per-file
+    // row counts, redelivered-row counts, and user sums all
+    // hash-certified, not just totals. Stateless pass-through (no
+    // watermark, no sentinel concerns): provenance projection costs no
+    // state; the rollup is batch-side on the drained sink.
+    ("st70_stream_file_provenance",
+      (s: SparkSession, d: String) => {
+        val inDir = ensureDupEventStream(s, d)
+        val out = graft.TempDirs.create("graft_st70")
+        val tagged = s.readStream.schema(EventStream.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$inDir/*.parquet")
+          .select(col("event_id"), col("user_id"),
+            regexp_extract(col("_metadata.file_name"), "^(t\\d)", 1).as("tile"))
+        EventStream.runToFiles(s, tagged, s"$out/data", s"$out/ckpt")
+          .filter(col("tile") =!= "") // pusher files (z*_push) drop out
+          .groupBy(col("tile"))
+          .agg(count(lit(1)).as("n_rows"),
+            (count(lit(1)) - countDistinct(col("event_id"))).as("n_redelivered"),
+            sum(col("user_id")).as("user_sum"))
+          .orderBy(col("tile"))
+      },
+      Some("""WITH t AS (
+             |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             |    ntile(3) OVER (ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+             |      AS tile
+             |  FROM events),
+             |m AS (SELECT tile, MAX(us) AS mx FROM t GROUP BY 1),
+             |f AS (
+             |  SELECT tile, event_id, user_id FROM t
+             |  UNION ALL
+             |  SELECT tile, event_id, user_id FROM t WHERE event_id % 7 = 0
+             |  UNION ALL
+             |  SELECT t.tile + 1, event_id, user_id
+             |  FROM t JOIN m ON m.tile = t.tile
+             |  WHERE t.tile < 3 AND t.us >= m.mx - 1800000000
+             |    AND event_id % 4 = 0)
+             |SELECT 't' || tile AS tile, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT)
+             |    AS n_redelivered,
+             |  CAST(SUM(user_id) AS BIGINT) AS user_sum
+             |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }
