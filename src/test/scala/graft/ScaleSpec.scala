@@ -1943,4 +1943,32 @@ class ScaleSpec extends SparkSpec {
         s"expected the shuffle-free sort-merge join:\n${plan.take(5000)}")
     }
   }
+
+  test("q184 approx_top_k: the native sketch aggregates in two phases") {
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q184_approx_topk")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the whole point of the sketch at 100 TB: map-side partials merge,
+    // raw rows never shuffle to a single aggregator
+    assert(plan.contains("approx_top_k"),
+      s"native sketch missing from the plan:\n${plan.take(4000)}")
+    assert(plan.contains("partial_"),
+      s"no partial phase — raw rows would shuffle:\n${plan.take(4000)}")
+  }
+
+  test("q183 _metadata: hidden columns don't widen the data read") {
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q183_file_metadata")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // _metadata is constant per file (served from the file listing, not
+    // decoded from pages); the only DATA column the aggregate needs is
+    // l_quantity — l_orderkey was written but must be pruned from the
+    // read, and l_returnflag comes from partition values
+    val readSchemas = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toSeq
+    assert(readSchemas.nonEmpty, s"no FileScan in:\n${plan.take(4000)}")
+    assert(readSchemas.exists(_.contains("l_quantity")),
+      s"expected the quantity read: $readSchemas")
+    assert(readSchemas.forall(rs => !rs.contains("l_orderkey")),
+      s"column pruning lost — l_orderkey read but never used: $readSchemas")
+  }
 }
