@@ -766,7 +766,10 @@ object SourceFormatQueries {
     // the face writes lineitem as a l_returnflag-partitioned layout
     // (repartition on the partition column → each value lands in
     // exactly ONE task → exactly one file per partition dir, a
-    // deterministic invariant, not a guess), reads it back, and
+    // deterministic invariant, not a guess — chosen for certifiability;
+    // at 100 TB one task per partition value is a skew hazard, so a
+    // production layout job repartitions on (partition col, salt) or
+    // lets REBALANCE size the files, q177's face), reads it back, and
     // re-derives the partition value FROM the file path — certifying
     // that path-level provenance agrees with the data. file_size and
     // file_modification_time are environment-dependent bytes, so they
