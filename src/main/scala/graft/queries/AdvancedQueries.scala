@@ -5394,5 +5394,46 @@ object AdvancedQueries {
              |  CAST(COUNT(*) AS BIGINT) AS n_nations
              |FROM nation JOIN region ON n_regionkey = r_regionkey
              |GROUP BY r_name ORDER BY region""".stripMargin)),
+
+    // ---- SQL table function (declarative TVF, analyzer-inlined) ------------------
+    // The table-valued half of the SQL-function family (q162 is the
+    // scalar half): `CREATE FUNCTION ... RETURNS TABLE` packages a
+    // parameterized subquery as a first-class relation — the reusable
+    // "top-k per X" building block every metadata-driven report layer
+    // wants, invoked per segment through a LATERAL correlation. Like
+    // q162, the body INLINES at analysis (no black-box UDF node): the
+    // plan under the call is an ordinary distributed filter+sort+limit,
+    // so the abstraction costs nothing at 100 TB — unlike an imperative
+    // UDTF, which would be an opaque row generator the optimizer can't
+    // push into. Ties broken by c_custkey so the top-3 set is total.
+    ("q187_sql_table_function",
+      (s: SparkSession, d: String) => {
+        Tables.load(s, d, "customer").createOrReplaceTempView("cust_tvf")
+        // top-k via a rank predicate, not ORDER BY..LIMIT k: under a
+        // LATERAL correlation the parameter reaches the body as an
+        // outer reference, and LIMIT requires a foldable constant —
+        // a predicate on row_number() carries the same semantics and
+        // plans as the same partial top-k sort
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_top_cust(
+                |    seg STRING, k INT)
+                |RETURNS TABLE (ckey BIGINT, bal DOUBLE)
+                |RETURN SELECT ckey, bal FROM (
+                |    SELECT c_custkey AS ckey, c_acctbal AS bal,
+                |      row_number() OVER (ORDER BY c_acctbal DESC, c_custkey)
+                |        AS rn
+                |    FROM cust_tvf WHERE c_mktsegment = seg)
+                |  WHERE rn <= k""".stripMargin)
+        s.sql("""SELECT v.seg, t.ckey, t.bal
+                |FROM (SELECT DISTINCT c_mktsegment AS seg FROM cust_tvf) v,
+                |  LATERAL graft_top_cust(v.seg, 3) t
+                |ORDER BY v.seg, t.bal DESC, t.ckey""".stripMargin)
+      },
+      Some("""SELECT seg, ckey, bal FROM (
+             |  SELECT c_mktsegment AS seg, c_custkey AS ckey,
+             |    c_acctbal AS bal,
+             |    row_number() OVER (PARTITION BY c_mktsegment
+             |      ORDER BY c_acctbal DESC, c_custkey) AS rn
+             |  FROM customer)
+             |WHERE rn <= 3 ORDER BY seg, bal DESC, ckey""".stripMargin)),
   )
 }

@@ -1971,4 +1971,18 @@ class ScaleSpec extends SparkSpec {
     assert(readSchemas.forall(rs => !rs.contains("l_orderkey")),
       s"column pruning lost — l_orderkey read but never used: $readSchemas")
   }
+
+  test("q187 SQL table function: body inlines (no black-box UDF/generator node)") {
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q187_sql_table_function")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the declarative TVF's whole value at 100 TB: the body becomes an
+    // ordinary relational subtree the optimizer owns — an imperative
+    // UDTF would be an opaque row generator nothing can push into
+    assert(!plan.contains("UDF") && !plan.contains("Invoke") &&
+      !plan.contains("Generate"),
+      s"SQL table function failed to inline:\n${plan.take(4000)}")
+    assert(plan.contains("Window") || plan.contains("row_number"),
+      s"expected the inlined rank subtree:\n${plan.take(4000)}")
+  }
 }
