@@ -221,6 +221,34 @@ object StreamMediaQueries {
       inDir.getAbsolutePath
     })
 
+  /** st72's two-feed fixture: the events corpus split by user parity
+    * into TWO independent feeds, each as 3 ts-range tiles plus its own
+    * two sentinel pushers (both stamped to the GLOBAL maxTs — a feed
+    * whose clock stops early would hold the union's min-watermark back
+    * forever, which is exactly the semantics st72 exists to pin).
+    * Write-once per (JVM, sf). */
+  private val unionFeedDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  def ensureUnionFeeds(s: SparkSession, d: String): (String, String) =
+    unionFeedDirs.getOrElseUpdate(d, {
+      val tmp = graft.TempDirs.create("graft_st72")
+      val events = Tables.load(s, d, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      val maxTs = events.agg(max(col("ts"))).head().getLong(0)
+      def feed(name: String, cond: org.apache.spark.sql.Column): String = {
+        val inDir = new java.io.File(s"$tmp/$name"); inDir.mkdirs()
+        events.filter(cond)
+          .repartitionByRange(3, col("ts"))
+          .write.mode("overwrite").parquet(inDir.getAbsolutePath)
+        val tiles = inDir.listFiles().filter(_.getName.startsWith("part-")).toSeq
+        finishEventTiles(s, tmp, inDir, tiles, maxTs)
+        inDir.getAbsolutePath
+      }
+      (feed("even", col("user_id") % 2 === 0),
+        feed("odd", col("user_id") % 2 =!= 0))
+    })
+
   /** st63's handoff fixture: the events corpus cut at the FIRST
     * ts-range boundary — the earliest tile lands in `$tmp/batch` (the
     * backfill's input), the later two tiles plus st54's two watermark
@@ -4494,5 +4522,91 @@ object StreamMediaQueries {
              |    AS n_redelivered,
              |  CAST(SUM(user_id) AS BIGINT) AS user_sum
              |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- stream-stream LEFT SEMI join (existence, exactly-once emit) --------------
+    // The third stream-stream join semantics beside st05 (inner, one
+    // row per MATCH) and st23 (outer, null-padded at eviction): SEMI
+    // emits each left row AT MOST ONCE — on its first match — and
+    // never pads. That is its own state machine: a matched left row
+    // leaves state immediately (an inner join would keep it to pair
+    // with later purchases; semi must not re-emit), an unmatched one
+    // waits out the full interval before silently evicting. The
+    // question it answers is the conversion funnel's: WHICH views
+    // converted within the hour — without the duplicate-per-purchase
+    // rows an inner join would force downstream to dedup (at 100 TB,
+    // semi is the join that keeps the output ∝ views, not ∝ pairs).
+    // Sentinels pass both side-filters (st67's escape hatch) and
+    // self-match (same ts satisfies the interval), dropping batch-side.
+    ("st71_semi_stream_join",
+      (s: SparkSession, d: String) => {
+        val inDir = ensureTimerSessionStream(s, d)
+        val out = graft.TempDirs.create("graft_st71")
+        def side(ty: String, tsName: String) =
+          s.readStream.schema(EventStream.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(s"$inDir/*.parquet") // tiles + watermark pushers
+            .filter(col("event_type") === ty || col("user_id") < 0)
+            .select(col("user_id").as(s"${tsName}_user"),
+              col("event_id").as(s"${tsName}_id"),
+              Tables.eventTime(col("ts")).as(s"${tsName}_time"))
+            .withWatermark(s"${tsName}_time", "2 hours")
+        val converted = side("view", "v").join(side("purchase", "p"),
+          col("v_user") === col("p_user") &&
+            col("p_time") >= col("v_time") &&
+            col("p_time") <= col("v_time") + expr("INTERVAL 1 HOUR"),
+          "left_semi")
+        graft.Confs.withConfs(s, Seq("spark.sql.shuffle.partitions" -> "8")) {
+          EventStream.runToFiles(s, converted, s"$out/data", s"$out/ckpt")
+        }.filter(col("v_user") >= 0) // sentinel self-matches drop
+          .orderBy(col("v_id"))
+      },
+      Some("""SELECT v.user_id AS v_user, v.event_id AS v_id,
+             |  CAST(v.ts AS TIMESTAMP) AS v_time
+             |FROM events v
+             |WHERE v.event_type = 'view' AND EXISTS (
+             |  SELECT 1 FROM events p
+             |  WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+             |    AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+             |    AND CAST(p.ts AS TIMESTAMP)
+             |        <= CAST(v.ts AS TIMESTAMP) + INTERVAL 1 HOUR)
+             |ORDER BY v_id""".stripMargin)),
+
+    // ---- union of two watermarked streams into one aggregate ----------------------
+    // The merging-feeds topology (two regions, two brokers, a backfill
+    // beside a live feed — at 100 TB the norm, not the exception): each
+    // source carries its OWN withWatermark, and the union's operator
+    // watermark is the MIN over inputs (the default
+    // multipleWatermarkPolicy, and the only CORRECT one: taking the max
+    // would finalize windows while the lagging feed still owes them
+    // rows — set policy=max and this query's hash breaks). The
+    // operational consequence the fixture encodes: EVERY feed needs its
+    // clock pushed (each has its own sentinel pushers at the global
+    // maxTs) — one stalled feed holds every window open, which is
+    // backpressure by design, not a bug. Windows finalize exactly once
+    // with contributions from BOTH feeds merged.
+    ("st72_union_stream_agg",
+      (s: SparkSession, d: String) => {
+        val (evenDir, oddDir) = ensureUnionFeeds(s, d)
+        val out = graft.TempDirs.create("graft_st72out")
+        def feed(dir: String) = s.readStream.schema(EventStream.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$dir/*.parquet") // tiles + this feed's own pushers
+          .withColumn("event_time", Tables.eventTime(col("ts")))
+          .withWatermark("event_time", "1 hour")
+        val rolled = feed(evenDir).unionByName(feed(oddDir))
+          .groupBy(window(col("event_time"), "1 hour").as("w"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("user_id")).as("user_sum"))
+          .select(col("w.start").as("hour"), col("event_type"),
+            col("n"), col("user_sum"))
+        graft.Confs.withConfs(s, Seq("spark.sql.shuffle.partitions" -> "8")) {
+          EventStream.runToFiles(s, rolled, s"$out/data", s"$out/ckpt")
+        }.filter(col("event_type") =!= "flush") // both feeds' sentinels
+          .orderBy(col("hour"), col("event_type"))
+      },
+      Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+             |  event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(user_id) AS BIGINT) AS user_sum
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
   )
 }
