@@ -222,11 +222,18 @@ object StreamMediaQueries {
     })
 
   /** st72's two-feed fixture: the events corpus split by user parity
-    * into TWO independent feeds, each as 3 ts-range tiles plus its own
-    * two sentinel pushers (both stamped to the GLOBAL maxTs — a feed
-    * whose clock stops early would hold the union's min-watermark back
-    * forever, which is exactly the semantics st72 exists to pin).
-    * Write-once per (JVM, sf). */
+    * into TWO independent feeds with deliberately ASYMMETRIC tiling —
+    * the even-user feed arrives as 3 ts-range tiles (a live drip), the
+    * odd-user feed as ONE lump (a backfill). The asymmetry is the
+    * point: the lump feed's clock jumps to the global max after its
+    * first batch while the tiled feed is still two tiles behind, so
+    * the union's min-over-inputs watermark is what PROTECTS the tiled
+    * feed's later rows — under multipleWatermarkPolicy=max they would
+    * arrive below the jumped watermark and be dropped as late
+    * (StreamingSpec proves exactly that). Each feed carries its own
+    * two sentinel pushers at the global maxTs: a feed whose clock
+    * stops early would hold the min back forever. Write-once per
+    * (JVM, sf). */
   private val unionFeedDirs =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
@@ -236,17 +243,18 @@ object StreamMediaQueries {
       val events = Tables.load(s, d, "events")
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
       val maxTs = events.agg(max(col("ts"))).head().getLong(0)
-      def feed(name: String, cond: org.apache.spark.sql.Column): String = {
+      def feed(name: String, cond: org.apache.spark.sql.Column,
+               nTiles: Int): String = {
         val inDir = new java.io.File(s"$tmp/$name"); inDir.mkdirs()
         events.filter(cond)
-          .repartitionByRange(3, col("ts"))
+          .repartitionByRange(nTiles, col("ts"))
           .write.mode("overwrite").parquet(inDir.getAbsolutePath)
         val tiles = inDir.listFiles().filter(_.getName.startsWith("part-")).toSeq
         finishEventTiles(s, tmp, inDir, tiles, maxTs)
         inDir.getAbsolutePath
       }
-      (feed("even", col("user_id") % 2 === 0),
-        feed("odd", col("user_id") % 2 =!= 0))
+      (feed("even", col("user_id") % 2 === 0, 3),
+        feed("odd", col("user_id") % 2 =!= 0, 1))
     })
 
   /** st63's handoff fixture: the events corpus cut at the FIRST
@@ -4576,14 +4584,17 @@ object StreamMediaQueries {
     // beside a live feed — at 100 TB the norm, not the exception): each
     // source carries its OWN withWatermark, and the union's operator
     // watermark is the MIN over inputs (the default
-    // multipleWatermarkPolicy, and the only CORRECT one: taking the max
-    // would finalize windows while the lagging feed still owes them
-    // rows — set policy=max and this query's hash breaks). The
-    // operational consequence the fixture encodes: EVERY feed needs its
+    // multipleWatermarkPolicy, and the only CORRECT one). The fixture
+    // makes the policy load-bearing, not incidental: the backfill feed
+    // is one lump whose clock jumps to the global max in its first
+    // batch while the tiled live feed is still two tiles behind —
+    // under policy=max the live feed's later tiles would land below
+    // the jumped watermark and be DROPPED as late (StreamingSpec
+    // proves the row loss); under min they are protected and this
+    // hash is exact. The operational consequence: EVERY feed needs its
     // clock pushed (each has its own sentinel pushers at the global
     // maxTs) — one stalled feed holds every window open, which is
-    // backpressure by design, not a bug. Windows finalize exactly once
-    // with contributions from BOTH feeds merged.
+    // backpressure by design, not a bug.
     ("st72_union_stream_agg",
       (s: SparkSession, d: String) => {
         val (evenDir, oddDir) = ensureUnionFeeds(s, d)

@@ -2423,4 +2423,38 @@ class StreamingSpec extends SparkSpec {
         s"listener rows ${perBatch.values.sum} != corpus $total")
     } finally spark.streams.removeListener(listener)
   }
+
+  test("st72 union of streams: min-over-inputs watermark protects the lagging feed") {
+    // the fixture is asymmetric on purpose — the backfill feed's clock
+    // jumps to the global max in its first batch while the tiled feed
+    // is two tiles behind. Under the default min policy every event is
+    // accounted for; under policy=max the tiled feed's later tiles
+    // land below the jumped watermark and are dropped as late — the
+    // row loss this test pins is WHY min is the only correct policy.
+    val (evenDir, oddDir) =
+      graft.queries.StreamMediaQueries.ensureUnionFeeds(spark, sf)
+    def drained(policy: String): Long = {
+      val out = graft.TempDirs.create(s"graft_st72spec_$policy")
+      def feed(dir: String) = spark.readStream.schema(EventStream.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/*.parquet")
+        .withColumn("event_time", Tables.eventTime(col("ts")))
+        .withWatermark("event_time", "1 hour")
+      val rolled = feed(evenDir).unionByName(feed(oddDir))
+        .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      graft.Confs.withConfs(spark, Seq(
+        "spark.sql.streaming.multipleWatermarkPolicy" -> policy)) {
+        EventStream.runToFiles(spark, rolled, s"$out/data", s"$out/ckpt")
+      }.filter(col("event_type") =!= "flush")
+        .agg(coalesce(sum(col("n")), lit(0L))).collect()(0).getLong(0)
+    }
+    val total = Tables.load(spark, sf, "events").count()
+    assert(drained("min") == total,
+      "min policy must account for every event from both feeds")
+    val underMax = drained("max")
+    assert(underMax < total,
+      s"max policy should drop the lagging feed's late tiles " +
+        s"(got $underMax of $total) — if equal, the fixture lost its asymmetry")
+  }
 }
