@@ -186,6 +186,74 @@ def benchone(root, sf_dir, names, k=3):
     return times
 
 
+def derive_load(probe_info, corroborate=1.15):
+    """Cross-checked load factor from the probe measurements.
+
+    Deriving load from a probe that ITSELF drifted is circular
+    (round-17 ADVICE): a genuine code regression in the probe inflates
+    load_factor by its own slowdown, which loosens allowed_solo for
+    EVERY flagged query and certifies the probe's own regression as
+    box_contention — and past PHASE_BAD it becomes a box_degraded_retry
+    loop that can never clear, because the "phase" is the code.
+    Cross-check the two probes:
+     - load read off UNFLAGGED probes is trusted as-is;
+     - a FLAGGED probe's inflation counts only when an unflagged probe
+       corroborates a slow phase (>= corroborate): only an environment
+       phase moves an independent engine too, while a code regression
+       in one probe leaves the other flat;
+     - when EVERY probe is flagged there is no independent signal left:
+       take the MIN of their inflations (a code regression in one probe
+       cannot drag the estimate past the other's) and tag the run as
+       circular so the round-close record shows exactly where the
+       scaling came from.
+    Returns (load_factor, load_source)."""
+    trusted = [i["load"] for i in probe_info.values() if not i["flagged"]]
+    suspect = [i["load"] for i in probe_info.values() if i["flagged"]]
+    if trusted:
+        load_factor = max(trusted)
+        load_source = "unflagged_probes"
+        if suspect and max(suspect) > load_factor:
+            if load_factor >= corroborate:
+                load_factor = max(suspect)
+                load_source = "flagged_probe_corroborated"
+            else:
+                load_source = "flagged_probe_rejected_uncorroborated"
+    elif suspect:
+        load_factor = min(suspect)
+        load_source = "flagged_probes_min_circular"
+    else:
+        load_factor = 1.0
+        load_source = "no_probes"
+    return load_factor, load_source
+
+
+def window_systemic(drifted_names, started, k=5, w=2):
+    """Second systemic trigger (timeline clustering): a box-slow PHASE
+    hits queries that ran close together in WALL-CLOCK time. Under
+    Bench's randomized execution order those are not name-space
+    neighbors, and a modest cluster can sit below the 10% count bar
+    (round 17: 25 of 354 drifted in one contiguous stretch and the
+    count trigger never fired). Systemic when any window of w*k
+    consecutively-EXECUTED queries contains >= k drifted ones.
+    `started` is the artifact's {name: start_offset_s} map; absent in
+    pre-round-18 artifacts -> trigger inert."""
+    if not started or not drifted_names:
+        return False
+    order = [n for n, _ in sorted(started.items(), key=lambda kv: kv[1])]
+    flags = [1 if n in drifted_names else 0 for n in order]
+    win = min(len(flags), w * k)
+    if win <= 0:
+        return False
+    s = sum(flags[:win])
+    if s >= k:
+        return True
+    for i in range(win, len(flags)):
+        s += flags[i] - flags[i - win]
+        if s >= k:
+            return True
+    return False
+
+
 def main():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     args = [a for a in sys.argv[1:] if a != "--no-adjudicate"]
@@ -250,7 +318,17 @@ def main():
         PHASE_BAD = 2.0
         compared = [n for n, t in fq.items()
                     if t >= 0 and rq.get(n, -1) >= 0]
-        systemic = len(drifted) >= max(SYSTEMIC_MIN, len(compared) // 10)
+        # two systemic triggers: a count wave (many names drifting) OR a
+        # timeline cluster (drifted queries that EXECUTED back-to-back —
+        # the signature of a box phase that the count bar can sit under)
+        count_systemic = len(drifted) >= max(SYSTEMIC_MIN,
+                                             len(compared) // 10)
+        timeline_systemic = window_systemic(
+            {name for name, *_ in drifted}, fresh.get("started"))
+        if timeline_systemic and not count_systemic:
+            print("timeline trigger: drifted queries cluster in a "
+                  "contiguous execution window — treating as systemic")
+        systemic = count_systemic or timeline_systemic
         # LOAD PROBES ride the same BenchOne run (the round-16 lesson: a
         # solo re-measure taken INSIDE a box-slow phase confirmed a
         # phantom regression for st60 — the flagged query was slow alone
@@ -273,17 +351,20 @@ def main():
         usable_probes = [p for p in PROBES if rq.get(p, -1) > 0]
         extra = [p for p in usable_probes if p not in flagged_names]
         remeasured = benchone(root, sf_dir, flagged_names + extra)
-        load_factor = 1.0
         probe_info = {}
         for p in usable_probes:
             m = remeasured.get(p)
             if m and m > 0:
                 pl = round(max(1.0, m / rq[p]), 2)
                 probe_info[p] = {"solo_s": round(m, 3),
-                                 "ref_s": rq[p], "load": pl}
-                load_factor = max(load_factor, pl)
+                                 "ref_s": rq[p], "load": pl,
+                                 "flagged": p in flagged_names}
+        # cross-checked load derivation — see derive_load's docstring
+        # for the circularity rationale (round-17 ADVICE)
+        load_factor, load_source = derive_load(probe_info)
         if probe_info:
-            print(f"  load probes: {probe_info} -> load x{load_factor:.2f}")
+            print(f"  load probes: {probe_info} -> "
+                  f"load x{load_factor:.2f} ({load_source})")
         box_degraded = load_factor > PHASE_BAD
         verdicts = {}
         loud = []
@@ -313,6 +394,7 @@ def main():
                 verdicts[name] = {"artifact_s": t, "ref_s": b,
                                   "benchone_min_s": round(m, 3),
                                   "gap_factor": gap, "load": round(load_factor, 2),
+                                  "load_source": load_source,
                                   "verdict": v}
                 # Load INFLATES the solo time m, which SHRINKS
                 # gap = artifact / m — a genuine suite-conditions
@@ -325,6 +407,7 @@ def main():
         extras = {"adjudicated": verdicts}
         if probe_info:
             extras["load_probes"] = probe_info
+            extras["load_source"] = load_source
         if loud:
             print(f"\nLOUD: {len(loud)} box_contention verdicts with an "
                   f"artifact-vs-solo gap past {GAP_LOUD}x — "

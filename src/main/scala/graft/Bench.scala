@@ -107,10 +107,22 @@ object Bench {
     try warmup(spark, sfDir) catch { case _: Throwable => () }
     // warmup (curation/SRP) may leave cached blocks behind on failure
     spark.catalog.clearCache()
-    // sorted order: deterministic run-to-run (a Map's hash order shuffles
-    // when entries are added, making per-query times incomparable across
-    // rounds)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // RANDOMIZED execution order, seeded and recorded: a box-slow phase
+    // used to smear a contiguous ALPHABETICAL block (round 17: q154-q164
+    // all drifted together), which the drift gate could neither
+    // de-correlate nor distinguish from a real neighborhood regression.
+    // Shuffling per run turns a wall-clock phase into a random-name
+    // subset, and the recorded per-query start offsets let the gate's
+    // timeline trigger see the cluster for what it is. The seed lands in
+    // the artifact so any single run remains exactly reproducible.
+    // (Sorting first keeps the shuffle a pure function of the seed —
+    // a Map's hash order shifts when entries are added.)
+    val orderSeed = System.nanoTime()
+    val rng = new scala.util.Random(orderSeed)
+    val benchT0 = System.nanoTime()
+    val startedAt = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val results = rng.shuffle(SparkEntry.queries.toSeq.sortBy(_._1)).map { case (name, fn) =>
+      startedAt(name) = (System.nanoTime() - benchT0) / 1000000000L
       def once(): Double = {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch {
@@ -149,7 +161,15 @@ object Bench {
     // locale, and a comma decimal separator would corrupt the JSON.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    val qs = results.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    // per-query start offsets (whole seconds since bench start, in
+    // EXECUTION order) feed the drift gate's timeline trigger: drifted
+    // queries clustering in wall-clock time = a box phase, even when
+    // their names are scattered. Deliberately integers — the gate's
+    // tail-recovery regex for truncated driver artifacts only matches
+    // decimal times, so these can never pollute a recovered query map.
+    val started = startedAt.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // failures are listed explicitly (and carry -1 in `queries`) so a
@@ -159,7 +179,7 @@ object Bench {
     // headline fields BEFORE the per-query map: if the driver's
     // capture truncates the line (round 2 lost the tail), the total,
     // failure list, and sf survive — only per-query detail is at risk
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","failed":$failed,"queries":$qs}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","failed":$failed,"order_seed":$orderSeed,"queries":$qs,"started":$started}""")
     // …and AGAIN as a short trailer line: rounds 3-5 showed the driver's
     // capture keeps the TAIL, so the leading headline (and the first ~30
     // queries) vanished with it. A headline at both ends survives either
@@ -178,7 +198,7 @@ object Bench {
     val artifact = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       new java.io.File("bench_last.json").getAbsolutePath)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","failed":$failed,"queries":$qs}""" + "\n")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","failed":$failed,"order_seed":$orderSeed,"queries":$qs,"started":$started}""" + "\n")
     catch { case _: Exception => () }
     spark.stop()
   }

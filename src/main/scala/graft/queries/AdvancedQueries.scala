@@ -5301,8 +5301,14 @@ object AdvancedQueries {
           .select(col("e.item").as("event_type"), col("e.count").as("n"))
           .orderBy(col("n").desc, col("event_type"))
       },
+      // LIMIT 5 mirrors the sketch's k: if the fixture ever grows past
+      // 5 distinct event_type values, the oracle still returns exactly
+      // the top-5 rather than reporting a spurious sketch mismatch.
+      // The ORDER BY n DESC, event_type tiebreak is total on both
+      // sides, so the truncation is deterministic.
       Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
-             |FROM events GROUP BY 1 ORDER BY n DESC, event_type""".stripMargin)),
+             |FROM events GROUP BY 1 ORDER BY n DESC, event_type
+             |LIMIT 5""".stripMargin)),
 
     // ---- try_* error-safe functions (dirty-data silver idiom) --------------------
     // The modern Spark spelling of the reference's whole silver-layer

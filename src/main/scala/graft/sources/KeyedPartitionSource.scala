@@ -163,37 +163,45 @@ private[sources] class KeyedWrite(path: String)
       // would silently erase the first commit's files. The merged list
       // still lands via write-to-temp + ATOMIC_MOVE so a crash
       // mid-write never exposes a truncated manifest.
+      // The lock is an OS advisory lock on the file (FileChannel
+      // .tryLock), NOT the file's existence. The kernel releases it the
+      // instant the holding process dies (kill -9, OOM), so there is no
+      // staleness heuristic at all — and therefore no check-then-act
+      // takeover window in which a waiter could delete a LIVE holder's
+      // freshly-created lock (round 17's mtime takeover had exactly
+      // that race: observe-stale → another waiter breaks it → a new
+      // holder recreates it → the first waiter's delete lands on the
+      // NEW lock, and two merges run concurrently). The lock file
+      // itself is a permanent anchor and is deliberately never deleted:
+      // unlinking it would let a waiter lock the orphaned inode while a
+      // newcomer locks a fresh file at the same path — two "holders"
+      // again. Within one JVM a second channel's tryLock throws
+      // OverlappingFileLockException, which we treat as busy. A wedged
+      // LIVE holder still fails loudly after 60s rather than silently
+      // interleaving commits (the guarded merge is a milliseconds-long
+      // small-file rewrite, so 60s of contention means something is
+      // genuinely wrong).
       val lockFile = new java.io.File(path, "_manifest.lock")
-      val lock = lockFile.toPath
-      // Stale-lock takeover: a committer that dies between createFile
-      // and the finally (kill -9, OOM) would otherwise block every
-      // later commit until a human deletes the file. The guarded merge
-      // is a small-file rewrite (milliseconds), so a lock older than
-      // staleMs can only belong to a dead holder — delete it and
-      // re-race createFile (exactly one waiter wins the recreate).
-      val staleMs = 30000L
-      var locked = false
-      var attempts = 0
-      while (!locked) {
-        try { java.nio.file.Files.createFile(lock); locked = true }
-        catch {
-          case _: java.nio.file.FileAlreadyExistsException =>
-            // lastModified is 0 when the file vanished between the
-            // createFile race and here — the huge "age" then routes to
-            // deleteIfExists (a no-op) and straight back to createFile
-            val age = System.currentTimeMillis - lockFile.lastModified
-            if (age > staleMs) {
-              java.nio.file.Files.deleteIfExists(lock)
-            } else {
-              attempts += 1
-              if (attempts > 600) throw new IllegalStateException(
-                s"could not acquire $lock after 60s (lock age ${age}ms, " +
-                  s"takeover at ${staleMs}ms) — live committer wedged?")
-              Thread.sleep(100)
-            }
-        }
-      }
+      val channel = java.nio.channels.FileChannel.open(lockFile.toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      var flock: java.nio.channels.FileLock = null
       try {
+        var attempts = 0
+        while (flock == null) {
+          flock =
+            try channel.tryLock()
+            catch {
+              case _: java.nio.channels.OverlappingFileLockException => null
+            }
+          if (flock == null) {
+            attempts += 1
+            if (attempts > 600) throw new IllegalStateException(
+              s"could not acquire ${lockFile.toPath} after 60s — " +
+                "live committer wedged?")
+            Thread.sleep(100)
+          }
+        }
         val mfFile = new java.io.File(path, "_manifest")
         val existing =
           if (mfFile.isFile) {
@@ -207,7 +215,10 @@ private[sources] class KeyedWrite(path: String)
         java.nio.file.Files.move(tmp.toPath, mfFile.toPath,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      } finally java.nio.file.Files.deleteIfExists(lock)
+      } finally {
+        if (flock != null) flock.release()
+        channel.close()
+      }
     }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit =

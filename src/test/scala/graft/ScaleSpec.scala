@@ -1975,14 +1975,33 @@ class ScaleSpec extends SparkSpec {
   test("q187 SQL table function: body inlines (no black-box UDF/generator node)") {
     spark.catalog.clearCache()
     val df = SparkEntry.queries("q187_sql_table_function")(spark, sf)
-    val plan = df.queryExecution.executedPlan.toString
     // the declarative TVF's whole value at 100 TB: the body becomes an
     // ordinary relational subtree the optimizer owns — an imperative
-    // UDTF would be an opaque row generator nothing can push into
-    assert(!plan.contains("UDF") && !plan.contains("Invoke") &&
-      !plan.contains("Generate"),
-      s"SQL table function failed to inline:\n${plan.take(4000)}")
-    assert(plan.contains("Window") || plan.contains("row_number"),
-      s"expected the inlined rank subtree:\n${plan.take(4000)}")
+    // UDTF would be an opaque row generator nothing can push into.
+    // Assert on actual optimized-plan NODES (not plan-dump substrings,
+    // which false-positive on StaticInvoke renderings or literals):
+    // no generator, no python/scala UDF evaluation — and the inlined
+    // body's Window(row_number) subtree present.
+    val opt = df.queryExecution.optimizedPlan
+    val generators = opt.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(generators.isEmpty,
+      s"SQL table function left a generator node:\n${opt.treeString.take(4000)}")
+    val udfExprs = opt.collect { case n => n.expressions }
+      .flatten.flatMap(_.collect {
+      case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
+      case p: org.apache.spark.sql.catalyst.expressions.PythonUDF => p
+    })
+    assert(udfExprs.isEmpty,
+      s"SQL table function left opaque UDF calls: $udfExprs")
+    val windows = opt.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty && windows.exists(_.windowExpressions.exists(
+      _.collectFirst {
+        case _: org.apache.spark.sql.catalyst.expressions.RowNumber => ()
+      }.nonEmpty)),
+      s"expected the inlined row_number rank subtree:\n${opt.treeString.take(4000)}")
   }
 }

@@ -75,7 +75,17 @@ class KeyedPartitionSourceSpec extends SparkSpec {
     assert(back.count() == 80,
       s"both concurrent commits must be visible: ${back.count()} rows")
     assert(back.agg(countDistinct(col("id"))).head().getLong(0) == 80)
-    assert(!new java.io.File(tmp, "_manifest.lock").exists(),
-      "the commit lock must be released")
+    // the lock is an OS advisory lock, not file existence: the anchor
+    // file persists (deleting it would reopen the orphaned-inode race),
+    // but no process may still HOLD the lock after both commits
+    val ch = java.nio.channels.FileChannel.open(
+      new java.io.File(tmp, "_manifest.lock").toPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val fl = ch.tryLock()
+      assert(fl != null, "the commit lock must be released after commit")
+      fl.release()
+    } finally ch.close()
   }
 }
