@@ -208,6 +208,85 @@ object DedupStore {
       throw new java.io.IOException(s"rename $tmp -> $target failed")
   }
 
+  // ---- bloom sidecars (tombstone-GC metadata) ------------------------------
+
+  /** Capacity of a bucket-version's `_bloom` sidecar. Past it the
+    * filter's false-positive rate degrades, which only costs the GC
+    * probe extra data reads — never a wrong answer (the parquet probe
+    * stays the ground truth). Size near the expected per-bucket rows
+    * of one commit; ~42 KB of sidecar at this capacity. */
+  private[graft] val BloomSidecarItems: Long = 1L << 16
+
+  private[graft] val BloomSidecarName = "_bloom"
+
+  /** Read-amplification record of the most recent tombstone liveness
+    * probe: bucket dirs considered, dirs whose sidecar proved
+    * victim-free, data files actually opened. DedupStoreSinkSpec pins
+    * the bound (metadata reads, not data reads). */
+  private[graft] case class TombstoneProbe(
+      dirsTotal: Int, dirsPruned: Int, filesRead: Int)
+  @volatile private[graft] var lastTombstoneProbe: Option[TombstoneProbe] =
+    None
+
+  private def atomicWriteBytes(fs: FileSystem, target: Path,
+                               body: Array[Byte]): Unit = {
+    val tmp = new Path(target.getParent, s".${target.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body) finally out.close()
+    if (fs.exists(target)) fs.delete(target, false)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"rename $tmp -> $target failed")
+  }
+
+  /** Land a `_bloom` sidecar beside each touched bucket's just-written
+    * data files: ONE distributed pass re-reading the version's touched
+    * buckets (text column only — cost ∝ the batch, and no recompute of
+    * the upstream merge plan), aggregated with the engine's own
+    * mergeable [[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]]
+    * sketch over xxhash64(text) — the same key space the tombstone log
+    * stores. Sidecars land BEFORE the manifest/_SUCCESS, so a committed
+    * version always carries them; pre-sidecar stores fail open at
+    * probe time. */
+  private def writeBloomSidecars(spark: SparkSession, fs: FileSystem,
+                                 vDir: Path, buckets: Seq[Int]): Unit = {
+    if (buckets.isEmpty) return
+    import org.apache.spark.sql.graft.ColumnBridge
+    val bloom = ColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(
+          ColumnBridge.expression(xxhash64(col("text"))),
+          BloomSidecarItems)
+        .toAggregateExpression())
+    spark.read.option("basePath", vDir.toString)
+      .parquet(buckets.map(b => new Path(vDir, s"bucket=$b").toString): _*)
+      .groupBy(col("bucket"))
+      .agg(bloom.as("bloom"))
+      .collect()
+      .foreach { r =>
+        val b = r.get(0).toString.toInt
+        atomicWriteBytes(fs,
+          new Path(new Path(vDir, s"bucket=$b"), BloomSidecarName),
+          r.getAs[Array[Byte]]("bloom"))
+      }
+  }
+
+  /** Metadata-only liveness pre-filter: can `dir`'s data files contain
+    * any of `hashes`? A `false` is a proof of absence (a bloom filter
+    * only errs toward "maybe"); a missing sidecar fails open to the
+    * data read. */
+  private def sidecarMayContainAny(fs: FileSystem, dir: Path,
+                                   hashes: Seq[Long]): Boolean = {
+    val p = new Path(dir, BloomSidecarName)
+    if (!fs.exists(p)) true
+    else {
+      val in = fs.open(p)
+      val bf =
+        try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+        finally in.close()
+      hashes.exists(bf.mightContainLong)
+    }
+  }
+
   /** A file's path relative to the store root (manifests store relative
     * paths so the store directory is relocatable as a unit). */
   private def relativize(root: Path, file: Path): String = {
@@ -339,7 +418,12 @@ object DedupStore {
               !f.getPath.getName.startsWith("_") &&
               !liveFiles.contains(fs.makeQualified(f.getPath)))
             .foreach(f => fs.delete(f.getPath, false): Unit)
-          if (listDir(fs, b.getPath).isEmpty) fs.delete(b.getPath, false): Unit
+          // a bucket dir left holding only `_`-metadata (its `_bloom`
+          // sidecar) after every data file pruned is dead weight
+          if (listDir(fs, b.getPath).forall(f =>
+              f.getPath.getName.startsWith("_") ||
+                f.getPath.getName.startsWith(".")))
+            fs.delete(b.getPath, true): Unit
         }
     }
   }
@@ -641,6 +725,10 @@ object DedupStore {
             .map(f => bucket -> s"$name/$bName/${f.getPath.getName}")
         }
     fs.delete(staging, true): Unit
+    // per-bucket `_bloom` sidecars for the touched buckets — tombstone
+    // GC's metadata-only liveness probe (the underscore prefix keeps
+    // them out of the data-file listing above and out of prune's sweep)
+    writeBloomSidecars(spark, fs, vDir, written.map(_._1).distinct)
     // untouched buckets: inherit the base's concrete file paths — zero
     // data movement on any filesystem (the object-store-safe form of
     // the round-6 hard-link carry-forward)
@@ -1282,12 +1370,28 @@ object DedupStore {
             val files = versions(fs, root)
               .flatMap { case (_, dir) => entriesOf(fs, root, dir) }
               .filter { case (b, _) => tombBuckets.contains(b) }
-              .map(_._2.toString).distinct
-            if (files.isEmpty) Set.empty
+              .map(_._2).distinct
+            // metadata before data: group the candidate files by their
+            // bucket dir and let each dir's `_bloom` sidecar prove
+            // victim-absence — the probe's read amplification drops to
+            // O(sidecar bytes) + O(maybe-dirs' data) instead of every
+            // hit bucket's full data (round-17 verdict item 6). A
+            // sidecar "maybe" (including its fpp) just falls through to
+            // the parquet probe, which stays the ground truth.
+            val byDir = files.groupBy(_.getParent)
+            val (mayDirs, clearDirs) = byDir.partition {
+              case (dir, _) => sidecarMayContainAny(fs, dir, tombs)
+            }
+            lastTombstoneProbe = Some(TombstoneProbe(
+              dirsTotal = byDir.size, dirsPruned = clearDirs.size,
+              filesRead = mayDirs.valuesIterator.map(_.size).sum))
+            val readFiles =
+              mayDirs.valuesIterator.flatten.map(_.toString).toSeq
+            if (readFiles.isEmpty) Set.empty
             else {
               val tdf = spark.createDataset(tombs)(Encoders.scalaLong)
                 .toDF("__thash")
-              spark.read.parquet(files: _*)
+              spark.read.parquet(readFiles: _*)
                 .select(xxhash64(col("text")).as("__thash"))
                 .join(broadcast(tdf), Seq("__thash"), "left_semi")
                 .distinct().collect().map(_.getLong(0)).toSet

@@ -122,6 +122,50 @@ class DedupStoreSinkSpec extends SparkSpec {
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).toSeq
 
+  test("tombstone GC reads sidecar metadata, not every hit bucket's data") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_gc_bloom").toString
+    val docs = (0 until 200).map(i => (i.toLong, s"gcb text $i"))
+      .toDF("doc_id", "text")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+    def stream() = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in/part-*")
+    graft.streaming.DedupStore.run(
+      spark, stream(), s"$tmp/store", s"$tmp/ckpt", nBuckets = 16)
+    // every committed bucket dir carries its `_bloom` sidecar
+    val bucketDirs = new java.io.File(s"$tmp/store").listFiles()
+      .filter(d => d.isDirectory && !d.getName.startsWith("_"))
+      .flatMap(v => Option(v.listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("bucket=")))
+    assert(bucketDirs.nonEmpty &&
+      bucketDirs.forall(d => new java.io.File(d, "_bloom").isFile),
+      s"expected a _bloom sidecar in every bucket dir: ${bucketDirs.toSeq}")
+    // a COMPLETED purge (victims physically erased — these must fold)
+    graft.streaming.DedupStore.purge(spark, s"$tmp/store",
+      Seq("gcb text 7", "gcb text 13"))
+    // …and a CRASHED purge at its crash point: tombstone landed, the
+    // physical rewrite did not — its victim is still in the data, so
+    // the sidecar must route the probe INTO that one bucket dir
+    val crashedHash = spark.range(1)
+      .select(xxhash64(lit("gcb text 3"))).head.getLong(0)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$tmp/store/_TOMBSTONES/t5"),
+      s"$crashedHash\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val (kept, dropped) = graft.streaming.DedupStore.compactTombstones(
+      spark, s"$tmp/store")
+    assert((kept, dropped) == (1, 2),
+      s"expected the crashed hash kept and 2 folded, got ($kept, $dropped)")
+    // the read-amplification bound the sidecars exist for: exactly ONE
+    // bucket dir can still hold a victim (the crashed purge's), every
+    // other candidate dir is pruned by metadata alone
+    val probe = graft.streaming.DedupStore.lastTombstoneProbe.get
+    assert(probe.dirsTotal >= 2,
+      s"fixture too small to prove pruning: $probe")
+    assert(probe.dirsPruned == probe.dirsTotal - 1,
+      s"every victim-free dir must prune via its sidecar: $probe")
+    assert(probe.filesRead == 1,
+      s"only the crashed victim's data file should be read: $probe")
+  }
+
   test("writer partials flush past the entry cap without losing counts") {
     // per-writer map-side combine: more distinct texts than FlushEntries
     // would need a huge fixture; instead verify the flush path directly
