@@ -4619,5 +4619,142 @@ object StreamMediaQueries {
              |  event_type, CAST(COUNT(*) AS BIGINT) AS n,
              |  CAST(SUM(user_id) AS BIGINT) AS user_sum
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- stream-stream FULL OUTER join (both-side certified misses) ---------------
+    // Completes the stream-stream join family (st05 inner, st23 left-
+    // outer, st71 semi, st75 right-outer): BOTH unmatched sides emit —
+    // a view with no purchase in its hour AND a purchase no view
+    // preceded (the direct-buy row an attribution pipeline must not
+    // lose). Each side's null emission is a watermark-certified
+    // negative with its OWN eviction bound derived from the interval
+    // condition: a view closes when the watermark passes view_time + 1 h
+    // (no future purchase can land in its window), a purchase when the
+    // watermark passes purchase_time itself (any matching view's time
+    // is ≤ it, so it has already arrived or is certifiably late). The
+    // st54 fixture's sentinel pushers (user < 0, passing both side
+    // filters and self-matching) drive both clocks past maxTs + 46 h,
+    // so EVERY real row's verdict is final and the oracle is the plain
+    // batch FULL OUTER join — no watermark-cutoff term at all. At
+    // 100 TB the operator is the fact-to-fact reconciliation primitive:
+    // state stays bounded by the interval, output ∝ matches + true
+    // singletons, and neither side is ever collected or broadcast.
+    ("st73_full_outer_stream_join",
+      (s: SparkSession, d: String) => {
+        val inDir = ensureTimerSessionStream(s, d)
+        val out = graft.TempDirs.create("graft_st73")
+        def side(ty: String, pfx: String) =
+          s.readStream.schema(EventStream.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(s"$inDir/*.parquet") // tiles + watermark pushers
+            .filter(col("event_type") === ty || col("user_id") < 0)
+            .select(col("user_id").as(s"${pfx}_user"),
+              col("event_id").as(s"${pfx}_id"),
+              Tables.eventTime(col("ts")).as(s"${pfx}_time"))
+            .withWatermark(s"${pfx}_time", "2 hours")
+        val joined = side("view", "v").join(side("purchase", "p"),
+            col("v_user") === col("p_user") &&
+              col("p_time") >= col("v_time") &&
+              col("p_time") <= col("v_time") + expr("INTERVAL 1 HOUR"),
+            "full_outer")
+          .select(coalesce(col("v_user"), col("p_user")).as("user_id"),
+            col("v_id"), col("p_id"))
+        graft.Confs.withConfs(s, Seq("spark.sql.shuffle.partitions" -> "8")) {
+          EventStream.runToFiles(s, joined, s"$out/data", s"$out/ckpt")
+        }.filter(col("user_id") >= 0) // sentinel self-matches drop
+          .orderBy(col("user_id"), col("v_id"), col("p_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t
+             |  FROM events),
+             |v AS (SELECT user_id AS v_user, event_id AS v_id, t AS vt FROM e
+             |      WHERE event_type = 'view'),
+             |p AS (SELECT user_id AS p_user, event_id AS p_id, t AS pt
+             |      FROM e WHERE event_type = 'purchase')
+             |SELECT COALESCE(v_user, p_user) AS user_id, v_id, p_id
+             |FROM v FULL JOIN p ON v_user = p_user
+             |  AND pt >= vt AND pt <= vt + INTERVAL 1 HOUR
+             |ORDER BY user_id, v_id NULLS FIRST, p_id NULLS FIRST""".stripMargin)),
+
+    // ---- offset-tracked log source, crash-replay exactly-once ---------------------
+    // The Kafka-shaped consumption contract WITHOUT a broker (at 100 TB
+    // the feed is a log, not files): `rate-micro-batch` is the engine's
+    // deterministic offset-tracked source — batch k is, by contract,
+    // exactly values [k·R, (k+1)·R). The face runs the consumer TWICE
+    // over one checkpoint with planned crashes: phase 1 dies before
+    // batch 3's sink write (after its offsets hit the WAL), phase 2
+    // resumes, REPLAYS batch 3 from those very offsets, continues
+    // through batch 4, dies at 5. The result is certified against a
+    // closed form — 5 batches, values 0..2499, each exactly once with
+    // stable batch boundaries — which no file-source face can state:
+    // it is the offset WAL, not the input's bytes, that defines what
+    // batch 3 *is*. Sink idempotence comes from overwrite-into-
+    // batch-keyed dirs (the MERGE-target discipline); StreamingSpec
+    // additionally pins that the offsets/3 WAL entry survives the
+    // restart byte-identical. q's oracle needs no corpus: the expected
+    // log is range(0, 2500) bucketed by integer division.
+    ("st74_rate_source_restart",
+      (s: SparkSession, d: String) => {
+        val tmp = graft.TempDirs.create("graft_st74")
+        graft.streaming.RateLog.drainUntil(
+          s, s"$tmp/data", s"$tmp/ckpt", rowsPerBatch = 500, crashAt = 3)
+        graft.streaming.RateLog.drainUntil(
+          s, s"$tmp/data", s"$tmp/ckpt", rowsPerBatch = 500, crashAt = 5)
+        graft.streaming.RateLog.readLog(s, s"$tmp/data")
+          .groupBy(col("batch_id"))
+          .agg(count(lit(1)).as("n"), min(col("value")).as("min_v"),
+            max(col("value")).as("max_v"), sum(col("value")).as("sum_v"))
+          .orderBy(col("batch_id"))
+      },
+      Some("""SELECT CAST(r.range // 500 AS BIGINT) AS batch_id,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(MIN(r.range) AS BIGINT) AS min_v,
+             |  CAST(MAX(r.range) AS BIGINT) AS max_v,
+             |  CAST(SUM(r.range) AS BIGINT) AS sum_v
+             |FROM range(0, 2500) r GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- stream-stream RIGHT OUTER join (orphan-right certified misses) -----------
+    // st23's mirror: every purchase emits — paired when a view's hour
+    // window captured it, null-padded once the watermark passes the
+    // purchase's own time (the right side's eviction bound; see st73).
+    // Operationally this is the "orphan fact" audit — facts arriving
+    // with no qualifying antecedent — as a STREAM, where the left-outer
+    // form would instead audit antecedents with no consequence. Same
+    // fixture, same sentinel discipline; the oracle is the plain batch
+    // RIGHT JOIN because the pushers finalize every verdict.
+    ("st75_right_outer_stream_join",
+      (s: SparkSession, d: String) => {
+        val inDir = ensureTimerSessionStream(s, d)
+        val out = graft.TempDirs.create("graft_st75")
+        def side(ty: String, pfx: String) =
+          s.readStream.schema(EventStream.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(s"$inDir/*.parquet") // tiles + watermark pushers
+            .filter(col("event_type") === ty || col("user_id") < 0)
+            .select(col("user_id").as(s"${pfx}_user"),
+              col("event_id").as(s"${pfx}_id"),
+              Tables.eventTime(col("ts")).as(s"${pfx}_time"))
+            .withWatermark(s"${pfx}_time", "2 hours")
+        val joined = side("view", "v").join(side("purchase", "p"),
+            col("v_user") === col("p_user") &&
+              col("p_time") >= col("v_time") &&
+              col("p_time") <= col("v_time") + expr("INTERVAL 1 HOUR"),
+            "right_outer")
+          .select(col("p_user").as("user_id"), col("v_id"), col("p_id"))
+        graft.Confs.withConfs(s, Seq("spark.sql.shuffle.partitions" -> "8")) {
+          EventStream.runToFiles(s, joined, s"$out/data", s"$out/ckpt")
+        }.filter(col("user_id") >= 0) // sentinel self-matches drop
+          .orderBy(col("user_id"), col("v_id"), col("p_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t
+             |  FROM events),
+             |v AS (SELECT user_id AS v_user, event_id AS v_id, t AS vt FROM e
+             |      WHERE event_type = 'view'),
+             |p AS (SELECT user_id AS p_user, event_id AS p_id, t AS pt
+             |      FROM e WHERE event_type = 'purchase')
+             |SELECT p_user AS user_id, v_id, p_id
+             |FROM v RIGHT JOIN p ON v_user = p_user
+             |  AND pt >= vt AND pt <= vt + INTERVAL 1 HOUR
+             |ORDER BY user_id, v_id NULLS FIRST, p_id NULLS FIRST""".stripMargin)),
   )
 }

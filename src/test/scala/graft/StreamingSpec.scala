@@ -2457,4 +2457,38 @@ class StreamingSpec extends SparkSpec {
       s"max policy should drop the lagging feed's late tiles " +
         s"(got $underMax of $total) — if equal, the fixture lost its asymmetry")
   }
+
+  test("rate-source restart replays the crashed batch from its WAL offsets") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ratelog").toString
+    graft.streaming.RateLog.drainUntil(spark, s"$tmp/data", s"$tmp/ckpt",
+      rowsPerBatch = 100, crashAt = 2)
+    // the offset contract's crash anatomy: batch 2's offsets are
+    // ALREADY in the WAL (written before the batch executed), its
+    // commit marker and sink output are not
+    val off2 = java.nio.file.Paths.get(s"$tmp/ckpt/offsets/2")
+    assert(java.nio.file.Files.exists(off2),
+      "offsets/2 must be WAL'd before the batch runs")
+    assert(!new java.io.File(s"$tmp/ckpt/commits/2").exists(),
+      "the crashed batch must not have committed")
+    assert(!new java.io.File(s"$tmp/data/b2").exists(),
+      "the crash fires before the sink write")
+    val walBytes = java.nio.file.Files.readAllBytes(off2)
+    // restart over the same checkpoint: batch 2 replays from exactly
+    // that WAL entry, then fresh batches continue
+    graft.streaming.RateLog.drainUntil(spark, s"$tmp/data", s"$tmp/ckpt",
+      rowsPerBatch = 100, crashAt = 4)
+    assert(java.util.Arrays.equals(walBytes,
+        java.nio.file.Files.readAllBytes(off2)),
+      "the restart must consume offsets/2 as written, not rewrite it")
+    val b2 = spark.read.parquet(s"$tmp/data/b2").select("value")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(b2 == (200L until 300L),
+      s"replayed batch must be its offset range [200,300): $b2")
+    // the whole log: batches 0..3 committed, gapless, duplicate-free
+    val all = graft.streaming.RateLog.readLog(spark, s"$tmp/data")
+    assert(all.count() == 400 &&
+      all.select("value").distinct().count() == 400)
+    assert(new java.io.File(s"$tmp/ckpt/commits/3").exists(),
+      "the resumed run must commit through batch 3")
+  }
 }
