@@ -63,6 +63,32 @@ object ScaleJoins {
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1"))(body)
 
+  /** q188's variant of [[withSkewJoinDemo]]: keeps a REAL skew factor
+    * (a partition must measure 4× the median to split — the shape of
+    * the production default, not q65's floor-everything 1.0) and only
+    * lowers the byte floor to fixture scale. Under these settings the
+    * split is a MEASUREMENT: AQE must find the one deliberately hot
+    * partition and leave the other thirty-odd unsplit (ScaleSpec pins
+    * the selectivity through the final plan's partition specs). No
+    * forceOptimizeSkewedJoin either — the probe also certifies the
+    * rule fires within its no-extra-shuffle planning constraint.
+    * Every conf is restored after `body`. */
+  def withMeasuredSkewDemo[T](s: SparkSession)(body: => T): T =
+    graft.Confs.withConfs(s, Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "4.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      // enough reducers that the ~511 even keys spread thin while the
+      // hot key stays concentrated — with a handful of partitions the
+      // hot one never clears 4x the (then-fat) median, and there is no
+      // skew to measure (the same arithmetic a production job gets for
+      // free from its thousands of reducers)
+      "spark.sql.shuffle.partitions" -> "32",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1"))(body)
+
   /** Run `body` under runtime bloom-filter join settings that let the
     * optimizer's InjectRuntimeFilter fire at fixture scale (q172):
     * a selective dim→fact shuffle join gets a bloom filter BUILT from

@@ -115,6 +115,56 @@ object ScaleJoinQueries {
       .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
   }
 
+  /** q188's join body, shared with ScaleSpec's measured-skew assertion:
+    * a DELIBERATELY skewed fact — every second lineitem collapses onto
+    * key 0, so one reducer partition carries ~half the rows while the
+    * other ~511 keys spread evenly — sort-merge-joined against a
+    * 512-row dim. Unlike q65 (which floors the skew factor so
+    * everything qualifies), this is the fixture the 4×-median
+    * MEASUREMENT has to actually find. The post-join rollup re-keys to
+    * k % 8, so the join's output partitioning feeds an exchange anyway
+    * and the skew split adds no extra shuffle.
+    *
+    * The dim MATERIALIZES through parquet before the join — its
+    * production shape (a dim is a table, not an inline aggregate), and
+    * also what makes the skew rule applicable at all: OptimizeSkewedJoin
+    * pattern-matches a sort-merge join whose children ARE the shuffle
+    * stages, and an agg interposed between the dim's shuffle and the
+    * join is a different stage shape the rule (correctly) leaves
+    * alone. */
+  private[graft] def q188Join(s: SparkSession, d: String): DataFrame = {
+    // the payload columns (keys + exact cents) do double duty: they are
+    // what a real fact row carries through the shuffle — a bare (key,
+    // measure) pair compresses so well the hot partition's BYTES stop
+    // being skewed even when its rows are — and every one lands in an
+    // oracle-checkable integer sum, so nothing here is dead weight the
+    // optimizer could prune below the exchange
+    val fact = Tables.load(s, d, "lineitem").select(
+      when(col("l_orderkey") % 2 === 0, lit(0L))
+        .otherwise(pmod(col("l_orderkey"), lit(512))).as("k"),
+      col("l_quantity").cast("long").as("q"),
+      col("l_orderkey").as("okey"),
+      col("l_partkey").as("pkey"),
+      round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      // 16 mappers, as q65: AQE splits a skewed REDUCE partition at
+      // map-output-block granularity, so a single-file fixture scan
+      // (one map task → one indivisible block) has nothing to split no
+      // matter how skewed the bytes are. A real 100 TB fact arrives
+      // with thousands of scan tasks; the repartition emulates that.
+      .repartition(16)
+    val dimDir = graft.TempDirs.create("graft_q188dim")
+    Tables.load(s, d, "orders")
+      .groupBy(pmod(col("o_orderkey"), lit(512)).as("k"))
+      .agg(count(lit(1)).as("dim_n"))
+      .coalesce(1).write.mode("overwrite").parquet(dimDir)
+    val dim = s.read.parquet(dimDir)
+    fact.join(dim, "k")
+      .groupBy(pmod(col("k"), lit(8)).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("q")).as("qty"),
+        sum(col("okey")).as("sum_okey"), sum(col("pkey")).as("sum_pkey"),
+        sum(col("cents")).as("sum_cents"), sum(col("dim_n")).as("dim_hits"))
+  }
+
   /** q172's join body, shared with ScaleSpec's bloom-plan assertion:
     * a selective dim (urgent 1996-Q1 orders) against the lineitem fact
     * on the JOIN key, not a partition column — the shape where dynamic
@@ -272,6 +322,49 @@ object ScaleJoinQueries {
       },
       Some("""SELECT p_brand, COUNT(*) AS n_items, SUM(l_quantity) AS sum_qty
              |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- AQE skew-join under a MEASURED factor (deliberate hot key) -------
+    // q65 proves the splitting machinery with floored thresholds
+    // (factor 1.0 + force: every partition qualifies); this proves the
+    // MEASUREMENT with a production-shaped factor: half of the fact
+    // collapses onto one key, AQE's 4×-median rule must find exactly
+    // that partition at the shuffle boundary and split it, leaving the
+    // even keys alone — no salt-factor guesswork, no forced rewrite
+    // (the selectivity and the split markers are pinned in ScaleSpec
+    // via the final adaptive plan's partition specs). At 100 TB this
+    // is the default posture for fact⋈dim joins on organically skewed
+    // keys (the q44 salting path stays for the pathological cases AQE
+    // can't reach: streaming and bucketed shapes). Result-transparent
+    // by construction, so the oracle is the plain join; same
+    // materialization rule as q65 — AQE decides at execution, so the
+    // parquet round-trip keeps the confs live while the job runs.
+    ("q188_aqe_measured_skew",
+      (s: SparkSession, d: String) => {
+        val out = graft.TempDirs.create("graft_aqemskew")
+        ScaleJoins.withMeasuredSkewDemo(s) {
+          q188Join(s, d).write.mode("overwrite").parquet(out)
+        }
+        s.read.parquet(out).orderBy(col("bucket"))
+      },
+      Some("""WITH f AS (SELECT CASE WHEN l_orderkey % 2 = 0 THEN 0
+             |                       ELSE l_orderkey % 512 END AS k,
+             |                  CAST(l_quantity AS BIGINT) AS q,
+             |                  l_orderkey AS okey, l_partkey AS pkey,
+             |                  CAST(round(l_extendedprice * 100) AS BIGINT)
+             |                    AS cents
+             |           FROM lineitem),
+             |dm AS (SELECT o_orderkey % 512 AS k,
+             |         CAST(COUNT(*) AS BIGINT) AS dim_n
+             |       FROM orders GROUP BY 1)
+             |SELECT CAST(f.k % 8 AS BIGINT) AS bucket,
+             |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(f.q) AS BIGINT) AS qty,
+             |  CAST(SUM(f.okey) AS BIGINT) AS sum_okey,
+             |  CAST(SUM(f.pkey) AS BIGINT) AS sum_pkey,
+             |  CAST(SUM(f.cents) AS BIGINT) AS sum_cents,
+             |  CAST(SUM(dm.dim_n) AS BIGINT) AS dim_hits
+             |FROM f JOIN dm ON f.k = dm.k
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- runtime bloom-filter join (scan-side row pruning) ----------------

@@ -444,6 +444,45 @@ class ScaleSpec extends SparkSpec {
     assert(skewed == plain)
   }
 
+  test("q188 measured skew: AQE splits exactly the deliberately hot partition") {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, AQEShuffleReadExec}
+    import org.apache.spark.sql.execution.PartialReducerPartitionSpec
+    val exec = ScaleJoins.withMeasuredSkewDemo(spark) {
+      val df = graft.queries.ScaleJoinQueries.q188Join(spark, sf)
+      df.collect()
+      df.queryExecution.executedPlan
+    }
+    val finalPlan = exec match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    assert(finalPlan.toString.contains("SortMergeJoin"),
+      s"measured-skew probe must sort-merge, not broadcast:\n$finalPlan")
+    assert(finalPlan.toString.contains("skew=true"),
+      s"no runtime skew split in the final plan:\n$finalPlan")
+    // the MEASUREMENT claim: under a real 4x-median factor, the split
+    // lands on exactly ONE reducer partition — the one key 0 hashes
+    // into — and the ~511 even keys stay unsplit. (QueryStageExec
+    // nodes are tree leaves, so the walk must descend through their
+    // wrapped plans explicitly.)
+    def walk(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: (p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case o => o.children.flatMap(walk)
+      })
+    val reads = walk(finalPlan).collect { case r: AQEShuffleReadExec => r }
+    assert(reads.exists(_.hasSkewedPartition),
+      s"no AQEShuffleRead reports a skewed partition:\n$finalPlan")
+    val splitReducers = reads.flatMap(_.partitionSpecs.collect {
+      case p: PartialReducerPartitionSpec => p.reducerIndex
+    }).distinct
+    assert(splitReducers.size == 1,
+      s"expected exactly the hot key's partition split, got reducer " +
+        s"indices $splitReducers:\n$finalPlan")
+  }
+
   test("q62 funnel: stage frames broadcast, partial aggs, no degenerate joins") {
     val plan = planOf(SparkEntry.queries("q62_funnel")(spark, sf))
     // each stage joins the events scan against the PREVIOUS stage's
