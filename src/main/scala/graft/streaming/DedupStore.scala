@@ -210,17 +210,17 @@ object DedupStore {
 
   // ---- bloom sidecars (tombstone-GC metadata) ------------------------------
 
-  /** Capacity of a bucket-version's `_bloom` sidecar. Past it the
-    * filter's false-positive rate degrades, which only costs the GC
-    * probe extra data reads — never a wrong answer (the parquet probe
-    * stays the ground truth). Size near the expected per-bucket rows
-    * of one commit; ~42 KB of sidecar at this capacity. */
+  /** Capacity of a version's `_bloom` sidecar. Past it the filter's
+    * false-positive rate degrades, which only costs the GC probe extra
+    * data reads — never a wrong answer (the parquet probe stays the
+    * ground truth). Size near the expected rows of one commit;
+    * ~42 KB of sidecar at this capacity. */
   private[graft] val BloomSidecarItems: Long = 1L << 16
 
   private[graft] val BloomSidecarName = "_bloom"
 
   /** Read-amplification record of the most recent tombstone liveness
-    * probe: bucket dirs considered, dirs whose sidecar proved
+    * probe: version dirs considered, dirs whose sidecar proved
     * victim-free, data files actually opened. DedupStoreSinkSpec pins
     * the bound (metadata reads, not data reads). */
   private[graft] case class TombstoneProbe(
@@ -236,38 +236,6 @@ object DedupStore {
     if (fs.exists(target)) fs.delete(target, false)
     if (!fs.rename(tmp, target))
       throw new java.io.IOException(s"rename $tmp -> $target failed")
-  }
-
-  /** Land a `_bloom` sidecar beside each touched bucket's just-written
-    * data files: ONE distributed pass re-reading the version's touched
-    * buckets (text column only — cost ∝ the batch, and no recompute of
-    * the upstream merge plan), aggregated with the engine's own
-    * mergeable [[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]]
-    * sketch over xxhash64(text) — the same key space the tombstone log
-    * stores. Sidecars land BEFORE the manifest/_SUCCESS, so a committed
-    * version always carries them; pre-sidecar stores fail open at
-    * probe time. */
-  private def writeBloomSidecars(spark: SparkSession, fs: FileSystem,
-                                 vDir: Path, buckets: Seq[Int]): Unit = {
-    if (buckets.isEmpty) return
-    import org.apache.spark.sql.graft.ColumnBridge
-    val bloom = ColumnBridge.column(
-      new org.apache.spark.sql.catalyst.expressions.aggregate
-        .BloomFilterAggregate(
-          ColumnBridge.expression(xxhash64(col("text"))),
-          BloomSidecarItems)
-        .toAggregateExpression())
-    spark.read.option("basePath", vDir.toString)
-      .parquet(buckets.map(b => new Path(vDir, s"bucket=$b").toString): _*)
-      .groupBy(col("bucket"))
-      .agg(bloom.as("bloom"))
-      .collect()
-      .foreach { r =>
-        val b = r.get(0).toString.toInt
-        atomicWriteBytes(fs,
-          new Path(new Path(vDir, s"bucket=$b"), BloomSidecarName),
-          r.getAs[Array[Byte]]("bloom"))
-      }
   }
 
   /** Metadata-only liveness pre-filter: can `dir`'s data files contain
@@ -704,8 +672,30 @@ object DedupStore {
     // bucket per version, not O(shuffle partitions × buckets) slivers
     // (the compaction anti-pattern q52 exists to undo). At scale, size
     // nBuckets so one bucket ≈ one target file.
-    rows.write.mode("overwrite").partitionBy("bucket")
+    //
+    // The version's `_bloom` sidecar contents ride the SAME write pass
+    // via Dataset.observe (the drop-accounting discipline): ONE
+    // BloomFilterAggregate over xxhash64(text) accumulates during the
+    // write job itself — one hash and one buffer update per row. Both
+    // alternatives measurably taxed every drain commit at sf0.1: a
+    // separate read-back-and-aggregate job (st07 3.8 s → 6.0 s), and a
+    // per-bucket observe fan-out (16 conditional aggregates re-hashing
+    // every row 16×). Version granularity is also the natural one for
+    // the GC probe — a version IS one commit's written data.
+    val bloomObs = new org.apache.spark.sql.Observation(
+      s"graft_bloom_${name}_${java.util.UUID.randomUUID}")
+    val bloomCol = org.apache.spark.sql.graft.ColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(
+          org.apache.spark.sql.graft.ColumnBridge.expression(
+            xxhash64(col("text"))),
+          BloomSidecarItems)
+        .toAggregateExpression()).as("bloom")
+    rows.observe(bloomObs, bloomCol)
+      .write.mode("overwrite").partitionBy("bucket")
       .parquet(staging.toString)
+    val bloomBytes: Option[Array[Byte]] =
+      bloomObs.get.get("bloom").collect { case v: Array[Byte] => v }
     val vDir = new Path(root, name)
     if (fs.exists(vDir)) fs.delete(vDir, true): Unit // uncommitted leftover
     fs.mkdirs(vDir)
@@ -725,10 +715,13 @@ object DedupStore {
             .map(f => bucket -> s"$name/$bName/${f.getPath.getName}")
         }
     fs.delete(staging, true): Unit
-    // per-bucket `_bloom` sidecars for the touched buckets — tombstone
-    // GC's metadata-only liveness probe (the underscore prefix keeps
-    // them out of the data-file listing above and out of prune's sweep)
-    writeBloomSidecars(spark, fs, vDir, written.map(_._1).distinct)
+    // land the observed `_bloom` sidecar at the version root — tombstone
+    // GC's metadata-only liveness probe over THIS version's written
+    // rows (inherited buckets are covered by the version that wrote
+    // them); the underscore prefix keeps it out of data-file listings
+    if (written.nonEmpty)
+      bloomBytes.foreach(bytes =>
+        atomicWriteBytes(fs, new Path(vDir, BloomSidecarName), bytes))
     // untouched buckets: inherit the base's concrete file paths — zero
     // data movement on any filesystem (the object-store-safe form of
     // the round-6 hard-link carry-forward)
@@ -1371,14 +1364,15 @@ object DedupStore {
               .flatMap { case (_, dir) => entriesOf(fs, root, dir) }
               .filter { case (b, _) => tombBuckets.contains(b) }
               .map(_._2).distinct
-            // metadata before data: group the candidate files by their
-            // bucket dir and let each dir's `_bloom` sidecar prove
+            // metadata before data: group the candidate files by the
+            // VERSION that wrote them (file path = root/v*/bucket=N/f)
+            // and let each version's `_bloom` sidecar prove
             // victim-absence — the probe's read amplification drops to
-            // O(sidecar bytes) + O(maybe-dirs' data) instead of every
-            // hit bucket's full data (round-17 verdict item 6). A
-            // sidecar "maybe" (including its fpp) just falls through to
-            // the parquet probe, which stays the ground truth.
-            val byDir = files.groupBy(_.getParent)
+            // O(sidecar bytes) + O(maybe-versions' data) instead of
+            // every hit bucket's full data (round-17 verdict item 6).
+            // A sidecar "maybe" (including its fpp) just falls through
+            // to the parquet probe, which stays the ground truth.
+            val byDir = files.groupBy(_.getParent.getParent)
             val (mayDirs, clearDirs) = byDir.partition {
               case (dir, _) => sidecarMayContainAny(fs, dir, tombs)
             }

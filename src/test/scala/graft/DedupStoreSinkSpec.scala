@@ -131,14 +131,12 @@ class DedupStoreSinkSpec extends SparkSpec {
       .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in/part-*")
     graft.streaming.DedupStore.run(
       spark, stream(), s"$tmp/store", s"$tmp/ckpt", nBuckets = 16)
-    // every committed bucket dir carries its `_bloom` sidecar
-    val bucketDirs = new java.io.File(s"$tmp/store").listFiles()
+    // every committed version dir carries its `_bloom` sidecar
+    val versionDirs = new java.io.File(s"$tmp/store").listFiles()
       .filter(d => d.isDirectory && !d.getName.startsWith("_"))
-      .flatMap(v => Option(v.listFiles()).getOrElse(Array.empty)
-        .filter(d => d.isDirectory && d.getName.startsWith("bucket=")))
-    assert(bucketDirs.nonEmpty &&
-      bucketDirs.forall(d => new java.io.File(d, "_bloom").isFile),
-      s"expected a _bloom sidecar in every bucket dir: ${bucketDirs.toSeq}")
+    assert(versionDirs.nonEmpty &&
+      versionDirs.forall(d => new java.io.File(d, "_bloom").isFile),
+      s"expected a _bloom sidecar in every version dir: ${versionDirs.toSeq}")
     // a COMPLETED purge (victims physically erased — these must fold)
     graft.streaming.DedupStore.purge(spark, s"$tmp/store",
       Seq("gcb text 7", "gcb text 13"))
@@ -155,8 +153,9 @@ class DedupStoreSinkSpec extends SparkSpec {
     assert((kept, dropped) == (1, 2),
       s"expected the crashed hash kept and 2 folded, got ($kept, $dropped)")
     // the read-amplification bound the sidecars exist for: exactly ONE
-    // bucket dir can still hold a victim (the crashed purge's), every
-    // other candidate dir is pruned by metadata alone
+    // version dir can still hold a victim (the one whose commit wrote
+    // the crashed purge's bucket), every other candidate version is
+    // pruned by metadata alone
     val probe = graft.streaming.DedupStore.lastTombstoneProbe.get
     assert(probe.dirsTotal >= 2,
       s"fixture too small to prove pruning: $probe")
