@@ -88,4 +88,47 @@ class KeyedPartitionSourceSpec extends SparkSpec {
       fl.release()
     } finally ch.close()
   }
+
+  test("a commit waits out a FOREIGN process's lock instead of clobbering it") {
+    // same-JVM contention surfaces as OverlappingFileLockException
+    // (covered above); a lock held by ANOTHER process surfaces as
+    // tryLock() == null — hold the anchor from a real second process
+    // and prove the committer waits it out, then lands. The holder
+    // must use fcntl record locks (python's lockf), the family
+    // FileChannel locks map to on Linux — flock(1) takes BSD flock(2)
+    // locks, which do NOT interact with fcntl and would hold nothing
+    // against the JVM.
+    val tmp = Files.createTempDirectory("graft_keyed_flock").toString
+    import spark.implicits._
+    val df = (0 until 20).map(i => ((i % 4).toLong, i.toLong, s"f$i"))
+      .toDF("key", "id", "label")
+    // seed the anchor so the foreign holder and the committer contend
+    // on the same inode
+    new java.io.File(tmp).mkdirs()
+    val lockPath = s"$tmp/_manifest.lock"
+    assert(new java.io.File(lockPath).createNewFile())
+    val holder = new ProcessBuilder("python3", "-c",
+      s"""import fcntl, time
+         |f = open("$lockPath", "w")
+         |fcntl.lockf(f, fcntl.LOCK_EX)
+         |time.sleep(6)
+         |""".stripMargin).start()
+    try {
+      // give flock a beat to actually acquire before committing
+      Thread.sleep(500)
+      val t0 = System.nanoTime()
+      df.write.format("graft.sources.KeyedPartitionSource")
+        .option("path", tmp).mode("append").save()
+      val waited = (System.nanoTime() - t0) / 1e9
+      val back = spark.read.format("graft.sources.KeyedPartitionSource")
+        .option("path", tmp).load()
+      assert(back.count() == 20, "the commit must land after the wait")
+      // the write job runs before the commit phase, so the 6 s hold
+      // comfortably outlives it: a total under ~3 s would mean the
+      // committer never actually waited for the foreign lock
+      assert(waited >= 3.0,
+        f"commit returned in $waited%.2f s — it cannot have waited out " +
+          "the 6 s foreign holder")
+    } finally holder.destroy()
+  }
 }
