@@ -302,9 +302,45 @@ object DedupStore {
         .flatMap(_.toLongOption)
         .map(t => System.currentTimeMillis() - t)
       if (heldMs.exists(_ > LOCK_STALE_MS) || holder.isEmpty) {
-        // stale (or vanished between create and read): break and retry
-        fs.delete(lock, false)
-        tryAcquire()
+        // Break the stale lock ATOMICALLY: rename it to a unique grave
+        // name — exactly one waiter's rename succeeds (rename is atomic
+        // on HDFS/local), so two waiters can never both "break" it and
+        // a loser simply re-races the exclusive create. A bare delete
+        // here would be the manifest lock's round-17 check-then-act
+        // race: between observing staleness and deleting, another
+        // waiter may have broken the lock AND a new holder recreated
+        // it — the delete then lands on the LIVE newcomer's lock.
+        // (This lock must stay a file-content protocol, not an OS
+        // advisory lock: it is held across whole drains and travels
+        // through the Hadoop FileSystem API to HDFS/object stores,
+        // where FileChannel locks don't exist.)
+        val grave = new Path(root,
+          s"_LOCK.stale.${java.util.UUID.randomUUID()}")
+        val won = try fs.rename(lock, grave)
+                  catch { case _: java.io.IOException => false }
+        if (!won) tryAcquire() // someone else broke it first; re-race
+        else {
+          // content check closes the stat→rename window: if the grave's
+          // body is not the stale body we observed, the rename grabbed
+          // a FRESH lock created in between — restore it and back off.
+          val graveBody = try Some(readString(fs, grave).trim)
+                          catch { case _: java.io.IOException => None }
+          if (graveBody == holder) {
+            fs.delete(grave, false): Unit
+            tryAcquire()
+          } else if (fs.rename(grave, lock)) {
+            false // live newcomer restored untouched; report held
+          } else {
+            // restore lost a second race (another create landed at the
+            // lock path while we held the newcomer's lock in the
+            // grave): two writers now believe different files are the
+            // lock — refuse loudly rather than risk interleaving
+            throw new IllegalStateException(
+              s"lock takeover on $root hit a double race: stole a " +
+                s"fresh lock [$graveBody] and could not restore it — " +
+                s"manual intervention: inspect $grave and _LOCK")
+          }
+        }
       } else false
     }
     if (!acquired) {
