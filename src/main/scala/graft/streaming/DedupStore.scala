@@ -286,16 +286,19 @@ object DedupStore {
                                (body: => T): T = {
     fs.mkdirs(root)
     val lock = new Path(root, "_LOCK")
-    def tryAcquire(): Boolean =
+    // returns the lock BODY we wrote on success — release compares it
+    // so we only ever delete OUR OWN lock (see the finally)
+    def tryAcquire(): Option[String] =
       try {
+        val bodyStr = s"${System.currentTimeMillis()}\t${
+          java.util.UUID.randomUUID()}\t$op"
         val out = fs.create(lock, false) // exclusive: fails if held
-        try out.write(s"${System.currentTimeMillis()}\t${
-          java.util.UUID.randomUUID()}\t$op\n"
+        try out.write((bodyStr + "\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
-    val acquired = tryAcquire() || {
+        Some(bodyStr)
+      } catch { case _: java.io.IOException => None }
+    val acquired: Option[String] = tryAcquire().orElse {
       val holder = try Some(readString(fs, lock).trim)
                    catch { case _: java.io.IOException => None }
       val heldMs = holder.flatMap(_.split("\t").headOption)
@@ -329,7 +332,7 @@ object DedupStore {
             fs.delete(grave, false): Unit
             tryAcquire()
           } else if (fs.rename(grave, lock)) {
-            false // live newcomer restored untouched; report held
+            None // live newcomer restored untouched; report held
           } else {
             // restore lost a second race (another create landed at the
             // lock path while we held the newcomer's lock in the
@@ -341,9 +344,9 @@ object DedupStore {
                 s"manual intervention: inspect $grave and _LOCK")
           }
         }
-      } else false
+      } else None
     }
-    if (!acquired) {
+    if (acquired.isEmpty) {
       val holder = try readString(fs, lock).trim
                    catch { case _: java.io.IOException => "<unreadable>" }
       throw new IllegalStateException(
@@ -354,7 +357,16 @@ object DedupStore {
           s"after ${LOCK_STALE_MS / 60000} min; remove _LOCK manually to " +
           "break it sooner.")
     }
-    try body finally { fs.delete(lock, false): Unit }
+    // release only OUR lock: if a waiter legitimately broke ours as
+    // stale (we sat wedged past LOCK_STALE_MS) and a new holder
+    // re-acquired, an unconditional delete here would clobber THEIR
+    // lock and reopen the interleave this protocol exists to prevent
+    val myBody = acquired.get
+    try body finally {
+      val current = try Some(readString(fs, lock).trim)
+                    catch { case _: java.io.IOException => None }
+      if (current.forall(_ == myBody)) fs.delete(lock, false): Unit
+    }
   }
 
   /** Retention: after a version commits, the only LIVE manifests are
