@@ -5305,7 +5305,13 @@ object AdvancedQueries {
       // 5 distinct event_type values, the oracle still returns exactly
       // the top-5 rather than reporting a spurious sketch mismatch.
       // The ORDER BY n DESC, event_type tiebreak is total on both
-      // sides, so the truncation is deterministic.
+      // sides, so the truncation is deterministic — with one boundary
+      // caveat: approx_top_k's pick among COUNT-TIED items at rank 5 is
+      // unspecified and need not match the oracle's event_type
+      // tiebreak. Today's 5-value fixture never truncates; a fixture
+      // regeneration that pushes past 5 distinct types must guarantee
+      // distinct counts at the rank-5 boundary (or this face must
+      // collapse ties before comparing).
       Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
              |FROM events GROUP BY 1 ORDER BY n DESC, event_type
              |LIMIT 5""".stripMargin)),

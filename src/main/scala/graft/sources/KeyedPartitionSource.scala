@@ -182,26 +182,7 @@ private[sources] class KeyedWrite(path: String)
       // small-file rewrite, so 60s of contention means something is
       // genuinely wrong).
       val lockFile = new java.io.File(path, "_manifest.lock")
-      val channel = java.nio.channels.FileChannel.open(lockFile.toPath,
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      var flock: java.nio.channels.FileLock = null
-      try {
-        var attempts = 0
-        while (flock == null) {
-          flock =
-            try channel.tryLock()
-            catch {
-              case _: java.nio.channels.OverlappingFileLockException => null
-            }
-          if (flock == null) {
-            attempts += 1
-            if (attempts > 600) throw new IllegalStateException(
-              s"could not acquire ${lockFile.toPath} after 60s — " +
-                "live committer wedged?")
-            Thread.sleep(100)
-          }
-        }
+      ManifestLocks.withLock(lockFile) {
         val mfFile = new java.io.File(path, "_manifest")
         val existing =
           if (mfFile.isFile) {
@@ -215,9 +196,6 @@ private[sources] class KeyedWrite(path: String)
         java.nio.file.Files.move(tmp.toPath, mfFile.toPath,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      } finally {
-        if (flock != null) flock.release()
-        channel.close()
       }
     }
 
@@ -225,6 +203,53 @@ private[sources] class KeyedWrite(path: String)
       messages.filter(_ != null)
         .flatMap(_.asInstanceOf[KeyedFilesWritten].relPaths)
         .foreach(rel => new java.io.File(path, rel).delete())
+  }
+}
+
+/** Cross-process manifest locking with ONE FileChannel per lock-file
+  * path for the whole JVM, never closed. POSIX fcntl semantics (the
+  * FileLock javadoc caveat): closing ANY channel onto a file drops ALL
+  * of the process's record locks on it — so a waiter that timed out
+  * and closed its own channel would silently release a live same-JVM
+  * holder's lock against FOREIGN processes, reopening the concurrent-
+  * merge window the lock exists to close. In-JVM exclusion is a
+  * per-path monitor (so the kernel lock is only ever taken by one
+  * thread of this process at a time, and OverlappingFileLockException
+  * cannot arise); cross-process exclusion is the cached channel's
+  * fcntl lock. The channel cache grows by one entry per distinct
+  * store path — bounded by the paths a JVM writes, deliberately
+  * leaked, exactly like the anchor file itself. */
+private[sources] object ManifestLocks {
+  private val channels = scala.collection.concurrent.TrieMap
+    .empty[String, java.nio.channels.FileChannel]
+  private val mutexes = scala.collection.concurrent.TrieMap
+    .empty[String, Object]
+
+  def withLock[T](lockFile: java.io.File, timeoutMs: Long = 60000L)(body: => T): T = {
+    val key = lockFile.getCanonicalPath
+    val mutex = mutexes.getOrElseUpdate(key, new Object)
+    mutex.synchronized {
+      val channel = channels.getOrElseUpdate(key,
+        java.nio.channels.FileChannel.open(lockFile.toPath,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE))
+      var flock: java.nio.channels.FileLock = null
+      var waitedMs = 0L
+      while (flock == null) {
+        // the mutex serializes this JVM's acquisitions, so tryLock can
+        // only contend with FOREIGN processes (null, never Overlapping)
+        flock = channel.tryLock()
+        if (flock == null) {
+          waitedMs += 100
+          if (waitedMs > timeoutMs) throw new IllegalStateException(
+            s"could not acquire ${lockFile.toPath} after ${timeoutMs / 1000}s — " +
+              "live committer wedged?")
+          Thread.sleep(100)
+        }
+      }
+      // release the record lock but NEVER close the channel (see scaladoc)
+      try body finally flock.release()
+    }
   }
 }
 

@@ -225,8 +225,14 @@ object DedupStore {
     * the bound (metadata reads, not data reads). */
   private[graft] case class TombstoneProbe(
       dirsTotal: Int, dirsPruned: Int, filesRead: Int)
-  @volatile private[graft] var lastTombstoneProbe: Option[TombstoneProbe] =
-    None
+  // keyed by store root so concurrent compactions on one JVM can't
+  // interleave each other's observation (round-18 verdict item 4)
+  private val tombstoneProbes =
+    scala.collection.concurrent.TrieMap.empty[String, TombstoneProbe]
+  private[graft] def lastTombstoneProbe(storeDir: String): Option[TombstoneProbe] = {
+    val (_, root) = fsRoot(storeDir)
+    tombstoneProbes.get(root.toString)
+  }
 
   private def atomicWriteBytes(fs: FileSystem, target: Path,
                                body: Array[Byte]): Unit = {
@@ -363,9 +369,25 @@ object DedupStore {
     // lock and reopen the interleave this protocol exists to prevent
     val myBody = acquired.get
     try body finally {
-      val current = try Some(readString(fs, lock).trim)
-                    catch { case _: java.io.IOException => None }
-      if (current.forall(_ == myBody)) fs.delete(lock, false): Unit
+      // Three read outcomes, three verdicts:
+      //  - body == ours        -> delete (the normal release);
+      //  - FileNotFoundException -> lock already gone (a waiter broke us
+      //    as stale and the successor has released) — nothing to delete;
+      //  - body != ours, or any OTHER IOException (after one retry) ->
+      //    LEAVE the file. A transient read failure while a successor
+      //    holds a fresh lock must not turn into a delete of the
+      //    successor's live lock — a leaked lock self-heals via the
+      //    stale takeover; a clobbered live one does not.
+      def readCurrent(): Option[Option[String]] =
+        try Some(Some(readString(fs, lock).trim))
+        catch {
+          case _: java.io.FileNotFoundException => Some(None)
+          case _: java.io.IOException => None // unreadable: unknown owner
+        }
+      readCurrent().orElse(readCurrent()) match {
+        case Some(Some(b)) if b == myBody => fs.delete(lock, false): Unit
+        case _ => () // gone, someone else's, or persistently unreadable
+      }
     }
   }
 
@@ -1424,9 +1446,9 @@ object DedupStore {
             val (mayDirs, clearDirs) = byDir.partition {
               case (dir, _) => sidecarMayContainAny(fs, dir, tombs)
             }
-            lastTombstoneProbe = Some(TombstoneProbe(
+            tombstoneProbes(root.toString) = TombstoneProbe(
               dirsTotal = byDir.size, dirsPruned = clearDirs.size,
-              filesRead = mayDirs.valuesIterator.map(_.size).sum))
+              filesRead = mayDirs.valuesIterator.map(_.size).sum)
             val readFiles =
               mayDirs.valuesIterator.flatten.map(_.toString).toSeq
             if (readFiles.isEmpty) Set.empty

@@ -156,7 +156,7 @@ class DedupStoreSinkSpec extends SparkSpec {
     // version dir can still hold a victim (the one whose commit wrote
     // the crashed purge's bucket), every other candidate version is
     // pruned by metadata alone
-    val probe = graft.streaming.DedupStore.lastTombstoneProbe.get
+    val probe = graft.streaming.DedupStore.lastTombstoneProbe(s"$tmp/store").get
     assert(probe.dirsTotal >= 2,
       s"fixture too small to prove pruning: $probe")
     assert(probe.dirsPruned == probe.dirsTotal - 1,

@@ -657,6 +657,43 @@ class StreamingSpec extends SparkSpec {
       "broken-then-acquired lock must release")
   }
 
+  test("lock release never deletes blind: unreadable lock survives, vanished lock is a no-op") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lock_unread").toString
+    val root = new org.apache.hadoop.fs.Path(tmp)
+    val raw = root.getFileSystem(spark.sessionState.newHadoopConf())
+    @volatile var failReads = false
+    // injected transient read failure on the lock file only — the
+    // HDFS/object-store shape where open() can fail while the file exists
+    val fs = new org.apache.hadoop.fs.FilterFileSystem(raw) {
+      override def open(f: org.apache.hadoop.fs.Path,
+                        bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream = {
+        if (failReads && f.getName == "_LOCK")
+          throw new java.io.IOException("injected transient read failure")
+        super.open(f, bufferSize)
+      }
+    }
+    val lockPath = java.nio.file.Paths.get(tmp, "_LOCK")
+    graft.streaming.DedupStore.withWriterLock(fs, root, "test") {
+      // simulate: we sat wedged, a waiter broke our lock as stale, and a
+      // successor re-acquired — then the release-time read fails
+      java.nio.file.Files.write(lockPath,
+        s"${System.currentTimeMillis()}\tsuccessor\tdrain\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      failReads = true
+    }
+    failReads = false
+    val body = new String(java.nio.file.Files.readAllBytes(lockPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    assert(body.endsWith("successor\tdrain"),
+      s"successor's live lock must survive an unreadable release read, got '$body'")
+    java.nio.file.Files.delete(lockPath)
+    // a VANISHED lock (FileNotFound at release) is the safe no-op branch
+    graft.streaming.DedupStore.withWriterLock(fs, root, "test") {
+      java.nio.file.Files.delete(lockPath)
+    }
+    assert(!lockPath.toFile.exists(), "no lock must be recreated by release")
+  }
+
   test("tombstone compaction: erased victims fold away, in-flight tombstones survive") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_store_tc").toString
     val docs = (0 until 50).map(i => (i.toLong, s"tc text $i")).toDF("doc_id", "text")
