@@ -81,6 +81,76 @@ object Bench {
     graft.queries.SourceFormatQueries.ensureZOrderLayout(spark, sfDir): Unit
     // q180's clusterBy'd table: write-once/scan-many, same rule as q58
     graft.queries.SourceFormatQueries.ensureClusterByTable(spark, sfDir): Unit
+    // the remaining immutable arrival fixtures (write-once per JVM+sf,
+    // same pre-existing-stream rule as ensureSessionStream): staged here
+    // so no query's FIRST timed run pays a staging write its second run
+    // skips — min-of-two hid most of it, but the min still caught the
+    // box's state, not the engine's
+    graft.queries.StreamMediaQueries.ensureGateStream(spark, sfDir): Unit
+    graft.queries.StreamMediaQueries.ensureCustomerStream(spark, sfDir): Unit
+    graft.queries.StreamMediaQueries.ensureOrderFactStream(spark, sfDir): Unit
+    graft.queries.StreamMediaQueries.ensureLocfStream(spark, sfDir): Unit
+    graft.queries.StreamMediaQueries.ensureLateAuditStream(spark, sfDir): Unit
+    graft.queries.StreamMediaQueries.ensureOrderStream(spark, sfDir): Unit
+    graft.queries.StreamMediaQueries.ensureLineitemStream(spark, sfDir): Unit
+    graft.queries.StreamMediaQueries.ensureTimerSessionStream(spark, sfDir): Unit
+    graft.queries.StreamMediaQueries.ensureBootstrapSessionStream(spark, sfDir): Unit
+    graft.queries.StreamMediaQueries.ensureDupEventStream(spark, sfDir): Unit
+    graft.queries.StreamMediaQueries.ensureUnionFeeds(spark, sfDir): Unit
+    graft.queries.StreamMediaQueries.ensureIntervalStream(spark, sfDir): Unit
+    graft.queries.StreamMediaQueries.ensureIntervalStreamJittered(spark, sfDir): Unit
+    graft.queries.StreamMediaQueries.ensureNewDocStream(spark, sfDir): Unit
+    graft.queries.StreamMediaQueries.ensureDecodeMixFiles(spark, sfDir): Unit
+    // cold engine paths the first block misses (measured: the first
+    // RocksDB/transformWithState query of a run paid 2-4 s of provider
+    // + codegen first-touch that its family never pays again): drive a
+    // 5-user slice once through (a) transformWithState with event-time
+    // TIMERS on the RocksDB provider, (b) the `statestore` reader over
+    // that checkpoint, (c) a stream-stream interval join, and (d)
+    // dropDuplicatesWithinWatermark + session_window — one tiny batch
+    // each, so per-query timings measure the operator, not first-touch
+    import org.apache.spark.sql.types.{LongType, StructField => SF, StructType => ST, StringType, DoubleType}
+    val evSchema = graft.streaming.EventStream.schema
+    val tsDir = graft.queries.StreamMediaQueries.ensureTimerSessionStream(spark, sfDir)
+    graft.streaming.EventStream.withRocksDBState(spark) {
+      import spark.implicits._
+      val tiny = spark.readStream.schema(evSchema)
+        .parquet(s"$tsDir/*.parquet") // one batch: no maxFilesPerTrigger
+        .filter(col("user_id") < 5 || col("user_id") < 0)
+        .as[graft.streaming.EventStream.Event]
+      val wdir = graft.TempDirs.create("graft_warm_tws")
+      graft.streaming.EventStream.runToFiles(spark,
+        graft.streaming.EventStream.timerSessionStream(tiny,
+          graft.streaming.EventStream.SessionGapMicros).toDF(),
+        s"$wdir/data", s"$wdir/ckpt").count()
+      spark.read.format("statestore")
+        .option("path", s"$wdir/ckpt").option("stateVarName", "sess")
+        .load().count()
+    }
+    val wj = graft.TempDirs.create("graft_warm_join")
+    def wside(ty: String, p: String) = spark.readStream.schema(evSchema)
+      .parquet(s"$tsDir/*.parquet")
+      .filter((col("event_type") === ty && col("user_id") < 5) || col("user_id") < 0)
+      .select(col("user_id").as(s"${p}_user"),
+        graft.Tables.eventTime(col("ts")).as(s"${p}_time"))
+      .withWatermark(s"${p}_time", "2 hours")
+    graft.streaming.EventStream.runToFiles(spark,
+      wside("view", "v").join(wside("purchase", "p"),
+        col("v_user") === col("p_user") &&
+          col("p_time") >= col("v_time") &&
+          col("p_time") <= col("v_time") + expr("INTERVAL 1 HOUR"), "full_outer"),
+      s"$wj/data", s"$wj/ckpt").count()
+    val wd = graft.TempDirs.create("graft_warm_dedup")
+    graft.streaming.EventStream.runToFiles(spark,
+      spark.readStream.schema(evSchema).parquet(s"$tsDir/*.parquet")
+        .filter(col("user_id") < 5)
+        .withColumn("event_time", graft.Tables.eventTime(col("ts")))
+        .withWatermark("event_time", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .groupBy(col("user_id"),
+          session_window(col("event_time"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n")).drop("w"),
+      s"$wd/data", s"$wd/ckpt").count()
   }
 
   def main(args: Array[String]): Unit = {
@@ -117,6 +187,10 @@ object Bench {
     // the artifact so any single run remains exactly reproducible.
     // (Sorting first keeps the shuffle a pure function of the seed —
     // a Map's hash order shifts when entries are added.)
+    // emitted as a JSON STRING: nanoTime commonly exceeds 2^53, and a
+    // double-based JSON consumer (jq -e, JS tooling) would silently
+    // round a bare number, breaking exact reproducibility from the
+    // artifact (Python-side parsing reads either form losslessly)
     val orderSeed = System.nanoTime()
     val rng = new scala.util.Random(orderSeed)
     val benchT0 = System.nanoTime()
@@ -179,7 +253,7 @@ object Bench {
     // headline fields BEFORE the per-query map: if the driver's
     // capture truncates the line (round 2 lost the tail), the total,
     // failure list, and sf survive — only per-query detail is at risk
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","failed":$failed,"order_seed":$orderSeed,"queries":$qs,"started":$started}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","failed":$failed,"order_seed":"$orderSeed","queries":$qs,"started":$started}""")
     // …and AGAIN as a short trailer line: rounds 3-5 showed the driver's
     // capture keeps the TAIL, so the leading headline (and the first ~30
     // queries) vanished with it. A headline at both ends survives either
@@ -198,7 +272,7 @@ object Bench {
     val artifact = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       new java.io.File("bench_last.json").getAbsolutePath)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","failed":$failed,"order_seed":$orderSeed,"queries":$qs,"started":$started}""" + "\n")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","failed":$failed,"order_seed":"$orderSeed","queries":$qs,"started":$started}""" + "\n")
     catch { case _: Exception => () }
     spark.stop()
   }

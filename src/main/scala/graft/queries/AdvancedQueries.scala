@@ -2449,13 +2449,25 @@ object AdvancedQueries {
     ("q111_recursive_budget_batches",
       (s: SparkSession, d: String) => {
         s.conf.set("spark.sql.cteRecursionLevelLimit", "1000")
-        Tables.load(s, d, "orders").createOrReplaceTempView("q111_orders")
+        // materialize the recursion's STATIC input once: the engine
+        // inlines a non-recursive CTE into every fixpoint step, so the
+        // orders scan + row_number window would otherwise re-run at
+        // EVERY level (depth = max orders/customer, 24 at sf0.1 —
+        // measured 12.2 s, ~70% of it re-derived `o`). A cached
+        // per-query intermediate (released by the per-query cache
+        // clear) turns each level's static side into a memory-local
+        // probe; the recursion itself — the thing the face certifies —
+        // is unchanged, and the oracle recursion still hash-matches.
+        import org.apache.spark.sql.expressions.Window
+        Tables.load(s, d, "orders")
+          .select(col("o_custkey").as("cust"),
+            round(col("o_totalprice") * 100).cast("long").as("p"),
+            row_number().over(Window.partitionBy(col("o_custkey"))
+              .orderBy(col("o_orderdate"), col("o_orderkey"))).as("rn"))
+          .cache()
+          .createOrReplaceTempView("q111_o")
         s.sql("""WITH RECURSIVE o AS (
-          |  SELECT o_custkey AS cust,
-          |    CAST(round(o_totalprice*100) AS BIGINT) AS p,
-          |    row_number() OVER (PARTITION BY o_custkey
-          |      ORDER BY o_orderdate, o_orderkey) AS rn
-          |  FROM q111_orders),
+          |  SELECT cust, p, rn FROM q111_o),
           |walk(cust, rn, acc, batches) AS (
           |  SELECT cust, rn, p, CAST(1 AS BIGINT) FROM o WHERE rn = 1
           |  UNION ALL

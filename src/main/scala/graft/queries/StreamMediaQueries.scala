@@ -699,8 +699,8 @@ object StreamMediaQueries {
     })
 
   /** st17's staged query stream: the first 20 embedding vectors as 4
-    * parquet files (5 queries per micro-batch under
-    * maxFilesPerTrigger = 1). Immutable input under the write-once
+    * parquet files (drained two per trigger — two multi-query
+    * micro-batches). Immutable input under the write-once
     * rule: query traffic pre-exists in a serving deployment, and the
     * probe never mutates it — the timed operation is the per-batch
     * pruned probe of the (also pre-built) s08 index. */
@@ -718,7 +718,7 @@ object StreamMediaQueries {
     })
 
   /** st21's arrival fixture: the ODD-vec_id embeddings staged as 4
-    * parquet files, streamed one per micro-batch into a per-RUN fresh
+    * parquet files, streamed two per micro-batch into a per-RUN fresh
     * index (the append is the timed operation, so the input is
     * immutable but the index is not shared). Built once per (JVM, sf)
     * under the write-once rule. */
@@ -756,7 +756,7 @@ object StreamMediaQueries {
     })
 
   /** st26's arrival fixture: d13's "new 20%" (LCG bucket ≥ 8) split
-    * into 4 files so each becomes one micro-batch. Built once per
+    * into 4 files drained as two micro-batches. Built once per
     * (JVM, sf) — arrival data is pre-existing input, not query work. */
   private val newDocStreams =
     scala.collection.concurrent.TrieMap.empty[String, String]
@@ -972,7 +972,7 @@ object StreamMediaQueries {
     // micro-batches. Input arrives as 3 time-range-ordered files (the
     // arrival model stateful sessionization assumes — per-user event
     // time monotone ACROSS batches; within a batch the state handler
-    // sorts), one per micro-batch, so sessions genuinely span batch
+    // sorts), two files per micro-batch, so sessions genuinely span batch
     // boundaries and ids continue from state. Open sessions at end of
     // input are closed by a final batch of per-user sentinel flush
     // events 24 h past the corpus (the punctuation idiom): a sentinel
@@ -986,7 +986,7 @@ object StreamMediaQueries {
         import s.implicits._
         val inDir = ensureSessionStream(s, d)
         val stream = s.readStream.schema(EventStream.schema)
-          .option("maxFilesPerTrigger", "1")
+          .option("maxFilesPerTrigger", "2")
           .parquet(s"$inDir/part-*")
           .as[EventStream.Event]
         val out = graft.TempDirs.create("graft_st12o")
@@ -1111,9 +1111,13 @@ object StreamMediaQueries {
             col("purchase_time") >= col("view_time") &&
             col("purchase_time") <= col("view_time") + expr("INTERVAL 1 HOUR"))
           .select(col("user_id"), col("view_id"), col("purchase_id"))
-        EventStream.runToMemory(s, joined, s"st05_mem_${System.nanoTime()}",
+        // state partitions sized to the state (the st67 rationale):
+        // join state is bounded by interval × delay, and each partition
+        // costs four store commits per batch
+        graft.Confs.withConfs(s, Seq("spark.sql.shuffle.partitions" -> "8")) {
+          EventStream.runToMemory(s, joined, s"st05_mem_${System.nanoTime()}",
             org.apache.spark.sql.streaming.OutputMode.Append)
-          .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
+        }.orderBy(col("user_id"), col("view_id"), col("purchase_id"))
       },
       Some("""WITH e AS (
              |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t
@@ -1234,26 +1238,24 @@ object StreamMediaQueries {
     // StreamingSpec drives both resurrection paths. Cost ∝ victim
     // buckets, not store size. Oracle: the final store equals batch
     // exact-dedup (d01) over the corpus minus the victim texts.
-    // Timed cost is dominated by building the store fixture (the st07
-    // drain, ~5 s at sf0.1); the purge itself is ~0.6 s — the STORE is
-    // built in-query rather than warmed up because purge MUTATES it, so
-    // a shared pre-built store would make the second bench run time a
-    // victims-already-gone no-op instead of a real takedown. Only the
-    // immutable input staging ([[ensureDedupStreamInput]]) is shared.
+    // The STORE is built in-query rather than warmed up because purge
+    // MUTATES it (a shared pre-built store would make the second bench
+    // run time a victims-already-gone no-op instead of a real
+    // takedown) — but it is built by the CHEAPEST correct path: one
+    // DSv2 batch write (st14's sink, one version), not the st07
+    // 4-batch streaming drain. The drain-vs-batch-write build paths
+    // commit the identical exact-dedup aggregate (st07/st14 each
+    // certify theirs); purge semantics are version-count-independent
+    // (it rewrites the newest version's victim buckets either way), so
+    // this query's timed cost now tracks what it claims to face:
+    // the takedown against a populated store, not a rebuild of st07.
     ("st13_store_purge",
       (s: SparkSession, d: String) => {
         val tmp = graft.TempDirs.create("graft_st13")
         val docs = Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
-        val inDir = ensureDedupStreamInput(s, d)
-        val docsStream = s.readStream
-          .schema(org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("doc_id",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("text",
-              org.apache.spark.sql.types.StringType))))
-          .option("maxFilesPerTrigger", "1")
-          .parquet(s"$inDir/part-*")
-        graft.streaming.DedupStore.run(s, docsStream, s"$tmp/store", s"$tmp/ckpt")
+        docs.write.format("graft.sources.DedupStoreSink")
+          .option("path", s"$tmp/store").option("nBuckets", "16")
+          .mode("append").save()
         // the takedown list: raw text strings (how deletion requests
         // actually arrive), bounded — ~1/37 of distinct texts here
         val victims = docs.filter(col("doc_id") % 37 === 0)
@@ -1360,7 +1362,7 @@ object StreamMediaQueries {
 
     // ---- streaming ANN serving: micro-batched probes of the s08 index -----
     // The online half of s08's serving story: query vectors ARRIVE as a
-    // stream (4 micro-batches of 5), the IVF-int8 index is the static
+    // stream (2 micro-batches of 10), the IVF-int8 index is the static
     // side, and each batch runs the same partition-pruned probe —
     // per-batch probed-cell sets are computed from that batch's queries
     // only, so a batch's scan cost is ∝ its own nProbe footprint, not
@@ -1381,7 +1383,7 @@ object StreamMediaQueries {
         val qstream = s.readStream
           .schema(StructType(Seq(StructField("vec_id", LongType),
             StructField("embedding", ArrayType(FloatType)))))
-          .option("maxFilesPerTrigger", "1")
+          .option("maxFilesPerTrigger", "2")
           .parquet(s"$inDir/part-*")
         val q = qstream.writeStream
           .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -1599,8 +1601,13 @@ object StreamMediaQueries {
             "left_outer")
           .select(col("user_id"), col("view_id"), col("purchase_id"),
             col("view_time"))
-        EventStream.runToFiles(s, joined, s"$out/data", s"$out/ckpt")
-          .select(col("user_id"), col("view_id"), col("purchase_id"))
+        // state partitions sized to the state (the st67 rationale): a
+        // stream-stream join keeps FOUR stores per partition per
+        // side-pair, and its state is bounded by the 1 h interval ×
+        // watermark delay, not by key cardinality
+        graft.Confs.withConfs(s, Seq("spark.sql.shuffle.partitions" -> "8")) {
+          EventStream.runToFiles(s, joined, s"$out/data", s"$out/ckpt")
+        }.select(col("user_id"), col("view_id"), col("purchase_id"))
           .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
       },
       Some("""WITH e AS (
@@ -1622,7 +1629,7 @@ object StreamMediaQueries {
     // ---- streaming ANN index maintenance (continuous ingestion) -----------
     // s11's growth path on the STREAMING engine: the index is built
     // from the corpus at build time (even vec_ids), later arrivals
-    // stream in as 4 micro-batches, each appended to the live index via
+    // stream in as 2 micro-batches, each appended to the live index via
     // foreachBatch + appendToIvfIndex (assign + int8-quantize against
     // the existing codebook, append to cell dirs — no retrain, no
     // rewrite, cost ∝ the batch). Per-vector assignment is independent
@@ -1651,7 +1658,7 @@ object StreamMediaQueries {
         val q = s.readStream
           .schema(StructType(Seq(StructField("vec_id", LongType),
             StructField("embedding", ArrayType(FloatType)))))
-          .option("maxFilesPerTrigger", "1")
+          .option("maxFilesPerTrigger", "2")
           .parquet(s"$inDir/part-*")
           .writeStream
           .foreachBatch((batch: DataFrame, _: Long) =>
@@ -1730,7 +1737,7 @@ object StreamMediaQueries {
     // for a different index: the band index over "yesterday" (LCG
     // bucket < 8) is staged once per (JVM, sf) and COPIED into a fresh
     // per-run dir (each run mutates its own index); the new 20% arrives
-    // as 4 micro-batches, and each batch (a) emits its verified
+    // as 2 micro-batches, and each batch (a) emits its verified
     // near-dup pairs against index ∪ itself and (b) APPENDS its band
     // keys — so later batches pair against everything before them.
     // A pair is emitted exactly once, in the batch its later side
@@ -1757,7 +1764,7 @@ object StreamMediaQueries {
         val q = s.readStream
           .schema(StructType(Seq(StructField("doc_id", LongType),
             StructField("text", StringType))))
-          .option("maxFilesPerTrigger", "1")
+          .option("maxFilesPerTrigger", "2")
           .parquet(s"${ensureNewDocStream(s, d)}/part-*")
           .writeStream
           .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -2293,7 +2300,7 @@ object StreamMediaQueries {
           org.apache.spark.sql.types.StructField("text",
             org.apache.spark.sql.types.StringType)))
         val q = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(s"$inDir/part-*")
+          .option("maxFilesPerTrigger", "2").parquet(s"$inDir/part-*")
           .writeStream
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
             val flagged = batch.select(col("doc_id"),
@@ -2368,7 +2375,7 @@ object StreamMediaQueries {
             (w.cast("double") * 1000000.0 / u.cast("double")).as("priority"))
         }
         val stream = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(s"$inDir/part-*")
+          .option("maxFilesPerTrigger", "2").parquet(s"$inDir/part-*")
         val emptyState = scoredOf(s.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
         val finalState = graft.streaming.VersionedView.run(
@@ -2424,7 +2431,7 @@ object StreamMediaQueries {
           StructField("doc_id", LongType), StructField("text", StringType),
           StructField("source", StringType)))
         val stream = s.readStream.schema(docSchema)
-          .option("maxFilesPerTrigger", "1")
+          .option("maxFilesPerTrigger", "2")
           .parquet(s"$inDir/part-*")
         val rollup = stream.select(col("source"),
             TextAnalysis.langId(col("text")).as("pred_lang"),
@@ -2489,7 +2496,7 @@ object StreamMediaQueries {
         import s.implicits._
         val inDir = ensureSessionStream(s, d)
         val stream = s.readStream.schema(EventStream.schema)
-          .option("maxFilesPerTrigger", "1")
+          .option("maxFilesPerTrigger", "2")
           .parquet(s"$inDir/part-*")
           .as[EventStream.Event]
           .filter(_.event_type != "flush")
@@ -2531,7 +2538,7 @@ object StreamMediaQueries {
         import s.implicits._
         val inDir = ensureSessionStream(s, d)
         val stream = s.readStream.schema(EventStream.schema)
-          .option("maxFilesPerTrigger", "1")
+          .option("maxFilesPerTrigger", "2")
           .parquet(s"$inDir/part-*")
           .as[EventStream.Event]
           .filter(_.event_type != "flush")
@@ -2577,7 +2584,7 @@ object StreamMediaQueries {
           .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
         val stream = s.readStream.schema(StructType(Seq(
             StructField("k", LongType), StructField("month", StringType))))
-          .option("maxFilesPerTrigger", "1")
+          .option("maxFilesPerTrigger", "2")
           .parquet(s"$in/part-*")
         val emptyView = rollup(li.limit(0)
           .withColumn("month", lit("")))
@@ -2612,7 +2619,7 @@ object StreamMediaQueries {
         import s.implicits._
         val inDir = ensureSessionStream(s, d)
         val stream = s.readStream.schema(EventStream.schema)
-          .option("maxFilesPerTrigger", "1")
+          .option("maxFilesPerTrigger", "2")
           .parquet(s"$inDir/part-*")
           .as[EventStream.Event]
           .filter(_.event_type != "flush")
@@ -2667,7 +2674,7 @@ object StreamMediaQueries {
           org.apache.spark.sql.types.StructField("sum_v",
             org.apache.spark.sql.types.DoubleType)))
         val stream = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1")
+          .option("maxFilesPerTrigger", "2")
           .parquet(s"$inDir/part-*")
           .as[EventStream.Hourly]
         val out = graft.TempDirs.create("graft_st34o")
@@ -2716,7 +2723,7 @@ object StreamMediaQueries {
         val stream = s.readStream.schema(StructType(Seq(
             StructField("pk", LongType), StructField("sk", LongType),
             StructField("qty", LongType), StructField("price_c", LongType))))
-          .option("maxFilesPerTrigger", "1")
+          .option("maxFilesPerTrigger", "2")
           .parquet(s"$in/part-*")
         val emptyState = fold(s.range(0).select(
           col("id").as("pk"), col("id").as("sk"),
@@ -2776,7 +2783,7 @@ object StreamMediaQueries {
         import s.implicits._
         val inDir = ensureSessionStream(s, d)
         val stream = s.readStream.schema(EventStream.schema)
-          .option("maxFilesPerTrigger", "1")
+          .option("maxFilesPerTrigger", "2")
           .parquet(s"$inDir/part-*")
           .as[EventStream.Event]
           .filter(_.event_type != "flush")
@@ -2839,7 +2846,7 @@ object StreamMediaQueries {
         val stream = s.readStream.schema(StructType(Seq(
             StructField("pk", LongType), StructField("sk", LongType),
             StructField("qty", LongType), StructField("price_c", LongType))))
-          .option("maxFilesPerTrigger", "1")
+          .option("maxFilesPerTrigger", "2")
           .parquet(s"$in/part-*")
         val emptyState = s.range(0).select(
           col("id").cast("string").as("o_orderpriority"),
@@ -2890,7 +2897,7 @@ object StreamMediaQueries {
         import s.implicits._
         val inDir = ensureSessionStream(s, d)
         val stream = s.readStream.schema(EventStream.schema)
-          .option("maxFilesPerTrigger", "1")
+          .option("maxFilesPerTrigger", "2")
           .parquet(s"$inDir/part-*")
           .as[EventStream.Event]
           .filter(_.event_type != "flush")
@@ -2931,7 +2938,7 @@ object StreamMediaQueries {
         val inDir = ensureGateStream(s, d)
         val sch = s.read.parquet(inDir).schema
         val stream = s.readStream.schema(sch)
-          .option("maxFilesPerTrigger", "1")
+          .option("maxFilesPerTrigger", "2")
           .parquet(s"$inDir/part-*")
         val okeys = Tables.load(s, d, "orders").select(col("o_orderkey"))
         val flagged = stream.join(broadcast(okeys),
@@ -3021,7 +3028,7 @@ object StreamMediaQueries {
         import s.implicits._
         val inDir = ensureSessionStream(s, d)
         val stream = s.readStream.schema(EventStream.schema)
-          .option("maxFilesPerTrigger", "1")
+          .option("maxFilesPerTrigger", "2")
           .parquet(s"$inDir/part-*")
           .as[EventStream.Event]
           .filter(_.event_type != "flush")
@@ -3063,7 +3070,7 @@ object StreamMediaQueries {
         val inDir = ensureGateStream(s, d)
         val sch = s.read.parquet(inDir).schema
         val stream = s.readStream.schema(sch)
-          .option("maxFilesPerTrigger", "1")
+          .option("maxFilesPerTrigger", "2")
           .parquet(s"$inDir/part-*")
         val x = round(col("l_quantity")).cast("long")
         val y = round(col("l_extendedprice") * 100).cast("long")
@@ -3125,7 +3132,7 @@ object StreamMediaQueries {
         val inDir = ensureIntervalStream(s, d)
         val stream = s.readStream
           .schema("sk LONG, lo LONG, hi LONG")
-          .option("maxFilesPerTrigger", "1")
+          .option("maxFilesPerTrigger", "2")
           .parquet(s"$inDir/*.parquet")
           .as[graft.streaming.IntervalCoverage.Iv]
         val out = graft.TempDirs.create("graft_st47o")
@@ -3180,7 +3187,7 @@ object StreamMediaQueries {
         val (mn, span) = (mm.getLong(0), mm.getLong(1))
         val inDir = ensureSessionStream(s, d)
         val stream = s.readStream.schema(EventStream.schema)
-          .option("maxFilesPerTrigger", "1")
+          .option("maxFilesPerTrigger", "2")
           .parquet(s"$inDir/part-*")
           .as[EventStream.Event]
           .filter(_.event_type != "flush")
@@ -3277,7 +3284,7 @@ object StreamMediaQueries {
         import s.implicits._
         val inDir = ensureSessionStream(s, d)
         val stream = s.readStream.schema(EventStream.schema)
-          .option("maxFilesPerTrigger", "1")
+          .option("maxFilesPerTrigger", "2")
           .parquet(s"$inDir/part-*")
           .as[EventStream.Event]
           .filter(_.event_type != "flush")
@@ -3329,7 +3336,7 @@ object StreamMediaQueries {
         val inDir = ensureIntervalStreamJittered(s, d)
         val stream = s.readStream
           .schema("sk LONG, lo LONG, hi LONG")
-          .option("maxFilesPerTrigger", "1")
+          .option("maxFilesPerTrigger", "2")
           .parquet(s"$inDir/*.parquet")
           .as[graft.streaming.IntervalCoverage.Iv]
         val out = graft.TempDirs.create("graft_st50o")
@@ -3382,9 +3389,12 @@ object StreamMediaQueries {
       (s: SparkSession, d: String) => {
         import s.implicits._
         val inDir = ensureSessionStream(s, d)
+        // state partitions sized to the state (the st54/st65 knob):
+        // per-user counters, RocksDB per-partition commit tax per batch
         EventStream.withRocksDBState(s) {
+          graft.Confs.withConfs(s, Seq("spark.sql.shuffle.partitions" -> "8")) {
           val stream = s.readStream.schema(EventStream.schema)
-            .option("maxFilesPerTrigger", "1")
+            .option("maxFilesPerTrigger", "2")
             .parquet(s"$inDir/part-*")
             .as[EventStream.Event]
             .filter(_.event_type != "flush")
@@ -3393,6 +3403,7 @@ object StreamMediaQueries {
               EventStream.typeSeqStream(stream).toDF(),
               s"$out/data", s"$out/ckpt")
             .orderBy(col("user_id"), col("event_id"))
+          }
         }
       },
       Some("""SELECT user_id, event_id, event_type,
@@ -3416,7 +3427,7 @@ object StreamMediaQueries {
         val inDir = ensureCustomerStream(s, d)
         val sch = s.read.parquet(inDir).schema
         val classes = s.readStream.schema(sch)
-          .option("maxFilesPerTrigger", "1")
+          .option("maxFilesPerTrigger", "2")
           .parquet(s"$inDir/part-*")
           .groupBy(col("c_nationkey"), col("c_mktsegment"),
             floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
@@ -3466,7 +3477,7 @@ object StreamMediaQueries {
         val inDir = ensureOrderFactStream(s, d)
         val sch = s.read.parquet(inDir).schema
         val weekly = s.readStream.schema(sch)
-          .option("maxFilesPerTrigger", "1")
+          .option("maxFilesPerTrigger", "2")
           .parquet(s"$inDir/part-*")
           .select(call_function("div",
               datediff(to_date(col("o_orderdate")), lit("1990-01-01"))
@@ -3506,9 +3517,15 @@ object StreamMediaQueries {
       (s: SparkSession, d: String) => {
         import s.implicits._
         val inDir = ensureTimerSessionStream(s, d)
+        // state partitions sized to the state (the st65-st67 knob every
+        // streaming deployment pins at its first checkpoint): per-user
+        // open-session scalars, where RocksDB pays a per-partition
+        // instance open/commit PER BATCH — partition count multiplies
+        // that tax without adding parallelism the tiny state can use
         EventStream.withRocksDBState(s) {
+          graft.Confs.withConfs(s, Seq("spark.sql.shuffle.partitions" -> "8")) {
           val stream = s.readStream.schema(EventStream.schema)
-            .option("maxFilesPerTrigger", "1")
+            .option("maxFilesPerTrigger", "2")
             .parquet(s"$inDir/*.parquet")
             .as[EventStream.Event]
           val out = graft.TempDirs.create("graft_st54o")
@@ -3518,6 +3535,7 @@ object StreamMediaQueries {
               s"$out/data", s"$out/ckpt")
             .filter(col("user_id") >= 0) // sentinel watermark pushers
             .orderBy(col("user_id"), col("anchor_ts"))
+          }
         }
       },
       Some("""WITH e AS (
@@ -3560,9 +3578,12 @@ object StreamMediaQueries {
       (s: SparkSession, d: String) => {
         import s.implicits._
         val inDir = ensureSessionStream(s, d)
+        // state partitions sized to the state (the st54/st65 knob):
+        // per-user day maps, RocksDB per-partition commit tax per batch
         EventStream.withRocksDBState(s) {
+          graft.Confs.withConfs(s, Seq("spark.sql.shuffle.partitions" -> "8")) {
           val stream = s.readStream.schema(EventStream.schema)
-            .option("maxFilesPerTrigger", "1")
+            .option("maxFilesPerTrigger", "2")
             .parquet(s"$inDir/part-*")
             .as[EventStream.Event]
             .filter(_.event_type != "flush")
@@ -3574,6 +3595,7 @@ object StreamMediaQueries {
               s"$out/data", s"$out/ckpt",
               noData = false) // ProcessingTime TTL: see runToFiles
             .orderBy(col("event_id"))
+          }
         }
       },
       Some("""WITH e AS (
@@ -3605,7 +3627,7 @@ object StreamMediaQueries {
         val inDir = ensureCustomerStream(s, d)
         val sch = s.read.parquet(inDir).schema
         val cells = s.readStream.schema(sch)
-          .option("maxFilesPerTrigger", "1")
+          .option("maxFilesPerTrigger", "2")
           .parquet(s"$inDir/part-*")
           .groupBy(col("c_nationkey"),
             floor(col("c_acctbal") / 1000).cast("long").as("bal_band"),
@@ -3663,7 +3685,7 @@ object StreamMediaQueries {
         val inDir = ensureOrderFactStream(s, d)
         val sch = s.read.parquet(inDir).schema
         val stream = s.readStream.schema(sch)
-          .option("maxFilesPerTrigger", "1")
+          .option("maxFilesPerTrigger", "2")
           .parquet(s"$inDir/part-*")
         val weekly = graft.ops.ScaleJoins
           .saltedJoin(stream, keyToDense, "o_custkey", 8, col("o_orderdate"))
@@ -3706,7 +3728,7 @@ object StreamMediaQueries {
           lit("},\"tags\":["), col("doc_id") % 5, lit(","),
           col("doc_id") % 7, lit("]}"))
         val shredded = s.readStream.schema(sch)
-          .option("maxFilesPerTrigger", "1")
+          .option("maxFilesPerTrigger", "2")
           .parquet(s"$inDir/part-*")
           .select(when(col("doc_id") % 13 === 0, substring(base, 1, 10))
             .otherwise(base).as("js"))
@@ -3781,9 +3803,13 @@ object StreamMediaQueries {
       (s: SparkSession, d: String) => {
         import s.implicits._
         val inDir = ensureTimerSessionStream(s, d)
+        // state partitions sized to the state (the st54/st65 knob); the
+        // statestore read side is one source per partition, so fewer
+        // partitions also mean fewer read-back reconstructions
         EventStream.withRocksDBState(s) {
+          graft.Confs.withConfs(s, Seq("spark.sql.shuffle.partitions" -> "8")) {
           val stream = s.readStream.schema(EventStream.schema)
-            .option("maxFilesPerTrigger", "1")
+            .option("maxFilesPerTrigger", "2")
             .parquet(s"$inDir/part-*") // tiles only: pushers are z*_push
             .as[EventStream.Event]
           val out = graft.TempDirs.create("graft_st59o")
@@ -3802,6 +3828,7 @@ object StreamMediaQueries {
           drained.select("user_id", "anchor_ts", "n_events", "last_ts")
             .unionByName(open)
             .orderBy(col("user_id"), col("anchor_ts"))
+          }
         }
       },
       Some("""WITH e AS (
@@ -3848,7 +3875,9 @@ object StreamMediaQueries {
         EventStream.withRocksDBState(s) {
           graft.Confs.withConfs(s, Seq(
             "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
-              -> "true")) {
+              -> "true",
+            // state partitions sized to the state (the st54/st65 knob)
+            "spark.sql.shuffle.partitions" -> "8")) {
             val stream = s.readStream.schema(EventStream.schema)
               .option("maxFilesPerTrigger", "1")
               .parquet(s"$inDir/part-*")
@@ -3924,9 +3953,12 @@ object StreamMediaQueries {
       (s: SparkSession, d: String) => {
         import s.implicits._
         val inDir = ensureTimerSessionStream(s, d)
+        // state partitions sized to the state (the st54/st65 knob):
+        // per-user k-1 strings, RocksDB per-partition commit tax per batch
         EventStream.withRocksDBState(s) {
+          graft.Confs.withConfs(s, Seq("spark.sql.shuffle.partitions" -> "8")) {
           val stream = s.readStream.schema(EventStream.schema)
-            .option("maxFilesPerTrigger", "1")
+            .option("maxFilesPerTrigger", "2")
             .parquet(s"$inDir/part-*") // tiles only: pushers are z*_push
             .as[EventStream.Event]
           val out = graft.TempDirs.create("graft_st61o")
@@ -3934,6 +3966,7 @@ object StreamMediaQueries {
               EventStream.recentPatternStream(stream, k = 3).toDF(),
               s"$out/data", s"$out/ckpt")
             .orderBy(col("event_id"))
+          }
         }
       },
       Some("""WITH e AS (
@@ -4049,8 +4082,14 @@ object StreamMediaQueries {
           .select(col("user_id").as("_1"), col("anchor_ts").as("_2"),
             col("n_events").as("_3"), col("last_ts").as("_4"))
           .as[(Long, Long, Long, Long)]
-        // the stream takes over from the cut, state seeded
+        // the stream takes over from the cut, state seeded.
+        // maxFilesPerTrigger stays 1 HERE: the two watermark pushers
+        // must land in separate batches (a timer armed before batch k
+        // fires in the first batch whose START watermark passes it),
+        // and with only 2 data tiles a 2-files trigger would lump them.
+        // State partitions sized to the state (the st54/st65 knob).
         EventStream.withRocksDBState(s) {
+          graft.Confs.withConfs(s, Seq("spark.sql.shuffle.partitions" -> "8")) {
           val stream = s.readStream.schema(EventStream.schema)
             .option("maxFilesPerTrigger", "1")
             .parquet(s"$root/in/*.parquet")
@@ -4063,6 +4102,7 @@ object StreamMediaQueries {
             .filter(col("user_id") >= 0) // sentinel watermark pushers
             .unionByName(closedBatch)
             .orderBy(col("user_id"), col("anchor_ts"))
+          }
         }
       },
       Some("""WITH e AS (
@@ -4272,7 +4312,7 @@ object StreamMediaQueries {
         val inDir = ensureTimerSessionStream(s, d)
         val out = graft.TempDirs.create("graft_st66")
         val ev = s.readStream.schema(EventStream.schema)
-          .option("maxFilesPerTrigger", "1")
+          .option("maxFilesPerTrigger", "2")
           .parquet(s"$inDir/*.parquet") // tiles + watermark pushers
           .withColumn("event_time", Tables.eventTime(col("ts")))
           .withWatermark("event_time", "1 hour")
@@ -4332,7 +4372,7 @@ object StreamMediaQueries {
         val out = graft.TempDirs.create("graft_st67")
         def side(ty: String, tsName: String) =
           s.readStream.schema(EventStream.schema)
-            .option("maxFilesPerTrigger", "1")
+            .option("maxFilesPerTrigger", "2")
             .parquet(s"$inDir/*.parquet") // tiles + watermark pushers
             .filter(col("event_type") === ty || col("user_id") < 0)
             .select(col("user_id").as(s"${tsName}_user"),
@@ -4456,7 +4496,7 @@ object StreamMediaQueries {
         val inDir = ensureDupEventStream(s, d)
         val out = graft.TempDirs.create("graft_st69out")
         val rolled = s.readStream.schema(EventStream.schema)
-          .option("maxFilesPerTrigger", "1")
+          .option("maxFilesPerTrigger", "2")
           .parquet(s"$inDir/*.parquet") // dup-bearing tiles + pushers
           .withColumn("event_time", Tables.eventTime(col("ts")))
           .withWatermark("event_time", "1 hour")
@@ -4498,7 +4538,7 @@ object StreamMediaQueries {
         val inDir = ensureDupEventStream(s, d)
         val out = graft.TempDirs.create("graft_st70")
         val tagged = s.readStream.schema(EventStream.schema)
-          .option("maxFilesPerTrigger", "1")
+          .option("maxFilesPerTrigger", "2")
           .parquet(s"$inDir/*.parquet")
           .select(col("event_id"), col("user_id"),
             regexp_extract(col("_metadata.file_name"), "^(t\\d)", 1).as("tile"))
@@ -4551,7 +4591,7 @@ object StreamMediaQueries {
         val out = graft.TempDirs.create("graft_st71")
         def side(ty: String, tsName: String) =
           s.readStream.schema(EventStream.schema)
-            .option("maxFilesPerTrigger", "1")
+            .option("maxFilesPerTrigger", "2")
             .parquet(s"$inDir/*.parquet") // tiles + watermark pushers
             .filter(col("event_type") === ty || col("user_id") < 0)
             .select(col("user_id").as(s"${tsName}_user"),
@@ -4600,7 +4640,7 @@ object StreamMediaQueries {
         val (evenDir, oddDir) = ensureUnionFeeds(s, d)
         val out = graft.TempDirs.create("graft_st72out")
         def feed(dir: String) = s.readStream.schema(EventStream.schema)
-          .option("maxFilesPerTrigger", "1")
+          .option("maxFilesPerTrigger", "2")
           .parquet(s"$dir/*.parquet") // tiles + this feed's own pushers
           .withColumn("event_time", Tables.eventTime(col("ts")))
           .withWatermark("event_time", "1 hour")
@@ -4644,7 +4684,7 @@ object StreamMediaQueries {
         val out = graft.TempDirs.create("graft_st73")
         def side(ty: String, pfx: String) =
           s.readStream.schema(EventStream.schema)
-            .option("maxFilesPerTrigger", "1")
+            .option("maxFilesPerTrigger", "2")
             .parquet(s"$inDir/*.parquet") // tiles + watermark pushers
             .filter(col("event_type") === ty || col("user_id") < 0)
             .select(col("user_id").as(s"${pfx}_user"),
@@ -4727,7 +4767,7 @@ object StreamMediaQueries {
         val out = graft.TempDirs.create("graft_st75")
         def side(ty: String, pfx: String) =
           s.readStream.schema(EventStream.schema)
-            .option("maxFilesPerTrigger", "1")
+            .option("maxFilesPerTrigger", "2")
             .parquet(s"$inDir/*.parquet") // tiles + watermark pushers
             .filter(col("event_type") === ty || col("user_id") < 0)
             .select(col("user_id").as(s"${pfx}_user"),

@@ -1430,11 +1430,17 @@ object TrainingPrepQueries {
     // curve is the diminishing-returns signal data-mixing decisions
     // read (near-zero novelty = the corpus is re-treading itself; it
     // is also d09's containment criterion viewed longitudinally).
-    // Plan: one gram explode (bounded by corpus token count), a
-    // min-aggregate per gram, one join back — all equi-keyed on the
-    // gram; novelty exported in integer basis points.
+    // Plan: one gram explode (bounded by corpus token count), then
+    // min(doc_id) OVER (PARTITION BY gram) instead of the former
+    // aggregate-then-join-back — the window attributes each gram's
+    // first occurrence in the SAME pass, so the explode+distinct
+    // subtree runs once, not twice (DataFrame self-joins duplicate the
+    // subtree; there is no common-subexpression reuse), and one whole
+    // Exchange+join disappears (guide §2.4: two operations keyed the
+    // same way share one exchange). Novelty in integer basis points.
     ("t25_gram_novelty",
       (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
         val w = split(lower(col("text")), "\\s+")
         val grams = Tables.load(s, d, "documents")
           .select(col("doc_id"),
@@ -1442,9 +1448,9 @@ object TrainingPrepQueries {
               sequence(lit(1), greatest(size(w) - 2, lit(1)).cast("int")),
               i => concat_ws(" ", slice(w, i, lit(3))))).as("gram"))
           .distinct()
-        val firsts = grams.groupBy(col("gram"))
-          .agg(min(col("doc_id")).as("first_doc"))
-        grams.join(firsts, "gram")
+        grams
+          .withColumn("first_doc",
+            min(col("doc_id")).over(Window.partitionBy(col("gram"))))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_grams"),
             sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
